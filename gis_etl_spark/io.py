@@ -1,0 +1,183 @@
+"""Sources and sinks.
+
+Maps the reference's scan/sink inventory (SURVEY.md §2.1/§2.2) onto
+Spark's declarative readers/writers:
+
+- multi-file scans with provenance  — reference `READ_PARQUET([...],
+  filename=True)` (east_asia.py:398-400) → `spark.read.parquet` +
+  `input_file_name()`; Catalyst prunes columns/filters into the scan.
+- NDJSON scan/sink                  — reference `READ_JSON` /
+  per-line json.dump (east_asia.py:364-372) → `spark.read.json` /
+  `df.write.json`.
+- CSV with header                   — reference `READ_CSV(?, header=True)`
+  (east_asia.py:72-74) → `spark.read.option('header', True).csv`.
+- clustered parquet writer          — reference `COPY ... (FORMAT PARQUET,
+  CODEC ZSTD, COMPRESSION_LEVEL 22, ROW_GROUP_SIZE 15000)`
+  (east_asia.py:79-82) → zstd parquet with small row groups so
+  space-filling-curve clustering (layout/sfc.py) yields tight row-group
+  min/max stats for predicate pushdown.
+- idempotent write                  — reference skip-if-done / delete-if-
+  empty restart discipline (east_asia.py:101-106).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Reference writer policy: ROW_GROUP_SIZE 15000 at ~100 B/row ≈ 1.5 MB
+# blocks. parquet.block.size is bytes in Spark's writer; 2 MiB gives
+# row groups in the same regime (small → fine-grained row-group skipping
+# after Hilbert clustering).
+SMALL_ROW_GROUP_BYTES = 2 * 1024 * 1024
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table (TESTDATA.md layout).
+
+    `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    Spark has no native type for (SPARK-40819): read it as a long of
+    nanoseconds and convert to a microsecond timestamp — the same
+    truncation DuckDB applies viewing TIMESTAMP_NS as TIMESTAMP, so
+    oracle comparisons stay exact. The conf is runtime-settable and
+    harmless for non-nano files.
+    """
+    # Pin UTC on whatever session calls us (the driver brings its own):
+    # timestamp → string rendering must match the TZ-naive ANSI oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer `div`, not float `/`: epoch-nanos (~1.7e18) exceeds
+            # double's 53-bit mantissa and float division would corrupt
+            # the low digits.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver tables and register each as a temp view so
+    `spark.sql` runbook-style queries work 1:1 (SURVEY.md §3.4)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_with_provenance(
+    spark: SparkSession, *paths: str, source_col: str = "source"
+) -> DataFrame:
+    """Multi-file scan exposing the origin file path as a column.
+
+    Spark rendition of `READ_PARQUET([globs], filename=True)`
+    (east_asia.py:398-400): one distributed scan over all files; the
+    filename comes from the scan's split metadata, costing nothing.
+    """
+    df = spark.read.parquet(*paths)
+    return df.withColumn(source_col, F.input_file_name())
+
+
+def read_ndjson(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """NDJSON scan (`READ_JSON`, East-Asia-Building-Footprints.md:113)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """NDJSON sink (shape_stats.json writer, east_asia.py:364-372)."""
+    df.write.mode(mode).json(path)
+
+
+def read_csv_header(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV-with-header scan (`READ_CSV(?, header=True)`, east_asia.py:72-74)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_col: str | None = None,
+    max_records_per_file: int = 10_000_000,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Clustered parquet writer — the reference's signature sink.
+
+    Reference: `COPY (... ORDER BY HILBERT_ENCODE(...)) TO f.pq (FORMAT
+    PARQUET, CODEC ZSTD, COMPRESSION_LEVEL 22, ROW_GROUP_SIZE 15000)`
+    (east_asia.py:75-83) plus ≤10M-row bin-packing in merge-pqs
+    (east_asia.py:384-393).
+
+    Spark-first: a global `orderBy(sort_col)` is a range-partitioned
+    sort (sample → range exchange → per-partition sort), which at
+    cluster scale is exactly the balanced bin-packing the reference
+    does by hand with resp.json; `maxRecordsPerFile` caps file size the
+    way the reference's 10M-row batches do.
+    """
+    out = df
+    if sort_col is not None:
+        if num_files is not None:
+            out = out.repartitionByRange(num_files, F.col(sort_col)).sortWithinPartitions(
+                sort_col
+            )
+        else:
+            out = out.orderBy(sort_col)
+    (
+        out.write.mode(mode)
+        .option("compression", "zstd")
+        .option("parquet.block.size", SMALL_ROW_GROUP_BYTES)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+
+
+def idempotent_write(df: DataFrame, path: str, writer=None) -> bool:
+    """Skip-if-done / delete-and-retry-if-empty restart semantics.
+
+    Reference: east_asia.py:101-106 — if the output exists and is
+    non-empty, skip; if it exists but is zero-byte, delete and redo.
+    Returns True if a write happened.
+    """
+    if os.path.exists(path):
+        has_data = any(
+            f.startswith("part-") and os.path.getsize(os.path.join(path, f)) > 0
+            for f in os.listdir(path)
+        ) if os.path.isdir(path) else os.path.getsize(path) > 0
+        if has_data:
+            return False
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+    if writer is None:
+        write_clustered_parquet(df, path)
+    else:
+        writer(df, path)
+    return True

@@ -1,0 +1,359 @@
+"""Relational query pack — SURVEY.md §2.3/2.4/2.5/2.7/2.8 operator
+coverage, expressed as lazy DataFrame builders over the driver's
+TPC-H-ish tables (FIXTURES.md §A).
+
+Design rules (scale-first):
+- Declarative plans only; Catalyst owns pushdown/pruning/reordering.
+- Small dimensions are broadcast explicitly (`F.broadcast`) so the
+  plan never sort-merge-joins a 5-row region table at 100 TB.
+- Every computed column is aliased; float aggregates are rounded so
+  results are stable across partial-aggregation orders (both here and
+  in the ANSI oracle) — summation order across partitions is not
+  deterministic, rounding makes the comparison well-defined.
+- No collect(), no driver loops: every builder returns a DataFrame.
+
+Each builder takes (spark, sf_dir) and pairs with an ANSI oracle in
+`gis_etl_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gis_etl_spark.io import read_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (public spec): scan → filter → group → agg → sort.
+
+    Flagship slice per SURVEY.md §7.3 — exercises S5/P3/A1/A2/O2 in one
+    statement. The shipdate filter pushes into the parquet scan; the
+    aggregation is a two-phase hash agg (partial map-side, final after
+    a 2-key shuffle), replacing the reference's manual staging-table
+    partial/final idiom (East-Asia-Building-Footprints.md:243-269).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → group → top-10 by revenue.
+
+    customer is small relative to lineitem → broadcast; orders⋈lineitem
+    shuffles on the order key. Top-10 compiles to TakeOrderedAndProject
+    (no global sort materialization).
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with two broadcast dims → group by nation.
+
+    region/nation/supplier are tiny → broadcast; the only shuffles are
+    lineitem⋈orders and the final 1-key aggregation.
+    """
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped COUNT(*) — A1 (east_asia.py:174-180). Column-pruned scan:
+    reads only parquet row-group metadata, no data pages."""
+    return read_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+def group_count_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) GROUP BY with named (not ordinal) key — A2
+    (east_asia.py:336-340); ORDER BY count ascending — O2."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("cnt"), F.asc("o_orderpriority"))
+    )
+
+
+def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — A3 distinct-source audit
+    (East-Asia-Building-Footprints.md:171-174). Exact; at 100 TB scale
+    swap to approx_count_distinct when a 2% error is acceptable."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+def minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX over computed expressions — A4 global-bbox shape
+    (East-Asia-Building-Footprints.md:231-237; segfaulted the reference's
+    engine — ours must pass). Single partial/final agg, no shuffle of
+    data rows."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+        F.round(F.max(F.col("o_totalprice") * 0.1), 4).alias("max_price_tenth"),
+    )
+
+
+def orders_top15_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k — O2/O3; physical plan is
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global sort."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+def filter_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + equality predicates — P7 antimeridian-guard shape
+    (East-Asia-Building-Footprints.md:267-268). Both predicates push to
+    the parquet scan (PushedFilters)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("value") > 50.0)
+        & (F.col("value") < 150.0)
+        & (F.col("event_type") == "click")
+    ).select("event_id", "user_id", "value")
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — J1 inputs-lacking-outputs set difference
+    (East-Asia-Building-Footprints.md:127-141)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join — existence check without duplication (J2 manifest
+    lookup shape, east_asia.py:382-393)."""
+    supp = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45.0
+    )
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def union_all_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — §2.8; the reference's multi-file scan *is* its union
+    (SURVEY.md §2.8)."""
+    r = read_table(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("src")
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src")
+    )
+    return r.unionByName(n)
+
+
+def custkeys_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — §2.8 Python set-difference analog."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(recent)
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k — §2.6 (north-star similarity uses the same shape).
+    row_number over (custkey, price desc); rank filter prunes to ≤3 rows
+    per key before any downstream op."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate over event time — §2.6/§2.10 prep.
+    Deterministic accumulation order (ts, event_id) so the rounded
+    running sum is comparable to the ANSI oracle."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("running_value", F.round(F.sum("value").over(w), 2))
+        .select("user_id", "event_id", "running_value")
+    )
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch rendition) — §2.10; the
+    streaming twin lives in pipelines/streaming.py. date_trunc is a
+    JVM-side expression; group keys (hour, type) shuffle once."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — classic stateful-stream op done in
+    batch with windows: lag → gap flag → cumulative session id. The
+    streaming twin (applyInPandasWithState) is in pipelines/streaming.py.
+    30-minute gap threshold."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = read_table(spark, sf_dir, "events")
+    with_gap = ev.withColumn(
+        "new_session",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w_user)
+            > 1_800_000_000
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(0))).over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_gap.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — free Catalyst capability noted in SURVEY.md
+    §2.5; subtotal rows use COALESCE sentinel so the oracle comparison is
+    null-free."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "qty",
+        )
+    )

@@ -1,0 +1,217 @@
+"""Query registry: every implemented operator exposed under the driver
+contract (__spark_entry__.py), paired with its ANSI-SQL oracle.
+
+Each entry: name -> (builder, oracle_sql | None). Builders take
+(spark, sf_dir) and return a lazy DataFrame. Oracles run on DuckDB
+1.0.0 over the same parquet (views: region nation customer supplier
+part orders lineitem events documents embeddings). Names/aliases match
+column-for-column — the driver sorts columns by name before hashing.
+
+Ops DuckDB cannot express (WKB geometry kernels, Hilbert layout,
+streaming) carry oracle=None → rows-only driver check + engine-internal
+golden tests under tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gis_etl_spark.ops import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Relational pack (SURVEY.md §2.3/2.4/2.5/2.7/2.8) — all oracle-checked.
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+_COUNT_SQL = "SELECT count(*) AS cnt FROM lineitem"
+
+_GROUP_COUNT_SQL = """
+SELECT o_orderpriority, count(*) AS cnt
+FROM orders GROUP BY o_orderpriority
+ORDER BY cnt ASC, o_orderpriority ASC
+"""
+
+_COUNT_DISTINCT_SQL = (
+    "SELECT count(DISTINCT o_custkey) AS n_customers FROM orders"
+)
+
+_MINMAX_SQL = """
+SELECT min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+       strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+       round(max(o_totalprice * 0.1), 4) AS max_price_tenth
+FROM orders
+"""
+
+_TOP15_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+_FILTER_RANGE_SQL = """
+SELECT event_id, user_id, value
+FROM events
+WHERE value > 50.0 AND value < 150.0 AND event_type = 'click'
+"""
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+_SEMI_JOIN_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45.0)
+"""
+
+_UNION_SQL = """
+SELECT r_name AS name, 'region' AS src FROM region
+UNION ALL
+SELECT n_name AS name, 'nation' AS src FROM nation
+"""
+
+_EXCEPT_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+_WINDOW_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t WHERE rn <= 3
+"""
+
+_RUNNING_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+"""
+
+_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM gaps
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS cnt,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# name -> (builder, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q1_pricing_summary": (R.q1_pricing_summary, _Q1_SQL),
+    "q3_shipping_priority": (R.q3_shipping_priority, _Q3_SQL),
+    "q5_local_supplier_volume": (R.q5_local_supplier_volume, _Q5_SQL),
+    "q10_returned_items": (R.q10_returned_items, _Q10_SQL),
+    "count_lineitem": (R.count_lineitem, _COUNT_SQL),
+    "group_count_order_priority": (R.group_count_order_priority, _GROUP_COUNT_SQL),
+    "count_distinct_customers": (R.count_distinct_customers, _COUNT_DISTINCT_SQL),
+    "minmax_orders": (R.minmax_orders, _MINMAX_SQL),
+    "orders_top15_by_price": (R.orders_top15_by_price, _TOP15_SQL),
+    "filter_range_events": (R.filter_range_events, _FILTER_RANGE_SQL),
+    "customers_without_orders": (R.customers_without_orders, _ANTI_JOIN_SQL),
+    "suppliers_with_shipments": (R.suppliers_with_shipments, _SEMI_JOIN_SQL),
+    "union_all_names": (R.union_all_names, _UNION_SQL),
+    "custkeys_without_recent_orders": (R.custkeys_without_recent_orders, _EXCEPT_SQL),
+    "top3_orders_per_customer": (R.top3_orders_per_customer, _WINDOW_TOP3_SQL),
+    "running_value_per_user": (R.running_value_per_user, _RUNNING_SQL),
+    "events_hourly_rollup": (R.events_hourly_rollup, _HOURLY_SQL),
+    "sessionize_events": (R.sessionize_events, _SESSION_SQL),
+    "rollup_returnflag_linestatus": (R.rollup_returnflag_linestatus, _ROLLUP_SQL),
+}

@@ -1,0 +1,60 @@
+"""Oracle-parity tests: every registry query vs DuckDB at sf0.001.
+
+Mirrors the driver's correctness gate (row count + schema + order-
+insensitive value hash) so regressions surface in `pytest` before the
+driver sees them.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from gis_etl_spark.io import TPCH_TABLES
+from gis_etl_spark.queries import REGISTRY
+from tools.check_oracle import value_hash
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    builder, oracle = REGISTRY[name]
+    sdf = builder(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if oracle is None:
+        # rows-only contract: must run and return a stable schema
+        assert scols
+        return
+    res = duck.execute(oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"rowcount {len(srows)} != {len(orows)}"
+    assert sorted(scols) == sorted(ocols)
+    assert value_hash(srows, scols) == value_hash(orows, ocols)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns
+
+
+def test_oracle_keys_subset():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)

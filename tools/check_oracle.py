@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry at sf0.01 (or $SPARK_GRAFT_SF_DIR), runs the
+matching oracle_sql() through DuckDB over the same parquet, and compares
+row count + schema + order-insensitive value hash, mirroring the
+driver's CORRECTNESS_r{N}.json check. Usage:
+
+    python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from gis_etl_spark.io import TPCH_TABLES
+from gis_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _normalize_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        # Consistent float rendering on both engines; queries already
+        # round explicitly, this only canonicalizes -0.0 / int-floats.
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(_normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(scols)} duck={sorted(ocols)}")
+        else:
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                pairs = list(
+                    zip(
+                        sorted(map(str, srows))[:3],
+                        sorted(map(str, orows))[:3],
+                    )
+                )
+                for sp, du in pairs:
+                    problems.append(f"  spark={sp}")
+                    problems.append(f"  duck ={du}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print("      " + p)
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nall queries match oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

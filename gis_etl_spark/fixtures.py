@@ -1,0 +1,252 @@
+"""Deterministic geometry fixtures (FIXTURES.md §B, seed=42).
+
+Synthesizes the `buildings` table modeling the reference's converted
+footprint corpus (east_asia.py:397-398): WKB geometry + provenance +
+declared CRS, with the full slice mix from FIXTURES.md B1 — polygons in
+the East-Asia envelope, multipolygons, points/linestrings, POLYGON Z in
+both ISO and EWKB flag variants, a lat-lon-flipped source file, NULL and
+degenerate geometries, and one antimeridian row.
+
+A golden side-table (`buildings_expected`) carries shape_type/centroid/
+bbox per row, computed here with plain-Python shoelace loops —
+deliberately NOT the engine's numpy kernels — so tests compare two
+independent implementations.
+
+Everything is seeded and byte-stable (little-endian, float64), so the
+parquet output is reproducible; `ensure_buildings` generates lazily and
+is safe to call from both the Spark side and the DuckDB-oracle side.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pandas as pd
+
+FIXTURE_ROOT = os.environ.get(
+    "SPARK_GRAFT_FIXTURE_DIR", "/tmp/gis_etl_spark_fixtures"
+)
+
+SOURCES = [
+    "regionA/city1.pq",
+    "regionA/city2.pq",
+    "regionB/city1.pq",
+    "regionB/city2.pq",
+    "regionC/metro.pq",
+    "regionC/rural.pq",
+    "regionD/coast.pq",
+    "regionD/island.pq",
+    "regionE/flipped.pq",  # the lat-lon-swapped file (east_asia.py:223-239)
+    "regionF/utm.pq",      # epsg 32650 block for st_transform tests
+]
+
+
+def _poly_wkb(ring: list[tuple[float, ...]], z: str | None = None) -> bytes:
+    """One-ring polygon WKB. z=None → 2-D; 'iso' → type 1003; 'ewkb' →
+    flag 0x80000003 (both appear in the reference's corpus,
+    east_asia.py:37)."""
+    dims = 2 if z is None else 3
+    if z is None:
+        word = 3
+    elif z == "iso":
+        word = 1003
+    else:
+        word = 3 | 0x80000000
+    out = bytearray(struct.pack("<BII", 1, word, 1))
+    out += struct.pack("<I", len(ring))
+    for pt in ring:
+        out += struct.pack(f"<{dims}d", *pt[:dims])
+    return bytes(out)
+
+
+def _multipoly_wkb(rings: list[list[tuple[float, float]]]) -> bytes:
+    out = bytearray(struct.pack("<BII", 1, 6, len(rings)))
+    for ring in rings:
+        out += struct.pack("<BII", 1, 3, 1)
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<2d", x, y)
+    return bytes(out)
+
+
+def _point_wkb(x: float, y: float) -> bytes:
+    return struct.pack("<BI2d", 1, 1, x, y)
+
+
+def _line_wkb(pts: list[tuple[float, float]]) -> bytes:
+    out = bytearray(struct.pack("<BII", 1, 2, len(pts)))
+    for x, y in pts:
+        out += struct.pack("<2d", x, y)
+    return bytes(out)
+
+
+def _ring(rng: np.random.Generator, cx: float, cy: float, nv: int, r: float):
+    """Closed CCW ring around (cx, cy) — star-convex, never degenerate."""
+    angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    radii = rng.uniform(0.4 * r, r, nv)
+    xs = cx + radii * np.cos(angles)
+    ys = cy + radii * np.sin(angles)
+    pts = [(float(x), float(y)) for x, y in zip(xs, ys)]
+    pts.append(pts[0])
+    return pts
+
+
+# --- independent golden math (plain python, not the engine kernels) -------
+
+def _shoelace(pts) -> tuple[float, float, float]:
+    a2 = cx6 = cy6 = 0.0
+    n = len(pts)
+    for i in range(n):
+        x0, y0 = pts[i][0], pts[i][1]
+        x1, y1 = pts[(i + 1) % n][0], pts[(i + 1) % n][1]
+        cross = x0 * y1 - x1 * y0
+        a2 += cross
+        cx6 += (x0 + x1) * cross
+        cy6 += (y0 + y1) * cross
+    return a2 / 2.0, cx6 / 6.0, cy6 / 6.0
+
+
+def _golden_poly(rings) -> tuple[float, float, float, float, float, float]:
+    area = nx = ny = 0.0
+    xs, ys = [], []
+    for ring in rings:
+        a, gx, gy = _shoelace(ring)
+        area += a
+        nx += gx
+        ny += gy
+        xs += [p[0] for p in ring]
+        ys += [p[1] for p in ring]
+    if area == 0.0:
+        cx, cy = sum(xs) / len(xs), sum(ys) / len(ys)
+    else:
+        cx, cy = nx / area, ny / area
+    return cx, cy, min(xs), min(ys), max(xs), max(ys)
+
+
+def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """→ (buildings, buildings_expected) pandas frames, FIXTURES.md B1."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    golden = []
+
+    def add(bid, geom, source, epsg, stype, cx, cy, bb):
+        rows.append((bid, geom, source, epsg))
+        golden.append(
+            (bid, stype, cx, cy, *(bb if bb else (None,) * 4))
+        )
+
+    for i in range(n):
+        u = rng.uniform()
+        lon = float(rng.uniform(73, 146))
+        lat = float(rng.uniform(18, 46))
+        src = SOURCES[int(rng.integers(0, 8))]
+        if u < 0.85:  # core polygon
+            ring = _ring(rng, lon, lat, int(rng.integers(4, 13)), 0.005)
+            cx, cy, *bb = _golden_poly([ring])
+            add(i, _poly_wkb(ring), src, 4326, 3, cx, cy, bb)
+        elif u < 0.90:  # multipolygon
+            nparts = int(rng.integers(2, 4))
+            rings = [
+                _ring(
+                    rng,
+                    lon + float(rng.uniform(-0.05, 0.05)),
+                    lat + float(rng.uniform(-0.05, 0.05)),
+                    int(rng.integers(4, 9)),
+                    0.004,
+                )
+                for _ in range(nparts)
+            ]
+            cx, cy, *bb = _golden_poly(rings)
+            add(i, _multipoly_wkb(rings), src, 4326, 6, cx, cy, bb)
+        elif u < 0.915:  # point
+            add(i, _point_wkb(lon, lat), src, 4326, 1, lon, lat,
+                (lon, lat, lon, lat))
+        elif u < 0.93:  # linestring
+            pts = [
+                (lon + float(rng.uniform(-0.01, 0.01)),
+                 lat + float(rng.uniform(-0.01, 0.01)))
+                for _ in range(int(rng.integers(2, 6)))
+            ]
+            num_x = num_y = tl = 0.0
+            for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+                ln = ((x1 - x0) ** 2 + (y1 - y0) ** 2) ** 0.5
+                num_x += (x0 + x1) / 2 * ln
+                num_y += (y0 + y1) / 2 * ln
+                tl += ln
+            cx = num_x / tl if tl else sum(p[0] for p in pts) / len(pts)
+            cy = num_y / tl if tl else sum(p[1] for p in pts) / len(pts)
+            add(i, _line_wkb(pts), src, 4326, 2, cx, cy,
+                (min(p[0] for p in pts), min(p[1] for p in pts),
+                 max(p[0] for p in pts), max(p[1] for p in pts)))
+        elif u < 0.96:  # POLYGON Z — ISO and EWKB variants, filtered by P4
+            ring2d = _ring(rng, lon, lat, 5, 0.004)
+            ring3d = [(x, y, float(rng.uniform(0, 50))) for x, y in ring2d]
+            variant = "iso" if rng.uniform() < 0.5 else "ewkb"
+            cx, cy, *bb = _golden_poly([[(p[0], p[1]) for p in ring3d]])
+            add(i, _poly_wkb(ring3d, z=variant), src, 4326, 3, cx, cy, bb)
+        elif u < 0.98:  # flipped source file: x↔y swapped at rest
+            ring = _ring(rng, lon, lat, 6, 0.005)
+            flipped = [(y, x) for x, y in ring]
+            cx, cy, *bb = _golden_poly([flipped])
+            add(i, _poly_wkb(flipped), "regionE/flipped.pq", 4326, 3,
+                cx, cy, bb)
+        elif u < 0.99:  # NULL / degenerate
+            if rng.uniform() < 0.5:
+                add(i, None, src, 4326, None, None, None, None)
+            else:
+                ring = [(lon, lat), (lon, lat), (lon, lat), (lon, lat)]
+                add(i, _poly_wkb(ring), src, 4326, 3, lon, lat,
+                    (lon, lat, lon, lat))
+        else:  # UTM-declared block (epsg 32650, regionF)
+            e = float(rng.uniform(200_000, 800_000))
+            nn = float(rng.uniform(2_000_000, 5_000_000))
+            ring = _ring(rng, e, nn, 6, 500.0)
+            cx, cy, *bb = _golden_poly([ring])
+            add(i, _poly_wkb(ring), "regionF/utm.pq", 32650, 3, cx, cy, bb)
+
+    # one antimeridian straddler (FIXTURES B1 last slice)
+    ring = [(179.9, 30.0), (180.1, 30.0), (180.1, 30.1), (179.9, 30.1),
+            (179.9, 30.0)]
+    cx, cy, *bb = _golden_poly([ring])
+    add(n, _poly_wkb(ring), "regionD/island.pq", 4326, 3, cx, cy, bb)
+
+    buildings = pd.DataFrame(
+        rows, columns=["building_id", "geom", "source", "epsg"]
+    ).astype({"building_id": "int64"})
+    expected = pd.DataFrame(
+        golden,
+        columns=["building_id", "shape_type", "cx", "cy",
+                 "xmin", "ymin", "xmax", "ymax"],
+    ).astype({"building_id": "int64"})
+    return buildings, expected
+
+
+def rows_for_sf(sf_dir: str) -> int:
+    """FIXTURES.md B1 scale ladder keyed off the driver's sf dir name."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    table = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+    return table.get(base, 20_000)
+
+
+def buildings_path(n_rows: int) -> str:
+    return os.path.join(FIXTURE_ROOT, f"buildings_{n_rows}")
+
+
+def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
+    """Generate (once) and return (buildings_path, expected_path) —
+    parquet files readable by both Spark and the DuckDB oracle."""
+    root = buildings_path(n_rows)
+    bpath = os.path.join(root, "buildings.parquet")
+    epath = os.path.join(root, "buildings_expected.parquet")
+    if os.path.exists(bpath) and os.path.exists(epath):
+        return bpath, epath
+    os.makedirs(root, exist_ok=True)
+    buildings, expected = make_buildings(n_rows, seed)
+    tmp_b, tmp_e = bpath + ".tmp", epath + ".tmp"
+    buildings.to_parquet(tmp_b, index=False)
+    expected.to_parquet(tmp_e, index=False)
+    os.replace(tmp_b, bpath)
+    os.replace(tmp_e, epath)
+    return bpath, epath

@@ -1,0 +1,146 @@
+"""Spark-facing geometry functions over WKB BinaryType columns.
+
+Two tiers (SURVEY.md §2.9, §7.2):
+
+1. JVM-native expressions where the byte layout allows — shape-type
+   extraction is pure `substring`/`conv` (the reference's
+   `substr(geom::BLOB::TEXT, 7, 2)` trick, east_asia.py:176) and stays
+   inside whole-stage codegen: the core-type filter (P4) runs with NO
+   Python round-trip and pushes ahead of any decode.
+
+2. Arrow-batched pandas UDFs for real geometry math (centroid, bbox,
+   flip, force2d, WKT) — vectorized numpy kernels from geom/wkb.py.
+   Row-at-a-time Python UDFs are banned in this codebase.
+
+Staging rule: queries compute `st_centroid`/`st_bbox` ONCE into a
+struct column via withColumn and access fields afterwards — manual CSE
+that keeps a single decode per geometry per plan (the reference
+recomputes ST_CENTROID repeatedly, e.g.
+East-Asia-Building-Footprints.md:267-268; SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gis_etl_spark.geom import wkb as K
+
+CENTROID_TYPE = StructType(
+    [StructField("x", DoubleType()), StructField("y", DoubleType())]
+)
+BBOX_TYPE = StructType(
+    [
+        StructField("xmin", DoubleType()),
+        StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()),
+        StructField("ymax", DoubleType()),
+    ]
+)
+
+
+def st_shape_type_byte(geom: Column) -> Column:
+    """Low byte of the little-endian WKB type word — JVM-native, no UDF.
+
+    Exactly the reference's `('0x' || substr(geom::BLOB::TEXT, 7, 2))::INT`
+    (east_asia.py:176, :248; ORNL-FEMA-Buildings.md:82): byte index 1 of
+    the buffer. Core GEOS types are 1-7; ISO POLYGON Z (1003=0x3EB) reads
+    as 0xEB=235, EWKB Z-flagged reads as the base code — both intended,
+    matching the reference's `< 8` filter semantics.
+    """
+    return F.conv(F.hex(F.substring(geom, 2, 1)), 16, 10).cast("int")
+
+
+def st_is_core_type(geom: Column) -> Column:
+    """The reference's P4 predicate: keep the 7 core OGC types
+    (east_asia.py:248)."""
+    return st_shape_type_byte(geom) < 8
+
+
+@F.pandas_udf(IntegerType())
+def st_shape_type(geom: pd.Series) -> pd.Series:
+    """Semantic base type with Z/M/SRID flags decoded (ewkb-stats
+    census, east_asia.py:336-340)."""
+    return geom.map(lambda b: None if b is None else K.shape_type(bytes(b)))
+
+
+@F.pandas_udf(CENTROID_TYPE)
+def st_centroid(geom: pd.Series) -> pd.DataFrame:
+    """Geometric centroid → struct(x, y). (ST_CENTROID, east_asia.py:76)"""
+    xs, ys = [], []
+    for b in geom:
+        if b is None:
+            xs.append(None)
+            ys.append(None)
+        else:
+            x, y = K.centroid(bytes(b))
+            xs.append(x)
+            ys.append(y)
+    return pd.DataFrame({"x": xs, "y": ys})
+
+
+@F.pandas_udf(BBOX_TYPE)
+def st_bbox(geom: pd.Series) -> pd.DataFrame:
+    """Per-geometry bbox → struct(xmin, ymin, xmax, ymax)
+    (ST_XMIN/.../ST_YMAX, East-Asia-Building-Footprints.md:231-234)."""
+    cols = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
+    for b in geom:
+        if b is None:
+            for v in cols.values():
+                v.append(None)
+        else:
+            xmin, ymin, xmax, ymax = K.bbox(bytes(b))
+            cols["xmin"].append(xmin)
+            cols["ymin"].append(ymin)
+            cols["xmax"].append(xmax)
+            cols["ymax"].append(ymax)
+    return pd.DataFrame(cols)
+
+
+def st_x(point_struct: Column) -> Column:
+    """Accessor on a st_centroid struct (ST_X, east_asia.py:76)."""
+    return point_struct.getField("x")
+
+
+def st_y(point_struct: Column) -> Column:
+    return point_struct.getField("y")
+
+
+@F.pandas_udf(BinaryType())
+def st_flip_coordinates(geom: pd.Series) -> pd.Series:
+    """Swap x↔y of every vertex (ST_FlipCoordinates, east_asia.py:261)."""
+    return geom.map(lambda b: None if b is None else K.flip(bytes(b)))
+
+
+@F.pandas_udf(BinaryType())
+def st_force2d(geom: pd.Series) -> pd.Series:
+    """Drop Z/M (reference Z-drop, east_asia.py:67-68)."""
+    return geom.map(lambda b: None if b is None else K.force_2d(bytes(b)))
+
+
+@F.pandas_udf(StringType())
+def st_astext(geom: pd.Series) -> pd.Series:
+    """WKB → WKT (geom::TEXT, East-Asia-Building-Footprints.md:153)."""
+    return geom.map(lambda b: None if b is None else K.to_wkt(bytes(b)))
+
+
+@F.pandas_udf(BinaryType())
+def st_geomfromtext(wkt: pd.Series) -> pd.Series:
+    """WKT → WKB (geom::GEOMETRY from CSV text, east_asia.py:73)."""
+    return wkt.map(lambda s: None if s is None else K.from_wkt(str(s)))
+
+
+@F.pandas_udf(IntegerType())
+def st_npoints(geom: pd.Series) -> pd.Series:
+    """Total vertex count — cheap QA metric."""
+    return geom.map(lambda b: None if b is None else K.npoints(bytes(b)))

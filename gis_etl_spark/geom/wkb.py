@@ -1,0 +1,404 @@
+"""OGC WKB kernels — pure numpy, no GEOS/shapely (SURVEY.md §7.2.1).
+
+WKB is a small public format: byte 0 is endianness (1 = little),
+bytes 1-4 a uint32 geometry-type word, then counts and float64
+coordinates. Z/M variants appear either as ISO offsets (+1000 Z,
++2000 M, +3000 ZM) or as EWKB flag bits (0x80000000 Z, 0x40000000 M,
+0x20000000 SRID-present). The reference's corpus is exactly this
+surface: core types 1-7 plus POLYGON Z outliers it filters away
+(east_asia.py:37, :248).
+
+Semantics matched to the reference's engine functions:
+- centroid  — area-weighted shoelace over rings (holes opposite
+  orientation subtract); zero-area polygons fall back to the vertex
+  mean; linestrings are length-weighted; multi-geoms weight by part
+  measure. (ST_CENTROID, east_asia.py:76-77)
+- bbox      — min/max over every vertex (ST_XMIN.., east_asia.py:204)
+- flip      — swap x/y of every vertex (ST_FlipCoordinates,
+  east_asia.py:261)
+- force_2d  — drop Z/M doubles and flags (wkt.dumps output_dimension=2,
+  east_asia.py:67-68)
+
+Every kernel takes/returns plain Python objects per geometry and is
+driven in batches by the pandas UDFs in geom/functions.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# geometry-type word base codes (OGC)
+POINT = 1
+LINESTRING = 2
+POLYGON = 3
+MULTIPOINT = 4
+MULTILINESTRING = 5
+MULTIPOLYGON = 6
+GEOMETRYCOLLECTION = 7
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+_TYPE_NAMES = {
+    POINT: "POINT",
+    LINESTRING: "LINESTRING",
+    POLYGON: "POLYGON",
+    MULTIPOINT: "MULTIPOINT",
+    MULTILINESTRING: "MULTILINESTRING",
+    MULTIPOLYGON: "MULTIPOLYGON",
+    GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+
+
+def decode_type_word(word: int) -> tuple[int, bool, bool, bool]:
+    """→ (base_type, has_z, has_m, has_srid) for ISO and EWKB variants."""
+    has_srid = bool(word & _EWKB_SRID)
+    has_z = bool(word & _EWKB_Z)
+    has_m = bool(word & _EWKB_M)
+    base = word & 0x1FFFFFFF
+    if base >= 3000:
+        base -= 3000
+        has_z = has_m = True
+    elif base >= 2000:
+        base -= 2000
+        has_m = True
+    elif base >= 1000:
+        base -= 1000
+        has_z = True
+    return base, has_z, has_m, has_srid
+
+
+class _Reader:
+    """Sequential WKB reader honoring per-geometry endianness."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def header(self) -> tuple[int, bool, bool, str]:
+        little = self.buf[self.pos] == 1
+        bo = "<" if little else ">"
+        (word,) = struct.unpack_from(bo + "I", self.buf, self.pos + 1)
+        self.pos += 5
+        base, has_z, has_m, has_srid = decode_type_word(word)
+        if has_srid:
+            self.pos += 4  # skip SRID
+        return base, has_z, has_m, bo
+
+    def u32(self, bo: str) -> int:
+        (v,) = struct.unpack_from(bo + "I", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def coords(self, n: int, dims: int, bo: str) -> np.ndarray:
+        nb = n * dims * 8
+        arr = np.frombuffer(self.buf, dtype=bo + "f8", count=n * dims, offset=self.pos)
+        self.pos += nb
+        return arr.reshape(n, dims)
+
+
+def parse(buf: bytes) -> tuple[int, list[list[np.ndarray]]]:
+    """Parse WKB → (base_type, parts) where parts is a list of rings,
+    each ring an (n, dims) float64 array. Structure by type:
+
+      POINT/LINESTRING          → [[coords]]
+      POLYGON                   → [[ring0, ring1, ...]]
+      MULTI*/GEOMETRYCOLLECTION → one entry per member part
+    """
+    r = _Reader(buf)
+    return _parse_geom(r)
+
+
+def _parse_geom(r: _Reader) -> tuple[int, list[list[np.ndarray]]]:
+    base, has_z, has_m, bo = r.header()
+    dims = 2 + has_z + has_m
+    if base == POINT:
+        return base, [[r.coords(1, dims, bo)]]
+    if base == LINESTRING:
+        n = r.u32(bo)
+        return base, [[r.coords(n, dims, bo)]]
+    if base == POLYGON:
+        nrings = r.u32(bo)
+        rings = [r.coords(r.u32(bo), dims, bo) for _ in range(nrings)]
+        return base, [rings]
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        nparts = r.u32(bo)
+        parts: list[list[np.ndarray]] = []
+        for _ in range(nparts):
+            _, sub = _parse_geom(r)
+            parts.extend(sub)
+        return base, parts
+    raise ValueError(f"unsupported WKB geometry type {base}")
+
+
+def shape_type(buf: bytes) -> int:
+    """Base geometry-type code, flags decoded (cf. the reference's raw
+    byte-2 peek, east_asia.py:176 — that byte is exposed JVM-side by
+    st_shape_type_byte; this helper gives the *semantic* type)."""
+    little = buf[0] == 1
+    (word,) = struct.unpack_from("<I" if little else ">I", buf, 1)
+    return decode_type_word(word)[0]
+
+
+def _ring_area_centroid(ring: np.ndarray) -> tuple[float, float, float]:
+    """Signed shoelace area + area-weighted centroid numerator of one
+    ring (x,y only). Returns (signed_area, cx_num, cy_num) where the
+    centroid contribution is (cx_num/ (6*A), ...)."""
+    x = ring[:, 0]
+    y = ring[:, 1]
+    cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+    a2 = cross.sum()  # 2 * signed area
+    cx = ((x + np.roll(x, -1)) * cross).sum()
+    cy = ((y + np.roll(y, -1)) * cross).sum()
+    return a2 / 2.0, cx / 6.0, cy / 6.0
+
+
+def centroid(buf: bytes) -> tuple[float, float]:
+    """Geometric centroid, GEOS-convention fallbacks for degenerate
+    input (zero-area polygon → vertex mean; zero-length line → vertex
+    mean)."""
+    base, parts = parse(buf)
+    if base == POINT:
+        p = parts[0][0][0]
+        return float(p[0]), float(p[1])
+    if base == MULTIPOINT:
+        allp = np.vstack([rings[0] for rings in parts])
+        return float(allp[:, 0].mean()), float(allp[:, 1].mean())
+    if base in (LINESTRING, MULTILINESTRING):
+        num_x = num_y = total_len = 0.0
+        for rings in parts:
+            line = rings[0]
+            seg = np.diff(line[:, :2], axis=0)
+            lens = np.hypot(seg[:, 0], seg[:, 1])
+            mids = (line[:-1, :2] + line[1:, :2]) / 2.0
+            num_x += float((mids[:, 0] * lens).sum())
+            num_y += float((mids[:, 1] * lens).sum())
+            total_len += float(lens.sum())
+        if total_len == 0.0:
+            allp = np.vstack([rings[0][:, :2] for rings in parts])
+            return float(allp[:, 0].mean()), float(allp[:, 1].mean())
+        return num_x / total_len, num_y / total_len
+    if base in (POLYGON, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        area = cx = cy = 0.0
+        for rings in parts:
+            for ring in rings:
+                a, nx, ny = _ring_area_centroid(ring[:, :2])
+                area += a
+                cx += nx
+                cy += ny
+        if area == 0.0:
+            allp = np.vstack([ring[:, :2] for rings in parts for ring in rings])
+            return float(allp[:, 0].mean()), float(allp[:, 1].mean())
+        return cx / area, cy / area
+    raise ValueError(f"unsupported geometry type {base}")
+
+
+def bbox(buf: bytes) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) over every vertex."""
+    _, parts = parse(buf)
+    xmin = ymin = np.inf
+    xmax = ymax = -np.inf
+    for rings in parts:
+        for ring in rings:
+            xmin = min(xmin, float(ring[:, 0].min()))
+            xmax = max(xmax, float(ring[:, 0].max()))
+            ymin = min(ymin, float(ring[:, 1].min()))
+            ymax = max(ymax, float(ring[:, 1].max()))
+    return xmin, ymin, xmax, ymax
+
+
+def npoints(buf: bytes) -> int:
+    _, parts = parse(buf)
+    return int(sum(ring.shape[0] for rings in parts for ring in rings))
+
+
+def _rebuild(
+    buf: bytes, coord_fn, drop_zm: bool = False
+) -> bytes:
+    """Re-emit a WKB buffer with transformed coordinates.
+
+    coord_fn receives and returns an (n, dims_out) array. Output is
+    always little-endian with plain OGC type codes (Z kept as ISO
+    +1000 unless drop_zm).
+    """
+    r = _Reader(buf)
+    out = bytearray()
+    _rebuild_geom(r, out, coord_fn, drop_zm)
+    return bytes(out)
+
+
+def _rebuild_geom(r: _Reader, out: bytearray, coord_fn, drop_zm: bool) -> None:
+    base, has_z, has_m, bo = r.header()
+    dims = 2 + has_z + has_m
+    out_z = has_z and not drop_zm
+    out_m = has_m and not drop_zm
+    out_dims = 2 + out_z + out_m
+    word = base + (1000 if out_z else 0) + (2000 if out_m else 0)
+    out += struct.pack("<BI", 1, word)
+
+    def emit(arr: np.ndarray) -> None:
+        kept = arr[:, :out_dims].astype("<f8", copy=False)
+        out.extend(coord_fn(kept).astype("<f8", copy=False).tobytes())
+
+    if base == POINT:
+        emit(r.coords(1, dims, bo))
+    elif base == LINESTRING:
+        n = r.u32(bo)
+        out += struct.pack("<I", n)
+        emit(r.coords(n, dims, bo))
+    elif base == POLYGON:
+        nrings = r.u32(bo)
+        out += struct.pack("<I", nrings)
+        for _ in range(nrings):
+            n = r.u32(bo)
+            out += struct.pack("<I", n)
+            emit(r.coords(n, dims, bo))
+    elif base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        nparts = r.u32(bo)
+        out += struct.pack("<I", nparts)
+        for _ in range(nparts):
+            _rebuild_geom(r, out, coord_fn, drop_zm)
+    else:
+        raise ValueError(f"unsupported geometry type {base}")
+
+
+def flip(buf: bytes) -> bytes:
+    """Swap x↔y of every vertex (ST_FlipCoordinates, east_asia.py:261)."""
+
+    def _swap(arr: np.ndarray) -> np.ndarray:
+        arr = arr.copy()
+        arr[:, [0, 1]] = arr[:, [1, 0]]
+        return arr
+
+    return _rebuild(buf, _swap)
+
+
+def force_2d(buf: bytes) -> bytes:
+    """Drop Z/M dimensions (reference Z-drop via shapely wkt.dumps
+    output_dimension=2, east_asia.py:67-68)."""
+    return _rebuild(buf, lambda a: a, drop_zm=True)
+
+
+def transform_coords(buf: bytes, fn) -> bytes:
+    """Apply fn((n,2) xy array) -> (n,2) to every vertex — the vehicle
+    for st_transform (geom/transform.py)."""
+
+    def _apply(arr: np.ndarray) -> np.ndarray:
+        out = arr.copy()
+        out[:, :2] = fn(arr[:, :2])
+        return out
+
+    return _rebuild(buf, _apply)
+
+
+# --- WKT ------------------------------------------------------------------
+
+def _fmt_coord(p: np.ndarray) -> str:
+    return " ".join(format(float(v), ".17g") for v in p)
+
+
+def to_wkt(buf: bytes) -> str:
+    """Render WKB → WKT (ST_AsText / geom::TEXT,
+    East-Asia-Building-Footprints.md:153)."""
+    base, parts = parse(buf)
+    name = _TYPE_NAMES[base]
+    if base == POINT:
+        return f"{name} ({_fmt_coord(parts[0][0][0])})"
+    if base in (LINESTRING, MULTIPOINT):
+        pts = parts[0][0] if base == LINESTRING else np.vstack(
+            [rings[0] for rings in parts]
+        )
+        inner = ", ".join(_fmt_coord(p) for p in pts)
+        return f"{name} ({inner})"
+    if base == POLYGON:
+        rings = parts[0]
+        inner = ", ".join(
+            "(" + ", ".join(_fmt_coord(p) for p in ring) + ")" for ring in rings
+        )
+        return f"{name} ({inner})"
+    if base == MULTIPOLYGON:
+        polys = []
+        for rings in parts:
+            inner = ", ".join(
+                "(" + ", ".join(_fmt_coord(p) for p in ring) + ")" for ring in rings
+            )
+            polys.append(f"({inner})")
+        return f"{name} ({', '.join(polys)})"
+    raise ValueError(f"to_wkt unsupported for type {base}")
+
+
+def _pack_coords(pts: list[list[float]]) -> bytes:
+    return np.asarray(pts, dtype="<f8").tobytes()
+
+
+def from_wkt(text: str) -> bytes:
+    """Parse WKT → WKB for POINT/LINESTRING/POLYGON/MULTIPOLYGON — the
+    slice the corpus needs (SURVEY.md F7)."""
+    s = text.strip()
+    upper = s.upper()
+
+    def _nums(chunk: str) -> list[list[float]]:
+        return [
+            [float(t) for t in pt.split()]
+            for pt in chunk.split(",")
+            if pt.strip()
+        ]
+
+    if upper.startswith("POINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        pts = _nums(body)
+        return struct.pack("<BI", 1, POINT) + _pack_coords(pts)
+    if upper.startswith("LINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        pts = _nums(body)
+        return (
+            struct.pack("<BII", 1, LINESTRING, len(pts)) + _pack_coords(pts)
+        )
+    if upper.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        out = bytearray()
+        polys = _split_nested(body)
+        out += struct.pack("<BII", 1, MULTIPOLYGON, len(polys))
+        for poly in polys:
+            out += _polygon_wkb(_split_nested(poly))
+        return bytes(out)
+    if upper.startswith("POLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return _polygon_wkb(_split_nested(body))
+    raise ValueError(f"from_wkt unsupported: {s[:40]}")
+
+
+def _polygon_wkb(ring_chunks: list[str]) -> bytes:
+    out = bytearray(struct.pack("<BII", 1, POLYGON, len(ring_chunks)))
+    for chunk in ring_chunks:
+        pts = [
+            [float(t) for t in pt.split()]
+            for pt in chunk.split(",")
+            if pt.strip()
+        ]
+        out += struct.pack("<I", len(pts))
+        out += _pack_coords(pts)
+    return bytes(out)
+
+
+def _split_nested(body: str) -> list[str]:
+    """Split 'a),(b' style WKT bodies at depth-0 commas, stripping one
+    paren level from each chunk."""
+    chunks = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                chunks.append(body[start:i])
+    return chunks

@@ -1,0 +1,214 @@
+"""Space-filling curves + grid cells.
+
+hilbert_encode — Skilling's public-domain algorithm ("Programming the
+Hilbert curve", AIP Conf. Proc. 707, 2004): axes → transpose form,
+Gray-decode, interleave. Vectorized numpy over the whole Arrow batch
+(the bit loop runs 2×order times over arrays, not per row). Replaces
+the reference's lindel `HILBERT_ENCODE([y,x]::DOUBLE[2])`
+(east_asia.py:75); bit-exact lindel parity is a declared non-goal
+(SURVEY.md §7.2.3) — any locality-preserving curve serves the layout
+purpose, and golden vectors below are frozen in tests.
+
+morton_encode — Z-order alternative, pure JVM bit expressions (no
+Python): usable directly in `repartitionByRange` at 100 TB without an
+Arrow hop.
+
+grid_cell — the H3 stand-in (SURVEY.md §7.2.4): equal-angle lattice
+whose res-7 pitch (~0.01°≈1.1 km) matches H3 res-7 edge length, with
+the H3-like √7 area step per resolution. Implemented as NATIVE Spark
+expressions (floor/shift arithmetic) so the heatmap aggregation
+(East-Asia-Building-Footprints.md:249-256) runs fully inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+DEFAULT_ORDER = 16  # bits per dimension → 32-bit keys, 65k×65k lattice
+
+
+def hilbert_from_lattice(
+    ax0: np.ndarray, ax1: np.ndarray, order: int = DEFAULT_ORDER
+) -> np.ndarray:
+    """Integer lattice coords (each < 2^order) → uint64 Hilbert keys."""
+    n = len(ax0)
+    X = np.empty((2, n), dtype=np.uint64)
+    X[0] = np.asarray(ax0, dtype=np.uint64)
+    X[1] = np.asarray(ax1, dtype=np.uint64)
+
+    # Skilling 2004 AxestoTranspose, vectorized over rows.
+    Q = np.uint64(1 << (order - 1))
+    one = np.uint64(1)
+    while Q > one:
+        P = np.uint64(Q - one)
+        for i in range(2):
+            hi = (X[i] & Q) != 0
+            # invert low bits of X[0] where bit set
+            X[0] = np.where(hi, X[0] ^ P, X[0])
+            # exchange low bits of X[0] and X[i] where bit clear
+            t = np.where(hi, np.uint64(0), (X[0] ^ X[i]) & P)
+            X[0] ^= t
+            X[i] ^= t
+        Q >>= one
+
+    # Gray decode
+    X[1] ^= X[0]
+    t = np.zeros(n, dtype=np.uint64)
+    Q = np.uint64(1 << (order - 1))
+    while Q > one:
+        mask = (X[1] & Q) != 0
+        t = np.where(mask, t ^ np.uint64(Q - one), t)
+        Q >>= one
+    X[0] ^= t
+    X[1] ^= t
+
+    # interleave transpose form → single key; X[0] contributes the
+    # higher bit at each level.
+    key = np.zeros(n, dtype=np.uint64)
+    for b in range(order):
+        bb = np.uint64(b)
+        key |= ((X[0] >> bb) & one) << np.uint64(2 * b + 1)
+        key |= ((X[1] >> bb) & one) << np.uint64(2 * b)
+    return key
+
+
+def hilbert_encode_np(
+    y: np.ndarray, x: np.ndarray, order: int = DEFAULT_ORDER
+) -> np.ndarray:
+    """(lat, lon) degree arrays → uint64 Hilbert keys, vectorized.
+
+    Coordinates scale from [-90,90]×[-180,180] to the 2^order lattice
+    (the reference feeds [y, x] in that order too, east_asia.py:75-77).
+    """
+    scale = (1 << order) - 1
+    ax0 = np.clip((np.asarray(y, dtype="f8") + 90.0) / 180.0 * scale, 0, scale)
+    ax1 = np.clip((np.asarray(x, dtype="f8") + 180.0) / 360.0 * scale, 0, scale)
+    return hilbert_from_lattice(
+        ax0.astype(np.uint64), ax1.astype(np.uint64), order
+    )
+
+
+@F.pandas_udf(LongType())
+def _hilbert_udf(y: pd.Series, x: pd.Series) -> pd.Series:
+    valid = y.notna() & x.notna()
+    out = pd.Series(np.zeros(len(y), dtype="int64"), index=y.index, dtype="Int64")
+    if valid.any():
+        keys = hilbert_encode_np(
+            y[valid].to_numpy(dtype="f8"), x[valid].to_numpy(dtype="f8")
+        )
+        out[valid] = keys.astype("int64")  # ≤2*order=32 bits, sign-safe
+    out[~valid] = None
+    return out
+
+
+def hilbert_encode(y: Column, x: Column) -> Column:
+    """Engine rendition of `HILBERT_ENCODE([y,x]::DOUBLE[2])`
+    (east_asia.py:75). 32-bit keys in a LongType column."""
+    return _hilbert_udf(y, x)
+
+
+def morton_encode(y: Column, x: Column, order: int = DEFAULT_ORDER) -> Column:
+    """Z-order key as pure JVM expressions — bit-spread via shift/mask
+    stages (public bit-twiddling identity), no Python round-trip.
+    Locality is slightly worse than Hilbert's but the plan stays in
+    whole-stage codegen end-to-end."""
+    scale = (1 << order) - 1
+    iy = F.least(
+        F.greatest(((y + 90.0) / 180.0 * scale).cast("long"), F.lit(0)),
+        F.lit(scale),
+    )
+    ix = F.least(
+        F.greatest(((x + 180.0) / 360.0 * scale).cast("long"), F.lit(0)),
+        F.lit(scale),
+    )
+
+    def spread(c: Column) -> Column:
+        # spread 16 bits to even positions; Column.bitwiseOR, not `|`
+        # (which PySpark resolves to boolean OR)
+        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+        return c
+
+    return F.shiftleft(spread(iy), 1).bitwiseOR(spread(ix)).cast("long")
+
+
+# --- equal-angle grid (H3 stand-in, SURVEY.md §7.2.4) ----------------------
+
+BASE_PITCH_RES7 = 0.01  # degrees at res 7 ≈ H3 res-7 mean edge (~1.1 km)
+_SQRT7 = 7.0 ** 0.5
+
+
+def grid_pitch(res: int) -> float:
+    """Cell pitch in degrees at a given resolution; √7 linear step per
+    res level mirrors H3's sevenfold area subdivision."""
+    return BASE_PITCH_RES7 * (_SQRT7 ** (7 - res))
+
+
+def grid_cell(lat: Column, lng: Column, res: int = 7) -> Column:
+    """(lat, lng) → lattice cell id, NATIVE expressions only.
+
+    Engine stand-in for `H3_LATLNG_TO_CELL(lat, lng, res)`
+    (East-Asia-Building-Footprints.md:250-252). Packing:
+    id = res<<58 | ix<<29 | iy  (ix, iy < 2^29 for res ≤ 15; id is a
+    positive int64 like H3's 63-bit indexes).
+    """
+    pitch = grid_pitch(res)
+    ix = F.floor((lng + F.lit(180.0)) / F.lit(pitch)).cast("long")
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(pitch)).cast("long")
+    return (
+        F.lit(int(res) << 58).cast("long")
+        + F.shiftleft(ix, 29)
+        + iy
+    ).cast("long")
+
+
+def grid_cell_sql(lat_expr: str, lng_expr: str, res: int = 7) -> str:
+    """ANSI-SQL rendition of grid_cell for the DuckDB oracle — same
+    arithmetic, so cell ids hash-match."""
+    pitch = grid_pitch(res)
+    return (
+        f"({int(res) << 58} + "
+        f"(floor(({lng_expr} + 180.0) / {pitch!r})::BIGINT * {1 << 29}) + "
+        f"floor(({lat_expr} + 90.0) / {pitch!r})::BIGINT)"
+    )
+
+
+def grid_cell_boundary_wkt(cell: Column) -> Column:
+    """Cell id → boundary polygon WKT, native string expressions
+    (H3_CELL_TO_BOUNDARY_WKT, East-Asia-Building-Footprints.md:264).
+
+    Resolution is recovered from the id's high bits, but pitch needs a
+    numeric value per row; since res is constant within a heatmap
+    table, we decode it arithmetically via pow(√7, 7-res).
+    """
+    res = F.shiftright(cell, 58).cast("int")
+    pitch = F.lit(BASE_PITCH_RES7) * F.pow(F.lit(_SQRT7), F.lit(7) - res)
+    ix = F.shiftright(cell, 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = cell.bitwiseAND(F.lit((1 << 29) - 1))
+    x0 = ix * pitch - F.lit(180.0)
+    y0 = iy * pitch - F.lit(90.0)
+    x1 = x0 + pitch
+    y1 = y0 + pitch
+
+    def fmt(c: Column) -> Column:
+        # printf-style rendering (no locale separators); matches
+        # DuckDB's printf('%.7f', v) for oracle parity
+        return F.format_string("%.7f", c)
+
+    return F.concat(
+        F.lit("POLYGON (("),
+        fmt(x0), F.lit(" "), fmt(y0), F.lit(", "),
+        fmt(x1), F.lit(" "), fmt(y0), F.lit(", "),
+        fmt(x1), F.lit(" "), fmt(y1), F.lit(", "),
+        fmt(x0), F.lit(" "), fmt(y1), F.lit(", "),
+        fmt(x0), F.lit(" "), fmt(y0),
+        F.lit("))"),
+    )

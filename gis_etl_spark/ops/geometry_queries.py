@@ -1,0 +1,218 @@
+"""Geometry query pack over the buildings fixture (FIXTURES.md §B1).
+
+The fixture is generated deterministically (seed 42) into
+$SPARK_GRAFT_FIXTURE_DIR at a FIXED 20k-row size for the driver
+contract — the driver's oracle SQL is a static string, so both sides
+must read the same absolute path. Scale testing of these operators
+happens in bench.py (200k rows) and pytest, not here.
+
+Oracle strategy (SURVEY.md §7.2.6): DuckDB 1.0.0 has no spatial
+extension, but it CAN check
+- byte-level shape-type arithmetic (the reference's own
+  `substr(blob::TEXT, 7, 2)` trick, east_asia.py:176);
+- centroid/bbox/flip/heatmap results against the independently
+  computed golden side-table (buildings_expected.parquet), rounded so
+  ULP-level float noise between the two implementations cancels.
+
+Hilbert keys have no oracle (lindel absent) → rows-only + property
+tests (tests/test_layout.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_etl_spark.fixtures import ensure_buildings
+from gis_etl_spark.layout.sfc import grid_cell_sql
+from gis_etl_spark.pipelines import buildings as P
+
+GEO_ROWS = 20_000
+
+
+def fixture_paths() -> tuple[str, str]:
+    return ensure_buildings(GEO_ROWS)
+
+
+def _read(spark: SparkSession) -> DataFrame:
+    bpath, _ = fixture_paths()
+    return spark.read.parquet(bpath)
+
+
+def geo_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-row audit (East-Asia-Building-Footprints.md:225-227)."""
+    return _read(spark).agg(F.count("*").alias("cnt"))
+
+
+def geo_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-source audit — A3 (East-Asia-…md:171-174)."""
+    return _read(spark).agg(F.countDistinct("source").alias("n_sources"))
+
+
+def geo_shape_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ewkb-stats rendition (east_asia.py:336-340): native byte-peek,
+    one shuffle, no geometry decode."""
+    return P.shape_type_census(_read(spark)).orderBy("shape_type", "filename")
+
+
+def geo_core_type_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 core-type filter cardinality (east_asia.py:248)."""
+    df = _read(spark)
+    from gis_etl_spark.geom.functions import st_is_core_type
+
+    return (
+        df.filter(F.col("geom").isNotNull())
+        .filter(st_is_core_type(F.col("geom")))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def geo_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file count plausibility listing (East-Asia-…md:179-222)."""
+    return (
+        _read(spark)
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("cnt", "source")
+    )
+
+
+def geo_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source centroid means — engine WKB kernel vs golden table."""
+    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("centroid").getField("x")), 6).alias("avg_cx"),
+            F.round(F.avg(F.col("centroid").getField("y")), 6).alias("avg_cy"),
+        )
+        .orderBy("source")
+    )
+
+
+def geo_global_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the reference-segfaulting query, rounded for oracle parity."""
+    bb = P.global_bbox(_read(spark))
+    return bb.select(
+        F.round("xmin", 6).alias("xmin"),
+        F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"),
+        F.round("ymax", 6).alias("ymax"),
+    )
+
+
+def geo_flip_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 flip heuristic per source (east_asia.py:204-239)."""
+    return (
+        P.detect_flip_sources(_read(spark))
+        .select("source", F.round("min_x", 6).alias("min_x"), "needs_flip")
+        .orderBy("source")
+    )
+
+
+def geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 grid heatmap over engine centroids (East-Asia-…md:243-257)."""
+    return P.heatmap(_read(spark), res=7).orderBy("cell")
+
+
+def geo_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap export with antimeridian guard + boundary WKT
+    (East-Asia-…md:263-273)."""
+    return P.heatmap_export(_read(spark), res=7).orderBy("cell")
+
+
+def geo_normalized_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extract() semantics end-to-end: null-drop → core-type filter
+    → force2d → conditional flip → global bbox (east_asia.py:96-283)."""
+    norm = P.normalize(_read(spark))
+    bb = P.global_bbox(norm)
+    return bb.select(
+        F.round("xmin", 6).alias("xmin"),
+        F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"),
+        F.round("ymax", 6).alias("ymax"),
+    )
+
+
+def geo_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout keys (O1, east_asia.py:75-77) — rows-only check (the
+    oracle lacks lindel, SURVEY.md F9); locality properties are pytest
+    golden tests."""
+    df = P.with_hilbert_key(_read(spark).filter(F.col("geom").isNotNull()))
+    return df.select("building_id", "hkey").orderBy("building_id")
+
+
+def oracle_sqls() -> dict[str, str]:
+    bpath, epath = fixture_paths()
+    b = f"read_parquet('{bpath}')"
+    e = f"read_parquet('{epath}')"
+    st_byte = "('0x' || substr(CAST(geom AS VARCHAR), 7, 2))::INT"
+    cell = grid_cell_sql("e.cy", "e.cx", 7)
+    return {
+        "geo_total_count": f"SELECT count(*) AS cnt FROM {b}",
+        "geo_distinct_sources": (
+            f"SELECT count(DISTINCT source) AS n_sources FROM {b}"
+        ),
+        "geo_shape_type_census": f"""
+            SELECT {st_byte} AS shape_type, source AS filename,
+                   count(*) AS num_recs
+            FROM {b} WHERE geom IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "geo_core_type_count": f"""
+            SELECT count(*) AS cnt FROM {b}
+            WHERE geom IS NOT NULL AND {st_byte} < 8
+        """,
+        "geo_source_counts": f"""
+            SELECT source, count(*) AS cnt FROM {b}
+            GROUP BY source ORDER BY cnt, source
+        """,
+        "geo_centroid_stats": f"""
+            SELECT source, count(*) AS n,
+                   round(avg(e.cx), 6) AS avg_cx,
+                   round(avg(e.cy), 6) AS avg_cy
+            FROM {b} bb JOIN {e} e USING (building_id)
+            WHERE bb.geom IS NOT NULL
+            GROUP BY source ORDER BY source
+        """,
+        "geo_global_bbox": f"""
+            SELECT round(min(e.xmin), 6) AS xmin,
+                   round(min(e.ymin), 6) AS ymin,
+                   round(max(e.xmax), 6) AS xmax,
+                   round(max(e.ymax), 6) AS ymax
+            FROM {b} bb JOIN {e} e USING (building_id)
+            WHERE bb.geom IS NOT NULL
+        """,
+        "geo_flip_sources": f"""
+            SELECT source, round(min(e.cx), 6) AS min_x,
+                   min(e.cx) < 60.0 AS needs_flip
+            FROM {b} bb JOIN {e} e USING (building_id)
+            WHERE bb.geom IS NOT NULL
+            GROUP BY source ORDER BY source
+        """,
+        "geo_heatmap": f"""
+            SELECT {cell} AS cell, count(*) AS num_recs
+            FROM {b} bb JOIN {e} e USING (building_id)
+            WHERE bb.geom IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        # flip decision is per-SOURCE (min centroid x < 60), matching
+        # detect_flip_sources; the bbox then aggregates core-typed rows
+        # with flipped sources' x/y extents swapped.
+        "geo_normalized_bbox": f"""
+            WITH flags AS (
+              SELECT source, min(e.cx) < 60.0 AS needs_flip
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL GROUP BY source
+            )
+            SELECT
+              round(min(CASE WHEN f.needs_flip THEN e.ymin ELSE e.xmin END), 6) AS xmin,
+              round(min(CASE WHEN f.needs_flip THEN e.xmin ELSE e.ymin END), 6) AS ymin,
+              round(max(CASE WHEN f.needs_flip THEN e.ymax ELSE e.xmax END), 6) AS xmax,
+              round(max(CASE WHEN f.needs_flip THEN e.xmax ELSE e.ymax END), 6) AS ymax
+            FROM {b} bb JOIN {e} e USING (building_id)
+            JOIN flags f ON bb.source = f.source
+            WHERE bb.geom IS NOT NULL AND {st_byte} < 8
+        """,
+    }

@@ -1,0 +1,188 @@
+"""Building-footprint pipelines — the reference's three CLI commands
+(`main`, `ewkb-stats`, `merge-pqs`, east_asia.py:286-419) as Spark DAGs.
+
+Where the reference loops over 358 files with a process pool
+(east_asia.py:308-314), each rendition here is ONE distributed plan
+over the whole corpus: Catalyst parallelizes by file split, the
+shuffle replaces the staging table, and the flip heuristic stays a
+cheap driver-side scalar exactly as in the reference (east_asia.py:239).
+
+Scale notes (100 TB):
+- the centroid struct is computed ONCE per plan (withColumn staging →
+  single Arrow pass), then every consumer reads struct fields;
+- the heatmap is a two-phase hash agg on a JVM-native cell id — the
+  Python hop happens only for centroid decode, not per-cell;
+- merge_compact's global Hilbert sort is a range-partitioned sort:
+  Spark samples the key distribution, so output files are
+  size-balanced without the reference's manual resp.json bin-packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gis_etl_spark.geom.functions import (
+    st_bbox,
+    st_centroid,
+    st_flip_coordinates,
+    st_force2d,
+    st_is_core_type,
+    st_shape_type_byte,
+)
+from gis_etl_spark.io import write_clustered_parquet
+from gis_etl_spark.layout.sfc import (
+    grid_cell,
+    grid_cell_boundary_wkt,
+    hilbert_encode,
+)
+
+
+def with_centroid(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Stage the centroid struct once (manual CSE — the reference
+    recomputes ST_CENTROID per use, East-Asia-…md:267-268)."""
+    return df.withColumn("centroid", st_centroid(F.col(geom_col)))
+
+
+def shape_type_census(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """`ewkb-stats` rendition (east_asia.py:317-355): per-source
+    shape-type histogram in ONE shuffle instead of 358 sequential
+    queries. The type byte is a native expression — census never
+    decodes geometry."""
+    return (
+        df.filter(F.col(geom_col).isNotNull())
+        .groupBy(
+            st_shape_type_byte(F.col(geom_col)).alias("shape_type"),
+            F.col("source").alias("filename"),
+        )
+        .agg(F.count("*").alias("num_recs"))
+    )
+
+
+def detect_flip_sources(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Per-source flip heuristic — the reference computes
+    `MIN(ST_XMIN(ST_TRANSFORM(...)))` per file and flips when < 60
+    (east_asia.py:204-239). Here: one aggregation over all sources;
+    the flag joins back broadcast-style in normalize()."""
+    return (
+        with_centroid(df.filter(F.col(geom_col).isNotNull()), geom_col)
+        .groupBy("source")
+        .agg(F.min(F.col("centroid").getField("x")).alias("min_x"))
+        .withColumn("needs_flip", F.col("min_x") < 60.0)
+    )
+
+
+def normalize(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """`extract()` rendition (east_asia.py:96-283): drop null geometry
+    (P6), keep the 7 core OGC types (P4), force 2-D (Z-drop,
+    east_asia.py:67-68), flip lat-lon-swapped sources (P8+F5).
+
+    The flip flag is a tiny per-source table → broadcast join; the
+    conditional rewrite touches only flagged rows.
+    """
+    flips = detect_flip_sources(df, geom_col).select("source", "needs_flip")
+    cleaned = (
+        df.filter(F.col(geom_col).isNotNull())
+        .filter(st_is_core_type(F.col(geom_col)))
+        .withColumn(geom_col, st_force2d(F.col(geom_col)))
+    )
+    return (
+        cleaned.join(F.broadcast(flips), "source", "left")
+        .withColumn(
+            geom_col,
+            F.when(
+                F.col("needs_flip"), st_flip_coordinates(F.col(geom_col))
+            ).otherwise(F.col(geom_col)),
+        )
+        .drop("needs_flip")
+    )
+
+
+def global_bbox(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Dataset bbox — A4, the query that segfaulted the reference's
+    engine over 281M rows (East-Asia-Building-Footprints.md:231-237).
+    Here: partial min/max per partition, 4 scalars to the driver."""
+    staged = df.filter(F.col(geom_col).isNotNull()).withColumn(
+        "bb", st_bbox(F.col(geom_col))
+    )
+    return staged.agg(
+        F.min("bb.xmin").alias("xmin"),
+        F.min("bb.ymin").alias("ymin"),
+        F.max("bb.xmax").alias("xmax"),
+        F.max("bb.ymax").alias("ymax"),
+    )
+
+
+def heatmap(df: DataFrame, res: int = 7, geom_col: str = "geom") -> DataFrame:
+    """H3-style density heatmap — A5/A6 two-phase aggregation
+    (East-Asia-Building-Footprints.md:243-257). Catalyst's partial+final
+    hash agg replaces the reference's 358 staging-table INSERTs; the
+    cell id is a native expression over the staged centroid."""
+    pts = with_centroid(df.filter(F.col(geom_col).isNotNull()), geom_col)
+    return (
+        pts.select(
+            grid_cell(
+                F.col("centroid").getField("y"),
+                F.col("centroid").getField("x"),
+                res,
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("num_recs"))
+    )
+
+
+def heatmap_export(df: DataFrame, res: int = 7, geom_col: str = "geom") -> DataFrame:
+    """Heatmap cells + boundary WKT with the antimeridian guard — the
+    GPKG export query (East-Asia-Building-Footprints.md:263-273) with
+    WKT standing in for the GDAL sink (SURVEY.md K3)."""
+    pts = with_centroid(df.filter(F.col(geom_col).isNotNull()), geom_col)
+    cx = F.col("centroid").getField("x")
+    guarded = pts.filter((cx < 175.0) & (cx > -175.0))
+    cells = (
+        guarded.select(
+            grid_cell(
+                F.col("centroid").getField("y"), cx, res
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.sum(F.lit(1)).cast("int").alias("num_recs"))
+    )
+    return cells.withColumn("boundary", grid_cell_boundary_wkt(F.col("cell")))
+
+
+def with_hilbert_key(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Attach the layout key: Hilbert index of the centroid, the
+    reference's signature ORDER BY expression (east_asia.py:75-77)."""
+    staged = with_centroid(df, geom_col)
+    return staged.withColumn(
+        "hkey",
+        hilbert_encode(
+            F.col("centroid").getField("y"), F.col("centroid").getField("x")
+        ),
+    ).drop("centroid")
+
+
+def merge_compact(
+    df: DataFrame,
+    out_path: str,
+    *,
+    geom_col: str = "geom",
+    max_records_per_file: int = 10_000_000,
+    num_files: int | None = None,
+) -> None:
+    """`merge-pqs` rendition (east_asia.py:376-419): provenance-keeping
+    merge of many inputs into few Hilbert-clustered files.
+
+    The reference bin-packs files into ≤10M-row batches by hand
+    (east_asia.py:384-393); repartitionByRange on the Hilbert key gives
+    uniformly-sized, spatially-clustered output splits directly.
+    """
+    keyed = with_hilbert_key(df, geom_col)
+    write_clustered_parquet(
+        keyed,
+        out_path,
+        sort_col="hkey",
+        max_records_per_file=max_records_per_file,
+        num_files=num_files,
+    )

@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gis_etl_spark.ops import geometry_queries as G
 from gis_etl_spark.ops import relational as R
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -215,3 +216,44 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize_events": (R.sessionize_events, _SESSION_SQL),
     "rollup_returnflag_linestatus": (R.rollup_returnflag_linestatus, _ROLLUP_SQL),
 }
+
+# ---------------------------------------------------------------------------
+# Geometry pack (SURVEY.md §2.1/2.3/2.5/2.9 spatial operators) over the
+# deterministic buildings fixture; oracles check byte arithmetic directly
+# and WKB-kernel results against the independent golden table.
+# ---------------------------------------------------------------------------
+
+_GEO_SQLS = G.oracle_sqls()
+
+REGISTRY.update(
+    {
+        "geo_total_count": (G.geo_total_count, _GEO_SQLS["geo_total_count"]),
+        "geo_distinct_sources": (
+            G.geo_distinct_sources, _GEO_SQLS["geo_distinct_sources"],
+        ),
+        "geo_shape_type_census": (
+            G.geo_shape_type_census, _GEO_SQLS["geo_shape_type_census"],
+        ),
+        "geo_core_type_count": (
+            G.geo_core_type_count, _GEO_SQLS["geo_core_type_count"],
+        ),
+        "geo_source_counts": (
+            G.geo_source_counts, _GEO_SQLS["geo_source_counts"],
+        ),
+        "geo_centroid_stats": (
+            G.geo_centroid_stats, _GEO_SQLS["geo_centroid_stats"],
+        ),
+        "geo_global_bbox": (G.geo_global_bbox, _GEO_SQLS["geo_global_bbox"]),
+        "geo_flip_sources": (
+            G.geo_flip_sources, _GEO_SQLS["geo_flip_sources"],
+        ),
+        "geo_heatmap": (G.geo_heatmap, _GEO_SQLS["geo_heatmap"]),
+        "geo_normalized_bbox": (
+            G.geo_normalized_bbox, _GEO_SQLS["geo_normalized_bbox"],
+        ),
+        # rows-only: DuckDB 1.0.0 has no Hilbert/lindel and cannot
+        # reproduce boundary-string formatting bit-for-bit
+        "geo_heatmap_export": (G.geo_heatmap_export, None),
+        "geo_hilbert_keys": (G.geo_hilbert_keys, None),
+    }
+)

@@ -1,0 +1,143 @@
+"""Layout tests: Hilbert curve properties + frozen goldens, Morton and
+grid-cell JVM expressions vs independent Python math (SURVEY.md §7.2.3:
+golden vectors + locality property tests stand in for the absent lindel
+oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from gis_etl_spark.layout.sfc import (
+    DEFAULT_ORDER,
+    grid_cell,
+    grid_pitch,
+    hilbert_encode,
+    hilbert_encode_np,
+    hilbert_from_lattice,
+    morton_encode,
+)
+
+
+@pytest.mark.parametrize("order", [3, 4, 5])
+def test_hilbert_bijection_and_adjacency(order):
+    """Defining Hilbert properties: bijective on the lattice and every
+    consecutive pair of indexes maps to Manhattan-adjacent cells."""
+    n = 1 << order
+    ix, iy = np.meshgrid(np.arange(n), np.arange(n))
+    keys = hilbert_from_lattice(iy.ravel(), ix.ravel(), order)
+    assert sorted(keys.tolist()) == list(range(n * n))
+    pos = {
+        int(k): (int(a), int(b))
+        for k, a, b in zip(keys, iy.ravel(), ix.ravel())
+    }
+    for k in range(n * n - 1):
+        (y0, x0), (y1, x1) = pos[k], pos[k + 1]
+        assert abs(y0 - y1) + abs(x0 - x1) == 1, f"break at index {k}"
+
+
+def test_hilbert_golden_vectors():
+    """Frozen engine outputs — any change to scaling or bit order is a
+    breaking layout change and must show up here."""
+    pts = [
+        (0.0, 0.0),
+        (35.6762, 139.6503),
+        (39.9042, 116.4074),
+        (-33.8688, 151.2093),
+        (51.5074, -0.1278),
+        (89.9, 179.9),
+        (-89.9, -179.9),
+    ]
+    y = np.array([p[0] for p in pts])
+    x = np.array([p[1] for p in pts])
+    assert list(map(int, hilbert_encode_np(y, x))) == [
+        715827882,
+        2611180811,
+        2624364483,
+        1687851915,
+        3474255552,
+        2863310644,
+        3508,
+    ]
+
+
+def test_hilbert_locality():
+    """Sorting random points by Hilbert key must place spatial
+    neighbors nearby: mean consecutive-point distance after the sort
+    should crush the random-order baseline."""
+    rng = np.random.default_rng(42)
+    y = rng.uniform(18, 46, 5000)
+    x = rng.uniform(73, 146, 5000)
+    keys = hilbert_encode_np(y, x)
+    idx = np.argsort(keys)
+    d_sorted = np.hypot(np.diff(x[idx]), np.diff(y[idx])).mean()
+    d_random = np.hypot(np.diff(x), np.diff(y)).mean()
+    assert d_sorted < d_random / 20
+
+
+def test_hilbert_udf_matches_numpy(spark):
+    import pandas as pd
+
+    pts = pd.DataFrame({"y": [10.0, -45.0, 89.0], "x": [100.0, -170.0, 5.0]})
+    sdf = spark.createDataFrame(pts).withColumn(
+        "hkey", hilbert_encode(F.col("y"), F.col("x"))
+    )
+    got = {(r.y, r.x): r.hkey for r in sdf.collect()}
+    want = hilbert_encode_np(pts.y.to_numpy(), pts.x.to_numpy())
+    for (yx, k), w in zip(sorted(got.items()), _sorted_by_input(pts, want)):
+        assert k == w
+
+
+def _sorted_by_input(pts, keys):
+    pairs = sorted(zip(zip(pts.y, pts.x), map(int, keys)))
+    return [k for _, k in pairs]
+
+
+def test_morton_expression_matches_python(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame(
+        {"y": rng.uniform(-90, 90, 200), "x": rng.uniform(-180, 180, 200)}
+    )
+    sdf = spark.createDataFrame(pts).withColumn(
+        "mkey", morton_encode(F.col("y"), F.col("x"))
+    )
+    rows = sdf.collect()
+
+    def spread(v: int) -> int:
+        v = (v | v << 8) & 0x00FF00FF
+        v = (v | v << 4) & 0x0F0F0F0F
+        v = (v | v << 2) & 0x33333333
+        v = (v | v << 1) & 0x55555555
+        return v
+
+    scale = (1 << DEFAULT_ORDER) - 1
+    for r in rows:
+        iy = min(max(int((r.y + 90.0) / 180.0 * scale), 0), scale)
+        ix = min(max(int((r.x + 180.0) / 360.0 * scale), 0), scale)
+        assert r.mkey == (spread(iy) << 1) | spread(ix), (r.y, r.x)
+
+
+def test_grid_cell_expression(spark):
+    import pandas as pd
+
+    pts = pd.DataFrame({"lat": [35.0, -10.0, 0.0], "lng": [139.0, 20.0, 0.0]})
+    sdf = spark.createDataFrame(pts).withColumn(
+        "cell", grid_cell(F.col("lat"), F.col("lng"), 7)
+    )
+    pitch = grid_pitch(7)
+    for r in sdf.collect():
+        ix = int(np.floor((r.lng + 180.0) / pitch))
+        iy = int(np.floor((r.lat + 90.0) / pitch))
+        assert r.cell == (7 << 58) + (ix << 29) + iy
+    # res must be recoverable from the id
+    assert all((r.cell >> 58) == 7 for r in sdf.collect())
+
+
+def test_grid_pitch_ladder():
+    assert grid_pitch(7) == pytest.approx(0.01)
+    # √7 linear step per level → ×7 area per level, H3-style
+    assert grid_pitch(6) / grid_pitch(7) == pytest.approx(7 ** 0.5)

@@ -1,0 +1,111 @@
+"""End-to-end pipeline tests over the buildings fixture: normalize,
+heatmap invariants, merge_compact clustering quality, idempotent write.
+These are the engine-internal goldens for ops the DuckDB oracle can't
+express (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from gis_etl_spark.fixtures import ensure_buildings
+from gis_etl_spark.geom import wkb as K
+from gis_etl_spark.geom.functions import st_shape_type_byte
+from gis_etl_spark.io import idempotent_write
+from gis_etl_spark.pipelines import buildings as P
+
+N_FIXTURE = 3_000
+
+
+@pytest.fixture(scope="module")
+def bdf(spark):
+    bpath, _ = ensure_buildings(N_FIXTURE)
+    return spark.read.parquet(bpath)
+
+
+def test_normalize_drops_and_flips(bdf):
+    norm = P.normalize(bdf).cache()
+    # no nulls, only core types survive
+    assert norm.filter(F.col("geom").isNull()).count() == 0
+    bad = norm.filter(st_shape_type_byte(F.col("geom")) >= 8).count()
+    assert bad == 0
+    # Z dropped: every surviving geometry parses as 2-D
+    sample = [r.geom for r in norm.limit(200).collect()]
+    for g in sample:
+        _, parts = K.parse(bytes(g))
+        assert all(ring.shape[1] == 2 for rings in parts for ring in rings)
+    # the flipped source is back in lon-lat order (East-Asia envelope)
+    flipped = P.with_centroid(
+        norm.filter(F.col("source") == "regionE/flipped.pq")
+    )
+    stats = flipped.agg(
+        F.min("centroid.x").alias("minx"), F.max("centroid.y").alias("maxy")
+    ).first()
+    assert stats.minx > 60.0, "flip was not applied"
+    assert stats.maxy < 60.0
+    norm.unpersist()
+
+
+def test_heatmap_mass_conservation(bdf):
+    hm = P.heatmap(bdf, res=7)
+    total = hm.agg(F.sum("num_recs")).first()[0]
+    assert total == bdf.filter(F.col("geom").isNotNull()).count()
+    # heatmap_export: antimeridian guard drops the |lon|>=175 row(s)
+    exp = P.heatmap_export(bdf, res=7)
+    assert exp.agg(F.sum("num_recs")).first()[0] < total
+    row = exp.limit(1).first()
+    assert row.boundary.startswith("POLYGON ((")
+
+
+def test_merge_compact_clusters(bdf, tmp_path):
+    out = str(tmp_path / "merged")
+    src = bdf.filter(F.col("geom").isNotNull())
+    P.merge_compact(src, out, max_records_per_file=1_000)
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert files, "no output written"
+    # row preservation
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == src.count()
+    # ≤ max_records_per_file respected
+    assert all(pq.read_metadata(f).num_rows <= 1_000 for f in files)
+    # clustering quality: hkey ranges across files must be (mostly)
+    # disjoint — the whole point of the Hilbert layout (SURVEY.md §4.2)
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["hkey"])
+        ks = t.column("hkey").to_pylist()
+        if ks:
+            ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    overlaps = sum(
+        1
+        for (a, b), (c, d) in zip(ranges, ranges[1:])
+        if c < b
+    )
+    assert overlaps == 0, f"file hkey ranges overlap: {ranges}"
+
+
+def test_idempotent_write(bdf, tmp_path):
+    out = str(tmp_path / "idem")
+    df = bdf.select("building_id").limit(10)
+    assert idempotent_write(df, out) is True
+    # second call: skip (east_asia.py:101-106 semantics)
+    assert idempotent_write(df, out) is False
+
+
+def test_shape_census_matches_direct_bytes(bdf):
+    census = {
+        (r.shape_type, r.filename): r.num_recs
+        for r in P.shape_type_census(bdf).collect()
+    }
+    rows = bdf.filter(F.col("geom").isNotNull()).collect()
+    direct: dict[tuple[int, str], int] = {}
+    for r in rows:
+        key = (bytes(r.geom)[1], r.source)
+        direct[key] = direct.get(key, 0) + 1
+    assert census == direct

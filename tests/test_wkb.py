@@ -1,0 +1,174 @@
+"""WKB kernel unit tests — handcrafted geometries with known answers,
+mirroring the reference's manual QA checklist (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from gis_etl_spark.geom import wkb as K
+
+
+def poly(ring, z=None):
+    dims = 2 if z is None else 3
+    word = 3 if z is None else (1003 if z == "iso" else 3 | 0x80000000)
+    out = bytearray(struct.pack("<BII", 1, word, 1))
+    out += struct.pack("<I", len(ring))
+    for pt in ring:
+        out += struct.pack(f"<{dims}d", *pt[:dims])
+    return bytes(out)
+
+
+UNIT_SQUARE = poly([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])
+
+
+def test_shape_type_codes():
+    assert K.shape_type(UNIT_SQUARE) == 3
+    assert K.shape_type(struct.pack("<BI2d", 1, 1, 5.0, 6.0)) == 1
+    # ISO Z and EWKB Z both decode to base 3
+    sq3d = [(0, 0, 9), (1, 0, 9), (1, 1, 9), (0, 1, 9), (0, 0, 9)]
+    assert K.shape_type(poly(sq3d, z="iso")) == 3
+    assert K.shape_type(poly(sq3d, z="ewkb")) == 3
+
+
+def test_centroid_unit_square():
+    cx, cy = K.centroid(UNIT_SQUARE)
+    assert cx == pytest.approx(0.5)
+    assert cy == pytest.approx(0.5)
+
+
+def test_centroid_orientation_independent():
+    cw = poly([(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)])
+    cx, cy = K.centroid(cw)
+    assert (cx, cy) == (pytest.approx(0.5), pytest.approx(0.5))
+
+
+def test_centroid_polygon_with_hole():
+    # 4x4 square with centered 2x2 hole: centroid stays at center
+    shell = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    hole = [(1, 1), (1, 3), (3, 3), (3, 1), (1, 1)]  # CW = subtract
+    out = bytearray(struct.pack("<BII", 1, 3, 2))
+    for ring in (shell, hole):
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<2d", x, y)
+    cx, cy = K.centroid(bytes(out))
+    assert (cx, cy) == (pytest.approx(2.0), pytest.approx(2.0))
+
+
+def test_centroid_asymmetric_hole():
+    # shell 0..4, hole in the left half → centroid shifts right
+    shell = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    hole = [(0.5, 1.5), (0.5, 2.5), (1.5, 2.5), (1.5, 1.5), (0.5, 1.5)]
+    out = bytearray(struct.pack("<BII", 1, 3, 2))
+    for ring in (shell, hole):
+        out += struct.pack("<I", len(ring))
+        for x, y in ring:
+            out += struct.pack("<2d", x, y)
+    cx, cy = K.centroid(bytes(out))
+    # exact: (16*2 - 1*1) / 15 = 31/15
+    assert cx == pytest.approx(31 / 15)
+    assert cy == pytest.approx(2.0)
+
+
+def test_centroid_point_line():
+    assert K.centroid(struct.pack("<BI2d", 1, 1, 7.0, -3.0)) == (7.0, -3.0)
+    line = bytearray(struct.pack("<BII", 1, 2, 3))
+    for x, y in [(0, 0), (2, 0), (2, 2)]:
+        line += struct.pack("<2d", float(x), float(y))
+    cx, cy = K.centroid(bytes(line))
+    # segments: (0,0)-(2,0) len 2 mid (1,0); (2,0)-(2,2) len 2 mid (2,1)
+    assert (cx, cy) == (pytest.approx(1.5), pytest.approx(0.5))
+
+
+def test_bbox_and_npoints():
+    assert K.bbox(UNIT_SQUARE) == (0.0, 0.0, 1.0, 1.0)
+    assert K.npoints(UNIT_SQUARE) == 5
+
+
+def test_flip_roundtrip():
+    flipped = K.flip(UNIT_SQUARE)
+    assert K.centroid(flipped) == (pytest.approx(0.5), pytest.approx(0.5))
+    assert K.flip(flipped) == UNIT_SQUARE
+    rect = poly([(0, 0), (2, 0), (2, 1), (0, 1), (0, 0)])
+    fx, fy = K.centroid(K.flip(rect))
+    assert (fx, fy) == (pytest.approx(0.5), pytest.approx(1.0))
+
+
+def test_force2d():
+    sq3d = [(0, 0, 9), (1, 0, 9), (1, 1, 9), (0, 1, 9), (0, 0, 9)]
+    for variant in ("iso", "ewkb"):
+        out = K.force_2d(poly(sq3d, z=variant))
+        assert out == UNIT_SQUARE
+    # 2-D input is unchanged
+    assert K.force_2d(UNIT_SQUARE) == UNIT_SQUARE
+
+
+def test_big_endian_parse():
+    be = bytearray(struct.pack(">BI", 0, 1)) # big-endian POINT
+    be = bytes([0]) + struct.pack(">I", 1) + struct.pack(">2d", 3.0, 4.0)
+    assert K.shape_type(be) == 1
+    assert K.centroid(be) == (3.0, 4.0)
+    # rebuild normalizes to little-endian
+    assert K.flip(K.flip(be))[0] == 1
+
+
+def test_wkt_roundtrip():
+    for wkt in [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
+    ]:
+        buf = K.from_wkt(wkt)
+        assert K.to_wkt(buf).split(" ", 1)[0] == wkt.split(" ", 1)[0]
+        assert K.from_wkt(K.to_wkt(buf)) == buf
+
+
+def test_multipolygon_centroid_weighted():
+    # two unit squares at (0,0) and (10,0) → centroid (5.5, 0.5)... equal
+    # weights; make second 2x2 to check area weighting
+    mp = bytearray(struct.pack("<BII", 1, 6, 2))
+    for ring in (
+        [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)],
+        [(10, 0), (12, 0), (12, 2), (10, 2), (10, 0)],
+    ):
+        mp += struct.pack("<BII", 1, 3, 1)
+        mp += struct.pack("<I", len(ring))
+        for x, y in ring:
+            mp += struct.pack("<2d", float(x), float(y))
+    cx, cy = K.centroid(bytes(mp))
+    # areas 1 and 4 → cx = (0.5*1 + 11*4)/5 = 8.9, cy = (0.5 + 1*4)/5 = 0.9
+    assert cx == pytest.approx(8.9)
+    assert cy == pytest.approx(0.9)
+
+
+def test_degenerate_zero_area_fallback():
+    degenerate = poly([(5, 6), (5, 6), (5, 6), (5, 6)])
+    assert K.centroid(degenerate) == (pytest.approx(5.0), pytest.approx(6.0))
+
+
+def test_fixture_goldens_match_kernels():
+    """Engine kernels vs the independently-computed golden table
+    (FIXTURES.md B1) — two implementations, one truth."""
+    from gis_etl_spark.fixtures import make_buildings
+
+    buildings, expected = make_buildings(500, seed=42)
+    merged = buildings.merge(expected, on="building_id")
+    n_checked = 0
+    for row in merged.itertuples():
+        if row.geom is None:
+            continue
+        assert K.shape_type(row.geom) == row.shape_type, row.building_id
+        cx, cy = K.centroid(row.geom)
+        assert cx == pytest.approx(row.cx, abs=1e-9), row.building_id
+        assert cy == pytest.approx(row.cy, abs=1e-9), row.building_id
+        xmin, ymin, xmax, ymax = K.bbox(row.geom)
+        assert xmin == pytest.approx(row.xmin, abs=1e-12)
+        assert ymax == pytest.approx(row.ymax, abs=1e-12)
+        n_checked += 1
+    assert n_checked > 450

@@ -234,6 +234,115 @@ def buildings_path(n_rows: int) -> str:
     return os.path.join(FIXTURE_ROOT, f"buildings_{n_rows}")
 
 
+def ensure_documents_aug(seed: int = 42) -> str:
+    """Documents table with injected duplicates for the dedup operators.
+
+    The driver's `documents` table has no exact duplicates, so dedup
+    queries over it would be vacuously empty. This fixture = the sf0.01
+    documents (fixed source — the oracle SQL embeds the path) plus:
+      - 60 exact duplicates   (doc_id 100000+i, source 'dup_exact')
+      - 60 near duplicates    (doc_id 200000+i, ~12% of word positions
+                               replaced with seeded vocabulary picks,
+                               source 'dup_near')
+    Deterministic (seed 42); lang copied from the original, n_chars
+    recomputed.
+    """
+    out = os.path.join(FIXTURE_ROOT, "documents_aug", "documents_aug.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    src = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    rng = np.random.default_rng(seed)
+    vocab = sorted({w for t in src.text for w in t.split()})
+    rows = [src]
+
+    exact = src.iloc[[(i * 7) % len(src) for i in range(60)]].copy()
+    exact["doc_id"] = [100000 + i for i in range(60)]
+    exact["source"] = "dup_exact"
+    rows.append(exact)
+
+    near_rows = []
+    for i in range(60):
+        base = src.iloc[(i * 11) % len(src)]
+        words = base.text.split()
+        n_swap = max(1, int(0.12 * len(words)))
+        idx = rng.choice(len(words), size=n_swap, replace=False)
+        for j in idx:
+            words[j] = vocab[int(rng.integers(0, len(vocab)))]
+        text = " ".join(words)
+        near_rows.append(
+            (200000 + i, text, base.lang, "dup_near", len(text))
+        )
+    rows.append(
+        pd.DataFrame(
+            near_rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+    )
+    aug = pd.concat(rows, ignore_index=True)
+    tmp = out + ".tmp"
+    aug.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
+MEDIA_MAGIC = b"FAKE"
+
+
+def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
+    """Multimodal fixture: opaque binary payloads + typed metadata
+    (SURVEY.md §2.11 multimodal columns). Payload layout:
+
+        bytes 0-3   magic 'FAKE'
+        bytes 4-5   width  (uint16 LE)   } images: pixels
+        bytes 6-7   height (uint16 LE)   } audio : sample_rate/100, 0
+        byte  8     channels
+        bytes 9-12  n_frames (uint32 LE; 1 for image, >1 video)
+        rest        seeded pseudo-random 'content' bytes
+
+    The header is parseable without any image/audio library, so the
+    engine's decode UDFs do REAL byte-level work; metadata is also
+    stored as plain columns so the DuckDB oracle can verify the decode.
+    """
+    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}", "media.parquet")
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n_rows):
+        kind = kinds[int(rng.integers(0, 3))]
+        if kind == "image":
+            w, h, ch, nf = (
+                int(rng.integers(16, 4096)), int(rng.integers(16, 4096)),
+                3, 1,
+            )
+        elif kind == "audio":
+            w, h, ch, nf = int(rng.integers(80, 480)), 0, 2, 1
+        else:
+            w, h, ch, nf = (
+                int(rng.integers(160, 1920)), int(rng.integers(90, 1080)),
+                3, int(rng.integers(24, 2400)),
+            )
+        body = rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                            dtype=np.uint8).tobytes()
+        payload = (
+            MEDIA_MAGIC
+            + struct.pack("<HHBI", w, h, ch, nf)
+            + body
+        )
+        rows.append((i, kind, payload, w, h, ch, nf, len(payload)))
+    df = pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "payload", "width", "height",
+                 "channels", "n_frames", "n_bytes"],
+    ).astype({"media_id": "int64"})
+    tmp = out + ".tmp"
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
 def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
     """Generate (once) and return (buildings_path, expected_path) —
     parquet files readable by both Spark and the DuckDB oracle."""

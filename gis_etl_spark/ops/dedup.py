@@ -1,0 +1,488 @@
+"""Deduplication operators [north-star]: exact, MinHash+LSH, SimHash,
+n-gram Jaccard (SURVEY.md §2.11; Broder '97 for MinHash, Charikar '02
+for SimHash — both public algorithms, re-expressed as relational plans).
+
+Every operator is pure DataFrame algebra (explode → hash-agg → band
+join) so it scales as a set of shuffles — no Python in the hot path,
+and every step has an exact ANSI-SQL twin for the DuckDB oracle.
+
+Cross-engine determinism:
+- word hash h60 = int(md5(word)[:15], 16) — 60-bit, overflow-safe;
+- MinHash permutations h_j = (a_j * (h60 % P) + b_j) % P with
+  P = 2^31-1 and seeded a_j/b_j constants < 2^31 → products < 2^62,
+  no int64 overflow in either engine;
+- SimHash uses bits 0..59 of h60 (60-bit signature keeps the sign bit
+  clear in both engines' BIGINT);
+- band keys are md5 strings of the concatenated signature slice.
+
+Scale design: candidate generation is the whole point of LSH — the
+band join groups by (band_idx, band_key) so the shuffle is O(docs ×
+bands), never O(docs²); only candidates pay the exact-verify join.
+At 100 TB the band tables are further bucketable by band_key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gis_etl_spark.fixtures import ensure_documents_aug
+from gis_etl_spark.ops.text import h60_sql
+
+P31 = 2**31 - 1
+N_HASHES = 16
+# 8 bands × 2 rows: P(candidate | j) = 1-(1-j²)⁸ → 0.90 at j=0.5,
+# 0.08 at j=0.1 — tuned for shingle-jaccard near-dups on a corpus
+# whose tiny vocabulary makes word-SET similarity uninformative
+# (measured: random-pair word-set jaccard median 0.63).
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIM_BITS = 60
+SIM_BANDS = 4
+SIM_BAND_BITS = SIM_BITS // SIM_BANDS  # 15
+MINHASH_JACCARD_T = 0.35
+NGRAM_JACCARD_T = 0.3
+SIMHASH_MAX_HAMMING = 12
+
+# seeded permutation constants, shared verbatim with the oracle SQL
+_rng = np.random.default_rng(20240813)
+MINHASH_A = [int(a) for a in _rng.integers(1, P31, size=N_HASHES)]
+MINHASH_B = [int(b) for b in _rng.integers(0, P31, size=N_HASHES)]
+
+
+def _docs(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(ensure_documents_aug())
+
+
+def _h60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _doc_words(df: DataFrame) -> DataFrame:
+    """doc_id + exploded DISTINCT words (set semantics for Jaccard)."""
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), " +"))).alias("w"),
+    )
+
+
+def _doc_shingles(df: DataFrame) -> DataFrame:
+    """doc_id + exploded DISTINCT word-trigram shingles — the MinHash
+    feature set (order-sensitive; word sets are uninformative on a
+    narrow vocabulary)."""
+    return (
+        df.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    # guard size<3: Spark's sequence(0, -1) yields a
+                    # DESCENDING range, not an empty array
+                    F.when(
+                        F.size("ws") >= 3,
+                        F.expr(
+                            "transform(sequence(0, size(ws) - 3), "
+                            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+            ).alias("w"),
+        )
+    )
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups with >1 member → (hash,
+    n_copies, keep_id). One hash-shuffle; at 100 TB this is the
+    standard first pass before any fuzzy method."""
+    return (
+        _docs(spark)
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+def dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving document ids after exact dedup (keep = min doc_id
+    per content hash) — dropDuplicates with a deterministic keeper."""
+    docs = _docs(spark)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return (
+        docs.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _minhash_signatures(df: DataFrame) -> DataFrame:
+    """doc_id → m0..m{k-1} minhash columns (shingle-set MinHash)."""
+    words = _doc_shingles(df).withColumn("h", _h60(F.col("w")) % P31)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P31).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """Signature → (doc_id, band_idx, band_key) exploded."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [
+            F.col(f"m{j}").cast("string")
+            for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def minhash_candidates(df: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket (a < b)."""
+    bk = _band_keys(_minhash_signatures(df))
+    left = bk.alias("l")
+    right = bk.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _exact_jaccard(df: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shingle-set Jaccard for candidate pairs via a shared-item join."""
+    words = _doc_shingles(df)
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("nw", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("nw", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, exact-verified: trigram shingles
+    → minhash signatures → band buckets → candidates → shingle Jaccard
+    ≥ 0.35. Output is a subset of dedup_ngram_jaccard_pairs (LSH recall
+    < 1 by design); the oracle runs the identical pipeline."""
+    docs = _docs(spark)
+    pairs = minhash_candidates(docs)
+    return (
+        _exact_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash(df: DataFrame) -> DataFrame:
+    """60-bit SimHash over word counts (Charikar '02): bit i of the
+    signature = sign of Σ_w cnt_w · (2·bit_i(h60(w)) − 1)."""
+    wc = (
+        df.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", _h60(F.col("w")))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(SIM_BITS)
+    ]
+    sums = wc.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for i in range(SIM_BITS):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 15-bit band buckets → Hamming ≤ 12."""
+    docs = _docs(spark)
+    sig = _simhash(docs)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * SIM_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIM_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIM_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram shingle Jaccard: pairs sharing ≥ 3 shingles,
+    Jaccard ≥ 0.3 — the order-sensitive complement to word-set MinHash
+    (reordered text keeps word sets but destroys shingles)."""
+    docs = _docs(spark)
+    # guard size<3: Spark's sequence(0, -1) yields a DESCENDING range,
+    # not an empty array — short docs must produce zero shingles
+    shingled = (
+        docs.select(
+            "doc_id", F.split(F.trim("text"), " +").alias("ws")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size("ws") >= 3,
+                        F.expr(
+                            "transform(sequence(0, size(ws) - 3), "
+                            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+            ).alias("sh"),
+        )
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        sa.join(sb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= 3)
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("ns", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("ns", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- oracle SQL -------------------------------------------------------------
+
+def oracle_sqls() -> dict[str, str]:
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    words = "list_distinct(regexp_split_to_array(trim(text), ' +'))"
+    h = h60_sql("w")
+    minhash_cols = ", ".join(
+        f"min(({a} * (h % {P31}) + {b}) % {P31}) AS m{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = "||','||".join(
+            f"m{j}::VARCHAR"
+            for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig")
+    bands_sql = " UNION ALL ".join(band_rows)
+
+    # dw = distinct trigram shingles (1-based DuckDB lists: i..i+2 for
+    # i in 1..len-2 matches Spark's 0-based i..i+2 for i in 0..size-3)
+    minhash_common = f"""
+        WITH ws0 AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ww
+          FROM {d}
+        ), dw AS (
+          SELECT DISTINCT doc_id,
+                 ww[i] || ' ' || ww[i+1] || ' ' || ww[i+2] AS w
+          FROM ws0, unnest(range(1, greatest(len(ww) - 1, 1))) AS t(i)
+        ), hashed AS (
+          SELECT doc_id, {h} AS h FROM dw
+        ), sig AS (
+          SELECT doc_id, {minhash_cols} FROM hashed GROUP BY doc_id
+        ), bands AS (
+          {bands_sql}
+        ), cands AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r
+            ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+           AND l.doc_id < r.doc_id
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nw FROM dw GROUP BY doc_id
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS inter
+          FROM cands c
+          JOIN dw a ON a.doc_id = c.doc_a
+          JOIN dw b ON b.doc_id = c.doc_b AND b.w = a.w
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.inter * 1.0 / (sa.nw + sb.nw - i.inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.inter * 1.0 / (sa.nw + sb.nw - i.inter) >= {MINHASH_JACCARD_T}
+        ORDER BY i.doc_a, i.doc_b
+    """
+
+    bit_sums = ", ".join(
+        f"sum(cnt * (((h >> {i}) & 1) * 2 - 1)) AS s{i}"
+        for i in range(SIM_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN 1::BIGINT ELSE 0 END << {i})"
+        for i in range(SIM_BITS)
+    )
+    sim_bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, "
+        f"(simhash >> {b * SIM_BAND_BITS}) & {(1 << SIM_BAND_BITS) - 1} "
+        f"AS band_val FROM sig"
+        for b in range(SIM_BANDS)
+    )
+    simhash_sql = f"""
+        WITH wc AS (
+          SELECT doc_id, w, count(*) AS cnt, {h} AS h
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), ' +')) AS w
+                FROM {d})
+          GROUP BY doc_id, w
+        ), sums AS (
+          SELECT doc_id, {bit_sums} FROM wc GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, ({sim_expr}) AS simhash FROM sums
+        ), bands AS (
+          {sim_bands}
+        ), cands AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 l.simhash AS sim_a, r.simhash AS sim_b
+          FROM bands l JOIN bands r
+            ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+           AND l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+        FROM cands
+        WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """
+
+    # DuckDB lists are 1-based: shingle i uses ws[i], ws[i+1], ws[i+2]
+    # for i in 1..len-2, matching Spark's 0-based i in 0..size-3.
+    ngram_sql = f"""
+        WITH ws AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+          FROM {d}
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+          FROM ws, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.inter * 1.0 / (sa.ns + sb.ns - i.inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE i.inter * 1.0 / (sa.ns + sb.ns - i.inter) >= {NGRAM_JACCARD_T}
+        ORDER BY i.doc_a, i.doc_b
+    """
+
+    return {
+        "dedup_exact_groups": f"""
+            SELECT md5(text) AS content_hash, count(*) AS n_copies,
+                   min(doc_id) AS keep_id
+            FROM {d} GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+        """,
+        "dedup_exact_kept": f"""
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+              FROM {d}
+            ) WHERE doc_id = keep_id
+        """,
+        "dedup_minhash_pairs": minhash_common,
+        "dedup_simhash_pairs": simhash_sql,
+        "dedup_ngram_jaccard_pairs": ngram_sql,
+    }

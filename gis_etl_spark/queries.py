@@ -18,8 +18,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gis_etl_spark.ops import dedup as D
 from gis_etl_spark.ops import geometry_queries as G
+from gis_etl_spark.ops import multimodal as M
 from gis_etl_spark.ops import relational as R
+from gis_etl_spark.ops import similarity as S
+from gis_etl_spark.ops import text as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -255,5 +259,95 @@ REGISTRY.update(
         # reproduce boundary-string formatting bit-for-bit
         "geo_heatmap_export": (G.geo_heatmap_export, None),
         "geo_hilbert_keys": (G.geo_hilbert_keys, None),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# Text-analysis pack [north-star]: lang-id, quality scoring, token
+# counting, fingerprinting over `documents` — all oracle-checked.
+# ---------------------------------------------------------------------------
+
+_TEXT_SQLS = T.oracle_sqls()
+
+REGISTRY.update(
+    {
+        "text_token_stats": (T.text_token_stats, _TEXT_SQLS["text_token_stats"]),
+        "text_quality_scores": (
+            T.text_quality_scores, _TEXT_SQLS["text_quality_scores"],
+        ),
+        "lang_id": (T.lang_id, _TEXT_SQLS["lang_id"]),
+        "doc_fingerprints": (T.doc_fingerprints, _TEXT_SQLS["doc_fingerprints"]),
+        "token_stats_by_lang": (
+            T.token_stats_by_lang, _TEXT_SQLS["token_stats_by_lang"],
+        ),
+        "top_tokens": (T.top_tokens, _TEXT_SQLS["top_tokens"]),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# Dedup pack [north-star]: exact, MinHash+LSH, SimHash, n-gram Jaccard
+# over the duplicates-injected documents fixture — all oracle-checked.
+# ---------------------------------------------------------------------------
+
+_DEDUP_SQLS = D.oracle_sqls()
+
+REGISTRY.update(
+    {
+        "dedup_exact_groups": (
+            D.dedup_exact_groups, _DEDUP_SQLS["dedup_exact_groups"],
+        ),
+        "dedup_exact_kept": (
+            D.dedup_exact_kept, _DEDUP_SQLS["dedup_exact_kept"],
+        ),
+        "dedup_minhash_pairs": (
+            D.dedup_minhash_pairs, _DEDUP_SQLS["dedup_minhash_pairs"],
+        ),
+        "dedup_simhash_pairs": (
+            D.dedup_simhash_pairs, _DEDUP_SQLS["dedup_simhash_pairs"],
+        ),
+        "dedup_ngram_jaccard_pairs": (
+            D.dedup_ngram_jaccard_pairs, _DEDUP_SQLS["dedup_ngram_jaccard_pairs"],
+        ),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# Similarity pack [north-star]: brute-force top-k, exact near-pairs,
+# relational LSH ANN, label centroids — all oracle-checked.
+# ---------------------------------------------------------------------------
+
+_SIM_SQLS = S.oracle_sqls()
+
+REGISTRY.update(
+    {
+        "similarity_topk": (S.similarity_topk, _SIM_SQLS["similarity_topk"]),
+        "similarity_near_pairs": (
+            S.similarity_near_pairs, _SIM_SQLS["similarity_near_pairs"],
+        ),
+        "similarity_ann_lsh": (
+            S.similarity_ann_lsh, _SIM_SQLS["similarity_ann_lsh"],
+        ),
+        "embedding_label_centroids": (
+            S.embedding_label_centroids, _SIM_SQLS["embedding_label_centroids"],
+        ),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# Multimodal pack [north-star]: binary payload columns + typed metadata;
+# decode verified against stored columns, features rows-only.
+# ---------------------------------------------------------------------------
+
+_MM_SQLS = M.oracle_sqls()
+
+REGISTRY.update(
+    {
+        "multimodal_decode_meta": (
+            M.multimodal_decode_meta, _MM_SQLS["multimodal_decode_meta"],
+        ),
+        "multimodal_frame_sample": (
+            M.multimodal_frame_sample, _MM_SQLS["multimodal_frame_sample"],
+        ),
+        "multimodal_features": (M.multimodal_features, None),
     }
 )

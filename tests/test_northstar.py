@@ -1,0 +1,82 @@
+"""North-star operator quality tests — beyond oracle parity, check the
+operators actually *do their job*: LSH finds most true neighbors, dedup
+finds the injected duplicates, scores stay bounded."""
+
+from __future__ import annotations
+
+import pytest
+
+from gis_etl_spark.ops import dedup as D
+from gis_etl_spark.ops import similarity as S
+from gis_etl_spark.ops import text as T
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """LSH top-k must recover a solid fraction of brute-force top-k.
+    2 bands × 8 bits is a coarse index; recall ≥ 0.4 guards against a
+    silently-broken signature while allowing LSH's designed misses."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.similarity_topk(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in S.similarity_ann_lsh(spark, sf_dir).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.6, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_exact_dedup_finds_injected(spark, sf_dir):
+    groups = D.dedup_exact_groups(spark, sf_dir).collect()
+    # the fixture injects exactly 60 exact duplicates
+    assert len(groups) == 60
+    assert all(g.n_copies == 2 for g in groups)
+    # keeper is always the original (min doc_id < 100000)
+    assert all(g.keep_id < 100000 for g in groups)
+
+
+def test_minhash_finds_injected_near_dups(spark, sf_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_pairs(spark, sf_dir).collect()
+    }
+    # exact duplicates have shingle-jaccard 1.0 and must all be caught
+    # (every band collides when signatures are identical)
+    exact_pairs = [
+        ((i * 7) % 500, 100000 + i) for i in range(60)
+    ]
+    caught = sum(1 for p in exact_pairs if p in pairs)
+    assert caught == 60, f"missed {60 - caught} exact-dup pairs"
+    assert all(pairs[p] == 1.0 for p in exact_pairs if p in pairs)
+    # a majority of injected near-dups (12% word swaps) should surface
+    near_pairs = [((i * 11) % 500, 200000 + i) for i in range(60)]
+    near_caught = sum(1 for p in near_pairs if p in pairs)
+    assert near_caught >= 30, f"only {near_caught}/60 near-dups found"
+
+
+def test_quality_scores_bounded(spark, sf_dir):
+    rows = T.text_quality_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 < r.diversity <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_lang_id_deterministic_argmax(spark, sf_dir):
+    rows = T.lang_id(spark, sf_dir).collect()
+    assert rows
+    assert all(r.predicted_lang in T.LANG_MARKERS for r in rows)
+    assert all(r.best_hits >= 0 for r in rows)
+
+
+def test_simhash_exact_dups_have_zero_hamming(spark, sf_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.dedup_simhash_pairs(spark, sf_dir).collect()
+    }
+    exact_pairs = [((i * 7) % 500, 100000 + i) for i in range(60)]
+    for p in exact_pairs:
+        assert p in pairs, f"exact dup {p} missed by simhash bands"
+        assert pairs[p] == 0

@@ -135,6 +135,21 @@ def geo_normalized_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_convert_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full convert() pipeline (clean → reproject → flip) → global
+    bbox. Rows-only: the oracle cannot reproject UTM; pytest asserts
+    the UTM block lands inside zone-50 geographic bounds
+    (tests/test_transform.py, tests/test_pipelines.py)."""
+    conv = P.convert(_read(spark))
+    bb = P.global_bbox(conv)
+    return bb.select(
+        F.round("xmin", 6).alias("xmin"),
+        F.round("ymin", 6).alias("ymin"),
+        F.round("xmax", 6).alias("xmax"),
+        F.round("ymax", 6).alias("ymax"),
+    )
+
+
 def geo_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout keys (O1, east_asia.py:75-77) — rows-only check (the
     oracle lacks lindel, SURVEY.md F9); locality properties are pytest

@@ -98,6 +98,46 @@ def normalize(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     )
 
 
+def convert(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Full `main`-pipeline parity (east_asia.py:96-283): null-drop →
+    core-type filter → force2d → ST_TRANSFORM(declared EPSG → 4326) →
+    per-source flip heuristic on the TRANSFORMED coordinates (the
+    reference probes min ST_XMIN *after* transform, east_asia.py:204-216)
+    → conditional flip. Output is write-ready for merge_compact.
+
+    Rows with NULL epsg keep their coordinates (the reference's
+    ogr2ogr fallback for missing .prj, east_asia.py:118-137, is a
+    driver-side concern; v1 passes them through unprojected).
+    """
+    from gis_etl_spark.geom.transform import st_transform
+
+    cleaned = (
+        df.filter(F.col(geom_col).isNotNull())
+        .filter(st_is_core_type(F.col(geom_col)))
+        .withColumn(geom_col, st_force2d(F.col(geom_col)))
+    )
+    transformed = cleaned.withColumn(
+        geom_col,
+        F.when(
+            F.col("epsg").isNotNull() & (F.col("epsg") != 4326),
+            st_transform(F.col(geom_col), F.col("epsg"), 4326),
+        ).otherwise(F.col(geom_col)),
+    )
+    flips = detect_flip_sources(transformed, geom_col).select(
+        "source", "needs_flip"
+    )
+    return (
+        transformed.join(F.broadcast(flips), "source", "left")
+        .withColumn(
+            geom_col,
+            F.when(
+                F.col("needs_flip"), st_flip_coordinates(F.col(geom_col))
+            ).otherwise(F.col(geom_col)),
+        )
+        .drop("needs_flip")
+    )
+
+
 def global_bbox(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     """Dataset bbox — A4, the query that segfaulted the reference's
     engine over 281M rows (East-Asia-Building-Footprints.md:231-237).

@@ -1,0 +1,188 @@
+"""Structured Streaming renditions (SURVEY.md §2.10).
+
+The reference's only streaming-shaped workload is the incrementally-
+appended heatmap (East-Asia-Building-Footprints.md:243-257: one INSERT
+per arriving file into a persistent table, finalized by a rollup).
+Its native Spark form is a file-source stream into a streaming
+aggregation — new parquet files are discovered per micro-batch and the
+state store replaces the staging table.
+
+Each pipeline here has a batch twin in the contract registry
+(geo_heatmap / events_hourly_rollup / sessionize_events); tests verify
+stream results == batch results on the same data, which is the
+correctness bar Structured Streaming's unified model promises.
+
+Scale notes:
+- streaming agg state is per-key (grid cell / window×type / user) —
+  bounded domains; watermarks bound event-time state for the window agg;
+- `availableNow` gives batch-sized reprocessing with streaming
+  semantics (used in tests; production uses continuous triggers);
+- the sessionizer uses applyInPandasWithState with processing-time
+  timeouts — the custom-stateful-operator surface (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gis_etl_spark.geom.functions import st_centroid
+from gis_etl_spark.layout.sfc import grid_cell
+
+BUILDINGS_SCHEMA = StructType(
+    [
+        StructField("building_id", LongType()),
+        StructField("geom", BinaryType()),
+        StructField("source", StringType()),
+        StructField("epsg", LongType()),
+    ]
+)
+
+
+def streaming_heatmap(
+    spark: SparkSession, input_dir: str, res: int = 7
+) -> DataFrame:
+    """File-source streaming heatmap: arriving building files →
+    centroid → grid cell → running counts (update mode). The streaming
+    twin of pipelines.buildings.heatmap / the reference's per-file
+    INSERT loop."""
+    stream = (
+        spark.readStream.schema(BUILDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+    pts = (
+        stream.filter(F.col("geom").isNotNull())
+        .withColumn("centroid", st_centroid(F.col("geom")))
+    )
+    return (
+        pts.select(
+            grid_cell(
+                F.col("centroid").getField("y"),
+                F.col("centroid").getField("x"),
+                res,
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("num_recs"))
+    )
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession, input_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling windows with a watermark: late rows beyond
+    the watermark are dropped, windows finalize incrementally (append
+    mode). Batch twin: ops.relational.events_hourly_rollup."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("session_seq", IntegerType()),
+        StructField("n_events", IntegerType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", IntegerType()),
+        StructField("n_events", IntegerType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer (30 min) as explicit streaming state — the
+    stateful twin of ops.relational.sessionize_events. Emits every
+    updated session per micro-batch (upsert semantics downstream)."""
+    gap_us = 1_800_000_000
+    if state.exists:
+        last_ts, seq, n, vsum = state.get
+    else:
+        last_ts, seq, n, vsum = None, 0, 0, 0.0
+    out = []
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    user_id = key[0]
+    for r in rows.itertuples():
+        ts_us = int(r.ts.value // 1000)  # pandas ns → µs
+        if last_ts is not None and ts_us - last_ts > gap_us:
+            out.append((user_id, seq, n, round(vsum, 2)))
+            seq += 1
+            n, vsum = 0, 0.0
+        n += 1
+        vsum += float(r.value)
+        last_ts = ts_us
+    state.update((last_ts, seq, n, vsum))
+    out.append((user_id, seq, n, round(vsum, 2)))
+    yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUT_SCHEMA])
+
+
+def streaming_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "update"
+) -> None:
+    """Drain a stream with availableNow into a memory sink (tests /
+    local verification); blocks until all input is processed."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -259,6 +259,7 @@ REGISTRY.update(
         # reproduce boundary-string formatting bit-for-bit
         "geo_heatmap_export": (G.geo_heatmap_export, None),
         "geo_hilbert_keys": (G.geo_hilbert_keys, None),
+        "geo_convert_bbox": (G.geo_convert_bbox, None),
     }
 )
 

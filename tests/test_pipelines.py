@@ -90,6 +90,27 @@ def test_merge_compact_clusters(bdf, tmp_path):
     assert overlaps == 0, f"file hkey ranges overlap: {ranges}"
 
 
+def test_convert_full_pipeline(spark, bdf):
+    """convert(): UTM block reprojected into zone-50 geographic bounds,
+    flipped source restored, everything inside world coordinates."""
+    conv = P.convert(bdf).cache()
+    utm = P.with_centroid(conv.filter(F.col("source") == "regionF/utm.pq"))
+    stats = utm.agg(
+        F.min("centroid.x").alias("x0"), F.max("centroid.x").alias("x1"),
+        F.min("centroid.y").alias("y0"), F.max("centroid.y").alias("y1"),
+    ).first()
+    assert 113.0 < stats.x0 and stats.x1 < 121.0, "UTM not reprojected"
+    assert -80.0 < stats.y0 and stats.y1 < 80.0
+    # after convert, the whole corpus sits in world lon/lat
+    bb = P.global_bbox(conv).first()
+    assert -180.5 < bb.xmin and bb.xmax < 180.5
+    assert -90.5 < bb.ymin and bb.ymax < 90.5
+    # flipped source is in East-Asia lon range again
+    fl = P.with_centroid(conv.filter(F.col("source") == "regionE/flipped.pq"))
+    assert fl.agg(F.min("centroid.x")).first()[0] > 60.0
+    conv.unpersist()
+
+
 def test_idempotent_write(bdf, tmp_path):
     out = str(tmp_path / "idem")
     df = bdf.select("building_id").limit(10)

@@ -1,0 +1,177 @@
+"""Streaming-equals-batch tests: each streaming pipeline must produce
+the same final answer as its batch twin on the same files, fed through
+the file source in multiple micro-batches (maxFilesPerTrigger /
+availableNow)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gis_etl_spark.fixtures import ensure_buildings
+from gis_etl_spark.io import read_table
+from gis_etl_spark.ops.relational import events_hourly_rollup, sessionize_events
+from gis_etl_spark.pipelines import buildings as B
+from gis_etl_spark.pipelines import streaming as S
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "incoming")
+
+
+def _split_into_files(df, out_dir, n_files):
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+
+
+def test_streaming_heatmap_matches_batch(spark, stream_dir):
+    bpath, _ = ensure_buildings(3_000)
+    src = spark.read.parquet(bpath)
+    # many small files → several micro-batches (maxFilesPerTrigger=4)
+    _split_into_files(src, stream_dir, 12)
+
+    name = f"hm_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_heatmap(spark, stream_dir), name, output_mode="complete"
+    )
+    got = {
+        r.cell: r.num_recs
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        r.cell: r.num_recs
+        for r in B.heatmap(spark.read.parquet(stream_dir)).collect()
+    }
+    assert got == want
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir, stream_dir):
+    ev = read_table(spark, sf_dir, "events")
+    _split_into_files(ev, stream_dir, 8)
+
+    name = f"hr_{uuid.uuid4().hex[:8]}"
+    # complete mode: no dropped-late-data ambiguity on a finite replay
+    S.run_to_memory(
+        S.streaming_hourly_rollup(spark, stream_dir), name,
+        output_mode="complete",
+    )
+    got = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch twin over the SAME files (stream_dir re-read in batch)
+    batch = events_hourly_rollup.__wrapped__ if hasattr(
+        events_hourly_rollup, "__wrapped__"
+    ) else None
+    bdf = (
+        spark.read.parquet(stream_dir)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    want = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in bdf.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, stream_dir):
+    ev = read_table(spark, sf_dir, "events")
+    # ONE file = one micro-batch: the stateful operator sees each user's
+    # full history in order (multi-batch replay is exercised below)
+    ev.coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.streaming_sessionize(spark, stream_dir), name)
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value)
+        for r in sessionize_events(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_incremental_state(spark, sf_dir, tmp_path):
+    """Feed the same events in TWO time-ordered chunks: the state store
+    must carry open sessions across micro-batches (upsert semantics —
+    last emission per (user, session) wins)."""
+    import time
+
+    ev = read_table(spark, sf_dir, "events").orderBy("ts")
+    stream_dir = str(tmp_path / "inc")
+    os.makedirs(stream_dir)
+    rows = ev.collect()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], ev.schema).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "a")
+    )
+    spark.createDataFrame(rows[half:], ev.schema).coalesce(1).write.parquet(
+        os.path.join(stream_dir, "b")
+    )
+    # flatten: file source watches one dir; mtimes force arrival order
+    # (the file source picks oldest-first — equal mtimes are ambiguous)
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(stream_dir, "*", "part-*.parquet")))
+    ):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    name = f"inc_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.groupBy("user_id")
+        .applyInPandasWithState(
+            S._session_fn,
+            outputStructType=S.SESSION_OUT_SCHEMA,
+            stateStructType=S.SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # upsert: keep the LAST emission per (user, session_seq)
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    final = (
+        pdf.groupby(["user_id", "session_seq"]).tail(1)
+        .set_index(["user_id", "session_seq"])
+    )
+    want = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value)
+        for r in sessionize_events(spark, sf_dir).collect()
+    }
+    got = {
+        idx: (int(row.n_events), float(row.session_value))
+        for idx, row in final.iterrows()
+    }
+    assert got == want

@@ -1,0 +1,103 @@
+"""st_transform tests: published reference coordinates, roundtrip
+precision properties, UTM invariants, and the Spark-level WKB path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from gis_etl_spark.geom import transform as TR
+from gis_etl_spark.geom import wkb as K
+
+
+def test_utm_central_meridian_invariants():
+    # points on the central meridian map to easting exactly 500000
+    lon = np.array([117.0, 117.0, 117.0])  # zone 50 central meridian
+    lat = np.array([0.0, 30.0, 60.0])
+    e, n = TR.utm_forward(lon, lat, 50, south=False)
+    assert np.allclose(e, 500_000.0, atol=1e-6)
+    # equator maps to northing 0 (north hemisphere)
+    assert abs(n[0]) < 1e-6
+    # central-meridian scale factor ≈ k0
+    e1, n1 = TR.utm_forward(np.array([117.0]), np.array([29.9999]), 50, False)
+    e2, n2 = TR.utm_forward(np.array([117.0]), np.array([30.0001]), 50, False)
+    # meridian arc per degree ≈ 110852.4 m at 30°N (WGS84)
+    scale = (n2[0] - n1[0]) / (0.0002 * 110852.4)
+    assert scale == pytest.approx(0.9996, abs=1e-3)
+
+
+def test_utm_known_coordinate():
+    """CN Tower (43.6426°N, 79.3871°W) — commonly published UTM 17N
+    reference ≈ (630084 E, 4833439 N) at 43°38'33.24"N 79°23'13.7"W."""
+    lat = 43 + 38 / 60 + 33.24 / 3600
+    lon = -(79 + 23 / 60 + 13.7 / 3600)
+    e, n = TR.utm_forward(np.array([lon]), np.array([lat]), 17, south=False)
+    assert e[0] == pytest.approx(630_084, abs=2.0)
+    assert n[0] == pytest.approx(4_833_439, abs=2.0)
+
+
+def test_utm_roundtrip_precision():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(114.5, 119.5, 2000)  # inside zone 50
+    lat = rng.uniform(-75, 75, 2000)
+    e, n = TR.utm_forward(lon, lat, 50, south=False)
+    lon2, lat2 = TR.utm_inverse(e, n, 50, south=False)
+    # series truncation floor is ~7e-9 deg (≈0.8 mm) at high latitudes
+    assert np.abs(lon2 - lon).max() < 5e-8
+    assert np.abs(lat2 - lat).max() < 5e-8
+
+
+def test_southern_hemisphere_false_northing():
+    e, n = TR.utm_forward(np.array([117.0]), np.array([-20.0]), 50, True)
+    assert n[0] > 7_000_000  # false northing applied
+    lon2, lat2 = TR.utm_inverse(e, n, 50, True)
+    assert lat2[0] == pytest.approx(-20.0, abs=1e-9)
+
+
+def test_webmercator_roundtrip_and_known():
+    # known: lon 180 → x = π·a ≈ 20037508.34
+    x, y = TR.webmercator_forward(np.array([180.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(20_037_508.34, abs=0.01)
+    assert abs(y[0]) < 1e-9
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    lon2, lat2 = TR.webmercator_inverse(*TR.webmercator_forward(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_unsupported_epsg_rejects():
+    with pytest.raises(ValueError, match="EPSG:2154 unsupported"):
+        TR.transform_xy(np.zeros((1, 2)), 2154, 4326)
+
+
+def test_st_transform_wkb_path(spark):
+    """End-to-end over the UTM block of the buildings fixture: geoms
+    declared EPSG:32650 land in zone-50 geographic bounds and roundtrip
+    through the engine's own WKB kernels."""
+    from gis_etl_spark.fixtures import ensure_buildings
+    from gis_etl_spark.geom.functions import st_centroid
+    from gis_etl_spark.geom.transform import st_transform
+
+    bpath, _ = ensure_buildings(3_000)
+    utm = (
+        spark.read.parquet(bpath)
+        .filter((F.col("epsg") == 32650) & F.col("geom").isNotNull())
+    )
+    n_utm = utm.count()
+    assert n_utm > 10
+    out = utm.withColumn(
+        "geom4326", st_transform(F.col("geom"), F.col("epsg"), 4326)
+    ).withColumn("c", st_centroid(F.col("geom4326")))
+    rows = out.select("c.x", "c.y").collect()
+    for r in rows:
+        assert 114.0 < r.x < 120.0, "outside UTM zone 50 longitudes"
+        assert -85.0 < r.y < 85.0
+    # identity: same src/dst returns identical bytes
+    same = utm.withColumn(
+        "g2", st_transform(F.col("geom"), F.col("epsg"), 32650)
+    ).select((F.col("g2") == F.col("geom")).alias("eq"))
+    assert all(r.eq for r in same.collect())

@@ -1,31 +1,42 @@
 """Benchmark harness — the driver runs this per round and records the
 single JSON line it prints as BENCH_r{N}.json.
 
-Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], times each
-end-to-end (plan + execute + collect-to-count), and prints:
+Covers the engine's three workload families at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
 
-    {"metric": "suite_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+- relational: TPC-H-shaped scans/joins/aggs/windows on the driver
+  tables (sf-scaled);
+- geometry: the reference's signature pipeline on a 200k-row
+  buildings fixture — full convert (clean/reproject/flip), grid
+  heatmap, Hilbert-clustered compaction write;
+- north-star: MinHash dedup, brute-force + LSH similarity, text
+  quality scan.
+
+Each timing is end-to-end (plan + execute + materialize). Output:
+{"metric": "suite_wall_sec", "value": N, "unit": "sec",
+ "queries": {...}, "sf": 0.1}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
 
 from gis_etl_spark.queries import REGISTRY
 from gis_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+GEO_BENCH_ROWS = 200_000
 
-# Headline set: the flagship relational queries plus (as they land)
-# geometry / layout / north-star ops. Keep this the "would a user care"
-# list, not every registry entry.
+# contract queries timed as-is (count() materializes)
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -34,6 +45,10 @@ HEADLINE = [
     "top3_orders_per_customer",
     "events_hourly_rollup",
     "sessionize_events",
+    "text_quality_scores",
+    "dedup_minhash_pairs",
+    "similarity_topk",
+    "similarity_ann_lsh",
 ]
 
 
@@ -45,13 +60,48 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _geo_benches(spark) -> dict[str, float]:
+    """Reference-pipeline benches on the 200k buildings fixture
+    (FIXTURES.md scale ladder: large enough that clustering effects and
+    Arrow-batch throughput dominate, not job setup)."""
+    from gis_etl_spark.fixtures import ensure_buildings
+    from gis_etl_spark.pipelines import buildings as B
+
+    bpath, _ = ensure_buildings(GEO_BENCH_ROWS)
+    src = spark.read.parquet(bpath)
+    out: dict[str, float] = {}
+
+    t0 = time.time()
+    B.heatmap(src).count()
+    out["geo_heatmap_200k"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # sum(length(geom)) forces the transform/flip UDFs to materialize —
+    # count() would let Catalyst prune every geometry column
+    B.convert(src).agg(F.sum(F.length("geom"))).collect()
+    out["geo_convert_200k"] = round(time.time() - t0, 3)
+
+    tmp = tempfile.mkdtemp(prefix="bench_merge_")
+    try:
+        t0 = time.time()
+        B.merge_compact(
+            src.filter(F.col("geom").isNotNull()),
+            os.path.join(tmp, "merged"),
+            max_records_per_file=50_000,
+        )
+        out["geo_merge_compact_200k"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("gis-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/Python bridge once so per-query numbers measure the
     # query, not session startup.
-    next(iter(REGISTRY.values()))[0](spark, SF_DIR).count()
+    REGISTRY["count_lineitem"][0](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -61,6 +111,8 @@ def main() -> None:
         t0 = time.time()
         builder(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+
+    timings.update(_geo_benches(spark))
 
     result = {
         "metric": "suite_wall_sec",

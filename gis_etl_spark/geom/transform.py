@@ -176,6 +176,36 @@ def transform_xy(
     return np.column_stack([ox, oy])
 
 
+def st_transform_xy(
+    x: Column, y: Column, src_epsg: Column, dst_epsg: int = 4326
+) -> Column:
+    """Point-coordinate transform → struct(x, y), vectorized per EPSG
+    group inside the batch (the flip-probe path: transforming just the
+    centroid point instead of every vertex makes the probe pass
+    near-free)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_type = StructType(
+        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+    )
+
+    @F.pandas_udf(out_type)
+    def _udf(xs: pd.Series, ys: pd.Series, codes: pd.Series) -> pd.DataFrame:
+        ox = xs.to_numpy(dtype="f8", na_value=np.nan).copy()
+        oy = ys.to_numpy(dtype="f8", na_value=np.nan).copy()
+        cvals = codes.to_numpy(dtype="f8", na_value=np.nan)
+        for code in np.unique(cvals[~np.isnan(cvals)]):
+            sel = cvals == code
+            res = transform_xy(
+                np.column_stack([ox[sel], oy[sel]]), int(code), dst_epsg
+            )
+            ox[sel] = res[:, 0]
+            oy[sel] = res[:, 1]
+        return pd.DataFrame({"x": ox, "y": oy})
+
+    return _udf(x, y, src_epsg)
+
+
 def st_transform(geom: Column, src_epsg: Column, dst_epsg: int) -> Column:
     """ST_TRANSFORM over WKB: per-row source CRS (the corpus declares
     CRS per FILE — constant within partitions, so the per-row branch

@@ -25,8 +25,7 @@ from pyspark.sql import functions as F
 from gis_etl_spark.geom.functions import (
     st_bbox,
     st_centroid,
-    st_flip_coordinates,
-    st_force2d,
+    st_convert_geom,
     st_is_core_type,
     st_shape_type_byte,
 )
@@ -81,18 +80,22 @@ def normalize(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     conditional rewrite touches only flagged rows.
     """
     flips = detect_flip_sources(df, geom_col).select("source", "needs_flip")
-    cleaned = (
-        df.filter(F.col(geom_col).isNotNull())
-        .filter(st_is_core_type(F.col(geom_col)))
-        .withColumn(geom_col, st_force2d(F.col(geom_col)))
+    cleaned = df.filter(F.col(geom_col).isNotNull()).filter(
+        st_is_core_type(F.col(geom_col))
     )
+    # ONE fused Arrow pass (force2d + conditional flip): separate UDFs
+    # in when/otherwise run for every row regardless of branch, and
+    # filter+union re-executes the upstream per branch — both measured
+    # slower than fusing (geom/functions.py st_convert_geom).
     return (
         cleaned.join(F.broadcast(flips), "source", "left")
         .withColumn(
             geom_col,
-            F.when(
-                F.col("needs_flip"), st_flip_coordinates(F.col(geom_col))
-            ).otherwise(F.col(geom_col)),
+            st_convert_geom(
+                F.col(geom_col),
+                F.lit(None).cast("long"),  # no CRS change in normalize
+                F.coalesce(F.col("needs_flip"), F.lit(False)),
+            ),
         )
         .drop("needs_flip")
     )
@@ -109,30 +112,42 @@ def convert(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     ogr2ogr fallback for missing .prj, east_asia.py:118-137, is a
     driver-side concern; v1 passes them through unprojected).
     """
-    from gis_etl_spark.geom.transform import st_transform
+    from gis_etl_spark.geom.transform import st_transform_xy
 
-    cleaned = (
-        df.filter(F.col(geom_col).isNotNull())
-        .filter(st_is_core_type(F.col(geom_col)))
-        .withColumn(geom_col, st_force2d(F.col(geom_col)))
+    cleaned = df.filter(F.col(geom_col).isNotNull()).filter(
+        st_is_core_type(F.col(geom_col))
     )
-    transformed = cleaned.withColumn(
-        geom_col,
-        F.when(
-            F.col("epsg").isNotNull() & (F.col("epsg") != 4326),
-            st_transform(F.col(geom_col), F.col("epsg"), 4326),
-        ).otherwise(F.col(geom_col)),
+    # flip probe on TRANSFORMED coordinates, reference order
+    # (east_asia.py:204-216) — but transforming only the centroid
+    # POINT, not every vertex: min-x-below-60° is insensitive to the
+    # centroid-vs-xmin difference (~0.005°) and the probe pass becomes
+    # one batch-kernel centroid + a vectorized point reprojection.
+    probe = with_centroid(cleaned, geom_col).withColumn(
+        "tc",
+        st_transform_xy(
+            F.col("centroid").getField("x"),
+            F.col("centroid").getField("y"),
+            F.col("epsg"),
+        ),
     )
-    flips = detect_flip_sources(transformed, geom_col).select(
-        "source", "needs_flip"
+    flips = (
+        probe.groupBy("source")
+        .agg(F.min(F.col("tc").getField("x")).alias("min_x"))
+        .withColumn("needs_flip", F.col("min_x") < 60.0)
+        .select("source", "needs_flip")
     )
+    # ONE fused Arrow pass: force2d + reproject (non-4326 rows only)
+    # + flip (flagged rows only); see st_convert_geom for why fusing
+    # beats composed UDFs.
     return (
-        transformed.join(F.broadcast(flips), "source", "left")
+        cleaned.join(F.broadcast(flips), "source", "left")
         .withColumn(
             geom_col,
-            F.when(
-                F.col("needs_flip"), st_flip_coordinates(F.col(geom_col))
-            ).otherwise(F.col(geom_col)),
+            st_convert_geom(
+                F.col(geom_col),
+                F.col("epsg"),
+                F.coalesce(F.col("needs_flip"), F.lit(False)),
+            ),
         )
         .drop("needs_flip")
     )

@@ -300,6 +300,98 @@ def ensure_documents_aug(seed: int = 42) -> str:
     return out
 
 
+def ensure_buildings_attrs(n_rows: int = 20_000, seed: int = 42) -> str:
+    """ORNL-style wide table (FIXTURES.md B2): buildings plus ~6
+    attribute columns, modeling the `SELECT * EXCLUDE(Shape), Shape
+    geom` projection input (ORNL-FEMA-Buildings.md:80-81)."""
+    out = os.path.join(
+        FIXTURE_ROOT, f"buildings_attrs_{n_rows}", "buildings_attrs.parquet"
+    )
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    bpath, _ = ensure_buildings(n_rows, seed)
+    base = pd.read_parquet(bpath)
+    rng = np.random.default_rng(seed + 1)
+    n = len(base)
+    occ = np.array(["RES", "COM", "IND", "AGR", "GOV"])
+    attrs = pd.DataFrame(
+        {
+            "occ_cls": occ[rng.integers(0, len(occ), n)],
+            "prim_occ": rng.integers(1, 20, n).astype("int32"),
+            "height": np.round(rng.uniform(2.5, 120.0, n), 2),
+            "sqmeters": np.round(rng.uniform(20.0, 5000.0, n), 2),
+            "prop_st": np.array(["ST%02d" % s for s in rng.integers(1, 57, n)]),
+            "fips": np.array(["%05d" % f for f in rng.integers(1000, 99999, n)]),
+        }
+    )
+    wide = pd.concat(
+        [base.rename(columns={"geom": "Shape"}), attrs], axis=1
+    )
+    tmp = out + ".tmp"
+    wide.to_parquet(tmp, index=False, row_group_size=15_000)
+    os.replace(tmp, out)
+    return out
+
+
+def ensure_shape_stats_ndjson(n_rows: int = 20_000, seed: int = 42) -> str:
+    """NDJSON diagnostic fixture (FIXTURES.md B3, shape_stats.json —
+    east_asia.py:369-372): per-(shape_type, filename) record counts,
+    one JSON object per line, computed with plain Python byte peeks
+    (independent of the engine's census pipeline)."""
+    out = os.path.join(FIXTURE_ROOT, f"shape_stats_{n_rows}", "shape_stats.json")
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    bpath, _ = ensure_buildings(n_rows, seed)
+    df = pd.read_parquet(bpath, columns=["geom", "source"])
+    counts: dict[tuple[int, str], int] = {}
+    for g, s in zip(df.geom, df.source):
+        if g is None:
+            continue
+        key = (int(g[1]), s)
+        counts[key] = counts.get(key, 0) + 1
+    import json as _json
+
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        for (st, fn), c in sorted(counts.items()):
+            fh.write(
+                _json.dumps(
+                    {"shape_type": st, "filename": fn, "num_recs": c}
+                )
+                + "\n"
+            )
+    os.replace(tmp, out)
+    return out
+
+
+def ensure_wkt_csv(n_rows: int = 2_000, seed: int = 42) -> str:
+    """CSV-with-header fixture (S4/K5, east_asia.py:57-74): WKT text
+    rows as the reference's temp-CSV re-ingestion path produces."""
+    out = os.path.join(FIXTURE_ROOT, f"wkt_csv_{n_rows}", "geoms.csv")
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    bpath, _ = ensure_buildings(n_rows, seed)
+    df = pd.read_parquet(bpath, columns=["building_id", "geom"])
+    from gis_etl_spark.geom import wkb as K
+
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("building_id,wkt\n")
+        for bid, g in zip(df.building_id, df.geom):
+            if g is None:
+                continue
+            try:
+                wkt = K.to_wkt(K.force_2d(bytes(g)))
+            except ValueError:
+                continue
+            fh.write(f'{bid},"{wkt}"\n')
+    os.replace(tmp, out)
+    return out
+
+
 MEDIA_MAGIC = b"FAKE"
 
 

@@ -23,8 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gis_etl_spark.fixtures import ensure_buildings
-from gis_etl_spark.layout.sfc import grid_cell_sql
+from gis_etl_spark.fixtures import (
+    ensure_buildings,
+    ensure_buildings_attrs,
+    ensure_shape_stats_ndjson,
+    ensure_wkt_csv,
+)
+from gis_etl_spark.layout.sfc import DEFAULT_ORDER, grid_cell_sql
 from gis_etl_spark.pipelines import buildings as P
 
 GEO_ROWS = 20_000
@@ -158,13 +163,127 @@ def geo_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("building_id", "hkey").orderBy("building_id")
 
 
+def io_ndjson_shape_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON scan (S6, `READ_JSON('shape_stats.json')`,
+    East-Asia-Building-Footprints.md:113): read the diagnostic file,
+    roll up per shape type."""
+    path = ensure_shape_stats_ndjson()
+    df = spark.read.json(path)
+    return (
+        df.groupBy(F.col("shape_type").cast("int").alias("shape_type"))
+        .agg(
+            F.sum("num_recs").cast("bigint").alias("total"),
+            F.countDistinct("filename").alias("n_files"),
+        )
+        .orderBy("shape_type")
+    )
+
+
+def io_csv_wkt_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-with-header scan (S4, `READ_CSV(?, header=True)`,
+    east_asia.py:72-74): WKT text rows → per-geometry-type counts via
+    string ops (WKT *parsing* of the same file is pytest-verified —
+    the oracle can't build geometries)."""
+    path = ensure_wkt_csv()
+    df = (
+        spark.read.option("header", True)
+        .schema("building_id long, wkt string")
+        .csv(path)
+    )
+    return (
+        df.select(F.substring_index("wkt", " ", 1).alias("gtype"))
+        .groupBy("gtype")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("gtype")
+    )
+
+
+def io_wide_attrs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclude-and-rename projection on the ORNL-style wide table (P1,
+    `SELECT * EXCLUDE(Shape), Shape geom`, ORNL-FEMA-Buildings.md:80-81)
+    + attribute rollup. Column pruning means the (large) geometry
+    column is never read for this aggregate."""
+    path = ensure_buildings_attrs()
+    wide = spark.read.parquet(path)
+    projected = wide.withColumnRenamed("Shape", "geom")
+    return (
+        projected.groupBy("occ_cls")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.round(F.sum("sqmeters"), 2).alias("total_sqm"),
+        )
+        .orderBy("occ_cls")
+    )
+
+
+def layout_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over engine centroids — JVM-native bit expressions
+    (layout/sfc.py), oracle-checked: unlike the Hilbert loop, the
+    bit-spread chain is expressible in ANSI SQL against the golden
+    centroid table."""
+    from gis_etl_spark.layout.sfc import morton_encode
+
+    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+    return (
+        df.select(
+            "building_id",
+            morton_encode(
+                F.col("centroid").getField("y"),
+                F.col("centroid").getField("x"),
+            ).alias("mkey"),
+        )
+        .orderBy("building_id")
+    )
+
+
+def _morton_sql(y: str, x: str) -> str:
+    scale = (1 << DEFAULT_ORDER) - 1
+    def spread(v: str) -> str:
+        s = f"least(greatest(floor(({v}) * {scale}.0)::BIGINT, 0), {scale})"
+        s = f"(({s} | ({s} << 8)) & 16711935)"
+        s = f"(({s} | ({s} << 4)) & 252645135)"
+        s = f"(({s} | ({s} << 2)) & 858993459)"
+        s = f"(({s} | ({s} << 1)) & 1431655765)"
+        return s
+    return f"((({spread(f'(({y}) + 90.0) / 180.0')}) << 1) | ({spread(f'(({x}) + 180.0) / 360.0')}))"
+
+
 def oracle_sqls() -> dict[str, str]:
     bpath, epath = fixture_paths()
     b = f"read_parquet('{bpath}')"
     e = f"read_parquet('{epath}')"
     st_byte = "('0x' || substr(CAST(geom AS VARCHAR), 7, 2))::INT"
     cell = grid_cell_sql("e.cy", "e.cx", 7)
+    ndjson = ensure_shape_stats_ndjson()
+    wkt_csv = ensure_wkt_csv()
+    attrs = ensure_buildings_attrs()
     return {
+        "io_ndjson_shape_stats": f"""
+            SELECT shape_type::INT AS shape_type,
+                   sum(num_recs)::BIGINT AS total,
+                   count(DISTINCT filename) AS n_files
+            FROM read_json_auto('{ndjson}')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "io_csv_wkt_scan": f"""
+            SELECT split_part(wkt, ' ', 1) AS gtype, count(*) AS cnt
+            FROM read_csv('{wkt_csv}', header=true)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "io_wide_attrs_projection": f"""
+            SELECT occ_cls, count(*) AS cnt,
+                   round(avg(height), 4) AS avg_height,
+                   round(sum(sqmeters), 2) AS total_sqm
+            FROM read_parquet('{attrs}')
+            GROUP BY occ_cls ORDER BY occ_cls
+        """,
+        "layout_morton_keys": f"""
+            SELECT building_id, {_morton_sql('e.cy', 'e.cx')} AS mkey
+            FROM {b} bb JOIN {e} e USING (building_id)
+            WHERE bb.geom IS NOT NULL
+            ORDER BY building_id
+        """,
         "geo_total_count": f"SELECT count(*) AS cnt FROM {b}",
         "geo_distinct_sources": (
             f"SELECT count(DISTINCT source) AS n_sources FROM {b}"

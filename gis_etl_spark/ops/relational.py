@@ -342,6 +342,137 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate
+    pushes to the parquet scan, zero joins, one partial/final agg.
+    The canonical 'is pushdown working' query."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join
+    (promo-type revenue share)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                      .otherwise(0.0)), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate (large-quantity orders)
+    joined back to customers — aggregate-then-join keeps the shuffle
+    on the small aggregated side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(30)
+    )
+
+
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — free Catalyst capability (SURVEY.md §2.5): counts of
+    linestatus per returnflag, statuses as columns. Explicit pivot
+    values keep the plan single-pass (no distinct-scan)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("F", "status_f")
+        .withColumnRenamed("O", "status_o")
+        .na.fill(0)
+        .orderBy("l_returnflag")
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (status, priority)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + grouping (engine date-function surface)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def source_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: regexp extraction + split_part analog
+    (F14, East-Asia-Building-Footprints.md:153) on document sources."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_extract("source", r"(\d+)", 1).cast("int").alias("src_num"),
+            F.substring_index("source", "c", 1).alias("prefix"),
+            F.length("text").alias("text_len"),
+        )
+        .filter(F.col("src_num") % 3 == 0)
+    )
+
+
 def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — free Catalyst capability noted in SURVEY.md
     §2.5; subtotal rows use COALESCE sentinel so the oracle comparison is

@@ -198,8 +198,77 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+_Q14_SQL = """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+         AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+"""
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 30
+"""
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+       count(*) FILTER (WHERE l_linestatus = 'O') AS status_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+_YEAR_MONTH_SQL = """
+SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
+       count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_SOURCE_EXTRACT_SQL = """
+SELECT doc_id,
+       regexp_extract(source, '(\\d+)', 1)::INT AS src_num,
+       split_part(source, 'c', 1) AS prefix,
+       length(text) AS text_len
+FROM documents
+WHERE regexp_extract(source, '(\\d+)', 1)::INT % 3 = 0
+"""
+
 # name -> (builder, oracle_sql | None)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q6_forecast_revenue": (R.q6_forecast_revenue, _Q6_SQL),
+    "q14_promo_revenue": (R.q14_promo_revenue, _Q14_SQL),
+    "q18_large_orders": (R.q18_large_orders, _Q18_SQL),
+    "pivot_status_by_flag": (R.pivot_status_by_flag, _PIVOT_SQL),
+    "cube_orders": (R.cube_orders, _CUBE_SQL),
+    "orders_by_year_month": (R.orders_by_year_month, _YEAR_MONTH_SQL),
+    "source_id_extract": (R.source_id_extract, _SOURCE_EXTRACT_SQL),
     "q1_pricing_summary": (R.q1_pricing_summary, _Q1_SQL),
     "q3_shipping_priority": (R.q3_shipping_priority, _Q3_SQL),
     "q5_local_supplier_volume": (R.q5_local_supplier_volume, _Q5_SQL),
@@ -260,6 +329,16 @@ REGISTRY.update(
         "geo_heatmap_export": (G.geo_heatmap_export, None),
         "geo_hilbert_keys": (G.geo_hilbert_keys, None),
         "geo_convert_bbox": (G.geo_convert_bbox, None),
+        "io_ndjson_shape_stats": (
+            G.io_ndjson_shape_stats, _GEO_SQLS["io_ndjson_shape_stats"],
+        ),
+        "io_csv_wkt_scan": (G.io_csv_wkt_scan, _GEO_SQLS["io_csv_wkt_scan"]),
+        "io_wide_attrs_projection": (
+            G.io_wide_attrs_projection, _GEO_SQLS["io_wide_attrs_projection"],
+        ),
+        "layout_morton_keys": (
+            G.layout_morton_keys, _GEO_SQLS["layout_morton_keys"],
+        ),
     }
 )
 

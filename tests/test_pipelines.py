@@ -119,6 +119,56 @@ def test_idempotent_write(bdf, tmp_path):
     assert idempotent_write(df, out) is False
 
 
+def test_csv_wkt_parse_roundtrip(spark):
+    """The CSV fixture's WKT column parses back to WKB whose centroids
+    match the original geometries (S4+F7+K5 full loop — the oracle only
+    checks the string side)."""
+    from gis_etl_spark.fixtures import ensure_buildings, ensure_wkt_csv
+    from gis_etl_spark.geom.functions import st_centroid, st_geomfromtext
+
+    csv_path = ensure_wkt_csv()
+    bpath, _ = ensure_buildings(2_000)
+    parsed = (
+        spark.read.option("header", True)
+        .schema("building_id long, wkt string")
+        .csv(csv_path)
+        .withColumn("geom", st_geomfromtext(F.col("wkt")))
+        .withColumn("c", st_centroid(F.col("geom")))
+        .select("building_id", "c.x", "c.y")
+    )
+    orig = (
+        spark.read.parquet(bpath)
+        .filter(F.col("geom").isNotNull())
+        .withColumn("c", st_centroid(F.col("geom")))
+        .select("building_id", F.col("c.x").alias("ox"), F.col("c.y").alias("oy"))
+    )
+    joined = parsed.join(orig, "building_id").select(
+        (F.abs(F.col("x") - F.col("ox")) + F.abs(F.col("y") - F.col("oy")))
+        .alias("err")
+    )
+    assert joined.count() > 1800
+    assert joined.agg(F.max("err")).first()[0] < 1e-9
+
+
+def test_ndjson_write_read_roundtrip(spark, tmp_path):
+    """K4 NDJSON sink + S6 scan: census → write.json → read.json →
+    identical counts."""
+    from gis_etl_spark.fixtures import ensure_buildings
+    from gis_etl_spark.io import read_ndjson, write_ndjson
+    from gis_etl_spark.pipelines.buildings import shape_type_census
+
+    bpath, _ = ensure_buildings(3_000)
+    census = shape_type_census(spark.read.parquet(bpath))
+    out = str(tmp_path / "stats_json")
+    write_ndjson(census, out)
+    back = read_ndjson(
+        spark, out, schema="shape_type int, filename string, num_recs bigint"
+    )
+    want = {(r.shape_type, r.filename): r.num_recs for r in census.collect()}
+    got = {(r.shape_type, r.filename): r.num_recs for r in back.collect()}
+    assert got == want
+
+
 def test_shape_census_matches_direct_bytes(bdf):
     census = {
         (r.shape_type, r.filename): r.num_recs

@@ -170,6 +170,88 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, fully relational: explode → tf per (doc, term) → idf by
+    document frequency → top-3 terms per doc by tf·idf. Two shuffles
+    (term stats + window) — the standard scalable formulation; the
+    vocabulary table broadcasts back."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, one job — stable across engines
+    terms = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup across documents: join docs to their
+    embedding (doc_id = vec_id), pair docs whose embeddings exceed the
+    cosine threshold — the semantic-dedup shape (bounded slice; the
+    LSH ANN in ops/similarity.py is the scale path)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "v"
+    )
+    a = joined.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("v").alias("va"),
+    )
+    b = joined.select(
+        F.col("doc_id").alias("doc_b"), F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("va"), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("vb"), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "lang_a", (dot / (na * nb)).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("doc_a", "doc_b", "lang_a", F.round("cos", 6).alias("sim"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def oracle_sqls() -> dict[str, str]:
     w = WORDS_SQL
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -194,7 +276,47 @@ def oracle_sqls() -> dict[str, str]:
             f"ELSE ({best_expr}) END"
         )
     norm = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+    tfidf_sql = f"""
+        WITH terms AS (
+          SELECT doc_id, unnest({w}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM terms GROUP BY doc_id, term
+        ), dfc AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0
+                                  / dfc.df), 6) AS tfidf
+          FROM tf JOIN dfc USING (term)
+        ), ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rk
+          FROM scored
+        )
+        SELECT doc_id, term, tfidf, rk FROM ranked
+        WHERE rk <= 3 ORDER BY doc_id, rk
+    """
+    emb_pair_cos = (
+        "list_dot_product(a.va, b.vb) / "
+        "(sqrt(list_dot_product(a.va, a.va)) * "
+        "sqrt(list_dot_product(b.vb, b.vb)))"
+    )
+    emb_pairs_sql = f"""
+        WITH j AS (
+          SELECT d.doc_id, d.lang, e.embedding::DOUBLE[] AS v
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ), a AS (SELECT doc_id AS doc_a, lang AS lang_a, v AS va FROM j),
+        b AS (SELECT doc_id AS doc_b, v AS vb FROM j)
+        SELECT doc_a, doc_b, lang_a, round({emb_pair_cos}, 6) AS sim
+        FROM a JOIN b ON doc_a < doc_b
+        WHERE {emb_pair_cos} >= 0.35
+        ORDER BY doc_a, doc_b
+    """
     return {
+        "tfidf_top_terms": tfidf_sql,
+        "dedup_embedding_pairs": emb_pairs_sql,
         "text_token_stats": f"""
             SELECT doc_id,
                    len({w}) AS n_tokens,

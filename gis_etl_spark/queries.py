@@ -361,6 +361,10 @@ REGISTRY.update(
             T.token_stats_by_lang, _TEXT_SQLS["token_stats_by_lang"],
         ),
         "top_tokens": (T.top_tokens, _TEXT_SQLS["top_tokens"]),
+        "tfidf_top_terms": (T.tfidf_top_terms, _TEXT_SQLS["tfidf_top_terms"]),
+        "dedup_embedding_pairs": (
+            T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
+        ),
     }
 )
 

@@ -1,0 +1,107 @@
+"""Scale-lever tests: bucketed joins drop the shuffle, salted joins
+stay correct, corrupt files are isolated per-read."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gis_etl_spark.io import read_table
+from gis_etl_spark.ops.scale import (
+    read_parquet_resilient,
+    salted_join,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed by the join key → the join plan contains NO
+    Exchange: this is what makes recurring 100 TB joins affordable."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        orders = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem")
+        write_bucketed(
+            orders, "bucketdb.orders_b", ["o_orderkey"], 8,
+            sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            li, "bucketdb.lineitem_b", ["l_orderkey"], 8,
+            sort_cols=["l_orderkey"],
+        )
+        ob = spark.table("bucketdb.orders_b")
+        lb = spark.table("bucketdb.lineitem_b")
+        # force the non-broadcast path: at real scale neither side of a
+        # fact⋈fact join broadcasts — that's exactly when bucketing pays
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy(
+                "o_orderpriority"
+            ).agg(F.count("*").alias("cnt"))
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        # exactly ONE shuffle: the final group-by. The join reads
+        # co-located buckets — no hashpartitioning exchange on the keys.
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # correctness unchanged vs unbucketed
+        want = {
+            (r.o_orderpriority, r.cnt)
+            for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        got = {(r.o_orderpriority, r.cnt) for r in joined.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    plain = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    # salted path: key column names must match for the helper
+    salted = (
+        salted_join(
+            li.withColumnRenamed("l_suppkey", "s_suppkey"), supp, "s_suppkey"
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    want = {(r.s_name, r.cnt, r.qty) for r in plain.collect()}
+    got = {(r.s_name, r.cnt, r.qty) for r in salted.collect()}
+    assert got == want
+
+
+def test_resilient_read_skips_corrupt_file(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "data")
+    src = read_table(spark, sf_dir, "region")
+    src.write.parquet(out)
+    n = src.count()
+    # plant a corrupt parquet file among the healthy ones
+    with open(os.path.join(out, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file at all" * 10)
+    # strict read fails...
+    with pytest.raises(Exception, match="[Pp]arquet|footer|magic"):
+        spark.read.parquet(out).count()
+    # ...resilient read isolates the poison file (east_asia.py:85-91)
+    assert read_parquet_resilient(spark, out).count() == n

@@ -392,6 +392,53 @@ def ensure_wkt_csv(n_rows: int = 2_000, seed: int = 42) -> str:
     return out
 
 
+def ensure_shapefiles(n_rows: int = 5_000, seed: int = 42) -> tuple[str, str]:
+    """Shapefile corpus fixture: the buildings geometries written as
+    real .shp/.shx files (one per source, like the reference's
+    358-file corpus) plus a parquet twin carrying the same features so
+    the DuckDB oracle can check the shapefile SCAN without parsing
+    shapefiles. Returns (shp_dir, twin_parquet_path)."""
+    root = os.path.join(FIXTURE_ROOT, f"shapefiles_{n_rows}")
+    twin = os.path.join(root, "twin.parquet")
+    if os.path.exists(twin):
+        return root, twin
+    os.makedirs(root, exist_ok=True)
+    from gis_etl_spark.geom import wkb as K
+    from gis_etl_spark.sources.shapefile import write_shp
+
+    bpath, _ = ensure_buildings(n_rows, seed)
+    df = pd.read_parquet(bpath)
+    twin_rows = []
+    by_source: dict[str, list] = {}
+    for row in df.itertuples():
+        if row.geom is None:
+            continue
+        base, parts = None, None
+        try:
+            base, parts = K.parse(bytes(row.geom))
+        except ValueError:
+            continue
+        # writer handles single-part shapes; keep polygons with one
+        # ring, points, and linestrings (the corpus majority)
+        if base == K.POLYGON and len(parts[0]) == 1:
+            shp = (5, parts[0][0][:, :2])
+        elif base == K.POINT:
+            shp = (1, parts[0][0][0, :2])
+        elif base == K.LINESTRING:
+            shp = (3, parts[0][0][:, :2])
+        else:
+            continue
+        by_source.setdefault(row.source, []).append(shp)
+        twin_rows.append((row.source, shp[0]))
+    for src, shapes in by_source.items():
+        fname = src.replace("/", "_").replace(".pq", "") + ".shp"
+        write_shp(os.path.join(root, fname), shapes)
+    twin_df = pd.DataFrame(twin_rows, columns=["source", "esri_type"])
+    twin_df.to_parquet(twin + ".tmp", index=False)
+    os.replace(twin + ".tmp", twin)
+    return root, twin
+
+
 MEDIA_MAGIC = b"FAKE"
 
 

@@ -27,6 +27,7 @@ from gis_etl_spark.fixtures import (
     ensure_buildings,
     ensure_buildings_attrs,
     ensure_shape_stats_ndjson,
+    ensure_shapefiles,
     ensure_wkt_csv,
 )
 from gis_etl_spark.layout.sfc import DEFAULT_ORDER, grid_cell_sql
@@ -217,6 +218,26 @@ def io_wide_attrs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shp_scan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL shapefile scan (S1, `ST_READ(file, keep_wkb=TRUE)`,
+    east_asia.py:145): binaryFile source + pure-Python .shp decoder →
+    per-(file, ESRI type) feature counts. The oracle checks against
+    the parquet twin written alongside the .shp files."""
+    from gis_etl_spark.sources.shapefile import read_shapefile
+
+    shp_dir, _ = ensure_shapefiles()
+    df = read_shapefile(spark, shp_dir)
+    return (
+        df.select(
+            F.element_at(F.split(F.col("source"), "/"), -1).alias("file"),
+            "shape_type",
+        )
+        .groupBy("file", "shape_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("file", "shape_type")
+    )
+
+
 def layout_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys over engine centroids — JVM-native bit expressions
     (layout/sfc.py), oracle-checked: unlike the Hilbert loop, the
@@ -258,7 +279,18 @@ def oracle_sqls() -> dict[str, str]:
     ndjson = ensure_shape_stats_ndjson()
     wkt_csv = ensure_wkt_csv()
     attrs = ensure_buildings_attrs()
+    _, shp_twin = ensure_shapefiles()
     return {
+        # the .shp filename is derived from source exactly as the
+        # fixture writer does (slashes→underscores, .pq stripped)
+        "shp_scan_census": f"""
+            SELECT replace(replace(source, '/', '_'), '.pq', '') || '.shp'
+                     AS file,
+                   esri_type AS shape_type,
+                   count(*) AS cnt
+            FROM read_parquet('{shp_twin}')
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "io_ndjson_shape_stats": f"""
             SELECT shape_type::INT AS shape_type,
                    sum(num_recs)::BIGINT AS total,

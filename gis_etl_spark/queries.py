@@ -339,6 +339,7 @@ REGISTRY.update(
         "layout_morton_keys": (
             G.layout_morton_keys, _GEO_SQLS["layout_morton_keys"],
         ),
+        "shp_scan_census": (G.shp_scan_census, _GEO_SQLS["shp_scan_census"]),
     }
 )
 

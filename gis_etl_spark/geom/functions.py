@@ -140,6 +140,26 @@ def st_npoints(geom: pd.Series) -> pd.Series:
     return geom.map(lambda b: None if b is None else K.npoints(bytes(b)))
 
 
+def find_geometry_column(df) -> str | None:
+    """Schema-introspection replacement for the reference's
+    `DESCRIBE FROM ST_READ(...) LIMIT 1` probe that picks the
+    WKB_BLOB/GEOMETRY column (east_asia.py:145-153, SURVEY.md §1.3):
+    the engine's convention is WKB in a BinaryType column — prefer a
+    column named geom/Shape/geometry/wkb, else the first binary one."""
+    from pyspark.sql.types import BinaryType
+
+    binary_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, BinaryType)
+    ]
+    preferred = [
+        c for c in binary_cols
+        if c.lower() in ("geom", "geometry", "shape", "wkb")
+    ]
+    if preferred:
+        return preferred[0]
+    return binary_cols[0] if binary_cols else None
+
+
 def st_convert_geom(
     geom: Column, epsg: Column, needs_flip: Column, dst_epsg: int = 4326
 ) -> Column:

@@ -473,6 +473,17 @@ def source_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB form of A3 where
+    exact COUNT(DISTINCT) would shuffle every key. rows-only contract
+    entry (sketch internals differ per engine); pytest bounds the error
+    vs the exact twin."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
 def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — free Catalyst capability noted in SURVEY.md
     §2.5; subtotal rows use COALESCE sentinel so the oracle comparison is

@@ -206,6 +206,50 @@ def heatmap_export(df: DataFrame, res: int = 7, geom_col: str = "geom") -> DataF
     return cells.withColumn("boundary", grid_cell_boundary_wkt(F.col("cell")))
 
 
+def heatmap_geojson(df: DataFrame, res: int = 7, geom_col: str = "geom") -> DataFrame:
+    """GeoJSON-feature export of the heatmap — the engine's substitute
+    for the reference's GDAL/GPKG sink (K3,
+    East-Asia-Building-Footprints.md:263-273): one GeoJSON Feature
+    string per cell, writable with df.write.text/json. Pure string
+    expressions over the cell rectangle.
+
+    Precondition: run on convert()/normalize() output (as the
+    reference's heatmap stage runs on the converted corpus). Raw
+    lat-lon-flipped sources produce faithful-but-out-of-bounds cells
+    — the guard here drops |lon| ≥ 175 only, not swapped axes."""
+    from gis_etl_spark.layout.sfc import BASE_PITCH_RES7, _SQRT7
+
+    cells = heatmap_export(df, res, geom_col)
+    res_c = F.shiftright(F.col("cell"), 58).cast("int")
+    pitch = F.lit(BASE_PITCH_RES7) * F.pow(F.lit(_SQRT7), F.lit(7) - res_c)
+    ix = F.shiftright(F.col("cell"), 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = F.col("cell").bitwiseAND(F.lit((1 << 29) - 1))
+    x0 = ix * pitch - F.lit(180.0)
+    y0 = iy * pitch - F.lit(90.0)
+
+    def fmt(c):
+        return F.format_string("%.7f", c)
+
+    ring = F.concat(
+        F.lit("[["), fmt(x0), F.lit(","), fmt(y0),
+        F.lit("],["), fmt(x0 + pitch), F.lit(","), fmt(y0),
+        F.lit("],["), fmt(x0 + pitch), F.lit(","), fmt(y0 + pitch),
+        F.lit("],["), fmt(x0), F.lit(","), fmt(y0 + pitch),
+        F.lit("],["), fmt(x0), F.lit(","), fmt(y0), F.lit("]]"),
+    )
+    feature = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Polygon",'
+              '"coordinates":['),
+        ring,
+        F.lit(']},"properties":{"cell":'),
+        F.col("cell").cast("string"),
+        F.lit(',"num_recs":'),
+        F.col("num_recs").cast("string"),
+        F.lit("}}"),
+    )
+    return cells.select(F.col("cell"), feature.alias("geojson"))
+
+
 def with_hilbert_key(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     """Attach the layout key: Hilbert index of the centroid, the
     reference's signature ORDER BY expression (east_asia.py:75-77)."""

@@ -288,6 +288,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_hourly_rollup": (R.events_hourly_rollup, _HOURLY_SQL),
     "sessionize_events": (R.sessionize_events, _SESSION_SQL),
     "rollup_returnflag_linestatus": (R.rollup_returnflag_linestatus, _ROLLUP_SQL),
+    # rows-only: HLL sketch internals differ per engine; the exact twin
+    # (count_distinct_customers) is oracle-checked and pytest bounds
+    # the approximation error
+    "approx_distinct_customers": (R.approx_distinct_customers, None),
 }
 
 # ---------------------------------------------------------------------------

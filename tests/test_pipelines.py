@@ -111,6 +111,43 @@ def test_convert_full_pipeline(spark, bdf):
     conv.unpersist()
 
 
+def test_heatmap_geojson_valid(spark, bdf):
+    import json
+
+    gj = P.heatmap_geojson(P.convert(bdf)).collect()
+    assert gj
+    for r in gj:
+        obj = json.loads(r.geojson)
+        assert obj["type"] == "Feature"
+        ring = obj["geometry"]["coordinates"][0]
+        assert len(ring) == 5 and ring[0] == ring[4]
+        # convert() output → every cell inside world bounds
+        assert all(
+            -180.5 <= p[0] <= 180.5 and -90.5 <= p[1] <= 90.5 for p in ring
+        )
+        assert obj["properties"]["cell"] == r.cell
+
+
+def test_find_geometry_column(spark, bdf):
+    from gis_etl_spark.geom.functions import find_geometry_column
+
+    assert find_geometry_column(bdf) == "geom"
+    renamed = bdf.withColumnRenamed("geom", "Shape")
+    assert find_geometry_column(renamed) == "Shape"
+    assert find_geometry_column(bdf.select("building_id")) is None
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    from gis_etl_spark.ops.relational import (
+        approx_distinct_customers,
+        count_distinct_customers,
+    )
+
+    exact = count_distinct_customers(spark, sf_dir).first()[0]
+    approx = approx_distinct_customers(spark, sf_dir).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
 def test_idempotent_write(bdf, tmp_path):
     out = str(tmp_path / "idem")
     df = bdf.select("building_id").limit(10)

@@ -88,6 +88,90 @@ def test_streaming_hourly_matches_batch(spark, sf_dir, stream_dir):
     assert got == want
 
 
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Append-mode watermark semantics end-to-end: a row arriving after
+    the watermark has passed its window is DROPPED, and finalized
+    windows are emitted exactly once. Two micro-batches: batch 1
+    advances event time far ahead; batch 2 delivers a straggler for an
+    old window → the straggler must not appear."""
+    import time as _time
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    from datetime import datetime
+
+    def ts(s):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    rows1 = [
+        (1, ts("2024-01-01 00:10:00"), 1, "click", 1.0, "{}"),
+        (2, ts("2024-01-01 00:20:00"), 1, "click", 2.0, "{}"),
+        # this row advances the watermark (2h conf) far past hour 0
+        (3, ts("2024-01-01 09:00:00"), 1, "click", 4.0, "{}"),
+    ]
+    rows2 = [
+        # straggler for hour 0: watermark is now 07:00 → must be dropped
+        (4, ts("2024-01-01 00:30:00"), 1, "click", 100.0, "{}"),
+        (5, ts("2024-01-01 09:30:00"), 1, "click", 8.0, "{}"),
+    ]
+    checkpoint = str(tmp_path / "ckpt")
+
+    def deliver(i, rows):
+        df = spark.createDataFrame(rows, schema)
+        p = os.path.join(flat, f"{i:02d}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = glob.glob(p + ".dir/part-*.parquet")[0]
+        shutil.move(part, p)
+        shutil.rmtree(p + ".dir")
+        os.utime(p, (_time.time() - 100 + i * 10,) * 2)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # separate availableNow runs over a SHARED checkpoint: a hard
+        # micro-batch boundary, so the watermark from run 1 governs
+        # run 2's late-row dropping (memory sink can't recover from a
+        # checkpoint — parquet sink can)
+        sdf = spark.readStream.schema(schema).parquet(flat)
+        agg = (
+            sdf.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.round(F.sum("value"), 2).alias("total"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour"
+                ),
+                "total",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.hour: r.total for r in spark.read.parquet(out_dir).collect()
+        }
+
+    deliver(0, rows1)
+    got = run_once()
+    deliver(1, rows2)
+    got = run_once()
+    # hour-0 window finalized from batch 1 only: 1+2, straggler's 100
+    # dropped; the 09:00 window is NOT final (watermark hasn't passed
+    # it) so append mode hasn't emitted it
+    assert got.get("2024-01-01 00:00:00") == 3.0
+    assert "2024-01-01 09:00:00" not in got
+
+
 def test_streaming_sessionize_matches_batch(spark, sf_dir, stream_dir):
     ev = read_table(spark, sf_dir, "events")
     # ONE file = one micro-batch: the stateful operator sees each user's

@@ -323,41 +323,102 @@ def transform_coords(buf: bytes, fn) -> bytes:
 _FAST_HDR = struct.pack("<BII", 1, POLYGON, 1)  # 1-ring 2-D LE polygon
 
 
-def _fast_path_mask(bufs: list) -> list[bool]:
-    return [
-        b is not None and len(b) >= 13 and bytes(b[:9]) == _FAST_HDR
-        for b in bufs
-    ]
+def _extract_rings(buf, geom_id, rings):
+    """Light-weight ring extraction for LE 2-D POLYGON/MULTIPOLYGON
+    buffers: appends (geom_id, flat coords view) per ring. Returns
+    False if the buffer needs the general parser (Z/M, big-endian,
+    other types, collections)."""
+    (word,) = struct.unpack_from("<I", buf, 1)
+    if word == POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, 5)
+        pos = 9
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", buf, pos)
+            rings.append(
+                (geom_id, np.frombuffer(buf, "<f8", 2 * npts, pos + 4))
+            )
+            pos += 4 + 16 * npts
+        return True
+    if word == MULTIPOLYGON:
+        (nparts,) = struct.unpack_from("<I", buf, 5)
+        pos = 9
+        for _ in range(nparts):
+            if buf[pos] != 1:
+                return False
+            (w2,) = struct.unpack_from("<I", buf, pos + 1)
+            if w2 != POLYGON:
+                return False
+            (nrings,) = struct.unpack_from("<I", buf, pos + 5)
+            pos += 9
+            for _ in range(nrings):
+                (npts,) = struct.unpack_from("<I", buf, pos)
+                rings.append(
+                    (geom_id, np.frombuffer(buf, "<f8", 2 * npts, pos + 4))
+                )
+                pos += 4 + 16 * npts
+        return True
+    return False
 
 
-def _concat_rings(bufs: list, idx: list[int]):
-    """Stack the rings of fast-path rows into one (N,2) array with
-    per-ring start offsets. One frombuffer per row (cheap), all math
-    afterwards is whole-batch vectorized."""
-    parts = []
-    counts = np.empty(len(idx), dtype=np.int64)
-    for k, i in enumerate(idx):
-        b = bufs[i]
-        n = int.from_bytes(b[9:13], "little")
-        counts[k] = n
-        parts.append(np.frombuffer(b, dtype="<f8", count=2 * n, offset=13))
-    pts = np.concatenate(parts).reshape(-1, 2) if parts else np.empty((0, 2))
-    starts = np.zeros(len(idx), dtype=np.int64)
-    if len(idx):
-        np.cumsum(counts[:-1], out=starts[1:])
-    return pts, starts, counts
+def _classify_batch(bufs, xs_point, ys_point):
+    """Split a batch into vectorizable rings vs slow rows. Fills point
+    coords directly into (xs_point, ys_point); returns
+    (rings, poly_row_ids, slow_row_ids)."""
+    rings: list = []
+    poly_ids: list[int] = []
+    slow: list[int] = []
+    for i, b in enumerate(bufs):
+        if b is None:
+            continue
+        b = bytes(b)
+        if (
+            len(b) >= 9
+            and b[0] == 1
+            and b[1] == 1
+            and b[2:5] == b"\x00\x00\x00"
+        ):
+            # LE 2-D POINT: coords inline, no ring machinery
+            xs_point[i], ys_point[i] = struct.unpack_from("<2d", b, 5)
+            continue
+        mark = len(rings)
+        ok = False
+        if len(b) >= 9 and b[0] == 1:
+            try:
+                ok = _extract_rings(b, len(poly_ids), rings)
+            except (struct.error, ValueError):
+                # truncated/corrupt buffers → slow path, whose parser
+                # raises a per-row attributable error
+                ok = False
+        if ok:
+            poly_ids.append(i)
+        else:
+            del rings[mark:]
+            slow.append(i)
+    return rings, poly_ids, slow
+
+
+def _ring_table(rings):
+    counts = np.array([len(c) // 2 for _, c in rings], dtype=np.int64)
+    gids = np.array([g for g, _ in rings], dtype=np.int64)
+    pts = np.concatenate([c for _, c in rings]).reshape(-1, 2)
+    starts = np.zeros(len(rings), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    return pts, starts, counts, gids
 
 
 def centroid_batch(bufs: list) -> tuple[np.ndarray, np.ndarray]:
     """Centroids for a batch of WKB buffers → (xs, ys) float64 arrays
-    (NaN for None rows). Fast path fully vectorized, slow path per-row."""
+    (NaN for None rows). Fast path — little-endian 2-D points,
+    polygons, and multipolygons, i.e. ~97% of a footprint corpus —
+    is fully vectorized (per-ring conditioned shoelace via reduceat,
+    area-weighted combine per geometry); the rest fall back per-row."""
     n = len(bufs)
     xs = np.full(n, np.nan)
     ys = np.full(n, np.nan)
-    fast = _fast_path_mask(bufs)
-    fidx = [i for i in range(n) if fast[i]]
-    if fidx:
-        pts, starts, counts = _concat_rings(bufs, fidx)
+    rings, poly_ids, slow = _classify_batch(bufs, xs, ys)
+    if rings:
+        pts, starts, counts, gids = _ring_table(rings)
+        ng = len(poly_ids)
         # translate each ring to its first vertex (conditioning — see
         # _ring_area_centroid) before the cross products
         x0 = pts[starts, 0]
@@ -365,7 +426,6 @@ def centroid_batch(bufs: list) -> tuple[np.ndarray, np.ndarray]:
         x = pts[:, 0] - np.repeat(x0, counts)
         y = pts[:, 1] - np.repeat(y0, counts)
         ends = starts + counts
-        # next-vertex index with per-ring wraparound
         nxt = np.arange(len(pts), dtype=np.int64) + 1
         nxt[ends - 1] = starts
         cross = x * y[nxt] - x[nxt] * y
@@ -373,41 +433,64 @@ def centroid_batch(bufs: list) -> tuple[np.ndarray, np.ndarray]:
         cx6 = np.add.reduceat((x + x[nxt]) * cross, starts)
         cy6 = np.add.reduceat((y + y[nxt]) * cross, starts)
         with np.errstate(divide="ignore", invalid="ignore"):
-            cx = x0 + cx6 / (3.0 * a2)
-            cy = y0 + cy6 / (3.0 * a2)
-        # zero-area → vertex mean (GEOS-convention fallback)
-        degen = a2 == 0.0
-        if degen.any():
-            mx = np.add.reduceat(pts[:, 0], starts) / counts
-            my = np.add.reduceat(pts[:, 1], starts) / counts
-            cx = np.where(degen, mx, cx)
-            cy = np.where(degen, my, cy)
-        xs[fidx] = cx
-        ys[fidx] = cy
-    for i in range(n):
-        if not fast[i] and bufs[i] is not None:
-            xs[i], ys[i] = centroid(bytes(bufs[i]))
+            ring_cx = x0 + cx6 / (3.0 * a2)
+            ring_cy = y0 + cy6 / (3.0 * a2)
+        area = a2 / 2.0
+        # zero-area rings contribute nothing (matches centroid())
+        contrib = np.where(area != 0.0, area, 0.0)
+        g_area = np.zeros(ng)
+        g_num_x = np.zeros(ng)
+        g_num_y = np.zeros(ng)
+        np.add.at(g_area, gids, contrib)
+        np.add.at(g_num_x, gids, np.where(area != 0.0, contrib * ring_cx, 0.0))
+        np.add.at(g_num_y, gids, np.where(area != 0.0, contrib * ring_cy, 0.0))
+        # vertex means for the all-degenerate fallback
+        g_px = np.zeros(ng)
+        g_py = np.zeros(ng)
+        g_np = np.zeros(ng)
+        np.add.at(g_px, gids, np.add.reduceat(pts[:, 0], starts))
+        np.add.at(g_py, gids, np.add.reduceat(pts[:, 1], starts))
+        np.add.at(g_np, gids, counts.astype("f8"))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs_g = np.where(g_area != 0.0, g_num_x / g_area, g_px / g_np)
+            ys_g = np.where(g_area != 0.0, g_num_y / g_area, g_py / g_np)
+        xs[poly_ids] = xs_g
+        ys[poly_ids] = ys_g
+    for i in slow:
+        xs[i], ys[i] = centroid(bytes(bufs[i]))
     return xs, ys
 
 
 def bbox_batch(bufs: list) -> np.ndarray:
     """Bboxes for a batch → (n, 4) array [xmin ymin xmax ymax], NaN rows
-    for None."""
+    for None. Same fast/slow split as centroid_batch."""
     n = len(bufs)
     out = np.full((n, 4), np.nan)
-    fast = _fast_path_mask(bufs)
-    fidx = [i for i in range(n) if fast[i]]
-    if fidx:
-        pts, starts, counts = _concat_rings(bufs, fidx)
-        x, y = pts[:, 0], pts[:, 1]
-        out[fidx, 0] = np.minimum.reduceat(x, starts)
-        out[fidx, 1] = np.minimum.reduceat(y, starts)
-        out[fidx, 2] = np.maximum.reduceat(x, starts)
-        out[fidx, 3] = np.maximum.reduceat(y, starts)
-    for i in range(n):
-        if not fast[i] and bufs[i] is not None:
-            out[i] = bbox(bytes(bufs[i]))
+    px = np.full(n, np.nan)
+    py = np.full(n, np.nan)
+    rings, poly_ids, slow = _classify_batch(bufs, px, py)
+    pmask = ~np.isnan(px)
+    out[pmask, 0] = out[pmask, 2] = px[pmask]
+    out[pmask, 1] = out[pmask, 3] = py[pmask]
+    if rings:
+        pts, starts, counts, gids = _ring_table(rings)
+        ng = len(poly_ids)
+        gxmin = np.full(ng, np.inf)
+        gymin = np.full(ng, np.inf)
+        gxmax = np.full(ng, -np.inf)
+        gymax = np.full(ng, -np.inf)
+        np.minimum.at(gxmin, gids, np.minimum.reduceat(pts[:, 0], starts))
+        np.minimum.at(gymin, gids, np.minimum.reduceat(pts[:, 1], starts))
+        np.maximum.at(gxmax, gids, np.maximum.reduceat(pts[:, 0], starts))
+        np.maximum.at(gymax, gids, np.maximum.reduceat(pts[:, 1], starts))
+        out[poly_ids, 0] = gxmin
+        out[poly_ids, 1] = gymin
+        out[poly_ids, 2] = gxmax
+        out[poly_ids, 3] = gymax
+    for i in slow:
+        out[i] = bbox(bytes(bufs[i]))
     return out
+
 
 
 # --- WKT ------------------------------------------------------------------

@@ -140,6 +140,26 @@ def st_npoints(geom: pd.Series) -> pd.Series:
     return geom.map(lambda b: None if b is None else K.npoints(bytes(b)))
 
 
+def register_sql_functions(spark) -> None:
+    """Expose the geometry/layout surface to `spark.sql` so the
+    reference's runbook-style heredoc SQL translates 1:1 (SURVEY.md
+    §3.4: shell-DuckDB queries → spark.sql over registered views +
+    these functions). Pandas UDFs register directly; the JVM-native
+    helpers (shape-type byte, grid cells, Morton) are plain expression
+    compositions usable inline in SQL already."""
+    from gis_etl_spark.layout.sfc import _hilbert_udf
+
+    spark.udf.register("st_centroid", st_centroid)
+    spark.udf.register("st_bbox", st_bbox)
+    spark.udf.register("st_shape_type", st_shape_type)
+    spark.udf.register("st_astext", st_astext)
+    spark.udf.register("st_geomfromtext", st_geomfromtext)
+    spark.udf.register("st_flip_coordinates", st_flip_coordinates)
+    spark.udf.register("st_force2d", st_force2d)
+    spark.udf.register("st_npoints", st_npoints)
+    spark.udf.register("hilbert_encode", _hilbert_udf)
+
+
 def find_geometry_column(df) -> str | None:
     """Schema-introspection replacement for the reference's
     `DESCRIBE FROM ST_READ(...) LIMIT 1` probe that picks the

@@ -349,7 +349,6 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_sqls() -> dict[str, str]:
     path = ensure_documents_aug()
     d = f"read_parquet('{path}')"
-    words = "list_distinct(regexp_split_to_array(trim(text), ' +'))"
     h = h60_sql("w")
     minhash_cols = ", ".join(
         f"min(({a} * (h % {P31}) + {b}) % {P31}) AS m{j}"

@@ -128,6 +128,42 @@ def test_heatmap_geojson_valid(spark, bdf):
         assert obj["properties"]["cell"] == r.cell
 
 
+def test_runbook_sql_surface(spark, bdf):
+    """SURVEY §3.4: the reference's shell-heredoc SQL workflow maps to
+    spark.sql over registered views + engine SQL functions. Run a
+    runbook-shaped query (shape census + centroid + Hilbert ordering)
+    purely as SQL text."""
+    from gis_etl_spark.geom.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    bdf.createOrReplaceTempView("buildings")
+    census = spark.sql(
+        """
+        SELECT st_shape_type(geom) AS t, count(*) AS cnt
+        FROM buildings WHERE geom IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+        """
+    ).collect()
+    assert {r.t for r in census} <= {1, 2, 3, 6}
+    assert sum(r.cnt for r in census) == bdf.filter(
+        F.col("geom").isNotNull()
+    ).count()
+
+    ordered = spark.sql(
+        """
+        SELECT building_id,
+               hilbert_encode(st_centroid(geom).y, st_centroid(geom).x)
+                 AS hkey
+        FROM buildings WHERE geom IS NOT NULL
+        ORDER BY hkey LIMIT 10
+        """
+    ).collect()
+    assert len(ordered) == 10
+    assert all(
+        a.hkey <= b.hkey for a, b in zip(ordered, ordered[1:])
+    )
+
+
 def test_find_geometry_column(spark, bdf):
     from gis_etl_spark.geom.functions import find_geometry_column
 

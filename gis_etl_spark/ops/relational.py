@@ -484,6 +484,54 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE session_window (30-min
+    gap) — same semantics as the lag+cumsum formulation
+    (sessionize_events) but executed by the built-in merging-window
+    operator; the oracle derives sessions independently with window
+    functions, so this cross-checks Spark's operator itself."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide): each event
+    lands in two windows; the oracle reproduces the assignment by
+    exploding each event into its two covering window starts."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — free Catalyst capability noted in SURVEY.md
     §2.5; subtotal rows use COALESCE sentinel so the oracle comparison is

@@ -292,6 +292,38 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (count_distinct_customers) is oracle-checked and pytest bounds
     # the approximation error
     "approx_distinct_customers": (R.approx_distinct_customers, None),
+    "sessionize_native": (R.sessionize_native, """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM gaps
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions GROUP BY user_id, seq
+"""),
+    "events_sliding_windows": (R.events_sliding_windows, """
+WITH assigned AS (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+         event_type, value
+  FROM events
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM assigned GROUP BY 1, 2
+"""),
 }
 
 # ---------------------------------------------------------------------------

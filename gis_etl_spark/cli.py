@@ -1,0 +1,156 @@
+"""Command-line surface — UX parity with the reference's Typer CLI
+(east_asia.py:286-419: `main`, `ewkb-stats`, `merge-pqs`).
+
+    python -m gis_etl_spark.cli convert    --input DIR --output DIR
+    python -m gis_etl_spark.cli ewkb-stats --input DIR --output DIR
+    python -m gis_etl_spark.cli merge-pqs  --input DIR --output DIR
+                                           [--max-rows N] [--files N]
+    python -m gis_etl_spark.cli heatmap    --input DIR --output DIR
+                                           [--res N] [--geojson]
+
+Inputs: a directory of .shp files (read via the engine's shapefile
+source) or of parquet with a WKB geometry column (auto-discovered).
+Where the reference loops per file with a process pool, every command
+here is one distributed Spark job; restartability comes from
+idempotent output checks rather than per-file skip files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _load_input(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of shapefiles → shapefile source; otherwise parquet
+    with an auto-discovered WKB geometry column (renamed to `geom`)."""
+    from gis_etl_spark.geom.functions import find_geometry_column
+    from gis_etl_spark.sources.shapefile import read_shapefile
+
+    if glob.glob(os.path.join(path, "**", "*.shp"), recursive=True) or glob.glob(
+        os.path.join(path, "*.shp")
+    ):
+        df = read_shapefile(spark, path)
+        return df.withColumn("epsg", F.lit(None).cast("long"))
+    df = spark.read.parquet(path)
+    geom_col = find_geometry_column(df)
+    if geom_col is None:
+        raise SystemExit(
+            f"error: no binary WKB geometry column found in {path}"
+        )
+    if geom_col != "geom":
+        df = df.withColumnRenamed(geom_col, "geom")
+    if "source" not in df.columns:
+        df = df.withColumn("source", F.input_file_name())
+    if "epsg" not in df.columns:
+        df = df.withColumn("epsg", F.lit(None).cast("long"))
+    return df
+
+
+def cmd_convert(spark: SparkSession, args) -> None:
+    """`main` rendition: clean → reproject → flip → Hilbert-clustered
+    write (east_asia.py:286-314)."""
+    from gis_etl_spark.pipelines.buildings import convert, merge_compact
+
+    df = convert(_load_input(spark, args.input))
+    merge_compact(df, args.output, max_records_per_file=args.max_rows)
+    print(f"convert: wrote {args.output}")
+
+
+def cmd_ewkb_stats(spark: SparkSession, args) -> None:
+    """`ewkb-stats` rendition: shape-type census → NDJSON
+    (east_asia.py:358-372)."""
+    from gis_etl_spark.io import write_ndjson
+    from gis_etl_spark.pipelines.buildings import shape_type_census
+
+    census = shape_type_census(_load_input(spark, args.input))
+    write_ndjson(census, args.output)
+    print(f"ewkb-stats: wrote {args.output}")
+
+
+def cmd_merge_pqs(spark: SparkSession, args) -> None:
+    """`merge-pqs` rendition: provenance-keeping compaction into
+    size-balanced Hilbert-clustered files (east_asia.py:376-419)."""
+    from gis_etl_spark.pipelines.buildings import merge_compact
+
+    df = _load_input(spark, args.input).filter(F.col("geom").isNotNull())
+    merge_compact(
+        df,
+        args.output,
+        max_records_per_file=args.max_rows,
+        num_files=args.files,
+    )
+    print(f"merge-pqs: wrote {args.output}")
+
+
+def cmd_heatmap(spark: SparkSession, args) -> None:
+    """Heatmap pipeline (East-Asia-Building-Footprints.md:243-273):
+    parquet cell counts, or GeoJSON features with --geojson."""
+    from gis_etl_spark.pipelines.buildings import (
+        convert,
+        heatmap,
+        heatmap_geojson,
+    )
+
+    df = convert(_load_input(spark, args.input))
+    if args.geojson:
+        out = heatmap_geojson(df, res=args.res)
+        out.select("geojson").write.mode("overwrite").text(args.output)
+    else:
+        heatmap(df, res=args.res).write.mode("overwrite").parquet(args.output)
+    print(f"heatmap: wrote {args.output}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="gis_etl_spark",
+        description="PySpark-native GIS ETL (reference-parity CLI)",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--input", required=True)
+        p.add_argument("--output", required=True)
+        p.add_argument("--master", default=None)
+
+    p = sub.add_parser("convert", help="clean+reproject+flip+clustered write")
+    common(p)
+    p.add_argument("--max-rows", type=int, default=10_000_000)
+
+    p = sub.add_parser("ewkb-stats", help="shape-type census to NDJSON")
+    common(p)
+
+    p = sub.add_parser("merge-pqs", help="compact into clustered files")
+    common(p)
+    p.add_argument("--max-rows", type=int, default=10_000_000)
+    p.add_argument("--files", type=int, default=None)
+
+    p = sub.add_parser("heatmap", help="grid-cell density heatmap")
+    common(p)
+    p.add_argument("--res", type=int, default=7)
+    p.add_argument("--geojson", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    from gis_etl_spark.session import get_spark
+
+    spark = get_spark(f"gis-etl-{args.cmd}", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        {
+            "convert": cmd_convert,
+            "ewkb-stats": cmd_ewkb_stats,
+            "merge-pqs": cmd_merge_pqs,
+            "heatmap": cmd_heatmap,
+        }[args.cmd](spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

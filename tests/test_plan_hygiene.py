@@ -1,0 +1,61 @@
+"""Plan-quality regression guards: the scale properties README/SCALE.md
+claim must stay true as queries evolve — filters reach the scan, small
+dims broadcast, no accidental sort-merge joins or row-at-a-time Python
+in the headline plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from gis_etl_spark.queries import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q1_pricing_summary", "q3_shipping_priority",
+     "q5_local_supplier_volume", "q6_forecast_revenue",
+     "q10_returned_items", "q14_promo_revenue"],
+)
+def test_filters_pushed_to_scan(spark, sf_dir, name):
+    plan = _plan(REGISTRY[name][0](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate beyond IsNotNull
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any(
+        any(tok in p for tok in ("GreaterThan", "LessThan", "EqualTo"))
+        for p in pushed
+    ), pushed
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume",
+     "q10_returned_items", "q14_promo_revenue"],
+)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(REGISTRY[name][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension join regressed to SMJ"
+
+
+def test_no_row_at_a_time_python(spark, sf_dir):
+    """Python evaluation must be Arrow-batched everywhere — a plain
+    BatchEvalPython node means someone added a row-at-a-time UDF."""
+    for name in ["geo_heatmap", "geo_centroid_stats", "multimodal_features"]:
+        plan = _plan(REGISTRY[name][0](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_shape_type_filter_needs_no_python(spark, sf_dir):
+    """The core-type filter (P4) is JVM-native: its plan must contain
+    NO Python evaluation at all."""
+    plan = _plan(REGISTRY["geo_core_type_count"][0](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "pythonUDF" not in plan

@@ -181,6 +181,38 @@ def grid_cell_sql(lat_expr: str, lng_expr: str, res: int = 7) -> str:
     )
 
 
+def grid_cell_center(cell: Column) -> tuple[Column, Column]:
+    """Cell id → (lat, lng) center, native arithmetic — the inverse of
+    grid_cell at the cell's own resolution."""
+    res = F.shiftright(cell, 58).cast("int")
+    pitch = F.lit(BASE_PITCH_RES7) * F.pow(F.lit(_SQRT7), F.lit(7) - res)
+    ix = F.shiftright(cell, 29).bitwiseAND(F.lit((1 << 29) - 1))
+    iy = cell.bitwiseAND(F.lit((1 << 29) - 1))
+    lng = (ix.cast("double") + 0.5) * pitch - F.lit(180.0)
+    lat = (iy.cast("double") + 0.5) * pitch - F.lit(90.0)
+    return lat, lng
+
+
+def grid_parent(cell: Column, parent_res: int) -> Column:
+    """Cell id → ancestor cell at a coarser resolution (the
+    H3_CELL_TO_PARENT shape): reconstruct the cell center, re-bucket at
+    the parent pitch. Native expressions; used for multi-resolution
+    heatmap pyramids."""
+    lat, lng = grid_cell_center(cell)
+    return grid_cell(lat, lng, parent_res)
+
+
+def grid_parent_sql(cell_expr: str, parent_res: int) -> str:
+    """ANSI twin of grid_parent for the oracle."""
+    res = f"(({cell_expr}) >> 58)"
+    pitch = f"({BASE_PITCH_RES7!r} * pow({_SQRT7!r}, 7 - {res}))"
+    ix = f"((({cell_expr}) >> 29) & {(1 << 29) - 1})"
+    iy = f"(({cell_expr}) & {(1 << 29) - 1})"
+    lng = f"(({ix} + 0.5) * {pitch} - 180.0)"
+    lat = f"(({iy} + 0.5) * {pitch} - 90.0)"
+    return grid_cell_sql(lat, lng, parent_res)
+
+
 def grid_cell_boundary_wkt(cell: Column) -> Column:
     """Cell id → boundary polygon WKT, native string expressions
     (H3_CELL_TO_BOUNDARY_WKT, East-Asia-Building-Footprints.md:264).

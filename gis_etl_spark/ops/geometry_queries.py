@@ -30,7 +30,11 @@ from gis_etl_spark.fixtures import (
     ensure_shapefiles,
     ensure_wkt_csv,
 )
-from gis_etl_spark.layout.sfc import DEFAULT_ORDER, grid_cell_sql
+from gis_etl_spark.layout.sfc import (
+    DEFAULT_ORDER,
+    grid_cell_sql,
+    grid_parent_sql,
+)
 from gis_etl_spark.pipelines import buildings as P
 
 GEO_ROWS = 20_000
@@ -138,6 +142,21 @@ def geo_normalized_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ymin", 6).alias("ymin"),
         F.round("xmax", 6).alias("xmax"),
         F.round("ymax", 6).alias("ymax"),
+    )
+
+
+def geo_heatmap_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: the res-7 heatmap re-aggregated to
+    res-5 parent cells via grid_parent — the hierarchy traversal
+    (H3_CELL_TO_PARENT shape) a tiling service runs per zoom level.
+    All-native arithmetic; shuffle volume is O(res-7 cells)."""
+    from gis_etl_spark.layout.sfc import grid_parent
+
+    fine = P.heatmap(_read(spark), res=7)
+    return (
+        fine.groupBy(grid_parent(F.col("cell"), 5).alias("parent_cell"))
+        .agg(F.sum("num_recs").cast("bigint").alias("num_recs"))
+        .orderBy("parent_cell")
     )
 
 
@@ -362,6 +381,16 @@ def oracle_sqls() -> dict[str, str]:
             FROM {b} bb JOIN {e} e USING (building_id)
             WHERE bb.geom IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        "geo_heatmap_pyramid": f"""
+            WITH fine AS (
+              SELECT {cell} AS cell, count(*) AS num_recs
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL GROUP BY 1
+            )
+            SELECT {grid_parent_sql('cell', 5)} AS parent_cell,
+                   sum(num_recs)::BIGINT AS num_recs
+            FROM fine GROUP BY 1 ORDER BY 1
         """,
         # flip decision is per-SOURCE (min centroid x < 60), matching
         # detect_flip_sources; the bbox then aggregates core-typed rows

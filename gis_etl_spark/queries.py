@@ -357,6 +357,9 @@ REGISTRY.update(
             G.geo_flip_sources, _GEO_SQLS["geo_flip_sources"],
         ),
         "geo_heatmap": (G.geo_heatmap, _GEO_SQLS["geo_heatmap"]),
+        "geo_heatmap_pyramid": (
+            G.geo_heatmap_pyramid, _GEO_SQLS["geo_heatmap_pyramid"],
+        ),
         "geo_normalized_bbox": (
             G.geo_normalized_bbox, _GEO_SQLS["geo_normalized_bbox"],
         ),

@@ -53,6 +53,31 @@ def test_no_row_at_a_time_python(spark, sf_dir):
         assert "BatchEvalPython" not in plan, name
 
 
+def test_wide_table_prunes_geometry_column(spark, sf_dir):
+    """The attrs rollup must never read the (large) geometry column:
+    ReadSchema at the scan excludes Shape — the columnar win that makes
+    metadata queries cheap on payload-heavy tables."""
+    plan = _plan(REGISTRY["io_wide_attrs_projection"][0](spark, sf_dir))
+    read_schemas = [
+        seg.split(">")[0] for seg in plan.split("ReadSchema: struct<")[1:]
+    ]
+    assert read_schemas
+    assert all("Shape" not in rs and "geom" not in rs for rs in read_schemas), (
+        read_schemas
+    )
+
+
+def test_heatmap_pyramid_conserves_mass(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    fine = REGISTRY["geo_heatmap"][0](spark, sf_dir)
+    coarse = REGISTRY["geo_heatmap_pyramid"][0](spark, sf_dir)
+    n_fine = fine.agg(F.sum("num_recs")).first()[0]
+    n_coarse = coarse.agg(F.sum("num_recs")).first()[0]
+    assert n_fine == n_coarse
+    assert coarse.count() <= fine.count()
+
+
 def test_shape_type_filter_needs_no_python(spark, sf_dir):
     """The core-type filter (P4) is JVM-native: its plan must contain
     NO Python evaluation at all."""

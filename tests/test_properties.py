@@ -29,21 +29,26 @@ coords = st.floats(
 
 @st.composite
 def rings(draw):
-    """Star-convex closed rings — valid simple polygons by construction."""
+    """Provably-simple closed rings: affine images of convex polygons
+    inscribed in the unit circle. (Sorted-angle + random-radius
+    'star' construction is NOT sufficient — extreme radius ratios
+    produce self-intersections, found by this very suite.)"""
     cx = draw(coords)
     cy = draw(st.floats(min_value=-89.0, max_value=89.0, allow_nan=False))
     n = draw(st.integers(min_value=3, max_value=12))
     seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
     rng = np.random.default_rng(seed)
-    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
-    # strictly distinct angles → non-degenerate ring
-    if len(np.unique(angles)) < 3:
-        angles = np.linspace(0, 2 * np.pi, n, endpoint=False)
-    radii = rng.uniform(0.01, 0.5, n)
-    pts = [
-        (float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
-        for a, r in zip(angles, radii)
-    ]
+    # strictly increasing angles on the circle → convex → simple
+    gaps = rng.uniform(0.1, 1.0, n)
+    angles = 2 * np.pi * np.cumsum(gaps) / gaps.sum()
+    unit = np.column_stack([np.cos(angles), np.sin(angles)])
+    theta = rng.uniform(0, 2 * np.pi)
+    rot = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    scale = np.diag(rng.uniform(0.01, 0.5, 2))
+    pts_arr = unit @ (rot @ scale).T + np.array([cx, cy])
+    pts = [(float(x), float(y)) for x, y in pts_arr]
     pts.append(pts[0])
     return pts
 

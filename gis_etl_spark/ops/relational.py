@@ -473,6 +473,40 @@ def source_id_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_with_heavy_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery through the spark.sql surface —
+    Catalyst decorrelates it into a semi-join (SURVEY.md §4.1 'free'
+    rewrites; verify with explain: no per-row subquery execution)."""
+    from gis_etl_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+        )
+        """
+    )
+
+
+def orders_above_avg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery via spark.sql — one extra job for
+    the scalar, then a pushed filter."""
+    from gis_etl_spark.io import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB form of A3 where
     exact COUNT(DISTINCT) would shuffle every key. rows-only contract

@@ -292,6 +292,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (count_distinct_customers) is oracle-checked and pytest bounds
     # the approximation error
     "approx_distinct_customers": (R.approx_distinct_customers, None),
+    "orders_with_heavy_items_sql": (R.orders_with_heavy_items_sql, """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+)
+"""),
+    "orders_above_avg_sql": (R.orders_above_avg_sql, """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+"""),
     "sessionize_native": (R.sessionize_native, """
 WITH gaps AS (
   SELECT user_id, ts, event_id, value,

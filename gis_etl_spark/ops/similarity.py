@@ -214,6 +214,94 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, fully relational: coarse quantizer = per-label
+    mean vectors (the codebook `embedding_label_centroids` computes);
+    every vector is ASSIGNED to its nearest centroid (not its label —
+    assignment is computed, as a trained IVF would); queries probe
+    their nprobe=2 nearest centroids; candidates are the vectors
+    assigned to probed lists; exact cosine rerank → top-k.
+
+    The complement to the hyperplane-LSH variant: LSH buckets are
+    data-independent, IVF lists follow the data distribution. At 100 TB
+    the assignment becomes the partition/bucket key of the stored
+    corpus so a probe reads only its lists.
+    """
+    emb = _emb(spark, sf_dir)
+    comp = emb.select("vec_id", "label", F.posexplode("v").alias("d", "x"))
+    cents = (
+        comp.groupBy(F.col("label").alias("c_id"), "d")
+        .agg(F.avg("x").alias("cx"))
+    )
+    # cosine(vec, centroid) for every pair via component join
+    sims = (
+        comp.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "c_id")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    norms_v = comp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv")
+    )
+    norms_c = cents.groupBy("c_id").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("nc")
+    )
+    cos_vc = (
+        sims.join(norms_v, "vec_id")
+        .join(F.broadcast(norms_c), "c_id")
+        .select(
+            "vec_id", "c_id",
+            (F.col("dot") / (F.col("nv") * F.col("nc"))).alias("cos"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("c_id")
+    )
+    ranked = cos_vc.withColumn("rk", F.row_number().over(w_assign))
+    assignment = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("c_id").alias("list_id")
+    )
+    probes = (
+        ranked.filter(
+            (F.col("rk") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("c_id").alias("list_id"))
+    )
+    cands = (
+        assignment.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cands.join(emb.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("v"), F.col("qv"))
+             / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos", 6).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components — the vector aggregation shape IVF
     training needs (explode → (label, dim) mean)."""
@@ -327,5 +415,67 @@ def oracle_sqls() -> dict[str, str]:
                          generate_subscripts(embedding, 1) AS d
                   FROM embeddings)
             GROUP BY label, d ORDER BY label, d
+        """,
+        "similarity_ivf": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            comp AS (
+              SELECT vec_id, label, d - 1 AS d, x
+              FROM (SELECT vec_id, label, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS d FROM e)
+            ),
+            cents AS (
+              SELECT label AS c_id, d, avg(x) AS cx
+              FROM comp GROUP BY label, d
+            ),
+            sims AS (
+              SELECT c.vec_id, ct.c_id, sum(c.x * ct.cx) AS dot
+              FROM comp c JOIN cents ct USING (d)
+              GROUP BY c.vec_id, ct.c_id
+            ),
+            nv AS (SELECT vec_id, sqrt(sum(x * x)) AS nv
+                   FROM comp GROUP BY vec_id),
+            nc AS (SELECT c_id, sqrt(sum(cx * cx)) AS nc
+                   FROM cents GROUP BY c_id),
+            cos_vc AS (
+              SELECT s.vec_id, s.c_id, s.dot / (nv.nv * nc.nc) AS cos
+              FROM sims s JOIN nv USING (vec_id) JOIN nc USING (c_id)
+            ),
+            ranked AS (
+              SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, c_id) AS rk
+              FROM cos_vc
+            ),
+            assignment AS (
+              SELECT vec_id, c_id AS list_id FROM ranked WHERE rk = 1
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, c_id AS list_id
+              FROM ranked
+              WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+            ),
+            cands AS (
+              SELECT DISTINCT p.query_id, a.vec_id
+              FROM assignment a JOIN probes p USING (list_id)
+              WHERE a.vec_id <> p.query_id
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < {N_QUERIES}),
+            scored AS (
+              SELECT c.query_id, a.vec_id AS neighbor_id, {cos} AS cos
+              FROM cands c
+              JOIN e a ON a.vec_id = c.vec_id
+              JOIN q ON q.query_id = c.query_id
+            ), rranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id)
+                       AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS sim
+            FROM rranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
         """,
     }

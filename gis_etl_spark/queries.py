@@ -464,6 +464,7 @@ REGISTRY.update(
         "similarity_ann_lsh": (
             S.similarity_ann_lsh, _SIM_SQLS["similarity_ann_lsh"],
         ),
+        "similarity_ivf": (S.similarity_ivf, _SIM_SQLS["similarity_ivf"]),
         "embedding_label_centroids": (
             S.embedding_label_centroids, _SIM_SQLS["embedding_label_centroids"],
         ),

@@ -27,6 +27,21 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_ivf_recall(spark, sf_dir):
+    """IVF with nprobe=2 over 10 lists must recover a solid fraction of
+    brute-force top-k — and beat a random 20% corpus sample would."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.similarity_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.similarity_ivf(spark, sf_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+
+
 def test_exact_dedup_finds_injected(spark, sf_dir):
     groups = D.dedup_exact_groups(spark, sf_dir).collect()
     # the fixture injects exactly 60 exact duplicates

@@ -160,6 +160,72 @@ def geo_heatmap_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hex_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 heatmap on the icosahedral aperture-7 hex grid
+    (layout/geohex.py) — the exact-math upgrade of geo_heatmap's
+    equal-angle lattice: near-uniform cell areas globally, H3-style √7
+    hierarchy. Native column arithmetic with let-bound subexpressions;
+    aggregation is a two-phase hash agg on an int64 id, exactly like
+    the lattice path, so the 100 TB plan is unchanged."""
+    from gis_etl_spark.layout.geohex import hex_cell
+
+    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+    return (
+        df.groupBy(
+            hex_cell(
+                F.col("centroid").getField("y"),
+                F.col("centroid").getField("x"),
+                7,
+            ).alias("cell")
+        )
+        .agg(F.count("*").alias("num_recs"))
+        .orderBy("cell")
+    )
+
+
+def hex_heatmap_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex heatmap rolled up res 7 → res 5 via hex_parent
+    (H3_CELL_TO_PARENT shape) — pure arithmetic on the packed id, no
+    trig, shuffle volume O(res-7 cells)."""
+    from gis_etl_spark.layout.geohex import hex_cell, hex_parent
+
+    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+    fine = df.groupBy(
+        hex_cell(
+            F.col("centroid").getField("y"),
+            F.col("centroid").getField("x"),
+            7,
+        ).alias("cell")
+    ).agg(F.count("*").alias("num_recs"))
+    return (
+        fine.groupBy(hex_parent(F.col("cell"), 7, 5).alias("parent_cell"))
+        .agg(F.sum("num_recs").cast("bigint").alias("num_recs"))
+        .orderBy("parent_cell")
+    )
+
+
+def hex_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex heatmap with cell centers + hexagon boundary WKT
+    (H3_CELL_TO_BOUNDARY_WKT shape, East-Asia-…md:264-268). Rows-only:
+    the centers/boundaries invert the gnomonic projection with
+    asin/atan2 whose cross-engine printf parity isn't guaranteed;
+    geometric invariants are pytest-covered (tests/test_layout.py)."""
+    from gis_etl_spark.layout.geohex import (
+        hex_boundary_wkt,
+        hex_cell_center,
+    )
+
+    cells = hex_heatmap(spark, sf_dir)
+    clat, clng = hex_cell_center(F.col("cell"), 7)
+    return cells.select(
+        "cell",
+        "num_recs",
+        F.round(clat, 6).alias("center_lat"),
+        F.round(clng, 6).alias("center_lng"),
+        hex_boundary_wkt(F.col("cell"), 7).alias("boundary"),
+    ).orderBy("cell")
+
+
 def geo_convert_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full convert() pipeline (clean → reproject → flip) → global
     bbox. Rows-only: the oracle cannot reproject UTM; pytest asserts
@@ -290,11 +356,25 @@ def _morton_sql(y: str, x: str) -> str:
 
 
 def oracle_sqls() -> dict[str, str]:
+    from gis_etl_spark.layout.geohex import (
+        hex_cell_select_sql,
+        hex_parent_sql,
+    )
+
     bpath, epath = fixture_paths()
     b = f"read_parquet('{bpath}')"
     e = f"read_parquet('{epath}')"
     st_byte = "('0x' || substr(CAST(geom AS VARCHAR), 7, 2))::INT"
     cell = grid_cell_sql("e.cy", "e.cx", 7)
+    hex_pts = hex_cell_select_sql(
+        f"""(SELECT bb.building_id, e.cy, e.cx
+             FROM {b} bb JOIN {e} e USING (building_id)
+             WHERE bb.geom IS NOT NULL) src""",
+        "building_id",
+        "cy",
+        "cx",
+        7,
+    )
     ndjson = ensure_shape_stats_ndjson()
     wkt_csv = ensure_wkt_csv()
     attrs = ensure_buildings_attrs()
@@ -381,6 +461,20 @@ def oracle_sqls() -> dict[str, str]:
             FROM {b} bb JOIN {e} e USING (building_id)
             WHERE bb.geom IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        "hex_heatmap": f"""
+            SELECT cell, count(*) AS num_recs
+            FROM ({hex_pts}) hp
+            GROUP BY 1 ORDER BY 1
+        """,
+        "hex_heatmap_pyramid": f"""
+            WITH fine AS (
+              SELECT cell, count(*) AS num_recs
+              FROM ({hex_pts}) hp GROUP BY 1
+            )
+            SELECT {hex_parent_sql('cell', 7, 5)} AS parent_cell,
+                   sum(num_recs)::BIGINT AS num_recs
+            FROM fine GROUP BY 1 ORDER BY 1
         """,
         "geo_heatmap_pyramid": f"""
             WITH fine AS (

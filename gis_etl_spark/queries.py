@@ -370,6 +370,10 @@ REGISTRY.update(
             G.geo_flip_sources, _GEO_SQLS["geo_flip_sources"],
         ),
         "geo_heatmap": (G.geo_heatmap, _GEO_SQLS["geo_heatmap"]),
+        "hex_heatmap": (G.hex_heatmap, _GEO_SQLS["hex_heatmap"]),
+        "hex_heatmap_pyramid": (
+            G.hex_heatmap_pyramid, _GEO_SQLS["hex_heatmap_pyramid"],
+        ),
         "geo_heatmap_pyramid": (
             G.geo_heatmap_pyramid, _GEO_SQLS["geo_heatmap_pyramid"],
         ),
@@ -379,6 +383,7 @@ REGISTRY.update(
         # rows-only: DuckDB 1.0.0 has no Hilbert/lindel and cannot
         # reproduce boundary-string formatting bit-for-bit
         "geo_heatmap_export": (G.geo_heatmap_export, None),
+        "hex_heatmap_export": (G.hex_heatmap_export, None),
         "geo_hilbert_keys": (G.geo_hilbert_keys, None),
         "geo_convert_bbox": (G.geo_convert_bbox, None),
         "io_ndjson_shape_stats": (

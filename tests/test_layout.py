@@ -141,3 +141,123 @@ def test_grid_pitch_ladder():
     assert grid_pitch(7) == pytest.approx(0.01)
     # √7 linear step per level → ×7 area per level, H3-style
     assert grid_pitch(6) / grid_pitch(7) == pytest.approx(7 ** 0.5)
+
+
+# --- icosahedral hex grid (layout/geohex.py) -------------------------------
+
+
+@pytest.fixture(scope="module")
+def hex_pts(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 8000
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lat": rng.uniform(-89.9, 89.9, n),
+            "lng": rng.uniform(-180.0, 180.0, n),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_hex_cell_covers_all_faces(spark, hex_pts):
+    from gis_etl_spark.layout.geohex import hex_cell
+
+    out = hex_pts.select(hex_cell(F.col("lat"), F.col("lng"), 7).alias("c"))
+    faces = out.select(
+        F.shiftright("c", 52).bitwiseAND(F.lit(63)).alias("f")
+    ).distinct()
+    assert faces.count() == 20
+    # res is recoverable from the id and every id is positive
+    bad = out.filter(
+        (F.shiftright("c", 58) != 7) | (F.col("c") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_hex_center_round_trip(spark, hex_pts):
+    """Re-bucketing a cell's own center must return the same cell for
+    all but the face-edge cells (documented face-clipping deviation:
+    a boundary hex's center can project onto the neighboring face)."""
+    from gis_etl_spark.layout.geohex import hex_cell, hex_cell_center
+
+    cells = hex_pts.select(
+        hex_cell(F.col("lat"), F.col("lng"), 7).alias("cell")
+    ).distinct()
+    clat, clng = hex_cell_center(F.col("cell"), 7)
+    ctr = cells.select("cell", clat.alias("clat"), clng.alias("clng"))
+    rt = ctr.select(
+        "cell", hex_cell(F.col("clat"), F.col("clng"), 7).alias("cell2")
+    )
+    n = rt.count()
+    bad = rt.filter(F.col("cell") != F.col("cell2")).count()
+    assert bad / n < 0.005, f"{bad}/{n} round-trip failures"
+
+
+def test_hex_parent_mostly_contains(spark, hex_pts):
+    """hex_parent(child(p)) vs direct parent(p): aperture-7 hexes don't
+    nest perfectly (same as H3's truncation semantics) but must agree
+    for the vast majority of points, and parent must be a pure function
+    of the child id."""
+    from gis_etl_spark.layout.geohex import hex_cell, hex_parent
+
+    cells = hex_pts.select(
+        "pid", hex_cell(F.col("lat"), F.col("lng"), 7).alias("c7")
+    )
+    direct = hex_pts.select(
+        "pid", hex_cell(F.col("lat"), F.col("lng"), 5).alias("c5")
+    )
+    via = cells.select("pid", hex_parent(F.col("c7"), 7, 5).alias("c5v"))
+    j = direct.join(via, "pid")
+    agree = j.filter(F.col("c5") == F.col("c5v")).count()
+    assert agree / j.count() > 0.85
+    # parent res stamped in the id
+    assert via.filter(F.shiftright("c5v", 58) != 5).count() == 0
+
+
+def test_hex_area_uniformity_beats_lattice(spark):
+    """The reason geohex exists: a fixed degree-window at lat 72 covers
+    ~cos(72°) the physical area of one at lat 2, and hex cell counts
+    must track that, while the equal-angle lattice's counts do not."""
+    import pandas as pd
+
+    from gis_etl_spark.layout.geohex import hex_cell
+
+    counts = {}
+    for lat0 in (2.0, 72.0):
+        g = np.mgrid[0:1:100j, 0:5:400j]
+        d = spark.createDataFrame(
+            pd.DataFrame(
+                {"lat": lat0 + g[0].ravel(), "lng": 100 + g[1].ravel()}
+            )
+        )
+        counts[lat0] = (
+            d.select(hex_cell(F.col("lat"), F.col("lng"), 7).alias("c"))
+            .distinct()
+            .count(),
+            d.select(grid_cell(F.col("lat"), F.col("lng"), 7).alias("c"))
+            .distinct()
+            .count(),
+        )
+    hex_ratio = counts[72.0][0] / counts[2.0][0]
+    lattice_ratio = counts[72.0][1] / counts[2.0][1]
+    assert 0.2 < hex_ratio < 0.45  # ≈ cos(72°) = 0.31
+    assert lattice_ratio > 0.9  # lattice blind to latitude
+
+
+def test_hex_boundary_wkt_closed_hexagon(spark, hex_pts):
+    from gis_etl_spark.layout.geohex import hex_boundary_wkt, hex_cell
+
+    cells = hex_pts.limit(50).select(
+        hex_cell(F.col("lat"), F.col("lng"), 7).alias("cell")
+    )
+    rows = cells.select(
+        hex_boundary_wkt(F.col("cell"), 7).alias("wkt")
+    ).collect()
+    for r in rows:
+        assert r.wkt.startswith("POLYGON ((") and r.wkt.endswith("))")
+        pts = r.wkt[len("POLYGON (("):-2].split(", ")
+        assert len(pts) == 7  # closed ring: 6 corners + repeat
+        assert pts[0] == pts[-1]

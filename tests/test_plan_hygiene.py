@@ -84,3 +84,27 @@ def test_shape_type_filter_needs_no_python(spark, sf_dir):
     plan = _plan(REGISTRY["geo_core_type_count"][0](spark, sf_dir))
     assert "EvalPython" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_hex_heatmap_stays_jvm_side(spark, sf_dir):
+    """The hex cell id is pure column arithmetic: apart from the
+    centroid pandas UDF, the hex heatmap plan must contain no Python
+    evaluation, and must partial-aggregate before the shuffle."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(REGISTRY["hex_heatmap"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # two HashAggregate generations around one cell-keyed exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hex_pyramid_conserves_mass(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    fine = REGISTRY["hex_heatmap"][0](spark, sf_dir)
+    coarse = REGISTRY["hex_heatmap_pyramid"][0](spark, sf_dir)
+    assert (
+        fine.agg(F.sum("num_recs")).first()[0]
+        == coarse.agg(F.sum("num_recs")).first()[0]
+    )
+    assert coarse.count() <= fine.count()

@@ -334,6 +334,80 @@ def ensure_buildings_attrs(n_rows: int = 20_000, seed: int = 42) -> str:
     return out
 
 
+def ensure_filegdb(n_rows: int = 20_000, seed: int = 42) -> tuple[str, str]:
+    """FileGDB fixture (S3, ORNL-FEMA-Buildings.md:76-81): the wide
+    attrs table written as a real spec-subset .gdbtable layer inside a
+    .gdb directory, alongside two small decoy members so the
+    reference's largest-member selection (`ls -S | head -1`) has
+    something to choose FROM, plus a parquet twin (attributes only —
+    geometry is quantized by the format's scaled-int encoding and is
+    pytest-checked approximately instead). Returns (gdb_dir, twin)."""
+    root = os.path.join(FIXTURE_ROOT, f"filegdb_{n_rows}", "buildings.gdb")
+    twin = os.path.join(os.path.dirname(root), "twin.parquet")
+    if os.path.exists(twin):
+        return root, twin
+    os.makedirs(root, exist_ok=True)
+    from gis_etl_spark.geom import wkb as K
+    from gis_etl_spark.sources import filegdb as FG
+
+    wide = pd.read_parquet(ensure_buildings_attrs(n_rows, seed))
+    fields = [
+        FG.Field("OBJECTID", FG.T_OBJECTID),
+        FG.Field("occ_cls", FG.T_STRING),
+        FG.Field("prim_occ", FG.T_INT32),
+        FG.Field("height", FG.T_FLOAT64),
+        FG.Field("sqmeters", FG.T_FLOAT64),
+        FG.Field("prop_st", FG.T_STRING),
+        FG.Field("fips", FG.T_STRING),
+        FG.Field("Shape", FG.T_GEOMETRY),
+    ]
+    rows, twin_rows = [], []
+    for r in wide.itertuples():
+        if r.Shape is None:
+            continue
+        try:
+            base, parts = K.parse(bytes(r.Shape))
+        except ValueError:
+            continue
+        if base == K.POLYGON:
+            geom = (5, [ring[:, :2] for ring in parts[0]])
+        elif base == K.POINT:
+            geom = (1, tuple(parts[0][0][0, :2]))
+        else:
+            continue
+        rows.append(
+            (r.occ_cls, int(r.prim_occ), float(r.height),
+             float(r.sqmeters), r.prop_st, r.fips, geom)
+        )
+        twin_rows.append(
+            (len(rows), r.occ_cls, int(r.prim_occ), float(r.height),
+             float(r.sqmeters), r.prop_st, r.fips, bytes(r.Shape))
+        )
+    FG.write_gdbtable(
+        os.path.join(root, "a00000009.gdbtable"), fields, rows,
+        FG.GEOM_POLYGON,
+    )
+    # decoy system members (smaller, so never the largest)
+    meta = [FG.Field("OBJECTID", FG.T_OBJECTID),
+            FG.Field("name", FG.T_STRING)]
+    FG.write_gdbtable(
+        os.path.join(root, "a00000001.gdbtable"), meta,
+        [("GDB_SystemCatalog",)], FG.GEOM_NONE,
+    )
+    FG.write_gdbtable(
+        os.path.join(root, "a00000004.gdbtable"), meta,
+        [("GDB_Items",)], FG.GEOM_NONE,
+    )
+    twin_df = pd.DataFrame(
+        twin_rows,
+        columns=["objectid", "occ_cls", "prim_occ", "height",
+                 "sqmeters", "prop_st", "fips", "orig_wkb"],
+    )
+    twin_df.to_parquet(twin + ".tmp", index=False)
+    os.replace(twin + ".tmp", twin)
+    return root, twin
+
+
 def ensure_shape_stats_ndjson(n_rows: int = 20_000, seed: int = 42) -> str:
     """NDJSON diagnostic fixture (FIXTURES.md B3, shape_stats.json —
     east_asia.py:369-372): per-(shape_type, filename) record counts,

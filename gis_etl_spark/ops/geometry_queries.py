@@ -323,6 +323,50 @@ def shp_scan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gdb_scan_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FileGDB scan (S3, `ST_READ('…/*.gdbtable')`,
+    ORNL-FEMA-Buildings.md:76-81): largest-member selection + binary
+    .gdbtable decode + the EXCLUDE(Shape)-style attrs rollup. The
+    `columns` projection reaches inside the decoder, so the geometry
+    blobs are skipped, not decoded (the reference pays GDAL decode
+    for every feature here). Oracle checks against the parquet twin."""
+    from gis_etl_spark.fixtures import ensure_filegdb
+    from gis_etl_spark.sources.filegdb import read_filegdb
+
+    gdb_dir, _ = ensure_filegdb()
+    df = read_filegdb(
+        spark, gdb_dir, columns=["occ_cls", "height", "sqmeters"]
+    )
+    return (
+        df.groupBy("occ_cls")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.round(F.sum("sqmeters"), 2).alias("total_sqm"),
+        )
+        .orderBy("occ_cls")
+    )
+
+
+def gdb_scan_oids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileGDB OBJECTID audit: implicit-id reconstruction + string
+    attribute decode (varuint-length UTF-8) against the twin — the
+    per-feature identity the reference's OBJECTID column carries."""
+    from gis_etl_spark.fixtures import ensure_filegdb
+    from gis_etl_spark.sources.filegdb import read_filegdb
+
+    gdb_dir, _ = ensure_filegdb()
+    df = read_filegdb(spark, gdb_dir, columns=["OBJECTID", "prop_st"])
+    return (
+        df.groupBy("prop_st")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("OBJECTID").cast("bigint").alias("oid_sum"),
+        )
+        .orderBy("prop_st")
+    )
+
+
 def layout_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys over engine centroids — JVM-native bit expressions
     (layout/sfc.py), oracle-checked: unlike the Hilbert loop, the
@@ -379,7 +423,23 @@ def oracle_sqls() -> dict[str, str]:
     wkt_csv = ensure_wkt_csv()
     attrs = ensure_buildings_attrs()
     _, shp_twin = ensure_shapefiles()
+    from gis_etl_spark.fixtures import ensure_filegdb
+
+    _, gdb_twin = ensure_filegdb()
     return {
+        "gdb_scan_attrs": f"""
+            SELECT occ_cls, count(*) AS cnt,
+                   round(avg(height), 4) AS avg_height,
+                   round(sum(sqmeters), 2) AS total_sqm
+            FROM read_parquet('{gdb_twin}')
+            GROUP BY occ_cls ORDER BY occ_cls
+        """,
+        "gdb_scan_oids": f"""
+            SELECT prop_st, count(*) AS cnt,
+                   sum(objectid)::BIGINT AS oid_sum
+            FROM read_parquet('{gdb_twin}')
+            GROUP BY prop_st ORDER BY prop_st
+        """,
         # the .shp filename is derived from source exactly as the
         # fixture writer does (slashes→underscores, .pq stripped)
         "shp_scan_census": f"""

@@ -1,0 +1,497 @@
+"""ESRI FileGDB (.gdbtable) source — the reference's second input
+format (`ST_READ('…/*.gdbtable')` over the largest member,
+ORNL-FEMA-Buildings.md:76-81).
+
+No GDAL here: this is a from-scratch decoder for a SUBSET of the
+.gdbtable format as publicly reverse-engineered (Even Rouault's
+FGDB spec, the basis of GDAL's OpenFileGDB driver). SURVEY.md §2 S3
+scoped v1 to a parquet model; this module upgrades S3 to a real
+binary reader. Honest validation note: no Esri-produced .gdbtable
+exists in this offline environment, so the reader is validated
+against this module's own spec-following writer plus a parquet twin —
+structure (header, utf-16 field descriptors, null bitmaps, varuint
+strings, delta-varint compressed geometry) follows the public spec;
+unvalidated corners are documented inline.
+
+Format subset:
+
+.gdbtable
+  40-byte header: int32 magic=3, int32 n_rows, 16 reserved bytes,
+  int64 file_size @24, int64 field-section offset @32 (=40).
+  Field section: int32 section_size, int32 version=4,
+  byte geom_type, 3 flag bytes, int16 n_fields, then per field:
+  u8 name_len + UTF-16-LE name, u8 alias_len + UTF-16-LE alias,
+  u8 type, type-specific tail:
+    string(4): int32 max_len, u8 flags
+    int32(1) / float64(3): u8 width, u8 flags
+    objectid(6): u8 width, u8 flags (no stored value — implicit id)
+    geometry(7): u8 unknown, u8 flags, int16 srs_len + UTF-16 srs,
+      u8 has_zm_flags, f64 xorigin, yorigin, xyscale
+  Rows: per row int32 size, then ceil(n_nullable/8)-byte null bitmap
+  (bit set → NULL), then non-null field values in declaration order:
+  int32 LE | f64 LE | varuint len + UTF-8 string | varuint len +
+  compressed-geometry blob.
+
+compressed geometry (scaled ints: v = round((coord − origin)·scale))
+  point: varuint type=1, varuint sx+1, varuint sy+1
+  polygon: varuint type=5, varuint n_points, varuint n_parts,
+    bbox varuints (sxmin, symin, sdx, sdy), per-part point counts
+    (all but last), then zigzag-varint deltas per coordinate, x run
+    then y run, first delta absolute.
+
+.gdbtablx
+  16-byte header: int32 magic=3, int32 reserved, int32 n_rows,
+  int32 offset_width=5; then n_rows little-endian 5-byte offsets.
+  (Used for the largest-member audit + random access; the
+  distributed scan streams .gdbtable sequentially — row-size
+  prefixes make the tablx optional, and Spark task granularity is
+  per-file anyway, mirroring the shapefile source.)
+
+Scale notes: like shapefiles, .gdbtable has no intra-file sync
+markers → parallelism is per file/layer. The decoder takes a
+`columns` projection and SKIPS the decode of unrequested fields
+(geometry blobs are length-prefixed, so an attrs-only query never
+pays geometry decode — the EXCLUDE(Shape) projection,
+ORNL-FEMA-Buildings.md:80-81, reaches inside the Python decoder
+where Catalyst cannot)."""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+GDB_MAGIC = 3
+
+T_INT32 = 1
+T_FLOAT64 = 3
+T_STRING = 4
+T_OBJECTID = 6
+T_GEOMETRY = 7
+
+GEOM_NONE = 0
+GEOM_POINT = 1
+GEOM_POLYGON = 4
+
+_SHAPE_POINT = 1
+_SHAPE_POLYGON = 5
+
+DEFAULT_XYSCALE = 1.0e9  # ~1e-9 deg quantization (≈0.1 µm at equator)
+DEFAULT_ORIGIN = -400.0  # safely below any lon/lat value
+
+
+# --- varint helpers --------------------------------------------------------
+
+
+def _write_varuint(out: bytearray, v: int) -> None:
+    if v < 0:
+        raise ValueError("varuint must be non-negative")
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varuint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+# --- field descriptors -----------------------------------------------------
+
+
+class Field:
+    __slots__ = ("name", "ftype", "nullable", "xorigin", "yorigin", "xyscale")
+
+    def __init__(self, name, ftype, nullable=True,
+                 xorigin=DEFAULT_ORIGIN, yorigin=DEFAULT_ORIGIN,
+                 xyscale=DEFAULT_XYSCALE):
+        self.name = name
+        self.ftype = ftype
+        self.nullable = nullable and ftype != T_OBJECTID
+        self.xorigin = xorigin
+        self.yorigin = yorigin
+        self.xyscale = xyscale
+
+
+def _pack_utf16(out: bytearray, text: str) -> None:
+    out.append(len(text))
+    out += text.encode("utf-16-le")
+
+
+def _unpack_utf16(buf: bytes, pos: int) -> tuple[str, int]:
+    n = buf[pos]
+    pos += 1
+    return buf[pos : pos + 2 * n].decode("utf-16-le"), pos + 2 * n
+
+
+# --- geometry blobs --------------------------------------------------------
+
+
+def _encode_point(x: float, y: float, f: Field) -> bytes:
+    out = bytearray()
+    _write_varuint(out, _SHAPE_POINT)
+    _write_varuint(out, round((x - f.xorigin) * f.xyscale) + 1)
+    _write_varuint(out, round((y - f.yorigin) * f.xyscale) + 1)
+    return bytes(out)
+
+
+def _encode_polygon(rings: list[np.ndarray], f: Field) -> bytes:
+    out = bytearray()
+    _write_varuint(out, _SHAPE_POLYGON)
+    sx = [np.rint((r[:, 0] - f.xorigin) * f.xyscale).astype("int64")
+          for r in rings]
+    sy = [np.rint((r[:, 1] - f.yorigin) * f.xyscale).astype("int64")
+          for r in rings]
+    n_points = sum(len(r) for r in rings)
+    _write_varuint(out, n_points)
+    _write_varuint(out, len(rings))
+    ax = np.concatenate(sx)
+    ay = np.concatenate(sy)
+    _write_varuint(out, int(ax.min()))
+    _write_varuint(out, int(ay.min()))
+    _write_varuint(out, int(ax.max() - ax.min()))
+    _write_varuint(out, int(ay.max() - ay.min()))
+    for r in rings[:-1]:
+        _write_varuint(out, len(r))
+    prev = 0
+    for arr in (ax, ay):  # x run, then y run; first delta absolute
+        prev = 0
+        for v in arr.tolist():
+            _write_varuint(out, _zigzag(v - prev))
+            prev = v
+    return bytes(out)
+
+
+def _decode_geometry(blob: bytes, f: Field) -> bytes | None:
+    """Compressed geometry → OGC WKB (little-endian)."""
+    stype, pos = _read_varuint(blob, 0)
+    if stype == _SHAPE_POINT:
+        sx, pos = _read_varuint(blob, pos)
+        sy, pos = _read_varuint(blob, pos)
+        x = (sx - 1) / f.xyscale + f.xorigin
+        y = (sy - 1) / f.xyscale + f.yorigin
+        return struct.pack("<BI2d", 1, 1, x, y)
+    if stype == _SHAPE_POLYGON:
+        n_points, pos = _read_varuint(blob, pos)
+        n_parts, pos = _read_varuint(blob, pos)
+        for _ in range(4):  # bbox (audit-only here)
+            _, pos = _read_varuint(blob, pos)
+        counts = []
+        for _ in range(max(0, n_parts - 1)):
+            c, pos = _read_varuint(blob, pos)
+            counts.append(c)
+        counts.append(n_points - sum(counts))
+        vals = np.empty(2 * n_points, dtype="int64")
+        for k in range(2 * n_points):
+            z, pos = _read_varuint(blob, pos)
+            vals[k] = _unzigzag(z)
+        xs = np.cumsum(vals[:n_points]) / f.xyscale + f.xorigin
+        ys = np.cumsum(vals[n_points:]) / f.xyscale + f.yorigin
+        out = bytearray(struct.pack("<BII", 1, 3, n_parts))
+        start = 0
+        for c in counts:
+            ring = np.empty((c, 2))
+            ring[:, 0] = xs[start : start + c]
+            ring[:, 1] = ys[start : start + c]
+            out += struct.pack("<I", c)
+            out += ring.astype("<f8").tobytes()
+            start += c
+        return bytes(out)
+    raise ValueError(f"unsupported compressed-geometry type {stype}")
+
+
+# --- table writer (fixtures/testing only) ----------------------------------
+
+
+def write_gdbtable(
+    path: str, fields: list[Field], rows: list[tuple], geom_type: int
+) -> None:
+    """Spec-subset .gdbtable + .gdbtablx writer. `rows` carry one
+    value per non-OBJECTID field (OBJECTID is implicit); geometry
+    values are (kind, data): (1, (x, y)) or (5, [rings])."""
+    fsec = bytearray()
+    fsec += struct.pack("<i", 4)  # version
+    fsec += struct.pack("<B3x", geom_type)
+    fsec += struct.pack("<h", len(fields))
+    for f in fields:
+        _pack_utf16(fsec, f.name)
+        _pack_utf16(fsec, "")  # alias
+        fsec.append(f.ftype)
+        if f.ftype == T_STRING:
+            fsec += struct.pack("<iB", 65536, 1 if f.nullable else 0)
+        elif f.ftype in (T_INT32, T_FLOAT64):
+            width = 4 if f.ftype == T_INT32 else 8
+            fsec += struct.pack("<BB", width, 1 if f.nullable else 0)
+        elif f.ftype == T_OBJECTID:
+            fsec += struct.pack("<BB", 4, 0)
+        elif f.ftype == T_GEOMETRY:
+            fsec.append(0)
+            fsec += struct.pack("<B", 1 if f.nullable else 0)
+            srs = "GCS_WGS_1984"
+            fsec += struct.pack("<h", len(srs))
+            fsec += srs.encode("utf-16-le")
+            fsec.append(0)  # no Z/M
+            fsec += struct.pack("<3d", f.xorigin, f.yorigin, f.xyscale)
+        else:
+            raise ValueError(f"writer unsupported field type {f.ftype}")
+
+    payload = fields_payload = [f for f in fields if f.ftype != T_OBJECTID]
+    nullable = [f for f in payload if f.nullable]
+    body = bytearray()
+    offsets = []
+    base = 40 + 4 + len(fsec)
+    for row in rows:
+        assert len(row) == len(fields_payload)
+        rec = bytearray()
+        bitmap = bytearray((len(nullable) + 7) // 8)
+        ni = 0
+        vals = bytearray()
+        for f, v in zip(payload, row):
+            if f.nullable:
+                if v is None:
+                    bitmap[ni // 8] |= 1 << (ni % 8)
+                ni += 1
+            if v is None:
+                continue
+            if f.ftype == T_INT32:
+                vals += struct.pack("<i", int(v))
+            elif f.ftype == T_FLOAT64:
+                vals += struct.pack("<d", float(v))
+            elif f.ftype == T_STRING:
+                enc = str(v).encode("utf-8")
+                _write_varuint(vals, len(enc))
+                vals += enc
+            elif f.ftype == T_GEOMETRY:
+                kind, data = v
+                if kind == _SHAPE_POINT:
+                    blob = _encode_point(data[0], data[1], f)
+                else:
+                    blob = _encode_polygon(data, f)
+                _write_varuint(vals, len(blob))
+                vals += blob
+            else:
+                raise ValueError(f"unsupported value type {f.ftype}")
+        rec += bitmap + vals
+        offsets.append(base + len(body))
+        body += struct.pack("<i", len(rec)) + rec
+
+    hdr = bytearray(40)
+    struct.pack_into("<ii", hdr, 0, GDB_MAGIC, len(rows))
+    total = 40 + 4 + len(fsec) + len(body)
+    struct.pack_into("<q", hdr, 24, total)
+    struct.pack_into("<q", hdr, 32, 40)
+    with open(path, "wb") as fh:
+        fh.write(hdr)
+        fh.write(struct.pack("<i", len(fsec)))
+        fh.write(fsec)
+        fh.write(body)
+
+    tablx = bytearray(struct.pack("<4i", GDB_MAGIC, 0, len(rows), 5))
+    for off in offsets:
+        tablx += off.to_bytes(5, "little")
+    with open(path[: -len(".gdbtable")] + ".gdbtablx", "wb") as fh:
+        fh.write(tablx)
+
+
+# --- table reader ----------------------------------------------------------
+
+
+def parse_fields(content: bytes) -> tuple[list[Field], int, int]:
+    """→ (fields, row-section offset, n_rows)."""
+    magic, n_rows = struct.unpack_from("<ii", content, 0)
+    if magic != GDB_MAGIC:
+        raise ValueError(f"not a .gdbtable: bad magic {magic}")
+    (fsec_off,) = struct.unpack_from("<q", content, 32)
+    (fsec_size,) = struct.unpack_from("<i", content, fsec_off)
+    pos = fsec_off + 4
+    version, = struct.unpack_from("<i", content, pos)
+    pos += 4
+    pos += 4  # geom type + 3 flag bytes
+    (n_fields,) = struct.unpack_from("<h", content, pos)
+    pos += 2
+    fields: list[Field] = []
+    for _ in range(n_fields):
+        name, pos = _unpack_utf16(content, pos)
+        _alias, pos = _unpack_utf16(content, pos)
+        ftype = content[pos]
+        pos += 1
+        if ftype == T_STRING:
+            _maxlen, flags = struct.unpack_from("<iB", content, pos)
+            pos += 5
+            fields.append(Field(name, ftype, bool(flags & 1)))
+        elif ftype in (T_INT32, T_FLOAT64):
+            _w, flags = struct.unpack_from("<BB", content, pos)
+            pos += 2
+            fields.append(Field(name, ftype, bool(flags & 1)))
+        elif ftype == T_OBJECTID:
+            pos += 2
+            fields.append(Field(name, ftype, False))
+        elif ftype == T_GEOMETRY:
+            flags = content[pos + 1]
+            pos += 2
+            (srs_len,) = struct.unpack_from("<h", content, pos)
+            pos += 2 + 2 * srs_len
+            pos += 1  # z/m flags
+            xo, yo, sc = struct.unpack_from("<3d", content, pos)
+            pos += 24
+            fields.append(
+                Field(name, ftype, bool(flags & 1), xo, yo, sc)
+            )
+        else:
+            raise ValueError(f"unsupported field type {ftype} ({name})")
+    return fields, fsec_off + 4 + fsec_size, n_rows
+
+
+def parse_gdbtable(
+    content: bytes, columns: list[str] | None = None
+) -> pd.DataFrame:
+    """Decode .gdbtable bytes → DataFrame (geometry as OGC WKB).
+
+    `columns` projects INSIDE the decoder: unrequested fields are
+    skipped, and skipping a geometry field costs one varuint read
+    (the blob is length-prefixed), so attrs-only scans never decode
+    coordinates."""
+    fields, pos, n_rows = parse_fields(content)
+    want = None if columns is None else set(columns)
+    out_fields = [
+        f for f in fields if want is None or f.name in want
+    ]
+    data: dict[str, list] = {f.name: [] for f in out_fields}
+    nullable = [f for f in fields if f.nullable]
+    oid_field = next((f for f in fields if f.ftype == T_OBJECTID), None)
+    for rowno in range(n_rows):
+        (size,) = struct.unpack_from("<i", content, pos)
+        pos += 4
+        end = pos + size
+        nbytes = (len(nullable) + 7) // 8
+        bitmap = content[pos : pos + nbytes]
+        p = pos + nbytes
+        ni = 0
+        if oid_field is not None and (want is None or oid_field.name in want):
+            data[oid_field.name].append(rowno + 1)
+        for f in fields:
+            if f.ftype == T_OBJECTID:
+                continue
+            is_null = False
+            if f.nullable:
+                is_null = bool(bitmap[ni // 8] & (1 << (ni % 8)))
+                ni += 1
+            keep = want is None or f.name in want
+            if is_null:
+                if keep:
+                    data[f.name].append(None)
+                continue
+            if f.ftype == T_INT32:
+                if keep:
+                    data[f.name].append(
+                        struct.unpack_from("<i", content, p)[0]
+                    )
+                p += 4
+            elif f.ftype == T_FLOAT64:
+                if keep:
+                    data[f.name].append(
+                        struct.unpack_from("<d", content, p)[0]
+                    )
+                p += 8
+            elif f.ftype == T_STRING:
+                ln, p = _read_varuint(content, p)
+                if keep:
+                    data[f.name].append(
+                        content[p : p + ln].decode("utf-8")
+                    )
+                p += ln
+            elif f.ftype == T_GEOMETRY:
+                ln, p = _read_varuint(content, p)
+                if keep:
+                    data[f.name].append(
+                        _decode_geometry(content[p : p + ln], f)
+                    )
+                p += ln
+        pos = end
+    return pd.DataFrame(data, columns=[f.name for f in out_fields])
+
+
+def largest_layer(gdb_dir: str) -> str:
+    """The reference's member selection (`ls -S … head -n1`,
+    ORNL-FEMA-Buildings.md:76-78): largest .gdbtable by file size —
+    driver-side metadata-only logic."""
+    cands = [
+        os.path.join(gdb_dir, f)
+        for f in os.listdir(gdb_dir)
+        if f.endswith(".gdbtable")
+    ]
+    if not cands:
+        raise FileNotFoundError(f"no .gdbtable members in {gdb_dir}")
+    return max(cands, key=os.path.getsize)
+
+
+def _spark_type(f: Field) -> str:
+    return {
+        T_INT32: "int",
+        T_FLOAT64: "double",
+        T_STRING: "string",
+        T_OBJECTID: "long",
+        T_GEOMETRY: "binary",
+    }[f.ftype]
+
+
+def read_filegdb(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed FileGDB layer scan: binaryFile source →
+    mapInPandas decoder (ST_READ rendition, ORNL-FEMA-Buildings.md:81).
+    `path` is a .gdbtable file or a .gdb directory (largest member
+    picked like the reference). Schema comes from the field
+    descriptors, read once driver-side; `columns` pushes projection
+    into the decoder."""
+    if os.path.isdir(path):
+        path = largest_layer(path)
+    with open(path, "rb") as fh:
+        head = fh.read(1 << 20)
+    fields, _, _ = parse_fields(head)
+    out_fields = [f for f in fields if columns is None or f.name in columns]
+    schema = ", ".join(
+        f"`{f.name}` {_spark_type(f)}" for f in out_fields
+    ) + ", source string"
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                out = parse_gdbtable(bytes(content), columns)
+                out["source"] = fpath
+                yield out
+
+    return files.mapInPandas(decode, schema=schema)

@@ -367,6 +367,52 @@ def gdb_scan_oids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gpkg_heatmap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 GeoPackage export, REAL (sources/geopackage.py, stdlib
+    sqlite3 — no GDAL): res-7 heatmap polygons → .gpkg with per-feature
+    envelopes (WRITE_BBOX=YES parity, East-Asia-…md:263-273) →
+    distributed rowid-range re-scan → audit aggregate. The oracle
+    computes the same audit straight from the golden heatmap, so the
+    write→read cycle must be lossless to hash-match."""
+    import os as _os
+
+    from gis_etl_spark.fixtures import FIXTURE_ROOT
+    from gis_etl_spark.geom.functions import st_geomfromtext
+    from gis_etl_spark.sources.geopackage import (
+        read_geopackage,
+        write_geopackage,
+    )
+
+    cells = P.heatmap_export(_read(spark), res=7)
+    feat = cells.select(
+        st_geomfromtext(F.col("boundary")).alias("geom"),
+        F.col("cell"),
+        F.col("num_recs"),
+    )
+    out_dir = _os.path.join(FIXTURE_ROOT, "gpkg_export")
+    _os.makedirs(out_dir, exist_ok=True)
+    path = _os.path.join(out_dir, "heatmap.gpkg")
+    write_geopackage(
+        feat, path, "heatmap", geometry_type="POLYGON", write_bbox=True
+    )
+    back = read_geopackage(spark, path, "heatmap", num_partitions=8)
+    return back.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("num_recs").cast("bigint").alias("total_recs"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell"),
+        # envelope sanity folds into the hash: every feature carries a
+        # well-ordered bbox in WGS84
+        F.sum(
+            (
+                (F.col("env_minx") <= F.col("env_maxx"))
+                & (F.col("env_miny") <= F.col("env_maxy"))
+                & (F.col("srs_id") == 4326)
+            ).cast("long")
+        ).alias("n_bbox_ok"),
+    )
+
+
 def layout_morton_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton keys over engine centroids — JVM-native bit expressions
     (layout/sfc.py), oracle-checked: unlike the Hilbert loop, the
@@ -535,6 +581,21 @@ def oracle_sqls() -> dict[str, str]:
             SELECT {hex_parent_sql('cell', 7, 5)} AS parent_cell,
                    sum(num_recs)::BIGINT AS num_recs
             FROM fine GROUP BY 1 ORDER BY 1
+        """,
+        "gpkg_heatmap_roundtrip": f"""
+            WITH fine AS (
+              SELECT {cell} AS cell, count(*) AS num_recs
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL
+                AND e.cx < 175.0 AND e.cx > -175.0  -- antimeridian guard
+              GROUP BY 1
+            )
+            SELECT count(*) AS n_cells,
+                   sum(num_recs)::BIGINT AS total_recs,
+                   min(cell) AS min_cell,
+                   max(cell) AS max_cell,
+                   count(*)::BIGINT AS n_bbox_ok
+            FROM fine
         """,
         "geo_heatmap_pyramid": f"""
             WITH fine AS (

@@ -383,6 +383,9 @@ REGISTRY.update(
         # rows-only: DuckDB 1.0.0 has no Hilbert/lindel and cannot
         # reproduce boundary-string formatting bit-for-bit
         "gdb_scan_attrs": (G.gdb_scan_attrs, _GEO_SQLS["gdb_scan_attrs"]),
+        "gpkg_heatmap_roundtrip": (
+            G.gpkg_heatmap_roundtrip, _GEO_SQLS["gpkg_heatmap_roundtrip"],
+        ),
         "gdb_scan_oids": (G.gdb_scan_oids, _GEO_SQLS["gdb_scan_oids"]),
         "geo_heatmap_export": (G.geo_heatmap_export, None),
         "hex_heatmap_export": (G.hex_heatmap_export, None),

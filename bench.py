@@ -75,24 +75,10 @@ def _geo_benches(spark) -> dict[str, float]:
     B.heatmap(src).count()
     out["geo_heatmap_200k"] = round(time.time() - t0, 3)
 
-    # icosahedral hex heatmap (layout/geohex.py): same two-phase agg,
-    # cell id from native (let-bound) column arithmetic — ~3× the
-    # lattice cost for exact near-uniform-area cells
-    from gis_etl_spark.layout.geohex import hex_cell
-
+    # icosahedral hex heatmap: fused WKB→centroid→cell Arrow kernel
+    # (one Python hop), exact near-uniform-area cells at ~lattice cost
     t0 = time.time()
-    (
-        B.with_centroid(src.filter(F.col("geom").isNotNull()))
-        .groupBy(
-            hex_cell(
-                F.col("centroid").getField("y"),
-                F.col("centroid").getField("x"),
-                7,
-            ).alias("cell")
-        )
-        .count()
-        .count()
-    )
+    B.hex_heatmap(src).count()
     out["hex_heatmap_200k"] = round(time.time() - t0, 3)
 
     t0 = time.time()

@@ -166,37 +166,20 @@ def hex_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-angle lattice: near-uniform cell areas globally, H3-style √7
     hierarchy. Native column arithmetic with let-bound subexpressions;
     aggregation is a two-phase hash agg on an int64 id, exactly like
-    the lattice path, so the 100 TB plan is unchanged."""
-    from gis_etl_spark.layout.geohex import hex_cell
-
-    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
-    return (
-        df.groupBy(
-            hex_cell(
-                F.col("centroid").getField("y"),
-                F.col("centroid").getField("x"),
-                7,
-            ).alias("cell")
-        )
-        .agg(F.count("*").alias("num_recs"))
-        .orderBy("cell")
-    )
+    the lattice path, so the 100 TB plan is unchanged. Cell ids come
+    from the fused WKB→centroid→cell Arrow kernel (one Python hop;
+    bit-identical to the let-bound Column rendition —
+    tests/test_layout.py)."""
+    return P.hex_heatmap(_read(spark), res=7).orderBy("cell")
 
 
 def hex_heatmap_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex heatmap rolled up res 7 → res 5 via hex_parent
     (H3_CELL_TO_PARENT shape) — pure arithmetic on the packed id, no
     trig, shuffle volume O(res-7 cells)."""
-    from gis_etl_spark.layout.geohex import hex_cell, hex_parent
+    from gis_etl_spark.layout.geohex import hex_parent
 
-    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
-    fine = df.groupBy(
-        hex_cell(
-            F.col("centroid").getField("y"),
-            F.col("centroid").getField("x"),
-            7,
-        ).alias("cell")
-    ).agg(F.count("*").alias("num_recs"))
+    fine = P.hex_heatmap(_read(spark), res=7)
     return (
         fine.groupBy(hex_parent(F.col("cell"), 7, 5).alias("parent_cell"))
         .agg(F.sum("num_recs").cast("bigint").alias("num_recs"))

@@ -187,6 +187,23 @@ def heatmap(df: DataFrame, res: int = 7, geom_col: str = "geom") -> DataFrame:
     )
 
 
+def hex_heatmap(df: DataFrame, res: int = 7, geom_col: str = "geom") -> DataFrame:
+    """Heatmap on the icosahedral aperture-7 hex grid — same two-phase
+    hash agg as heatmap(), cell id from the FUSED WKB→centroid→cell
+    Arrow kernel (geom.functions.st_centroid_hex_cell): one Python hop
+    total, then the aggregation is all-JVM on an int64 key. The
+    let-bound Column rendition (layout.geohex.hex_cell) remains for
+    UDF-free contexts; ids are bit-identical across both paths."""
+    from gis_etl_spark.geom.functions import st_centroid_hex_cell
+
+    return (
+        df.filter(F.col(geom_col).isNotNull())
+        .select(st_centroid_hex_cell(F.col(geom_col), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("num_recs"))
+    )
+
+
 def heatmap_export(df: DataFrame, res: int = 7, geom_col: str = "geom") -> DataFrame:
     """Heatmap cells + boundary WKT with the antimeridian guard — the
     GPKG export query (East-Asia-Building-Footprints.md:263-273) with

@@ -261,3 +261,79 @@ def test_hex_boundary_wkt_closed_hexagon(spark, hex_pts):
         pts = r.wkt[len("POLYGON (("):-2].split(", ")
         assert len(pts) == 7  # closed ring: 6 corners + repeat
         assert pts[0] == pts[-1]
+
+
+def test_hex_cell_np_matches_column_exactly(spark, hex_pts):
+    """The vectorized numpy twin and the Arrow-pass wrapper must be
+    BIT-IDENTICAL to the let-bound Column rendition — the oracle gate
+    hashes raw cell ids, so approximate agreement is not enough."""
+    from gis_etl_spark.layout.geohex import (
+        hex_cell,
+        hex_cell_arrow,
+        hex_cell_np,
+    )
+
+    pdf = hex_pts.toPandas()
+    for res in (0, 3, 7, 12):
+        native = (
+            hex_pts.select(
+                "pid", hex_cell(F.col("lat"), F.col("lng"), res).alias("c")
+            )
+            .toPandas()
+            .sort_values("pid")["c"]
+            .to_numpy()
+        )
+        vec = hex_cell_np(
+            pdf.sort_values("pid")["lat"].to_numpy(),
+            pdf.sort_values("pid")["lng"].to_numpy(),
+            res,
+        )
+        assert (native == vec).all()
+        arrow = (
+            hex_pts.select(
+                "pid",
+                hex_cell_arrow(F.col("lat"), F.col("lng"), res).alias("c"),
+            )
+            .toPandas()
+            .sort_values("pid")["c"]
+            .to_numpy()
+        )
+        assert (native == arrow.astype("int64")).all()
+
+
+def test_fused_centroid_hex_cell_matches_staged_path(spark):
+    """st_centroid_hex_cell (one Arrow pass over WKB) == st_centroid
+    staging + hex_cell Column over the struct fields, id-for-id, on the
+    buildings fixture — the exact composition the hex_heatmap contract
+    query replaced."""
+    from gis_etl_spark.geom.functions import st_centroid_hex_cell
+    from gis_etl_spark.layout.geohex import hex_cell
+    from gis_etl_spark.ops.geometry_queries import _read
+    from gis_etl_spark.pipelines import buildings as B
+
+    src = _read(spark).filter(F.col("geom").isNotNull())
+    fused = (
+        src.select(
+            "building_id",
+            st_centroid_hex_cell(F.col("geom"), 7).alias("cell"),
+        )
+        .toPandas()
+        .sort_values("building_id")
+    )
+    staged = (
+        B.with_centroid(src)
+        .select(
+            "building_id",
+            hex_cell(
+                F.col("centroid").getField("y"),
+                F.col("centroid").getField("x"),
+                7,
+            ).alias("cell"),
+        )
+        .toPandas()
+        .sort_values("building_id")
+    )
+    assert (
+        fused["cell"].to_numpy().astype("int64")
+        == staged["cell"].to_numpy().astype("int64")
+    ).all()

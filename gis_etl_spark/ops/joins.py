@@ -1,0 +1,364 @@
+"""Temporal & spatial join operators: as-of join, point-in-interval
+range join, radius near-pair self-join.
+
+The reference runs zero SQL joins (SURVEY.md §2.4) — these are the
+custom join shapes a training-data / telemetry pipeline layered on the
+same engine needs, each expressed WITHOUT inequality join conditions,
+which Spark can only execute as broadcast-nested-loop or cartesian —
+the non-starter at 100 TB:
+
+- as-of join          → union + sorted window (`last(..., ignorenulls)`
+                        over the interleaved timeline). ONE hash
+                        shuffle on the key, state is a single running
+                        value per partition — the same plan shape
+                        Flink/kdb use for temporal joins.
+- interval range join → bucketize time, explode each interval into the
+                        buckets it overlaps, hash equi-join on
+                        (key, bucket), residual range filter. Each
+                        point lives in exactly one bucket, so no
+                        post-join dedup is needed.
+- spatial near-pairs  → the same trick in 2-D: grid cells of width r,
+                        one side exploded to its 3×3 cell
+                        neighborhood, equi-join on the cell id,
+                        residual euclidean filter, `id < id` to halve.
+
+All three verify against DuckDB: ASOF JOIN is native there, and its
+IEJoin handles the inequality formulations the Spark plans avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gis_etl_spark.io import read_table
+
+# --- generic operators ------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    `right_ts` <= `left_ts` ("backward"; "forward" = smallest >=) for
+    the same key. Matched value columns come back as `asof_<col>`,
+    plus `asof_ts` (the matched timestamp, epoch micros).
+
+    Rows from both sides interleave into one timeline per key; a
+    running `last(..., ignorenulls=True)` carries the latest reference
+    values forward (backward direction: ascending scan; forward:
+    descending). Reference rows sort BEFORE left rows at equal
+    timestamps, so ties match, as in DuckDB/pandas ASOF semantics.
+    Right side should be unique per (key, ts) — pre-aggregate if not,
+    or the carried value at a tied timestamp is order-dependent.
+
+    Scale: one shuffle on `on`; per-key state is one row regardless of
+    history length. No range explosion, no nested-loop join.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+
+    l2 = left.select(
+        *on,
+        F.unix_micros(F.col(left_ts)).alias("_ts_us"),
+        F.lit(0).alias("_is_ref"),
+        F.lit(None).cast("long").alias("_ref_ts_us"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_ref_{c}")
+          for c in value_cols],
+        *[F.col(c).alias(f"_l_{c}")
+          for c in left.columns if c not in set(on)],
+    )
+    r2 = right.select(
+        *on,
+        F.unix_micros(F.col(right_ts)).alias("_ts_us"),
+        F.lit(1).alias("_is_ref"),
+        F.unix_micros(F.col(right_ts)).alias("_ref_ts_us"),
+        *[F.col(c).alias(f"_ref_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns if c not in set(on)],
+    )
+    merged = l2.unionByName(r2)
+
+    ts_order = (
+        [F.col("_ts_us").asc(), F.col("_is_ref").desc()]
+        if direction == "backward"
+        else [F.col("_ts_us").desc(), F.col("_is_ref").desc()]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*ts_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        *merged.columns,
+        F.last("_ref_ts_us", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_ref_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_is_ref") == 0).select(
+        *on,
+        F.col("_ts_us").alias(f"{left_ts}_us"),
+        *[F.col(f"_l_{c}").alias(c)
+          for c in left.columns if c not in set(on)],
+        "asof_ts",
+        *[f"asof_{c}" for c in value_cols],
+    )
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts_us: str,
+    start_us: str,
+    end_us: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Inner join of point rows to every interval row of the same key
+    with `start_us < point_ts <= end_us` (half-open, label = end).
+
+    Buckets of `bucket_us` micros: each interval explodes to the
+    buckets it overlaps (⌈len/bucket⌉+1 rows — pick bucket_us ≈ the
+    typical interval length so that's ≤2), points map to exactly ONE
+    bucket, the join is a plain hash equi-join on (key, bucket), and
+    the residual range predicate filters within matched buckets. A
+    point matches an interval in exactly one bucket pair → no dedup.
+    """
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_us) / F.lit(bucket_us)),
+                F.floor(F.col(end_us) / F.lit(bucket_us)),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_b", F.floor(F.col(point_ts_us) / F.lit(bucket_us))
+    )
+    return (
+        pt.join(iv, on=on + ["_b"], how="inner")
+        .filter(
+            (F.col(point_ts_us) > F.col(start_us))
+            & (F.col(point_ts_us) <= F.col(end_us))
+        )
+        .drop("_b")
+    )
+
+
+def near_pairs(
+    pts: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """All unordered pairs with euclidean distance <= radius:
+    grid cells of width `radius`, side B exploded to its 3×3
+    neighborhood, equi-join on the cell, residual distance filter,
+    `a.id < b.id`. Each qualifying pair matches on exactly one
+    (cell, offset) combination → no dedup. Shuffle key is the cell id;
+    skew only where point density is pathological (salt there).
+    """
+    cx = F.floor(F.col(x_col) / F.lit(radius)).cast("long")
+    cy = F.floor(F.col(y_col) / F.lit(radius)).cast("long")
+    a = pts.select(
+        F.col(id_col).alias("a_id"),
+        F.col(x_col).alias("ax"),
+        F.col(y_col).alias("ay"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    b = (
+        pts.select(
+            F.col(id_col).alias("b_id"),
+            F.col(x_col).alias("bx"),
+            F.col(y_col).alias("by"),
+            cx.alias("_bcx"),
+            cy.alias("_bcy"),
+        )
+        .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "b_id", "bx", "by",
+            (F.col("_bcx") + F.col("_dx")).alias("_cx"),
+            (F.col("_bcy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    d2 = (
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    )
+    return (
+        a.join(b, on=["_cx", "_cy"], how="inner")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(d2 <= F.lit(radius * radius))
+        .select("a_id", "b_id", "ax", "ay", "bx", "by")
+    )
+
+
+# --- contract queries -------------------------------------------------------
+
+_WINDOW_US = 24 * 3600 * 1_000_000  # interval_error_activity horizon
+
+
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event: the user's most recent view at-or-before
+    it (classic as-of enrichment). Views are pre-aggregated to one row
+    per (user, ts) so ties are deterministic in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        clicks, views, on=["user_id"], value_cols=["view_value"],
+        direction="backward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.col("asof_ts")).alias("gap_us"),
+        F.round("asof_view_value", 2).alias("view_value"),
+    ).orderBy("event_id")
+
+
+def interval_error_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how much same-user activity follows within 24
+    hours (incident blast-radius shape). Bucketed range join; errors
+    with zero followers survive via the final left join."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.lit(_WINDOW_US)).alias("end_us"),
+    )
+    pts = ev.select("user_id", "ts_us", "value")
+    matched = interval_join(
+        pts, errors, on=["user_id"], point_ts_us="ts_us",
+        start_us="start_us", end_us="end_us", bucket_us=_WINDOW_US,
+    )
+    per_err = matched.groupBy("err_id").agg(
+        F.count("*").alias("n_follow"),
+        F.sum("value").alias("follow_value"),
+    )
+    return (
+        errors.join(per_err, on="err_id", how="left")
+        .select(
+            F.col("err_id").alias("event_id"),
+            "user_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+            F.round(F.coalesce("follow_value", F.lit(0.0)), 2).alias(
+                "follow_value"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+NEAR_RADIUS_DEG = 0.03  # ~3 km at the fixture's latitudes
+
+
+def spatial_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Building pairs with centroids within NEAR_RADIUS_DEG (euclidean
+    in degrees — the fixture's raw frame; a production pipeline runs
+    this after convert() in a projected CRS). UTM-meter and flipped
+    sources are excluded by the geographic-range guard, matching the
+    oracle's filter on the golden centroid table."""
+    from gis_etl_spark.ops.geometry_queries import _read
+    from gis_etl_spark.pipelines import buildings as B
+
+    pts = (
+        B.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+        .select(
+            "building_id",
+            F.col("centroid").getField("x").alias("cx"),
+            F.col("centroid").getField("y").alias("cy"),
+        )
+        .filter((F.abs(F.col("cx")) <= 180.0) & (F.abs(F.col("cy")) <= 90.0))
+    )
+    pairs = near_pairs(pts, "building_id", "cx", "cy", NEAR_RADIUS_DEG)
+    d2 = (
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(F.sqrt(d2), 8).alias("dist_deg"),
+    ).orderBy("a_id", "b_id")
+
+
+def oracle_sqls() -> dict[str, str]:
+    from gis_etl_spark.ops.geometry_queries import fixture_paths
+
+    bpath, epath = fixture_paths()
+    b = f"read_parquet('{bpath}')"
+    e = f"read_parquet('{epath}')"
+    r = repr(NEAR_RADIUS_DEG)
+    return {
+        "asof_click_view": """
+            WITH views AS (
+              SELECT user_id, ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            ),
+            clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
+                   round(v.view_value, 2) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY c.event_id
+        """,
+        "interval_error_activity": f"""
+            SELECT e.event_id, e.user_id,
+                   count(p.event_id) AS n_follow,
+                   round(coalesce(sum(p.value), 0), 2) AS follow_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            LEFT JOIN events p
+              ON p.user_id = e.user_id
+             AND p.ts > e.ts
+             AND epoch_us(p.ts) <= epoch_us(e.ts) + {_WINDOW_US}
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "spatial_near_pairs": f"""
+            WITH pts AS (
+              SELECT e.building_id, e.cx, e.cy
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL
+                AND abs(e.cx) <= 180.0 AND abs(e.cy) <= 90.0
+            )
+            SELECT a.building_id AS a_id, b.building_id AS b_id,
+                   round(sqrt((b.cx - a.cx) * (b.cx - a.cx)
+                            + (b.cy - a.cy) * (b.cy - a.cy)), 8) AS dist_deg
+            FROM pts a JOIN pts b
+              ON a.building_id < b.building_id
+             AND b.cx BETWEEN a.cx - {r} AND a.cx + {r}
+             AND b.cy BETWEEN a.cy - {r} AND a.cy + {r}
+             AND (b.cx - a.cx) * (b.cx - a.cx)
+               + (b.cy - a.cy) * (b.cy - a.cy) <= {r} * {r}
+            ORDER BY a_id, b_id
+        """,
+    }

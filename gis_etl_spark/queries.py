@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from gis_etl_spark.ops import dedup as D
 from gis_etl_spark.ops import geometry_queries as G
+from gis_etl_spark.ops import joins as J
 from gis_etl_spark.ops import multimodal as M
 from gis_etl_spark.ops import relational as R
 from gis_etl_spark.ops import similarity as S
@@ -402,6 +403,26 @@ REGISTRY.update(
             G.layout_morton_keys, _GEO_SQLS["layout_morton_keys"],
         ),
         "shp_scan_census": (G.shp_scan_census, _GEO_SQLS["shp_scan_census"]),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# Temporal/spatial join pack (ops/joins.py): as-of, interval range join,
+# radius near-pairs — inequality-free plan shapes, all oracle-checked
+# (DuckDB runs the native ASOF / IEJoin formulations).
+# ---------------------------------------------------------------------------
+
+_JOIN_SQLS = J.oracle_sqls()
+
+REGISTRY.update(
+    {
+        "asof_click_view": (J.asof_click_view, _JOIN_SQLS["asof_click_view"]),
+        "interval_error_activity": (
+            J.interval_error_activity, _JOIN_SQLS["interval_error_activity"],
+        ),
+        "spatial_near_pairs": (
+            J.spatial_near_pairs, _JOIN_SQLS["spatial_near_pairs"],
+        ),
     }
 )
 

@@ -1,0 +1,181 @@
+"""Temporal/spatial join operators (ops/joins.py): semantics against
+naive in-memory reference computations, plus plan hygiene — the whole
+point of these formulations is that NO plan contains a nested-loop or
+cartesian join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from gis_etl_spark.ops.joins import asof_join, interval_join, near_pairs
+from gis_etl_spark.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    """Small irregular timelines with ties and gaps."""
+    rng = np.random.default_rng(5)
+    n_q, n_t = 400, 150
+    quotes = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C"], n_q),
+            "ts": pd.to_datetime(
+                rng.integers(0, 1_000_000, n_q), unit="s", utc=False
+            ),
+            "bid": np.round(rng.uniform(10, 20, n_q), 2),
+        }
+    ).drop_duplicates(["sym", "ts"])
+    trades = pd.DataFrame(
+        {
+            "sym": rng.choice(["A", "B", "C", "D"], n_t),  # D: no quotes
+            "ts": pd.to_datetime(
+                rng.integers(0, 1_000_000, n_t), unit="s", utc=False
+            ),
+            "qty": rng.integers(1, 100, n_t),
+        }
+    )
+    # force a few exact timestamp ties (must match backward AND forward)
+    trades.loc[:4, ["sym", "ts"]] = quotes.iloc[:5][["sym", "ts"]].values
+    return trades, quotes
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_pandas(spark, trades_quotes, direction):
+    trades, quotes = trades_quotes
+    got = (
+        asof_join(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(quotes),
+            on=["sym"],
+            value_cols=["bid"],
+            direction=direction,
+        )
+        .toPandas()
+        .sort_values(["sym", "ts_us", "qty"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        trades.sort_values("ts"),
+        quotes.sort_values("ts"),
+        on="ts",
+        by="sym",
+        direction=direction,
+    )
+    exp["ts_us"] = exp["ts"].astype("int64") // 1000
+    exp = exp.sort_values(["sym", "ts_us", "qty"]).reset_index(drop=True)
+    assert len(got) == len(trades)
+    pd.testing.assert_series_equal(
+        got["asof_bid"].astype("float64"),
+        exp["bid"].astype("float64"),
+        check_names=False,
+    )
+
+
+def test_asof_join_tie_matches_same_timestamp(spark, trades_quotes):
+    """A reference at exactly the left timestamp is a valid match in
+    both directions (>= / <= semantics)."""
+    trades, quotes = trades_quotes
+    tied = trades.iloc[:5]
+    for direction in ("backward", "forward"):
+        got = asof_join(
+            spark.createDataFrame(tied),
+            spark.createDataFrame(quotes),
+            on=["sym"],
+            value_cols=["bid"],
+            direction=direction,
+        ).toPandas()
+        merged = tied.merge(quotes, on=["sym", "ts"])
+        merged["ts_us"] = merged["ts"].astype("int64") // 1000
+        exp = merged.set_index(["sym", "ts_us"])["bid"]
+        for _, row in got.iterrows():
+            assert row["asof_ts"] == row["ts_us"]
+            assert row["asof_bid"] == pytest.approx(
+                exp.loc[(row["sym"], row["ts_us"])]
+            )
+
+
+def test_interval_join_matches_naive(spark):
+    rng = np.random.default_rng(9)
+    pts = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y"], 300),
+            "t": rng.integers(0, 10_000, 300),
+            "v": rng.uniform(0, 1, 300),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y"], 40),
+            "s": rng.integers(0, 9_000, 40),
+        }
+    )
+    iv["e"] = iv["s"] + rng.integers(100, 2_000, 40)
+    iv["iv_id"] = np.arange(len(iv))
+    got = (
+        interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(iv),
+            on=["k"],
+            point_ts_us="t",
+            start_us="s",
+            end_us="e",
+            bucket_us=1_000,
+        )
+        .groupBy("iv_id")
+        .count()
+        .toPandas()
+        .set_index("iv_id")["count"]
+    )
+    naive = {
+        row.iv_id: int(
+            (
+                (pts["k"] == row.k) & (pts["t"] > row.s) & (pts["t"] <= row.e)
+            ).sum()
+        )
+        for row in iv.itertuples()
+    }
+    for iv_id, n in naive.items():
+        assert got.get(iv_id, 0) == n
+
+
+def test_near_pairs_matches_brute_force(spark):
+    rng = np.random.default_rng(3)
+    n = 500
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "x": rng.uniform(0, 1, n),
+            "y": rng.uniform(0, 1, n),
+        }
+    )
+    r = 0.03
+    got = (
+        near_pairs(spark.createDataFrame(pts), "pid", "x", "y", r)
+        .select("a_id", "b_id")
+        .toPandas()
+    )
+    got_set = set(zip(got["a_id"], got["b_id"]))
+    xy = pts[["x", "y"]].to_numpy()
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    ii, jj = np.where(d2 <= r * r)
+    exp = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
+    assert got_set == exp
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["asof_click_view", "interval_error_activity", "spatial_near_pairs"],
+)
+def test_join_plans_have_no_nested_loop(spark, sf_dir, name):
+    plan = (
+        REGISTRY[name][0](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name

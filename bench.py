@@ -46,6 +46,8 @@ HEADLINE = [
     "events_hourly_rollup",
     "sessionize_events",
     "text_quality_scores",
+    "asof_click_view",
+    "interval_error_activity",
     "dedup_minhash_pairs",
     "similarity_topk",
     "similarity_ann_lsh",

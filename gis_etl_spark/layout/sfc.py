@@ -113,6 +113,107 @@ def hilbert_encode(y: Column, x: Column) -> Column:
     return _hilbert_udf(y, x)
 
 
+def with_hilbert_key_native(
+    df,
+    y: Column,
+    x: Column,
+    key_col: str = "hkey",
+    order: int = DEFAULT_ORDER,
+):
+    """Skilling's AxesToTranspose as PURE JVM column arithmetic — no
+    Python hop, so a 100 TB merge_compact can compute its sort key
+    inside whole-stage codegen (the pandas-UDF rendition
+    `hilbert_encode` remains the default where an Arrow pass is
+    already being paid).
+
+    The loop state (a, b, t) lives in staged temp COLUMNS across
+    chained projections, not one Column tree: expression trees have
+    no subexpression sharing, so a loop-carried Column referenced k
+    times per round goes exponential in loop depth (measured: driver
+    OOM at order=16), and nesting higher-order-function let-bindings
+    instead exceeds the analyzer's fixed-point iteration cap. Attribute
+    references are shared by name across Project nodes, and
+    CollapseProject keeps multiply-referenced non-cheap aliases
+    staged, so the plan stays LINEAR: ~3·order narrow projections.
+    Integer bit ops are exact — tests assert bit equality with
+    hilbert_encode_np on goldens + random lattices. Returns df with
+    `key_col` appended (temp columns dropped).
+    """
+    scale = (1 << order) - 1
+    A, B, T = "_hil_a", "_hil_b", "_hil_t"
+
+    def clamp(c: Column) -> Column:
+        return F.least(F.greatest(c.cast("long"), F.lit(0)), F.lit(scale))
+
+    out = df.withColumn(
+        A, clamp((y + F.lit(90.0)) / F.lit(180.0) * F.lit(float(scale)))
+    ).withColumn(
+        B, clamp((x + F.lit(180.0)) / F.lit(360.0) * F.lit(float(scale)))
+    )
+
+    others = df.columns
+
+    # AxesToTranspose: Q rounds of conditional invert/exchange. ONE
+    # select per round: within a round, expressions duplicate only
+    # LEAF attribute refs (a, b), so per-round expression size is
+    # constant and total plan size linear in `order`.
+    for sh in range(order - 1, 0, -1):
+        q, p = 1 << sh, (1 << sh) - 1
+        a0, b = F.col(A), F.col(B)
+        # i = 0: hi = a & q → invert a (exchange with self is a no-op)
+        a = F.when(
+            a0.bitwiseAND(F.lit(q)) != 0, a0.bitwiseXOR(F.lit(p))
+        ).otherwise(a0)
+        # i = 1: hi = b & q → invert a; else exchange a↔b low bits
+        hi = b.bitwiseAND(F.lit(q)) != 0
+        t = F.when(hi, F.lit(0)).otherwise(
+            a.bitwiseXOR(b).bitwiseAND(F.lit(p))
+        )
+        a2 = F.when(hi, a.bitwiseXOR(F.lit(p))).otherwise(a.bitwiseXOR(t))
+        b2 = b.bitwiseXOR(t)
+        out = out.select(*others, a2.alias(A), b2.alias(B))
+
+    # Gray decode: b ^= a; t = XOR of (q-1) over set bits of b
+    out = out.select(
+        *others,
+        F.col(A).alias(A),
+        F.col(B).bitwiseXOR(F.col(A)).alias(B),
+        F.lit(0).cast("long").alias(T),
+    )
+    for sh in range(order - 1, 0, -1):
+        q = 1 << sh
+        out = out.select(
+            *others,
+            A,
+            B,
+            F.when(
+                F.col(B).bitwiseAND(F.lit(q)) != 0,
+                F.col(T).bitwiseXOR(F.lit(q - 1)),
+            )
+            .otherwise(F.col(T))
+            .alias(T),
+        )
+    out = out.select(
+        *others,
+        F.col(A).bitwiseXOR(F.col(T)).alias(A),
+        F.col(B).bitwiseXOR(F.col(T)).alias(B),
+    )
+
+    # interleave transpose form → key (a = higher bit per level)
+    key = F.lit(0).cast("long")
+    for bit in range(order):
+        key = key.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(F.col(A), bit).bitwiseAND(F.lit(1)), 2 * bit + 1
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(F.col(B), bit).bitwiseAND(F.lit(1)), 2 * bit
+            )
+        )
+    return out.withColumn(key_col, key.cast("long")).drop(A, B, T)
+
+
 def morton_encode(y: Column, x: Column, order: int = DEFAULT_ORDER) -> Column:
     """Z-order key as pure JVM expressions — bit-spread via shift/mask
     stages (public bit-twiddling identity), no Python round-trip.

@@ -337,3 +337,47 @@ def test_fused_centroid_hex_cell_matches_staged_path(spark):
         fused["cell"].to_numpy().astype("int64")
         == staged["cell"].to_numpy().astype("int64")
     ).all()
+
+
+def test_hilbert_native_matches_numpy(spark):
+    """with_hilbert_key_native (pure JVM bit arithmetic, staged
+    projections) must be BIT-IDENTICAL to hilbert_encode_np — same
+    lattice scaling, same Skilling rounds."""
+    import pandas as pd
+
+    from gis_etl_spark.layout.sfc import (
+        hilbert_encode_np,
+        with_hilbert_key_native,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lat": rng.uniform(-90.0, 90.0, n),
+            "lng": rng.uniform(-180.0, 180.0, n),
+        }
+    )
+    # include exact corners / clamp-edge inputs
+    edges = pd.DataFrame(
+        {
+            "pid": np.arange(n, n + 8),
+            "lat": [-90.0, 90.0, 0.0, 89.999999, -90.0, 90.0, 1e-9, -1e-9],
+            "lng": [-180.0, 180.0, 0.0, 179.999999, 180.0, -180.0, 1e-9, -1e-9],
+        }
+    )
+    pdf = pd.concat([pdf, edges], ignore_index=True)
+    got = (
+        with_hilbert_key_native(
+            spark.createDataFrame(pdf), F.col("lat"), F.col("lng")
+        )
+        .select("pid", "hkey")
+        .toPandas()
+        .sort_values("pid")["hkey"]
+        .to_numpy()
+    )
+    exp = hilbert_encode_np(
+        pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
+    ).astype("int64")
+    assert (got == exp).all()

@@ -581,3 +581,22 @@ def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty",
         )
     )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag — the A-family
+    distributional summary (SURVEY §2.5 extension). Spark's
+    `percentile` is exact (sort-based within agg); at 100 TB swap for
+    `percentile_approx` (t-digest, mergeable partials, no global sort)
+    — same call shape, documented trade."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

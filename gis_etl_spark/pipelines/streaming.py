@@ -173,6 +173,84 @@ def streaming_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("view_ts", LongType()),
+        StructField("view_value", DoubleType()),
+    ]
+)
+ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("gap_us", LongType()),
+        StructField("view_value", DoubleType()),
+    ]
+)
+
+
+def _asof_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming as-of enrichment state machine: per user, remember
+    the latest 'view' (ts, value); every 'click' emits its gap to that
+    view — the stateful twin of ops.joins.asof_join / the
+    asof_click_view contract query. O(1) state per key, like the
+    batch rendition's running window.
+
+    Rows sort by (ts, view-first) inside each batch so a click at a
+    view's exact timestamp matches it (the >= tie rule), and ties
+    between views keep the max value (the batch twin's pre-agg)."""
+    if state.exists:
+        view_ts, view_value = state.get
+    else:
+        view_ts, view_value = None, None
+    user_id = key[0]
+    out = []
+    rows = pd.concat(list(pdfs))
+    rows["_is_view"] = (rows["event_type"] == "view").astype(int)
+    rows = rows.sort_values(["ts", "_is_view"], ascending=[True, False])
+    for r in rows.itertuples():
+        ts_us = int(r.ts.value // 1000)
+        if r.event_type == "view":
+            if view_ts is None or ts_us > view_ts:
+                view_ts, view_value = ts_us, float(r.value)
+            elif ts_us == view_ts:
+                view_value = max(view_value, float(r.value))
+        elif r.event_type == "click":
+            gap = None if view_ts is None else ts_us - view_ts
+            vv = None if view_value is None else round(view_value, 2)
+            out.append((int(r.event_id), user_id, gap, vv))
+    state.update((view_ts, view_value))
+    yield pd.DataFrame(out, columns=[f.name for f in ASOF_OUT_SCHEMA])
+
+
+def streaming_asof_enrich(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """As-of stream enrichment via applyInPandasWithState. Correctness
+    bar (tested): stream == batch asof_click_view when files arrive in
+    event-time order — the standard contract for streaming as-of;
+    cross-batch out-of-order data needs an upstream watermark buffer."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=ASOF_OUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "update"
 ) -> None:

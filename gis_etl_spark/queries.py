@@ -265,6 +265,14 @@ WHERE regexp_extract(source, '(\\d+)', 1)::INT % 3 = 0
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q6_forecast_revenue": (R.q6_forecast_revenue, _Q6_SQL),
     "q14_promo_revenue": (R.q14_promo_revenue, _Q14_SQL),
+    "price_percentiles": (R.price_percentiles, """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""),
     "q18_large_orders": (R.q18_large_orders, _Q18_SQL),
     "pivot_status_by_flag": (R.pivot_status_by_flag, _PIVOT_SQL),
     "cube_orders": (R.cube_orders, _CUBE_SQL),

@@ -259,3 +259,47 @@ def test_streaming_sessionize_incremental_state(spark, sf_dir, tmp_path):
         for idx, row in final.iterrows()
     }
     assert got == want
+
+
+def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
+    """Stream == batch for the as-of enrichment: every click's
+    (gap_us, view_value) from the stateful stream must equal the
+    asof_click_view contract query, with state carrying the latest
+    view across micro-batch boundaries (2 time-ordered chunks)."""
+    import time
+
+    from gis_etl_spark.ops.joins import asof_click_view
+    from gis_etl_spark.pipelines.streaming import (
+        run_to_memory,
+        streaming_asof_enrich,
+    )
+
+    ev = read_table(spark, sf_dir, "events").orderBy("ts")
+    rows = ev.collect()
+    half = len(rows) // 2
+    flat = str(tmp_path / "asof_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    sdf = streaming_asof_enrich(spark, flat, max_files_per_trigger=1)
+    name = f"asof_{uuid.uuid4().hex[:8]}"
+    run_to_memory(sdf, name, output_mode="append")
+    got = {
+        r.event_id: (r.gap_us, r.view_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    exp = {
+        r.event_id: (r.gap_us, r.view_value)
+        for r in asof_click_view(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    mismatches = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
+    assert not mismatches, dict(list(mismatches.items())[:5])

@@ -73,31 +73,39 @@ def _geo_benches(spark) -> dict[str, float]:
     src = spark.read.parquet(bpath)
     out: dict[str, float] = {}
 
-    t0 = time.time()
-    B.heatmap(src).count()
-    out["geo_heatmap_200k"] = round(time.time() - t0, 3)
+    def steady(label: str, fn) -> None:
+        # warm once (Python worker fork, Arrow serializer init, codegen),
+        # time the second run — same policy as the HEADLINE loop
+        fn()
+        t0 = time.time()
+        fn()
+        out[label] = round(time.time() - t0, 3)
+
+    steady("geo_heatmap_200k", lambda: B.heatmap(src).count())
 
     # icosahedral hex heatmap: fused WKB→centroid→cell Arrow kernel
     # (one Python hop), exact near-uniform-area cells at ~lattice cost
-    t0 = time.time()
-    B.hex_heatmap(src).count()
-    out["hex_heatmap_200k"] = round(time.time() - t0, 3)
+    steady("hex_heatmap_200k", lambda: B.hex_heatmap(src).count())
 
-    t0 = time.time()
     # sum(length(geom)) forces the transform/flip UDFs to materialize —
     # count() would let Catalyst prune every geometry column
-    B.convert(src).agg(F.sum(F.length("geom"))).collect()
-    out["geo_convert_200k"] = round(time.time() - t0, 3)
+    steady(
+        "geo_convert_200k",
+        lambda: B.convert(src).agg(F.sum(F.length("geom"))).collect(),
+    )
 
     tmp = tempfile.mkdtemp(prefix="bench_merge_")
     try:
-        t0 = time.time()
-        B.merge_compact(
-            src.filter(F.col("geom").isNotNull()),
-            os.path.join(tmp, "merged"),
-            max_records_per_file=50_000,
-        )
-        out["geo_merge_compact_200k"] = round(time.time() - t0, 3)
+        runs = iter(("warm", "measured"))
+
+        def merge_once() -> None:
+            B.merge_compact(
+                src.filter(F.col("geom").isNotNull()),
+                os.path.join(tmp, next(runs)),
+                max_records_per_file=50_000,
+            )
+
+        steady("geo_merge_compact_200k", merge_once)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -346,9 +346,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- oracle SQL -------------------------------------------------------------
 
-def oracle_sqls() -> dict[str, str]:
-    path = ensure_documents_aug()
-    d = f"read_parquet('{path}')"
+
+def minhash_pairs_sql(src: str) -> str:
+    """The full MinHash+LSH verified-pairs pipeline as one SQL string
+    over `src` (any relation producing doc_id, text) — parameterized so
+    composition queries (training_data_prep) run the identical chain on
+    a filtered survivor set. Nested-WITH-safe: wrap in parentheses as a
+    subquery or CTE body."""
     h = h60_sql("w")
     minhash_cols = ", ".join(
         f"min(({a} * (h % {P31}) + {b}) % {P31}) AS m{j}"
@@ -360,15 +364,17 @@ def oracle_sqls() -> dict[str, str]:
             f"m{j}::VARCHAR"
             for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
         )
-        band_rows.append(f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig")
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
     bands_sql = " UNION ALL ".join(band_rows)
 
     # dw = distinct trigram shingles (1-based DuckDB lists: i..i+2 for
     # i in 1..len-2 matches Spark's 0-based i..i+2 for i in 0..size-3)
-    minhash_common = f"""
+    return f"""
         WITH ws0 AS (
           SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ww
-          FROM {d}
+          FROM {src}
         ), dw AS (
           SELECT DISTINCT doc_id,
                  ww[i] || ' ' || ww[i+1] || ' ' || ww[i+2] AS w
@@ -401,6 +407,13 @@ def oracle_sqls() -> dict[str, str]:
         WHERE i.inter * 1.0 / (sa.nw + sb.nw - i.inter) >= {MINHASH_JACCARD_T}
         ORDER BY i.doc_a, i.doc_b
     """
+
+
+def oracle_sqls() -> dict[str, str]:
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    h = h60_sql("w")
+    minhash_common = minhash_pairs_sql(d)
 
     bit_sums = ", ".join(
         f"sum(cnt * (((h >> {i}) & 1) * 2 - 1)) AS s{i}"
@@ -485,3 +498,141 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_simhash_pairs": simhash_sql,
         "dedup_ngram_jaccard_pairs": ngram_sql,
     }
+
+
+# --- end-to-end training-data prep composition ------------------------------
+
+PREP_QUALITY_T = 0.2
+
+
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-corpus prep funnel as ONE lazy plan:
+    quality gate → exact dedup → MinHash near-dedup → per-language
+    survivor audit. Composes the already-verified operators (same
+    expressions, same constants), so the whole funnel stays
+    hash-checkable against the SQL twin.
+
+    Funnel semantics:
+    1. keep docs with rounded quality_score >= 0.2 (ops.text formula);
+    2. exact dedup: keep min doc_id per md5(text);
+    3. near-dedup: MinHash/LSH verified pairs (jaccard >= 0.35) among
+       survivors, drop the higher doc_id of each pair (greedy keeper —
+       the standard approximation of connected-component dedup;
+       deterministic because pairs are a < b);
+    4. audit: per lang, counts at each stage + sum(doc_id) checksum.
+
+    Scale: stages 1-2 are one shuffle each; stage 3 is the LSH chain
+    (O(docs × bands)); the audit is a broadcast-sized rollup."""
+    from gis_etl_spark.ops.text import STOPWORDS, words_col
+
+    docs = _docs(spark)
+    w = words_col(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(w).alias("n"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+    )
+    quality = (
+        staged.withColumn(
+            "q",
+            F.round(
+                F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
+                * (F.col("nd") / F.col("n"))
+                * (1.0 - F.col("nstop") / F.col("n")),
+                4,
+            ),
+        )
+        .filter(F.col("q") >= PREP_QUALITY_T)
+        .select("doc_id", "lang", "text")
+    )
+    w_keep = Window.partitionBy(F.md5(F.col("text")))
+    exact = (
+        quality.withColumn("keep_id", F.min("doc_id").over(w_keep))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "lang", "text")
+    )
+    pairs = _exact_jaccard(exact, minhash_candidates(exact)).filter(
+        F.col("jaccard") >= MINHASH_JACCARD_T
+    )
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = exact.join(drops, "doc_id", "left_anti")
+
+    def per_lang(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count("*").alias(name))
+
+    audit = (
+        per_lang(docs, "n_raw")
+        .join(per_lang(quality, "n_quality"), "lang", "left")
+        .join(per_lang(exact, "n_exact"), "lang", "left")
+        .join(
+            final.groupBy("lang").agg(
+                F.count("*").alias("n_final"),
+                F.sum("doc_id").alias("id_sum"),
+            ),
+            "lang",
+            "left",
+        )
+    )
+    return audit.select(
+        "lang",
+        "n_raw",
+        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        F.coalesce("id_sum", F.lit(0)).alias("id_sum"),
+    ).orderBy("lang")
+
+
+def training_data_prep_sql() -> str:
+    from gis_etl_spark.ops.text import STOPWORDS, WORDS_SQL
+
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    w = WORDS_SQL
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    pairs = minhash_pairs_sql("(SELECT doc_id, text FROM exact)")
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lang, text, len({w}) AS n,
+                 len(list_distinct({w})) AS nd,
+                 len(list_filter({w}, x -> x IN ({stop_list}))) AS nstop
+          FROM {d}
+        ), quality AS (
+          SELECT doc_id, lang, text FROM s
+          WHERE round(least(n / 100.0, 1.0) * (nd * 1.0 / n)
+                      * (1.0 - nstop * 1.0 / n), 4) >= {PREP_QUALITY_T}
+        ), exact AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM quality
+          ) WHERE doc_id = keep_id
+        ), pairs AS (
+          {pairs}
+        ), drops AS (
+          SELECT DISTINCT doc_b AS doc_id FROM pairs
+        ), final AS (
+          SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+        ), raw_c AS (
+          SELECT lang, count(*) AS n_raw FROM {d} GROUP BY lang
+        ), q_c AS (
+          SELECT lang, count(*) AS n_quality FROM quality GROUP BY lang
+        ), e_c AS (
+          SELECT lang, count(*) AS n_exact FROM exact GROUP BY lang
+        ), f_c AS (
+          SELECT lang, count(*) AS n_final, sum(doc_id) AS id_sum
+          FROM final GROUP BY lang
+        )
+        SELECT r.lang, r.n_raw,
+               coalesce(q.n_quality, 0) AS n_quality,
+               coalesce(e.n_exact, 0) AS n_exact,
+               coalesce(f.n_final, 0) AS n_final,
+               coalesce(f.id_sum, 0) AS id_sum
+        FROM raw_c r
+        LEFT JOIN q_c q USING (lang)
+        LEFT JOIN e_c e USING (lang)
+        LEFT JOIN f_c f USING (lang)
+        ORDER BY r.lang
+    """

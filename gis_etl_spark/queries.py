@@ -484,6 +484,10 @@ REGISTRY.update(
         "dedup_ngram_jaccard_pairs": (
             D.dedup_ngram_jaccard_pairs, _DEDUP_SQLS["dedup_ngram_jaccard_pairs"],
         ),
+        # end-to-end prep funnel: quality gate → exact dedup → MinHash
+        # near-dedup → per-lang audit, one lazy plan, SQL twin composed
+        # from the same verified pieces
+        "training_data_prep": (D.training_data_prep, D.training_data_prep_sql()),
     }
 )
 

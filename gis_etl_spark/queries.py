@@ -508,6 +508,12 @@ REGISTRY.update(
             S.similarity_ann_lsh, _SIM_SQLS["similarity_ann_lsh"],
         ),
         "similarity_ivf": (S.similarity_ivf, _SIM_SQLS["similarity_ivf"]),
+        # trained-codebook IVF: the oracle embeds the independently
+        # (sequentially) trained reference codebook as literals — a
+        # hash match proves distributed Lloyd reached the same model
+        "similarity_ivf_kmeans": (
+            S.similarity_ivf_kmeans, S.ivf_kmeans_oracle_sql(),
+        ),
         "embedding_label_centroids": (
             S.embedding_label_centroids, _SIM_SQLS["embedding_label_centroids"],
         ),

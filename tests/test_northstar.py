@@ -122,3 +122,43 @@ def test_training_data_prep_funnel_invariants(spark, sf_dir):
     n_exact = sum(r.n_exact for r in audit)
     n_quality = sum(r.n_quality for r in audit)
     assert n_exact < n_quality
+
+
+def test_kmeans_distributed_matches_sequential_reference(spark, sf_dir):
+    """Distributed Lloyd (driver codebook + map-side assignment) must
+    reproduce the sequential reference EXACTLY — the iteration-boundary
+    rounding contract makes shuffle-order sum noise invisible."""
+    from gis_etl_spark.ops import similarity as S
+
+    emb = S._emb(spark, sf_dir)
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in emb.select("vec_id", "v").collect()
+    }
+    assert S.kmeans_fit(emb) == S.kmeans_reference(vecs)
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    """Lloyd monotonicity (up to the rounding quantum): total within-
+    cluster d2 after 3 iterations is below the seed assignment's."""
+    from gis_etl_spark.ops import similarity as S
+
+    emb = S._emb(spark, sf_dir)
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in emb.select("vec_id", "v").collect()
+    }
+
+    def inertia(cents):
+        tot = 0.0
+        for v in vecs.values():
+            best = None
+            for c in cents:
+                acc = sum((x - y) * (x - y) for x, y in zip(v, c))
+                best = acc if best is None else min(best, acc)
+            tot += best
+        return tot
+
+    seed = S.kmeans_reference(vecs, iters=0)
+    trained = S.kmeans_reference(vecs)
+    assert inertia(trained) < inertia(seed)

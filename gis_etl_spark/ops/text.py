@@ -364,3 +364,34 @@ def oracle_sqls() -> dict[str, str]:
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25
         """,
     }
+
+
+SAMPLE_MOD = 10  # keep h60(text) % 10 == 0 → deterministic ~10%
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the reproducible
+    corpus-subsampling op a training pipeline needs (Bernoulli `sample`
+    is seed+partitioning dependent; content-hash sampling is stable
+    across runs, engines, AND repartitioning, and `h60 % mod` keys the
+    sample to the document, so duplicates sample identically). Audit:
+    per-language kept counts + id checksum."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = docs.filter(h60(F.col("text")) % SAMPLE_MOD == 0)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def stratified_sample_sql() -> str:
+    return f"""
+        SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum
+        FROM documents
+        WHERE ({h60_sql('text')}) % {SAMPLE_MOD} = 0
+        GROUP BY lang ORDER BY lang
+    """

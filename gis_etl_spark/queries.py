@@ -454,6 +454,7 @@ REGISTRY.update(
         ),
         "top_tokens": (T.top_tokens, _TEXT_SQLS["top_tokens"]),
         "tfidf_top_terms": (T.tfidf_top_terms, _TEXT_SQLS["tfidf_top_terms"]),
+        "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         "dedup_embedding_pairs": (
             T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
         ),

@@ -135,7 +135,12 @@ def interval_join(
     bucket, the join is a plain hash equi-join on (key, bucket), and
     the residual range predicate filters within matched buckets. A
     point matches an interval in exactly one bucket pair → no dedup.
+
+    Precondition: start_us <= end_us per row. Inverted intervals are
+    dropped (Spark's sequence(hi, lo) would otherwise yield a
+    DESCENDING bucket range and resurrect them as phantom matches).
     """
+    intervals = intervals.filter(F.col(start_us) <= F.col(end_us))
     iv = intervals.withColumn(
         "_b",
         F.explode(

@@ -663,28 +663,52 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_kmeans_oracle_sql() -> str:
-    """Assignment + probe + rerank in DuckDB with the codebook trained
-    by kmeans_reference on the sf0.01 embeddings (read independently
-    via duckdb at SQL-generation time)."""
-    import duckdb
+    """The ENTIRE pipeline — Lloyd training AND retrieval — as one
+    sf-agnostic SQL string: the 3 iterations unroll into CTE chains
+    over the `embeddings` view, so the oracle independently retrains
+    the codebook on whatever scale factor the harness mounts (the
+    driver gates at sf0.01, pytest at sf0.001). Distance uses
+    list_dot_product of the elementwise diff — bit-identical to
+    Spark's sequential zip_with sum — and centroid components round
+    to {KMEANS_DP}dp per iteration, the same quantization contract
+    that makes the distributed/sequential/SQL trainers agree."""
 
-    con = duckdb.connect()
-    rows = con.execute(
-        "SELECT vec_id, embedding::DOUBLE[] AS v "
-        "FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
-    ).fetchall()
-    con.close()
-    vecs = {int(r[0]): [float(x) for x in r[1]] for r in rows}
-    cents = kmeans_reference(vecs)
-    cent_rows = ",\n            ".join(
-        f"({ci}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
-        for ci, c in enumerate(cents)
+    def d2(c_rel: str) -> str:
+        diff = f"list_transform(list_zip(e.v, {c_rel}.c), s -> s[1] - s[2])"
+        return f"list_dot_product({diff}, {diff})"
+
+    steps = []
+    steps.append(
+        f"""cents0 AS (
+          SELECT vec_id AS c_id,
+                 list_transform(v, x -> round(x, {KMEANS_DP})) AS c
+          FROM emb WHERE vec_id < {K_KMEANS}
+        )"""
     )
-    d2 = (
-        "list_dot_product("
-        "list_transform(list_zip(e.v, c.c), s -> s[1] - s[2]), "
-        "list_transform(list_zip(e.v, c.c), s -> s[1] - s[2]))"
-    )
+    for t in range(KMEANS_ITERS):
+        steps.append(
+            f"""a{t} AS (
+          SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2('c')} ASC, c.c_id ASC)
+                     AS rk
+            FROM emb e CROSS JOIN cents{t} c
+          ) WHERE rk = 1
+        ), comp{t} AS (
+          SELECT a.c_id, t.i, round(avg(e.v[i]), {KMEANS_DP}) AS cx
+          FROM a{t} a JOIN emb e USING (vec_id),
+               unnest(range(1, len(e.v) + 1)) AS t(i)
+          GROUP BY a.c_id, t.i
+        ), cents{t + 1} AS (
+          SELECT c_id, list(cx ORDER BY i) AS c FROM comp{t} GROUP BY c_id
+          UNION ALL
+          SELECT c_id, c FROM cents{t}
+          WHERE c_id NOT IN (SELECT DISTINCT c_id FROM a{t})
+        )"""
+        )
+    train = ",\n        ".join(steps)
+    final = f"cents{KMEANS_ITERS}"
     cos = (
         "list_dot_product(a.v, q.qv) / "
         "(sqrt(list_dot_product(a.v, a.v)) * "
@@ -693,11 +717,11 @@ def ivf_kmeans_oracle_sql() -> str:
     return f"""
         WITH emb AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ), cents(c_id, c) AS (
-          VALUES {cent_rows}
-        ), d2s AS (
-          SELECT e.vec_id, c.c_id, {d2} AS d2
-          FROM emb e CROSS JOIN cents c
+        ),
+        {train},
+        d2s AS (
+          SELECT e.vec_id, c.c_id, {d2('c')} AS d2
+          FROM emb e CROSS JOIN {final} c
         ), ranked AS (
           SELECT vec_id, c_id,
                  row_number() OVER (PARTITION BY vec_id

@@ -168,6 +168,50 @@ def st_centroid_hex_cell(geom: Column, res: int = 7) -> Column:
     return _udf(geom)
 
 
+def decode_centroid_points(
+    df,
+    geom_col: str = "geom",
+    id_col: str = "building_id",
+    geographic_only: bool = True,
+):
+    """WKB → (id, cx, cy) point table in ONE mapInPandas pass, with the
+    invalid/out-of-range drop applied INSIDE the kernel.
+
+    Why not with_centroid + filter + select: Catalyst re-extracts a
+    pandas UDF once per consuming operator, so a filter on the UDF
+    output plus a projection of it decodes every geometry twice per
+    plan branch (measured: the near-pairs self-join carried EIGHT
+    ArrowEvalPython nodes). A mapInPandas stage evaluates exactly once
+    per side and can drop rows, which scalar UDFs cannot."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cx", DoubleType()),
+            StructField("cy", DoubleType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            xs, ys = K.centroid_batch(list(pdf[geom_col]))
+            keep = ~(np.isnan(xs) | np.isnan(ys))
+            if geographic_only:
+                keep &= (np.abs(xs) <= 180.0) & (np.abs(ys) <= 90.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "cx": xs[keep],
+                    "cy": ys[keep],
+                }
+            )
+
+    return df.select(id_col, geom_col).mapInPandas(decode, schema)
+
+
 def register_sql_functions(spark) -> None:
     """Expose the geometry/layout surface to `spark.sql` so the
     reference's runbook-style heredoc SQL translates 1:1 (SURVEY.md

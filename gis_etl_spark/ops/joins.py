@@ -289,17 +289,13 @@ def spatial_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this after convert() in a projected CRS). UTM-meter and flipped
     sources are excluded by the geographic-range guard, matching the
     oracle's filter on the golden centroid table."""
+    from gis_etl_spark.geom.functions import decode_centroid_points
     from gis_etl_spark.ops.geometry_queries import _read
-    from gis_etl_spark.pipelines import buildings as B
 
-    pts = (
-        B.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
-        .select(
-            "building_id",
-            F.col("centroid").getField("x").alias("cx"),
-            F.col("centroid").getField("y").alias("cy"),
-        )
-        .filter((F.abs(F.col("cx")) <= 180.0) & (F.abs(F.col("cy")) <= 90.0))
+    # one mapInPandas decode per join side (filter inside the kernel) —
+    # the staged-UDF formulation re-decoded every geometry 4× per side
+    pts = decode_centroid_points(
+        _read(spark).filter(F.col("geom").isNotNull())
     )
     pairs = near_pairs(pts, "building_id", "cx", "cy", NEAR_RADIUS_DEG)
     d2 = (

@@ -535,55 +535,55 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(w)).alias("nd"),
         F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
     )
-    quality = (
-        staged.withColumn(
-            "q",
-            F.round(
-                F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
-                * (F.col("nd") / F.col("n"))
-                * (1.0 - F.col("nstop") / F.col("n")),
-                4,
-            ),
+    # stage FLAGS on one lineage instead of per-stage sub-DataFrames:
+    # every audit count then comes from a single conditional rollup —
+    # the sub-DataFrame formulation re-executed the funnel lineage once
+    # per stage count (audited at 54 exchanges; this plan runs the doc
+    # scan twice — flags + LSH survivor side — instead of five times).
+    flagged = staged.withColumn(
+        "q_ok",
+        F.round(
+            F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
+            * (F.col("nd") / F.col("n"))
+            * (1.0 - F.col("nstop") / F.col("n")),
+            4,
         )
-        .filter(F.col("q") >= PREP_QUALITY_T)
-        .select("doc_id", "lang", "text")
+        >= PREP_QUALITY_T,
     )
-    w_keep = Window.partitionBy(F.md5(F.col("text")))
-    exact = (
-        quality.withColumn("keep_id", F.min("doc_id").over(w_keep))
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "lang", "text")
+    # exact keep: min doc_id among QUALITY rows of the same content
+    # hash (conditional window — identical to deduping the filtered set)
+    w_hash = Window.partitionBy(F.md5(F.col("text")))
+    flagged = flagged.withColumn(
+        "e_ok",
+        F.col("q_ok")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(w_hash)
+        ),
     )
-    pairs = _exact_jaccard(exact, minhash_candidates(exact)).filter(
+    survivors = flagged.filter(F.col("e_ok")).select("doc_id", "lang", "text")
+    pairs = _exact_jaccard(survivors, minhash_candidates(survivors)).filter(
         F.col("jaccard") >= MINHASH_JACCARD_T
     )
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = exact.join(drops, "doc_id", "left_anti")
-
-    def per_lang(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("lang").agg(F.count("*").alias(name))
-
-    audit = (
-        per_lang(docs, "n_raw")
-        .join(per_lang(quality, "n_quality"), "lang", "left")
-        .join(per_lang(exact, "n_exact"), "lang", "left")
-        .join(
-            final.groupBy("lang").agg(
-                F.count("*").alias("n_final"),
-                F.sum("doc_id").alias("id_sum"),
-            ),
-            "lang",
-            "left",
-        )
+    final_flagged = flagged.join(
+        drops.withColumn("dropped", F.lit(True)), "doc_id", "left"
+    ).withColumn(
+        "f_ok", F.col("e_ok") & F.coalesce(~F.col("dropped"), F.lit(True))
     )
-    return audit.select(
-        "lang",
-        "n_raw",
-        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-        F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-        F.coalesce("n_final", F.lit(0)).alias("n_final"),
-        F.coalesce("id_sum", F.lit(0)).alias("id_sum"),
-    ).orderBy("lang")
+    return (
+        final_flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.count_if("q_ok").alias("n_quality"),
+            F.count_if("e_ok").alias("n_exact"),
+            F.count_if("f_ok").alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(F.col("f_ok"), F.col("doc_id"))), F.lit(0)
+            ).alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
 
 
 def training_data_prep_sql() -> str:

@@ -623,3 +623,30 @@ def hex_parent_sql(cell_expr: str, child_res: int, parent_res: int) -> str:
     rf = f"(({u}) * {a10!r} + ({w}) * {a11!r})"
     pi, pj = _cube_round_sql(qf, rf)
     return _pack_sql(parent_res, face, pi, pj)
+
+
+# --- k-ring neighbors (H3 grid_disk shape) ---------------------------------
+
+# axial 1-ring offsets (pointy-top axial coords), fixed order
+HEX_RING1 = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_disk(cell: Column) -> Column:
+    """Cell id → array of 7 ids (self + 6 axial neighbors) — the
+    H3 grid_disk(k=1) shape, pure integer bit arithmetic on the packed
+    (res, face, i, j) id: neighbors stay on the cell's face (the
+    face-clip deviation documented in the module header), so the op is
+    exact and engine-portable. Used for focal (neighborhood) sums over
+    heatmaps."""
+    ids = [cell]
+    for di, dj in HEX_RING1:
+        ids.append(cell + F.lit(di * _IJ_SPAN + dj).cast("long"))
+    return F.array(*ids)
+
+
+def hex_disk_sql(cell_expr: str) -> str:
+    """DuckDB twin: list literal of the same 7 packed-id offsets."""
+    parts = [f"({cell_expr})"]
+    for di, dj in HEX_RING1:
+        parts.append(f"(({cell_expr}) + {di * _IJ_SPAN + dj})")
+    return "[" + ", ".join(parts) + "]"

@@ -187,6 +187,31 @@ def hex_heatmap_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hex_heatmap_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (1-ring neighborhood) sum over the hex heatmap — the
+    H3 grid_disk smoothing a density-surface renderer applies. Pure
+    integer arithmetic on packed ids (hex_disk), so the 7× candidate
+    explode + self-join shuffles O(7·cells), never touches geometry,
+    and hash-matches the oracle exactly."""
+    from gis_etl_spark.layout.geohex import hex_disk
+
+    fine = P.hex_heatmap(_read(spark), res=7)
+    nbrs = fine.select(
+        "cell", F.explode(hex_disk(F.col("cell"))).alias("nbr")
+    )
+    return (
+        nbrs.join(
+            fine.select(
+                F.col("cell").alias("nbr"), F.col("num_recs").alias("n2")
+            ),
+            "nbr",
+        )
+        .groupBy("cell")
+        .agg(F.sum("n2").cast("bigint").alias("focal_recs"))
+        .orderBy("cell")
+    )
+
+
 def hex_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex heatmap with cell centers + hexagon boundary WKT
     (H3_CELL_TO_BOUNDARY_WKT shape, East-Asia-…md:264-268). Rows-only:
@@ -431,6 +456,7 @@ def _morton_sql(y: str, x: str) -> str:
 def oracle_sqls() -> dict[str, str]:
     from gis_etl_spark.layout.geohex import (
         hex_cell_select_sql,
+        hex_disk_sql,
         hex_parent_sql,
     )
 
@@ -564,6 +590,18 @@ def oracle_sqls() -> dict[str, str]:
             SELECT {hex_parent_sql('cell', 7, 5)} AS parent_cell,
                    sum(num_recs)::BIGINT AS num_recs
             FROM fine GROUP BY 1 ORDER BY 1
+        """,
+        "hex_heatmap_smoothed": f"""
+            WITH fine AS (
+              SELECT cell, count(*) AS num_recs
+              FROM ({hex_pts}) hp GROUP BY 1
+            ), nbrs AS (
+              SELECT f.cell, unnest({hex_disk_sql('f.cell')}) AS nbr
+              FROM fine f
+            )
+            SELECT n.cell, sum(f2.num_recs)::BIGINT AS focal_recs
+            FROM nbrs n JOIN fine f2 ON f2.cell = n.nbr
+            GROUP BY 1 ORDER BY 1
         """,
         "gpkg_heatmap_roundtrip": f"""
             WITH fine AS (

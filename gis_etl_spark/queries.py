@@ -383,6 +383,9 @@ REGISTRY.update(
         "hex_heatmap_pyramid": (
             G.hex_heatmap_pyramid, _GEO_SQLS["hex_heatmap_pyramid"],
         ),
+        "hex_heatmap_smoothed": (
+            G.hex_heatmap_smoothed, _GEO_SQLS["hex_heatmap_smoothed"],
+        ),
         "geo_heatmap_pyramid": (
             G.geo_heatmap_pyramid, _GEO_SQLS["geo_heatmap_pyramid"],
         ),

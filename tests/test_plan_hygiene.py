@@ -108,3 +108,17 @@ def test_hex_pyramid_conserves_mass(spark, sf_dir):
         == coarse.agg(F.sum("num_recs")).first()[0]
     )
     assert coarse.count() <= fine.count()
+
+
+def test_hex_smoothed_focal_bounds(spark, sf_dir):
+    """Focal 1-ring sum per cell is >= the cell's own count and <= the
+    global total; every heatmap cell appears exactly once."""
+    from pyspark.sql import functions as F
+
+    fine = REGISTRY["hex_heatmap"][0](spark, sf_dir).collect()
+    sm = REGISTRY["hex_heatmap_smoothed"][0](spark, sf_dir).collect()
+    own = {r.cell: r.num_recs for r in fine}
+    total = sum(own.values())
+    assert len(sm) == len(own)
+    for r in sm:
+        assert own[r.cell] <= r.focal_recs <= total

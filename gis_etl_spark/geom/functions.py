@@ -27,6 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
@@ -166,6 +167,35 @@ def st_centroid_hex_cell(geom: Column, res: int = 7) -> Column:
         return out
 
     return _udf(geom)
+
+
+@F.pandas_udf(BooleanType())
+def st_centroid_inside(geom: pd.Series) -> pd.Series:
+    """Does each geometry contain its own centroid? (the classic
+    concavity/quality probe — GEOS ST_Contains(geom, ST_Centroid)
+    shape, here via the vectorized even-odd kernel in ONE Arrow pass:
+    centroid decode and edge-crossing test share the ring table)."""
+    bufs = list(geom)
+    xs, ys = K.centroid_batch(bufs)
+    return pd.Series(K.contains_point_batch(bufs, xs, ys))
+
+
+def st_contains_point(geom: Column, x: Column, y: Column) -> Column:
+    """ST_CONTAINS(geom, POINT(x, y)) — vectorized even-odd crossing
+    (holes + multipolygons via the parity rule; boundary half-open).
+    Areal types only: points/lines contain nothing."""
+
+    @F.pandas_udf(BooleanType())
+    def _udf(g: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            K.contains_point_batch(
+                list(g),
+                xs.to_numpy(dtype="f8", na_value=float("nan")),
+                ys.to_numpy(dtype="f8", na_value=float("nan")),
+            )
+        )
+
+    return _udf(geom, x, y)
 
 
 def decode_centroid_points(

@@ -493,6 +493,72 @@ def bbox_batch(bufs: list) -> np.ndarray:
 
 
 
+def contains_point(buf: bytes, px: float, py: float) -> bool:
+    """Even-odd (ray crossing) point-in-polygon for one WKB geometry —
+    the scalar reference/slow path. Holes fall out of the even-odd
+    rule; multipolygon = any part containing the point. Boundary
+    points are half-open (standard crossing-rule behavior)."""
+    base, parts = parse(buf)
+    if base not in (POLYGON, MULTIPOLYGON):  # only areal types contain
+        return False
+    crossings = 0
+    for rings_ in parts:
+        for ring in rings_:
+            xs_ = ring[:, 0]
+            ys_ = ring[:, 1]
+            n = len(xs_)
+            for a in range(n):
+                b = (a + 1) % n
+                y1, y2 = ys_[a], ys_[b]
+                if (y1 > py) != (y2 > py):
+                    xint = (xs_[b] - xs_[a]) * (py - y1) / (y2 - y1) + xs_[a]
+                    if px < xint:
+                        crossings += 1
+    return crossings % 2 == 1
+
+
+def contains_point_batch(
+    bufs: list, qx: np.ndarray, qy: np.ndarray
+) -> np.ndarray:
+    """Vectorized even-odd containment: geometry i vs point (qx[i],
+    qy[i]) → bool array (False for None/point geoms). Same fast/slow
+    split as centroid_batch — all edges of all fast-path rings test
+    their geometry's query point in a handful of whole-batch numpy
+    ops; crossings sum per geometry via bincount, odd → inside."""
+    n = len(bufs)
+    out = np.zeros(n, dtype=bool)
+    px_sink = np.full(n, np.nan)
+    py_sink = np.full(n, np.nan)
+    rings, poly_ids, slow = _classify_batch(bufs, px_sink, py_sink)
+    if rings:
+        pts, starts, counts, gids = _ring_table(rings)
+        ng = len(poly_ids)
+        ends = starts + counts
+        nxt = np.arange(len(pts), dtype=np.int64) + 1
+        nxt[ends - 1] = starts
+        gid_pp = np.repeat(gids, counts)  # geom index per edge start
+        rows = np.asarray(poly_ids, dtype=np.int64)
+        ppx = np.asarray(qx, dtype="f8")[rows][gid_pp]
+        ppy = np.asarray(qy, dtype="f8")[rows][gid_pp]
+        y1 = pts[:, 1]
+        y2 = pts[nxt, 1]
+        straddle = (y1 > ppy) != (y2 > ppy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (
+                (pts[nxt, 0] - pts[:, 0]) * (ppy - y1) / (y2 - y1)
+                + pts[:, 0]
+            )
+        hit = straddle & (ppx < xint)
+        crossings = np.bincount(gid_pp[hit], minlength=ng)
+        out[rows] = (crossings % 2) == 1
+    for i in slow:
+        if bufs[i] is not None and not (
+            np.isnan(qx[i]) or np.isnan(qy[i])
+        ):
+            out[i] = contains_point(bytes(bufs[i]), float(qx[i]), float(qy[i]))
+    return out
+
+
 # --- WKT ------------------------------------------------------------------
 
 def _fmt_coord(p: np.ndarray) -> str:

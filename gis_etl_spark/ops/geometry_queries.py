@@ -234,6 +234,27 @@ def hex_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell")
 
 
+def geo_centroid_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source centroid-containment audit — ST_CONTAINS(geom,
+    ST_CENTROID(geom)) rate, the standard concavity/quality probe.
+    Rows-only: DuckDB 1.0.0 has no spatial predicate to twin it;
+    the even-odd kernel is golden-tested against an independent scalar
+    implementation and synthetic hole/multipart cases (tests/test_wkb)."""
+    from gis_etl_spark.geom.functions import st_centroid_inside
+
+    df = _read(spark).filter(F.col("geom").isNotNull())
+    return (
+        df.select("source", st_centroid_inside(F.col("geom")).alias("inside"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if("inside").alias("n_inside"),
+            F.round(F.count_if("inside") / F.count("*"), 4).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def geo_convert_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full convert() pipeline (clean → reproject → flip) → global
     bbox. Rows-only: the oracle cannot reproject UTM; pytest asserts

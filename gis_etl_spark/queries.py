@@ -400,6 +400,7 @@ REGISTRY.update(
         ),
         "gdb_scan_oids": (G.gdb_scan_oids, _GEO_SQLS["gdb_scan_oids"]),
         "geo_heatmap_export": (G.geo_heatmap_export, None),
+        "geo_centroid_containment": (G.geo_centroid_containment, None),
         "hex_heatmap_export": (G.hex_heatmap_export, None),
         "geo_hilbert_keys": (G.geo_hilbert_keys, None),
         "geo_convert_bbox": (G.geo_convert_bbox, None),

@@ -172,3 +172,68 @@ def test_fixture_goldens_match_kernels():
         assert ymax == pytest.approx(row.ymax, abs=1e-12)
         n_checked += 1
     assert n_checked > 450
+
+
+def test_contains_point_synthetic_cases():
+    """Even-odd containment on hand-built geometries: square, square
+    with hole, multipolygon, non-areal types."""
+    import numpy as np
+
+    from gis_etl_spark.geom import wkb as K
+
+    sq = K.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    holed = K.from_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    )
+    multi = K.from_wkt(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+        "((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    )
+    line = K.from_wkt("LINESTRING (0 0, 1 1)")
+    pt = K.from_wkt("POINT (0.5 0.5)")
+    cases = [
+        (sq, 0.5, 0.5, True),
+        (sq, 1.5, 0.5, False),
+        (sq, -0.1, 0.5, False),
+        (holed, 2.0, 2.0, False),   # inside the hole
+        (holed, 0.5, 2.0, True),    # in the shell, outside the hole
+        (holed, 5.0, 5.0, False),
+        (multi, 0.5, 0.5, True),
+        (multi, 5.5, 5.5, True),
+        (multi, 2.5, 2.5, False),
+        (line, 0.5, 0.5, False),
+        (pt, 0.5, 0.5, False),
+    ]
+    for buf, x, y, want in cases:
+        assert K.contains_point(buf, x, y) == want, (x, y, want)
+    got = K.contains_point_batch(
+        [c[0] for c in cases],
+        np.array([c[1] for c in cases]),
+        np.array([c[2] for c in cases]),
+    )
+    assert list(got) == [c[3] for c in cases]
+
+
+def test_contains_point_batch_matches_scalar_on_fixture():
+    """Whole-batch kernel == scalar reference, geometry-for-geometry,
+    on real fixture polygons with their centroids as query points."""
+    import duckdb
+    import numpy as np
+
+    from gis_etl_spark.geom import wkb as K
+    from gis_etl_spark.ops.geometry_queries import fixture_paths
+
+    bpath, _ = fixture_paths()
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT geom FROM read_parquet('{bpath}') "
+        "WHERE geom IS NOT NULL LIMIT 800"
+    ).fetchall()
+    con.close()
+    bufs = [bytes(r[0]) for r in rows]
+    xs, ys = K.centroid_batch(bufs)
+    batch = K.contains_point_batch(bufs, xs, ys)
+    for i, buf in enumerate(bufs):
+        assert batch[i] == K.contains_point(buf, xs[i], ys[i]), i
+    # plausibility: synthetic footprints are mostly convex-ish
+    assert batch.mean() > 0.8

@@ -363,3 +363,151 @@ def oracle_sqls() -> dict[str, str]:
             ORDER BY a_id, b_id
         """,
     }
+
+
+# --- point-in-polygon join --------------------------------------------------
+
+PIP_CELL_DEG = 0.05
+PIP_MAX_CELLS_PER_AXIS = 10  # skew guard: drop degenerate giant bboxes
+
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    cell_deg: float = PIP_CELL_DEG,
+) -> DataFrame:
+    """Point-in-polygon join, the PostGIS `bbox && + ST_Contains`
+    pattern as Spark ops: polygons explode to the grid cells their
+    bbox overlaps, points hash to exactly ONE cell, the equi-join on
+    the cell id yields candidates, then a native bbox filter and the
+    exact even-odd kernel (st_contains_point) run on candidates only.
+
+    points:  (point_id, cx, cy)   — e.g. decode_centroid_points
+    polys:   (poly_id, geom, xmin, ymin, xmax, ymax)
+    Returns (point_id, poly_id) containment pairs (each exactly once —
+    a point lives in one cell, a polygon covers each cell once).
+
+    Scale: candidate volume is density-bound (cell ≈ polygon size →
+    ~1-4 cells per polygon); polygons spanning > PIP_MAX_CELLS_PER_AXIS
+    cells per axis are dropped as degenerate (logged semantics: the
+    fixture's UTM-meter rows; a production run would route them to a
+    broadcast side)."""
+    from gis_etl_spark.geom.functions import st_contains_point
+
+    c = F.lit(cell_deg)
+    span_ok = (
+        (F.floor(F.col("xmax") / c) - F.floor(F.col("xmin") / c)
+         < PIP_MAX_CELLS_PER_AXIS)
+        & (F.floor(F.col("ymax") / c) - F.floor(F.col("ymin") / c)
+           < PIP_MAX_CELLS_PER_AXIS)
+    )
+    pcells = (
+        polys.filter(span_ok)
+        .withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(F.floor(F.col("xmin") / c), F.floor(F.col("xmax") / c))
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(F.floor(F.col("ymin") / c), F.floor(F.col("ymax") / c))
+            ),
+        )
+    )
+    pts = points.withColumn("_cx", F.floor(F.col("cx") / c)).withColumn(
+        "_cy", F.floor(F.col("cy") / c)
+    )
+    cand = (
+        pts.join(pcells, ["_cx", "_cy"])
+        .filter(
+            (F.col("cx") >= F.col("xmin"))
+            & (F.col("cx") <= F.col("xmax"))
+            & (F.col("cy") >= F.col("ymin"))
+            & (F.col("cy") <= F.col("ymax"))
+        )
+    )
+    return cand.filter(
+        st_contains_point(F.col("geom"), F.col("cx"), F.col("cy"))
+    ).select("point_id", "poly_id")
+
+
+def points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment audit over the buildings fixture: every building
+    centroid tested against every OTHER overlapping footprint — the
+    spatial-join staple (which parcels contain which addresses).
+    Rows-only: DuckDB 1.0.0 has no spatial predicate; the kernel and
+    the join shape are independently tested (tests/test_joins.py brute
+    force)."""
+    from gis_etl_spark.geom.functions import decode_centroid_points
+    from gis_etl_spark.ops.geometry_queries import _read
+
+    src = _read(spark).filter(F.col("geom").isNotNull())
+    pts = decode_centroid_points(src).withColumnRenamed(
+        "building_id", "point_id"
+    )
+    polys = _decode_poly_bboxes(src)
+    pairs = pip_join(pts, polys).filter(F.col("point_id") != F.col("poly_id"))
+    per_poly = pairs.groupBy("poly_id").agg(F.count("*").alias("n_contained"))
+    return (
+        src.select(F.col("building_id").alias("poly_id"), "source")
+        .join(per_poly, "poly_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_polys_with_hits"),
+            F.sum("n_contained").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _decode_poly_bboxes(df: DataFrame) -> DataFrame:
+    """(building_id, geom, xmin..ymax) in ONE mapInPandas pass, invalid
+    and non-geographic rows dropped inside the kernel (same rationale
+    as decode_centroid_points)."""
+    import numpy as np
+    import pandas as pd
+
+    from gis_etl_spark.geom import wkb as K
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("poly_id", LongType()),
+            StructField("geom", BinaryType()),
+            StructField("xmin", DoubleType()),
+            StructField("ymin", DoubleType()),
+            StructField("xmax", DoubleType()),
+            StructField("ymax", DoubleType()),
+        ]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            bb = K.bbox_batch(list(pdf["geom"]))
+            keep = ~np.isnan(bb[:, 0])
+            keep &= (
+                (bb[:, 0] >= -180.0)
+                & (bb[:, 2] <= 180.0)
+                & (bb[:, 1] >= -90.0)
+                & (bb[:, 3] <= 90.0)
+            )
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf["building_id"].to_numpy()[keep],
+                    "geom": pdf["geom"][keep],
+                    "xmin": bb[keep, 0],
+                    "ymin": bb[keep, 1],
+                    "xmax": bb[keep, 2],
+                    "ymax": bb[keep, 3],
+                }
+            )
+
+    return df.select("building_id", "geom").mapInPandas(decode, schema)

@@ -435,6 +435,8 @@ REGISTRY.update(
         "spatial_near_pairs": (
             J.spatial_near_pairs, _JOIN_SQLS["spatial_near_pairs"],
         ),
+        # rows-only: DuckDB 1.0 has no spatial predicate for a twin
+        "points_in_polygons": (J.points_in_polygons, None),
     }
 )
 

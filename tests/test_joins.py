@@ -179,3 +179,60 @@ def test_join_plans_have_no_nested_loop(spark, sf_dir, name):
     )
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_pip_join_matches_brute_force(spark):
+    """pip_join (grid-bucket bbox prefilter + exact even-odd test) ==
+    scalar brute force on a dense synthetic set of overlapping boxes."""
+    import numpy as np
+    import pandas as pd
+
+    from gis_etl_spark.geom import wkb as K
+    from gis_etl_spark.ops.joins import pip_join
+
+    rng = np.random.default_rng(17)
+    n_poly, n_pt = 150, 250
+    x0 = rng.uniform(0.0, 0.8, n_poly)
+    y0 = rng.uniform(0.0, 0.8, n_poly)
+    wdt = rng.uniform(0.05, 0.2, n_poly)
+    hgt = rng.uniform(0.05, 0.2, n_poly)
+    polys = []
+    for i in range(n_poly):
+        a, b, w, h = x0[i], y0[i], wdt[i], hgt[i]
+        wkt = (
+            f"POLYGON (({a} {b}, {a + w} {b}, {a + w} {b + h}, "
+            f"{a} {b + h}, {a} {b}))"
+        )
+        polys.append(
+            (
+                i,
+                K.from_wkt(wkt),
+                float(a),
+                float(b),
+                float(a + w),
+                float(b + h),
+            )
+        )
+    px = rng.uniform(0.0, 1.0, n_pt)
+    py = rng.uniform(0.0, 1.0, n_pt)
+
+    pts_df = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(n_pt), "cx": px, "cy": py})
+    )
+    polys_df = spark.createDataFrame(
+        [(i, bytearray(g), xa, ya, xb, yb) for i, g, xa, ya, xb, yb in polys],
+        "poly_id long, geom binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    got = {
+        (r.point_id, r.poly_id)
+        for r in pip_join(pts_df, polys_df, cell_deg=0.1).collect()
+    }
+    exp = {
+        (pi, i)
+        for pi in range(n_pt)
+        for i, g, *_ in polys
+        if K.contains_point(g, float(px[pi]), float(py[pi]))
+    }
+    assert got == exp
+    assert len(exp) > 100  # the synthetic set is genuinely dense

@@ -180,22 +180,20 @@ def st_centroid_inside(geom: pd.Series) -> pd.Series:
     return pd.Series(K.contains_point_batch(bufs, xs, ys))
 
 
-def st_contains_point(geom: Column, x: Column, y: Column) -> Column:
+@F.pandas_udf(BooleanType())
+def st_contains_point(
+    geom: pd.Series, x: pd.Series, y: pd.Series
+) -> pd.Series:
     """ST_CONTAINS(geom, POINT(x, y)) — vectorized even-odd crossing
     (holes + multipolygons via the parity rule; boundary half-open).
     Areal types only: points/lines contain nothing."""
-
-    @F.pandas_udf(BooleanType())
-    def _udf(g: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
-        return pd.Series(
-            K.contains_point_batch(
-                list(g),
-                xs.to_numpy(dtype="f8", na_value=float("nan")),
-                ys.to_numpy(dtype="f8", na_value=float("nan")),
-            )
+    return pd.Series(
+        K.contains_point_batch(
+            list(geom),
+            x.to_numpy(dtype="f8", na_value=float("nan")),
+            y.to_numpy(dtype="f8", na_value=float("nan")),
         )
-
-    return _udf(geom, x, y)
+    )
 
 
 def decode_centroid_points(
@@ -259,6 +257,8 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("st_flip_coordinates", st_flip_coordinates)
     spark.udf.register("st_force2d", st_force2d)
     spark.udf.register("st_npoints", st_npoints)
+    spark.udf.register("st_contains_point", st_contains_point)
+    spark.udf.register("st_centroid_inside", st_centroid_inside)
     spark.udf.register("hilbert_encode", _hilbert_udf)
 
 

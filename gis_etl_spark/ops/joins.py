@@ -21,9 +21,15 @@ the non-starter at 100 TB:
                         one side exploded to its 3×3 cell
                         neighborhood, equi-join on the cell id,
                         residual euclidean filter, `id < id` to halve.
+- point-in-polygon    → polygon bboxes explode to their grid cells,
+                        points hash to one cell; native bbox filter,
+                        then the exact even-odd kernel on candidates
+                        only (the PostGIS `&&` + ST_Contains shape).
 
-All three verify against DuckDB: ASOF JOIN is native there, and its
-IEJoin handles the inequality formulations the Spark plans avoid.
+The first three verify against DuckDB (ASOF JOIN is native there, and
+its IEJoin handles the inequality formulations the Spark plans avoid);
+point-in-polygon has no DuckDB 1.0 twin → rows-only + brute-force
+equivalence tests.
 """
 
 from __future__ import annotations

@@ -600,3 +600,227 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-gated priority census. The fixture lacks
+    commit/receipt dates, so the correlated condition is "some item
+    shipped >90 days after the order" — same plan class: a left-semi
+    join whose condition mixes the equi key with a cross-table residual
+    (l_shipdate > o_orderdate + 90d). Catalyst keeps the equi part as
+    the shuffle key and evaluates the residual post-match, so the plan
+    stays a hash/merge semi-join, never a nested loop."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation dimension joins TWICE under different roles
+    (supplier side / customer side) — alias-disambiguated self-reuse of
+    a broadcast dim. Only shuffles: lineitem⋈orders and the final agg."""
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's volume in a part
+    segment, per order year. Conditional-sum-over-sum ratio; rounded to
+    6 dp so partial-agg summation order can't flip the hash (the ratio's
+    FP noise is ~1e-9 at this magnitude)."""
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    n_supp = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("s_nation")
+    )
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nation") == "NATION_9", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (sans partsupp, which the fixture lacks): revenue
+    on a part-name substring segment, grouped by supplier nation × order
+    year. LIKE '%gear%' cannot push below the join build side, but the
+    part filter prunes the broadcast table before it ships."""
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) hitting the max period revenue.
+    The scalar max is a 1-row aggregate broadcast-cross-joined back —
+    the distributed form of Q15's revenue-view + MAX subquery (no
+    window over an unpartitioned frame, which would single-task at
+    100 TB). Ties compare on the ROUNDED revenue, so the equality is
+    deterministic cross-engine."""
+    supp = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst factors the common l_partkey equi-condition out as the join
+    key and leaves the disjunction as a residual filter; the per-branch
+    part predicates also derive a pushed-down union filter on the
+    broadcast side (brand IN (...))."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1.0, 11.0)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10.0, 20.0)
+    ) | (
+        (F.col("p_brand") == "Brand#24")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20.0, 30.0)
+    )
+    return j.filter(branch).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    rolled up by segment (the fixture has no phone column — segment
+    plays the country-code role). Composition: scalar-subquery
+    threshold (1-row broadcast) + anti-join + group."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q2_top_acctbal_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-max idiom (the fixture lacks partsupp, so
+    the correlation is per-nation best supplier balance). Spark form: a
+    partitioned window max — one shuffle on the correlation key —
+    versus the oracle's correlated scalar subquery, which DuckDB
+    decorrelates into the same shape. Equality compares stored values
+    (no arithmetic), so FP ties are exact."""
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    return (
+        supp.withColumn("nation_max", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("nation_max"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

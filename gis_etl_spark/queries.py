@@ -261,8 +261,116 @@ FROM documents
 WHERE regexp_extract(source, '(\\d+)', 1)::INT % 3 = 0
 """
 
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+_Q8_SQL = """
+SELECT year(o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_9'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part      ON l_partkey = p_partkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region    ON nc.n_regionkey = r_regionkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY 1 ORDER BY 1
+"""
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+_Q2_SQL = """
+SELECT s_suppkey, s_name, n_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+ORDER BY s_suppkey
+"""
+
 # name -> (builder, oracle_sql | None)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q2_top_acctbal_per_nation": (R.q2_top_acctbal_per_nation, _Q2_SQL),
+    "q4_order_priority": (R.q4_order_priority, _Q4_SQL),
+    "q7_volume_shipping": (R.q7_volume_shipping, _Q7_SQL),
+    "q8_market_share": (R.q8_market_share, _Q8_SQL),
+    "q9_profit_by_nation_year": (R.q9_profit_by_nation_year, _Q9_SQL),
+    "q15_top_supplier": (R.q15_top_supplier, _Q15_SQL),
+    "q19_disjunctive_revenue": (R.q19_disjunctive_revenue, _Q19_SQL),
+    "q22_idle_customers": (R.q22_idle_customers, _Q22_SQL),
     "q6_forecast_revenue": (R.q6_forecast_revenue, _Q6_SQL),
     "q14_promo_revenue": (R.q14_promo_revenue, _Q14_SQL),
     "price_percentiles": (R.price_percentiles, """

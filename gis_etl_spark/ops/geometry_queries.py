@@ -30,6 +30,7 @@ from gis_etl_spark.fixtures import (
     ensure_shapefiles,
     ensure_wkt_csv,
 )
+from gis_etl_spark.ops.fixedpoint import fxavg, fxavg_sql, fxsum, fxsum_sql
 from gis_etl_spark.layout.sfc import (
     DEFAULT_ORDER,
     grid_cell_sql,
@@ -94,8 +95,11 @@ def geo_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("source")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(F.col("centroid").getField("x")), 6).alias("avg_cx"),
-            F.round(F.avg(F.col("centroid").getField("y")), 6).alias("avg_cy"),
+            # nd=6 (not more): UTM-meter sources reach |y| ~ 1e7, so the
+            # quantized per-row int stays ≤ 1e13 and the group sum far
+            # from int64 overflow
+            fxavg(F.col("centroid").getField("x"), nd=6, out=6).alias("avg_cx"),
+            fxavg(F.col("centroid").getField("y"), nd=6, out=6).alias("avg_cy"),
         )
         .orderBy("source")
     )
@@ -325,8 +329,8 @@ def io_wide_attrs_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         projected.groupBy("occ_cls")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("height"), 4).alias("avg_height"),
-            F.round(F.sum("sqmeters"), 2).alias("total_sqm"),
+            fxavg("height").alias("avg_height"),
+            fxsum("sqmeters").alias("total_sqm"),
         )
         .orderBy("occ_cls")
     )
@@ -370,8 +374,8 @@ def gdb_scan_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("occ_cls")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("height"), 4).alias("avg_height"),
-            F.round(F.sum("sqmeters"), 2).alias("total_sqm"),
+            fxavg("height").alias("avg_height"),
+            fxsum("sqmeters").alias("total_sqm"),
         )
         .orderBy("occ_cls")
     )
@@ -505,8 +509,8 @@ def oracle_sqls() -> dict[str, str]:
     return {
         "gdb_scan_attrs": f"""
             SELECT occ_cls, count(*) AS cnt,
-                   round(avg(height), 4) AS avg_height,
-                   round(sum(sqmeters), 2) AS total_sqm
+                   (floor(CAST(sum(CAST(floor((height) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e4) AS avg_height,
+                   (floor(CAST(sum(CAST(floor((sqmeters) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 + 0.5) / 1e2) AS total_sqm
             FROM read_parquet('{gdb_twin}')
             GROUP BY occ_cls ORDER BY occ_cls
         """,
@@ -540,8 +544,8 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "io_wide_attrs_projection": f"""
             SELECT occ_cls, count(*) AS cnt,
-                   round(avg(height), 4) AS avg_height,
-                   round(sum(sqmeters), 2) AS total_sqm
+                   (floor(CAST(sum(CAST(floor((height) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e4) AS avg_height,
+                   (floor(CAST(sum(CAST(floor((sqmeters) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 + 0.5) / 1e2) AS total_sqm
             FROM read_parquet('{attrs}')
             GROUP BY occ_cls ORDER BY occ_cls
         """,
@@ -571,8 +575,8 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "geo_centroid_stats": f"""
             SELECT source, count(*) AS n,
-                   round(avg(e.cx), 6) AS avg_cx,
-                   round(avg(e.cy), 6) AS avg_cy
+                   (floor(CAST(sum(CAST(floor((e.cx) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6) AS avg_cx,
+                   (floor(CAST(sum(CAST(floor((e.cy) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6) AS avg_cy
             FROM {b} bb JOIN {e} e USING (building_id)
             WHERE bb.geom IS NOT NULL
             GROUP BY source ORDER BY source

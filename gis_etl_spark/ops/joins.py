@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gis_etl_spark.io import read_table
+from gis_etl_spark.ops.fixedpoint import fxsum, fxsum_sql
 
 # --- generic operators ------------------------------------------------------
 
@@ -270,7 +271,7 @@ def interval_error_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_err = matched.groupBy("err_id").agg(
         F.count("*").alias("n_follow"),
-        F.sum("value").alias("follow_value"),
+        fxsum("value").alias("follow_value"),
     )
     return (
         errors.join(per_err, on="err_id", how="left")
@@ -278,9 +279,7 @@ def interval_error_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("err_id").alias("event_id"),
             "user_id",
             F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
-            F.round(F.coalesce("follow_value", F.lit(0.0)), 2).alias(
-                "follow_value"
-            ),
+            F.coalesce("follow_value", F.lit(0.0)).alias("follow_value"),
         )
         .orderBy("event_id")
     )
@@ -342,7 +341,7 @@ def oracle_sqls() -> dict[str, str]:
         "interval_error_activity": f"""
             SELECT e.event_id, e.user_id,
                    count(p.event_id) AS n_follow,
-                   round(coalesce(sum(p.value), 0), 2) AS follow_value
+                   coalesce({fxsum_sql("p.value")}, 0.0) AS follow_value
             FROM (SELECT * FROM events WHERE event_type = 'error') e
             LEFT JOIN events p
               ON p.user_id = e.user_id

@@ -6,10 +6,11 @@ Design rules (scale-first):
 - Declarative plans only; Catalyst owns pushdown/pruning/reordering.
 - Small dimensions are broadcast explicitly (`F.broadcast`) so the
   plan never sort-merge-joins a 5-row region table at 100 TB.
-- Every computed column is aliased; float aggregates are rounded so
-  results are stable across partial-aggregation orders (both here and
-  in the ANSI oracle) — summation order across partitions is not
-  deterministic, rounding makes the comparison well-defined.
+- Every computed column is aliased; float SUM/AVG aggregates go through
+  ops.fixedpoint (quantize → exact integer sum → one deterministic
+  rounding) so results are bit-identical regardless of partial-
+  aggregation order, both here and in the ANSI oracle. Plain
+  round(sum(double)) is NOT order-stable — see fixedpoint.py.
 - No collect(), no driver loops: every builder returns a DataFrame.
 
 Each builder takes (spark, sf_dir) and pairs with an ANSI oracle in
@@ -22,6 +23,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gis_etl_spark.io import read_table
+from gis_etl_spark.ops.fixedpoint import (
+    fxavg,
+    fxratio,
+    fxsum,
+    fxsum_over,
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,22 +45,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            fxsum("l_quantity").alias("sum_qty"),
+            fxsum("l_extendedprice").alias("sum_base_price"),
+            fxsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            fxsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            fxavg("l_quantity").alias("avg_qty"),
+            fxavg("l_extendedprice").alias("avg_price"),
+            fxavg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -81,8 +85,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            fxsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -117,8 +121,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            fxsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -140,8 +144,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            fxsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
@@ -290,7 +294,7 @@ def running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         read_table(spark, sf_dir, "events")
-        .withColumn("running_value", F.round(F.sum("value").over(w), 2))
+        .withColumn("running_value", fxsum_over("value", w))
         .select("user_id", "event_id", "running_value")
     )
 
@@ -309,7 +313,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fxsum("value").alias("total_value"),
         )
     )
 
@@ -337,7 +341,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_gap.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            fxsum("value").alias("session_value"),
         )
     )
 
@@ -356,9 +360,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+            fxsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
@@ -376,11 +380,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
-                      .otherwise(0.0)), 2
+            fxsum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            fxsum(rev).alias("total_revenue"),
         )
     )
 
@@ -394,7 +397,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(fxsum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 200)
     )
     return (
@@ -431,7 +434,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            fxsum("o_totalprice").alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -452,7 +455,7 @@ def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            fxavg("o_totalprice").alias("avg_price"),
         )
         .orderBy("yr", "mo")
     )
@@ -531,7 +534,7 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            fxsum("value").alias("session_value"),
         )
         .select(
             "user_id",
@@ -555,7 +558,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fxsum("value").alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
@@ -573,7 +576,7 @@ def rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(F.count("*").alias("cnt"), fxsum("l_quantity").alias("qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -655,8 +658,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            fxsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -691,10 +694,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), supp.s_nationkey == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("s_nation") == "NATION_9", volume).otherwise(0.0))
-                / F.sum(volume),
-                6,
+            fxratio(
+                F.when(F.col("s_nation") == "NATION_9", volume).otherwise(0.0),
+                volume,
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -720,8 +722,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            fxsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("profit")
         )
         .orderBy("nation", "o_year")
@@ -741,8 +743,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        fxsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
@@ -777,9 +779,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20.0, 30.0)
     )
     return j.filter(branch).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        fxsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
         F.count("*").alias("n_items"),
     )
 
@@ -801,7 +803,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            fxsum("c_acctbal").alias("total_bal"),
         )
         .orderBy("c_mktsegment")
     )

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 
 from gis_etl_spark.geom.functions import st_centroid
 from gis_etl_spark.layout.sfc import grid_cell
+from gis_etl_spark.ops.fixedpoint import fxsum
 
 BUILDINGS_SCHEMA = StructType(
     [
@@ -98,7 +99,7 @@ def streaming_hourly_rollup(
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fxsum("value").alias("total_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -114,7 +115,10 @@ SESSION_STATE_SCHEMA = StructType(
         StructField("last_ts", LongType()),
         StructField("session_seq", IntegerType()),
         StructField("n_events", IntegerType()),
-        StructField("value_sum", DoubleType()),
+        # exact fixed-point units of 1e-4 (ops.fixedpoint): integer state
+        # replays identically across micro-batch orders, matching the
+        # batch twin's fxsum bit-for-bit
+        StructField("value_q", LongType()),
     ]
 )
 SESSION_OUT_SCHEMA = StructType(
@@ -135,25 +139,31 @@ def _session_fn(
     """Gap-based sessionizer (30 min) as explicit streaming state — the
     stateful twin of ops.relational.sessionize_events. Emits every
     updated session per micro-batch (upsert semantics downstream)."""
+    import math
+
     gap_us = 1_800_000_000
     if state.exists:
-        last_ts, seq, n, vsum = state.get
+        last_ts, seq, n, vq = state.get
     else:
-        last_ts, seq, n, vsum = None, 0, 0, 0.0
+        last_ts, seq, n, vq = None, 0, 0, 0
+    # fixed-point per ops.fixedpoint: floor(v*1e4+0.5) int accumulation,
+    # one deterministic half-up rounding on emit — bit-identical to the
+    # batch fxsum regardless of micro-batch slicing
+    emit = lambda q: math.floor(q / 100.0 + 0.5) / 100.0
     out = []
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     user_id = key[0]
     for r in rows.itertuples():
         ts_us = int(r.ts.value // 1000)  # pandas ns → µs
         if last_ts is not None and ts_us - last_ts > gap_us:
-            out.append((user_id, seq, n, round(vsum, 2)))
+            out.append((user_id, seq, n, emit(vq)))
             seq += 1
-            n, vsum = 0, 0.0
+            n, vq = 0, 0
         n += 1
-        vsum += float(r.value)
+        vq += math.floor(float(r.value) * 10000.0 + 0.5)
         last_ts = ts_us
-    state.update((last_ts, seq, n, vsum))
-    out.append((user_id, seq, n, round(vsum, 2)))
+    state.update((last_ts, seq, n, vq))
+    out.append((user_id, seq, n, emit(vq)))
     yield pd.DataFrame(out, columns=[f.name for f in SESSION_OUT_SCHEMA])
 
 

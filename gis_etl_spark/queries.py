@@ -19,6 +19,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from gis_etl_spark.ops import dedup as D
+from gis_etl_spark.ops.fixedpoint import (
+    fxavg_sql,
+    fxratio_sql,
+    fxsum_over_sql,
+    fxsum_sql,
+)
 from gis_etl_spark.ops import geometry_queries as G
 from gis_etl_spark.ops import joins as J
 from gis_etl_spark.ops import multimodal as M
@@ -32,25 +38,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Relational pack (SURVEY.md §2.3/2.4/2.5/2.7/2.8) — all oracle-checked.
 # ---------------------------------------------------------------------------
 
-_Q1_SQL = """
+_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       {fxsum_sql("l_quantity")} AS sum_qty,
+       {fxsum_sql("l_extendedprice")} AS sum_base_price,
+       {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {fxsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {fxavg_sql("l_quantity")} AS avg_qty,
+       {fxavg_sql("l_extendedprice")} AS avg_price,
+       {fxavg_sql("l_discount")} AS avg_disc,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
-_Q3_SQL = """
+_Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -62,9 +68,9 @@ ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """
 
-_Q5_SQL = """
+_Q5_SQL = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -78,9 +84,9 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
 
-_Q10_SQL = """
+_Q10_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -158,22 +164,24 @@ SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
 ) t WHERE rn <= 3
 """
 
-_RUNNING_SQL = """
+_RUNNING_SQL = f"""
 SELECT user_id, event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+       {fxsum_over_sql(
+           "value",
+           "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)",
+       )} AS running_value
 FROM events
 """
 
-_HOURLY_SQL = """
+_HOURLY_SQL = f"""
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       {fxsum_sql("value")} AS total_value
 FROM events GROUP BY 1, 2
 """
 
-_SESSION_SQL = """
+_SESSION_SQL = f"""
 WITH gaps AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -187,20 +195,20 @@ WITH gaps AS (
   FROM gaps
 )
 SELECT user_id, session_seq, count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+       {fxsum_sql("value")} AS session_value
 FROM sessions GROUP BY user_id, session_seq
 """
 
-_ROLLUP_SQL = """
+_ROLLUP_SQL = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS cnt,
-       round(sum(l_quantity), 2) AS qty
+       {fxsum_sql("l_quantity")} AS qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
-_Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+_Q6_SQL = f"""
+SELECT {fxsum_sql("l_extendedprice * l_discount")} AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -209,21 +217,23 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """
 
-_Q14_SQL = """
-SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
-         AS promo_revenue,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+_Q14_SQL = f"""
+SELECT {fxsum_sql(
+    "CASE WHEN p_type LIKE 'PROMO%' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+)} AS promo_revenue,
+       {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
 """
 
-_Q18_SQL = """
+_Q18_SQL = f"""
 SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
 FROM (
-  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+  SELECT l_orderkey, {fxsum_sql("l_quantity")} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {fxsum_sql("l_quantity")} > 200
 ) big
 JOIN orders   ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -238,17 +248,17 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
-_CUBE_SQL = """
+_CUBE_SQL = f"""
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS cnt,
-       round(sum(o_totalprice), 2) AS total
+       {fxsum_sql("o_totalprice")} AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
-_YEAR_MONTH_SQL = """
+_YEAR_MONTH_SQL = f"""
 SELECT year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
-       count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price
+       count(*) AS cnt, {fxavg_sql("o_totalprice")} AS avg_price
 FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -273,10 +283,10 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
-_Q7_SQL = """
+_Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate)::INT AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM lineitem
 JOIN orders    ON l_orderkey = o_orderkey
 JOIN supplier  ON l_suppkey = s_suppkey
@@ -289,11 +299,13 @@ GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
 
-_Q8_SQL = """
+_Q8_SQL = f"""
 SELECT year(o_orderdate)::INT AS o_year,
-       round(sum(CASE WHEN ns.n_name = 'NATION_9'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       {fxratio_sql(
+    "CASE WHEN ns.n_name = 'NATION_9' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+    "l_extendedprice * (1 - l_discount)",
+)} AS mkt_share
 FROM lineitem
 JOIN part      ON l_partkey = p_partkey
 JOIN orders    ON l_orderkey = o_orderkey
@@ -306,9 +318,9 @@ WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
 GROUP BY 1 ORDER BY 1
 """
 
-_Q9_SQL = """
+_Q9_SQL = f"""
 SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+       {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -318,10 +330,10 @@ WHERE p_name LIKE '%gear%'
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
-_Q15_SQL = """
+_Q15_SQL = f"""
 WITH rev AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
@@ -333,8 +345,8 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 ORDER BY s_suppkey
 """
 
-_Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+_Q19_SQL = f"""
+SELECT {fxsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -345,8 +357,8 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20.0 AND 30.0)
 """
 
-_Q22_SQL = """
-SELECT c_mktsegment, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+_Q22_SQL = f"""
+SELECT c_mktsegment, count(*) AS n_custs, {fxsum_sql("c_acctbal")} AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -422,7 +434,7 @@ SELECT o_orderkey, round(o_totalprice, 2) AS price
 FROM orders
 WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
 """),
-    "sessionize_native": (R.sessionize_native, """
+    "sessionize_native": (R.sessionize_native, f"""
 WITH gaps AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -438,10 +450,10 @@ WITH gaps AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
        count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+       {fxsum_sql("value")} AS session_value
 FROM sessions GROUP BY user_id, seq
 """),
-    "events_sliding_windows": (R.events_sliding_windows, """
+    "events_sliding_windows": (R.events_sliding_windows, f"""
 WITH assigned AS (
   SELECT unnest([date_trunc('hour', ts),
                  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
@@ -451,7 +463,7 @@ WITH assigned AS (
 SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       {fxsum_sql("value")} AS total_value
 FROM assigned GROUP BY 1, 2
 """),
 }

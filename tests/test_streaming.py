@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from gis_etl_spark.fixtures import ensure_buildings
 from gis_etl_spark.io import read_table
+from gis_etl_spark.ops.fixedpoint import fxsum
 from gis_etl_spark.ops.relational import events_hourly_rollup, sessionize_events
 from gis_etl_spark.pipelines import buildings as B
 from gis_etl_spark.pipelines import streaming as S
@@ -78,7 +79,7 @@ def test_streaming_hourly_matches_batch(spark, sf_dir, stream_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            fxsum("value").alias("total_value"),
         )
     )
     want = {

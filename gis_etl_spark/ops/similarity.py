@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gis_etl_spark.io import read_table
-from gis_etl_spark.ops.text import h60_sql
+from gis_etl_spark.ops.text import EMB_DEDUP_T, h60_sql
 
 TOPK = 5
 N_QUERIES = 8          # query set = vec_id < 8
@@ -155,14 +155,9 @@ def _signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
     )
 
 
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: hyperplane signature → 8-bit band buckets →
-    candidates sharing any band with a query → exact cosine rerank →
-    top-k. Recall < 1 by construction; the oracle runs the identical
-    pipeline so results still hash-match."""
-    emb = _emb(spark, sf_dir)
-    sig = _signatures(emb, _planes(spark))
-    bands = sig.select(
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """Signature → (vec_id, band_idx, band_val) bucket rows."""
+    return sig.select(
         "vec_id",
         F.explode(
             F.array(
@@ -178,6 +173,16 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "band.band_idx", "band.band_val")
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane signature → 8-bit band buckets →
+    candidates sharing any band with a query → exact cosine rerank →
+    top-k. Recall < 1 by construction; the oracle runs the identical
+    pipeline so results still hash-match."""
+    emb = _emb(spark, sf_dir)
+    sig = _signatures(emb, _planes(spark))
+    bands = _band_buckets(sig)
     qbands = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band_idx", "band_val"
     )
@@ -211,6 +216,63 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("sim"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, PRODUCTION path: banded hyperplane-LSH
+    self-join instead of the all-pairs cross join of
+    ops.text.dedup_embedding_pairs (the gated verification baseline).
+
+    Plan shape: signature build is one pass over embeddings
+    (O(n·planes)); the pair-candidate step is an EQUI-join of band
+    buckets with itself (doc_a < doc_b, distinct), so the fan-out is
+    Σ_buckets |bucket|² — the banded-LSH bound shared with
+    dedup_minhash_pairs — and the exact cosine verify runs on candidates
+    only. No CartesianProduct anywhere (pinned by test_plan_hygiene).
+
+    Config note: this corpus's injected near-dups sit at cosine ≈ 0.35-
+    0.5, a hard LSH regime, so the ann config (8 bands × 4 bits) is
+    reused; a production corpus deduping at cosine ≥ 0.9 wants fewer,
+    wider bands (e.g. 2 × 16 bits from the same 32 planes) to shrink
+    bucket collision rates — same plan, different constants. Recall vs
+    the exact baseline is pinned in tests/test_northstar.py."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = _emb(spark, sf_dir)
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("vec_id"), "lang", "v"
+    )
+    sig = _signatures(joined, _planes(spark))
+    bands = _band_buckets(sig)
+    pair_cands = (
+        bands.alias("ba")
+        .join(
+            bands.alias("bb"),
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_val") == F.col("bb.band_val"))
+            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("ba.vec_id").alias("doc_a"),
+            F.col("bb.vec_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ea = joined.select(
+        F.col("vec_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("v").alias("va"),
+    )
+    eb = joined.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        pair_cands.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select("doc_a", "doc_b", "lang_a", cos.alias("cos"))
+        .filter(F.col("cos") >= EMB_DEDUP_T)
+        .select("doc_a", "doc_b", "lang_a", F.round("cos", 6).alias("sim"))
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -408,6 +470,56 @@ def oracle_sqls() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS sim
             FROM ranked WHERE rank <= {TOPK}
             ORDER BY query_id, rank
+        """,
+        "dedup_embedding_lsh": f"""
+            WITH e AS (
+              SELECT d.doc_id AS vec_id, d.lang, em.embedding::DOUBLE[] AS v
+              FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id
+            ),
+            planes AS (
+              SELECT p.p, d.d, (({hw}) % 2001 - 1000) / 1000.0 AS w
+              FROM range({N_PLANES}) p(p), range(64) d(d)
+            ),
+            comp AS (
+              SELECT vec_id, d - 1 AS d, x
+              FROM (SELECT vec_id, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS d FROM e)
+            ),
+            dots AS (
+              SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dp
+              FROM comp c JOIN planes pl ON pl.d = c.d
+              GROUP BY c.vec_id, pl.p
+            ),
+            sig AS (
+              SELECT vec_id,
+                     sum(CASE WHEN dp > 0 THEN 1::BIGINT ELSE 0 END << p)
+                       AS sig
+              FROM dots GROUP BY vec_id
+            ),
+            bands AS (
+              SELECT vec_id, b.b AS band_idx,
+                     (sig >> (b.b * {BAND_BITS})) & {(1 << BAND_BITS) - 1}
+                       AS band_val
+              FROM sig, range({N_SIG_BANDS}) b(b)
+            ),
+            cands AS (
+              SELECT DISTINCT ba.vec_id AS doc_a, bb.vec_id AS doc_b
+              FROM bands ba JOIN bands bb
+                USING (band_idx, band_val)
+              WHERE ba.vec_id < bb.vec_id
+            ),
+            verified AS (
+              SELECT c.doc_a, c.doc_b, ea.lang AS lang_a,
+                     list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) *
+                      sqrt(list_dot_product(eb.v, eb.v))) AS cos
+              FROM cands c
+              JOIN e ea ON ea.vec_id = c.doc_a
+              JOIN e eb ON eb.vec_id = c.doc_b
+            )
+            SELECT doc_a, doc_b, lang_a, round(cos, 6) AS sim
+            FROM verified WHERE cos >= {EMB_DEDUP_T}
+            ORDER BY doc_a, doc_b
         """,
         "embedding_label_centroids": """
             SELECT label, d - 1 AS d, round(avg(x), 6) AS mean_x

@@ -204,12 +204,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_PAIR_SLICE = 2000   # all-pairs gate: doc_id < 2000 (see docstring)
+EMB_DEDUP_T = 0.35      # cosine threshold shared with dedup_embedding_lsh
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup across documents: join docs to their
-    embedding (doc_id = vec_id), pair docs whose embeddings exceed the
-    cosine threshold — the semantic-dedup shape (bounded slice; the
-    LSH ANN in ops/similarity.py is the scale path)."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    """Embedding-cosine near-dup, EXACT all-pairs rendition — the
+    verification baseline for ops.similarity.dedup_embedding_lsh, which
+    is the production path. Quadratic by construction, therefore hard-
+    gated to doc_id < EMB_PAIR_SLICE on both engine and oracle sides:
+    at corpus scale this plan is intentionally disallowed (the gate
+    keeps the cross join ≤ 2000² regardless of input size)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang").filter(
+        F.col("doc_id") < EMB_PAIR_SLICE
+    )
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -246,7 +254,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b", "lang_a", (dot / (na * nb)).alias("cos")
         )
-        .filter(F.col("cos") >= 0.35)
+        .filter(F.col("cos") >= EMB_DEDUP_T)
         .select("doc_a", "doc_b", "lang_a", F.round("cos", 6).alias("sim"))
         .orderBy("doc_a", "doc_b")
     )
@@ -307,11 +315,12 @@ def oracle_sqls() -> dict[str, str]:
         WITH j AS (
           SELECT d.doc_id, d.lang, e.embedding::DOUBLE[] AS v
           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+          WHERE d.doc_id < {EMB_PAIR_SLICE}
         ), a AS (SELECT doc_id AS doc_a, lang AS lang_a, v AS va FROM j),
         b AS (SELECT doc_id AS doc_b, v AS vb FROM j)
         SELECT doc_a, doc_b, lang_a, round({emb_pair_cos}, 6) AS sim
         FROM a JOIN b ON doc_a < doc_b
-        WHERE {emb_pair_cos} >= 0.35
+        WHERE {emb_pair_cos} >= {EMB_DEDUP_T}
         ORDER BY doc_a, doc_b
     """
     return {

@@ -634,6 +634,11 @@ REGISTRY.update(
         "similarity_ann_lsh": (
             S.similarity_ann_lsh, _SIM_SQLS["similarity_ann_lsh"],
         ),
+        # production-path semantic dedup: banded LSH self-join (the
+        # gated all-pairs twin is dedup_embedding_pairs in ops/text.py)
+        "dedup_embedding_lsh": (
+            S.dedup_embedding_lsh, _SIM_SQLS["dedup_embedding_lsh"],
+        ),
         "similarity_ivf": (S.similarity_ivf, _SIM_SQLS["similarity_ivf"]),
         # trained-codebook IVF: the oracle embeds the independently
         # (sequentially) trained reference codebook as literals — a

@@ -27,6 +27,24 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall collapsed: {recall:.2f}"
 
 
+def test_embedding_dedup_lsh_recall(spark, sf_dir):
+    """The banded-LSH semantic dedup must recover a solid fraction of
+    the exact all-pairs baseline, and must never report a pair the
+    exact path rejects (candidates are exactly verified, so precision
+    is 1.0 by construction — assert it anyway)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in T.dedup_embedding_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in S.dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"dedup LSH recall collapsed: {recall:.2f}"
+
+
 def test_ivf_recall(spark, sf_dir):
     """IVF with nprobe=2 over 10 lists must recover a solid fraction of
     brute-force top-k — and beat a random 20% corpus sample would."""

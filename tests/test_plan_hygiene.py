@@ -67,6 +67,28 @@ def test_wide_table_prunes_geometry_column(spark, sf_dir):
     )
 
 
+# Quadratic verification BASELINES, explicitly slice-gated in code so the
+# cross join is bounded regardless of input size (vec_id < PAIR_SLICE /
+# doc_id < EMB_PAIR_SLICE). Their production twins (similarity_ann_lsh,
+# dedup_embedding_lsh) are banded equi-joins and must stay cartesian-free.
+_GATED_QUADRATIC_BASELINES = {"similarity_near_pairs", "dedup_embedding_pairs"}
+
+
+def test_no_cartesian_product_in_any_registry_plan(spark, sf_dir):
+    """No registry query may plan a CartesianProduct or a non-broadcast
+    nested-loop join, except the two explicitly gated quadratic
+    baselines. BroadcastNestedLoopJoin is tolerated only when one side
+    is a 1-row scalar aggregate (decorrelated scalar subqueries)."""
+    offenders = []
+    for name, (builder, _) in REGISTRY.items():
+        plan = _plan(builder(spark, sf_dir))
+        if name in _GATED_QUADRATIC_BASELINES:
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
+
+
 def test_heatmap_pyramid_conserves_mass(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -500,6 +500,128 @@ def hex_cell_np(
     )
 
 
+def hex_boundary_wkt_np(cells: np.ndarray, res: int) -> list:
+    """Cell id array → closed hexagon boundary WKT strings, vectorized.
+
+    Operation-order clone of hex_boundary_wkt(): decode (face, i, j) →
+    center (u, w) via the axial-inverse matrix, then for each of the 7
+    ring points (k % 6 corner offsets) the inverse gnomonic
+    p = c + u·e1 + w·e2 normalized to the sphere, formatted '%.7f %.7f'
+    (lng lat). All trig resolves to the same libm the Column version's
+    JVM intrinsics match on this platform (tests assert string
+    equality against the Column rendition on the fixture)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    face = ((cells >> 52) & 63).astype(np.int64)
+    i = (((cells >> 26) & (_IJ_SPAN - 1)) - _IJ_OFF).astype("f8")
+    j = ((cells & (_IJ_SPAN - 1)) - _IJ_OFF).astype("f8")
+    b00, b01, b10, b11 = _axial_inv(res)
+    u = i * b00 + j * b01
+    w = i * b10 + j * b11
+
+    C = np.array([f["c"] for f in FACES])    # (20, 3)
+    E1 = np.array([f["e1"] for f in FACES])
+    E2 = np.array([f["e2"] for f in FACES])
+    c_f, e1_f, e2_f = C[face], E1[face], E2[face]   # (n, 3)
+
+    corners = _corners(res)
+    lngs, lats = [], []
+    for k in range(7):
+        du, dw = corners[k % 6]
+        uu = u + du
+        ww = w + dw
+        px = c_f[:, 0] + uu * e1_f[:, 0] + ww * e2_f[:, 0]
+        py = c_f[:, 1] + uu * e1_f[:, 1] + ww * e2_f[:, 1]
+        pz = c_f[:, 2] + uu * e1_f[:, 2] + ww * e2_f[:, 2]
+        norm = np.sqrt(px * px + py * py + pz * pz)
+        lats.append(np.arcsin(pz / norm) * RAD2DEG)
+        lngs.append(np.arctan2(py, px) * RAD2DEG)
+    return [
+        "POLYGON (("
+        + ", ".join(
+            "%.7f %.7f" % (lngs[k][n], lats[k][n]) for k in range(7)
+        )
+        + "))"
+        for n in range(len(cells))
+    ]
+
+
+def hex_center_np(
+    cells: np.ndarray, res: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id array → (lat, lng) center degrees, vectorized — the
+    numpy twin of hex_cell_center() (same decode + inverse gnomonic
+    with zero corner offset)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    face = ((cells >> 52) & 63).astype(np.int64)
+    i = (((cells >> 26) & (_IJ_SPAN - 1)) - _IJ_OFF).astype("f8")
+    j = ((cells & (_IJ_SPAN - 1)) - _IJ_OFF).astype("f8")
+    b00, b01, b10, b11 = _axial_inv(res)
+    u = i * b00 + j * b01
+    w = i * b10 + j * b11
+    C = np.array([f["c"] for f in FACES])
+    E1 = np.array([f["e1"] for f in FACES])
+    E2 = np.array([f["e2"] for f in FACES])
+    c_f, e1_f, e2_f = C[face], E1[face], E2[face]
+    px = c_f[:, 0] + u * e1_f[:, 0] + w * e2_f[:, 0]
+    py = c_f[:, 1] + u * e1_f[:, 1] + w * e2_f[:, 1]
+    pz = c_f[:, 2] + u * e1_f[:, 2] + w * e2_f[:, 2]
+    norm = np.sqrt(px * px + py * py + pz * pz)
+    return np.arcsin(pz / norm) * RAD2DEG, np.arctan2(py, px) * RAD2DEG
+
+
+def hex_export_arrow(cell: Column, res: int) -> Column:
+    """Center (lat, lng) + boundary WKT in ONE vectorized Arrow pass —
+    struct(center_lat, center_lng, boundary). The export hot path:
+    replaces a per-row let-bound chain (~60 CodegenFallback struct
+    evaluations for the center plus 7 inverse projections for the
+    boundary) with two numpy sweeps over the whole batch."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    out_t = ST([
+        SF("center_lat", DoubleType()),
+        SF("center_lng", DoubleType()),
+        SF("boundary", StringType()),
+    ])
+
+    @F.pandas_udf(out_t)
+    def _udf(cell_s: pd.Series) -> pd.DataFrame:
+        ids = cell_s.to_numpy(dtype=np.int64)
+        lat, lng = hex_center_np(ids, res)
+        wkt = hex_boundary_wkt_np(ids, res)
+        return pd.DataFrame(
+            {"center_lat": lat, "center_lng": lng, "boundary": wkt}
+        )
+
+    return _udf(cell)
+
+
+def hex_boundary_wkt_arrow(cell: Column, res: int) -> Column:
+    """hex_boundary_wkt as ONE vectorized Arrow pass — same strings as
+    the Column rendition at a fraction of the per-row cost (the
+    let-bound HOF chain is CodegenFallback and pays ~60 struct
+    evaluations per row; the numpy twin runs whole-batch). Use in
+    export hot paths; the Column version remains for spark.sql
+    registration."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _udf(cell_s: pd.Series) -> pd.Series:
+        valid = cell_s.notna()
+        out = pd.Series([None] * len(cell_s), index=cell_s.index, dtype=object)
+        if valid.any():
+            out[valid] = hex_boundary_wkt_np(
+                cell_s[valid].to_numpy(dtype=np.int64), res
+            )
+        return out
+
+    return _udf(cell)
+
+
 def hex_cell_arrow(lat: Column, lng: Column, res: int = 7) -> Column:
     """hex_cell as ONE vectorized Arrow pass (pandas UDF over
     hex_cell_np) — same ids as hex_cell(), ~200× less per-row cost.

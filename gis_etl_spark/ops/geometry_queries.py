@@ -222,20 +222,20 @@ def hex_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centers/boundaries invert the gnomonic projection with
     asin/atan2 whose cross-engine printf parity isn't guaranteed;
     geometric invariants are pytest-covered (tests/test_layout.py)."""
-    from gis_etl_spark.layout.geohex import (
-        hex_boundary_wkt,
-        hex_cell_center,
-    )
+    from gis_etl_spark.layout.geohex import hex_export_arrow
 
     cells = hex_heatmap(spark, sf_dir)
-    clat, clng = hex_cell_center(F.col("cell"), 7)
-    return cells.select(
-        "cell",
-        "num_recs",
-        F.round(clat, 6).alias("center_lat"),
-        F.round(clng, 6).alias("center_lng"),
-        hex_boundary_wkt(F.col("cell"), 7).alias("boundary"),
-    ).orderBy("cell")
+    return (
+        cells.withColumn("exp", hex_export_arrow(F.col("cell"), 7))
+        .select(
+            "cell",
+            "num_recs",
+            F.round(F.col("exp.center_lat"), 6).alias("center_lat"),
+            F.round(F.col("exp.center_lng"), 6).alias("center_lng"),
+            F.col("exp.boundary").alias("boundary"),
+        )
+        .orderBy("cell")
+    )
 
 
 def geo_centroid_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

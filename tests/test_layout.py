@@ -301,6 +301,40 @@ def test_hex_cell_np_matches_column_exactly(spark, hex_pts):
         assert (native == arrow.astype("int64")).all()
 
 
+def test_hex_export_arrow_matches_column_exactly(spark, hex_pts):
+    """The fused Arrow export pass (center + boundary WKT) must be
+    string/value-identical to the let-bound Column renditions —
+    same constants, same operation order, same '%.7f' formatting."""
+    from gis_etl_spark.layout.geohex import (
+        hex_boundary_wkt,
+        hex_cell,
+        hex_cell_center,
+        hex_export_arrow,
+    )
+
+    cells = hex_pts.limit(500).select(
+        "pid", hex_cell(F.col("lat"), F.col("lng"), 7).alias("cell")
+    )
+    clat, clng = hex_cell_center(F.col("cell"), 7)
+    col = {
+        r.pid: (round(r.lat, 6), round(r.lng, 6), r.wkt)
+        for r in cells.select(
+            "pid",
+            clat.alias("lat"),
+            clng.alias("lng"),
+            hex_boundary_wkt(F.col("cell"), 7).alias("wkt"),
+        ).collect()
+    }
+    arrow = {
+        r.pid: (round(r.exp.center_lat, 6), round(r.exp.center_lng, 6),
+                r.exp.boundary)
+        for r in cells.withColumn(
+            "exp", hex_export_arrow(F.col("cell"), 7)
+        ).collect()
+    }
+    assert col == arrow
+
+
 def test_fused_centroid_hex_cell_matches_staged_path(spark):
     """st_centroid_hex_cell (one Arrow pass over WKB) == st_centroid
     staging + hex_cell Column over the struct fields, id-for-id, on the

@@ -55,10 +55,20 @@ def _load_input(spark: SparkSession, path: str) -> DataFrame:
 def cmd_convert(spark: SparkSession, args) -> None:
     """`main` rendition: clean → reproject → flip → Hilbert-clustered
     write (east_asia.py:286-314)."""
-    from gis_etl_spark.pipelines.buildings import convert, merge_compact
+    from gis_etl_spark.pipelines.buildings import (
+        convert,
+        crs_quarantine,
+        merge_compact,
+    )
 
-    df = convert(_load_input(spark, args.input))
+    raw = _load_input(spark, args.input)
+    df = convert(raw)
     merge_compact(df, args.output, max_records_per_file=args.max_rows)
+    # audit pass over (source, epsg) only — column-pruned scan
+    for r in crs_quarantine(raw).collect():
+        print(
+            f"convert: QUARANTINED {r.n_rows} rows from {r.source}: {r.reason}"
+        )
     print(f"convert: wrote {args.output}")
 
 

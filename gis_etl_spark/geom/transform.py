@@ -176,6 +176,19 @@ def transform_xy(
     return np.column_stack([ox, oy])
 
 
+def epsg_supported(code: Column) -> Column:
+    """Native predicate twin of _parse_epsg: TRUE iff the engine can
+    reproject this code (4326, 3857, UTM 32601-60/32701-60). Keep in
+    sync with _parse_epsg — tests/test_transform.py sweeps a code range
+    asserting the two agree. NULL → FALSE (missing .prj sidecar)."""
+    return code.isNotNull() & (
+        (code == 4326)
+        | (code == 3857)
+        | code.between(32601, 32660)
+        | code.between(32701, 32760)
+    )
+
+
 def st_transform_xy(
     x: Column, y: Column, src_epsg: Column, dst_epsg: int = 4326
 ) -> Column:

@@ -101,21 +101,78 @@ def normalize(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     )
 
 
-def convert(df: DataFrame, geom_col: str = "geom") -> DataFrame:
+def crs_quarantine(df: DataFrame) -> DataFrame:
+    """Per-source failure records for rows convert() refuses: sources
+    whose declared EPSG is NULL (missing .prj sidecar) or outside the
+    engine's reprojection family. The distributed rendition of the
+    reference's ogr2ogr fallback trigger (east_asia.py:118-137) under
+    the per-source failure-record discipline (SURVEY §7.2.5): the
+    pipeline continues, the operator gets an auditable record per
+    (source, epsg) instead of silently mixed-CRS output."""
+    from gis_etl_spark.geom.transform import epsg_supported
+
+    return (
+        df.filter(~epsg_supported(F.col("epsg")))
+        .groupBy("source", "epsg")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "source",
+            "epsg",
+            "n_rows",
+            F.when(
+                F.col("epsg").isNull(),
+                F.lit("missing EPSG (no CRS sidecar)"),
+            )
+            .otherwise(
+                F.format_string(
+                    "unsupported EPSG:%d — engine implements 4326, 3857, "
+                    "UTM 32601-60/32701-60",
+                    F.col("epsg"),
+                )
+            )
+            .alias("reason"),
+        )
+        .orderBy("source", "epsg")
+    )
+
+
+def convert(
+    df: DataFrame, geom_col: str = "geom", on_unknown_crs: str = "quarantine"
+) -> DataFrame:
     """Full `main`-pipeline parity (east_asia.py:96-283): null-drop →
     core-type filter → force2d → ST_TRANSFORM(declared EPSG → 4326) →
     per-source flip heuristic on the TRANSFORMED coordinates (the
     reference probes min ST_XMIN *after* transform, east_asia.py:204-216)
     → conditional flip. Output is write-ready for merge_compact.
 
-    Rows with NULL epsg keep their coordinates (the reference's
-    ogr2ogr fallback for missing .prj, east_asia.py:118-137, is a
-    driver-side concern; v1 passes them through unprojected).
+    Rows with NULL/unsupported epsg (the reference shells to ogr2ogr
+    when .prj is absent, east_asia.py:118-137):
+    - on_unknown_crs="quarantine" (default): excluded from the output;
+      crs_quarantine(df) yields the per-source failure records. Output
+      is guaranteed single-CRS (4326).
+    - on_unknown_crs="error": fail fast, naming the offending sources —
+      costs one column-pruned pass over (source, epsg).
     """
-    from gis_etl_spark.geom.transform import st_transform_xy
+    from gis_etl_spark.geom.transform import epsg_supported, st_transform_xy
 
-    cleaned = df.filter(F.col(geom_col).isNotNull()).filter(
-        st_is_core_type(F.col(geom_col))
+    if on_unknown_crs not in ("quarantine", "error"):
+        raise ValueError(f"on_unknown_crs: {on_unknown_crs!r}")
+    if on_unknown_crs == "error":
+        bad = crs_quarantine(df).limit(20).collect()
+        if bad:
+            detail = "; ".join(
+                f"{r.source}: {r.n_rows} rows ({r.reason})" for r in bad
+            )
+            raise ValueError(
+                "convert(): input declares CRS the engine cannot "
+                f"reproject — {detail}. Re-run with "
+                "on_unknown_crs='quarantine' to convert the clean rows "
+                "and audit failures via crs_quarantine()."
+            )
+    cleaned = (
+        df.filter(epsg_supported(F.col("epsg")))
+        .filter(F.col(geom_col).isNotNull())
+        .filter(st_is_core_type(F.col(geom_col)))
     )
     # flip probe on TRANSFORMED coordinates, reference order
     # (east_asia.py:204-216) — but transforming only the centroid

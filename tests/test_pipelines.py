@@ -111,6 +111,77 @@ def test_convert_full_pipeline(spark, bdf):
     conv.unpersist()
 
 
+def test_convert_quarantines_unknown_crs(spark, bdf):
+    """The declared missing-CRS contract (SURVEY §7.2.2 / reference
+    east_asia.py:118-137): NULL or unsupported EPSG rows are excluded
+    from convert() output with per-source failure records — never
+    silently passed through unprojected — and the error mode fails
+    fast naming the sources."""
+    import pytest as _pt
+
+    bad = (
+        bdf.limit(15)
+        .withColumn("source", F.lit("regionX/noprj.pq"))
+        .withColumn("epsg", F.lit(None).cast("long"))
+        .union(
+            bdf.limit(6)
+            .withColumn("source", F.lit("regionX/lambert.pq"))
+            .withColumn("epsg", F.lit(2154).cast("long"))
+        )
+    )
+    mixed = bdf.union(bad)
+
+    conv_sources = {
+        r.source
+        for r in P.convert(mixed).select("source").distinct().collect()
+    }
+    assert "regionX/noprj.pq" not in conv_sources
+    assert "regionX/lambert.pq" not in conv_sources
+    # clean rows still convert
+    assert P.convert(mixed).count() == P.convert(bdf).count()
+
+    q = {r.source: r for r in P.crs_quarantine(mixed).collect()}
+    assert q["regionX/noprj.pq"].n_rows == 15
+    assert q["regionX/noprj.pq"].epsg is None
+    assert "missing EPSG" in q["regionX/noprj.pq"].reason
+    assert q["regionX/lambert.pq"].n_rows == 6
+    assert "EPSG:2154" in q["regionX/lambert.pq"].reason
+
+    with _pt.raises(ValueError, match="regionX/noprj.pq"):
+        P.convert(mixed, on_unknown_crs="error")
+    # clean input passes the error gate
+    assert P.convert(bdf, on_unknown_crs="error").count() > 0
+
+
+def test_epsg_supported_matches_parse_epsg(spark):
+    """The native predicate and the kernel parser must agree over the
+    full plausible code space."""
+    import pandas as pd
+
+    from gis_etl_spark.geom.transform import _parse_epsg, epsg_supported
+
+    codes = list(range(3850, 3870)) + [4326, 2154, 0] + list(
+        range(32590, 32780)
+    )
+
+    def py_ok(c):
+        try:
+            _parse_epsg(c)
+            return True
+        except ValueError:
+            return False
+
+    sdf = spark.createDataFrame(pd.DataFrame({"code": codes}))
+    got = {
+        r.code: r.ok
+        for r in sdf.select(
+            "code", epsg_supported(F.col("code")).alias("ok")
+        ).collect()
+    }
+    for c in codes:
+        assert got[c] == py_ok(c), c
+
+
 def test_heatmap_geojson_valid(spark, bdf):
     import json
 

@@ -44,8 +44,13 @@ TPCH_TABLES = (
 # Reference writer policy: ROW_GROUP_SIZE 15000 at ~100 B/row ≈ 1.5 MB
 # blocks. parquet.block.size is bytes in Spark's writer; 2 MiB gives
 # row groups in the same regime (small → fine-grained row-group skipping
-# after Hilbert clustering).
+# after Hilbert clustering). tests/test_pipelines.py pins the achieved
+# rows-per-group band on the fixture.
 SMALL_ROW_GROUP_BYTES = 2 * 1024 * 1024
+# Reference pins COMPRESSION_LEVEL 22 (east_asia.py:79-82); parquet-mr's
+# zstd codec reads this conf key (probed: 18% smaller than the default
+# level 3 on the buildings fixture).
+ZSTD_LEVEL = "22"
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -155,6 +160,7 @@ def write_clustered_parquet(
     (
         out.write.mode(mode)
         .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", ZSTD_LEVEL)
         .option("parquet.block.size", SMALL_ROW_GROUP_BYTES)
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)

@@ -101,16 +101,37 @@ def _write_varuint(out: bytearray, v: int) -> None:
             return
 
 
+def _unpack(fmt: str, buf: bytes, pos: int) -> tuple:
+    """struct.unpack_from with truncation mapped to ValueError (the
+    decoder's single failure type — see read_filegdb on_error)."""
+    try:
+        return struct.unpack_from(fmt, buf, pos)
+    except struct.error as e:
+        raise ValueError(f"truncated structure at offset {pos}: {e}") from e
+
+
 def _read_varuint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Bounds-checked varuint: truncation and over-long encodings (>64
+    bits — a malformed stream of continuation bytes would otherwise
+    loop to a silent huge int) raise ValueError, so hostile input
+    surfaces as a per-file decode failure, never an IndexError or
+    memory bomb deep in a task."""
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varuint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
+            if result > 0xFFFFFFFFFFFFFFFF:
+                raise ValueError("varuint exceeds 64 bits")
             return result, pos
         shift += 7
+        if shift > 63:
+            raise ValueError("over-long varuint (>64 bits)")
 
 
 def _zigzag(v: int) -> int:
@@ -144,8 +165,12 @@ def _pack_utf16(out: bytearray, text: str) -> None:
 
 
 def _unpack_utf16(buf: bytes, pos: int) -> tuple[str, int]:
+    if pos >= len(buf):
+        raise ValueError("truncated utf-16 string length")
     n = buf[pos]
     pos += 1
+    if pos + 2 * n > len(buf):
+        raise ValueError(f"utf-16 string runs past EOF (len {n})")
     return buf[pos : pos + 2 * n].decode("utf-16-le"), pos + 2 * n
 
 
@@ -199,13 +224,31 @@ def _decode_geometry(blob: bytes, f: Field) -> bytes | None:
     if stype == _SHAPE_POLYGON:
         n_points, pos = _read_varuint(blob, pos)
         n_parts, pos = _read_varuint(blob, pos)
+        # memory-bomb guard: every coordinate delta costs ≥1 byte in the
+        # stream (2 varints per point), so a lying n_points can demand at
+        # most len(blob)/2 real points — allocate against that bound,
+        # not the claimed count
+        if n_points > len(blob) // 2:
+            raise ValueError(
+                f"geometry claims {n_points} points but blob is only "
+                f"{len(blob)} bytes"
+            )
+        if n_parts > n_points + 1:
+            raise ValueError(
+                f"geometry claims {n_parts} parts for {n_points} points"
+            )
         for _ in range(4):  # bbox (audit-only here)
             _, pos = _read_varuint(blob, pos)
         counts = []
         for _ in range(max(0, n_parts - 1)):
             c, pos = _read_varuint(blob, pos)
             counts.append(c)
-        counts.append(n_points - sum(counts))
+        last = n_points - sum(counts)
+        if last < 0:
+            raise ValueError(
+                f"part counts {counts} exceed claimed {n_points} points"
+            )
+        counts.append(last)
         vals = np.empty(2 * n_points, dtype="int64")
         for k in range(2 * n_points):
             z, pos = _read_varuint(blob, pos)
@@ -322,43 +365,71 @@ def write_gdbtable(
 
 
 def parse_fields(content: bytes) -> tuple[list[Field], int, int]:
-    """→ (fields, row-section offset, n_rows)."""
-    magic, n_rows = struct.unpack_from("<ii", content, 0)
+    """→ (fields, row-section offset, n_rows).
+
+    All structural reads are bounds-checked (struct.error → ValueError
+    via _unpack): a truncated header, a field section pointing past
+    EOF, or a lying field count that walks the cursor out of the
+    section all fail with a clear decode error instead of an
+    IndexError/struct.error escaping a Spark task."""
+    if len(content) < 40:
+        raise ValueError(f"not a .gdbtable: truncated header ({len(content)} bytes)")
+    magic, n_rows = _unpack("<ii", content, 0)
     if magic != GDB_MAGIC:
         raise ValueError(f"not a .gdbtable: bad magic {magic}")
-    (fsec_off,) = struct.unpack_from("<q", content, 32)
-    (fsec_size,) = struct.unpack_from("<i", content, fsec_off)
+    if n_rows < 0:
+        raise ValueError(f"negative row count {n_rows}")
+    (fsec_off,) = _unpack("<q", content, 32)
+    if not 40 <= fsec_off <= len(content) - 4:
+        raise ValueError(f"field section offset out of bounds: {fsec_off}")
+    (fsec_size,) = _unpack("<i", content, fsec_off)
+    if fsec_size < 0 or fsec_off + 4 + fsec_size > len(content):
+        raise ValueError(f"field section size out of bounds: {fsec_size}")
+    fsec_end = fsec_off + 4 + fsec_size
     pos = fsec_off + 4
-    version, = struct.unpack_from("<i", content, pos)
+    version, = _unpack("<i", content, pos)
     pos += 4
     pos += 4  # geom type + 3 flag bytes
-    (n_fields,) = struct.unpack_from("<h", content, pos)
+    (n_fields,) = _unpack("<h", content, pos)
     pos += 2
+    if n_fields < 0:
+        raise ValueError(f"negative field count {n_fields}")
     fields: list[Field] = []
     for _ in range(n_fields):
+        if pos > fsec_end:
+            raise ValueError(
+                "field descriptors run past the field section "
+                f"(lying field count {n_fields}?)"
+            )
         name, pos = _unpack_utf16(content, pos)
         _alias, pos = _unpack_utf16(content, pos)
+        if pos >= len(content):
+            raise ValueError("truncated field descriptor")
         ftype = content[pos]
         pos += 1
         if ftype == T_STRING:
-            _maxlen, flags = struct.unpack_from("<iB", content, pos)
+            _maxlen, flags = _unpack("<iB", content, pos)
             pos += 5
             fields.append(Field(name, ftype, bool(flags & 1)))
         elif ftype in (T_INT32, T_FLOAT64):
-            _w, flags = struct.unpack_from("<BB", content, pos)
+            _w, flags = _unpack("<BB", content, pos)
             pos += 2
             fields.append(Field(name, ftype, bool(flags & 1)))
         elif ftype == T_OBJECTID:
             pos += 2
             fields.append(Field(name, ftype, False))
         elif ftype == T_GEOMETRY:
-            flags = content[pos + 1]
+            (flags,) = _unpack("<B", content, pos + 1)
             pos += 2
-            (srs_len,) = struct.unpack_from("<h", content, pos)
+            (srs_len,) = _unpack("<h", content, pos)
+            if srs_len < 0:
+                raise ValueError(f"negative srs length {srs_len}")
             pos += 2 + 2 * srs_len
             pos += 1  # z/m flags
-            xo, yo, sc = struct.unpack_from("<3d", content, pos)
+            xo, yo, sc = _unpack("<3d", content, pos)
             pos += 24
+            if not (sc > 0.0):  # also catches NaN
+                raise ValueError(f"non-positive coordinate scale {sc!r}")
             fields.append(
                 Field(name, ftype, bool(flags & 1), xo, yo, sc)
             )
@@ -385,10 +456,19 @@ def parse_gdbtable(
     nullable = [f for f in fields if f.nullable]
     oid_field = next((f for f in fields if f.ftype == T_OBJECTID), None)
     for rowno in range(n_rows):
-        (size,) = struct.unpack_from("<i", content, pos)
+        (size,) = _unpack("<i", content, pos)
         pos += 4
+        if size < 0 or pos + size > len(content):
+            raise ValueError(
+                f"row {rowno}: size {size} runs past EOF "
+                f"(offset {pos}, file {len(content)} bytes)"
+            )
         end = pos + size
         nbytes = (len(nullable) + 7) // 8
+        if pos + nbytes > end:
+            raise ValueError(
+                f"row {rowno}: null bitmap ({nbytes} B) exceeds row size"
+            )
         bitmap = content[pos : pos + nbytes]
         p = pos + nbytes
         ni = 0
@@ -407,12 +487,20 @@ def parse_gdbtable(
                     data[f.name].append(None)
                 continue
             if f.ftype == T_INT32:
+                if p + 4 > end:
+                    raise ValueError(
+                        f"row {rowno}: field {f.name} runs past row end"
+                    )
                 if keep:
                     data[f.name].append(
                         struct.unpack_from("<i", content, p)[0]
                     )
                 p += 4
             elif f.ftype == T_FLOAT64:
+                if p + 8 > end:
+                    raise ValueError(
+                        f"row {rowno}: field {f.name} runs past row end"
+                    )
                 if keep:
                     data[f.name].append(
                         struct.unpack_from("<d", content, p)[0]
@@ -420,13 +508,23 @@ def parse_gdbtable(
                 p += 8
             elif f.ftype == T_STRING:
                 ln, p = _read_varuint(content, p)
+                if p + ln > end:
+                    raise ValueError(
+                        f"row {rowno}: string {f.name} length {ln} "
+                        "runs past row end"
+                    )
                 if keep:
                     data[f.name].append(
-                        content[p : p + ln].decode("utf-8")
+                        content[p : p + ln].decode("utf-8", errors="replace")
                     )
                 p += ln
             elif f.ftype == T_GEOMETRY:
                 ln, p = _read_varuint(content, p)
+                if p + ln > end:
+                    raise ValueError(
+                        f"row {rowno}: geometry {f.name} length {ln} "
+                        "runs past row end"
+                    )
                 if keep:
                     data[f.name].append(
                         _decode_geometry(content[p : p + ln], f)
@@ -464,13 +562,23 @@ def read_filegdb(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Distributed FileGDB layer scan: binaryFile source →
     mapInPandas decoder (ST_READ rendition, ORNL-FEMA-Buildings.md:81).
     `path` is a .gdbtable file or a .gdb directory (largest member
     picked like the reference). Schema comes from the field
     descriptors, read once driver-side; `columns` pushes projection
-    into the decoder."""
+    into the decoder.
+
+    Every decode failure mode is a ValueError (fuzz-tested: truncated
+    varuints, lying row sizes/field counts/blob lengths, memory-bomb
+    point counts). on_error="fail" propagates it; on_error="skip" drops
+    the corrupt member's rows and keeps the scan alive — audit the
+    skipped members with filegdb_failures() over the same path, the
+    per-file failure-record discipline shared with crs_quarantine."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error: {on_error!r}")
     if os.path.isdir(path):
         path = largest_layer(path)
     with open(path, "rb") as fh:
@@ -486,12 +594,55 @@ def read_filegdb(
         .load(path)
         .select("path", "content")
     )
+    skip = on_error == "skip"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                out = parse_gdbtable(bytes(content), columns)
+                try:
+                    out = parse_gdbtable(bytes(content), columns)
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
                 out["source"] = fpath
                 yield out
 
     return files.mapInPandas(decode, schema=schema)
+
+
+def filegdb_failures(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file failure records for a FileGDB scan: every .gdbtable
+    member under `path` that fails to decode yields (source, error).
+    Runs the full decoder (validation IS decoding for a binary format);
+    healthy members produce no rows. Pair with
+    read_filegdb(on_error='skip') so one corrupt member costs its own
+    rows, never the job."""
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".gdbtable")
+        )
+        if not paths:
+            raise FileNotFoundError(f"no .gdbtable members in {path}")
+    else:
+        paths = [path]
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select("path", "content")
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    parse_gdbtable(bytes(content))
+                except ValueError as e:
+                    yield pd.DataFrame(
+                        {"source": [fpath], "error": [str(e)]}
+                    )
+
+    return files.mapInPandas(probe, schema="source string, error string")

@@ -133,3 +133,112 @@ def test_spark_scan_matches_twin(spark, fixture_paths):
     assert got.f == tw["fips"].nunique()
     # provenance column present
     assert df.schema["source"].dataType.typeName() == "string"
+
+
+# --- hostile-input hardening (fuzz) ----------------------------------------
+#
+# Contract: every malformed input fails with ValueError — never an
+# IndexError/struct.error/OverflowError/MemoryError escaping a Spark
+# task — and the skip-mode scan turns a corrupt member into a per-file
+# failure record instead of job death.
+
+
+def test_fuzz_truncation_ladder(layer_bytes):
+    """Every truncation point either parses (if it cuts after the last
+    row... impossible here) or raises ValueError."""
+    for cut in [0, 10, 39, 41, 80, 200, len(layer_bytes) // 2,
+                len(layer_bytes) - 1]:
+        try:
+            FG.parse_gdbtable(layer_bytes[:cut])
+        except ValueError:
+            pass
+
+
+def test_fuzz_lying_row_size(layer_bytes):
+    import struct
+
+    fields, row_off, n_rows = FG.parse_fields(layer_bytes)
+    bad = bytearray(layer_bytes)
+    struct.pack_into("<i", bad, row_off, 2_000_000_000)  # size past EOF
+    with pytest.raises(ValueError, match="runs past EOF"):
+        FG.parse_gdbtable(bytes(bad))
+    struct.pack_into("<i", bad, row_off, -5)
+    with pytest.raises(ValueError, match="runs past EOF|size"):
+        FG.parse_gdbtable(bytes(bad))
+
+
+def test_fuzz_lying_field_count(layer_bytes):
+    import struct
+
+    (fsec_off,) = struct.unpack_from("<q", layer_bytes, 32)
+    nf_pos = fsec_off + 4 + 4 + 4
+    bad = bytearray(layer_bytes)
+    struct.pack_into("<h", bad, nf_pos, 3000)
+    with pytest.raises(ValueError):
+        FG.parse_gdbtable(bytes(bad))
+    struct.pack_into("<h", bad, nf_pos, -2)
+    with pytest.raises(ValueError, match="negative field count"):
+        FG.parse_gdbtable(bytes(bad))
+
+
+def test_fuzz_memory_bomb_geometry():
+    """A geometry blob claiming 2^40 points must be rejected by the
+    byte-count bound, not attempted as an allocation."""
+    f = FG.Field("Shape", FG.T_GEOMETRY, True, 0.0, 0.0, 1000.0)
+    blob = bytearray()
+    FG._write_varuint(blob, FG._SHAPE_POLYGON)
+    FG._write_varuint(blob, 1 << 40)   # n_points lie
+    FG._write_varuint(blob, 1)         # n_parts
+    blob += b"\x00" * 16
+    with pytest.raises(ValueError, match="claims"):
+        FG._decode_geometry(bytes(blob), f)
+
+
+def test_fuzz_overlong_varuint():
+    with pytest.raises(ValueError, match="varuint"):
+        FG._read_varuint(b"\xff" * 11, 0)
+    with pytest.raises(ValueError, match="truncated varuint"):
+        FG._read_varuint(b"\xff\xff", 0)
+
+
+def test_fuzz_random_mutations(layer_bytes):
+    """Random byte flips anywhere in a valid table: parse either
+    succeeds (mutation hit a don't-care byte or a value) or raises
+    ValueError — nothing else escapes, and no mutation may hang or
+    exhaust memory."""
+    rng = np.random.default_rng(7)
+    data = bytearray(layer_bytes)
+    for trial in range(60):
+        i = int(rng.integers(0, len(data)))
+        old = data[i]
+        data[i] = int(rng.integers(0, 256))
+        try:
+            FG.parse_gdbtable(bytes(data))
+        except ValueError:
+            pass
+        finally:
+            data[i] = old
+
+
+def test_corrupt_member_skip_and_failure_record(spark, tmp_path, layer_bytes):
+    """End-to-end: a corrupt largest member under on_error='skip'
+    yields zero rows (scan survives), and filegdb_failures() reports
+    it as a per-file record with the decode reason."""
+    import os
+    import struct
+
+    gdb = tmp_path / "broken.gdb"
+    gdb.mkdir()
+    bad = bytearray(layer_bytes)
+    fields, row_off, _ = FG.parse_fields(layer_bytes)
+    struct.pack_into("<i", bad, row_off, 2_000_000_000)
+    (gdb / "a00000009.gdbtable").write_bytes(bytes(bad))
+
+    with pytest.raises(Exception):
+        FG.read_filegdb(spark, str(gdb)).collect()   # fail mode: propagates
+    got = FG.read_filegdb(spark, str(gdb), on_error="skip").collect()
+    assert got == []
+    recs = FG.filegdb_failures(spark, str(gdb)).collect()
+    assert len(recs) == 1
+    assert recs[0].source.endswith("a00000009.gdbtable")
+    assert "runs past EOF" in recs[0].error

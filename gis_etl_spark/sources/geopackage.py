@@ -128,13 +128,31 @@ def write_geopackage(
     geometry_type: str = "POLYGON",
     srs_id: int = 4326,
     write_bbox: bool = True,
+    max_rows: int = 1_000_000,
 ) -> int:
     """Export a (small, aggregated) DataFrame with a WKB geometry
     column to a GeoPackage layer. Driver-side single-writer like GDAL;
     the envelope per feature mirrors WRITE_BBOX=YES. Returns the
-    feature count."""
+    feature count.
+
+    A GeoPackage is one sqlite file, so this sink inherently collects
+    to the driver — correct for its intended inputs (aggregated
+    heatmaps, ~10⁴-10⁵ features) and a silent OOM for a raw corpus.
+    The row bound makes that boundary explicit: exceeding `max_rows`
+    fails fast (probed with a cheap limit(n+1) count, not a full scan)
+    and names the distributed alternatives."""
     from gis_etl_spark.geom import wkb as K
 
+    probe = df.limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"write_geopackage: input exceeds max_rows={max_rows} — a "
+            "GeoPackage is a single driver-written sqlite file, not a "
+            "corpus sink. Aggregate first (heatmap/heatmap_export), or "
+            "use the distributed exports: write_clustered_parquet, "
+            "write_ndjson, or heatmap_geojson. Raise max_rows only if "
+            "the driver has memory for the collect."
+        )
     rows = df.collect()
     attr_cols = [c for c in df.columns if c != geom_col]
     sql_types = {

@@ -119,3 +119,21 @@ def test_reader_partition_count(spark, gpkg):
     back = read_geopackage(spark, gpkg, "lay", num_partitions=64)
     # over-partitioning clamps to available rowid ranges, still lossless
     assert back.count() == 40
+
+
+def test_write_refuses_oversized_input(spark, tmp_path):
+    """The driver-collect boundary is explicit: above max_rows the sink
+    fails fast naming the distributed alternatives, before collecting."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.sources.geopackage import write_geopackage
+
+    big = spark.range(500).select(
+        F.lit(bytes(21)).alias("geom"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="max_rows.*write_clustered_parquet"):
+        write_geopackage(
+            big, str(tmp_path / "t.gpkg"), "layer", max_rows=100
+        )
+    assert not (tmp_path / "t.gpkg").exists()

@@ -36,7 +36,9 @@ from gis_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 GEO_BENCH_ROWS = 200_000
 
-# contract queries timed as-is (count() materializes)
+# contract queries timed end-to-end through a noop sink (a count()
+# would let Catalyst prune computed columns out of SELECT-shaped
+# queries — the export queries' UDF columns would never run)
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -49,9 +51,19 @@ HEADLINE = [
     "asof_click_view",
     "interval_error_activity",
     "dedup_minhash_pairs",
+    "dedup_embedding_lsh",
     "similarity_topk",
     "similarity_ann_lsh",
+    "training_data_prep",
+    "points_in_polygons",
+    "geo_heatmap_export",
+    "hex_heatmap_export",
 ]
+
+
+def _materialize(df) -> None:
+    """Execute the FULL plan including select-only computed columns."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _sf_from_dir(path: str) -> float:
@@ -62,11 +74,14 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
-def _geo_benches(spark) -> dict[str, float]:
+def _geo_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
     """Reference-pipeline benches on the 200k buildings fixture
     (FIXTURES.md scale ladder: large enough that clustering effects and
     Arrow-batch throughput dominate, not job setup)."""
+    import glob
+
     from gis_etl_spark.fixtures import ensure_buildings
+    from gis_etl_spark.layout.geohex import hex_export_arrow
     from gis_etl_spark.pipelines import buildings as B
 
     bpath, _ = ensure_buildings(GEO_BENCH_ROWS)
@@ -87,6 +102,15 @@ def _geo_benches(spark) -> dict[str, float]:
     # (one Python hop), exact near-uniform-area cells at ~lattice cost
     steady("hex_heatmap_200k", lambda: B.hex_heatmap(src).count())
 
+    # hex export at 200k source rows (~20k cells): fused Arrow
+    # center+boundary pass; sum(length) defeats column pruning
+    steady(
+        "hex_heatmap_export_200k",
+        lambda: B.hex_heatmap(src)
+        .withColumn("exp", hex_export_arrow(F.col("cell"), 7))
+        .agg(F.sum(F.length("exp.boundary"))).collect(),
+    )
+
     # sum(length(geom)) forces the transform/flip UDFs to materialize —
     # count() would let Catalyst prune every geometry column
     steady(
@@ -105,9 +129,37 @@ def _geo_benches(spark) -> dict[str, float]:
                 max_records_per_file=50_000,
             )
 
+        # NOTE round-2: merge pays reference-parity ZSTD level 22 now
+        # (east_asia.py:79-82) — measured 17× write time for 14% fewer
+        # bytes vs parquet-mr's default level 3; the artifact records
+        # the size envelope the trade buys.
         steady("geo_merge_compact_200k", merge_once)
+        artifacts["merge_compact_bytes_200k"] = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(tmp, "measured", "part-*"))
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # Hilbert key computation, both implementations, on the narrow
+    # (key-only) shape where the comparison is meaningful. Measured
+    # crossover: on WIDE rows the native chain's ~35 stacked projections
+    # drag the geometry payload through every stage (3× slower than the
+    # fused Arrow pass), so merge_compact defaults to key_impl="arrow";
+    # on narrow/key-only layouts the pure-JVM chain avoids the Python
+    # hop entirely.
+    keyed_narrow = B.with_centroid(src).select(
+        F.col("centroid").getField("y").alias("cy"),
+        F.col("centroid").getField("x").alias("cx"),
+    )
+    from gis_etl_spark.layout.sfc import with_hilbert_key_native
+
+    steady(
+        "hilbert_native_narrow_200k",
+        lambda: with_hilbert_key_native(
+            keyed_narrow, F.col("cy"), F.col("cx")
+        ).agg(F.max("hkey")).collect(),
+    )
     return out
 
 
@@ -126,18 +178,20 @@ def main() -> None:
         builder, _ = REGISTRY[name]
         # warm once (JIT/codegen/broadcast caches), time the steady
         # state — the number a recurring production query actually pays
-        builder(spark, SF_DIR).count()
+        _materialize(builder(spark, SF_DIR))
         t0 = time.time()
-        builder(spark, SF_DIR).count()
+        _materialize(builder(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    timings.update(_geo_benches(spark))
+    artifacts: dict[str, int] = {}
+    timings.update(_geo_benches(spark, artifacts))
 
     result = {
         "metric": "suite_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "artifacts": artifacts,
         "sf": _sf_from_dir(SF_DIR),
     }
     print(json.dumps(result))

@@ -211,6 +211,77 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assembly: connected components over the
+    MinHash near-dup pair graph — the step between pair detection and
+    actual dedup (keep one doc per component, not one per pair; pair
+    lists double-count transitive duplicates A~B~C).
+
+    Spark shape: min-label propagation iterated to FIXPOINT with a
+    driver loop (the kmeans_fit discipline): each iteration is one
+    equi-join + partial/final min-agg, lineage truncated per iteration
+    via localCheckpoint so the plan never grows. Converges in
+    O(component diameter) iterations — near-dup clusters are shallow
+    (diameter ≤ a few), and the loop exits on a changed-count of zero,
+    so the result equals the exact transitive closure the oracle's
+    recursive CTE computes, independent of iteration schedule.
+
+    Output: one row per doc appearing in any pair — (doc_id,
+    component = min doc_id of its cluster, n_members, is_kept)."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select(
+            "doc_id",
+            "component",
+            "n_members",
+            (F.col("doc_id") == F.col("component")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash(df: DataFrame) -> DataFrame:
     """60-bit SimHash over word counts (Charikar '02): bit i of the
     signature = sign of Σ_w cnt_w · (2·bit_i(h60(w)) − 1)."""
@@ -495,6 +566,28 @@ def oracle_sqls() -> dict[str, str]:
             ) WHERE doc_id = keep_id
         """,
         "dedup_minhash_pairs": minhash_common,
+        # exact transitive closure over the same pair graph — equals
+        # Spark's fixpoint-converged min-label propagation
+        "dedup_components": f"""
+            WITH RECURSIVE
+            p AS (SELECT doc_a, doc_b FROM ({minhash_common}) mh),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT doc_id, component,
+                   count(*) OVER (PARTITION BY component) AS n_members,
+                   doc_id = component AS is_kept
+            FROM comp ORDER BY doc_id
+        """,
         "dedup_simhash_pairs": simhash_sql,
         "dedup_ngram_jaccard_pairs": ngram_sql,
     }

@@ -207,6 +207,115 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_PAIR_SLICE = 2000   # all-pairs gate: doc_id < 2000 (see docstring)
 EMB_DEDUP_T = 0.35      # cosine threshold shared with dedup_embedding_lsh
 
+EVAL_MOD = 97           # doc_id % 97 == 0 plays the held-out benchmark set
+DECON_NGRAM = 5         # decontamination shingle width (words)
+DECON_T = 2             # ≥ 2 shared 5-grams → contaminated
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data op that removes
+    documents overlapping a held-out eval set (the fixture has no eval
+    corpus, so docs with doc_id % EVAL_MOD == 0 play that role
+    deterministically).
+
+    Shape: distinct 5-gram word shingles of the EVAL docs (eval sets
+    are small) broadcast against the corpus's shingles — a map-side
+    semi-join at any corpus scale — then a per-doc count of shared
+    shingles. Output audits the FULL non-eval corpus: (doc_id,
+    n_shared, contaminated), zero-overlap docs included via left join."""
+    docs = read_table(spark, sf_dir, "documents")
+
+    def shingles(df: DataFrame) -> DataFrame:
+        n = DECON_NGRAM
+        parts = ", ".join(f"ws[i+{k}]" for k in range(n))
+        return (
+            df.select("doc_id", words_col(F.col("text")).alias("ws"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.when(
+                            F.size("ws") >= n,
+                            F.expr(
+                                f"transform(sequence(0, size(ws) - {n}), "
+                                f"i -> concat_ws(' ', {parts}))"
+                            ),
+                        ).otherwise(F.array().cast("array<string>"))
+                    )
+                ).alias("sh"),
+            )
+        )
+
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = shingles(docs.filter(is_eval)).select("sh").distinct()
+    corpus_sh = shingles(docs.filter(~is_eval))
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= DECON_T).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection — the redaction-gate scan every training-data
+    pipeline runs (emails / phone-shaped / SSN-shaped tokens).
+
+    The synthetic corpus contains no PII, so the query plants a
+    deterministic contact line on every 10th doc and an SSN-shaped
+    token on every 21st INSIDE the query (identical expression in the
+    oracle SQL) — the detector is exercised on realistic positives
+    without mutating shared fixtures; regex edge cases are unit-tested
+    on adversarial literals. All-native regexp_count, no Python."""
+    docs = read_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 21 == 0, F.lit(" id 078-05-1120")
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(txt, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(txt, F.lit(_PII_SSN)).alias("n_ssns"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ssns",
+        (
+            (F.col("n_emails") + F.col("n_phones") + F.col("n_ssns")) > 0
+        ).alias("has_pii"),
+    ).orderBy("doc_id")
+
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, EXACT all-pairs rendition — the
@@ -323,9 +432,59 @@ def oracle_sqls() -> dict[str, str]:
         WHERE {emb_pair_cos} >= {EMB_DEDUP_T}
         ORDER BY doc_a, doc_b
     """
+    decon_parts = " || ' ' || ".join(
+        f"w[i+{k}]" for k in range(DECON_NGRAM)
+    )
+    decon_sql = f"""
+        WITH ws AS (
+          SELECT doc_id, {WORDS_SQL} AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, {decon_parts} AS sh
+          FROM ws, unnest(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1)))
+               AS t(i)
+        ), eval_sh AS (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+        ), hits AS (
+          SELECT s.doc_id, count(*) AS n_shared
+          FROM sh s JOIN eval_sh e USING (sh)
+          WHERE s.doc_id % {EVAL_MOD} != 0
+          GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_shared, 0) AS n_shared,
+               coalesce(h.n_shared, 0) >= {DECON_T} AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {EVAL_MOD} != 0
+        ORDER BY d.doc_id
+    """
+
+    pii_txt = (
+        "text || (CASE WHEN doc_id % 10 = 0 THEN "
+        "' mail user' || doc_id::VARCHAR || '@example.com call 415-555-' "
+        "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) "
+        "|| (CASE WHEN doc_id % 21 = 0 THEN ' id 078-05-1120' ELSE '' END)"
+    )
+    pii_sql = f"""
+        WITH staged AS (
+          SELECT doc_id,
+                 len(regexp_extract_all({pii_txt}, '{_PII_EMAIL}'))
+                   AS n_emails,
+                 len(regexp_extract_all({pii_txt}, '{_PII_PHONE}'))
+                   AS n_phones,
+                 len(regexp_extract_all({pii_txt}, '{_PII_SSN}'))
+                   AS n_ssns
+          FROM documents
+        )
+        SELECT doc_id, n_emails, n_phones, n_ssns,
+               (n_emails + n_phones + n_ssns) > 0 AS has_pii
+        FROM staged ORDER BY doc_id
+    """
+
     return {
         "tfidf_top_terms": tfidf_sql,
         "dedup_embedding_pairs": emb_pairs_sql,
+        "decontaminate_overlap": decon_sql,
+        "pii_scan": pii_sql,
         "text_token_stats": f"""
             SELECT doc_id,
                    len({w}) AS n_tokens,

@@ -581,6 +581,12 @@ REGISTRY.update(
         "top_tokens": (T.top_tokens, _TEXT_SQLS["top_tokens"]),
         "tfidf_top_terms": (T.tfidf_top_terms, _TEXT_SQLS["tfidf_top_terms"]),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
+        # benchmark decontamination: eval-set 5-gram overlap audit
+        "decontaminate_overlap": (
+            T.decontaminate_overlap, _TEXT_SQLS["decontaminate_overlap"],
+        ),
+        # PII redaction-gate scan (emails / phone- / SSN-shaped tokens)
+        "pii_scan": (T.pii_scan, _TEXT_SQLS["pii_scan"]),
         "dedup_embedding_pairs": (
             T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
         ),
@@ -604,6 +610,11 @@ REGISTRY.update(
         ),
         "dedup_minhash_pairs": (
             D.dedup_minhash_pairs, _DEDUP_SQLS["dedup_minhash_pairs"],
+        ),
+        # pair graph → duplicate clusters (fixpoint label propagation
+        # vs the oracle's recursive-CTE transitive closure)
+        "dedup_components": (
+            D.dedup_components, _DEDUP_SQLS["dedup_components"],
         ),
         "dedup_simhash_pairs": (
             D.dedup_simhash_pairs, _DEDUP_SQLS["dedup_simhash_pairs"],

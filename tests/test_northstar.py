@@ -180,3 +180,89 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
     seed = S.kmeans_reference(vecs, iters=0)
     trained = S.kmeans_reference(vecs)
     assert inertia(trained) < inertia(seed)
+
+
+def test_dedup_components_properties(spark, sf_dir):
+    """Connected components over the near-dup pair graph: both
+    endpoints of every pair share a component, the canonical doc is
+    the component minimum, sizes are consistent, and exactly one doc
+    per component is kept."""
+    comp = {
+        r.doc_id: (r.component, r.n_members, r.is_kept)
+        for r in D.dedup_components(spark, sf_dir).collect()
+    }
+    pairs = D.dedup_minhash_pairs(spark, sf_dir).collect()
+    assert pairs and comp
+    for p in pairs:
+        assert comp[p.doc_a][0] == comp[p.doc_b][0], (p.doc_a, p.doc_b)
+    from collections import Counter
+
+    sizes = Counter(c for c, _, _ in comp.values())
+    for doc_id, (c, n, kept) in comp.items():
+        assert c <= doc_id
+        assert n == sizes[c]
+        assert kept == (doc_id == c)
+    assert sum(1 for _, _, k in comp.values() if k) == len(sizes)
+
+
+def test_decontaminate_overlap_contract(spark, sf_dir):
+    """Eval docs are excluded from the audit; a corpus duplicate of an
+    eval doc is flagged; contamination is exactly the >= T rule."""
+    from gis_etl_spark.ops.text import DECON_T, EVAL_MOD, decontaminate_overlap
+
+    rows = decontaminate_overlap(spark, sf_dir).collect()
+    assert rows
+    assert all(r.doc_id % EVAL_MOD != 0 for r in rows)
+    assert all((r.n_shared >= DECON_T) == r.contaminated for r in rows)
+    assert any(r.contaminated for r in rows), "fixture has eval dups"
+
+
+def test_pii_scan_detects_planted_tokens(spark, sf_dir):
+    """Every 10th doc carries the planted email+phone, every 21st the
+    SSN-shaped token, and unplanted docs stay clean."""
+    from gis_etl_spark.ops.text import pii_scan
+
+    rows = pii_scan(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 10 == 0:
+            assert r.n_emails >= 1 and r.n_phones >= 1 and r.has_pii
+        if r.doc_id % 21 == 0:
+            assert r.n_ssns >= 1 and r.has_pii
+        if r.doc_id % 10 != 0 and r.doc_id % 21 != 0:
+            assert (r.n_emails, r.n_phones, r.n_ssns) == (0, 0, 0)
+            assert not r.has_pii
+
+
+def test_pii_regexes_on_adversarial_literals(spark):
+    """Regex edge cases the fixture scan can't exercise: boundary
+    anchoring, multiple hits, near-miss shapes."""
+    import pandas as pd
+
+    from gis_etl_spark.ops.text import _PII_EMAIL, _PII_PHONE, _PII_SSN
+
+    cases = pd.DataFrame(
+        {
+            "s": [
+                "a@b.co and c.d+e@f-g.org twice",
+                "x123-456-7890y",          # no word boundary break: 'x' is
+                                           # a word char, digits too → \b
+                                           # fails at x|1, matches at 0y? no
+                "call 123-456-7890 now",
+                "ssn 123-45-6789.",
+                "not-a-phone 12-345-6789 1234-56-7890",
+                "plain text only",
+            ]
+        }
+    )
+    sdf = spark.createDataFrame(cases)
+    from pyspark.sql import functions as F
+
+    got = sdf.select(
+        F.regexp_count("s", F.lit(_PII_EMAIL)).alias("e"),
+        F.regexp_count("s", F.lit(_PII_PHONE)).alias("p"),
+        F.regexp_count("s", F.lit(_PII_SSN)).alias("n"),
+    ).collect()
+    assert [r.e for r in got] == [2, 0, 0, 0, 0, 0]
+    assert [r.p for r in got] == [0, 0, 1, 0, 0, 0]
+    assert [r.n for r in got] == [0, 0, 0, 1, 0, 0]

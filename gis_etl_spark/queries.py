@@ -713,7 +713,20 @@ _R1_SCORED = frozenset({
     "geo_flip_sources", "geo_heatmap", "hex_heatmap",
 })
 
+# Tier 0: the round-1 hash-FAIL (q9) and the flaky sessionizer — their
+# fixed-point fix (ops/fixedpoint.py) must be re-validated by the gate.
+_REVALIDATE = ("q9_profit_by_nation_year", "sessionize_events")
+
 REGISTRY = {
-    **{k: v for k, v in REGISTRY.items() if k not in _R1_SCORED},
-    **{k: v for k, v in REGISTRY.items() if k in _R1_SCORED},
+    **{k: REGISTRY[k] for k in _REVALIDATE},
+    **{
+        k: v
+        for k, v in REGISTRY.items()
+        if k not in _R1_SCORED and k not in _REVALIDATE
+    },
+    **{
+        k: v
+        for k, v in REGISTRY.items()
+        if k in _R1_SCORED and k not in _REVALIDATE
+    },
 }

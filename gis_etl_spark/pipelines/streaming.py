@@ -261,6 +261,111 @@ def streaming_asof_enrich(
     )
 
 
+INTERVAL_STATE_SCHEMA = StructType(
+    [
+        StructField("err_ids", StringType()),     # csv of open error ids
+        StructField("starts", StringType()),      # csv of start µs
+        StructField("counts", StringType()),      # csv of follower counts
+        StructField("value_qs", StringType()),    # csv of fx-quantized sums
+    ]
+)
+INTERVAL_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("n_follow", IntegerType()),
+        StructField("follow_value", DoubleType()),
+    ]
+)
+
+_INTERVAL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _interval_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming interval enrichment: per user, every 'error' opens a
+    24 h window; subsequent same-user events accumulate into every
+    open window (count + fixed-point value sum, ops.fixedpoint
+    semantics). The stateful twin of ops.joins.interval_error_activity.
+
+    State is the OPEN windows only — bounded by error rate × horizon;
+    windows whose horizon has passed are evicted as event time
+    advances (their final row was already emitted — upsert semantics
+    downstream, matching the sessionizer contract). Encoded as csv
+    strings: applyInPandasWithState state columns are scalars, and the
+    open-window count is small by construction."""
+    import math
+
+    if state.exists:
+        ids_s, starts_s, counts_s, vqs_s = state.get
+        open_w = [
+            [int(a), int(b), int(c), int(d)]
+            for a, b, c, d in zip(
+                *(s.split(",") if s else [] for s in
+                  (ids_s, starts_s, counts_s, vqs_s))
+            )
+        ]
+    else:
+        open_w = []
+    user_id = key[0]
+    touched: dict[int, tuple[int, int]] = {}
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for r in rows.itertuples():
+        ts_us = int(r.ts.value // 1000)
+        still = []
+        for w in open_w:
+            if w[1] + _INTERVAL_WINDOW_US < ts_us:
+                continue  # horizon passed; last emission stands
+            if ts_us > w[1]:  # strict: followers are AFTER the error
+                w[2] += 1
+                w[3] += math.floor(float(r.value) * 10000.0 + 0.5)
+                touched[w[0]] = (w[2], w[3])
+            still.append(w)
+        open_w = still
+        if r.event_type == "error":
+            open_w.append([int(r.event_id), ts_us, 0, 0])
+            touched[int(r.event_id)] = (0, 0)
+    state.update(
+        (
+            ",".join(str(w[0]) for w in open_w),
+            ",".join(str(w[1]) for w in open_w),
+            ",".join(str(w[2]) for w in open_w),
+            ",".join(str(w[3]) for w in open_w),
+        )
+    )
+    out = [
+        (eid, user_id, n, math.floor(q / 100.0 + 0.5) / 100.0)
+        for eid, (n, q) in touched.items()
+    ]
+    yield pd.DataFrame(out, columns=[f.name for f in INTERVAL_OUT_SCHEMA])
+
+
+def streaming_interval_enrich(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Interval blast-radius enrichment via applyInPandasWithState;
+    stream == batch interval_error_activity when files arrive in
+    event-time order (tested across micro-batch splits)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _interval_fn,
+        outputStructType=INTERVAL_OUT_SCHEMA,
+        stateStructType=INTERVAL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "update"
 ) -> None:

@@ -304,3 +304,50 @@ def test_streaming_asof_matches_batch(spark, sf_dir, tmp_path):
     assert set(got) == set(exp)
     mismatches = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_streaming_interval_matches_batch(spark, sf_dir, tmp_path):
+    """Stream == batch for the interval blast-radius enrichment: every
+    error's (n_follow, follow_value) from the stateful stream must
+    equal the interval_error_activity contract query, with open windows
+    carried across micro-batch boundaries (2 time-ordered chunks,
+    upsert semantics — last emission per error wins)."""
+    import time
+
+    from gis_etl_spark.ops.joins import interval_error_activity
+    from gis_etl_spark.pipelines.streaming import (
+        run_to_memory,
+        streaming_interval_enrich,
+    )
+
+    ev = read_table(spark, sf_dir, "events").orderBy("ts")
+    rows = ev.collect()
+    half = len(rows) // 2
+    flat = str(tmp_path / "iv_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    sdf = streaming_interval_enrich(spark, flat, max_files_per_trigger=1)
+    name = f"iv_{uuid.uuid4().hex[:8]}"
+    run_to_memory(sdf, name, output_mode="update")
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("event_id").tail(1).set_index("event_id")
+    got = {
+        int(eid): (int(r.n_follow), float(r.follow_value))
+        for eid, r in last.iterrows()
+    }
+    exp = {
+        r.event_id: (r.n_follow, r.follow_value)
+        for r in interval_error_activity(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    mismatches = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
+    assert not mismatches, dict(list(mismatches.items())[:5])

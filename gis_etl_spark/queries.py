@@ -587,6 +587,10 @@ REGISTRY.update(
         ),
         # PII redaction-gate scan (emails / phone- / SSN-shaped tokens)
         "pii_scan": (T.pii_scan, _TEXT_SQLS["pii_scan"]),
+        # Gopher rule-set quality flags (Rae et al. 2021 §A1.1)
+        "text_gopher_flags": (
+            T.text_gopher_flags, _TEXT_SQLS["text_gopher_flags"],
+        ),
         "dedup_embedding_pairs": (
             T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
         ),

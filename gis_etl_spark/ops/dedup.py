@@ -715,7 +715,7 @@ def training_data_prep_sql() -> str:
         ), e_c AS (
           SELECT lang, count(*) AS n_exact FROM exact GROUP BY lang
         ), f_c AS (
-          SELECT lang, count(*) AS n_final, sum(doc_id) AS id_sum
+          SELECT lang, count(*) AS n_final, sum(doc_id)::BIGINT AS id_sum
           FROM final GROUP BY lang
         )
         SELECT r.lang, r.n_raw,

@@ -635,7 +635,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stratified_sample_sql() -> str:
     return f"""
-        SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum
+        SELECT lang, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum
         FROM documents
         WHERE ({h60_sql('text')}) % {SAMPLE_MOD} = 0
         GROUP BY lang ORDER BY lang

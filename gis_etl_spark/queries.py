@@ -190,8 +190,10 @@ WITH gaps AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- ::BIGINT: DuckDB's sum(INT) yields HUGEINT, which pandas renders as
+         -- float64 and breaks the driver's value-hash vs Spark's LONG.
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
   FROM gaps
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -717,20 +719,57 @@ _R1_SCORED = frozenset({
     "geo_flip_sources", "geo_heatmap", "hex_heatmap",
 })
 
-# Tier 0: the round-1 hash-FAIL (q9) and the flaky sessionizer — their
-# fixed-point fix (ops/fixedpoint.py) must be re-validated by the gate.
-_REVALIDATE = ("q9_profit_by_nation_year", "sessionize_events")
+# Round-2 gate window (the 50 names in CORRECTNESS_r02.json).
+_R2_SCORED = frozenset({
+    "q9_profit_by_nation_year", "sessionize_events", "hex_heatmap_pyramid",
+    "hex_heatmap_smoothed", "geo_heatmap_pyramid", "geo_normalized_bbox",
+    "gdb_scan_attrs", "gpkg_heatmap_roundtrip", "gdb_scan_oids",
+    "geo_heatmap_export", "geo_centroid_containment", "hex_heatmap_export",
+    "geo_hilbert_keys", "geo_convert_bbox", "io_ndjson_shape_stats",
+    "io_csv_wkt_scan", "io_wide_attrs_projection", "layout_morton_keys",
+    "shp_scan_census", "asof_click_view", "interval_error_activity",
+    "spatial_near_pairs", "points_in_polygons", "text_token_stats",
+    "text_quality_scores", "lang_id", "doc_fingerprints",
+    "token_stats_by_lang", "top_tokens", "tfidf_top_terms",
+    "stratified_sample", "decontaminate_overlap", "pii_scan",
+    "text_gopher_flags", "dedup_embedding_pairs", "dedup_exact_groups",
+    "dedup_exact_kept", "dedup_minhash_pairs", "dedup_components",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard_pairs", "training_data_prep",
+    "similarity_topk", "similarity_near_pairs", "similarity_ann_lsh",
+    "dedup_embedding_lsh", "similarity_ivf", "similarity_ivf_kmeans",
+    "embedding_label_centroids", "multimodal_decode_meta",
+})
+
+# Round-3 tier 0: the two registry-tail queries that have never been in a
+# gate window (r1+r2 each score only the first 50 dict-order entries),
+# followed by the three queries whose r2 hash-fails were an oracle
+# HUGEINT-typing artifact (now cast ::BIGINT) and need green driver rows.
+_TIER0 = (
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "sessionize_events",
+    "stratified_sample",
+    "training_data_prep",
+)
 
 REGISTRY = {
-    **{k: REGISTRY[k] for k in _REVALIDATE},
+    **{k: REGISTRY[k] for k in _TIER0},
+    # r1-only greens, oldest-first: scored in round 1, not since.
     **{
         k: v
         for k, v in REGISTRY.items()
-        if k not in _R1_SCORED and k not in _REVALIDATE
+        if k in _R1_SCORED and k not in _R2_SCORED and k not in _TIER0
     },
+    # r2 greens — most recently confirmed, re-scored as capacity allows.
     **{
         k: v
         for k, v in REGISTRY.items()
-        if k in _R1_SCORED and k not in _REVALIDATE
+        if k in _R2_SCORED and k not in _TIER0
+    },
+    # safety net: anything not classified above keeps its place at the end.
+    **{
+        k: v
+        for k, v in REGISTRY.items()
+        if k not in _R1_SCORED and k not in _R2_SCORED and k not in _TIER0
     },
 }

@@ -25,6 +25,46 @@ from gis_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+# DuckDB integer families. If one of these reaches pandas as float64 while
+# the matching Spark column stays integral, the driver's value-hash renders
+# e.g. "6070.0" against Spark's "6070" and the gate reds even though the
+# values are identical. The known asymmetric cause is HUGEINT (DuckDB's
+# sum(INT*) result type, no pandas integer mapping) — that cost three r2
+# driver rows. A NULL-bearing BIGINT also lands as float64 via .df(), but
+# the Spark side degrades identically through toPandas (asof_click_view's
+# gap_us passed r2's driver hash this way), so it is only flagged when the
+# Spark column is NULL-free and would stay int64. Fix flagged columns by
+# casting ::BIGINT / coalescing NULLs in the oracle SQL.
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+}
+
+
+def lint_oracle_df_typing(con, sql: str, scols, srows) -> list[str]:
+    """Return lint messages for int-typed oracle columns that a
+    pandas-style fetch (`.df()`, as the driver's gate uses) would
+    degrade to float64 while Spark's side stays integral."""
+    rel = con.sql(sql)
+    types = [str(t).upper() for t in rel.types]
+    pdf = rel.df()
+    sidx = {c: i for i, c in enumerate(scols)}
+    msgs = []
+    for col, t in zip(rel.columns, types):
+        if t not in _DUCK_INT_TYPES:
+            continue
+        if not str(pdf[col].dtype).startswith("float"):
+            continue
+        i = sidx.get(col)
+        spark_has_null = i is not None and any(r[i] is None for r in srows)
+        if spark_has_null:
+            continue  # both sides degrade to float64 → hashes still agree
+        msgs.append(
+            f"oracle-typing: `{col}` is {t} in DuckDB but float64 via "
+            f".df() while Spark stays int; cast it (::BIGINT) in the oracle"
+        )
+    return msgs
+
 
 def _normalize_cell(v) -> str:
     if v is None:
@@ -90,6 +130,12 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        try:
+            problems.extend(
+                lint_oracle_df_typing(con, oracles[name], scols, srows)
+            )
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"oracle-typing lint error: {e}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
         if sorted(scols) != sorted(ocols):

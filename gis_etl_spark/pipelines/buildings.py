@@ -353,6 +353,7 @@ def merge_compact(
     max_records_per_file: int = 10_000_000,
     num_files: int | None = None,
     key_impl: str = "arrow",
+    zstd_level: str | None = None,
 ) -> None:
     """`merge-pqs` rendition (east_asia.py:376-419): provenance-keeping
     merge of many inputs into few Hilbert-clustered files.
@@ -361,12 +362,25 @@ def merge_compact(
     (east_asia.py:384-393); repartitionByRange on the Hilbert key gives
     uniformly-sized, spatially-clustered output splits directly.
     key_impl: see with_hilbert_key — "native" for corpus-scale runs.
+    zstd_level: None → io.ZSTD_LEVEL (fast default); use
+    merge_compact_archival for the reference's level-22 final sink.
     """
     keyed = with_hilbert_key(df, geom_col, impl=key_impl)
+    kwargs = {} if zstd_level is None else {"zstd_level": zstd_level}
     write_clustered_parquet(
         keyed,
         out_path,
         sort_col="hkey",
         max_records_per_file=max_records_per_file,
         num_files=num_files,
+        **kwargs,
     )
+
+
+def merge_compact_archival(df: DataFrame, out_path: str, **kwargs) -> None:
+    """merge_compact at the reference's archival ZSTD level 22
+    (east_asia.py:79-82): ~14-18% fewer bytes for ~17× write CPU —
+    for the final write-once-read-many artifact only."""
+    from gis_etl_spark.io import ZSTD_ARCHIVAL_LEVEL
+
+    merge_compact(df, out_path, zstd_level=ZSTD_ARCHIVAL_LEVEL, **kwargs)

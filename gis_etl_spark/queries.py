@@ -656,6 +656,11 @@ REGISTRY.update(
         "dedup_embedding_lsh": (
             S.dedup_embedding_lsh, _SIM_SQLS["dedup_embedding_lsh"],
         ),
+        # skew-guard audit: per-band bucket stats + what the cap dropped
+        "dedup_embedding_lsh_audit": (
+            S.dedup_embedding_lsh_audit,
+            _SIM_SQLS["dedup_embedding_lsh_audit"],
+        ),
         "similarity_ivf": (S.similarity_ivf, _SIM_SQLS["similarity_ivf"]),
         # trained-codebook IVF: the oracle embeds the independently
         # (sequentially) trained reference codebook as literals — a

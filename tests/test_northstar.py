@@ -45,6 +45,39 @@ def test_embedding_dedup_lsh_recall(spark, sf_dir):
     assert recall >= 0.5, f"dedup LSH recall collapsed: {recall:.2f}"
 
 
+def test_embedding_dedup_lsh_bucket_bound(spark, sf_dir):
+    """The skew guard must hold: after the cap, no bucket used for pair
+    generation exceeds EMB_LSH_BUCKET_CAP, so candidate volume is
+    bounded by bands × n_buckets × cap² at ANY corpus size. The audit
+    query reports what the cap dropped; on this fixture buckets are far
+    below the cap, so nothing may be dropped."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = S._emb(spark, sf_dir)
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("vec_id"), "lang", "v"
+    )
+    bands = S._band_values_arrow(joined, S.EMB_LSH_BITS, S.EMB_LSH_BANDS)
+    kept_max = (
+        S._bucket_pairs(bands, S.EMB_LSH_BUCKET_CAP)
+        .groupBy("doc_a")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # a member of only ≤cap-sized buckets pairs with < bands × cap others
+    assert kept_max < S.EMB_LSH_BANDS * S.EMB_LSH_BUCKET_CAP
+
+    audit = S.dedup_embedding_lsh_audit(spark, sf_dir).collect()
+    assert len(audit) == S.EMB_LSH_BANDS
+    assert all(r.n_dropped_buckets == 0 for r in audit), audit
+    # and the config really is the derived one
+    assert (S.EMB_LSH_BITS, S.EMB_LSH_BANDS) == S.emb_lsh_config(T.EMB_DEDUP_T)
+
+
 def test_ivf_recall(spark, sf_dir):
     """IVF with nprobe=2 over 10 lists must recover a solid fraction of
     brute-force top-k — and beat a random 20% corpus sample would."""

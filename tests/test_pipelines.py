@@ -111,12 +111,14 @@ def test_convert_full_pipeline(spark, bdf):
     conv.unpersist()
 
 
-def test_writer_policy_zstd22_small_row_groups(spark, bdf, tmp_path):
-    """Writer-policy parity with the reference sink (east_asia.py:79-82:
-    CODEC ZSTD, COMPRESSION_LEVEL 22, ROW_GROUP_SIZE 15000): every
-    column chunk is ZSTD, row groups land in the small-group regime
-    (tight min/max stats after Hilbert clustering), and the pinned
-    level 22 measurably out-compresses level 1 on the same data."""
+def test_writer_policy_zstd_small_row_groups(spark, bdf, tmp_path):
+    """Writer policy vs the reference sink (east_asia.py:79-82: CODEC
+    ZSTD, COMPRESSION_LEVEL 22, ROW_GROUP_SIZE 15000): every column
+    chunk is ZSTD, row groups land in the small-group regime (tight
+    min/max stats after Hilbert clustering). The *level* deviates by
+    design: default 3 for hot-path writes, with the reference's 22
+    behind the explicit archival sink — which must measurably
+    out-compress the default on the same data."""
     from gis_etl_spark.io import write_clustered_parquet
 
     src = bdf.filter(F.col("geom").isNotNull())
@@ -138,9 +140,12 @@ def test_writer_policy_zstd22_small_row_groups(spark, bdf, tmp_path):
     assert sum(group_rows) == src.count()
 
     # isolate the level option: identical (unsorted, single-file)
-    # writes at level 22 vs level 1 — the pinned level must win
+    # writes at the archival level 22 vs the default 3 — the archival
+    # level must buy a real size reduction, else the 17× CPU is waste
+    from gis_etl_spark.io import ZSTD_ARCHIVAL_LEVEL, ZSTD_LEVEL
+
     sizes = {}
-    for lvl in ("22", "1"):
+    for lvl in (ZSTD_ARCHIVAL_LEVEL, ZSTD_LEVEL):
         p = str(tmp_path / f"lvl{lvl}")
         (
             src.coalesce(1).write.mode("overwrite")
@@ -151,7 +156,7 @@ def test_writer_policy_zstd22_small_row_groups(spark, bdf, tmp_path):
         sizes[lvl] = sum(
             os.path.getsize(f) for f in glob.glob(os.path.join(p, "part-*"))
         )
-    assert sizes["22"] < sizes["1"] * 0.95, sizes
+    assert sizes[ZSTD_ARCHIVAL_LEVEL] < sizes[ZSTD_LEVEL] * 0.95, sizes
 
 
 def test_convert_quarantines_unknown_crs(spark, bdf):

@@ -118,6 +118,25 @@ def _geo_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         lambda: B.convert(src).agg(F.sum(F.length("geom"))).collect(),
     )
 
+    # Hilbert key computation, both implementations, on the narrow
+    # (key-only) shape where the comparison is meaningful. Runs BEFORE
+    # the merge writes: round 2 benched it right after an 88 s ZSTD-22
+    # write and measured 10.6 s for a chain that runs in <1 s on a quiet
+    # JVM — heavy-write memory churn pollutes whatever follows, so the
+    # write benches go last.
+    keyed_narrow = B.with_centroid(src).select(
+        F.col("centroid").getField("y").alias("cy"),
+        F.col("centroid").getField("x").alias("cx"),
+    )
+    from gis_etl_spark.layout.sfc import with_hilbert_key_native
+
+    steady(
+        "hilbert_native_narrow_200k",
+        lambda: with_hilbert_key_native(
+            keyed_narrow, F.col("cy"), F.col("cx")
+        ).agg(F.max("hkey")).collect(),
+    )
+
     tmp = tempfile.mkdtemp(prefix="bench_merge_")
     try:
         runs = iter(("warm", "measured"))
@@ -141,39 +160,22 @@ def _geo_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         artifacts["merge_compact_bytes_200k"] = tree_bytes("measured")
 
         # archival path: the reference's ZSTD level 22 final sink
-        # (east_asia.py:79-82). Single run — the fast path above already
-        # warmed the identical plan; only the codec differs, and the
-        # point of this entry is recording the CPU-vs-bytes trade.
+        # (east_asia.py:79-82). Single run on a 50k-row slice — the
+        # point of this entry is recording the CPU-vs-bytes trade
+        # (~17× write CPU for ~14% fewer bytes), which a quarter slice
+        # shows just as well without letting one codec demonstration
+        # dominate the suite wall (200k at level 22 is 60-130 s of
+        # pure zstd CPU with heavy run-to-run variance).
         t0 = time.time()
         B.merge_compact_archival(
-            src.filter(F.col("geom").isNotNull()),
+            src.filter(F.col("geom").isNotNull()).limit(50_000),
             os.path.join(tmp, "archival"),
             max_records_per_file=50_000,
         )
-        out["geo_merge_compact_archival_200k"] = round(time.time() - t0, 3)
-        artifacts["merge_compact_archival_bytes_200k"] = tree_bytes("archival")
+        out["geo_merge_compact_archival_50k"] = round(time.time() - t0, 3)
+        artifacts["merge_compact_archival_bytes_50k"] = tree_bytes("archival")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-    # Hilbert key computation, both implementations, on the narrow
-    # (key-only) shape where the comparison is meaningful. Measured
-    # crossover: on WIDE rows the native chain's ~35 stacked projections
-    # drag the geometry payload through every stage (3× slower than the
-    # fused Arrow pass), so merge_compact defaults to key_impl="arrow";
-    # on narrow/key-only layouts the pure-JVM chain avoids the Python
-    # hop entirely.
-    keyed_narrow = B.with_centroid(src).select(
-        F.col("centroid").getField("y").alias("cy"),
-        F.col("centroid").getField("x").alias("cx"),
-    )
-    from gis_etl_spark.layout.sfc import with_hilbert_key_native
-
-    steady(
-        "hilbert_native_narrow_200k",
-        lambda: with_hilbert_key_native(
-            keyed_narrow, F.col("cy"), F.col("cx")
-        ).agg(F.max("hkey")).collect(),
-    )
     return out
 
 

@@ -77,10 +77,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Pin UTC on whatever session calls us (the driver brings its own):
     # timestamp → string rendering must match the TZ-naive ANSI oracle.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Guarded sets: RuntimeConfig.set invalidates cached plans/relations
+    # even when the value is unchanged (measured ~0.25 s per query on
+    # repeat reads), so only write a conf that actually differs.
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
+    _ensure_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             # integer `div`, not float `/`: epoch-nanos (~1.7e18) exceeds
@@ -91,6 +94,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _ntz_to_utc(
         spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     )
+
+
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    try:
+        cur = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset conf
+        cur = None
+    if cur != value:
+        spark.conf.set(key, value)
 
 
 def _ntz_to_utc(df: DataFrame) -> DataFrame:

@@ -516,22 +516,59 @@ def ensure_shapefiles(n_rows: int = 5_000, seed: int = 42) -> tuple[str, str]:
 MEDIA_MAGIC = b"FAKE"
 
 
+def _encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP, per the
+    public layout. Written with struct only — deliberately independent
+    of ops.multimodal.decode_bmp so the fixture is a positive control
+    for the decoder, not its mirror."""
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - w * 3)
+    body = b"".join(
+        px[r, :, ::-1].tobytes() + pad for r in range(h - 1, -1, -1)
+    )
+    data_off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0,
+                           data_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + body
+
+
+def _encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, ch) int16 → PCM16 RIFF/WAVE bytes (canonical 44-byte
+    header), independent of ops.multimodal.decode_wav."""
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
-    """Multimodal fixture: opaque binary payloads + typed metadata
-    (SURVEY.md §2.11 multimodal columns). Payload layout:
+    """Multimodal fixture (SURVEY.md §2.11): REAL binary payloads +
+    typed metadata + content goldens.
 
-        bytes 0-3   magic 'FAKE'
-        bytes 4-5   width  (uint16 LE)   } images: pixels
-        bytes 6-7   height (uint16 LE)   } audio : sample_rate/100, 0
-        byte  8     channels
-        bytes 9-12  n_frames (uint32 LE; 1 for image, >1 video)
-        rest        seeded pseudo-random 'content' bytes
+    - image: uncompressed 24-bit BMP (public spec), 16-64 px per side;
+    - audio: PCM16 RIFF/WAVE (public spec), 1-2 ch, 256-2048 samples,
+      sample_rate a multiple of 100 (stored width = rate // 100);
+    - video: the 13-byte 'FAKE' container (real video needs codec
+      libraries — documented deviation), random body bytes.
 
-    The header is parseable without any image/audio library, so the
-    engine's decode UDFs do REAL byte-level work; metadata is also
-    stored as plain columns so the DuckDB oracle can verify the decode.
+    Besides header metadata (width/height/channels/n_frames/n_bytes),
+    each row stores `content_units` and `content_sum` — the pixel
+    count + RGB byte sum (image), sample count + |amplitude| sum
+    (audio), or body byte count + sum (video) — computed HERE by the
+    encoder, so the engine's numpy decoders are verified content-exact
+    by the DuckDB oracle, not just header-exact.
     """
-    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}", "media.parquet")
+    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v2", "media.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -541,29 +578,42 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     for i in range(n_rows):
         kind = kinds[int(rng.integers(0, 3))]
         if kind == "image":
-            w, h, ch, nf = (
-                int(rng.integers(16, 4096)), int(rng.integers(16, 4096)),
-                3, 1,
-            )
+            w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = _encode_bmp(px)
+            ch, nf = 3, 1
+            units, csum = px.size, int(px.sum(dtype=np.int64))
         elif kind == "audio":
-            w, h, ch, nf = int(rng.integers(80, 480)), 0, 2, 1
+            rate = int(rng.integers(80, 481)) * 100
+            ch = int(rng.integers(1, 3))
+            n = int(rng.integers(256, 2049))
+            samples = rng.integers(
+                -32768, 32768, size=(n, ch), dtype=np.int16
+            )
+            payload = _encode_wav(samples, rate)
+            w, h, nf = rate // 100, 0, n
+            units = samples.size
+            csum = int(np.abs(samples.astype(np.int64)).sum())
         else:
             w, h, ch, nf = (
                 int(rng.integers(160, 1920)), int(rng.integers(90, 1080)),
                 3, int(rng.integers(24, 2400)),
             )
-        body = rng.integers(0, 256, size=int(rng.integers(64, 512)),
-                            dtype=np.uint8).tobytes()
-        payload = (
-            MEDIA_MAGIC
-            + struct.pack("<HHBI", w, h, ch, nf)
-            + body
+            body = rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                                dtype=np.uint8)
+            payload = (
+                MEDIA_MAGIC + struct.pack("<HHBI", w, h, ch, nf)
+                + body.tobytes()
+            )
+            units, csum = body.size, int(body.sum(dtype=np.int64))
+        rows.append(
+            (i, kind, payload, w, h, ch, nf, len(payload), units, csum)
         )
-        rows.append((i, kind, payload, w, h, ch, nf, len(payload)))
     df = pd.DataFrame(
         rows,
         columns=["media_id", "kind", "payload", "width", "height",
-                 "channels", "n_frames", "n_bytes"],
+                 "channels", "n_frames", "n_bytes", "content_units",
+                 "content_sum"],
     ).astype({"media_id": "int64"})
     tmp = out + ".tmp"
     df.to_parquet(tmp, index=False)

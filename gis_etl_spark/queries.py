@@ -689,7 +689,13 @@ REGISTRY.update(
         "multimodal_frame_sample": (
             M.multimodal_frame_sample, _MM_SQLS["multimodal_frame_sample"],
         ),
-        "multimodal_features": (M.multimodal_features, None),
+        # content-exact decode: numpy BMP/WAV decoders checksummed
+        # against goldens the fixture's independent encoder stored
+        "multimodal_features": (
+            M.multimodal_features, _MM_SQLS["multimodal_features"],
+        ),
+        # hash-seeded featurizer shape — not SQL-expressible, rows-only
+        "multimodal_feature_norms": (M.multimodal_feature_norms, None),
     }
 )
 

@@ -1,0 +1,160 @@
+"""Golden + hostile-input tests for the pure-numpy media decoders and
+the multimodal fixture contract (SURVEY.md §2.11).
+
+The byte-literal goldens below are hand-assembled from the PUBLIC
+format layouts (BMP file/info headers; RIFF/WAVE chunk structure) —
+independent of both the fixture's encoder and the decoder under test.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gis_etl_spark.fixtures import _encode_bmp, _encode_wav, ensure_media
+from gis_etl_spark.ops.multimodal import (
+    _parse_header,
+    decode_bmp,
+    decode_wav,
+)
+
+# 2×2 24-bit BMP, hand-assembled: bottom row = red, white; top row =
+# blue, green; rows padded to 4 bytes, BGR, bottom-up.
+BMP_2X2 = bytes(
+    [
+        0x42, 0x4D, 0x46, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,   # BM header
+        0x28, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0x18, 0,   # info: 2×2
+        0, 0, 0, 0, 0x10, 0, 0, 0, 0x13, 0x0B, 0, 0, 0x13, 0x0B,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0x00, 0x00, 0xFF, 0xFF, 0xFF, 0xFF, 0x00, 0x00,  # red, white, pad
+        0xFF, 0x00, 0x00, 0x00, 0xFF, 0x00, 0x00, 0x00,  # blue, green, pad
+    ]
+)
+
+
+def test_bmp_golden_bytes():
+    px = decode_bmp(BMP_2X2)
+    expected = np.array(
+        [
+            [[0, 0, 255], [0, 255, 0]],        # top row: blue, green
+            [[255, 0, 0], [255, 255, 255]],    # bottom row: red, white
+        ],
+        dtype=np.uint8,
+    )
+    assert px.shape == (2, 2, 3)
+    assert (px == expected).all()
+
+
+def test_bmp_top_down_negative_height():
+    # same pixels stored top-down: negative height, rows NOT flipped
+    buf = bytearray(BMP_2X2)
+    struct.pack_into("<i", buf, 22, -2)
+    px = decode_bmp(bytes(buf))
+    expected = np.array(
+        [
+            [[255, 0, 0], [255, 255, 255]],    # first stored row on top
+            [[0, 0, 255], [0, 255, 0]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (px == expected).all()
+
+
+def test_bmp_roundtrip_odd_width_padding():
+    rng = np.random.default_rng(7)
+    for w, h in [(3, 2), (5, 5), (16, 1), (1, 7)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(_encode_bmp(px)) == px).all(), (w, h)
+
+
+def test_bmp_rejects_hostile():
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG\x00" + b"\x00" * 60)           # wrong magic
+    with pytest.raises(ValueError):
+        decode_bmp(BMP_2X2[:40])                          # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(BMP_2X2[:-4])                          # truncated pixels
+    eight_bit = bytearray(BMP_2X2)
+    struct.pack_into("<H", eight_bit, 28, 8)              # bpp = 8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(eight_bit))
+
+
+# minimal canonical WAV: 2 samples, 2 channels, 8000 Hz, with an
+# unknown odd-sized chunk between fmt and data (must be skipped with
+# word alignment).
+def _wav_golden() -> tuple[bytes, np.ndarray]:
+    samples = np.array([[1000, -2000], [32767, -32768]], dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + junk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body, samples
+
+
+def test_wav_golden_bytes_with_junk_chunk():
+    buf, samples = _wav_golden()
+    rate, got = decode_wav(buf)
+    assert rate == 8000
+    assert got.shape == (2, 2)
+    assert (got == samples).all()
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(11)
+    for n, ch, rate in [(1, 1, 8000), (100, 2, 44100), (2048, 1, 16000)]:
+        s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        got_rate, got = decode_wav(_encode_wav(s, rate))
+        assert got_rate == rate
+        assert (got == s).all()
+
+
+def test_wav_rejects_hostile():
+    buf, _ = _wav_golden()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + buf[4:])                     # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav(buf[:20])                              # no fmt/data
+    bad_bits = bytearray(buf)
+    struct.pack_into("<H", bad_bits, 34, 8)               # 8-bit PCM
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad_bits))
+
+
+def test_parse_header_never_raises():
+    for junk in (None, b"", b"BM", b"RIFF" + b"\x00" * 20, b"\xff" * 64):
+        w, h, ch, nf, valid = _parse_header(junk)
+        assert valid is False and (w, h, ch, nf) == (0, 0, 0, 0)
+
+
+def test_fixture_goldens_match_decoders():
+    """Decode every payload of the fixture with the numpy decoders and
+    reproduce the encoder's stored content checksums exactly — pandas-
+    level (no Spark) so the decoder itself is isolated."""
+    pdf = pd.read_parquet(ensure_media())
+    for row in pdf.sample(n=200, random_state=3).itertuples():
+        buf = bytes(row.payload)
+        if row.kind == "image":
+            px = decode_bmp(buf)
+            assert px.shape == (row.height, row.width, 3)
+            assert int(px.sum(dtype=np.int64)) == row.content_sum
+            assert px.size == row.content_units
+        elif row.kind == "audio":
+            rate, samples = decode_wav(buf)
+            assert rate // 100 == row.width
+            assert samples.shape == (row.n_frames, row.channels)
+            assert (
+                int(np.abs(samples.astype(np.int64)).sum())
+                == row.content_sum
+            )
+        else:
+            body = np.frombuffer(buf, dtype=np.uint8, offset=13)
+            assert int(body.sum(dtype=np.int64)) == row.content_sum

@@ -24,11 +24,18 @@ What this matches vs real H3: cell areas are near-uniform over the
 globe (gnomonic distortion only, max ≈1.6× within a face — the
 equal-angle lattice's 1/cos(lat) blow-up is gone), the √7 area
 hierarchy, hexagonal neighborhoods, and the res-7 ≈1.22 km edge
-length. What it does not match: H3's 122-base-cell bit layout (no h3
+length. What it does not match: H3's 122-base-cell numbering (no h3
 library exists in this environment to validate bit parity against, so
 we refuse to ship an unverifiable table) — cells that straddle a face
 edge are face-clipped instead of stitched. Documented deviation,
 property-tested invariants (tests/test_layout.py).
+
+Join-compat boundary, precisely: ids from THIS module never join
+against real H3 data. For corpora already carrying H3 ids, use
+layout/h3compat.py — the published bit-layout algebra (resolution /
+base-cell extraction, parent truncation, validity, hex-string codec)
+operates on real H3 ids bit-exactly, and h3compat.h3_latlng_to_cell
+delegates to the h3 package when installed for exact id generation.
 
 Implementation notes: everything is NATIVE Spark column arithmetic —
 face argmax via a 20-element literal array + ``array_max`` over

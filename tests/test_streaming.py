@@ -351,3 +351,65 @@ def test_streaming_interval_matches_batch(spark, sf_dir, tmp_path):
     assert set(got) == set(exp)
     mismatches = {k: (got[k], exp[k]) for k in exp if got[k] != exp[k]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming dedup-on-arrival == batch exact dedup: feed the
+    augmented corpus in 3 micro-batches (shuffled split, so duplicate
+    pairs straddle batch boundaries) and require the final per-hash
+    (n_copies, keep_id) state to equal dedup_exact_groups exactly."""
+    import time
+
+    from gis_etl_spark.fixtures import ensure_documents_aug
+    from gis_etl_spark.ops.dedup import dedup_exact_groups
+
+    docs = spark.read.parquet(ensure_documents_aug())
+    rows = docs.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "dd_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate(chunks):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .applyInPandasWithState(
+            S._dedup_fn,
+            outputStructType=S.DEDUP_OUT_SCHEMA,
+            stateStructType=S.DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    S.run_to_memory(sdf, name, output_mode="update")
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("content_hash").tail(1).set_index("content_hash")
+    got = {
+        h: (int(r.n_copies), int(r.keep_id))
+        for h, r in last.iterrows()
+        if int(r.n_copies) > 1
+    }
+    exp = {
+        r.content_hash: (r.n_copies, r.keep_id)
+        for r in dedup_exact_groups(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # singletons: every hash must have been seen exactly as often as it
+    # occurs in the corpus
+    assert int(last["n_copies"].sum()) == len(rows)

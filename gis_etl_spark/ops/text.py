@@ -330,6 +330,101 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+REP_DUP_T = 0.2  # duplicate-trigram fraction flag threshold (fixture-tuned)
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter — the Gopher-family rule class text_gopher_flags
+    does NOT cover (Rae et al. 2021 §A1.1 also drops documents whose
+    content repeats; rule *shape* reproduced here over word trigrams,
+    thresholds fixture-tuned): per document, total vs distinct trigram
+    counts, the duplicate-trigram fraction, and the single most
+    repeated trigram's share.
+
+    Plan shape: ONE explode → two-phase (doc_id, trigram) count, then
+    a per-doc aggregate reads total/distinct/max from the same counted
+    stream — no second pass over the text, no per-row fold. Docs with
+    < 3 words survive via the left join (0 trigrams, NULL fractions,
+    repetitive = false through the guarded comparison).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tri = F.when(
+        F.size(words_col(F.col("text"))) >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(trim(text), ' +')) - 3), "
+            "i -> concat_ws(' ', split(trim(text), ' +')[i], "
+            "split(trim(text), ' +')[i+1], split(trim(text), ' +')[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        docs.select("doc_id", F.explode(tri).alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+    )
+    n_tri_nz = F.when(F.col("n_trigrams") > 0, F.col("n_trigrams"))
+    dup_frac = (F.col("n_trigrams") - F.col("n_distinct")) / n_tri_nz
+    return (
+        docs.select("doc_id")
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.round(dup_frac, 4).alias("dup_frac"),
+            F.round(F.col("top_count") / n_tri_nz, 4).alias("top_frac"),
+            (
+                F.coalesce("n_trigrams", F.lit(0)) > 0
+            ) & (dup_frac > REP_DUP_T),
+        )
+        .toDF(
+            "doc_id", "n_trigrams", "n_distinct", "dup_frac", "top_frac",
+            "repetitive",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_repetition_sql() -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {WORDS_SQL} AS ws FROM documents
+        ), tri AS (
+          -- scalar range() returns a LIST, so the comprehension stays
+          -- row-local (DuckDB's table range() can't lateral-join on ws)
+          SELECT doc_id,
+                 unnest([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                         for i in range(1, greatest(len(ws) - 1, 1))])
+                   AS tri
+          FROM base
+        ), counted AS (
+          SELECT doc_id, sum(c)::BIGINT AS n_trigrams,
+                 count(*) AS n_distinct, max(c) AS top_count
+          FROM (SELECT doc_id, tri, count(*) AS c FROM tri
+                GROUP BY doc_id, tri)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_trigrams, 0) AS n_trigrams,
+               coalesce(n_distinct, 0) AS n_distinct,
+               round((n_trigrams - n_distinct) * 1.0
+                     / nullif(n_trigrams, 0), 4) AS dup_frac,
+               round(top_count * 1.0 / nullif(n_trigrams, 0), 4)
+                 AS top_frac,
+               (coalesce(n_trigrams, 0) > 0
+                AND (n_trigrams - n_distinct) * 1.0
+                    / nullif(n_trigrams, 0) > {REP_DUP_T})
+                 AS repetitive
+        FROM documents d LEFT JOIN counted USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 _PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"

@@ -593,6 +593,8 @@ REGISTRY.update(
         "text_gopher_flags": (
             T.text_gopher_flags, _TEXT_SQLS["text_gopher_flags"],
         ),
+        # Gopher-family repetition filter (duplicate-trigram fraction)
+        "text_repetition": (T.text_repetition, T.text_repetition_sql()),
         "dedup_embedding_pairs": (
             T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
         ),

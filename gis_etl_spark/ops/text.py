@@ -19,7 +19,7 @@ a classic two-phase count.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gis_etl_spark.io import read_table
@@ -749,4 +749,83 @@ def stratified_sample_sql() -> str:
         FROM documents
         WHERE ({h60_sql('text')}) % {SAMPLE_MOD} = 0
         GROUP BY lang ORDER BY lang
+    """
+
+
+# mixture resampling: uniform target share per language, total output
+# budget = 2/5 of the corpus, hash-domain resolution D. ALL-INTEGER
+# arithmetic (shares as exact fractions, `div` not `/`) — thresholds at
+# 100 TB magnitudes exceed double's 53-bit mantissa, so float division
+# would disagree between engines.
+MIX_D = 1_000_000
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 2, 5  # output budget = 2/5 of corpus
+MIX_N_LANGS = 5                        # uniform share = 1/5 each
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — reshape a skewed corpus toward a
+    target language mixture (the data-mixing step before a training
+    run): per language, keep rate = min(1, target_count / n_lang)
+    where target_count = share × budget, applied as a deterministic
+    content-hash threshold (stable across runs/engines/partitioning,
+    like stratified_sample). Languages under their target keep all
+    docs (no upsampling here — repetition policy belongs to the
+    training loader).
+
+    Plan: one groupBy for per-lang counts (tiny), window-sum for the
+    corpus total on that 5-row frame, broadcast the thresholds back,
+    hash-filter map-side, re-aggregate. Two shuffles of the full
+    corpus at most, both keyed on lang."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_in"))
+        .withColumn(
+            "total", F.sum("n_in").over(Window.partitionBy(F.lit(0)))
+        )
+        .withColumn(
+            "threshold",
+            F.least(
+                F.lit(MIX_D).cast("long"),
+                F.expr(
+                    f"(((total * {MIX_BUDGET_NUM}) div {MIX_BUDGET_DEN})"
+                    f" * {MIX_D}) div ({MIX_N_LANGS} * n_in)"
+                ),
+            ),
+        )
+        .select("lang", "n_in", "threshold")
+    )
+    kept = docs.join(F.broadcast(counts), "lang").filter(
+        h60(F.col("text")) % MIX_D < F.col("threshold")
+    )
+    return (
+        kept.groupBy("lang", "n_in", "threshold")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def mixture_sample_sql() -> str:
+    return f"""
+        WITH c AS (
+          SELECT lang, count(*) AS n_in FROM documents GROUP BY lang
+        ), t AS (
+          SELECT lang, n_in, sum(n_in) OVER () AS total FROM c
+        ), thr AS (
+          SELECT lang, n_in,
+                 least({MIX_D},
+                       (((total * {MIX_BUDGET_NUM}) // {MIX_BUDGET_DEN})
+                        * {MIX_D}) // ({MIX_N_LANGS} * n_in))::BIGINT
+                   AS threshold
+          FROM t
+        )
+        SELECT d.lang, n_in, threshold,
+               count(*) AS n_kept, sum(d.doc_id)::BIGINT AS id_sum
+        FROM documents d JOIN thr USING (lang)
+        WHERE ({h60_sql('d.text')}) % {MIX_D} < threshold
+        GROUP BY d.lang, n_in, threshold
+        ORDER BY d.lang
     """

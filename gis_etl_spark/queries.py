@@ -595,6 +595,8 @@ REGISTRY.update(
         ),
         # Gopher-family repetition filter (duplicate-trigram fraction)
         "text_repetition": (T.text_repetition, T.text_repetition_sql()),
+        # domain-mixture resampling toward a uniform language mixture
+        "mixture_sample": (T.mixture_sample, T.mixture_sample_sql()),
         "dedup_embedding_pairs": (
             T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
         ),

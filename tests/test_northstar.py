@@ -299,3 +299,37 @@ def test_pii_regexes_on_adversarial_literals(spark):
     assert [r.e for r in got] == [2, 0, 0, 0, 0, 0]
     assert [r.p for r in got] == [0, 0, 1, 0, 0, 0]
     assert [r.n for r in got] == [0, 0, 0, 1, 0, 0]
+
+
+def test_mixture_sample_hits_targets(spark, sf_dir):
+    """Mixture resampling: over-represented languages are cut to
+    ~budget-share (within hash-rounding), under-represented ones keep
+    every doc (no upsampling), and the keep decision is a pure content
+    hash (re-running yields identical ids)."""
+    from gis_etl_spark.ops.text import (
+        MIX_BUDGET_DEN,
+        MIX_BUDGET_NUM,
+        MIX_D,
+        MIX_N_LANGS,
+        mixture_sample,
+    )
+
+    rows = mixture_sample(spark, sf_dir).collect()
+    total = sum(r.n_in for r in rows)
+    target = (total * MIX_BUDGET_NUM // MIX_BUDGET_DEN) // MIX_N_LANGS
+    for r in rows:
+        if r.threshold >= MIX_D:  # under target → keep everything
+            assert r.n_kept == r.n_in, r
+            assert r.n_in <= target or r.n_in * MIX_N_LANGS <= total
+        else:
+            # kept count concentrates around target; hash rounding on a
+            # few hundred docs → generous band
+            assert r.n_kept <= r.n_in
+            assert abs(r.n_kept - target) <= max(10, target * 0.35), (
+                r, target,
+            )
+    again = {
+        (r.lang, r.n_kept, r.id_sum)
+        for r in mixture_sample(spark, sf_dir).collect()
+    }
+    assert again == {(r.lang, r.n_kept, r.id_sum) for r in rows}

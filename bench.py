@@ -55,6 +55,10 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ann_lsh",
     "training_data_prep",
+    "text_repetition",
+    "mixture_sample",
+    "multimodal_features",
+    "h3_parent_rollup",
     "points_in_polygons",
     "geo_heatmap_export",
     "hex_heatmap_export",

@@ -187,6 +187,56 @@ def _geo_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
     return out
 
 
+def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
+    """Micro-benches for the two stateful streaming twins — the
+    incremental forms a 100 TB ingest actually runs. Timed as one
+    availableNow drain of the full sf table through a memory sink
+    (plan + state store + upserts, end-to-end); rows/s and final state
+    size (rows of per-key state) land in artifacts so the 'state stays
+    bounded' claim carries numbers."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.pipelines import streaming as S
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ev = read_table(spark, SF_DIR, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        ev_dir = os.path.join(tmp, "events_in")
+        # 8 input files ≈ 8 micro-batch partitions of arriving data
+        ev.repartition(8).write.mode("overwrite").parquet(ev_dir)
+        n_ev = spark.read.parquet(ev_dir).count()
+
+        t0 = time.time()
+        S.run_to_memory(S.streaming_sessionize(spark, ev_dir), "bench_sess")
+        dt = time.time() - t0
+        out["streaming_sessionize"] = round(dt, 3)
+        artifacts["streaming_sessionize_rows_per_sec"] = int(n_ev / dt)
+        artifacts["streaming_sessionize_state_rows"] = (
+            spark.table("bench_sess").select("user_id").distinct().count()
+        )
+
+        docs = read_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        docs_dir = os.path.join(tmp, "docs_in")
+        docs.repartition(8).write.mode("overwrite").parquet(docs_dir)
+        n_docs = spark.read.parquet(docs_dir).count()
+
+        t0 = time.time()
+        S.run_to_memory(S.streaming_exact_dedup(spark, docs_dir), "bench_dd")
+        dt = time.time() - t0
+        out["streaming_exact_dedup"] = round(dt, 3)
+        artifacts["streaming_exact_dedup_rows_per_sec"] = int(n_docs / dt)
+        artifacts["streaming_exact_dedup_state_rows"] = (
+            spark.table("bench_dd").select("content_hash").distinct().count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("gis-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -212,6 +262,7 @@ def main() -> None:
         timings[name] = round(min(t1 - t0, time.time() - t1), 3)
 
     artifacts: dict[str, int] = {}
+    timings.update(_streaming_benches(spark, artifacts))
     timings.update(_geo_benches(spark, artifacts))
 
     result = {

@@ -536,6 +536,58 @@ def _encode_bmp(px: np.ndarray) -> bytes:
     return file_hdr + info_hdr + body
 
 
+def _encode_png(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor non-interlaced PNG, per
+    the public layout (RFC 2083). The FORWARD direction of the spec —
+    filters applied per scanline, cycling through all five filter
+    types (row r uses type r % 5) so a decoder must invert every one —
+    deliberately independent of ops.multimodal.decode_png, which
+    implements the reverse direction."""
+    import zlib as _zlib
+
+    h, w, _ = px.shape
+    stride = w * 3
+    flat = px.reshape(h, stride).astype(np.int32)
+    lines = []
+    for r in range(h):
+        ft = r % 5
+        cur = flat[r]
+        prev = flat[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([[0, 0, 0], cur[:-3]])
+        ul = np.concatenate([[0, 0, 0], prev[:-3]])
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            filt = (cur - left) & 255
+        elif ft == 2:  # Up
+            filt = (cur - prev) & 255
+        elif ft == 3:  # Average
+            filt = (cur - ((left + prev) >> 1)) & 255
+        else:  # Paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (cur - pred) & 255
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+    idat = _zlib.compress(b"".join(lines), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """(n, ch) int16 → PCM16 RIFF/WAVE bytes (canonical 44-byte
     header), independent of ops.multimodal.decode_wav."""
@@ -555,7 +607,9 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     """Multimodal fixture (SURVEY.md §2.11): REAL binary payloads +
     typed metadata + content goldens.
 
-    - image: uncompressed 24-bit BMP (public spec), 16-64 px per side;
+    - image: 16-64 px per side — even media_ids uncompressed 24-bit
+      BMP, odd media_ids 8-bit truecolor PNG with all five scanline
+      filter types exercised (both public specs);
     - audio: PCM16 RIFF/WAVE (public spec), 1-2 ch, 256-2048 samples,
       sample_rate a multiple of 100 (stored width = rate // 100);
     - video: the 13-byte 'FAKE' container (real video needs codec
@@ -568,7 +622,7 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     encoder, so the engine's numpy decoders are verified content-exact
     by the DuckDB oracle, not just header-exact.
     """
-    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v2", "media.parquet")
+    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v3", "media.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -580,7 +634,9 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
         if kind == "image":
             w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            payload = _encode_bmp(px)
+            # half BMP, half PNG — two real public image formats, each
+            # decoded content-exactly by the engine's numpy decoders
+            payload = _encode_png(px) if i % 2 else _encode_bmp(px)
             ch, nf = 3, 1
             units, csum = px.size, int(px.sum(dtype=np.int64))
         elif kind == "audio":

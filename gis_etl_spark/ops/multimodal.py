@@ -12,6 +12,11 @@ numpy/struct — no imaging library needed:
 - decode_wav       — RIFF/WAVE chunk walk (word-aligned), PCM16
                      'fmt ' + 'data' → (sample_rate, (n, ch) int16).
                      Layout per the public RIFF/WAVE spec.
+- decode_png       — 8-bit truecolor PNG (public RFC 2083 layout):
+                     signature, CRC-checked chunk walk, IHDR, IDAT
+                     concat → stdlib zlib inflate → per-row unfilter
+                     (all five filter types: None/Sub/Up/Average/
+                     Paeth) → (h, w, 3) RGB uint8. No imaging library.
 - decode_meta      — byte-level header parse (mapInPandas) dispatching
                      on magic (BM / RIFF / legacy 'FAKE' video
                      container), verified against the fixture's stored
@@ -39,6 +44,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -113,6 +119,121 @@ def _wav_header(buf: bytes) -> tuple[int, int, int, bytes]:
     return rate, ch, len(data) // block_align, data
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(buf: bytes) -> tuple[tuple, bytes]:
+    """Walk the chunk stream with CRC verification → (IHDR fields,
+    concatenated IDAT). Raises ValueError on structural damage — the
+    garbage-row contract turns that into valid=False upstream."""
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(buf):
+        clen = struct.unpack_from(">I", buf, pos)[0]
+        if pos + 12 + clen > len(buf):
+            raise ValueError("truncated PNG chunk")
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + clen]
+        crc = struct.unpack_from(">I", buf, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError("bad IHDR length")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    return ihdr, b"".join(idat)
+
+
+def _png_header(buf: bytes) -> tuple[int, int]:
+    """Header-only (width, height) — IHDR parse + supported-subset
+    check, no inflate. Cheap enough for metadata-only scans."""
+    if len(buf) < 33 or buf[:8] != PNG_SIG or buf[12:16] != b"IHDR":
+        raise ValueError("not a PNG payload")
+    w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", buf, 16
+    )
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    return w, h
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit truecolor (color type 2), non-interlaced PNG → (h, w, 3)
+    uint8 RGB, pure stdlib-zlib + numpy per the public PNG layout
+    (RFC 2083): 8-byte signature; big-endian length/type/data/CRC32
+    chunks; IHDR(width, height, bit depth, color type, compression,
+    filter method, interlace); IDAT bodies concatenated into ONE zlib
+    stream; each decompressed scanline = 1 filter-type byte + w*3
+    filtered bytes. Unfiltering inverts filter types 0-4 (None, Sub,
+    Up, Average, Paeth) exactly as specified — Sub/Average/Paeth
+    recurrences run left-to-right per row (sequential by definition),
+    Up/None vectorize. Raises ValueError outside that subset."""
+    ihdr, idat = _png_chunks(buf)
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    stride = w * 3
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel stream size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) & 255
+        elif ft == 1:  # Sub: recon(x) = filt(x) + recon(x - bpp)
+            rec = line.copy()
+            for i in range(3, stride):
+                rec[i] = (rec[i] + rec[i - 3]) & 255
+        elif ft == 3:  # Average
+            rec = line.copy()
+            for i in range(stride):
+                left = rec[i - 3] if i >= 3 else 0
+                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth predictor
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                rec[i] = (line[i] + pr) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, 3)
+
+
 def decode_bmp(buf: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB array, pure
     numpy/struct per the public BMP layout: 14-byte BITMAPFILEHEADER
@@ -159,6 +280,9 @@ def _parse_header(buf: bytes | None) -> tuple[int, int, int, int, bool]:
         if buf[:2] == b"BM":
             w, h_signed, _, _ = _bmp_header(bytes(buf))
             return w, abs(h_signed), 3, 1, True
+        if buf[:8] == PNG_SIG:
+            w, h = _png_header(bytes(buf))
+            return w, h, 3, 1, True
         if buf[:4] == b"RIFF":
             rate, ch, n, _ = _wav_header(bytes(buf))
             return rate // 100, 0, ch, n, True
@@ -256,6 +380,10 @@ def decode_content(df: DataFrame) -> DataFrame:
                     buf = bytes(b) if b is not None else b""
                     if buf[:2] == b"BM":
                         px = decode_bmp(buf)
+                        out.append((mid, kind, px.size, int(
+                            px.sum(dtype=np.int64)), True))
+                    elif buf[:8] == PNG_SIG:
+                        px = decode_png(buf)
                         out.append((mid, kind, px.size, int(
                             px.sum(dtype=np.int64)), True))
                     elif buf[:4] == b"RIFF":

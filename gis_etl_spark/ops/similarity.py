@@ -79,8 +79,9 @@ def emb_lsh_config(
     return bits, bands
 
 
-# Embedding-dedup config, derived from the shared threshold (0.35 →
-# 8-bit bands × 41). Measured at sf0.1 (n=2000, true pairs at cosine
+# Embedding-dedup config, derived from the shared threshold (the exact
+# band count comes out of emb_lsh_config — 8-bit bands at this 0.35
+# threshold). Measured at sf0.1 (n=2000, true pairs at cosine
 # 0.35-0.45): recall 0.61 vs the exact baseline at a 16.5% candidate
 # rate — vs round 2's 4-bit bands at 40.8% (effectively brute force).
 EMB_LSH_BITS, EMB_LSH_BANDS = emb_lsh_config(EMB_DEDUP_T)
@@ -258,11 +259,14 @@ def _band_values_arrow(emb: DataFrame, bits: int, bands: int) -> DataFrame:
     so the band count is unbounded.
 
     Parity contract with the oracle SQL: per (vector, plane) the dot
-    product accumulates over dimensions IN ORDER (the k-outer loop adds
-    x_k·w_pk to every plane per step — the same per-element IEEE
-    operation sequence as the p-outer/k-inner loop and the oracle's
-    unnest/GROUP BY sum), so the sign bits — and therefore the buckets —
-    are bit-identical on both engines."""
+    product accumulates over dimensions IN ORDER on the Spark side (the
+    k-outer loop adds x_k·w_pk to every plane per step — the same
+    per-element IEEE operation sequence as a p-outer/k-inner loop). The
+    oracle's unnest/GROUP BY sum carries NO ordering guarantee (a hash
+    aggregate may reorder, especially multithreaded), so what bucket
+    parity actually rests on is sign(dot) being insensitive to
+    summation order; a dot product within float rounding of zero is the
+    residual (never observed) cross-engine flake risk."""
     W = _plane_matrix(bits * bands)
     shifts = 1 << np.arange(bits, dtype=np.int64)
 
@@ -432,21 +436,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_values_arrow(joined, EMB_LSH_BITS, EMB_LSH_BANDS),
         EMB_LSH_BUCKET_CAP,
     )
-    # Exact verify by ID LOOKUP: ship only (doc_a, doc_b) id pairs to
-    # the Arrow kernel (16 B/pair) and gather both vectors from a
-    # closure-captured corpus matrix — vs joining the arrays onto every
-    # candidate row, which moved ~1 KB/pair through the exchange and
-    # dominated the bench (measured 2.9 s of 6.5 s at sf0.1). The
-    # matrix ships to each executor once, like a broadcast dim table
-    # (same ~1M×64-double ceiling as the broadcast-join rendition;
-    # beyond that, bucket both sides on doc id). lang_a still comes
-    # from a broadcast join — one small column, not the vector payload.
-    cos_pair = _cos_by_id_arrow(*_corpus_matrix(joined, sf_dir))
+    scored = _verify_pairs_exact(pair_cands, joined, sf_dir)
     lang = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
     )
     return (
-        pair_cands.withColumn("cos", cos_pair(F.col("doc_a"), F.col("doc_b")))
+        scored
         .filter(F.col("cos") >= EMB_DEDUP_T)
         # distinct here, on the surviving rows only (see _bucket_pairs)
         .distinct()
@@ -456,22 +451,95 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# corpus-matrix cache for _cos_by_id_arrow, keyed by sf_dir: the build-
-# time collect is deterministic for a given dataset directory, and the
-# gate/bench call each builder repeatedly.
-_CORPUS_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+# Ceiling (rows) for the driver-side corpus materialization in the LSH
+# verify stage. Expected driver footprint at the cap: 1M × 64 doubles
+# ≈ 512 MB plus pandas overhead — the same order as a broadcast dim
+# table. Above it the verify falls back to the shuffle-based vector
+# join, which never touches the driver. Tests monkeypatch this to force
+# the fallback at tiny corpora.
+EMB_CORPUS_DRIVER_CAP = 1_000_000
+
+
+def _verify_pairs_exact(
+    pair_cands: DataFrame, joined: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Exact-cosine verification of LSH candidate pairs, with a scale
+    gate choosing between two physically different but numerically
+    IDENTICAL plans (both kernels accumulate over dimensions in order —
+    the parity contract shared with the oracle SQL):
+
+    - corpus ≤ EMB_CORPUS_DRIVER_CAP rows (counted first): verify by ID
+      LOOKUP — ship only (doc_a, doc_b) id pairs to the Arrow kernel
+      (16 B/pair) and gather both vectors from a closure-captured corpus
+      matrix. Joining the arrays onto every candidate row instead moved
+      ~1 KB/pair through the exchange and dominated the bench (measured
+      2.9 s of 6.5 s at sf0.1). The matrix ships to each executor once,
+      like a broadcast dim table.
+    - above the cap (the 100 TB regime): candidate ⋈ vectors join on
+      each side of the pair (`_cos_arrow` on the joined arrays). Twice
+      the exchange volume per candidate, but nothing ever materializes
+      on the driver; the join keys are ids, so AQE can pick
+      broadcast/sort-merge per side as the corpus dictates.
+
+    Returns pair_cands plus a `cos` column.
+
+    Side effect (documented contract): building the plan runs one Spark
+    COUNT job to pick the path, and — below the cap — the toPandas()
+    collect at first use; other registry builders are side-effect-free.
+    """
+    if _corpus_rows(joined, sf_dir) <= EMB_CORPUS_DRIVER_CAP:
+        cos_pair = _cos_by_id_arrow(*_corpus_matrix(joined, sf_dir))
+        return pair_cands.withColumn(
+            "cos", cos_pair(F.col("doc_a"), F.col("doc_b"))
+        )
+    va = joined.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    vb = joined.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    return (
+        pair_cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("cos", _cos_arrow(F.col("va"), F.col("vb")))
+        .drop("va", "vb")
+    )
+
+
+# corpus-matrix / row-count cache for the verify stage, keyed by
+# (sf_dir, dataset fingerprint): the collect is deterministic for a
+# given dataset *state*, and the gate/bench call each builder
+# repeatedly. The fingerprint (mtime_ns + size of embeddings.parquet)
+# invalidates the entry if the dataset is regenerated at the same path
+# within one process (ADVICE r3).
+_CORPUS_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+_CORPUS_ROWS_CACHE: dict[tuple, int] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir,)
+
+
+def _corpus_rows(joined: DataFrame, sf_dir: str) -> int:
+    key = _corpus_key(sf_dir)
+    if key not in _CORPUS_ROWS_CACHE:
+        _CORPUS_ROWS_CACHE[key] = joined.count()
+    return _CORPUS_ROWS_CACHE[key]
 
 
 def _corpus_matrix(
     joined: DataFrame, sf_dir: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    if sf_dir not in _CORPUS_CACHE:
+    key = _corpus_key(sf_dir)
+    if key not in _CORPUS_CACHE:
         pdf = joined.select("vec_id", "v").toPandas().sort_values("vec_id")
-        _CORPUS_CACHE[sf_dir] = (
+        _CORPUS_CACHE[key] = (
             pdf["vec_id"].to_numpy(dtype=np.int64),
             np.array(pdf["v"].tolist(), dtype="f8"),
         )
-    return _CORPUS_CACHE[sf_dir]
+    return _CORPUS_CACHE[key]
 
 
 def _cos_by_id_arrow(ids: np.ndarray, V: np.ndarray):

@@ -14,10 +14,16 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from gis_etl_spark.fixtures import _encode_bmp, _encode_wav, ensure_media
+from gis_etl_spark.fixtures import (
+    _encode_bmp,
+    _encode_png,
+    _encode_wav,
+    ensure_media,
+)
 from gis_etl_spark.ops.multimodal import (
     _parse_header,
     decode_bmp,
+    decode_png,
     decode_wav,
 )
 
@@ -83,6 +89,105 @@ def test_bmp_rejects_hostile():
         decode_bmp(bytes(eight_bit))
 
 
+# Hand-assembled 2×5 truecolor PNG exercising ALL FIVE scanline filter
+# types, one per row. The FILTERED byte stream below is hand-computed
+# from the public filter definitions (recon values in the comments);
+# only the zlib container (compress/crc32 — stdlib, used by neither
+# direction's filter logic) is delegated.
+def _png_golden() -> tuple[bytes, np.ndarray]:
+    import zlib
+
+    stream = bytes(
+        [0] + [10, 20, 30, 40, 50, 60]   # None:  recon = raw
+        + [1] + [5, 5, 5, 5, 5, 5]       # Sub:   recon (5,5,5),(10,10,10)
+        + [2] + [1, 1, 1, 1, 1, 1]       # Up:    recon (6,6,6),(11,11,11)
+        + [3] + [6, 6, 6, 10, 10, 10]    # Avg:   recon (9,9,9),(20,20,20)
+        + [4] + [6, 6, 6, 5, 5, 5]       # Paeth: recon (15,15,15),(25,25,25)
+    )
+    expected = np.array(
+        [
+            [[10, 20, 30], [40, 50, 60]],
+            [[5, 5, 5], [10, 10, 10]],
+            [[6, 6, 6], [11, 11, 11]],
+            [[9, 9, 9], [20, 20, 20]],
+            [[15, 15, 15], [25, 25, 25]],
+        ],
+        dtype=np.uint8,
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    return buf, expected
+
+
+def test_png_golden_all_filter_types():
+    buf, expected = _png_golden()
+    px = decode_png(buf)
+    assert px.shape == (5, 2, 3)
+    assert (px == expected).all()
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(13)
+    # heights ≥ 5 exercise every filter type the encoder cycles through
+    for w, h in [(1, 5), (3, 7), (16, 16), (64, 6)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_png(_encode_png(px)) == px).all(), (w, h)
+
+
+def test_png_rejects_hostile():
+    import zlib
+
+    buf, _ = _png_golden()
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNJ" + buf[4:])                  # wrong magic
+    with pytest.raises(ValueError):
+        decode_png(buf[:30])                              # truncated IHDR
+    # flip one IDAT byte → CRC mismatch must be caught
+    bad = bytearray(buf)
+    bad[41] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # interlaced flag → unsupported variant
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    inter = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 5, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 35))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(inter)
+    # bad filter-type byte in an otherwise valid container
+    badf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([9, 1, 2, 3])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(badf)
+    # garbage behind a valid signature → valid=False via _parse_header
+    w, h, ch, nf, valid = _parse_header(b"\x89PNG\r\n\x1a\n" + b"\xff" * 40)
+    assert valid is False and (w, h, ch, nf) == (0, 0, 0, 0)
+
+
 # minimal canonical WAV: 2 samples, 2 channels, 8000 Hz, with an
 # unknown odd-sized chunk between fmt and data (must be skipped with
 # word alignment).
@@ -143,7 +248,7 @@ def test_fixture_goldens_match_decoders():
     for row in pdf.sample(n=200, random_state=3).itertuples():
         buf = bytes(row.payload)
         if row.kind == "image":
-            px = decode_bmp(buf)
+            px = decode_png(buf) if buf[:2] != b"BM" else decode_bmp(buf)
             assert px.shape == (row.height, row.width, 3)
             assert int(px.sum(dtype=np.int64)) == row.content_sum
             assert px.size == row.content_units

@@ -78,6 +78,31 @@ def test_embedding_dedup_lsh_bucket_bound(spark, sf_dir):
     assert (S.EMB_LSH_BITS, S.EMB_LSH_BANDS) == S.emb_lsh_config(T.EMB_DEDUP_T)
 
 
+def test_embedding_dedup_lsh_fallback_parity(spark, sf_dir, monkeypatch):
+    """The verify stage's scale gate: above EMB_CORPUS_DRIVER_CAP the
+    driver-side corpus gather is forbidden and the candidate⋈vectors
+    join runs instead. Forcing the cap to 0 must (a) actually take the
+    fallback path — _corpus_matrix poisoned to prove it — and (b)
+    produce IDENTICAL pairs and cosines (both kernels accumulate over
+    dimensions in order)."""
+    gather = sorted(
+        (r.doc_a, r.doc_b, r.lang_a, r.sim)
+        for r in S.dedup_embedding_lsh(spark, sf_dir).collect()
+    )
+    assert gather
+
+    def _poisoned(*a, **k):
+        raise AssertionError("gather path used despite cap=0")
+
+    monkeypatch.setattr(S, "EMB_CORPUS_DRIVER_CAP", 0)
+    monkeypatch.setattr(S, "_corpus_matrix", _poisoned)
+    fallback = sorted(
+        (r.doc_a, r.doc_b, r.lang_a, r.sim)
+        for r in S.dedup_embedding_lsh(spark, sf_dir).collect()
+    )
+    assert fallback == gather
+
+
 def test_ivf_recall(spark, sf_dir):
     """IVF with nprobe=2 over 10 lists must recover a solid fraction of
     brute-force top-k — and beat a random 20% corpus sample would."""

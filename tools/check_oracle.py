@@ -66,9 +66,26 @@ def lint_oracle_df_typing(con, sql: str, scols, srows) -> list[str]:
     return msgs
 
 
-def _normalize_cell(v) -> str:
+def _normalize_cell(v, naive_dt_is_local: bool = False) -> str:
     if v is None:
         return "NULL"
+    # TZ-robust timestamp canonicalization (datetime, not date): a
+    # PySpark collect() renders TimestampType via fromtimestamp() in the
+    # HOST-LOCAL zone, while DuckDB fetchall() returns the naive-UTC
+    # instant — identical instants, different reprs on a non-UTC host.
+    # Re-anchor both to UTC before hashing. (The driver's gate runs on a
+    # UTC host, where the two reprs coincide; this keeps the local gate
+    # honest under `TZ=America/New_York python tools/check_oracle.py`.)
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        if naive_dt_is_local:
+            v = _dt.datetime.fromtimestamp(
+                v.timestamp(), tz=_dt.timezone.utc
+            )
+        else:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.isoformat()
     if isinstance(v, float):
         # Consistent float rendering on both engines; queries already
         # round explicitly, this only canonicalizes -0.0 / int-floats.
@@ -80,10 +97,11 @@ def _normalize_cell(v) -> str:
     return str(v)
 
 
-def value_hash(rows, colnames) -> str:
+def value_hash(rows, colnames, naive_dt_is_local: bool = False) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
-        "\x1f".join(_normalize_cell(r[i]) for i in order) for r in rows
+        "\x1f".join(_normalize_cell(r[i], naive_dt_is_local) for i in order)
+        for r in rows
     )
     h = hashlib.sha256()
     for line in lines:
@@ -141,7 +159,8 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} duck={sorted(ocols)}")
         else:
-            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+            sh = value_hash(srows, scols, naive_dt_is_local=True)
+            oh = value_hash(orows, ocols)
             if sh != oh:
                 problems.append("value-hash mismatch")
                 pairs = list(

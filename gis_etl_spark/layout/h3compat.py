@@ -109,6 +109,42 @@ def h3_cell_to_parent(cell: Column | str, parent_res: int) -> Column:
     ).otherwise(with_res.bitwiseOR(F.lit(fill)))
 
 
+def h3_cell_to_center_child(cell: Column | str, child_res: int) -> Column:
+    """Center child at `child_res`: rewrite the resolution field and
+    set every digit beyond the cell's current resolution to 0 — H3's
+    own centerChild operation, bit-for-bit. Unlike full children
+    expansion (which needs the pentagon base-cell list to skip digit 1
+    under pentagons — a table this environment cannot validate), the
+    center child ALWAYS exists with digit 0, for every cell including
+    pentagons, so this is exact for the whole id space.
+
+    The fine-grained twin of h3_cell_to_parent: together they align
+    two H3 corpora indexed at different resolutions onto one join key
+    in either direction. Rows already finer than child_res pass
+    through unchanged (mirror of the parent contract)."""
+    if not 0 <= child_res <= MAX_H3_RES:
+        raise ValueError(f"child_res out of range: {child_res}")
+    v = _c(cell)
+    res = h3_get_resolution(v)
+    res_cleared = v.bitwiseAND(F.lit(~(0xF << _RES_SHIFT)))
+    with_res = res_cleared.bitwiseOR(F.lit(child_res << _RES_SHIFT))
+    # digits res+1 .. child_res → 0; beyond child_res stay 7. The 7s
+    # to clear depend on the ROW's resolution, so build the clear mask
+    # per row: all digits strictly beyond `res` down to child_res.
+    # mask_for(res) = Σ_{r=res+1..child_res} 7 << 3*(15-r); express as
+    # a CASE over the 16 possible res values (constant-folded literals,
+    # whole-stage codegen).
+    cleared = with_res
+    for rcur in range(0, child_res):
+        mask = 0
+        for r in range(rcur + 1, child_res + 1):
+            mask |= 7 << (3 * (MAX_H3_RES - r))
+        cleared = F.when(
+            res == rcur, with_res.bitwiseAND(F.lit(~mask))
+        ).otherwise(cleared)
+    return F.when(res >= F.lit(child_res), v).otherwise(cleared)
+
+
 def h3_str_to_cell(s: Column | str) -> Column:
     """15-char hex form → int64 id (`conv` base 16)."""
     return F.conv(_c(s), 16, 10).cast("long")
@@ -240,3 +276,37 @@ def h3_latlng_to_cell(lat: Column, lng: Column, res: int) -> Column:
         )
 
     return _udf(lat, lng)
+
+
+def h3_cell_to_latlng(cell: Column | str) -> Column:
+    """Cell id → (lat, lng) center decode — like h3_latlng_to_cell,
+    this needs H3's 122-base-cell geodesic table (face centers +
+    CoordIJK unprojection), which cannot be validated offline, so it
+    delegates to the `h3` package when importable and raises a clear
+    NotImplementedError here. The supported offline spatial path for
+    H3 corpora is the id algebra: parent/center-child alignment to a
+    common resolution, then base-cell/parent containment joins."""
+    try:
+        import h3  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "H3 cell decode requires the `h3` package; offline, use the "
+            "id algebra (h3_cell_to_parent / h3_cell_to_center_child) "
+            "for resolution alignment and containment joins"
+        ) from exc
+
+    import pandas as pd  # noqa: PLC0415
+
+    def _dec(v):
+        if v is None:
+            return (None, None)
+        try:  # h3-py v4 string-id API
+            return h3.cell_to_latlng(format(int(v), "x"))
+        except (TypeError, ValueError):  # int-id builds
+            return h3.cell_to_latlng(int(v))
+
+    @F.pandas_udf("struct<lat:double,lng:double>")
+    def _udf(c: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([_dec(v) for v in c], columns=["lat", "lng"])
+
+    return _udf(_c(cell))

@@ -354,9 +354,12 @@ def write_gdbtable(
         fh.write(fsec)
         fh.write(body)
 
-    tablx = bytearray(struct.pack("<4i", GDB_MAGIC, 0, len(rows), 5))
+    # spec-shaped index: n_1024_blocks × 1024 slots, zero-padded tail
+    n_blocks = (len(rows) + 1023) // 1024
+    tablx = bytearray(struct.pack("<4i", GDB_MAGIC, n_blocks, len(rows), 5))
     for off in offsets:
         tablx += off.to_bytes(5, "little")
+    tablx += b"\x00" * (5 * (n_blocks * 1024 - len(offsets)))
     with open(path[: -len(".gdbtable")] + ".gdbtablx", "wb") as fh:
         fh.write(tablx)
 
@@ -438,15 +441,62 @@ def parse_fields(content: bytes) -> tuple[list[Field], int, int]:
     return fields, fsec_off + 4 + fsec_size, n_rows
 
 
+def parse_gdbtablx(buf: bytes) -> list[int]:
+    """Decode a .gdbtablx row index → per-slot .gdbtable offsets
+    (slot i holds OBJECTID i+1; offset 0 marks a nonexistent/deleted
+    row). Layout per the public spec: 16-byte header (int32 magic,
+    int32 n_1024_blocks, int32 n_valid_rows, int32 offset width),
+    then n_1024_blocks × 1024 offsets of `width` little-endian bytes
+    (trailing slots of the last block are zero-padded). Legacy files
+    from this repo's pre-round-4 writer stored n_1024_blocks = 0 with
+    exactly n_valid_rows slots — both forms decode. (The sparse-table
+    trailer bitmap of the full spec is not supported: absent from
+    non-sparse Esri exports, and a bitmap-bearing file fails the slot
+    arithmetic below rather than misreading.)"""
+    if len(buf) < 16:
+        raise ValueError("truncated .gdbtablx header")
+    magic, n_blocks, n_valid, width = struct.unpack_from("<4i", buf, 0)
+    if magic != GDB_MAGIC:
+        raise ValueError(f"bad .gdbtablx magic {magic}")
+    if width < 4 or width > 8:
+        raise ValueError(f"bad .gdbtablx offset width {width}")
+    if n_blocks < 0 or n_valid < 0:
+        raise ValueError("negative .gdbtablx counts")
+    n_slots = n_blocks * 1024 if n_blocks > 0 else n_valid
+    if 16 + n_slots * width > len(buf):
+        raise ValueError(
+            f".gdbtablx too small for {n_slots} slots of {width} bytes"
+        )
+    slots = [
+        int.from_bytes(buf[16 + i * width : 16 + (i + 1) * width], "little")
+        for i in range(n_slots)
+    ]
+    if sum(1 for s in slots if s) != n_valid:
+        raise ValueError(
+            ".gdbtablx nonzero-slot count disagrees with its valid-row "
+            "count"
+        )
+    return slots
+
+
 def parse_gdbtable(
-    content: bytes, columns: list[str] | None = None
+    content: bytes,
+    columns: list[str] | None = None,
+    tablx: bytes | None = None,
 ) -> pd.DataFrame:
     """Decode .gdbtable bytes → DataFrame (geometry as OGC WKB).
 
     `columns` projects INSIDE the decoder: unrequested fields are
     skipped, and skipping a geometry field costs one varuint read
     (the blob is length-prefixed), so attrs-only scans never decode
-    coordinates."""
+    coordinates.
+
+    Row discovery, per the public spec: with a `.gdbtablx` index the
+    slots drive the scan — OBJECTID = slot + 1, offset 0 = hole (a
+    deleted row), so OID sequences with gaps decode exactly as Esri
+    wrote them. Without the index the row section is walked
+    sequentially; a NEGATIVE size marks a deleted row's hole of
+    |size| bytes, which is skipped and consumes one OID."""
     fields, pos, n_rows = parse_fields(content)
     want = None if columns is None else set(columns)
     out_fields = [
@@ -455,25 +505,43 @@ def parse_gdbtable(
     data: dict[str, list] = {f.name: [] for f in out_fields}
     nullable = [f for f in fields if f.nullable]
     oid_field = next((f for f in fields if f.ftype == T_OBJECTID), None)
-    for rowno in range(n_rows):
+
+    if tablx is not None:
+        plan = [
+            (slot + 1, off)
+            for slot, off in enumerate(parse_gdbtablx(tablx))
+            if off
+        ]
+        if len(plan) != n_rows:
+            raise ValueError(
+                f".gdbtablx holds {len(plan)} rows but the table header "
+                f"counts {n_rows}"
+            )
+    else:
+        plan = None
+
+    def decode_row(oid: int, pos: int) -> int:
+        """Decode one row record whose int32 size prefix sits at `pos`;
+        returns the record's end offset."""
         (size,) = _unpack("<i", content, pos)
         pos += 4
         if size < 0 or pos + size > len(content):
             raise ValueError(
-                f"row {rowno}: size {size} runs past EOF "
+                f"row oid={oid}: size {size} runs past EOF "
                 f"(offset {pos}, file {len(content)} bytes)"
             )
         end = pos + size
         nbytes = (len(nullable) + 7) // 8
         if pos + nbytes > end:
             raise ValueError(
-                f"row {rowno}: null bitmap ({nbytes} B) exceeds row size"
+                f"row oid={oid}: null bitmap ({nbytes} B) exceeds row size"
             )
         bitmap = content[pos : pos + nbytes]
         p = pos + nbytes
         ni = 0
+        rowno = oid - 1
         if oid_field is not None and (want is None or oid_field.name in want):
-            data[oid_field.name].append(rowno + 1)
+            data[oid_field.name].append(oid)
         for f in fields:
             if f.ftype == T_OBJECTID:
                 continue
@@ -530,7 +598,28 @@ def parse_gdbtable(
                         _decode_geometry(content[p : p + ln], f)
                     )
                 p += ln
-        pos = end
+        return end
+
+    if plan is not None:
+        for oid, off in plan:
+            decode_row(oid, off)
+    else:
+        oid, found = 1, 0
+        while found < n_rows:
+            (size,) = _unpack("<i", content, pos)
+            if size < 0:
+                # deleted-row hole: |size| dead bytes, one consumed OID
+                hole_end = pos + 4 - size
+                if hole_end > len(content):
+                    raise ValueError(
+                        f"deleted-row hole at offset {pos} runs past EOF"
+                    )
+                pos = hole_end
+                oid += 1
+                continue
+            pos = decode_row(oid, pos)
+            oid += 1
+            found += 1
     return pd.DataFrame(data, columns=[f.name for f in out_fields])
 
 
@@ -600,7 +689,9 @@ def read_filegdb(
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    out = parse_gdbtable(bytes(content), columns)
+                    out = parse_gdbtable(
+                        bytes(content), columns, tablx=_sibling_tablx(fpath)
+                    )
                 except ValueError:
                     if skip:
                         continue
@@ -609,6 +700,23 @@ def read_filegdb(
                 yield out
 
     return files.mapInPandas(decode, schema=schema)
+
+
+def _sibling_tablx(gdbtable_path: str) -> bytes | None:
+    """Bytes of the row index beside a .gdbtable (binaryFile hands the
+    path URI-form); None when absent — the sequential walk then covers
+    hole-free files, which is what a missing index implies."""
+    from urllib.parse import unquote, urlparse
+
+    p = gdbtable_path
+    if "://" in p:
+        p = unquote(urlparse(p).path)
+    p = p[: -len(".gdbtable")] + ".gdbtablx"
+    try:
+        with open(p, "rb") as fh:
+            return fh.read()
+    except OSError:
+        return None
 
 
 def filegdb_failures(spark: SparkSession, path: str) -> DataFrame:
@@ -639,7 +747,9 @@ def filegdb_failures(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    parse_gdbtable(bytes(content))
+                    parse_gdbtable(
+                        bytes(content), tablx=_sibling_tablx(fpath)
+                    )
                 except ValueError as e:
                     yield pd.DataFrame(
                         {"source": [fpath], "error": [str(e)]}

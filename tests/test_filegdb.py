@@ -162,8 +162,12 @@ def test_fuzz_lying_row_size(layer_bytes):
     struct.pack_into("<i", bad, row_off, 2_000_000_000)  # size past EOF
     with pytest.raises(ValueError, match="runs past EOF"):
         FG.parse_gdbtable(bytes(bad))
+    # a NEGATIVE size is a deleted-row tombstone per the spec (round 4),
+    # so the walk skips the 9-byte hole and then runs out of file while
+    # still owing the header's live-row count — a ValueError either way,
+    # from whichever misaligned structure it trips over first
     struct.pack_into("<i", bad, row_off, -5)
-    with pytest.raises(ValueError, match="runs past EOF|size"):
+    with pytest.raises(ValueError):
         FG.parse_gdbtable(bytes(bad))
 
 

@@ -18,7 +18,11 @@ import struct
 
 import numpy as np
 
-from gis_etl_spark.sources.filegdb import parse_gdbtable, read_filegdb
+from gis_etl_spark.sources.filegdb import (
+    parse_gdbtable,
+    parse_gdbtablx,
+    read_filegdb,
+)
 
 
 def _varuint(v: int) -> bytes:
@@ -127,16 +131,40 @@ def test_control_table_projection_skips_geometry():
     assert pdf["name"].tolist() == ["Alpha", None, "Béta"]
 
 
+def _row_offsets(content: bytes, n: int) -> list[int]:
+    """Size-prefix offsets of the n live rows, walked from the field
+    section end — independent recomputation for index assembly."""
+    fsec_size = struct.unpack_from("<i", content, 40)[0]
+    pos, out = 40 + 4 + fsec_size, []
+    while len(out) < n:
+        (size,) = struct.unpack_from("<i", content, pos)
+        if size >= 0:
+            out.append(pos)
+            pos += 4 + size
+        else:
+            pos += 4 - size
+    return out
+
+
+def _tablx_for(offsets: list[int], slots: list[int | None]) -> bytes:
+    """Assemble a spec-shaped .gdbtablx: `slots` maps slot index →
+    offsets-list position (None = hole), padded to 1024-slot blocks."""
+    n_valid = sum(1 for s in slots if s is not None)
+    n_blocks = (len(slots) + 1023) // 1024
+    buf = bytearray(struct.pack("<4i", 3, n_blocks, n_valid, 5))
+    for s in slots:
+        buf += (0 if s is None else offsets[s]).to_bytes(5, "little")
+    buf += b"\x00" * (5 * (n_blocks * 1024 - len(slots)))
+    return bytes(buf)
+
+
 def test_control_table_through_spark(spark, tmp_path):
     gdb = tmp_path / "control.gdb"
     os.makedirs(gdb)
     content = build_control_table()
     (gdb / "a00000001.gdbtable").write_bytes(content)
-    # matching .gdbtablx: 16-byte header + 5-byte LE row offsets
-    tablx = struct.pack("<iiii", 3, 0, 3, 5) + b"".join(
-        int(0).to_bytes(5, "little") for _ in range(3)
-    )
-    (gdb / "a00000001.gdbtablx").write_bytes(tablx)
+    offs = _row_offsets(content, 3)
+    (gdb / "a00000001.gdbtablx").write_bytes(_tablx_for(offs, [0, 1, 2]))
     df = read_filegdb(spark, str(gdb / "a00000001.gdbtable"))
     rows = {r["OBJECTID"]: r for r in df.collect()}
     assert len(rows) == 3
@@ -144,3 +172,121 @@ def test_control_table_through_spark(spark, tmp_path):
     assert rows[2]["name"] is None
     assert bytes(rows[1]["Shape"]) == EXPECT_WKB[0]
     assert rows[3]["Shape"] is None
+
+
+def build_holed_table() -> bytes:
+    """The 3-row control table with a DELETED-ROW HOLE spliced between
+    rows 1 and 2: a negative-size record (the tombstone shape Esri
+    leaves behind) whose dead bytes must be skipped and whose OID must
+    stay consumed — live OIDs become 1, 3, 4."""
+    content = bytearray(build_control_table())
+    offs = _row_offsets(bytes(content), 3)
+    # splice a 9-byte hole before row 2's record
+    hole = struct.pack("<i", -9) + b"\xde\xad" * 4 + b"\x00"
+    at = offs[1]
+    content[at:at] = hole
+    # header n_rows stays 3 (live rows); file size grows
+    total = struct.unpack_from("<q", content, 24)[0] + len(hole)
+    struct.pack_into("<q", content, 24, total)
+    return bytes(content)
+
+
+def test_sequential_walk_skips_deleted_hole():
+    pdf = parse_gdbtable(build_holed_table())
+    assert pdf["OBJECTID"].tolist() == [1, 3, 4]
+    assert pdf["name"].tolist() == ["Alpha", None, "Béta"]
+    assert list(pdf["Shape"]) == EXPECT_WKB
+
+
+def test_tablx_drives_holes_and_oids():
+    content = build_holed_table()
+    offs = _row_offsets(content, 3)
+    # slot layout: row0 → OID 1, hole at OID 2, row1 → OID 3,
+    # row2 → OID 4, trailing hole at OID 5
+    tablx = _tablx_for(offs, [0, None, 1, 2, None])
+    assert parse_gdbtablx(tablx)[1] == 0
+    pdf = parse_gdbtable(content, tablx=tablx)
+    assert pdf["OBJECTID"].tolist() == [1, 3, 4]
+    assert pdf["name"].tolist() == ["Alpha", None, "Béta"]
+    assert list(pdf["Shape"]) == EXPECT_WKB
+
+
+def test_tablx_row_count_mismatch_rejected():
+    content = build_control_table()
+    offs = _row_offsets(content, 3)
+    short = _tablx_for(offs, [0, 1])  # claims 2 rows, header says 3
+    try:
+        parse_gdbtable(content, tablx=short)
+    except ValueError as e:
+        assert "counts 3" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("mismatched tablx accepted")
+
+
+def test_multipage_tablx_through_spark(spark, tmp_path):
+    """>1 data page in the index: 1500 live rows → two 1024-slot
+    blocks with a zero-padded tail, plus 50 interior holes — the two
+    layout features most likely to differ in Esri-authored files.
+    Assembled from the spec here (write_gdbtable is NOT used for the
+    index), decoded distributed through binaryFile + mapInPandas."""
+    n_live, holes = 1500, {i * 30 for i in range(50)}
+    f = bytearray()
+    f += struct.pack("<i", 4)
+    f += bytes([1, 0, 0, 0])
+    f += struct.pack("<h", 2)
+    f += _utf16("OBJECTID") + _utf16("") + bytes([6, 4, 2])
+    f += _utf16("val") + _utf16("") + bytes([3, 8, 1])
+
+    rows, expected = [], []
+    oid = 1
+    slot_positions: list[int | None] = []
+    li = 0
+    while len(expected) < n_live:
+        if (oid - 1) in holes:
+            slot_positions.append(None)           # deleted slot
+            rows.append(None)
+        else:
+            body = bytearray([0b0])               # val present
+            v = float(oid) * 0.5
+            body += struct.pack("<d", v)
+            rows.append(bytes(body))
+            expected.append((oid, v))
+            slot_positions.append(li)
+            li += 1
+        oid += 1
+
+    fsec = struct.pack("<i", len(f)) + bytes(f)
+    row_section = bytearray()
+    offsets = []
+    base = 40 + len(fsec)
+    for r in rows:
+        if r is None:                             # tombstone in the file
+            row_section += struct.pack("<i", -6) + b"\x00" * 6
+        else:
+            offsets.append(base + len(row_section))
+            row_section += struct.pack("<i", len(r)) + r
+    table = bytearray()
+    table += struct.pack("<ii", 3, n_live)
+    table += b"\x00" * 16
+    total = 40 + len(fsec) + len(row_section)
+    table += struct.pack("<q", total)
+    table += struct.pack("<q", 40)
+    table += fsec + row_section
+    assert len(table) == total
+
+    tablx = _tablx_for(offsets, slot_positions)
+    assert len(parse_gdbtablx(tablx)) == 2 * 1024  # two blocks
+
+    gdb = tmp_path / "big.gdb"
+    os.makedirs(gdb)
+    (gdb / "a00000001.gdbtable").write_bytes(bytes(table))
+    (gdb / "a00000001.gdbtablx").write_bytes(tablx)
+    got = {
+        r["OBJECTID"]: r["val"]
+        for r in read_filegdb(spark, str(gdb / "a00000001.gdbtable")).collect()
+    }
+    assert len(got) == n_live
+    for oid, v in expected[:5] + expected[-5:]:
+        assert got[oid] == v
+    # every hole OID absent
+    assert all((h + 1) not in got for h in holes)

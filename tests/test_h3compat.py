@@ -114,6 +114,47 @@ def test_invalid_patterns_rejected(spark):
     assert flags[3] is True
 
 
+def test_center_child_golden(spark):
+    """Center child of the documented res-5 cell at res 7: digits 6
+    and 7 become 0, resolution field rewritten, all else preserved —
+    and h3_cell_to_parent inverts it exactly (round-trip to the
+    original id, the alignment contract both directions rely on)."""
+    df = spark.createDataFrame([(EX_RES5,)], "cell long")
+    cc7 = df.select(
+        H.h3_cell_to_center_child("cell", 7).alias("c")
+    ).first()["c"]
+    assert (cc7 >> 52) & 0xF == 7
+    # digits 1-5 preserved, 6-7 zeroed, 8-15 still 7
+    for r in range(1, 6):
+        assert (cc7 >> (3 * (15 - r))) & 7 == (EX_RES5 >> (3 * (15 - r))) & 7
+    for r in range(6, 8):
+        assert (cc7 >> (3 * (15 - r))) & 7 == 0
+    for r in range(8, 16):
+        assert (cc7 >> (3 * (15 - r))) & 7 == 7
+    # base cell untouched
+    assert (cc7 >> 45) & 0x7F == 20
+    # parent inverts center-child
+    back = (
+        spark.createDataFrame([(cc7,)], "cell long")
+        .select(H.h3_cell_to_parent("cell", 5).alias("p"))
+        .first()["p"]
+    )
+    assert back == EX_RES5
+    # no-op on already-finer cells (mirror of the parent contract)
+    df9 = spark.createDataFrame([(EX_RES9,)], "cell long")
+    same = df9.select(
+        H.h3_cell_to_center_child("cell", 7).alias("c")
+    ).first()["c"]
+    assert same == EX_RES9
+    # center child stays structurally valid
+    ok = (
+        spark.createDataFrame([(cc7,)], "cell long")
+        .select(H.h3_is_valid_cell("cell").alias("ok"))
+        .first()["ok"]
+    )
+    assert ok is True
+
+
 def test_latlng_requires_h3_lib(spark):
     try:
         import h3  # noqa: F401
@@ -123,6 +164,8 @@ def test_latlng_requires_h3_lib(spark):
     if not has_h3:
         with pytest.raises(NotImplementedError):
             H.h3_latlng_to_cell(F.lit(37.0), F.lit(-122.0), 9)
+        with pytest.raises(NotImplementedError):
+            H.h3_cell_to_latlng(F.lit(EX_RES9))
     else:  # pragma: no cover - not in this container
         df = spark.createDataFrame([(37.7752702151959257,
                                      -122.418307270836565)], "lat double, lng double")

@@ -622,7 +622,7 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     encoder, so the engine's numpy decoders are verified content-exact
     by the DuckDB oracle, not just header-exact.
     """
-    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v3", "media.parquet")
+    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v4", "media.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -639,6 +639,11 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
             payload = _encode_png(px) if i % 2 else _encode_bmp(px)
             ch, nf = 3, 1
             units, csum = px.size, int(px.sum(dtype=np.int64))
+            # 2× nearest-neighbor downsample golden, computed on the
+            # PRE-encode array: verifying it forces decode → resize to
+            # reproduce every sampled byte end-to-end
+            ds = px[::2, ::2]
+            ds_units, ds_sum = ds.size, int(ds.sum(dtype=np.int64))
         elif kind == "audio":
             rate = int(rng.integers(80, 481)) * 100
             ch = int(rng.integers(1, 3))
@@ -650,6 +655,9 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
             w, h, nf = rate // 100, 0, n
             units = samples.size
             csum = int(np.abs(samples.astype(np.int64)).sum())
+            ds = samples[::2]
+            ds_units = ds.size
+            ds_sum = int(np.abs(ds.astype(np.int64)).sum())
         else:
             w, h, ch, nf = (
                 int(rng.integers(160, 1920)), int(rng.integers(90, 1080)),
@@ -662,14 +670,17 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
                 + body.tobytes()
             )
             units, csum = body.size, int(body.sum(dtype=np.int64))
+            ds = body[::2]
+            ds_units, ds_sum = ds.size, int(ds.sum(dtype=np.int64))
         rows.append(
-            (i, kind, payload, w, h, ch, nf, len(payload), units, csum)
+            (i, kind, payload, w, h, ch, nf, len(payload), units, csum,
+             ds_units, ds_sum)
         )
     df = pd.DataFrame(
         rows,
         columns=["media_id", "kind", "payload", "width", "height",
                  "channels", "n_frames", "n_bytes", "content_units",
-                 "content_sum"],
+                 "content_sum", "ds2_units", "ds2_sum"],
     ).astype({"media_id": "int64"})
     tmp = out + ".tmp"
     df.to_parquet(tmp, index=False)

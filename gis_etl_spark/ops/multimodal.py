@@ -192,45 +192,58 @@ def decode_png(buf: bytes) -> np.ndarray:
     raw = zlib.decompress(idat)
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel stream size mismatch")
+    # The sequential recurrences (Sub/Average/Paeth) run over plain
+    # Python lists: element-wise numpy indexing pays ~100 ns per scalar
+    # access, which made the first rendition of this loop the bench's
+    # hot spot — list-int arithmetic is ~5× faster at these row widths,
+    # and None/Up rows stay fully vectorized.
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    prev_np = np.zeros(stride, dtype=np.int32)
+    prev: list[int] = [0] * stride
     for r in range(h):
         ft = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, r * (stride + 1) + 1
-        ).astype(np.int32)
+        base = r * (stride + 1) + 1
         if ft == 0:
-            rec = line
+            rec_np = np.frombuffer(raw, np.uint8, stride, base).astype(
+                np.int32
+            )
         elif ft == 2:  # Up
-            rec = (line + prev) & 255
-        elif ft == 1:  # Sub: recon(x) = filt(x) + recon(x - bpp)
-            rec = line.copy()
-            for i in range(3, stride):
-                rec[i] = (rec[i] + rec[i - 3]) & 255
-        elif ft == 3:  # Average
-            rec = line.copy()
-            for i in range(stride):
-                left = rec[i - 3] if i >= 3 else 0
-                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 255
-        elif ft == 4:  # Paeth predictor
-            rec = line.copy()
-            for i in range(stride):
-                a = rec[i - 3] if i >= 3 else 0
-                b = prev[i]
-                c = prev[i - 3] if i >= 3 else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pr = a
-                elif pb <= pc:
-                    pr = b
-                else:
-                    pr = c
-                rec[i] = (line[i] + pr) & 255
+            rec_np = (
+                np.frombuffer(raw, np.uint8, stride, base).astype(np.int32)
+                + prev_np
+            ) & 255
+        elif ft in (1, 3, 4):
+            line = list(raw[base : base + stride])
+            rec = line  # in-place reconstruction
+            if ft == 1:  # Sub: recon(x) = filt(x) + recon(x - bpp)
+                for i in range(3, stride):
+                    rec[i] = (rec[i] + rec[i - 3]) & 255
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    left = rec[i - 3] if i >= 3 else 0
+                    rec[i] = (rec[i] + ((left + prev[i]) >> 1)) & 255
+            else:  # Paeth predictor
+                for i in range(stride):
+                    a = rec[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    rec[i] = (rec[i] + pr) & 255
+            rec_np = np.array(rec, dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {ft}")
-        out[r] = rec.astype(np.uint8)
-        prev = rec
+        out[r] = rec_np.astype(np.uint8)
+        prev_np = rec_np
+        prev = rec_np.tolist()
     return out.reshape(h, w, 3)
 
 
@@ -410,6 +423,69 @@ def decode_content(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, ds_units long, ds_sum long, "
+    "valid boolean"
+)
+
+
+def resize_nn(px: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Nearest-neighbor downsample by an integer factor — the real
+    resize kernel (stride sampling IS nearest-neighbor for integer
+    scale), pure numpy view, zero copy until the caller needs one."""
+    return px[::factor, ::factor]
+
+
+def decode_resized(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → resize/decimate → checksum over Arrow batches: images
+    get a nearest-neighbor spatial downsample (both axes), audio a
+    temporal decimation (every factor-th frame, channels intact),
+    video containers a body-byte stride. The fixture stores the same
+    reductions computed on the PRE-encode arrays, so the oracle
+    verifies the decode+resize composition byte-exactly — the shape a
+    thumbnail/feature-prep pass has at 100 TB (payload-column Arrow
+    stream in, small numeric columns out)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, b in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                try:
+                    buf = bytes(b) if b is not None else b""
+                    if buf[:2] == b"BM" or buf[:8] == PNG_SIG:
+                        px = (
+                            decode_bmp(buf) if buf[:2] == b"BM"
+                            else decode_png(buf)
+                        )
+                        ds = resize_nn(px, factor)
+                        out.append((mid, kind, ds.size, int(
+                            ds.sum(dtype=np.int64)), True))
+                    elif buf[:4] == b"RIFF":
+                        _, samples = decode_wav(buf)
+                        ds = samples[::factor]
+                        out.append((mid, kind, ds.size, int(
+                            np.abs(ds.astype(np.int64)).sum()), True))
+                    elif buf[:4] == MEDIA_MAGIC and len(buf) >= 13:
+                        body = np.frombuffer(buf, dtype=np.uint8, offset=13)
+                        ds = body[::factor]
+                        out.append((mid, kind, ds.size, int(
+                            ds.sum(dtype=np.int64)), True))
+                    else:
+                        out.append((mid, kind, 0, 0, False))
+                except ValueError:
+                    out.append((mid, kind, 0, 0, False))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "ds_units", "ds_sum", "valid"],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, every: int = 30) -> DataFrame:
     """Video frame sampling as a native fan-out: one row per sampled
     frame index — explode(sequence(0, n_frames-1, every)), no Python."""
@@ -475,6 +551,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + 2× nearest-neighbor resize (images) / 2× decimation
+    (audio, container bodies), checksummed per kind and verified
+    against the fixture's pre-encode downsample goldens."""
+    dec = decode_resized(_media(spark), factor=2)
+    return (
+        dec.filter(F.col("valid"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ds_units").alias("sum_units"),
+            F.sum("ds_sum").alias("sum_content"),
+        )
+        .orderBy("kind")
+    )
+
+
 def multimodal_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction pass: per-kind mean feature norm (≈1.0) and
     count — rows-only (hash-seeded kernel is not SQL-expressible)."""
@@ -516,6 +609,12 @@ def oracle_sqls() -> dict[str, str]:
             SELECT kind, count(*) AS n,
                    sum(content_units)::BIGINT AS sum_units,
                    sum(content_sum)::BIGINT AS sum_content
+            FROM {m} GROUP BY kind ORDER BY kind
+        """,
+        "multimodal_resize": f"""
+            SELECT kind, count(*) AS n,
+                   sum(ds2_units)::BIGINT AS sum_units,
+                   sum(ds2_sum)::BIGINT AS sum_content
             FROM {m} GROUP BY kind ORDER BY kind
         """,
     }

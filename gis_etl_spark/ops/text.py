@@ -816,6 +816,134 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16          # training-export shard fan-out
+PACK_BUDGET = 2048     # tokens per packed training sequence
+TOK_CHARS = 4          # chars-per-token heuristic divisor
+
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding — the last mile of a
+    data pipeline: every document goes to shard h60(text) % N_SHARDS,
+    so shard assignment is a pure content property (stable across
+    runs/engines/partitioning, and duplicates co-shard, which keeps
+    any later per-shard dedup exact). Audit: per-shard doc count,
+    byte volume, id checksum.
+
+    Scale: zero joins — one map-side hash + one 16-key groupBy (the
+    partial agg collapses everything executor-side). At 100 TB the
+    shard id becomes the writer's partitionBy key; this query IS the
+    manifest."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # NULL text is not exportable
+    )
+    return (
+        docs.withColumn("shard", (h60(F.col("text")) % N_SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_bytes"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def training_shards_sql() -> str:
+    return f"""
+        SELECT (({h60_sql('text')}) % {N_SHARDS})::INT AS shard,
+               count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS n_bytes,
+               sum(doc_id)::BIGINT AS id_sum
+        FROM documents
+        WHERE text IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: within each shard, documents are laid out in a
+    deterministic content order (h60, doc_id — unique, so both
+    engines sort identically), token counts accumulate, and sequence
+    seq_id = floor(preceding_cumsum / PACK_BUDGET) — i.e. the corpus
+    is concatenated and split every PACK_BUDGET tokens. Token count
+    is the integer heuristic (n_chars + 3) div 4: deterministic and
+    engine-exact (a real tokenizer plugs in as a token-count column
+    upstream). Audit: per-shard docs, tokens, packed-sequence count,
+    and docs that straddle a chunk boundary.
+
+    Scale: ONE shuffle, keyed on shard (bounded fan-out), running sum
+    via a window — the same plan at any corpus size; no driver state.
+    """
+    # NULL text is excluded explicitly: its hash sort key would be
+    # NULL, and the engines disagree on NULL placement in ASC order
+    # (Spark NULLS FIRST, ANSI/DuckDB NULLS LAST) — the one
+    # nondeterminism this layout cannot tolerate. Integer `div`
+    # everywhere: cumulative token counts at 100 TB exceed double's
+    # 53-bit mantissa, where float division diverges cross-engine.
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        (h60(F.col("text")) % N_SHARDS).cast("int").alias("shard"),
+        F.expr(
+            f"(coalesce(n_chars, 0) + {TOK_CHARS - 1}) div {TOK_CHARS}"
+        ).alias("n_tok"),
+        h60(F.col("text")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("seq_id"),
+        F.expr(f"(cum - 1) div {PACK_BUDGET}").alias("end_seq"),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            (F.max("end_seq") + 1).alias("n_seqs"),
+            F.sum(
+                F.when(F.col("end_seq") > F.col("seq_id"), 1).otherwise(0)
+            ).alias("n_straddlers"),
+        )
+        .orderBy("shard")
+    )
+
+
+def sequence_pack_sql() -> str:
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (({h60_sql('text')}) % {N_SHARDS})::INT AS shard,
+                 (coalesce(n_chars, 0) + {TOK_CHARS - 1})
+                   // {TOK_CHARS} AS n_tok,
+                 ({h60_sql('text')}) AS h
+          FROM documents
+          WHERE text IS NOT NULL
+        ), p AS (
+          SELECT shard, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d
+        )
+        SELECT shard, count(*) AS n_docs,
+               sum(n_tok)::BIGINT AS n_tokens,
+               (max((cum - 1) // {PACK_BUDGET}) + 1)::BIGINT AS n_seqs,
+               sum(CASE WHEN (cum - 1) // {PACK_BUDGET}
+                         > (cum - n_tok) // {PACK_BUDGET}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_straddlers
+        FROM p
+        GROUP BY shard ORDER BY shard
+    """
+
+
 def mixture_sample_sql() -> str:
     return f"""
         WITH c AS (

@@ -597,6 +597,10 @@ REGISTRY.update(
         "text_repetition": (T.text_repetition, T.text_repetition_sql()),
         # domain-mixture resampling toward a uniform language mixture
         "mixture_sample": (T.mixture_sample, T.mixture_sample_sql()),
+        # deterministic export sharding (content-hash shard manifest)
+        "training_shards": (T.training_shards, T.training_shards_sql()),
+        # concat-and-chunk sequence packing (GPT-style pretraining layout)
+        "sequence_pack": (T.sequence_pack, T.sequence_pack_sql()),
         "dedup_embedding_pairs": (
             T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
         ),
@@ -697,6 +701,10 @@ REGISTRY.update(
         # against goldens the fixture's independent encoder stored
         "multimodal_features": (
             M.multimodal_features, _MM_SQLS["multimodal_features"],
+        ),
+        # decode + 2x nearest-neighbor resize/decimate vs pre-encode goldens
+        "multimodal_resize": (
+            M.multimodal_resize, _MM_SQLS["multimodal_resize"],
         ),
         # hash-seeded featurizer shape — not SQL-expressible, rows-only
         "multimodal_feature_norms": (M.multimodal_feature_norms, None),
@@ -805,6 +813,11 @@ _TIER0 = (
     "geo_flip_sources",
     "geo_heatmap",
     "hex_heatmap",
+    # new in round 4 — fronted immediately per the ADVICE r3 policy
+    # (a new query must enter the next gate window, not the tail)
+    "training_shards",
+    "sequence_pack",
+    "multimodal_resize",
 )
 
 # Rotation history (which gate window scored which block):

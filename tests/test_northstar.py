@@ -326,6 +326,60 @@ def test_pii_regexes_on_adversarial_literals(spark):
     assert [r.n for r in got] == [0, 0, 0, 1, 0, 0]
 
 
+def test_training_shards_properties(spark, sf_dir):
+    """Shard manifest: conserves the exportable corpus, deterministic
+    across runs, and exact duplicates co-shard (their shard is a pure
+    content property) — the invariant that keeps per-shard dedup
+    exact."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+
+    rows = T.training_shards(spark, sf_dir).collect()
+    assert {r.shard for r in rows} <= set(range(T.N_SHARDS))
+    n_export = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_export
+    again = {(r.shard, r.n_docs, r.id_sum)
+             for r in T.training_shards(spark, sf_dir).collect()}
+    assert again == {(r.shard, r.n_docs, r.id_sum) for r in rows}
+    # injected exact duplicates share text → share shard: doc pairs
+    # ((i*7)%500, 100000+i) must never split across shards, which the
+    # id checksum can't see — check directly on the assignment
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    from gis_etl_spark.ops.text import h60
+
+    assign = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", (h60(F.col("text")) % T.N_SHARDS).alias("s")
+        ).collect()
+    }
+    for i in range(60):
+        a, b = (i * 7) % 500, 100000 + i
+        if a in assign and b in assign:
+            assert assign[a] == assign[b], (a, b)
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Concat-and-chunk arithmetic: per shard, the packed-sequence
+    count is EXACTLY ceil(total_tokens / budget); straddlers are
+    bounded by the sequence count; the layout is deterministic."""
+    rows = T.sequence_pack(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_seqs == (r.n_tokens - 1) // T.PACK_BUDGET + 1, r
+        assert 0 <= r.n_straddlers <= r.n_seqs
+        assert r.n_docs > 0 and r.n_tokens > 0
+    again = {tuple(r) for r in T.sequence_pack(spark, sf_dir).collect()}
+    assert again == {tuple(r) for r in rows}
+
+
 def test_mixture_sample_hits_targets(spark, sf_dir):
     """Mixture resampling: over-represented languages are cut to
     ~budget-share (within hash-rounding), under-represented ones keep

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from gis_etl_spark.io import read_table
 from gis_etl_spark.ops.fixedpoint import (
     fxavg,
+    fxq,
     fxratio,
     fxsum,
     fxsum_over,
@@ -825,4 +826,255 @@ def q2_top_acctbal_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
         .orderBy("s_suppkey")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (sans partsupp — lineitem revenue plays the
+    ps_supplycost*ps_availqty inventory-value role): per-part value
+    among one nation's suppliers, kept when above 0.1% of that
+    nation's total. Q11's scalar-subquery threshold becomes a 1-row
+    aggregate broadcast-cross-joined back — never a window over an
+    unpartitioned frame, which would single-task at 100 TB.
+
+    Determinism: the HAVING compares exact int64 fixed-point unit
+    sums (order-free integer addition) against 0.001×total computed
+    with one identical IEEE double multiply on both engines, so group
+    membership can never flip with partitioning."""
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    scoped_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    scoped = li.join(
+        F.broadcast(scoped_supp), li.l_suppkey == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        fxq(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("q"),
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("q").alias("units"))
+    total = per_part.agg(F.sum("units").alias("total_units"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("units") > F.lit(0.001) * F.col("total_units"))
+        .select(
+            "l_partkey",
+            (F.col("units").cast("double") / F.lit(1e4)).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the fixture lacks l_shipmode — l_returnflag
+    plays the mode role): orders joined to a one-year lineitem slice,
+    CASE-summed into high/low-priority counts per flag. The shipdate
+    range pushes into the parquet scan; the join shuffles on orderkey
+    once and the CASE sums fold into the final hash agg."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_n"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation over a LEFT join —
+    per-customer order counts (zero-order customers kept by counting
+    the nullable join key), then the distribution of those counts.
+    The priority exclusion stands in for Q13's o_comment NOT LIKE
+    filter and lives in the join condition, not a post-filter, so
+    excluded orders still leave their customers in the left side.
+
+    Scale: first agg shuffles on c_custkey (pre-aggregated map-side),
+    second agg on the tiny c_count domain — the second shuffle moves
+    |customers| pre-counted rows, not lineitems."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem is the part↔supplier bridge — the
+    fixture lacks partsupp): distinct supplier counts per surviving
+    (brand, type, size) cell, excluding a brand, a type, and the
+    complaint-supplier set (negative acctbal stands in for the
+    comment LIKE filter; spec's NOT IN becomes a left_anti join).
+    Both the pruned part table and the excluded-supplier set are
+    broadcast, so the only shuffle is the distinct-count agg."""
+    part = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_supp = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity sits below
+    20% of that part's average. The correlated AVG subquery becomes a
+    per-part aggregate joined back; the candidate part set is pruned
+    and broadcast FIRST, so the average is only computed for parts
+    that can match (semantically identical — the spec's subquery
+    correlates only on partkey).
+
+    Determinism: "qty < 0.2 * avg(qty)" is evaluated as the
+    all-integer cross-multiplication  5·q·n < S  (q, S exact
+    fixed-point quantity units, n the line count), which no float
+    rounding can flip. avg_yearly then divides the order-free
+    fixed-point revenue sum by 7.0 — one identical IEEE op per
+    engine."""
+    part_keys = (
+        read_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 20)
+        )
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    cand = li.join(
+        F.broadcast(part_keys), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = cand.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(fxq("l_quantity", 2)).alias("qty_units"),
+        F.count("*").alias("n_lines_part"),
+    )
+    return (
+        cand.join(per_part, cand.l_partkey == F.col("pk"))
+        .filter(
+            fxq("l_quantity", 2) * F.col("n_lines_part") * F.lit(5)
+            < F.col("qty_units")
+        )
+        .agg(
+            (fxsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (lineitem shipments play the ps_availqty
+    role): names of NATION_9 suppliers who shipped more than a
+    threshold quantity of name-prefixed parts in 1996. The spec's
+    nested IN subqueries become: broadcast pruned part keys into the
+    date-sliced lineitem scan, a per-supplier fixed-point HAVING, and
+    a left_semi join into the supplier table. One shuffle total (the
+    per-supplier agg); the threshold compare is exact int64."""
+    parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(fxq("l_quantity", 2)).alias("qty_units"))
+        .filter(F.col("qty_units") > 100 * 100)
+        .select("l_suppkey")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_9"
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finalized order (lateness stand-in: shipped more
+    than 60 days after the order date — the fixture lacks commit/
+    receipt dates). The spec's EXISTS / NOT EXISTS pair decorrelates
+    into per-order distinct counts: n_supp > 1 AND n_late_supp == 1,
+    joined back to the late lines. Counting late LINES (not distinct
+    supplier-order pairs) matches the spec's l1-row semantics.
+
+    Scale: everything hashes on orderkey — the per-order agg's
+    exchange and the late-lines⋈per-order join align on the same key,
+    so no row moves twice for different keys; supplier and (at test
+    scale) orders broadcast. The oracle states the same query in the
+    spec's correlated EXISTS form — DuckDB decorrelates it itself,
+    making the parity check a genuine two-formulation crosscheck."""
+    orders_f = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        lines.filter(F.col("late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+            ),
+            F.col("l_orderkey") == F.col("ok"),
+        )
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(15)
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gis_etl_spark.ops import dedup as D
 from gis_etl_spark.ops.fixedpoint import (
     fxavg_sql,
+    fxq_sql,
     fxratio_sql,
     fxsum_over_sql,
     fxsum_sql,
@@ -724,6 +725,132 @@ REGISTRY.update(
     }
 )
 
+# --- Round-4 session 2: the remaining TPC-H shapes (22/22 complete) -------
+# Q11/Q16/Q17/Q20 adapt around the missing partsupp table (lineitem is
+# the part↔supplier bridge) and Q12/Q21 around missing shipmode/commit/
+# receipt columns, same precedent as q2/q9. Oracles keep all threshold
+# arithmetic in exact fixed-point integers (fxq_sql) so HAVING membership
+# can't flip cross-engine; DuckDB BIGINT sums are cast down from HUGEINT
+# (the r2 failure class).
+
+_Q11_SQL = f"""
+WITH scoped AS (
+  SELECT l_partkey, {fxq_sql("l_extendedprice * (1 - l_discount)")} AS q
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+SELECT l_partkey, (CAST(sum(q) AS DOUBLE) / 1e4) AS value
+FROM scoped
+GROUP BY l_partkey
+HAVING CAST(sum(q) AS BIGINT) > 0.001 * (SELECT CAST(sum(q) AS BIGINT) FROM scoped)
+ORDER BY value DESC, l_partkey
+"""
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_n,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q17_SQL = f"""
+WITH agg AS (
+  SELECT l_partkey AS pk,
+         CAST(sum({fxq_sql("l_quantity", 2)}) AS BIGINT) AS qty_units,
+         count(*) AS n_lines_part
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 20)
+  GROUP BY l_partkey)
+SELECT ({fxsum_sql("l_extendedprice")} / 7.0) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN agg  ON pk = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 20
+  AND {fxq_sql("l_quantity", 2)} * n_lines_part * 5 < qty_units
+"""
+
+_Q20_SQL = f"""
+SELECT s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING CAST(sum({fxq_sql("l_quantity", 2)}) AS BIGINT) > 100 * 100)
+ORDER BY s_name
+"""
+
+# Stated in the spec's correlated EXISTS form on purpose: DuckDB
+# decorrelates it independently of the engine's distinct-count
+# formulation, so the hash match crosschecks two genuinely different
+# renderings of the semantics.
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 15
+"""
+
+REGISTRY.update(
+    {
+        "q11_important_parts": (R.q11_important_parts, _Q11_SQL),
+        "q12_priority_by_returnflag": (R.q12_priority_by_returnflag, _Q12_SQL),
+        "q13_order_count_distribution": (
+            R.q13_order_count_distribution,
+            _Q13_SQL,
+        ),
+        "q16_supplier_part_variety": (R.q16_supplier_part_variety, _Q16_SQL),
+        "q17_small_quantity_revenue": (R.q17_small_quantity_revenue, _Q17_SQL),
+        "q20_excess_shippers": (R.q20_excess_shippers, _Q20_SQL),
+        "q21_waiting_suppliers": (R.q21_waiting_suppliers, _Q21_SQL),
+    }
+)
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the round-1 driver gate scored only the FIRST 50
 # dict-order entries (CORRECTNESS_r01.json), leaving the joins/text/
@@ -818,6 +945,14 @@ _TIER0 = (
     "training_shards",
     "sequence_pack",
     "multimodal_resize",
+    # round-4 session 2: the TPC-H completion pack (22/22)
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 )
 
 # Rotation history (which gate window scored which block):

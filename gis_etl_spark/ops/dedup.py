@@ -729,3 +729,108 @@ def training_data_prep_sql() -> str:
         LEFT JOIN f_c f USING (lang)
         ORDER BY r.lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (span-level) exact dedup — the C4/RefinedWeb line-dedup
+# analog, chunked per Lee et al. 2021 ("Deduplicating Training Data
+# Makes Language Models Better": remove repeated substrings, not just
+# whole documents). The fixture corpus has no newlines, so the dedup
+# unit is a fixed-width k-word span — the same operator shape as line
+# dedup with lines replaced by word chunks.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 5  # words per span; 5 gives a ~6% cross-doc duplicate rate
+            # on the fixture corpus (probed), enough to exercise keeps
+            # AND drops at every sf
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup over the RAW documents table: each doc is
+    cut into consecutive SPAN_K-word spans; a span that already
+    appeared earlier in the corpus (first occurrence = min (doc_id,
+    span_idx)) is dropped; surviving spans reassemble in order.
+    Returns (doc_id, n_spans, n_kept, text_dedup) for every document.
+
+    Plan: split → transform/slice chunking (JVM higher-order
+    functions, no explode until spans exist) → ONE shuffle
+    partitioned by span text for the first-occurrence row_number →
+    per-doc reassembly via sorted collect_list. Span strings are
+    ~5 words, so shuffling them directly is fine; at 100 TB swap the
+    partition key for md5(span) and keep everything else unchanged.
+    Docs whose every span was seen before reassemble to '' rather
+    than disappearing — the caller decides whether to drop empties."""
+    from gis_etl_spark.io import read_table
+
+    k = SPAN_K
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    spans = (
+        docs.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(ws) + {k - 1}) div {k} - 1),"
+                    f" i -> concat_ws(' ', slice(ws, i * {k} + 1, {k})))"
+                )
+            ).alias("cid", "span"),
+        )
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "cid")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("cid", "span")
+                            )
+                        )
+                    ),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_spans_sql() -> str:
+    """ANSI oracle for dedup_spans over the pre-registered `documents`
+    view. DuckDB's 1-based list positions map to Spark's 0-based chunk
+    ids via (pos-1) // k; the FILTERed string_agg coalesces to '' so a
+    fully-deduped doc matches Spark's empty array_join."""
+    k = SPAN_K
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), ' +')) AS w,
+         generate_subscripts(regexp_split_to_array(trim(text), ' +'), 1) AS pos
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), spans AS (
+  SELECT doc_id, (pos - 1) // {k} AS cid,
+         string_agg(w, ' ' ORDER BY pos) AS span
+  FROM words GROUP BY doc_id, cid
+), ranked AS (
+  SELECT doc_id, cid, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, cid) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(span, ' ' ORDER BY cid) FILTER (WHERE rn = 1),
+                '') AS text_dedup
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -641,6 +641,7 @@ REGISTRY.update(
         # near-dedup → per-lang audit, one lazy plan, SQL twin composed
         # from the same verified pieces
         "training_data_prep": (D.training_data_prep, D.training_data_prep_sql()),
+        "dedup_spans": (D.dedup_spans, D.dedup_spans_sql()),
     }
 )
 
@@ -945,6 +946,8 @@ _TIER0 = (
     "training_shards",
     "sequence_pack",
     "multimodal_resize",
+    # round-4 session 2: span-level (sub-document) exact dedup
+    "dedup_spans",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

@@ -412,3 +412,41 @@ def test_mixture_sample_hits_targets(spark, sf_dir):
         for r in mixture_sample(spark, sf_dir).collect()
     }
     assert again == {(r.lang, r.n_kept, r.id_sum) for r in rows}
+
+
+def test_dedup_spans_invariants(spark, sf_dir):
+    """Span dedup conservation: kept spans are globally unique, every
+    span survives exactly once corpus-wide, and per-doc reassembly
+    preserves word order and count."""
+    from gis_etl_spark.ops.dedup import SPAN_K, dedup_spans
+
+    rows = dedup_spans(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if r.text
+    }
+    assert {r.doc_id for r in rows} == set(docs)
+
+    seen = set()
+    total_spans = total_kept = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert 0 <= r.n_kept <= r.n_spans
+        words = docs[r.doc_id].strip().split()
+        n_chunks = (len(words) + SPAN_K - 1) // SPAN_K
+        assert r.n_spans == n_chunks
+        spans = [
+            " ".join(words[i * SPAN_K : (i + 1) * SPAN_K])
+            for i in range(n_chunks)
+        ]
+        kept = [s for s in spans if s not in seen]
+        seen.update(spans)
+        # first-occurrence keeper in (doc_id, cid) order == scan order
+        assert r.n_kept == len(kept), r.doc_id
+        assert r.text_dedup == " ".join(kept), r.doc_id
+        total_spans += r.n_spans
+        total_kept += r.n_kept
+
+    # every distinct span survives exactly once corpus-wide
+    assert total_kept == len(seen)
+    assert total_kept < total_spans  # the fixture really has span dups

@@ -681,6 +681,13 @@ REGISTRY.update(
         "embedding_label_centroids": (
             S.embedding_label_centroids, _SIM_SQLS["embedding_label_centroids"],
         ),
+        # product quantization (Jégou et al. 2011): the oracle retrains
+        # all PQ_M per-subspace codebooks in unrolled SQL, so a hash
+        # match verifies training + encoding + ADC retrieval end-to-end
+        "similarity_pq_adc": (S.similarity_pq_adc, S.pq_adc_oracle_sql()),
+        "similarity_pq_rerank": (
+            S.similarity_pq_rerank, S.pq_rerank_oracle_sql(),
+        ),
     }
 )
 
@@ -946,8 +953,10 @@ _TIER0 = (
     "training_shards",
     "sequence_pack",
     "multimodal_resize",
-    # round-4 session 2: span-level (sub-document) exact dedup
+    # round-4 session 2: span-level (sub-document) exact dedup + PQ ANN
     "dedup_spans",
+    "similarity_pq_adc",
+    "similarity_pq_rerank",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

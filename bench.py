@@ -62,6 +62,11 @@ HEADLINE = [
     "points_in_polygons",
     "geo_heatmap_export",
     "hex_heatmap_export",
+    # round-4 session 2: TPC-H completion + span dedup + PQ rerank
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "dedup_spans",
+    "similarity_pq_rerank",
 ]
 
 

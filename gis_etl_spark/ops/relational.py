@@ -1078,3 +1078,78 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(15)
     )
+
+
+FUNNEL_WINDOW_US = 86_400_000_000  # 24 h per stage, exact microseconds
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel over the events stream — the MATCH_RECOGNIZE /
+    sequential-pattern shape (view → click → purchase, each stage
+    within 24 h of the previous one, earliest-event semantics per
+    user). Returns one row per stage: (stage, n_users,
+    avg_us_from_first_view).
+
+    Plan: three per-user MIN aggregates chained by equi-joins on
+    user_id — every shuffle is on the same key and carries one row per
+    user, not per event; the event scans push their type filter into
+    parquet. No window over the raw event stream is needed because
+    each stage only wants the MIN qualifying timestamp.
+
+    Determinism: all arithmetic is exact int64 microseconds
+    (unix_micros ↔ epoch_us); the avg is an integer floor-division.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = FUNNEL_WINDOW_US
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(
+            (F.col("us") > F.col("view_us"))
+            & (F.col("us") <= F.col("view_us") + w)
+        )
+        .groupBy("user_id", "view_us")
+        .agg(F.min("us").alias("click_us"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("us") > F.col("click_us"))
+            & (F.col("us") <= F.col("click_us") + w)
+        )
+        .groupBy("user_id", "view_us")
+        .agg(F.min("us").alias("purch_us"))
+    )
+    stages = (
+        views.select(
+            F.lit("1_view").alias("stage"), F.lit(0).cast("long").alias("delta_us")
+        )
+        .unionAll(
+            clicks.select(
+                F.lit("2_click").alias("stage"),
+                (F.col("click_us") - F.col("view_us")).alias("delta_us"),
+            )
+        )
+        .unionAll(
+            purchases.select(
+                F.lit("3_purchase").alias("stage"),
+                (F.col("purch_us") - F.col("view_us")).alias("delta_us"),
+            )
+        )
+    )
+    return (
+        stages.groupBy("stage")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.expr("sum(delta_us) div count(*)").alias("avg_us_from_first_view"),
+        )
+        .orderBy("stage")
+    )

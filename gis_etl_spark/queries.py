@@ -844,8 +844,41 @@ ORDER BY numwait DESC, s_name
 LIMIT 15
 """
 
+# Conversion funnel — sequential-pattern (MATCH_RECOGNIZE) shape over
+# the events stream; all arithmetic in exact int64 microseconds.
+_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), views AS (
+  SELECT user_id, min(us) AS view_us FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, v.view_us, min(e.us) AS click_us
+  FROM ev e JOIN views v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.us > v.view_us AND e.us <= v.view_us + {R.FUNNEL_WINDOW_US}
+  GROUP BY e.user_id, v.view_us
+), purchases AS (
+  SELECT e.user_id, c.view_us, min(e.us) AS purch_us
+  FROM ev e JOIN clicks c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.us > c.click_us AND e.us <= c.click_us + {R.FUNNEL_WINDOW_US}
+  GROUP BY e.user_id, c.view_us
+), stages AS (
+  SELECT '1_view' AS stage, 0::BIGINT AS delta_us FROM views
+  UNION ALL
+  SELECT '2_click', click_us - view_us FROM clicks
+  UNION ALL
+  SELECT '3_purchase', purch_us - view_us FROM purchases
+)
+SELECT stage, count(*)::BIGINT AS n_users,
+       (sum(delta_us)::BIGINT // count(*))::BIGINT AS avg_us_from_first_view
+FROM stages GROUP BY stage ORDER BY stage
+"""
+
 REGISTRY.update(
     {
+        "funnel_events": (R.funnel_events, _FUNNEL_SQL),
         "q11_important_parts": (R.q11_important_parts, _Q11_SQL),
         "q12_priority_by_returnflag": (R.q12_priority_by_returnflag, _Q12_SQL),
         "q13_order_count_distribution": (
@@ -957,6 +990,7 @@ _TIER0 = (
     "dedup_spans",
     "similarity_pq_adc",
     "similarity_pq_rerank",
+    "funnel_events",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

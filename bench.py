@@ -193,7 +193,7 @@ def _geo_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
 
 
 def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
-    """Micro-benches for the two stateful streaming twins — the
+    """Micro-benches for the stateful streaming twins — the
     incremental forms a 100 TB ingest actually runs. Timed as one
     availableNow drain of the full sf table through a memory sink
     (plan + state store + upserts, end-to-end); rows/s and final state
@@ -236,6 +236,15 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         artifacts["streaming_exact_dedup_rows_per_sec"] = int(n_docs / dt)
         artifacts["streaming_exact_dedup_state_rows"] = (
             spark.table("bench_dd").select("content_hash").distinct().count()
+        )
+
+        t0 = time.time()
+        S.run_to_memory(S.streaming_span_dedup(spark, docs_dir), "bench_sd")
+        dt = time.time() - t0
+        out["streaming_span_dedup"] = round(dt, 3)
+        artifacts["streaming_span_dedup_rows_per_sec"] = int(n_docs / dt)
+        artifacts["streaming_span_dedup_state_rows"] = (
+            spark.table("bench_sd").select("span").distinct().count()
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -444,3 +444,87 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+SPAN_DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("keep_doc_id", LongType()),
+        StructField("keep_cid", IntegerType()),
+        StructField("n", LongType()),
+    ]
+)
+SPAN_DEDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("span", StringType()),
+        StructField("n_occurrences", LongType()),
+        StructField("keep_doc_id", LongType()),
+        StructField("keep_cid", IntegerType()),
+    ]
+)
+
+
+def _span_dedup_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-span first-occurrence state: (min (doc_id, cid), running
+    count). min, not literal arrival order, so the streamed keeper
+    equals the batch twin's under ANY micro-batch slicing."""
+    if state.exists:
+        kd, kc, n = state.get
+    else:
+        kd, kc, n = None, None, 0
+    for pdf in pdfs:
+        for d, c in zip(pdf["doc_id"], pdf["cid"]):
+            d, c = int(d), int(c)
+            n += 1
+            if kd is None or (d, c) < (kd, kc):
+                kd, kc = d, c
+    state.update((kd, kc, n))
+    yield pd.DataFrame(
+        [(key[0], n, kd, kc)],
+        columns=[f.name for f in SPAN_DEDUP_OUT_SCHEMA],
+    )
+
+
+def streaming_span_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming span-level dedup — the stateful twin of
+    ops.dedup.dedup_spans (same SPAN_K-word chunking expression, same
+    min-(doc_id, cid) keeper): each arriving document's spans upsert
+    their span's (keeper, occurrence count). This is the sub-document
+    rendition of dedup-on-arrival: a 100 TB ingest filters repeated
+    boilerplate against ALL history with one state row per distinct
+    span, never reshuffling the accumulated corpus per micro-batch.
+    A downstream consumer keeps an arriving span iff the upsert names
+    it as its own keeper."""
+    from gis_etl_spark.ops.dedup import SPAN_K
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    k = SPAN_K
+    spans = (
+        stream.filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        )
+        .select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(ws) + {k - 1}) div {k} - 1),"
+                    f" i -> concat_ws(' ', slice(ws, i * {k} + 1, {k})))"
+                )
+            ).alias("cid", "span"),
+        )
+    )
+    return spans.groupBy("span").applyInPandasWithState(
+        _span_dedup_fn,
+        outputStructType=SPAN_DEDUP_OUT_SCHEMA,
+        stateStructType=SPAN_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -413,3 +413,56 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
     # singletons: every hash must have been seen exactly as often as it
     # occurs in the corpus
     assert int(last["n_copies"].sum()) == len(rows)
+
+
+def test_streaming_span_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming span dedup == batch dedup_spans semantics: feed the
+    raw documents in 3 micro-batches and require the final per-span
+    (n_occurrences, keeper) state to equal a sequential reference scan
+    — duplicate spans straddle batch boundaries by construction."""
+    import time
+
+    from gis_etl_spark.ops.dedup import SPAN_K
+    from gis_etl_spark.pipelines import streaming as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "sd_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate(chunks):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"sd_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_span_dedup(spark, flat), name, output_mode="update"
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("span").tail(1).set_index("span")
+    got = {
+        s: (int(r.n_occurrences), int(r.keep_doc_id), int(r.keep_cid))
+        for s, r in last.iterrows()
+    }
+
+    exp: dict[str, tuple[int, int, int]] = {}
+    for r in rows:
+        if not r.text or not r.text.strip():
+            continue
+        words = r.text.strip().split()
+        n_chunks = (len(words) + SPAN_K - 1) // SPAN_K
+        for cid in range(n_chunks):
+            s = " ".join(words[cid * SPAN_K : (cid + 1) * SPAN_K])
+            if s in exp:
+                n, kd, kc = exp[s]
+                exp[s] = (n + 1, *min((kd, kc), (r.doc_id, cid)))
+            else:
+                exp[s] = (1, r.doc_id, cid)
+    assert got == exp

@@ -1153,3 +1153,62 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+ANOM_WINDOW = 20   # trailing events per user feeding the baseline
+ANOM_MIN_N = 10    # minimum history before a point can be flagged
+ANOM_Z = 3         # |z| threshold
+
+
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection over the events stream: a
+    point is anomalous when it sits more than {ANOM_Z} sample standard
+    deviations from the mean of the user's previous {ANOM_WINDOW}
+    events. Returns the flagged (event_id, user_id, value, n_window)
+    rows.
+
+    The z-test runs entirely in exact int64 arithmetic — value
+    quantizes to fixed-point units q, the trailing frame keeps
+    S = Σq, SS = Σq², n, and |v−mean| > z·std becomes the
+    cross-multiplied  (q·n − S)²·(n−1) > z²·n·(n·SS − S²)  — no
+    float mean/variance, so the flag set is bit-deterministic under
+    any partitioning and any engine. Magnitudes: q ≤ 10⁴ units,
+    n ≤ {ANOM_WINDOW} → every term < 2⁴⁴, far inside int64.
+
+    Scale: one shuffle on user_id; the frame is O(window) per row and
+    incremental in Spark's window exec. The streaming rendition is the
+    sessionizer shape — per-user ring-buffer state."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        fxq("value", 2).alias("q"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        "q",
+        F.count("q").over(w).alias("n"),
+        F.sum("q").over(w).alias("s"),
+        F.sum(F.col("q") * F.col("q")).over(w).alias("ss"),
+    )
+    lhs = (F.col("q") * F.col("n") - F.col("s"))
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        stats.filter(F.col("n") >= ANOM_MIN_N)
+        .filter(
+            lhs * lhs * (F.col("n") - 1)
+            > F.lit(ANOM_Z * ANOM_Z) * F.col("n") * var_num
+        )
+        .select(
+            "event_id", "user_id", "value", F.col("n").alias("n_window")
+        )
+        .orderBy("event_id")
+    )

@@ -876,9 +876,34 @@ SELECT stage, count(*)::BIGINT AS n_users,
 FROM stages GROUP BY stage ORDER BY stage
 """
 
+# Rolling-window z-score anomaly flags — exact int64 cross-multiplied
+# variance test, identical frame semantics in both engines.
+_ANOM_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, value, epoch_us(ts) AS us,
+         {fxq_sql("value", 2)} AS q
+  FROM events
+), stats AS (
+  SELECT event_id, user_id, value, q,
+         count(q)  OVER w AS n,
+         CAST(sum(q)     OVER w AS BIGINT) AS s,
+         CAST(sum(q * q) OVER w AS BIGINT) AS ss
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {R.ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, value, n::BIGINT AS n_window
+FROM stats
+WHERE n >= {R.ANOM_MIN_N}
+  AND (q * n - s) * (q * n - s) * (n - 1)
+      > {R.ANOM_Z * R.ANOM_Z} * n * (n * ss - s * s)
+ORDER BY event_id
+"""
+
 REGISTRY.update(
     {
         "funnel_events": (R.funnel_events, _FUNNEL_SQL),
+        "events_rolling_anomaly": (R.events_rolling_anomaly, _ANOM_SQL),
         "q11_important_parts": (R.q11_important_parts, _Q11_SQL),
         "q12_priority_by_returnflag": (R.q12_priority_by_returnflag, _Q12_SQL),
         "q13_order_count_distribution": (
@@ -991,6 +1016,7 @@ _TIER0 = (
     "similarity_pq_adc",
     "similarity_pq_rerank",
     "funnel_events",
+    "events_rolling_anomaly",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

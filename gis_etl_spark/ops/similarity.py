@@ -948,7 +948,7 @@ def oracle_sqls() -> dict[str, str]:
 K_KMEANS = 8
 KMEANS_ITERS = 3
 KMEANS_DP = 6  # centroid components rounded per iteration (see below)
-_KMEANS_CACHE: dict[str, list[list[float]]] = {}
+_KMEANS_CACHE: dict[tuple, list[list[float]]] = {}
 
 
 def kmeans_reference(
@@ -1079,12 +1079,15 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, so a hash match verifies Spark's distributed training
     reached the identical codebook AND the identical retrieval."""
     emb = _emb(spark, sf_dir)
-    # training is deterministic per corpus → memoize per sf_dir (the
-    # gates invoke this query repeatedly; 3 Spark actions per fit)
-    cents = _KMEANS_CACHE.get(sf_dir)
+    # training is deterministic per corpus → memoize per dataset
+    # fingerprint (mtime+size, not bare path — a regenerated corpus
+    # must retrain); the gates invoke this query repeatedly, 3 Spark
+    # actions per fit
+    key = _corpus_key(sf_dir)
+    cents = _KMEANS_CACHE.get(key)
     if cents is None:
         cents = kmeans_fit(emb)
-        _KMEANS_CACHE[sf_dir] = cents
+        _KMEANS_CACHE[key] = cents
     d2 = F.array_min(_d2_cols(F.col("v"), cents))
     assigned = emb.select(
         "vec_id", "v", d2.getField("c_id").alias("list_id")
@@ -1240,7 +1243,7 @@ PQ_DSUB = 8     # dims per subspace (64 / PQ_M)
 PQ_KSUB = 8     # centroids per subspace (3-bit codes)
 PQ_ITERS = 2    # Lloyd iterations per subspace
 PQ_DP = 9       # partial-d2 fixed-point decimals (exact int64 sums)
-_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+_PQ_CACHE: dict[tuple, list[list[list[float]]]] = {}
 
 
 def pq_fit(emb: DataFrame) -> list[list[list[float]]]:
@@ -1264,10 +1267,15 @@ def pq_fit(emb: DataFrame) -> list[list[list[float]]]:
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    cbs = _PQ_CACHE.get(sf_dir)
+    # keyed by dataset fingerprint (mtime+size), not bare path — a
+    # corpus regenerated at the same path must retrain, same contract
+    # as _corpus_matrix. NOTE builder-time side effect: building a PQ
+    # query plan triggers the (memoized) training Spark jobs.
+    key = _corpus_key(sf_dir)
+    cbs = _PQ_CACHE.get(key)
     if cbs is None:
         cbs = pq_fit(_emb(spark, sf_dir))
-        _PQ_CACHE[sf_dir] = cbs
+        _PQ_CACHE[key] = cbs
     return cbs
 
 

@@ -965,3 +965,65 @@ def mixture_sample_sql() -> str:
         GROUP BY d.lang, n_in, threshold
         ORDER BY d.lang
     """
+
+
+SOURCE_CAP = 15  # max docs kept per source domain
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (the CCNet/Dolma-style domain-balancing step: no
+    single source may dominate the training mix): keep at most
+    SOURCE_CAP documents per source, chosen in (h60(text), doc_id)
+    order — a pure content property, so the kept set is identical
+    across runs, engines, and physical row order. Sources under the
+    cap pass through whole. Returns the per-source audit
+    (source, n_in, n_kept, id_sum).
+
+    Plan: ONE shuffle on source for the row_number window, plus a
+    broadcast of the tiny per-source counts. Scale note: an exact cap
+    needs a per-source ordering, so heavy domains pay a per-group
+    sort; when an approximate cap suffices at 100 TB, swap to the
+    mixture_sample idiom — a rate threshold on the hash
+    (cap/n_in × 2⁶⁰) — which is sort-free and map-side."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_in"))
+    w = Window.partitionBy("source").orderBy(
+        h60(F.col("text")).asc(), F.col("doc_id").asc()
+    )
+    kept = docs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= SOURCE_CAP
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .join(F.broadcast(counts), "source")
+        .select("source", "n_in", "n_kept", "id_sum")
+        .orderBy("source")
+    )
+
+
+def source_cap_sample_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {h60_sql("text")} ASC, doc_id ASC)
+           AS rn
+  FROM documents WHERE text IS NOT NULL
+), counts AS (
+  SELECT source, count(*)::BIGINT AS n_in FROM documents
+  WHERE text IS NOT NULL GROUP BY source
+)
+SELECT c.source, c.n_in,
+       count(*)::BIGINT AS n_kept,
+       sum(r.doc_id)::BIGINT AS id_sum
+FROM ranked r JOIN counts c USING (source)
+WHERE r.rn <= {SOURCE_CAP}
+GROUP BY c.source, c.n_in
+ORDER BY c.source
+"""

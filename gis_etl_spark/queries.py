@@ -598,6 +598,7 @@ REGISTRY.update(
         "text_repetition": (T.text_repetition, T.text_repetition_sql()),
         # domain-mixture resampling toward a uniform language mixture
         "mixture_sample": (T.mixture_sample, T.mixture_sample_sql()),
+        "source_cap_sample": (T.source_cap_sample, T.source_cap_sample_sql()),
         # deterministic export sharding (content-hash shard manifest)
         "training_shards": (T.training_shards, T.training_shards_sql()),
         # concat-and-chunk sequence packing (GPT-style pretraining layout)
@@ -1017,6 +1018,7 @@ _TIER0 = (
     "similarity_pq_rerank",
     "funnel_events",
     "events_rolling_anomaly",
+    "source_cap_sample",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

@@ -1027,3 +1027,77 @@ WHERE r.rn <= {SOURCE_CAP}
 GROUP BY c.source, c.n_in
 ORDER BY c.source
 """
+
+
+SURPRISAL_SCALE = 10_000  # fixed-point units per inverse-probability
+
+
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring — the CCNet-style step (Wenzek et al.
+    2020 score documents with a KenLM 5-gram; offline this engine
+    trains the model on the corpus itself at order 1): per document,
+    the mean unigram surprisal under an add-1-smoothed corpus model.
+    High scores = rare-token-heavy documents (the quality-filter
+    signal). Returns (doc_id, n_tokens, surprisal_units).
+
+    Determinism: log-probabilities are NOT used — libm ln() is not
+    bit-identical across engines, so a boundary doc could flip its
+    floor. Instead each token scores the RATIONAL surprisal
+    floor(((N + V) · SCALE) / (c(w) + 1)) — pure int64 arithmetic,
+    exactly monotone with -log p(w) per token, zero float ops
+    anywhere. The doc score is the integer mean of token scores.
+
+    Scale: vocab counts are one groupBy over exploded tokens (partial
+    agg before the shuffle); the model — one row per vocab entry — is
+    broadcast (real corpora: ~1M rows, comfortably broadcastable);
+    the doc score is one groupBy on doc_id."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.expr(
+            f"((n_total + v_size) * {SURPRISAL_SCALE}) div (c + 1)"
+        ).alias("tok_units"),
+    )
+    return (
+        toks.join(F.broadcast(model), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(tok_units) div count(*)").alias("surprisal_units"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_unigram_surprisal_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), vocab AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w
+), totals AS (
+  SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS v_size FROM vocab
+), model AS (
+  SELECT w,
+         (((n_total + v_size) * {SURPRISAL_SCALE}) // (c + 1))::BIGINT
+           AS tok_units
+  FROM vocab CROSS JOIN totals
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       (sum(m.tok_units)::BIGINT // count(*))::BIGINT AS surprisal_units
+FROM toks t JOIN model m USING (w)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

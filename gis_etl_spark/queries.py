@@ -599,6 +599,9 @@ REGISTRY.update(
         # domain-mixture resampling toward a uniform language mixture
         "mixture_sample": (T.mixture_sample, T.mixture_sample_sql()),
         "source_cap_sample": (T.source_cap_sample, T.source_cap_sample_sql()),
+        "text_unigram_surprisal": (
+            T.text_unigram_surprisal, T.text_unigram_surprisal_sql(),
+        ),
         # deterministic export sharding (content-hash shard manifest)
         "training_shards": (T.training_shards, T.training_shards_sql()),
         # concat-and-chunk sequence packing (GPT-style pretraining layout)
@@ -1019,6 +1022,7 @@ _TIER0 = (
     "funnel_events",
     "events_rolling_anomaly",
     "source_cap_sample",
+    "text_unigram_surprisal",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

@@ -1101,3 +1101,219 @@ FROM toks t JOIN model m USING (w)
 GROUP BY t.doc_id
 ORDER BY t.doc_id
 """
+
+
+BPE_MERGES = 12  # learned merge operations (unrolled in the oracle SQL)
+_BPE_CACHE: dict[tuple, list[tuple[int, str, int]]] = {}
+
+
+def _docs_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir,)
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w, s, f): distinct corpus words with frequency, s = the word's
+    symbol sequence as a space-joined string (initially characters).
+    BPE trains on exactly this aggregate — never the raw corpus."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    return (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .select(
+            "w",
+            F.concat_ws(
+                " ", F.array_remove(F.split("w", ""), "")
+            ).alias("s"),
+            "f",
+        )
+    )
+
+
+def _bpe_pair_counts(freq: DataFrame) -> DataFrame:
+    ws = F.split(F.col("s"), " ")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        freq.select(F.explode(pairs).alias("pr"), "f")
+        .groupBy("pr")
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(freq: DataFrame, pair: str) -> DataFrame:
+    """Merge one learned pair into every symbol sequence. Replace runs
+    left-to-right over non-overlapping occurrences of ' a b ' in the
+    padded string — the same scan in Spark, DuckDB, and Python
+    str.replace, which is what makes the trainer oracle-exact.
+    (Textbook BPE differs only when occurrences share a boundary
+    symbol, e.g. 'a a a'; the rule here is deterministic and
+    documented, not lucky.)"""
+    merged = pair.replace(" ", "")
+    return freq.select(
+        "w",
+        F.trim(
+            F.replace(
+                F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                F.lit(f" {pair} "),
+                F.lit(f" {merged} "),
+            )
+        ).alias("s"),
+        "f",
+    )
+
+
+def bpe_fit(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
+    """Learn BPE_MERGES merge operations (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") as
+    a driver loop over distributed pair counts — the same iterative
+    shape as the k-means trainer: per iteration ONE (pair, count) row
+    reaches the driver (the argmax, ties → lexicographically smaller
+    pair); the word-frequency table never leaves the cluster. At
+    scale, persist the freq frame between iterations; at fixture
+    scale the re-scan is cheaper than the cache bookkeeping."""
+    key = _docs_fingerprint(sf_dir)
+    cached = _BPE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    freq = _bpe_word_freq(spark, sf_dir)
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        best = (
+            _bpe_pair_counts(freq)
+            .orderBy(F.desc("cnt"), F.asc("pr"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pr, cnt = best[0]["pr"], int(best[0]["cnt"])
+        merges.append((rank, pr, cnt))
+        freq = _bpe_apply_merge(freq, pr)
+    _BPE_CACHE[key] = merges
+    return merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table, (merge_rank, pair, cnt) — the
+    trainer itself as a contract query. The oracle retrains all
+    BPE_MERGES operations in unrolled MATERIALIZED SQL CTEs, so a
+    hash match verifies the full iterative training loop (pair
+    counting, argmax tie-breaking, merge application) against an
+    independent engine."""
+    merges = bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, cnt long"
+    ).orderBy("merge_rank")
+
+
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges: per document, whitespace word count
+    vs BPE subword count (the token-budget number a training pipeline
+    actually consumes). The word→segmentation mapping is the final
+    trained freq table — vocabulary-bounded and broadcast; tokenizing
+    a 100 TB corpus is then one broadcast join, no per-doc Python."""
+    merges = bpe_fit(spark, sf_dir)
+    freq = _bpe_word_freq(spark, sf_dir)
+    for _, pr, _ in merges:
+        freq = _bpe_apply_merge(freq, pr)
+    mapping = freq.select(
+        "w", F.size(F.split("s", " ")).alias("n_sub")
+    )
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(mapping), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_train_ctes() -> str:
+    """Shared unrolled-CTE text: w0 (char-split word freq) through
+    w{BPE_MERGES} plus per-iteration p{t}/b{t}. MATERIALIZED is
+    load-bearing: each b{t} is referenced three times and the chain
+    re-evaluates exponentially without it."""
+    steps = [
+        """w0 AS MATERIALIZED (
+  SELECT w, array_to_string(regexp_split_to_array(w, ''), ' ') AS s,
+         count(*)::BIGINT AS f
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  GROUP BY 1, 2)"""
+    ]
+    for t in range(BPE_MERGES):
+        steps.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT pr, sum(f)::BIGINT AS cnt FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(string_split(s, ' ')) - 1),
+             i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]))
+             AS pr,
+           f
+    FROM w{t})
+  GROUP BY pr
+), b{t} AS MATERIALIZED (
+  SELECT pr, cnt FROM p{t} ORDER BY cnt DESC, pr ASC LIMIT 1
+), w{t + 1} AS MATERIALIZED (
+  SELECT w,
+         trim(replace(' ' || s || ' ',
+                      ' ' || (SELECT pr FROM b{t}) || ' ',
+                      ' ' || replace((SELECT pr FROM b{t}), ' ', '') || ' '))
+           AS s,
+         f
+  FROM w{t})"""
+        )
+    return ",\n".join(steps)
+
+
+def bpe_train_merges_sql() -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT {t + 1} AS merge_rank, (SELECT pr FROM b{t}) AS pair, "
+        f"(SELECT cnt FROM b{t}) AS cnt"
+        for t in range(BPE_MERGES)
+    )
+    return f"WITH {_bpe_train_ctes()}\n{sel}\nORDER BY merge_rank"
+
+
+def bpe_segment_stats_sql() -> str:
+    return f"""WITH {_bpe_train_ctes()},
+mapping AS (
+  SELECT w, len(string_split(s, ' '))::BIGINT AS n_sub
+  FROM w{BPE_MERGES}
+), toks AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(m.n_sub)::BIGINT AS n_subwords
+FROM toks t JOIN mapping m USING (w)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

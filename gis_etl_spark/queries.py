@@ -602,6 +602,10 @@ REGISTRY.update(
         "text_unigram_surprisal": (
             T.text_unigram_surprisal, T.text_unigram_surprisal_sql(),
         ),
+        # BPE (Sennrich et al. 2016): the trainer itself is a contract
+        # query — the oracle retrains every merge in unrolled SQL
+        "bpe_train_merges": (T.bpe_train_merges, T.bpe_train_merges_sql()),
+        "bpe_segment_stats": (T.bpe_segment_stats, T.bpe_segment_stats_sql()),
         # deterministic export sharding (content-hash shard manifest)
         "training_shards": (T.training_shards, T.training_shards_sql()),
         # concat-and-chunk sequence packing (GPT-style pretraining layout)
@@ -1023,6 +1027,8 @@ _TIER0 = (
     "events_rolling_anomaly",
     "source_cap_sample",
     "text_unigram_surprisal",
+    "bpe_train_merges",
+    "bpe_segment_stats",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

@@ -509,3 +509,37 @@ def test_pq_adc_and_rerank_properties(spark, sf_dir):
     for r in similarity_pq_rerank(spark, sf_dir).collect():
         true_d2 = float(np.sum((V[r.query_id] - V[r.neighbor_id]) ** 2))
         assert abs(r.d2 - round(true_d2, 6)) < 1e-9
+
+
+def test_bpe_invariants(spark, sf_dir):
+    """BPE trainer/segmenter invariants: monotone nonincreasing merge
+    counts, lossless segmentation (subwords concatenate back to the
+    word), and subword counts bounded by chars and words."""
+    from gis_etl_spark.ops.text import (
+        _bpe_apply_merge,
+        _bpe_word_freq,
+        bpe_fit,
+        bpe_segment_stats,
+        bpe_train_merges,
+    )
+
+    merges = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
+    assert merges == bpe_fit(spark, sf_dir)  # cache coherent
+    ranks = [m[0] for m in merges]
+    assert ranks == list(range(1, len(ranks) + 1))
+    # each merge's count can exceed a LATER count (counts re-derive
+    # after each merge) but the argmax sequence must be nontrivial
+    assert all(m[2] > 0 for m in merges)
+    assert len({m[1] for m in merges}) == len(merges)
+
+    freq = _bpe_word_freq(spark, sf_dir)
+    for _, pr, _ in merges:
+        freq = _bpe_apply_merge(freq, pr)
+    for r in freq.collect():
+        # segmentation is lossless: symbols concatenate to the word
+        assert r.s.replace(" ", "") == r.w, (r.w, r.s)
+        assert 1 <= len(r.s.split(" ")) <= len(r.w)
+
+    stats = bpe_segment_stats(spark, sf_dir).collect()
+    for r in stats:
+        assert r.n_words <= r.n_subwords  # ≥1 subword per word

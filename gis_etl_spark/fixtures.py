@@ -115,8 +115,22 @@ def _shoelace(pts) -> tuple[float, float, float]:
     return a2 / 2.0, ox + cx6 / (3.0 * a2), oy + cy6 / (3.0 * a2)
 
 
-def _golden_poly(rings) -> tuple[float, float, float, float, float, float]:
-    area = nx = ny = 0.0
+def _ring_length(pts) -> float:
+    """Sequential closed-ring length (plain-Python golden twin of the
+    engine's vectorized hypot sum)."""
+    tl = 0.0
+    n = len(pts)
+    for i in range(n):
+        x0, y0 = pts[i][0], pts[i][1]
+        x1, y1 = pts[(i + 1) % n][0], pts[(i + 1) % n][1]
+        tl += ((x1 - x0) ** 2 + (y1 - y0) ** 2) ** 0.5
+    return tl
+
+
+def _golden_poly(
+    rings,
+) -> tuple[float, float, float, float, float, float, float, float]:
+    area = nx = ny = perim = 0.0
     xs, ys = [], []
     for ring in rings:
         a, gx, gy = _shoelace(ring)
@@ -124,13 +138,14 @@ def _golden_poly(rings) -> tuple[float, float, float, float, float, float]:
             area += a
             nx += a * gx
             ny += a * gy
+        perim += _ring_length(ring)
         xs += [p[0] for p in ring]
         ys += [p[1] for p in ring]
     if area == 0.0:
         cx, cy = sum(xs) / len(xs), sum(ys) / len(ys)
     else:
         cx, cy = nx / area, ny / area
-    return cx, cy, min(xs), min(ys), max(xs), max(ys)
+    return cx, cy, min(xs), min(ys), max(xs), max(ys), abs(area), perim
 
 
 def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -140,9 +155,12 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
     golden = []
 
     def add(bid, geom, source, epsg, stype, cx, cy, bb):
+        # bb = (xmin, ymin, xmax, ymax, area, perim) — _golden_poly
+        # emits all six; point/line/degenerate branches append their
+        # analytic area/length
         rows.append((bid, geom, source, epsg))
         golden.append(
-            (bid, stype, cx, cy, *(bb if bb else (None,) * 4))
+            (bid, stype, cx, cy, *(bb if bb else (None,) * 6))
         )
 
     for i in range(n):
@@ -170,7 +188,7 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
             add(i, _multipoly_wkb(rings), src, 4326, 6, cx, cy, bb)
         elif u < 0.915:  # point
             add(i, _point_wkb(lon, lat), src, 4326, 1, lon, lat,
-                (lon, lat, lon, lat))
+                (lon, lat, lon, lat, 0.0, 0.0))
         elif u < 0.93:  # linestring
             pts = [
                 (lon + float(rng.uniform(-0.01, 0.01)),
@@ -187,7 +205,8 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
             cy = num_y / tl if tl else sum(p[1] for p in pts) / len(pts)
             add(i, _line_wkb(pts), src, 4326, 2, cx, cy,
                 (min(p[0] for p in pts), min(p[1] for p in pts),
-                 max(p[0] for p in pts), max(p[1] for p in pts)))
+                 max(p[0] for p in pts), max(p[1] for p in pts),
+                 0.0, tl))
         elif u < 0.96:  # POLYGON Z — ISO and EWKB variants, filtered by P4
             ring2d = _ring(rng, lon, lat, 5, 0.004)
             ring3d = [(x, y, float(rng.uniform(0, 50))) for x, y in ring2d]
@@ -206,7 +225,7 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
             else:
                 ring = [(lon, lat), (lon, lat), (lon, lat), (lon, lat)]
                 add(i, _poly_wkb(ring), src, 4326, 3, lon, lat,
-                    (lon, lat, lon, lat))
+                    (lon, lat, lon, lat, 0.0, 0.0))
         else:  # UTM-declared block (epsg 32650, regionF)
             e = float(rng.uniform(200_000, 800_000))
             nn = float(rng.uniform(2_000_000, 5_000_000))
@@ -226,7 +245,7 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
     expected = pd.DataFrame(
         golden,
         columns=["building_id", "shape_type", "cx", "cy",
-                 "xmin", "ymin", "xmax", "ymax"],
+                 "xmin", "ymin", "xmax", "ymax", "area", "perim"],
     ).astype({"building_id": "int64"})
     return buildings, expected
 
@@ -240,7 +259,7 @@ def rows_for_sf(sf_dir: str) -> int:
 
 # bump when generation logic changes: a stale on-disk fixture from an
 # older algorithm must never be reused against new oracle SQL
-_BUILDINGS_VERSION = 2
+_BUILDINGS_VERSION = 3
 
 
 def buildings_path(n_rows: int) -> str:

@@ -102,6 +102,29 @@ def st_bbox(geom: pd.Series) -> pd.DataFrame:
     )
 
 
+AREA_TYPE = StructType(
+    [StructField("area", DoubleType()), StructField("perim", DoubleType())]
+)
+
+
+@F.pandas_udf(AREA_TYPE)
+def st_area_perimeter(geom: pd.Series) -> pd.DataFrame:
+    """ST_AREA + ST_PERIMETER/ST_LENGTH in one parse → struct(area,
+    perim), planar coordinate units. [Beyond-reference: the reference
+    never computes areas, but footprint QA (area distributions,
+    degenerate-sliver detection) needs them; the kernel reuses the
+    same conditioned shoelace as st_centroid.] Points → (0,0); lines
+    → (0, path length); polygons → (|Σ signed ring areas|, Σ ring
+    lengths) — holes subtract area but add boundary."""
+    vals = [
+        (float("nan"), float("nan")) if b is None else K.area_perimeter(b)
+        for b in geom
+    ]
+    return pd.DataFrame(
+        {"area": [v[0] for v in vals], "perim": [v[1] for v in vals]}
+    )
+
+
 def st_x(point_struct: Column) -> Column:
     """Accessor on a st_centroid struct (ST_X, east_asia.py:76)."""
     return point_struct.getField("x")

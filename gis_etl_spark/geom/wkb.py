@@ -204,6 +204,37 @@ def centroid(buf: bytes) -> tuple[float, float]:
     raise ValueError(f"unsupported geometry type {base}")
 
 
+def area_perimeter(buf: bytes) -> tuple[float, float]:
+    """(planar_area, boundary_length) in coordinate units — ST_AREA /
+    ST_PERIMETER / ST_LENGTH semantics folded into one parse:
+    points → (0, 0); (multi)linestrings → (0, open path length);
+    (multi)polygons → (|Σ signed ring areas| — holes carry opposite
+    orientation and subtract, same shoelace as `centroid` —, Σ closed
+    ring lengths). Rings store the closing vertex per the WKB spec, so
+    the wrap segment is zero-length; unclosed rings still close via
+    the wrap term."""
+    base, parts = parse(buf)
+    if base in (POINT, MULTIPOINT):
+        return 0.0, 0.0
+    if base in (LINESTRING, MULTILINESTRING):
+        total = 0.0
+        for rings in parts:
+            seg = np.diff(rings[0][:, :2], axis=0)
+            total += float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+        return 0.0, total
+    if base in (POLYGON, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        area = perim = 0.0
+        for rings in parts:
+            for ring in rings:
+                a, _, _ = _ring_area_centroid(ring[:, :2])
+                area += a
+                closed = np.vstack([ring[:, :2], ring[:1, :2]])
+                seg = np.diff(closed, axis=0)
+                perim += float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+        return abs(area), perim
+    raise ValueError(f"unsupported geometry type {base}")
+
+
 def bbox(buf: bytes) -> tuple[float, float, float, float]:
     """(xmin, ymin, xmax, ymax) over every vertex."""
     _, parts = parse(buf)

@@ -105,6 +105,33 @@ def geo_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source area/perimeter rollup — ST_AREA/ST_PERIMETER over
+    WKB [beyond-reference: footprint QA needs area distributions; the
+    reference never computes them]. Engine kernel vs the independent
+    plain-Python golden table, fixed-point-summed so ULP noise between
+    the two shoelace implementations cancels. nd=6: UTM-meter sources
+    reach ring areas ~1e6 m² → quantized rows ≤ 1e12, and 20k rows
+    keep the int64 sum ≤ 2e16, far from overflow."""
+    from gis_etl_spark.geom.functions import st_area_perimeter
+
+    df = _read(spark).filter(F.col("geom").isNotNull())
+    ap = df.withColumn("ap", st_area_perimeter(F.col("geom")))
+    return (
+        ap.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            fxsum(F.col("ap").getField("area"), nd=6, out=6).alias(
+                "total_area"
+            ),
+            fxsum(F.col("ap").getField("perim"), nd=6, out=6).alias(
+                "total_perim"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def geo_global_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — the reference-segfaulting query, rounded for oracle parity."""
     bb = P.global_bbox(_read(spark))
@@ -577,6 +604,14 @@ def oracle_sqls() -> dict[str, str]:
             SELECT source, count(*) AS n,
                    (floor(CAST(sum(CAST(floor((e.cx) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6) AS avg_cx,
                    (floor(CAST(sum(CAST(floor((e.cy) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6) AS avg_cy
+            FROM {b} bb JOIN {e} e USING (building_id)
+            WHERE bb.geom IS NOT NULL
+            GROUP BY source ORDER BY source
+        """,
+        "geo_area_stats": f"""
+            SELECT source, count(*) AS n,
+                   {fxsum_sql('e.area', nd=6, out=6)} AS total_area,
+                   {fxsum_sql('e.perim', nd=6, out=6)} AS total_perim
             FROM {b} bb JOIN {e} e USING (building_id)
             WHERE bb.geom IS NOT NULL
             GROUP BY source ORDER BY source

@@ -494,6 +494,7 @@ REGISTRY.update(
         "geo_source_counts": (
             G.geo_source_counts, _GEO_SQLS["geo_source_counts"],
         ),
+        "geo_area_stats": (G.geo_area_stats, _GEO_SQLS["geo_area_stats"]),
         "geo_centroid_stats": (
             G.geo_centroid_stats, _GEO_SQLS["geo_centroid_stats"],
         ),
@@ -1029,6 +1030,7 @@ _TIER0 = (
     "text_unigram_surprisal",
     "bpe_train_merges",
     "bpe_segment_stats",
+    "geo_area_stats",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

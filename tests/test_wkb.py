@@ -237,3 +237,36 @@ def test_contains_point_batch_matches_scalar_on_fixture():
         assert batch[i] == K.contains_point(buf, xs[i], ys[i]), i
     # plausibility: synthetic footprints are mostly convex-ish
     assert batch.mean() > 0.8
+
+
+def test_area_perimeter_analytic_shapes():
+    """area_perimeter against hand-computed shapes: unit square, square
+    with a hole (area subtracts, boundary adds), open line, point."""
+    import struct
+
+    from gis_etl_spark.geom import wkb as K
+
+    def poly(rings):
+        out = bytearray(struct.pack("<BII", 1, 3, len(rings)))
+        for ring in rings:
+            out += struct.pack("<I", len(ring))
+            for x, y in ring:
+                out += struct.pack("<2d", x, y)
+        return bytes(out)
+
+    sq = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    a, p = K.area_perimeter(poly([sq]))
+    assert a == 16.0 and p == 16.0
+
+    hole = [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]  # CW
+    a, p = K.area_perimeter(poly([sq, hole]))
+    assert a == 15.0 and p == 20.0
+
+    line = struct.pack("<BII", 1, 2, 3) + struct.pack(
+        "<6d", 0.0, 0.0, 3.0, 4.0, 3.0, 10.0
+    )
+    a, p = K.area_perimeter(line)
+    assert a == 0.0 and p == 11.0  # 5 + 6, open path
+
+    a, p = K.area_perimeter(struct.pack("<BI2d", 1, 1, 7.0, 8.0))
+    assert a == 0.0 and p == 0.0

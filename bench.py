@@ -62,11 +62,19 @@ HEADLINE = [
     "points_in_polygons",
     "geo_heatmap_export",
     "hex_heatmap_export",
-    # round-4 session 2: TPC-H completion + span dedup + PQ rerank
+    # round-4 session 2: TPC-H completion + span dedup + PQ rerank,
+    # event analytics, LM-scoring/BPE, per-source cap, geometry area
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
     "dedup_spans",
     "similarity_pq_rerank",
+    "funnel_events",
+    "events_rolling_anomaly",
+    "cohort_retention",
+    "source_cap_sample",
+    "text_unigram_surprisal",
+    "bpe_segment_stats",
+    "geo_area_stats",
 ]
 
 

@@ -1212,3 +1212,46 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the second classic product-analytics shape
+    beside the funnel: users cohort by first-activity week, and each
+    (cohort_week, weeks_since) cell counts users active that many
+    weeks later. Returns (cohort_week, weeks_since, n_active,
+    cohort_size).
+
+    Plan: per-user MIN aggregate (shuffle on user_id), broadcast the
+    per-user cohort back onto the events (map-side), then one
+    two-key aggregation of pre-deduplicated (user, week) pairs —
+    the distinct runs inside the same user_id-keyed shuffle. Weeks
+    are integer microsecond floor-divisions from a fixed epoch, so
+    bucketing is exact in both engines.
+
+    Scale: the per-user cohort frame is |users| rows; when users
+    outgrow broadcast range, the join key is user_id on both sides —
+    co-partitioned with the distinct that follows."""
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / F.lit(1)).cast("long").alias("us")
+    ).select("user_id", F.expr(f"us div {week_us}").alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    pairs = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        pairs.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select("cohort_week", "weeks_since", "n_active", "cohort_size")
+        .orderBy("cohort_week", "weeks_since")
+    )

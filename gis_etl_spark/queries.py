@@ -909,10 +909,35 @@ WHERE n >= {R.ANOM_MIN_N}
 ORDER BY event_id
 """
 
+# Cohort retention — integer week bucketing from the epoch, exact in
+# both engines; DuckDB // floors like Spark's div for nonnegative us.
+_COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id, (epoch_us(ts) // 604800000000)::BIGINT AS week
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id
+), pairs AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         (e.week - f.cohort_week)::BIGINT AS weeks_since
+  FROM ev e JOIN first f USING (user_id)
+), sizes AS (
+  SELECT cohort_week, count(*)::BIGINT AS cohort_size
+  FROM first GROUP BY cohort_week
+)
+SELECT p.cohort_week, p.weeks_since,
+       count(DISTINCT p.user_id)::BIGINT AS n_active,
+       s.cohort_size
+FROM pairs p JOIN sizes s USING (cohort_week)
+GROUP BY p.cohort_week, p.weeks_since, s.cohort_size
+ORDER BY p.cohort_week, p.weeks_since
+"""
+
 REGISTRY.update(
     {
         "funnel_events": (R.funnel_events, _FUNNEL_SQL),
         "events_rolling_anomaly": (R.events_rolling_anomaly, _ANOM_SQL),
+        "cohort_retention": (R.cohort_retention, _COHORT_SQL),
         "q11_important_parts": (R.q11_important_parts, _Q11_SQL),
         "q12_priority_by_returnflag": (R.q12_priority_by_returnflag, _Q12_SQL),
         "q13_order_count_distribution": (
@@ -1031,6 +1056,7 @@ _TIER0 = (
     "bpe_train_merges",
     "bpe_segment_stats",
     "geo_area_stats",
+    "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",
     "q12_priority_by_returnflag",

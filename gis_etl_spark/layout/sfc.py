@@ -345,3 +345,83 @@ def grid_cell_boundary_wkt(cell: Column) -> Column:
         fmt(x0), F.lit(" "), fmt(y0),
         F.lit("))"),
     )
+
+
+# --- slippy-map tiles (z/x/y + quadkey) ------------------------------------
+# The web-map export analog of the reference's heatmap rollups: the
+# standard OSM/Bing tiling (Web-Mercator subdivision). Tile math is two
+# trig calls + floor; the quadkey is pure bit interleaving (Bing Maps
+# addressing: digit i = 2·y_bit + x_bit from the MSB), so it doubles as
+# a spatial sort/partition key with the same prefix-locality property
+# the Hilbert/Morton keys have.
+
+TILE_Z = 10
+_MERC_LAT_MAX = 85.05112878  # Web-Mercator clip latitude
+
+
+def tile_xy(lat: Column, lng: Column, z: int = TILE_Z) -> tuple[Column, Column]:
+    """(tile_x, tile_y) at zoom z — JVM-native (radians/tan/asinh are
+    Spark built-ins; whole plan stays in codegen). Output clamped to
+    [0, 2^z-1] exactly as the SQL twin clamps."""
+    import math
+
+    n = float(1 << z)
+    x = F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    # ln(tan φ + sec φ) rather than asinh(tan φ): DuckDB has no asinh,
+    # and parity requires the IDENTICAL operation sequence both sides
+    r = F.radians(lat)
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(r) + F.lit(1.0) / F.cos(r)) / F.lit(math.pi)
+        )
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    clampx = F.greatest(F.lit(0.0), F.least(F.lit(n - 1.0), x)).cast("long")
+    clampy = F.greatest(F.lit(0.0), F.least(F.lit(n - 1.0), y)).cast("long")
+    return clampx, clampy
+
+
+def tile_quadkey(x: Column, y: Column, z: int = TILE_Z) -> Column:
+    """Integer quadkey: Σ (2·y_bit(i) + x_bit(i)) · 4^i — the Bing
+    quadkey string read as a base-4 number (MSB = coarsest). Pure
+    int64 bit arithmetic, bit-identical in any engine."""
+    terms = [
+        (
+            (F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)) * F.lit(2))
+            + F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1))
+        )
+        * F.lit(1 << (2 * i))
+        for i in range(z)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def tile_xy_sql(lat_expr: str, lng_expr: str, z: int = TILE_Z) -> tuple[str, str]:
+    """ANSI twins of tile_xy — same expression tree, same clamp."""
+    import math
+
+    n = float(1 << z)
+    x = f"floor(({lng_expr} + 180.0) / 360.0 * {n!r})"
+    y = (
+        f"floor((1.0 - ln(tan(radians({lat_expr}))"
+        f" + 1.0 / cos(radians({lat_expr}))) / {math.pi!r})"
+        f" / 2.0 * {n!r})"
+    )
+    return (
+        f"CAST(greatest(0.0, least({n - 1.0!r}, {x})) AS BIGINT)",
+        f"CAST(greatest(0.0, least({n - 1.0!r}, {y})) AS BIGINT)",
+    )
+
+
+def tile_quadkey_sql(x_expr: str, y_expr: str, z: int = TILE_Z) -> str:
+    terms = [
+        f"(((({y_expr}) >> {i}) & 1) * 2 + ((({x_expr}) >> {i}) & 1))"
+        f" * {1 << (2 * i)}"
+        for i in range(z)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"

@@ -50,6 +50,24 @@ def _read(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(bpath)
 
 
+def _tile_census_sql(b: str, e: str) -> str:
+    """ANSI twin of geo_tile_census over the golden centroid table."""
+    from gis_etl_spark.layout.sfc import tile_quadkey_sql, tile_xy_sql
+
+    xs, ys = tile_xy_sql("e.cy", "e.cx")
+    qk = tile_quadkey_sql("x", "y")
+    return f"""
+        WITH t AS (
+          SELECT {xs} AS x, {ys} AS y
+          FROM {b} bb JOIN {e} e USING (building_id)
+          WHERE bb.geom IS NOT NULL
+            AND abs(e.cy) <= 85.0 AND abs(e.cx) <= 180.0
+        )
+        SELECT x, y, {qk} AS quadkey, count(*)::BIGINT AS cnt
+        FROM t GROUP BY x, y ORDER BY x, y
+    """
+
+
 def geo_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-row audit (East-Asia-Building-Footprints.md:225-227)."""
     return _read(spark).agg(F.count("*").alias("cnt"))
@@ -129,6 +147,31 @@ def geo_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+def geo_tile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map tile census at z=10 — the web-map export analog of
+    the reference's heatmap rollup: per-tile feature counts keyed by
+    (x, y, quadkey). Tile math is JVM-built-in trig (stays in
+    codegen); the quadkey is pure bit interleaving. Filtered to the
+    Web-Mercator latitude range, which also drops the UTM-declared
+    source whose raw coordinates aren't lon/lat."""
+    from gis_etl_spark.layout.sfc import tile_quadkey, tile_xy
+
+    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+    cy = F.col("centroid").getField("y")
+    cx = F.col("centroid").getField("x")
+    tx, ty = tile_xy(cy, cx)
+    t = (
+        df.filter((F.abs(cy) <= 85.0) & (F.abs(cx) <= 180.0))
+        .select(tx.alias("x"), ty.alias("y"))
+        .withColumn("quadkey", tile_quadkey(F.col("x"), F.col("y")))
+    )
+    return (
+        t.groupBy("x", "y", "quadkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("x", "y")
     )
 
 
@@ -616,6 +659,7 @@ def oracle_sqls() -> dict[str, str]:
             WHERE bb.geom IS NOT NULL
             GROUP BY source ORDER BY source
         """,
+        "geo_tile_census": _tile_census_sql(b, e),
         "geo_global_bbox": f"""
             SELECT round(min(e.xmin), 6) AS xmin,
                    round(min(e.ymin), 6) AS ymin,

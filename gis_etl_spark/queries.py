@@ -495,6 +495,7 @@ REGISTRY.update(
             G.geo_source_counts, _GEO_SQLS["geo_source_counts"],
         ),
         "geo_area_stats": (G.geo_area_stats, _GEO_SQLS["geo_area_stats"]),
+        "geo_tile_census": (G.geo_tile_census, _GEO_SQLS["geo_tile_census"]),
         "geo_centroid_stats": (
             G.geo_centroid_stats, _GEO_SQLS["geo_centroid_stats"],
         ),
@@ -1056,6 +1057,7 @@ _TIER0 = (
     "bpe_train_merges",
     "bpe_segment_stats",
     "geo_area_stats",
+    "geo_tile_census",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

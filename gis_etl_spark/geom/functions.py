@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -122,6 +123,39 @@ def st_area_perimeter(geom: pd.Series) -> pd.DataFrame:
     ]
     return pd.DataFrame(
         {"area": [v[0] for v in vals], "perim": [v[1] for v in vals]}
+    )
+
+
+@F.pandas_udf(LongType())
+def st_npoints(geom: pd.Series) -> pd.Series:
+    """ST_NPOINTS — total vertex count (all rings/parts)."""
+    return pd.Series(
+        [None if b is None else K.npoints(b) for b in geom], dtype="Int64"
+    )
+
+
+def st_simplify(geom: Column, tol: float) -> Column:
+    """ST_SIMPLIFY (Douglas-Peucker) [beyond-reference]: structure-
+    preserving — line endpoints kept, polygon rings that would drop
+    below 4 vertices keep their originals. Arrow-batched; tol is a
+    plan-time constant so the kernel closure captures it."""
+
+    @F.pandas_udf(BinaryType())
+    def _udf(g: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else K.simplify(b, tol) for b in g]
+        )
+
+    return _udf(geom)
+
+
+@F.pandas_udf(BinaryType())
+def st_convex_hull(geom: pd.Series) -> pd.Series:
+    """ST_CONVEXHULL [beyond-reference]: Andrew monotone chain over
+    every vertex → POLYGON (or LINESTRING/POINT for degenerate
+    input), strictly convex, CCW, closed."""
+    return pd.Series(
+        [None if b is None else K.convex_hull(b) for b in geom]
     )
 
 

@@ -696,3 +696,118 @@ def _split_nested(body: str) -> list[str]:
             if depth == 0:
                 chunks.append(body[start:i])
     return chunks
+
+
+# --- simplification / hull [beyond-reference] ------------------------------
+
+
+def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask over an open polyline (endpoints always
+    kept) — iterative stack, perpendicular point-to-segment distance."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        rel = pts[i + 1 : j] - pts[i]
+        L2 = float(seg[0] * seg[0] + seg[1] * seg[1])
+        if L2 == 0.0:
+            d = np.hypot(rel[:, 0], rel[:, 1])
+        else:
+            d = np.abs(rel[:, 0] * seg[1] - rel[:, 1] * seg[0]) / (L2**0.5)
+        k = int(np.argmax(d))
+        if float(d[k]) > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def simplify(buf: bytes, tol: float) -> bytes:
+    """ST_SIMPLIFY (Douglas-Peucker, PRESERVING structure): lines keep
+    their endpoints; polygon rings simplify as the closed path from the
+    first vertex around to its duplicate, and a ring that would drop
+    below 4 points (degenerate) keeps its original vertices. Points
+    pass through. Output is 2-D WKB (Z/M dropped, like force_2d)."""
+    base, parts = parse(buf)
+    if base in (POINT, MULTIPOINT):
+        return force_2d(buf)
+
+    def simp(arr: np.ndarray, closed: bool) -> np.ndarray:
+        pts = arr[:, :2]
+        if len(pts) <= (4 if closed else 2):
+            return pts
+        mask = _dp_keep_mask(pts, tol)
+        out = pts[mask]
+        if closed and len(out) < 4:
+            return pts
+        return out
+
+    out = bytearray()
+    if base == LINESTRING:
+        line = simp(parts[0][0], False)
+        out += struct.pack("<BII", 1, 2, len(line))
+        out += line.astype("<f8").tobytes()
+    elif base == MULTILINESTRING:
+        out += struct.pack("<BII", 1, 5, len(parts))
+        for rings in parts:
+            line = simp(rings[0], False)
+            out += struct.pack("<BII", 1, 2, len(line))
+            out += line.astype("<f8").tobytes()
+    elif base in (POLYGON, MULTIPOLYGON):
+        if base == MULTIPOLYGON:
+            out += struct.pack("<BII", 1, 6, len(parts))
+        for rings in parts:
+            out += struct.pack("<BII", 1, 3, len(rings))
+            for ring in rings:
+                r = simp(ring, True)
+                out += struct.pack("<I", len(r))
+                out += r.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"unsupported geometry type {base}")
+    return bytes(out)
+
+
+def convex_hull(buf: bytes) -> bytes:
+    """ST_CONVEXHULL — Andrew monotone chain over every vertex.
+    Returns POLYGON WKB (CCW, closed) for ≥3 non-collinear points,
+    LINESTRING of the two extremes for collinear input, POINT when all
+    vertices coincide. Strictly convex output (collinear hull vertices
+    dropped)."""
+    _, parts = parse(buf)
+    pts = np.vstack([ring[:, :2] for rings in parts for ring in rings])
+    uniq = np.unique(pts, axis=0)  # sorted lexicographically (x, then y)
+    if len(uniq) == 1:
+        return struct.pack("<BI2d", 1, 1, float(uniq[0, 0]), float(uniq[0, 1]))
+
+    def cross(o, a, b) -> float:
+        return float(
+            (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+        )
+
+    lower: list[np.ndarray] = []
+    for p in uniq:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in uniq[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:  # collinear
+        a, b = uniq[0], uniq[-1]
+        return struct.pack(
+            "<BII", 1, 2, 2
+        ) + np.array([a, b]).astype("<f8").tobytes()
+    ring = np.vstack(hull + [hull[0]])
+    out = bytearray(struct.pack("<BII", 1, 3, 1))
+    out += struct.pack("<I", len(ring))
+    out += ring.astype("<f8").tobytes()
+    return bytes(out)

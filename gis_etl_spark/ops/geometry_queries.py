@@ -175,6 +175,41 @@ def geo_tile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMPLIFY_TOL = 0.0005  # ~10% of the fixture ring radius
+
+
+def geo_simplify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SIMPLIFY + ST_CONVEXHULL vertex economics per source
+    [beyond-reference; rows-only — geometry construction has no SQL
+    oracle; tests/test_wkb.py pins the kernels with analytic shapes
+    and deviation/containment properties]. Reports Σ vertices raw /
+    simplified / hull — the payload-shrink numbers a tile-export
+    pipeline budgets with."""
+    from gis_etl_spark.geom.functions import (
+        st_convex_hull,
+        st_npoints,
+        st_simplify,
+    )
+
+    df = _read(spark).filter(F.col("geom").isNotNull())
+    g = df.select(
+        "source",
+        st_npoints(F.col("geom")).alias("v_raw"),
+        st_npoints(st_simplify(F.col("geom"), SIMPLIFY_TOL)).alias("v_simp"),
+        st_npoints(st_convex_hull(F.col("geom"))).alias("v_hull"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v_raw").alias("v_raw"),
+            F.sum("v_simp").alias("v_simp"),
+            F.sum("v_hull").alias("v_hull"),
+        )
+        .orderBy("source")
+    )
+
+
 def geo_global_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — the reference-segfaulting query, rounded for oracle parity."""
     bb = P.global_bbox(_read(spark))

@@ -496,6 +496,10 @@ REGISTRY.update(
         ),
         "geo_area_stats": (G.geo_area_stats, _GEO_SQLS["geo_area_stats"]),
         "geo_tile_census": (G.geo_tile_census, _GEO_SQLS["geo_tile_census"]),
+        # rows-only by design: Douglas-Peucker / monotone-chain output
+        # geometry has no ANSI oracle; kernels pinned by analytic +
+        # property tests in tests/test_wkb.py
+        "geo_simplify_stats": (G.geo_simplify_stats, None),
         "geo_centroid_stats": (
             G.geo_centroid_stats, _GEO_SQLS["geo_centroid_stats"],
         ),
@@ -1058,6 +1062,7 @@ _TIER0 = (
     "bpe_segment_stats",
     "geo_area_stats",
     "geo_tile_census",
+    "geo_simplify_stats",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

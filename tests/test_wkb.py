@@ -270,3 +270,112 @@ def test_area_perimeter_analytic_shapes():
 
     a, p = K.area_perimeter(struct.pack("<BI2d", 1, 1, 7.0, 8.0))
     assert a == 0.0 and p == 0.0
+
+
+def test_simplify_douglas_peucker():
+    """DP on analytic shapes: a near-collinear bump below tolerance
+    drops; above tolerance survives; endpoints always kept; polygon
+    rings never drop below 4 vertices."""
+    import struct
+
+    from gis_etl_spark.geom import wkb as K
+
+    def line(pts):
+        return struct.pack("<BII", 1, 2, len(pts)) + b"".join(
+            struct.pack("<2d", x, y) for x, y in pts
+        )
+
+    wav = [(0.0, 0.0), (1.0, 0.01), (2.0, 0.0), (3.0, 1.0), (4.0, 0.0)]
+    _, parts = K.parse(K.simplify(line(wav), 0.1))
+    kept = [tuple(p) for p in parts[0][0]]
+    assert kept == [(0.0, 0.0), (2.0, 0.0), (3.0, 1.0), (4.0, 0.0)]
+    _, parts = K.parse(K.simplify(line(wav), 0.001))
+    assert len(parts[0][0]) == 5  # bump above tol survives
+
+    # square ring with a redundant midpoint on one edge
+    ring = [(0.0, 0.0), (2.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0),
+            (0.0, 0.0)]
+    poly = struct.pack("<BIII", 1, 3, 1, len(ring)) + b"".join(
+        struct.pack("<2d", x, y) for x, y in ring
+    )
+    _, parts = K.parse(K.simplify(poly, 0.1))
+    assert len(parts[0][0]) == 5  # midpoint gone, ring still closed
+    a0, p0 = K.area_perimeter(poly)
+    a1, p1 = K.area_perimeter(K.simplify(poly, 0.1))
+    assert a1 == a0 and p1 == p0  # collinear removal is lossless here
+
+
+def test_convex_hull_properties():
+    """Hull on analytic + fixture shapes: contains every vertex, is
+    convex (all CCW turns), area >= input area."""
+    import struct
+
+    import numpy as np
+
+    from gis_etl_spark.fixtures import make_buildings
+    from gis_etl_spark.geom import wkb as K
+
+    # plus-sign polygon: hull must be larger and strictly convex
+    plus = [(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (3.0, 1.0), (3.0, 2.0),
+            (2.0, 2.0), (2.0, 3.0), (1.0, 3.0), (1.0, 2.0), (0.0, 2.0),
+            (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    poly = struct.pack("<BIII", 1, 3, 1, len(plus)) + b"".join(
+        struct.pack("<2d", x, y) for x, y in plus
+    )
+    hulls = [K.convex_hull(poly)]
+    buildings, _ = make_buildings(120, seed=7)
+    for b in buildings.geom:
+        if b is not None and K.shape_type(b) in (3, 6):
+            hulls.append(K.convex_hull(b))
+            src = b
+    for src_buf, hull in zip([poly] + [
+        b for b in buildings.geom if b is not None
+        and K.shape_type(b) in (3, 6)
+    ], hulls):
+        btype, hparts = K.parse(hull)
+        if btype != 3:
+            continue  # degenerate input → line/point hull
+        ring = hparts[0][0][:, :2]
+        # convex: every consecutive turn is CCW (strictly, no collinear)
+        r = ring[:-1]
+        nxt = np.roll(r, -1, axis=0)
+        nxt2 = np.roll(r, -2, axis=0)
+        cross = (nxt[:, 0] - r[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
+            nxt[:, 1] - r[:, 1]
+        ) * (nxt2[:, 0] - nxt[:, 0])
+        assert (cross > 0).all()
+        # contains every input vertex
+        _, sparts = K.parse(src_buf)
+        pts = np.vstack([rg[:, :2] for rgs in sparts for rg in rgs])
+        inside = K.contains_point_batch(
+            [hull] * len(pts), pts[:, 0], pts[:, 1]
+        )
+        on_ring = np.array([
+            any(abs(p[0] - v[0]) < 1e-12 and abs(p[1] - v[1]) < 1e-12
+                for v in ring)
+            for p in pts
+        ])
+        # boundary points may test outside under the half-open rule
+        edge_tol = K.area_perimeter(hull)[1] * 1e-12
+        assert all(
+            bool(i) or o or _dist_to_ring(p, ring) < max(edge_tol, 1e-9)
+            for i, o, p in zip(inside, on_ring, pts)
+        )
+        ha, _ = K.area_perimeter(hull)
+        sa, _ = K.area_perimeter(src_buf)
+        # relative tolerance: an already-convex ring re-enters the
+        # shoelace in hull vertex order, shifting the sum by ~1 ulp
+        assert ha >= sa - 1e-9 * max(1.0, abs(sa))
+
+
+def _dist_to_ring(p, ring):
+    import numpy as np
+
+    best = float("inf")
+    for a, b in zip(ring[:-1], ring[1:]):
+        seg = b - a
+        L2 = float(seg @ seg)
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, float((p - a) @ seg) / L2))
+        proj = a + t * seg
+        best = min(best, float(np.hypot(*(p - proj))))
+    return best

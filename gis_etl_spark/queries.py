@@ -500,6 +500,9 @@ REGISTRY.update(
         # geometry has no ANSI oracle; kernels pinned by analytic +
         # property tests in tests/test_wkb.py
         "geo_simplify_stats": (G.geo_simplify_stats, None),
+        "io_geojsonl_scan": (
+            G.io_geojsonl_scan, _GEO_SQLS["io_geojsonl_scan"],
+        ),
         "geo_centroid_stats": (
             G.geo_centroid_stats, _GEO_SQLS["geo_centroid_stats"],
         ),
@@ -1063,6 +1066,7 @@ _TIER0 = (
     "geo_area_stats",
     "geo_tile_census",
     "geo_simplify_stats",
+    "io_geojsonl_scan",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

@@ -379,3 +379,39 @@ def _dist_to_ring(p, ring):
         proj = a + t * seg
         best = min(best, float(np.hypot(*(p - proj))))
     return best
+
+
+def test_geojson_geometry_roundtrip():
+    """from_geojson_geometry ∘ to_geojson_geometry == identity on every
+    supported type (bit-exact WKB, little-endian 2-D)."""
+    import struct
+
+    from gis_etl_spark.sources.geojson import (
+        from_geojson_geometry,
+        to_geojson_geometry,
+    )
+
+    geoms = [
+        struct.pack("<BI2d", 1, 1, 1.5, -2.25),
+        struct.pack("<BII", 1, 2, 3)
+        + struct.pack("<6d", 0.0, 0.0, 1.0, 1.0, 2.5, -1.0),
+        # polygon with hole
+        struct.pack("<BIII", 1, 3, 2, 5)
+        + struct.pack("<10d", 0, 0, 4, 0, 4, 4, 0, 4, 0, 0)
+        + struct.pack("<I", 5)
+        + struct.pack("<10d", 1, 1, 1, 2, 2, 2, 2, 1, 1, 1),
+        # multipoint
+        struct.pack("<BII", 1, 4, 2)
+        + struct.pack("<BI2d", 1, 1, 0.0, 1.0)
+        + struct.pack("<BI2d", 1, 1, 2.0, 3.0),
+        # multilinestring
+        struct.pack("<BII", 1, 5, 2)
+        + struct.pack("<BII", 1, 2, 2) + struct.pack("<4d", 0, 0, 1, 1)
+        + struct.pack("<BII", 1, 2, 2) + struct.pack("<4d", 2, 2, 3, 3),
+        # multipolygon
+        struct.pack("<BII", 1, 6, 1)
+        + struct.pack("<BIII", 1, 3, 1, 4)
+        + struct.pack("<8d", 0, 0, 1, 0, 1, 1, 0, 0),
+    ]
+    for g in geoms:
+        assert from_geojson_geometry(to_geojson_geometry(g)) == g

@@ -425,3 +425,110 @@ def tile_quadkey_sql(x_expr: str, y_expr: str, z: int = TILE_Z) -> str:
         for i in range(z)
     ]
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+# --- geohash (public base-32 geocode) --------------------------------------
+# The third interop key family beside quadkey and H3-compat: geohashes
+# are how lat/lng keys travel between systems that share no code (the
+# alphabet and bit order are a public standard). A geohash is just the
+# bit-interleave of the binary expansions of lon/lat over their ranges
+# — so the classic successive-halving algorithm collapses to two
+# fixed-point scalings plus the same bit algebra the Morton key uses.
+
+GEOHASH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_P = 6  # characters → 30 bits (15 lon + 15 lat), ~±0.61 km
+
+
+def geohash_int(lat: Column, lng: Column, p: int = GEOHASH_P) -> Column:
+    """The geohash's 5p-bit integer value (MSB-first interleave,
+    even bit positions = longitude). Pure int64 arithmetic after two
+    floor scalings — identical in any engine."""
+    bits = 5 * p
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = F.floor(
+        (lng + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))
+    ).cast("long")
+    y = F.floor(
+        (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))
+    ).cast("long")
+    x = F.least(F.lit((1 << lon_bits) - 1), F.greatest(F.lit(0), x))
+    y = F.least(F.lit((1 << lat_bits) - 1), F.greatest(F.lit(0), y))
+    terms = []
+    for i in range(bits):  # i = 0 is the MSB of the geohash
+        shift = bits - 1 - i
+        if i % 2 == 0:  # longitude bit, MSB-first
+            src, srcbit = x, lon_bits - 1 - i // 2
+        else:
+            src, srcbit = y, lat_bits - 1 - i // 2
+        terms.append(
+            F.shiftrightunsigned(src, srcbit).bitwiseAND(F.lit(1))
+            * F.lit(1 << shift)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def geohash_str(lat: Column, lng: Column, p: int = GEOHASH_P) -> Column:
+    """The standard base-32 geohash string (p characters)."""
+    col = geohash_int(lat, lng, p)
+    parts = []
+    for i in range(p):
+        shift = 5 * (p - 1 - i)
+        idx = F.shiftrightunsigned(col, shift).bitwiseAND(F.lit(31)).cast(
+            "int"
+        )
+        parts.append(
+            F.element_at(
+                F.split(F.lit(" ".join(GEOHASH_ALPHA)), " "), idx + 1
+            )
+        )
+    return F.concat(*parts)
+
+
+def geohash_xy_sql(
+    lat_expr: str, lng_expr: str, p: int = GEOHASH_P
+) -> tuple[str, str]:
+    """ANSI twins of the two fixed-point scalings (stage these as CTE
+    columns; the interleave references them by alias)."""
+    bits = 5 * p
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = (
+        f"least({(1 << lon_bits) - 1}, greatest(0, "
+        f"CAST(floor(({lng_expr} + 180.0) / 360.0 *"
+        f" {float(1 << lon_bits)!r}) AS BIGINT)))"
+    )
+    y = (
+        f"least({(1 << lat_bits) - 1}, greatest(0, "
+        f"CAST(floor(({lat_expr} + 90.0) / 180.0 *"
+        f" {float(1 << lat_bits)!r}) AS BIGINT)))"
+    )
+    return x, y
+
+
+def geohash_interleave_sql(gx: str, gy: str, p: int = GEOHASH_P) -> str:
+    """MSB-first interleave of staged gx/gy columns → 5p-bit BIGINT."""
+    bits = 5 * p
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    terms = []
+    for i in range(bits):
+        shift = bits - 1 - i
+        if i % 2 == 0:
+            src, srcbit = gx, lon_bits - 1 - i // 2
+        else:
+            src, srcbit = gy, lat_bits - 1 - i // 2
+        terms.append(f"(((({src}) >> {srcbit}) & 1) << {shift})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def geohash_chars_sql(gi: str, p: int = GEOHASH_P) -> str:
+    """Base-32 rendering of a staged geohash-int column."""
+    return " || ".join(
+        f"substr('{GEOHASH_ALPHA}', "
+        f"CAST(((({gi}) >> {5 * (p - 1 - i)}) & 31) AS INT) + 1, 1)"
+        for i in range(p)
+    )

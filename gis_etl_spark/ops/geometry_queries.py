@@ -68,6 +68,36 @@ def _tile_census_sql(b: str, e: str) -> str:
     """
 
 
+def _geohash_census_sql(b: str, e: str) -> str:
+    """ANSI twin of geo_geohash_census — scalings, interleave, and
+    alphabet lookup staged as CTE columns."""
+    from gis_etl_spark.layout.sfc import (
+        geohash_chars_sql,
+        geohash_interleave_sql,
+        geohash_xy_sql,
+    )
+
+    x4, y4 = geohash_xy_sql("e.cy", "e.cx", 4)
+    x6, y6 = geohash_xy_sql("e.cy", "e.cx", 6)
+    return f"""
+        WITH keyed AS (
+          SELECT {x4} AS gx4, {y4} AS gy4, {x6} AS gx6, {y6} AS gy6
+          FROM {b} bb JOIN {e} e USING (building_id)
+          WHERE bb.geom IS NOT NULL
+            AND abs(e.cy) <= 90.0 AND abs(e.cx) <= 180.0
+        ), gis AS (
+          SELECT {geohash_interleave_sql('gx4', 'gy4', 4)} AS gi4,
+                 {geohash_interleave_sql('gx6', 'gy6', 6)} AS gh6
+          FROM keyed
+        ), gh AS (
+          SELECT {geohash_chars_sql('gi4', 4)} AS gh4, gh6 FROM gis
+        )
+        SELECT gh4, count(*)::BIGINT AS cnt,
+               count(DISTINCT gh6)::BIGINT AS n_sub
+        FROM gh GROUP BY gh4 ORDER BY gh4
+    """
+
+
 def geo_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total-row audit (East-Asia-Building-Footprints.md:225-227)."""
     return _read(spark).agg(F.count("*").alias("cnt"))
@@ -202,6 +232,31 @@ def geo_tile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("x", "y", "quadkey")
         .agg(F.count("*").alias("cnt"))
         .orderBy("x", "y")
+    )
+
+
+def geo_geohash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash census — the base-32 interop geocode (public standard;
+    known-vector tested: u4pruyd/ezs42): per-4-char-cell counts plus
+    the count of distinct 6-char refinements inside each. Both the
+    string codec and the integer key are exercised; everything is
+    fixed-point scaling + bit interleaving, exact in any engine."""
+    from gis_etl_spark.layout.sfc import geohash_int, geohash_str
+
+    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+    cy = F.col("centroid").getField("y")
+    cx = F.col("centroid").getField("x")
+    g = df.filter((F.abs(cy) <= 90.0) & (F.abs(cx) <= 180.0)).select(
+        geohash_str(cy, cx, 4).alias("gh4"),
+        geohash_int(cy, cx, 6).alias("gh6"),
+    )
+    return (
+        g.groupBy("gh4")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("gh6").alias("n_sub"),
+        )
+        .orderBy("gh4")
     )
 
 
@@ -736,6 +791,7 @@ def oracle_sqls() -> dict[str, str]:
             GROUP BY source ORDER BY source
         """,
         "geo_tile_census": _tile_census_sql(b, e),
+        "geo_geohash_census": _geohash_census_sql(b, e),
         "geo_global_bbox": f"""
             SELECT round(min(e.xmin), 6) AS xmin,
                    round(min(e.ymin), 6) AS ymin,

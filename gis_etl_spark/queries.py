@@ -496,6 +496,9 @@ REGISTRY.update(
         ),
         "geo_area_stats": (G.geo_area_stats, _GEO_SQLS["geo_area_stats"]),
         "geo_tile_census": (G.geo_tile_census, _GEO_SQLS["geo_tile_census"]),
+        "geo_geohash_census": (
+            G.geo_geohash_census, _GEO_SQLS["geo_geohash_census"],
+        ),
         # rows-only by design: Douglas-Peucker / monotone-chain output
         # geometry has no ANSI oracle; kernels pinned by analytic +
         # property tests in tests/test_wkb.py
@@ -1065,6 +1068,7 @@ _TIER0 = (
     "bpe_segment_stats",
     "geo_area_stats",
     "geo_tile_census",
+    "geo_geohash_census",
     "geo_simplify_stats",
     "io_geojsonl_scan",
     "cohort_retention",

@@ -415,3 +415,26 @@ def test_hilbert_native_matches_numpy(spark):
         pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
     ).astype("int64")
     assert (got == exp).all()
+
+
+def test_geohash_known_vectors(spark):
+    """Classic published geohash vectors: (57.64911, 10.40744) →
+    u4pruyd (p=7); (42.605, -5.603) → ezs42 (p=5)."""
+    import pyspark.sql.functions as F
+
+    from gis_etl_spark.layout.sfc import geohash_int, geohash_str
+
+    df = spark.createDataFrame(
+        [(57.64911, 10.40744), (42.605, -5.603)], "lat double, lng double"
+    )
+    rows = df.select(
+        geohash_str(F.col("lat"), F.col("lng"), 7).alias("g7"),
+        geohash_str(F.col("lat"), F.col("lng"), 5).alias("g5"),
+        geohash_int(F.col("lat"), F.col("lng"), 5).alias("i5"),
+    ).collect()
+    assert rows[0].g7 == "u4pruyd"
+    assert rows[1].g5 == "ezs42"
+    # int form renders to the same string through the alphabet
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    s = "".join(alpha[(rows[1].i5 >> (5 * (4 - i))) & 31] for i in range(5))
+    assert s == "ezs42"

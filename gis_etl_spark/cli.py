@@ -7,6 +7,9 @@
                                            [--max-rows N] [--files N]
     python -m gis_etl_spark.cli heatmap    --input DIR --output DIR
                                            [--res N] [--geojson]
+    python -m gis_etl_spark.cli tiles      --input DIR --output DIR
+                                           [--zoom N]
+    python -m gis_etl_spark.cli dedup-spans --input DIR --output DIR
 
 Inputs: a directory of .shp files (read via the engine's shapefile
 source) or of parquet with a WKB geometry column (auto-discovered).
@@ -116,6 +119,41 @@ def cmd_heatmap(spark: SparkSession, args) -> None:
     print(f"heatmap: wrote {args.output}")
 
 
+def cmd_tiles(spark: SparkSession, args) -> None:
+    """Slippy-tile census: per z/x/y (+ quadkey) feature counts —
+    the web-map export companion to `heatmap`."""
+    from gis_etl_spark.layout.sfc import tile_quadkey, tile_xy
+    from gis_etl_spark.pipelines.buildings import convert, with_centroid
+
+    df = with_centroid(convert(_load_input(spark, args.input)))
+    cy = F.col("centroid").getField("y")
+    cx = F.col("centroid").getField("x")
+    tx, ty = tile_xy(cy, cx, args.zoom)
+    (
+        df.filter((F.abs(cy) <= 85.0) & (F.abs(cx) <= 180.0))
+        .select(tx.alias("x"), ty.alias("y"))
+        .withColumn(
+            "quadkey", tile_quadkey(F.col("x"), F.col("y"), args.zoom)
+        )
+        .groupBy("x", "y", "quadkey")
+        .count()
+        .write.mode("overwrite")
+        .parquet(args.output)
+    )
+    print(f"tiles: wrote {args.output} (z={args.zoom})")
+
+
+def cmd_dedup_spans(spark: SparkSession, args) -> None:
+    """Span-level exact dedup over a text corpus (doc_id/text parquet):
+    writes (doc_id, n_spans, n_kept, text_dedup)."""
+    import gis_etl_spark.ops.dedup as D
+
+    D.dedup_spans(spark, args.input).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(f"dedup-spans: wrote {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="gis_etl_spark",
@@ -145,6 +183,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--res", type=int, default=7)
     p.add_argument("--geojson", action="store_true")
 
+    p = sub.add_parser("tiles", help="slippy-tile (z/x/y + quadkey) census")
+    common(p)
+    p.add_argument("--zoom", type=int, default=10)
+
+    p = sub.add_parser(
+        "dedup-spans", help="span-level exact dedup (input dir holds documents.parquet)"
+    )
+    common(p)
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -157,6 +204,8 @@ def main(argv: list[str] | None = None) -> None:
             "ewkb-stats": cmd_ewkb_stats,
             "merge-pqs": cmd_merge_pqs,
             "heatmap": cmd_heatmap,
+            "tiles": cmd_tiles,
+            "dedup-spans": cmd_dedup_spans,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

@@ -41,3 +41,44 @@ def test_cli_merge_pqs_roundtrip(tmp_path):
     # clustered output carries the layout key
     cols = pq.read_schema(files[0]).names
     assert "hkey" in cols and "geom" in cols and "source" in cols
+
+
+def test_cli_tiles_and_dedup_spans(tmp_path):
+    """New subcommands end-to-end, each in a subprocess (cli main
+    stops its session — never run it inside the test process)."""
+    import shutil
+
+    from gis_etl_spark.fixtures import ensure_buildings
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def run(*argv):
+        res = subprocess.run(
+            [sys.executable, "-m", "gis_etl_spark.cli", *argv],
+            env=env, capture_output=True, text=True,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+
+    bpath, _ = ensure_buildings(5_000)
+    bdir = str(tmp_path / "bld_in")
+    os.makedirs(bdir)
+    shutil.copy(bpath, os.path.join(bdir, "buildings.parquet"))
+    tiles_out = str(tmp_path / "tiles")
+    run("tiles", "--input", bdir, "--output", tiles_out,
+        "--zoom", "8", "--master", "local[4]")
+    tiles = pq.read_table(tiles_out).to_pydict()
+    assert len(tiles["quadkey"]) > 10
+    assert all(0 <= x < 256 for x in tiles["x"])
+
+    docs_dir = str(tmp_path / "docs_in")
+    os.makedirs(docs_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(docs_dir, "documents.parquet"),
+    )
+    dd_out = str(tmp_path / "dd")
+    run("dedup-spans", "--input", docs_dir, "--output", dd_out,
+        "--master", "local[4]")
+    dd = pq.read_table(dd_out).to_pydict()
+    assert len(dd["doc_id"]) == 500
+    assert all(k <= n for k, n in zip(dd["n_kept"], dd["n_spans"]))

@@ -152,3 +152,34 @@ def test_hex_smoothed_focal_bounds(spark, sf_dir):
     assert len(sm) == len(own)
     for r in sm:
         assert own[r.cell] <= r.focal_recs <= total
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Round-4 session-2 operators keep their promised shapes: tile/
+    geohash censuses never fall back to row-at-a-time Python; the PQ
+    path broadcasts its distance table (no sort-merge against the
+    codes); span dedup shuffles once on the span key (window exchange)
+    plus its reassembly aggregation."""
+    plan = _plan(REGISTRY["geo_tile_census"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    plan = _plan(REGISTRY["geo_geohash_census"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(REGISTRY["similarity_pq_adc"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    plan = _plan(REGISTRY["dedup_spans"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # one exchange for the per-span window, one for the per-doc
+    # reassembly — never a third
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, plan[:2000]
+
+    plan = _plan(REGISTRY["funnel_events"][0](spark, sf_dir))
+    # every exchange keys on user_id — the funnel never shuffles on
+    # anything wider
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "user_id" in m.group(1) or "stage" in m.group(1), m.group(0)

@@ -703,7 +703,13 @@ def _split_nested(body: str) -> list[str]:
 
 def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker keep-mask over an open polyline (endpoints always
-    kept) — iterative stack, perpendicular point-to-segment distance."""
+    kept) — iterative stack. Distance is TRUE point-to-SEGMENT (t
+    clamped to [0,1]), not perpendicular-to-infinite-line: the naive
+    cross-product form rates a point beyond the chord's span as near
+    (e.g. (3,0) against chord (0,0)→(1,0) scores 0), silently
+    violating the deviation bound — caught by the hypothesis property
+    test; segment distance makes 'every dropped vertex lies within
+    tol of the simplified chain' actually hold."""
     n = len(pts)
     keep = np.zeros(n, dtype=bool)
     keep[0] = keep[n - 1] = True
@@ -718,7 +724,10 @@ def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
         if L2 == 0.0:
             d = np.hypot(rel[:, 0], rel[:, 1])
         else:
-            d = np.abs(rel[:, 0] * seg[1] - rel[:, 1] * seg[0]) / (L2**0.5)
+            t = np.clip((rel[:, 0] * seg[0] + rel[:, 1] * seg[1]) / L2, 0.0, 1.0)
+            dx = rel[:, 0] - t * seg[0]
+            dy = rel[:, 1] - t * seg[1]
+            d = np.hypot(dx, dy)
         k = int(np.argmax(d))
         if float(d[k]) > tol:
             m = i + 1 + k

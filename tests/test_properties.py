@@ -132,3 +132,50 @@ def test_hilbert_neighbors_are_close(iy, ix):
 def test_hilbert_degree_encoding_total(lat, lon):
     k = hilbert_encode_np(np.array([lat]), np.array([lon]))[0]
     assert 0 <= int(k) < 2**32
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            st.floats(-100, 100, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.floats(0.01, 10.0, allow_nan=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_simplify_deviation_bound(pts, tol):
+    """THE Douglas-Peucker contract: every dropped vertex lies within
+    `tol` of the simplified polyline; endpoints always survive."""
+    import struct
+
+    import numpy as np
+
+    from gis_etl_spark.geom import wkb as K
+
+    line = struct.pack("<BII", 1, 2, len(pts)) + b"".join(
+        struct.pack("<2d", float(x), float(y)) for x, y in pts
+    )
+    _, parts = K.parse(K.simplify(line, tol))
+    simp = parts[0][0][:, :2]
+    assert tuple(simp[0]) == tuple(map(float, pts[0]))
+    assert tuple(simp[-1]) == tuple(map(float, pts[-1]))
+
+    def dist_to_chain(p):
+        best = float("inf")
+        for a, b in zip(simp[:-1], simp[1:]):
+            seg = b - a
+            L2 = float(seg @ seg)
+            t = (
+                0.0
+                if L2 == 0
+                else max(0.0, min(1.0, float((p - a) @ seg) / L2))
+            )
+            proj = a + t * seg
+            best = min(best, float(np.hypot(*(p - proj))))
+        return best
+
+    for x, y in pts:
+        assert dist_to_chain(np.array([float(x), float(y)])) <= tol + 1e-9

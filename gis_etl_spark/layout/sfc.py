@@ -532,3 +532,47 @@ def geohash_chars_sql(gi: str, p: int = GEOHASH_P) -> str:
         f"CAST(((({gi}) >> {5 * (p - 1 - i)}) & 31) AS INT) + 1, 1)"
         for i in range(p)
     )
+
+
+def tile_bbox(x: int, y: int, z: int = TILE_Z) -> tuple[float, float, float, float]:
+    """(lon_min, lat_min, lon_max, lat_max) of tile z/x/y — the decode
+    side of tile_xy, for translating tile keys back into scan-pruning
+    predicates (row-group min/max on cx/cy)."""
+    import math
+
+    n = float(1 << z)
+
+    def lon(i: float) -> float:
+        return i / n * 360.0 - 180.0
+
+    def lat(i: float) -> float:
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * i / n))))
+
+    return lon(x), lat(y + 1), lon(x + 1), lat(y)
+
+
+def geohash_bbox(gh: str) -> tuple[float, float, float, float]:
+    """(lon_min, lat_min, lon_max, lat_max) of a geohash cell — decode
+    side of geohash_str (any precision)."""
+    p = len(gh)
+    bits = 5 * p
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    gi = 0
+    for ch in gh:
+        gi = (gi << 5) | GEOHASH_ALPHA.index(ch)
+    x = y = 0
+    for i in range(bits):
+        b = (gi >> (bits - 1 - i)) & 1
+        if i % 2 == 0:
+            x = (x << 1) | b
+        else:
+            y = (y << 1) | b
+    lon_span = 360.0 / (1 << lon_bits)
+    lat_span = 180.0 / (1 << lat_bits)
+    return (
+        -180.0 + x * lon_span,
+        -90.0 + y * lat_span,
+        -180.0 + (x + 1) * lon_span,
+        -90.0 + (y + 1) * lat_span,
+    )

@@ -438,3 +438,37 @@ def test_geohash_known_vectors(spark):
     alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
     s = "".join(alpha[(rows[1].i5 >> (5 * (4 - i))) & 31] for i in range(5))
     assert s == "ezs42"
+
+
+def test_tile_and_geohash_decode_roundtrip(spark):
+    """Every encoded point falls inside its decoded cell bbox (both
+    codecs, random points)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gis_etl_spark.layout.sfc import (
+        geohash_bbox,
+        geohash_str,
+        tile_bbox,
+        tile_xy,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = [
+        (float(rng.uniform(-84.5, 84.5)), float(rng.uniform(-179.5, 179.5)))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lng double")
+    tx, ty = tile_xy(F.col("lat"), F.col("lng"), 10)
+    rows = df.select(
+        "lat", "lng",
+        tx.alias("x"), ty.alias("y"),
+        geohash_str(F.col("lat"), F.col("lng"), 6).alias("gh"),
+    ).collect()
+    for r in rows:
+        w, s, e, n = tile_bbox(r.x, r.y, 10)
+        assert w - 1e-9 <= r.lng <= e + 1e-9, (r.lng, w, e)
+        assert s - 1e-9 <= r.lat <= n + 1e-9, (r.lat, s, n)
+        w, s, e, n = geohash_bbox(r.gh)
+        assert w - 1e-9 <= r.lng <= e + 1e-9
+        assert s - 1e-9 <= r.lat <= n + 1e-9

@@ -618,3 +618,68 @@ def oracle_sqls() -> dict[str, str]:
             FROM {m} GROUP BY kind ORDER BY kind
         """,
     }
+
+
+def spectral_audio(df: DataFrame) -> DataFrame:
+    """Per-clip audio spectral features over Arrow batches: decode PCM,
+    mix channels by summation, take the real FFT power spectrum, and
+    report (n_samples, dc_sum, dominant_bin, centroid_milli).
+
+    dc_sum is the DC bin — exactly the integer sum of all samples
+    (doubles hold it exactly at ≤2048×2 int16 samples), which the test
+    cross-checks against an independent decode. dominant_bin skips DC;
+    centroid_milli is the power-weighted mean bin ×1000, rounded —
+    stable because the underlying FFT is deterministic per platform
+    and the rounding absorbs accumulation noise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_samples": [], "dc_sum": [],
+                "dominant_bin": [], "centroid_milli": [],
+            }
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    continue
+                try:
+                    _, samples = decode_wav(bytes(buf))
+                except (ValueError, struct.error):
+                    continue
+                mono = samples.astype("f8").sum(axis=1)
+                X = np.fft.rfft(mono)
+                P = (X.real * X.real) + (X.imag * X.imag)
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(len(mono))
+                out["dc_sum"].append(int(round(X[0].real)))
+                if len(P) > 1:
+                    k = int(np.argmax(P[1:])) + 1
+                    tot = float(P.sum())
+                    cen = (
+                        float((np.arange(len(P)) * P).sum()) / tot
+                        if tot > 0.0
+                        else 0.0
+                    )
+                else:
+                    k, cen = 0, 0.0
+                out["dominant_bin"].append(k)
+                out["centroid_milli"].append(int(round(cen * 1000)))
+            yield pd.DataFrame(out)
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(
+            run,
+            "media_id long, n_samples long, dc_sum long, "
+            "dominant_bin long, centroid_milli long",
+        )
+    )
+
+
+def multimodal_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral pass [rows-only — FFT is not SQL-expressible;
+    pytest pins the DC bin against an independent decode and Parseval's
+    theorem per clip]. At 100 TB this is the canonical mapInPandas
+    shape: payload-column-pruned scan, per-batch numpy FFT, no
+    shuffle until the caller aggregates."""
+    return spectral_audio(_media(spark)).orderBy("media_id")

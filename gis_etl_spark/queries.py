@@ -737,6 +737,9 @@ REGISTRY.update(
         ),
         # hash-seeded featurizer shape — not SQL-expressible, rows-only
         "multimodal_feature_norms": (M.multimodal_feature_norms, None),
+        # rows-only: FFT has no ANSI oracle; pytest pins DC == exact
+        # sample sum (independent decode) + Parseval per clip
+        "multimodal_spectral": (M.multimodal_spectral, None),
     }
 )
 
@@ -1071,6 +1074,7 @@ _TIER0 = (
     "geo_geohash_census",
     "geo_simplify_stats",
     "io_geojsonl_scan",
+    "multimodal_spectral",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

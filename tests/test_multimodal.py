@@ -263,3 +263,45 @@ def test_fixture_goldens_match_decoders():
         else:
             body = np.frombuffer(buf, dtype=np.uint8, offset=13)
             assert int(body.sum(dtype=np.int64)) == row.content_sum
+
+
+def test_spectral_audio_dc_and_parseval(spark, sf_dir):
+    """Spectral invariants per clip: the DC bin equals the exact
+    integer sample sum (independent decode), and Parseval holds —
+    Σ|x|² == (Σ|X_k|² adjusted for rfft's one-sided form) / n."""
+    import numpy as np
+
+    from gis_etl_spark.fixtures import ensure_media
+    from gis_etl_spark.ops.multimodal import decode_wav, multimodal_spectral
+
+    rows = {r.media_id: r for r in multimodal_spectral(spark, sf_dir).collect()}
+    assert len(rows) > 50
+
+    import pandas as pd
+
+    media = pd.read_parquet(ensure_media())
+    checked = 0
+    for rec in media.itertuples():
+        if rec.kind != "audio" or rec.media_id not in rows:
+            continue
+        r = rows[rec.media_id]
+        _, samples = decode_wav(bytes(rec.payload))
+        mono = samples.astype("f8").sum(axis=1)
+        assert r.n_samples == len(mono)
+        assert r.dc_sum == int(mono.sum())
+        X = np.fft.rfft(mono)
+        P = X.real**2 + X.imag**2
+        # one-sided spectrum: interior bins carry their conjugates
+        w = np.full(len(P), 2.0)
+        w[0] = 1.0
+        if len(mono) % 2 == 0:
+            w[-1] = 1.0  # Nyquist bin is self-conjugate
+        assert np.isclose(
+            (w * P).sum() / len(mono), (mono**2).sum(), rtol=1e-9
+        )
+        assert 0 <= r.dominant_bin < len(P)
+        assert 0 <= r.centroid_milli <= (len(P) - 1) * 1000
+        checked += 1
+        if checked >= 40:
+            break
+    assert checked >= 40

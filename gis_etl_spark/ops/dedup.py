@@ -834,3 +834,191 @@ FROM ranked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# The round-4 prep funnel: every stage this engine gained for training
+# corpora, composed into ONE lazy plan (the v1 funnel remains as the
+# quality→exact→MinHash rendition).
+# ---------------------------------------------------------------------------
+
+PREP2_SURPRISAL_MAX = 302_000  # ~90th pct of the corpus (probed): the
+                               # rare-token-garbage gate
+PREP2_SHARDS = 16
+
+
+def training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern prep funnel as ONE lazy plan: unigram-surprisal gate
+    → span-boilerplate gate → exact dedup → content-hash sharding,
+    audited per shard. Composes the verified operators (same
+    expressions, same constants as text_unigram_surprisal /
+    dedup_spans / dedup_exact_kept / training_shards), so the whole
+    funnel stays hash-checkable against the SQL twin.
+
+    Stage semantics (all-integer comparisons — nothing can flip):
+    1. s_ok: mean unigram surprisal ≤ {PREP2_SURPRISAL_MAX} fixed-point
+       units (drop rare-token-heavy garbage);
+    2. p_ok: s_ok AND at least half the doc's 5-word spans are the
+       corpus-first occurrence (2·n_kept ≥ n_spans — drop boilerplate);
+    3. e_ok: p_ok AND doc is the min-doc_id keeper of its md5 among
+       p_ok survivors;
+    4. audit per shard h60(text) % {PREP2_SHARDS}: stage counts,
+       surviving-token budget, id checksum.
+
+    Scale: the surprisal model is a broadcast; spans pay one shuffle
+    on the span key; the per-doc joins all key on doc_id; the shard
+    rollup is {PREP2_SHARDS} groups."""
+    from gis_etl_spark.ops.text import SURPRISAL_SCALE, h60, words_col
+
+    docs = _docs(spark).filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.expr(
+            f"((n_total + v_size) * {SURPRISAL_SCALE}) div (c + 1)"
+        ).alias("tok_units"),
+    )
+    sup = (
+        toks.join(F.broadcast(model), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("sum(tok_units) div count(*)").alias("su"),
+        )
+    )
+
+    k = SPAN_K
+    spans = (
+        docs.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(ws) + {k - 1}) div {k} - 1),"
+                    f" i -> concat_ws(' ', slice(ws, i * {k} + 1, {k})))"
+                )
+            ).alias("cid", "span"),
+        )
+    )
+    w_span = Window.partitionBy("span").orderBy("doc_id", "cid")
+    spanagg = (
+        spans.withColumn("rn", F.row_number().over(w_span))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+    base = docs.select("doc_id", "text").join(sup, "doc_id").join(
+        spanagg, "doc_id"
+    )
+    flagged = base.withColumn(
+        "s_ok", F.col("su") <= PREP2_SURPRISAL_MAX
+    ).withColumn(
+        "p_ok",
+        F.col("s_ok") & (2 * F.col("n_kept") >= F.col("n_spans")),
+    )
+    w_hash = Window.partitionBy(F.md5(F.col("text")))
+    flagged = flagged.withColumn(
+        "e_ok",
+        F.col("p_ok")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("p_ok"), F.col("doc_id"))).over(w_hash)
+        ),
+    )
+    return (
+        flagged.withColumn(
+            "shard", h60(F.col("text")) % PREP2_SHARDS
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.count_if("s_ok").alias("n_surprisal"),
+            F.count_if("p_ok").alias("n_span_ok"),
+            F.count_if("e_ok").alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(F.col("e_ok"), F.col("n_tokens"))), F.lit(0)
+            ).alias("tok_budget"),
+            F.coalesce(
+                F.sum(F.when(F.col("e_ok"), F.col("doc_id"))), F.lit(0)
+            ).alias("id_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def training_data_prep_v2_sql() -> str:
+    from gis_etl_spark.ops.text import SURPRISAL_SCALE, WORDS_SQL, h60_sql
+
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    k = SPAN_K
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM {d}
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+), toks AS (
+  SELECT doc_id, unnest({WORDS_SQL}) AS w FROM docs
+), vocab AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w
+), totals AS (
+  SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS v_size FROM vocab
+), model AS (
+  SELECT w, (((n_total + v_size) * {SURPRISAL_SCALE}) // (c + 1))::BIGINT
+           AS tok_units
+  FROM vocab CROSS JOIN totals
+), sup AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         (sum(m.tok_units)::BIGINT // count(*))::BIGINT AS su
+  FROM toks t JOIN model m USING (w) GROUP BY t.doc_id
+), words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), ' +')) AS w,
+         generate_subscripts(regexp_split_to_array(trim(text), ' +'), 1)
+           AS pos
+  FROM docs
+), spans AS (
+  SELECT doc_id, (pos - 1) // {k} AS cid,
+         string_agg(w, ' ' ORDER BY pos) AS span
+  FROM words GROUP BY doc_id, cid
+), ranked AS (
+  SELECT doc_id, cid,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, cid) AS rn
+  FROM spans
+), spanagg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+  FROM ranked GROUP BY doc_id
+), flagged AS (
+  SELECT dd.doc_id, dd.text, s.n_tokens,
+         (s.su <= {PREP2_SURPRISAL_MAX}) AS s_ok,
+         (s.su <= {PREP2_SURPRISAL_MAX}
+          AND 2 * a.n_kept >= a.n_spans) AS p_ok
+  FROM docs dd JOIN sup s USING (doc_id) JOIN spanagg a USING (doc_id)
+), keepers AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id
+  FROM flagged WHERE p_ok GROUP BY md5(text)
+), final AS (
+  SELECT f.*, (f.p_ok AND f.doc_id = kp.keep_id) AS e_ok
+  FROM flagged f LEFT JOIN keepers kp ON md5(f.text) = kp.h
+)
+SELECT ({h60_sql("text")} % {PREP2_SHARDS})::BIGINT AS shard,
+       count(*)::BIGINT AS n_raw,
+       sum(CASE WHEN s_ok THEN 1 ELSE 0 END)::BIGINT AS n_surprisal,
+       sum(CASE WHEN p_ok THEN 1 ELSE 0 END)::BIGINT AS n_span_ok,
+       sum(CASE WHEN e_ok THEN 1 ELSE 0 END)::BIGINT AS n_final,
+       coalesce(sum(CASE WHEN e_ok THEN n_tokens END), 0)::BIGINT
+         AS tok_budget,
+       coalesce(sum(CASE WHEN e_ok THEN doc_id END), 0)::BIGINT AS id_sum
+FROM final GROUP BY shard ORDER BY shard
+"""

@@ -662,6 +662,9 @@ REGISTRY.update(
         # from the same verified pieces
         "training_data_prep": (D.training_data_prep, D.training_data_prep_sql()),
         "dedup_spans": (D.dedup_spans, D.dedup_spans_sql()),
+        "training_data_prep_v2": (
+            D.training_data_prep_v2, D.training_data_prep_v2_sql(),
+        ),
     }
 )
 
@@ -1075,6 +1078,7 @@ _TIER0 = (
     "geo_simplify_stats",
     "io_geojsonl_scan",
     "multimodal_spectral",
+    "training_data_prep_v2",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

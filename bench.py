@@ -75,6 +75,9 @@ HEADLINE = [
     "text_unigram_surprisal",
     "bpe_segment_stats",
     "geo_area_stats",
+    "geo_tile_census",
+    "geo_geohash_census",
+    "training_data_prep_v2",
 ]
 
 

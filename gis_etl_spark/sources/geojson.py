@@ -131,7 +131,10 @@ def from_geojson_geometry(d: dict) -> bytes:
 
 
 def read_geojsonl(
-    spark: SparkSession, path_glob: str, id_field: str = "building_id"
+    spark: SparkSession,
+    path_glob: str,
+    id_field: str = "building_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Distributed GeoJSONSeq scan → (building_id, source, geom WKB).
 
@@ -139,33 +142,52 @@ def read_geojsonl(
     files/partitions); each Arrow batch parses its lines with stdlib
     json and re-encodes WKB — no shuffle, no driver involvement.
     Features missing a geometry yield NULL geom (kept, like the
-    parquet corpus keeps its NULL rows)."""
+    parquet corpus keeps its NULL rows).
+
+    on_error='fail' (default) raises on the first malformed line —
+    right for controlled corpora. on_error='skip' applies the engine's
+    failure-record discipline (cf. read_filegdb): malformed lines
+    become auditable error rows (NULL id/geom, source='__corrupt__',
+    the offending prefix in `error`) instead of killed tasks — a
+    100 TB corpus always contains garbage lines."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     lines = spark.read.text(path_glob)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sources, geoms = [], [], []
+            ids, sources, geoms, errs = [], [], [], []
             for line in pdf["value"]:
                 if not line or not line.strip():
                     continue
-                f = json.loads(line)
-                props = f.get("properties") or {}
+                try:
+                    f = json.loads(line)
+                    props = f.get("properties") or {}
+                    g = f.get("geometry")
+                    geom = None if g is None else from_geojson_geometry(g)
+                except (ValueError, KeyError, TypeError, IndexError) as exc:
+                    if on_error == "fail":
+                        raise
+                    ids.append(None)
+                    sources.append("__corrupt__")
+                    geoms.append(None)
+                    errs.append(f"{type(exc).__name__}: {line[:80]}")
+                    continue
                 ids.append(props.get(id_field))
                 sources.append(props.get("source"))
-                g = f.get("geometry")
-                geoms.append(
-                    None if g is None else from_geojson_geometry(g)
-                )
+                geoms.append(geom)
+                errs.append(None)
             yield pd.DataFrame(
                 {
                     "building_id": pd.Series(ids, dtype="Int64"),
                     "source": pd.Series(sources, dtype="object"),
                     "geom": pd.Series(geoms, dtype="object"),
+                    "error": pd.Series(errs, dtype="object"),
                 }
             )
 
     return lines.mapInPandas(
-        _parse, "building_id long, source string, geom binary"
+        _parse, "building_id long, source string, geom binary, error string"
     )
 
 

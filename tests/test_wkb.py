@@ -415,3 +415,37 @@ def test_geojson_geometry_roundtrip():
     ]
     for g in geoms:
         assert from_geojson_geometry(to_geojson_geometry(g)) == g
+
+
+def test_geojsonl_reader_failure_discipline(spark, tmp_path):
+    """Malformed GeoJSONSeq lines: on_error='skip' yields auditable
+    __corrupt__ rows; the default fails the read loudly."""
+    import os
+
+    import pytest as _pytest
+
+    p = str(tmp_path / "mixed.geojsonl")
+    good = (
+        '{"type":"Feature","geometry":{"type":"Point",'
+        '"coordinates":[1.0,2.0]},'
+        '"properties":{"building_id":7,"source":"s"}}'
+    )
+    with open(p, "w") as fh:
+        fh.write(good + "\n")
+        fh.write("{not json at all\n")
+        fh.write(
+            '{"type":"Feature","geometry":{"type":"Nonagon",'
+            '"coordinates":[]},"properties":{"building_id":8}}\n'
+        )
+
+    from gis_etl_spark.sources.geojson import read_geojsonl
+
+    rows = read_geojsonl(spark, p, on_error="skip").collect()
+    ok = [r for r in rows if r.error is None]
+    bad = [r for r in rows if r.error is not None]
+    assert len(ok) == 1 and ok[0].building_id == 7
+    assert len(bad) == 2
+    assert all(r.source == "__corrupt__" and r.geom is None for r in bad)
+
+    with _pytest.raises(Exception):
+        read_geojsonl(spark, p).collect()

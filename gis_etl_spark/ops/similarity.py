@@ -1436,24 +1436,26 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_train_sql() -> tuple[str, str, str]:
-    """(train_ctes, codes_union, dt_union): per-subspace Lloyd
-    training, encoding, and ADC distance-table CTE text shared by both
-    PQ oracles (same unrolled-CTE pattern as ivf_kmeans_oracle_sql,
-    once per subspace)."""
+def _pq_d2_sql(e_sv: str, c_rel: str) -> str:
+    diff = f"list_transform(list_zip({e_sv}, {c_rel}.c), s -> s[1] - s[2])"
+    return f"list_dot_product({diff}, {diff})"
 
-    def d2(e_sv: str, c_rel: str) -> str:
-        diff = f"list_transform(list_zip({e_sv}, {c_rel}.c), s -> s[1] - s[2])"
-        return f"list_dot_product({diff}, {diff})"
 
+def _pq_train_core(src: str = "emb") -> tuple[str, str, list[str]]:
+    """(train_ctes, codes_union, final_codebook_names): per-subspace
+    Lloyd training + encoding CTE text over any (vec_id, v) relation —
+    shared by the raw-vector PQ oracles and the IVFPQ residual oracle
+    (same unrolled pattern as ivf_kmeans_oracle_sql, once per
+    subspace)."""
+    d2 = _pq_d2_sql
     steps = []
     code_selects = []
-    dt_selects = []
+    fins = []
     for m in range(PQ_M):
         a, b = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB
         steps.append(
-            f"""sub{m} AS (
-          SELECT vec_id, v[{a}:{b}] AS sv FROM emb
+            f"""sub{m} AS MATERIALIZED (
+          SELECT vec_id, v[{a}:{b}] AS sv FROM {src}
         ), c{m}_0 AS (
           SELECT vec_id AS c_id,
                  list_transform(sv, x -> round(x, {KMEANS_DP})) AS c
@@ -1484,6 +1486,7 @@ def _pq_train_sql() -> tuple[str, str, str]:
         )"""
             )
         fin = f"c{m}_{PQ_ITERS}"
+        fins.append(fin)
         steps.append(
             f"""codes{m} AS (
           SELECT vec_id, c_id AS code FROM (
@@ -1493,22 +1496,37 @@ def _pq_train_sql() -> tuple[str, str, str]:
                                                c.c_id ASC) AS rk
             FROM sub{m} e CROSS JOIN {fin} c
           ) WHERE rk = 1
-        ), dt{m} AS (
-          SELECT e.vec_id AS query_id, c.c_id,
-                 CAST(floor({d2('e.sv', 'c')} * 1e{PQ_DP} + 0.5)
-                      AS BIGINT) AS pd2u
-          FROM sub{m} e CROSS JOIN {fin} c
-          WHERE e.vec_id < {N_QUERIES}
         )"""
         )
         code_selects.append(
             f"SELECT vec_id, {m} AS m, code FROM codes{m}"
         )
+    train = ",\n        ".join(steps)
+    codes_union = "\n          UNION ALL ".join(code_selects)
+    return train, codes_union, fins
+
+
+def _pq_train_sql() -> tuple[str, str, str]:
+    """(train_ctes, codes_union, dt_union) for the RAW-vector PQ
+    oracles: the shared core plus per-subspace query distance tables
+    (queries = vec_id < N_QUERIES of the same corpus)."""
+    train, codes_union, fins = _pq_train_core("emb")
+    dt_steps = []
+    dt_selects = []
+    for m, fin in enumerate(fins):
+        dt_steps.append(
+            f"""dt{m} AS (
+          SELECT e.vec_id AS query_id, c.c_id,
+                 CAST(floor({_pq_d2_sql('e.sv', 'c')} * 1e{PQ_DP} + 0.5)
+                      AS BIGINT) AS pd2u
+          FROM sub{m} e CROSS JOIN {fin} c
+          WHERE e.vec_id < {N_QUERIES}
+        )"""
+        )
         dt_selects.append(
             f"SELECT query_id, {m} AS m, c_id, pd2u FROM dt{m}"
         )
-    train = ",\n        ".join(steps)
-    codes_union = "\n          UNION ALL ".join(code_selects)
+    train = train + ",\n        " + ",\n        ".join(dt_steps)
     dt_union = "\n          UNION ALL ".join(dt_selects)
     return train, codes_union, dt_union
 
@@ -1580,5 +1598,282 @@ def pq_rerank_oracle_sql() -> str:
           FROM rerank
         )
         SELECT query_id, neighbor_id, rank, d2 FROM topk
+        WHERE rank <= {TOPK} ORDER BY query_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVFADC proper (Jégou et al. 2011 §IV): IVF coarse quantizer + PQ on
+# RESIDUALS — the composition production ANN systems actually ship.
+# The coarse centroid absorbs the vector's position; PQ only has to
+# code the (much smaller) residual, so the same code budget buys far
+# less quantization error than raw-vector PQ.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _coarse_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The k-means coarse quantizer, shared with similarity_ivf_kmeans
+    (same cache, same fingerprint key, same determinism contract)."""
+    key = _corpus_key(sf_dir)
+    cents = _KMEANS_CACHE.get(key)
+    if cents is None:
+        cents = kmeans_fit(_emb(spark, sf_dir))
+        _KMEANS_CACHE[key] = cents
+    return cents
+
+
+def _residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, list_id, v=residual): assign each vector to its coarse
+    list and subtract that centroid — pure JVM expressions."""
+    cent_arr = F.array(*[_lit_vec(c) for c in cents])
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        F.array_min(_d2_cols(F.col("v"), cents))
+        .getField("c_id")
+        .alias("list_id"),
+    )
+    res_v = F.zip_with(
+        F.col("v"),
+        F.element_at(cent_arr, F.col("list_id") + 1),
+        lambda x, y: x - y,
+    )
+    return assigned.select("vec_id", "list_id", res_v.alias("v"))
+
+
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC retrieval: coarse-assign the corpus, PQ-encode the
+    residuals, then for each query probe the N_PROBE nearest lists and
+    rank THEIR vectors by the exact-int64 sum of per-subspace lookups
+    against the QUERY RESIDUAL for that list (the asymmetric distance
+    of Jégou et al. §IV — each probed list gets its own distance
+    table because the query residual differs per list). Returns
+    (query_id, neighbor_id, rank, approx_d2).
+
+    Scale: everything raw-vector-sized stays map-only (assignment,
+    residuals, encoding); the per-query tables are
+    |queries|·N_PROBE·PQ_M·PQ_KSUB broadcast cells; candidates are
+    only the probed lists' rows. The oracle retrains BOTH quantizers
+    (coarse k-means and all PQ_M residual codebooks) in unrolled SQL,
+    so a hash match verifies the entire two-level training + encoding
+    + probed-ADC retrieval."""
+    emb = _emb(spark, sf_dir)
+    cents = _coarse_codebook(spark, sf_dir)
+    res = _residuals(emb, cents)
+
+    key = (*_corpus_key(sf_dir), "ivfpq")
+    cbs = _IVFPQ_CACHE.get(key)
+    if cbs is None:
+        cbs = pq_fit(res.select("vec_id", "v"))
+        _IVFPQ_CACHE[key] = cbs
+
+    codes = res.select(
+        "vec_id", "list_id", F.posexplode(pq_codes_col(cbs)).alias("m", "code")
+    )
+
+    # probed lists per query (same ranked-d2 idiom as similarity_ivf_kmeans)
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "v",
+            F.posexplode(
+                F.array_sort(_d2_cols(F.col("v"), cents))
+            ).alias("rk", "s"),
+        )
+        .filter(F.col("rk") < N_PROBE)
+        .select("query_id", "v", F.col("s").getField("c_id").alias("list_id"))
+    )
+    cent_arr = F.array(*[_lit_vec(c) for c in cents])
+    qres_v = F.zip_with(
+        F.col("v"),
+        F.element_at(cent_arr, F.col("list_id") + 1),
+        lambda x, y: x - y,
+    )
+    q_sub = probes.select(
+        "query_id",
+        "list_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(qres_v, m * PQ_DSUB + 1, PQ_DSUB)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "qsub"),
+    )
+    cb_df = spark.createDataFrame(
+        [
+            (m, ci, [float(x) for x in cbs[m][ci]])
+            for m in range(PQ_M)
+            for ci in range(PQ_KSUB)
+        ],
+        "m int, c_id int, c array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qsub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtable = q_sub.join(F.broadcast(cb_df), "m").select(
+        "query_id",
+        "list_id",
+        "m",
+        "c_id",
+        F.floor(d2 * F.lit(float(10**PQ_DP)) + F.lit(0.5)).alias("pd2u"),
+    )
+    approx = (
+        codes.join(
+            F.broadcast(dtable),
+            (codes.list_id == dtable.list_id)
+            & (codes.m == dtable.m)
+            & (codes.code == dtable.c_id),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2u").alias("units"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("units"), F.asc("vec_id"))
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            (F.col("units").cast("double") / F.lit(float(10**PQ_DP))).alias(
+                "approx_d2"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_oracle_sql() -> str:
+    """The ENTIRE two-level pipeline in one sf-agnostic SQL string:
+    coarse k-means training (unrolled like ivf_kmeans_oracle_sql),
+    residual computation, all PQ_M residual codebooks (shared
+    generator, src='res'), per-(query, probed-list) distance tables on
+    query residuals, and the probed ADC ranking."""
+
+    def cd2(c_rel: str) -> str:
+        diff = f"list_transform(list_zip(e.v, {c_rel}.c), s -> s[1] - s[2])"
+        return f"list_dot_product({diff}, {diff})"
+
+    steps = [
+        f"""cents0 AS (
+          SELECT vec_id AS c_id,
+                 list_transform(v, x -> round(x, {KMEANS_DP})) AS c
+          FROM emb WHERE vec_id < {K_KMEANS}
+        )"""
+    ]
+    for t in range(KMEANS_ITERS):
+        steps.append(
+            f"""ka{t} AS MATERIALIZED (
+          SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cd2('c')} ASC, c.c_id ASC)
+                     AS rk
+            FROM emb e CROSS JOIN cents{t} c
+          ) WHERE rk = 1
+        ), kcomp{t} AS (
+          SELECT a.c_id, t.i, round(avg(e.v[i]), {KMEANS_DP}) AS cx
+          FROM ka{t} a JOIN emb e USING (vec_id),
+               unnest(range(1, len(e.v) + 1)) AS t(i)
+          GROUP BY a.c_id, t.i
+        ), cents{t + 1} AS MATERIALIZED (
+          SELECT c_id, list(cx ORDER BY i) AS c FROM kcomp{t} GROUP BY c_id
+          UNION ALL
+          SELECT c_id, c FROM cents{t}
+          WHERE c_id NOT IN (SELECT DISTINCT c_id FROM ka{t})
+        )"""
+        )
+    kfin = f"cents{KMEANS_ITERS}"
+    coarse = ",\n        ".join(steps)
+
+    train, codes_union, fins = _pq_train_core("res")
+    dtp_steps = []
+    dtp_selects = []
+    for m, fin in enumerate(fins):
+        a, b = m * PQ_DSUB + 1, m * PQ_DSUB + PQ_DSUB
+        dtp_steps.append(
+            f"""qsub{m} AS (
+          SELECT query_id, list_id, v[{a}:{b}] AS sv FROM qres
+        ), dtp{m} AS (
+          SELECT e.query_id, e.list_id, c.c_id,
+                 CAST(floor({_pq_d2_sql('e.sv', 'c')} * 1e{PQ_DP} + 0.5)
+                      AS BIGINT) AS pd2u
+          FROM qsub{m} e CROSS JOIN {fin} c
+        )"""
+        )
+        dtp_selects.append(
+            f"SELECT query_id, list_id, {m} AS m, c_id, pd2u FROM dtp{m}"
+        )
+    dtp = ",\n        ".join(dtp_steps)
+    dtp_union = "\n          UNION ALL ".join(dtp_selects)
+
+    return f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {coarse},
+        assigned AS MATERIALIZED (
+          SELECT vec_id, c_id AS list_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cd2('c')} ASC, c.c_id ASC)
+                     AS rk
+            FROM emb e CROSS JOIN {kfin} c
+          ) WHERE rk = 1
+        ), res AS MATERIALIZED (
+          SELECT e.vec_id, a.list_id,
+                 list_transform(list_zip(e.v, c.c), s -> s[1] - s[2]) AS v
+          FROM emb e JOIN assigned a USING (vec_id)
+          JOIN {kfin} c ON c.c_id = a.list_id
+        ),
+        {train},
+        codes AS MATERIALIZED (
+          {codes_union}
+        ), probes AS MATERIALIZED (
+          SELECT vec_id AS query_id, c_id AS list_id FROM (
+            SELECT e.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cd2('c')} ASC, c.c_id ASC)
+                     AS rk
+            FROM emb e CROSS JOIN {kfin} c
+            WHERE e.vec_id < {N_QUERIES}
+          ) WHERE rk <= {N_PROBE}
+        ), qres AS MATERIALIZED (
+          SELECT p.query_id, p.list_id,
+                 list_transform(list_zip(q.v, c.c), s -> s[1] - s[2]) AS v
+          FROM probes p
+          JOIN emb q ON q.vec_id = p.query_id
+          JOIN {kfin} c ON c.c_id = p.list_id
+        ),
+        {dtp},
+        dtp_all AS (
+          {dtp_union}
+        ), codesl AS (
+          SELECT c.vec_id, a.list_id, c.m, c.code
+          FROM codes c JOIN assigned a USING (vec_id)
+        ), adc AS (
+          SELECT d.query_id, c.vec_id,
+                 CAST(sum(d.pd2u) AS BIGINT) AS units
+          FROM codesl c
+          JOIN dtp_all d
+            ON d.list_id = c.list_id AND d.m = c.m AND d.c_id = c.code
+          WHERE c.vec_id <> d.query_id
+          GROUP BY d.query_id, c.vec_id
+        ), topk AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY units ASC, vec_id ASC) AS rank,
+                 CAST(units AS DOUBLE) / 1e{PQ_DP} AS approx_d2
+          FROM adc
+        )
+        SELECT query_id, neighbor_id, rank, approx_d2 FROM topk
         WHERE rank <= {TOPK} ORDER BY query_id, rank
     """

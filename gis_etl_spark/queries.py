@@ -711,6 +711,9 @@ REGISTRY.update(
         "similarity_pq_rerank": (
             S.similarity_pq_rerank, S.pq_rerank_oracle_sql(),
         ),
+        # IVFADC proper (coarse k-means + PQ on residuals): the oracle
+        # retrains BOTH quantizer levels in unrolled SQL
+        "similarity_ivfpq": (S.similarity_ivfpq, S.ivfpq_oracle_sql()),
     }
 )
 
@@ -1079,6 +1082,7 @@ _TIER0 = (
     "io_geojsonl_scan",
     "multimodal_spectral",
     "training_data_prep_v2",
+    "similarity_ivfpq",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

@@ -543,3 +543,70 @@ def test_bpe_invariants(spark, sf_dir):
     stats = bpe_segment_stats(spark, sf_dir).collect()
     for r in stats:
         assert r.n_words <= r.n_subwords  # ≥1 subword per word
+
+
+def test_ivfpq_structural_invariants(spark, sf_dir):
+    """IVFADC invariants: every returned neighbor belongs to one of
+    its query's probed coarse lists; per-query ranks are 1..k with
+    nondecreasing approximate distances; repeat runs are identical.
+    (No recall floor: isotropic synthetic embeddings give any coarse
+    partitioner near-chance list separation — the oracle hash match
+    is the correctness bar; this test pins the retrieval STRUCTURE.)"""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gis_etl_spark.ops.similarity import (
+        N_PROBE,
+        N_QUERIES,
+        TOPK,
+        _coarse_codebook,
+        _d2_cols,
+        _emb,
+        similarity_ivfpq,
+    )
+
+    rows = similarity_ivfpq(spark, sf_dir).collect()
+    emb = _emb(spark, sf_dir)
+    cents = _coarse_codebook(spark, sf_dir)
+    assigned = {
+        r.vec_id: r.list_id
+        for r in emb.select(
+            "vec_id",
+            F.array_min(_d2_cols(F.col("v"), cents))
+            .getField("c_id")
+            .alias("list_id"),
+        ).collect()
+    }
+    probes: dict[int, set] = {}
+    for r in (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode(F.array_sort(_d2_cols(F.col("v"), cents))).alias(
+                "rk", "s"
+            ),
+        )
+        .filter(F.col("rk") < N_PROBE)
+        .select("qid", F.col("s").getField("c_id").alias("list_id"))
+        .collect()
+    ):
+        probes.setdefault(r.qid, set()).add(r.list_id)
+
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(N_QUERIES))
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPK
+        d = [r.approx_d2 for r in rs]
+        assert all(x >= 0 for x in d) and d == sorted(d)
+        for r in rs:
+            assert assigned[r.neighbor_id] in probes[q], (
+                q, r.neighbor_id,
+            )
+
+    again = [(r.query_id, r.neighbor_id, r.rank) for r in
+             similarity_ivfpq(spark, sf_dir).collect()]
+    assert again == [(r.query_id, r.neighbor_id, r.rank) for r in rows]

@@ -78,6 +78,7 @@ HEADLINE = [
     "geo_tile_census",
     "geo_geohash_census",
     "training_data_prep_v2",
+    "similarity_ivfpq",
 ]
 
 

@@ -258,6 +258,15 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         artifacts["streaming_span_dedup_state_rows"] = (
             spark.table("bench_sd").select("span").distinct().count()
         )
+
+        t0 = time.time()
+        S.run_to_memory(S.streaming_funnel(spark, ev_dir), "bench_fn")
+        dt = time.time() - t0
+        out["streaming_funnel"] = round(dt, 3)
+        artifacts["streaming_funnel_rows_per_sec"] = int(n_ev / dt)
+        artifacts["streaming_funnel_state_rows"] = (
+            spark.table("bench_fn").select("user_id").distinct().count()
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

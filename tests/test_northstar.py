@@ -610,3 +610,25 @@ def test_ivfpq_structural_invariants(spark, sf_dir):
     again = [(r.query_id, r.neighbor_id, r.rank) for r in
              similarity_ivfpq(spark, sf_dir).collect()]
     assert again == [(r.query_id, r.neighbor_id, r.rank) for r in rows]
+
+
+def test_training_prep_v2_monotone_funnel(spark, sf_dir):
+    """v2 funnel invariants per shard: n_final ≤ n_span_ok ≤
+    n_surprisal ≤ n_raw, budgets/checksums zero iff no survivors,
+    and totals conserve across shards (every doc lands in exactly
+    one shard)."""
+    from gis_etl_spark.ops.dedup import _docs, training_data_prep_v2
+
+    rows = training_data_prep_v2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_final <= r.n_span_ok <= r.n_surprisal <= r.n_raw
+        assert (r.n_final == 0) == (r.id_sum == 0)
+        assert (r.n_final == 0) == (r.tok_budget == 0)
+    n_docs = (
+        _docs(spark)
+        .filter("text IS NOT NULL AND length(trim(text)) > 0")
+        .count()
+    )
+    assert sum(r.n_raw for r in rows) == n_docs
+    assert 0 < sum(r.n_final for r in rows) < n_docs

@@ -466,3 +466,70 @@ def test_streaming_span_dedup_matches_batch(spark, sf_dir, tmp_path):
             else:
                 exp[s] = (1, r.doc_id, cid)
     assert got == exp
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel == batch funnel semantics under the
+    event-time-ordered arrival contract (same as the sessionizer):
+    feed the events in 3 TIME-ORDERED chunks and require the final
+    per-user stage/delta state to equal a sequential reference."""
+    import time
+
+    from gis_etl_spark.ops.relational import FUNNEL_WINDOW_US as W
+    from gis_etl_spark.pipelines import streaming as S
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    rows = sorted(ev.collect(), key=lambda r: r.ts)
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "fn_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate(chunks):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"fn_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_funnel(spark, flat), name, output_mode="update"
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("user_id").tail(1).set_index("user_id")
+    got = {
+        int(u): (int(r.stage), int(r.view_us), int(r.delta_us))
+        for u, r in last.iterrows()
+        if r.view_us == r.view_us  # view reached
+    }
+
+    # sequential reference over the time-ordered event log
+    import datetime as dt
+
+    exp: dict[int, list] = {}
+    for r in rows:
+        st = exp.setdefault(int(r.user_id), [None, None, None])
+        us = int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        if r.event_type == "view":
+            if st[0] is None:
+                st[0] = us
+        elif r.event_type == "click":
+            if st[0] is not None and st[1] is None and st[0] < us <= st[0] + W:
+                st[1] = us
+        elif r.event_type == "purchase":
+            if st[1] is not None and st[2] is None and st[1] < us <= st[1] + W:
+                st[2] = us
+    exp_out = {}
+    for u, (v, c, p) in exp.items():
+        if v is None:
+            continue
+        stage = 1 if c is None else 2 if p is None else 3
+        lastus = p or c or v
+        exp_out[u] = (stage, v, lastus - v)
+    assert got == exp_out
+    assert any(s == 3 for s, _, _ in got.values())  # full conversions exist

@@ -1877,3 +1877,53 @@ def ivfpq_oracle_sql() -> str:
         SELECT query_id, neighbor_id, rank, approx_d2 FROM topk
         WHERE rank <= {TOPK} ORDER BY query_id, rank
     """
+
+
+DIMSTAT_DP = 6  # fixed-point decimals for per-dimension moments
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension first/second moments of the embedding corpus —
+    the observability step before any standardization/whitening that
+    PQ/IVF preprocessing applies (a skewed or off-center dimension
+    ruins subspace quantizers). Returns (dim, n, sum_units,
+    sumsq_units): exact int64 fixed-point sums, so the stats are
+    bit-stable under any partitioning and hash-checkable; mean and
+    variance derive downstream as sum/n and (n·SS − S²)/n² without
+    ever summing floats.
+
+    Plan: posexplode → ONE hash agg on the 64-value dim key (partial
+    map-side); nothing else. Scale note: at ~1e12 rows the int64
+    sum-of-squares approaches overflow — swap the two sums to
+    `decimal(38,0)` per fixedpoint.py's scale note (same determinism,
+    one cast)."""
+    emb = _emb(spark, sf_dir)
+    q = F.floor(
+        F.col("x") * F.lit(float(10**DIMSTAT_DP)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        emb.select(F.posexplode("v").alias("dim", "x"))
+        .select("dim", q.alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").alias("sum_units"),
+            F.sum(F.col("q") * F.col("q")).alias("sumsq_units"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_dim_stats_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(unnest(embedding::DOUBLE[]) * 1e{DIMSTAT_DP} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT dim, count(*)::BIGINT AS n,
+       sum(q)::BIGINT AS sum_units,
+       sum(q * q)::BIGINT AS sumsq_units
+FROM ex GROUP BY dim ORDER BY dim
+"""

@@ -714,6 +714,9 @@ REGISTRY.update(
         # IVFADC proper (coarse k-means + PQ on residuals): the oracle
         # retrains BOTH quantizer levels in unrolled SQL
         "similarity_ivfpq": (S.similarity_ivfpq, S.ivfpq_oracle_sql()),
+        "embedding_dim_stats": (
+            S.embedding_dim_stats, S.embedding_dim_stats_sql(),
+        ),
     }
 )
 
@@ -1083,6 +1086,7 @@ _TIER0 = (
     "multimodal_spectral",
     "training_data_prep_v2",
     "similarity_ivfpq",
+    "embedding_dim_stats",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

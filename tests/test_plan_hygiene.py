@@ -169,6 +169,10 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
+    plan = _plan(REGISTRY["similarity_ivfpq"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
     plan = _plan(REGISTRY["dedup_spans"][0](spark, sf_dir))
     assert "BatchEvalPython" not in plan
     # one exchange for the per-span window, one for the per-doc

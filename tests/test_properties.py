@@ -179,3 +179,134 @@ def test_simplify_deviation_bound(pts, tol):
 
     for x, y in pts:
         assert dist_to_chain(np.array([float(x), float(y)])) <= tol + 1e-9
+
+
+@given(
+    st.floats(-84.9, 84.9, allow_nan=False),
+    st.floats(-179.9, 179.9, allow_nan=False),
+)
+@settings(max_examples=80, deadline=None)
+def test_geohash_and_quadkey_hierarchy(lat, lng):
+    """Key-family nesting laws on random points: the p−1-char geohash
+    prefix names the containing parent cell, the parent cell's bbox
+    contains the child's, and the z−1 quadkey is exactly the z quadkey
+    div 4 (digit-aligned integer interleave)."""
+    ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    from gis_etl_spark.layout.sfc import geohash_bbox, tile_bbox
+
+    def gh(lat, lng, p):
+        bits = 5 * p
+        lon_bits = (bits + 1) // 2
+        lat_bits = bits // 2
+        x = min((1 << lon_bits) - 1,
+                max(0, int((lng + 180.0) / 360.0 * (1 << lon_bits))))
+        y = min((1 << lat_bits) - 1,
+                max(0, int((lat + 90.0) / 180.0 * (1 << lat_bits))))
+        gi = 0
+        for i in range(bits):
+            b = (
+                (x >> (lon_bits - 1 - i // 2)) & 1
+                if i % 2 == 0
+                else (y >> (lat_bits - 1 - i // 2)) & 1
+            )
+            gi |= b << (bits - 1 - i)
+        return "".join(
+            ALPHA[(gi >> (5 * (p - 1 - i))) & 31] for i in range(p)
+        )
+
+    child, parent = gh(lat, lng, 6), gh(lat, lng, 5)
+    assert child[:5] == parent
+    cw, cs, ce, cn = geohash_bbox(child)
+    pw, ps, pe, pn = geohash_bbox(parent)
+    assert pw <= cw and ps <= cs and ce <= pe and cn <= pn
+    assert cw - 1e-9 <= lng <= ce + 1e-9
+    assert cs - 1e-9 <= lat <= cn + 1e-9
+
+    import math
+
+    def txy(lat, lng, z):
+        n = 1 << z
+        x = int((lng + 180.0) / 360.0 * n)
+        y = int(
+            (1.0 - math.log(math.tan(math.radians(lat))
+                            + 1.0 / math.cos(math.radians(lat)))
+             / math.pi) / 2.0 * n
+        )
+        return (min(n - 1, max(0, x)), min(n - 1, max(0, y)))
+
+    def qk(x, y, z):
+        return sum(
+            (((y >> i) & 1) * 2 + ((x >> i) & 1)) << (2 * i)
+            for i in range(z)
+        )
+
+    x, y = txy(lat, lng, 10)
+    px, py = txy(lat, lng, 9)
+    assert (px, py) == (x // 2, y // 2)
+    assert qk(px, py, 9) == qk(x, y, 10) // 4
+    w, s_, e, n_ = tile_bbox(x, y, 10)
+    assert w - 1e-9 <= lng <= e + 1e-9
+    assert s_ - 1e-7 <= lat <= n_ + 1e-7
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-50, 50, allow_nan=False, width=16),
+            st.floats(-50, 50, allow_nan=False, width=16),
+        ),
+        min_size=4,
+        max_size=25,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_convex_hull_random_rings(pts):
+    """Hull properties on random closed rings: strictly convex CCW
+    boundary and every input vertex inside-or-on the hull."""
+    import struct
+
+    import numpy as np
+
+    from gis_etl_spark.geom import wkb as K
+
+    ring = pts + [pts[0]]
+    poly = struct.pack("<BIII", 1, 3, 1, len(ring)) + b"".join(
+        struct.pack("<2d", float(x), float(y)) for x, y in ring
+    )
+    hull = K.convex_hull(poly)
+    btype, hparts = K.parse(hull)
+    uniq = {p for p in pts}
+    if btype != 3:
+        # collinear/coincident degenerate inputs
+        assert btype in (1, 2)
+        return
+    hring = hparts[0][0][:, :2]
+    r = hring[:-1]
+    nxt = np.roll(r, -1, axis=0)
+    nxt2 = np.roll(r, -2, axis=0)
+    cross = (nxt[:, 0] - r[:, 0]) * (nxt2[:, 1] - nxt[:, 1]) - (
+        nxt[:, 1] - r[:, 1]
+    ) * (nxt2[:, 0] - nxt[:, 0])
+    assert (cross > 0).all()
+    # every vertex within the hull (allow boundary-rule slack)
+    xs = np.array([p[0] for p in uniq])
+    ys = np.array([p[1] for p in uniq])
+    inside = K.contains_point_batch([hull] * len(xs), xs, ys)
+    for ok, x, y in zip(inside, xs, ys):
+        if ok:
+            continue
+        d = min(
+            _seg_dist(np.array([x, y]), a, b)
+            for a, b in zip(hring[:-1], hring[1:])
+        )
+        assert d < 1e-7, (x, y, d)
+
+
+def _seg_dist(p, a, b):
+    import numpy as np
+
+    seg = b - a
+    L2 = float(seg @ seg)
+    t = 0.0 if L2 == 0 else max(0.0, min(1.0, float((p - a) @ seg) / L2))
+    return float(np.hypot(*(p - (a + t * seg))))

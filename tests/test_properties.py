@@ -310,3 +310,34 @@ def _seg_dist(p, a, b):
     L2 = float(seg @ seg)
     t = 0.0 if L2 == 0 else max(0.0, min(1.0, float((p - a) @ seg) / L2))
     return float(np.hypot(*(p - (a + t * seg))))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-179, 179, allow_nan=False, width=16),
+            st.floats(-89, 89, allow_nan=False, width=16),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_wkb_text_codecs_roundtrip(pts):
+    """Both text codecs are lossless over random polygons: WKB → WKT →
+    WKB and WKB → GeoJSON dict → WKB reproduce the input bytes
+    (float16-grid coordinates print exactly in both renderings)."""
+    import struct
+
+    from gis_etl_spark.geom import wkb as K
+    from gis_etl_spark.sources.geojson import (
+        from_geojson_geometry,
+        to_geojson_geometry,
+    )
+
+    ring = pts + [pts[0]]
+    poly = struct.pack("<BIII", 1, 3, 1, len(ring)) + b"".join(
+        struct.pack("<2d", float(x), float(y)) for x, y in ring
+    )
+    assert K.from_wkt(K.to_wkt(poly)) == poly
+    assert from_geojson_geometry(to_geojson_geometry(poly)) == poly

@@ -1133,21 +1133,19 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_kmeans_oracle_sql() -> str:
-    """The ENTIRE pipeline — Lloyd training AND retrieval — as one
-    sf-agnostic SQL string: the 3 iterations unroll into CTE chains
-    over the `embeddings` view, so the oracle independently retrains
-    the codebook on whatever scale factor the harness mounts (the
-    driver gates at sf0.01, pytest at sf0.001). Distance uses
-    list_dot_product of the elementwise diff — bit-identical to
-    Spark's sequential zip_with sum — and centroid components round
-    to {KMEANS_DP}dp per iteration, the same quantization contract
-    that makes the distributed/sequential/SQL trainers agree."""
+def _sql_d2(c_rel: str) -> str:
+    """Squared distance e.v ↔ {c_rel}.c in the shared bit-exact form:
+    list_dot_product of the elementwise diff (same left-to-right sum
+    as Spark's aggregate(zip_with))."""
+    diff = f"list_transform(list_zip(e.v, {c_rel}.c), s -> s[1] - s[2])"
+    return f"list_dot_product({diff}, {diff})"
 
-    def d2(c_rel: str) -> str:
-        diff = f"list_transform(list_zip(e.v, {c_rel}.c), s -> s[1] - s[2])"
-        return f"list_dot_product({diff}, {diff})"
 
+def _kmeans_train_ctes() -> tuple[str, str]:
+    """The Lloyd training loop as unrolled SQL CTEs over an `emb`
+    relation (vec_id, v) — shared by every oracle that must retrain
+    the coarse codebook independently (IVF retrieval, SemDeDup).
+    Returns (cte_block, final_centroid_relation_name)."""
     steps = []
     steps.append(
         f"""cents0 AS (
@@ -1162,7 +1160,7 @@ def ivf_kmeans_oracle_sql() -> str:
           SELECT vec_id, c_id FROM (
             SELECT e.vec_id, c.c_id,
                    row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {d2('c')} ASC, c.c_id ASC)
+                                      ORDER BY {_sql_d2('c')} ASC, c.c_id ASC)
                      AS rk
             FROM emb e CROSS JOIN cents{t} c
           ) WHERE rk = 1
@@ -1178,8 +1176,22 @@ def ivf_kmeans_oracle_sql() -> str:
           WHERE c_id NOT IN (SELECT DISTINCT c_id FROM a{t})
         )"""
         )
-    train = ",\n        ".join(steps)
-    final = f"cents{KMEANS_ITERS}"
+    return ",\n        ".join(steps), f"cents{KMEANS_ITERS}"
+
+
+def ivf_kmeans_oracle_sql() -> str:
+    """The ENTIRE pipeline — Lloyd training AND retrieval — as one
+    sf-agnostic SQL string: the 3 iterations unroll into CTE chains
+    over the `embeddings` view, so the oracle independently retrains
+    the codebook on whatever scale factor the harness mounts (the
+    driver gates at sf0.01, pytest at sf0.001). Distance uses
+    list_dot_product of the elementwise diff — bit-identical to
+    Spark's sequential zip_with sum — and centroid components round
+    to {KMEANS_DP}dp per iteration, the same quantization contract
+    that makes the distributed/sequential/SQL trainers agree."""
+
+    d2 = _sql_d2
+    train, final = _kmeans_train_ctes()
     cos = (
         "list_dot_product(a.v, q.qv) / "
         "(sqrt(list_dot_product(a.v, a.v)) * "
@@ -1225,6 +1237,128 @@ def ivf_kmeans_oracle_sql() -> str:
         )
         SELECT query_id, neighbor_id, rank, sim FROM topk
         WHERE rank <= {TOPK} ORDER BY query_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas, Tirumala, Simig, Ganguli, Morcos 2023: "SemDeDup:
+# Data-efficient learning at web-scale through semantic deduplication",
+# arXiv:2303.09540) — semantic near-dup removal: cluster the embedding
+# space, then compare pairs only WITHIN a cluster. The clustering bounds
+# the quadratic term: the paper runs 110k clusters over LAION-440M
+# (~4k vectors/cluster); here k=K_KMEANS over the test corpus. The
+# reference repo has no embedding ops at all (SURVEY §2.11 north-star).
+# ---------------------------------------------------------------------------
+
+# Same cosine threshold as the hyperplane-LSH dedup path: SemDeDup and
+# dedup_embedding_lsh are two scale strategies (clustering vs banding)
+# for the SAME near-dup contract, so they share the contract constant —
+# tests compare their recall against the exact pairwise baseline.
+SEMDEDUP_T = EMB_DEDUP_T  # 0.35
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop every vector that has a lower-id semantic twin
+    (cosine >= SEMDEDUP_T) inside its k-means cluster. Reuses the SAME
+    trained coarse codebook as similarity_ivf_kmeans (one Lloyd fit,
+    cached per corpus fingerprint, pays for both retrieval and dedup —
+    exactly the shared-quantizer economy the SemDeDup paper argues for).
+
+    Keeper rule: deterministic, non-iterative — vec v survives iff no
+    u < v in the same cluster with cos(u, v) >= T. (The paper keeps one
+    representative per connected near-dup group; min-id domination is
+    the order-free variant of its "keep lowest index" tie-break and
+    needs no iteration-to-fixpoint.)
+
+    Plan shape / 100 TB: assignment is a map-side argmin over broadcast
+    centroid literals (no shuffle); the pairwise stage is ONE shuffle on
+    list_id (a self-equi-join — never a cross join, asserted by the
+    registry-wide no-CartesianProduct sweep). The quadratic term is
+    bounded by the largest cluster: at scale k grows with the corpus
+    (SemDeDup §3: fix the TARGET cluster size, derive k), and a skewed
+    mega-cluster gets the same cap-and-audit treatment as
+    EMB_LSH_BUCKET_CAP. Cosine is the bit-exact sequential sum shared
+    with the oracle, so the >= T comparison cannot flip cross-engine."""
+    emb = _emb(spark, sf_dir)
+    key = _corpus_key(sf_dir)
+    cents = _KMEANS_CACHE.get(key)
+    if cents is None:
+        cents = kmeans_fit(emb)
+        _KMEANS_CACHE[key] = cents
+    assigned = emb.select(
+        "vec_id",
+        "v",
+        F.array_min(_d2_cols(F.col("v"), cents))
+        .getField("c_id")
+        .alias("list_id"),
+    )
+    a = assigned.select(
+        "list_id", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "list_id", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    drops = (
+        a.join(b, "list_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= F.lit(float(SEMDEDUP_T)))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "list_id")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.coalesce(F.col("dropped"), F.lit(False)).alias("dropped"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_oracle_sql() -> str:
+    """Independent SemDeDup: retrains the codebook via the shared
+    unrolled-Lloyd CTEs, re-derives assignments, and recomputes every
+    intra-cluster cosine with list_dot_product — a hash match verifies
+    training + assignment + the pairwise keep/drop decisions
+    end-to-end."""
+    train, final = _kmeans_train_ctes()
+    cos = (
+        "list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * "
+        "sqrt(list_dot_product(eb.v, eb.v)))"
+    )
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {train},
+        d2s AS (
+          SELECT e.vec_id, c.c_id, {_sql_d2('c')} AS d2
+          FROM emb e CROSS JOIN {final} c
+        ), assigned AS (
+          SELECT vec_id, c_id AS list_id FROM (
+            SELECT vec_id, c_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, c_id ASC) AS rk
+            FROM d2s
+          ) WHERE rk = 1
+        ), drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a
+          JOIN assigned b USING (list_id)
+          JOIN emb ea ON ea.vec_id = a.vec_id
+          JOIN emb eb ON eb.vec_id = b.vec_id
+          WHERE a.vec_id < b.vec_id AND {cos} >= {SEMDEDUP_T}
+        )
+        SELECT s.vec_id, s.list_id,
+               (s.vec_id IN (SELECT vec_id FROM drops)) AS dropped
+        FROM assigned s ORDER BY s.vec_id
     """
 
 

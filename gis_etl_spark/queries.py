@@ -717,6 +717,10 @@ REGISTRY.update(
         "embedding_dim_stats": (
             S.embedding_dim_stats, S.embedding_dim_stats_sql(),
         ),
+        # SemDeDup (Abbas et al. 2023): cluster-then-dedup on the SAME
+        # trained codebook as similarity_ivf_kmeans; the oracle retrains
+        # the codebook and re-derives every intra-cluster keep/drop
+        "semdedup": (S.semdedup, S.semdedup_oracle_sql()),
     }
 )
 
@@ -1087,6 +1091,8 @@ _TIER0 = (
     "training_data_prep_v2",
     "similarity_ivfpq",
     "embedding_dim_stats",
+    # round-4 session 3
+    "semdedup",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

@@ -632,3 +632,39 @@ def test_training_prep_v2_monotone_funnel(spark, sf_dir):
     )
     assert sum(r.n_raw for r in rows) == n_docs
     assert 0 < sum(r.n_final for r in rows) < n_docs
+
+
+def test_semdedup_sound_and_recall(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) contract: (a) soundness — every
+    dropped vector has a lower-id near-twin at cosine >= SEMDEDUP_T
+    (intra-cluster pairs are a subset of ALL pairs, so drops must be a
+    subset of the exact global higher-id near-dup set, recomputed here
+    with numpy); (b) the cluster restriction still catches >= 30% of
+    that global set (the price of never comparing across clusters);
+    (c) keep/drop is deterministic across runs."""
+    import numpy as np
+
+    rows = S.semdedup(spark, sf_dir).collect()
+    assert len(rows) == S._emb(spark, sf_dir).count()
+    dropped = {r.vec_id for r in rows if r.dropped}
+    assert dropped, "threshold dropped nothing — contract signal lost"
+
+    emb = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in S._emb(spark, sf_dir).collect()
+    )
+    ids = np.array([e[0] for e in emb])
+    M = np.array([e[1] for e in emb])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    higher = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if C[i, j] >= S.SEMDEDUP_T - 1e-9:
+                higher.add(int(ids[j]))
+    assert dropped <= higher, f"unsound drops: {sorted(dropped - higher)[:5]}"
+    recall = len(dropped) / len(higher)
+    assert recall >= 0.3, f"intra-cluster recall collapsed: {recall:.2f}"
+
+    again = {r.vec_id for r in S.semdedup(spark, sf_dir).collect() if r.dropped}
+    assert again == dropped

@@ -79,6 +79,13 @@ HEADLINE = [
     "geo_geohash_census",
     "training_data_prep_v2",
     "similarity_ivfpq",
+    # round-4 session 3: SemDeDup, CDC pack, exact-int PageRank,
+    # scale-safe global deciles
+    "semdedup",
+    "cdc_latest_state",
+    "scd2_intervals",
+    "pagerank_trade",
+    "quality_deciles",
 ]
 
 

@@ -93,6 +93,103 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_DECILES = 10
+
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global NTILE(10) over the quality score WITHOUT a global
+    single-partition sort — the scale-safe way to stratify a corpus
+    into quality bands for curriculum mixing / pruning.
+
+    A bare `ntile() OVER (ORDER BY …)` window moves EVERY row to one
+    partition (Spark warns, then dies at 100 TB). This plan instead:
+      1. counts rows per DISTINCT score — one ordinary shuffle; the
+         result is ≤ 10⁴+1 rows BY CONSTRUCTION (scores are rounded to
+         4dp in [0, 1]), so the cumulative-offset window over it is a
+         provably tiny single partition;
+      2. ranks within each equal-score group in parallel
+         (row_number over a window PARTITIONED by score);
+      3. global rank = group offset + intra-group rank, and the decile
+         falls out of NTILE's closed form: the first (N mod b) buckets
+         take ceil(N/b) rows, the rest floor(N/b) — pure integer
+         arithmetic, verified against the engines' own ntile by both
+         the oracle and tests/test_northstar.py.
+    N is the one driver scalar (A8 pattern). Ties are impossible:
+    (score, doc_id) is unique, so the rank — and thus every decile
+    boundary — is total and deterministic."""
+    q = text_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    n = q.count()
+    b = N_DECILES
+    size_small = n // b
+    size_big = size_small + 1
+    cut = (n % b) * size_big  # rows 1..cut live in the big buckets
+    per_score = q.groupBy("quality_score").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_score.select(
+        "quality_score",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_in = Window.partitionBy("quality_score").orderBy("doc_id")
+    ranked = (
+        q.join(F.broadcast(offsets), "quality_score")
+        .select(
+            "doc_id",
+            "quality_score",
+            (F.col("off") + F.row_number().over(w_in)).alias("rk"),
+        )
+    )
+    decile = F.when(
+        F.col("rk") <= cut,
+        F.expr(f"(rk - 1) div {size_big}") + 1,
+    ).otherwise(
+        F.expr(f"(rk - {cut} - 1) div {size_small}") + (n % b) + 1
+    )
+    return (
+        ranked.select("doc_id", "quality_score", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("decile")
+    )
+
+
+def quality_deciles_sql() -> str:
+    """Oracle: the textbook ntile() window — agreement proves the
+    distributed closed-form bucketing reproduces NTILE exactly."""
+    w = WORDS_SQL
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH s AS (
+          SELECT doc_id, len({w}) AS n,
+                 len(list_distinct({w})) AS nd,
+                 len(list_filter({w}, x -> x IN ({stop_list}))) AS nstop
+          FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 round(least(n / 100.0, 1.0) * (nd * 1.0 / n)
+                       * (1.0 - nstop * 1.0 / n), 4) AS quality_score
+          FROM s
+        ), d AS (
+          SELECT doc_id, quality_score,
+                 ntile({N_DECILES}) OVER (ORDER BY quality_score, doc_id)
+                   AS decile
+          FROM q
+        )
+        SELECT decile, count(*)::BIGINT AS n_docs,
+               min(quality_score) AS min_score,
+               max(quality_score) AS max_score,
+               sum(doc_id)::BIGINT AS id_sum
+        FROM d GROUP BY decile ORDER BY decile
+    """
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: hits per language, argmax with a fixed
     tie-break order — the n-gram-heuristic shape of fasttext-style

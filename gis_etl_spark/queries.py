@@ -625,6 +625,29 @@ REGISTRY.update(
         "dedup_embedding_pairs": (
             T.dedup_embedding_pairs, _TEXT_SQLS["dedup_embedding_pairs"],
         ),
+        # exact global NTILE(10) without a single-partition sort; the
+        # oracle runs the textbook ntile window
+        "quality_deciles": (T.quality_deciles, T.quality_deciles_sql()),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# CDC / changelog pack [beyond-reference]: latest-state compaction and
+# SCD2 interval build, plus exact-int64 PageRank over the trade graph.
+# ---------------------------------------------------------------------------
+
+from gis_etl_spark.ops import cdc as C  # noqa: E402
+from gis_etl_spark.ops import graph as GR  # noqa: E402
+
+REGISTRY.update(
+    {
+        # ONE partially-aggregated max(struct) vs the oracle's
+        # row_number window — same 'latest change per key'
+        "cdc_latest_state": (C.cdc_latest_state, C.cdc_latest_state_sql()),
+        "scd2_intervals": (C.scd2_intervals, C.scd2_intervals_sql()),
+        # 3 unrolled iterations, every rank an exact int64 — the
+        # iterative-algorithm-on-Spark shape with a hash-checkable result
+        "pagerank_trade": (GR.pagerank_trade, GR.pagerank_trade_sql()),
     }
 )
 
@@ -1093,6 +1116,10 @@ _TIER0 = (
     "embedding_dim_stats",
     # round-4 session 3
     "semdedup",
+    "quality_deciles",
+    "cdc_latest_state",
+    "scd2_intervals",
+    "pagerank_trade",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

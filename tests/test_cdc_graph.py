@@ -1,0 +1,82 @@
+"""CDC / SCD2 / PageRank contracts: window-vs-aggregate agreement,
+interval chain invariants, and distributed == sequential PageRank."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gis_etl_spark.io import read_table
+from gis_etl_spark.ops import cdc as C
+from gis_etl_spark.ops import graph as G
+
+
+def test_cdc_latest_state_agrees_with_window(spark, sf_dir):
+    """The partially-aggregated max(struct) plan and the classic
+    row_number() window must pick the identical 'latest' row per key
+    (the struct's leading (date, orderkey) is a total order)."""
+    got = {
+        r.o_custkey: (r.last_orderkey, r.last_status, r.last_totalprice)
+        for r in C.cdc_latest_state(spark, sf_dir).collect()
+    }
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    want = {
+        r.o_custkey: (r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == orders.select("o_custkey").distinct().count()
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    """Per key: versions are contiguous from 1, exactly one current
+    (open) interval, each version's valid_to equals the next version's
+    valid_from, and no change row is lost."""
+    rows = C.scd2_intervals(spark, sf_dir).collect()
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    assert len(rows) == n_orders
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.o_custkey].append(r)
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.valid_from <= a.valid_to
+
+
+def test_pagerank_matches_sequential_reference(spark, sf_dir):
+    """The distributed 3-iteration loop must land on the SAME int64
+    rank for every node as the sequential pure-Python twin — integer
+    arithmetic makes the comparison exact, not approximate."""
+    edges = [
+        (r.src, r.dst) for r in G._edges(spark, sf_dir).collect()
+    ]
+    want = G.pagerank_reference(edges)
+    got = {
+        r.node_id: r.rank_units
+        for r in G.pagerank_trade(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(v > 0 for v in got.values())
+    # damping leaks mass only through integer-division floors: the
+    # total stays within N units-per-division of the scale
+    n = len(got)
+    assert G.PR_SCALE * 0.9 <= sum(got.values()) <= G.PR_SCALE
+    # bipartite sanity: both kinds present, suppliers (hub side of the
+    # trade graph: ~10x fewer nodes, same edge mass) outrank customers
+    kinds = {
+        r.kind for r in G.pagerank_trade(spark, sf_dir).collect()
+    }
+    assert kinds == {"customer", "supplier"}
+    assert n == len(set(u for e in edges for u in e))

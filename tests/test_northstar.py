@@ -668,3 +668,31 @@ def test_semdedup_sound_and_recall(spark, sf_dir):
 
     again = {r.vec_id for r in S.semdedup(spark, sf_dir).collect() if r.dropped}
     assert again == dropped
+
+
+def test_quality_deciles_matches_global_ntile(spark, sf_dir):
+    """The distributed closed-form bucketing must reproduce Spark's own
+    ntile() over a global window (the plan we refuse to run at scale),
+    and decile score ranges must be non-overlapping and ordered."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = T.quality_deciles(spark, sf_dir).collect()
+    q = T.text_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.orderBy("quality_score", "doc_id")
+    want = {
+        (r.decile, r.n_docs, r.id_sum)
+        for r in q.withColumn("decile", F.ntile(T.N_DECILES).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .collect()
+    }
+    assert {(r.decile, r.n_docs, r.id_sum) for r in got} == want
+    assert [r.decile for r in got] == list(range(1, T.N_DECILES + 1))
+    for a, b in zip(got, got[1:]):
+        assert a.max_score <= b.min_score

@@ -86,6 +86,7 @@ HEADLINE = [
     "scd2_intervals",
     "pagerank_trade",
     "quality_deciles",
+    "multimodal_ahash_groups",
 ]
 
 

@@ -622,6 +622,41 @@ def _encode_wav(samples: np.ndarray, rate: int) -> bytes:
     )
 
 
+def _ahash64_reference(px) -> int:
+    """Independent (pure-Python, loop-based) average-hash: sum-gray the
+    pixels, 8x8 block means vs the global mean by exact integer
+    cross-multiplication, one bit per block, packed little-endian into
+    a signed 64-bit value. Kept deliberately loop-written so the
+    engine's vectorized twin (ops.multimodal.ahash64) is verified
+    against a different code path of the same public aHash spec.
+
+    The cross-multiplied compare makes the hash EXACTLY invariant to a
+    uniform brightness shift c (no clipping): both sides of
+    blocksum*total_cnt > totalsum*block_cnt gain the identical
+    c*block_cnt*total_cnt term."""
+    h = len(px)
+    w = len(px[0])
+    bs = [0] * 64
+    bc = [0] * 64
+    total = 0
+    for y in range(h):
+        by = y * 8 // h
+        for x in range(w):
+            g = int(px[y][x][0]) + int(px[y][x][1]) + int(px[y][x][2])
+            k = by * 8 + (x * 8 // w)
+            bs[k] += g
+            bc[k] += 1
+            total += g
+    tc = h * w
+    out = 0
+    for k in range(64):
+        if bs[k] * tc > total * bc[k]:
+            out |= 1 << k
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
 def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     """Multimodal fixture (SURVEY.md §2.11): REAL binary payloads +
     typed metadata + content goldens.
@@ -641,23 +676,44 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     encoder, so the engine's numpy decoders are verified content-exact
     by the DuckDB oracle, not just header-exact.
     """
-    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v4", "media.parquet")
+    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v5", "media.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
+    img_bank: list[np.ndarray] = []  # originals eligible for duplication
     for i in range(n_rows):
         kind = kinds[int(rng.integers(0, 3))]
+        ahash = None
         if kind == "image":
-            w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
-            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            # v5: ~20% of images duplicate an earlier one — half as an
+            # exact pixel copy (format still follows the id's parity,
+            # so a BMP image can recur as a PNG: cross-format dups are
+            # real), half uniformly brightness-shifted (aHash-equal by
+            # the cross-multiplication invariance, content-sum-
+            # different). Originals draw pixels in [0, 200) to leave
+            # shift headroom without clipping.
+            mode = int(rng.integers(0, 100))
+            if img_bank and mode < 20:
+                src = img_bank[int(rng.integers(0, len(img_bank)))]
+                if mode < 10:
+                    px = src.copy()
+                else:
+                    c = int(rng.integers(1, 256 - int(src.max())))
+                    px = (src.astype(np.int16) + c).astype(np.uint8)
+                h, w = px.shape[:2]
+            else:
+                w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
+                px = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+                img_bank.append(px)
             # half BMP, half PNG — two real public image formats, each
             # decoded content-exactly by the engine's numpy decoders
             payload = _encode_png(px) if i % 2 else _encode_bmp(px)
             ch, nf = 3, 1
             units, csum = px.size, int(px.sum(dtype=np.int64))
+            ahash = _ahash64_reference(px.tolist())
             # 2× nearest-neighbor downsample golden, computed on the
             # PRE-encode array: verifying it forces decode → resize to
             # reproduce every sampled byte end-to-end
@@ -693,14 +749,18 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
             ds_units, ds_sum = ds.size, int(ds.sum(dtype=np.int64))
         rows.append(
             (i, kind, payload, w, h, ch, nf, len(payload), units, csum,
-             ds_units, ds_sum)
+             ds_units, ds_sum, ahash)
         )
     df = pd.DataFrame(
-        rows,
+        [r[:-1] for r in rows],
         columns=["media_id", "kind", "payload", "width", "height",
                  "channels", "n_frames", "n_bytes", "content_units",
                  "content_sum", "ds2_units", "ds2_sum"],
     ).astype({"media_id": "int64"})
+    # assign the hash column from python ints directly: letting the
+    # row-tuple constructor infer it would round-trip the 2^63-scale
+    # values through float64 and shave the low ~10 bits
+    df["ahash64"] = pd.array([r[-1] for r in rows], dtype="Int64")
     tmp = out + ".tmp"
     df.to_parquet(tmp, index=False)
     os.replace(tmp, out)

@@ -423,6 +423,90 @@ def decode_content(df: DataFrame) -> DataFrame:
     )
 
 
+def ahash64(px: np.ndarray) -> int:
+    """Average-hash (aHash — the classic perceptual image hash, e.g.
+    Krawetz's public writeups): sum-gray, 8x8 block means vs the global
+    mean, one bit per block, packed into a signed 64-bit value.
+
+    All-integer: the block-vs-global compare is cross-multiplied
+    (blocksum·total_cnt > totalsum·block_cnt), which makes the hash
+    bit-for-bit reproducible anywhere AND exactly invariant to uniform
+    brightness shifts (both sides gain the identical term). Vectorized
+    twin of fixtures._ahash64_reference (loop-written on the pre-encode
+    array) — agreement through the oracle verifies decode + hash."""
+    g = px.astype(np.int64).sum(axis=2)
+    h, w = g.shape
+    by = np.arange(h) * 8 // h
+    bx = np.arange(w) * 8 // w
+    idx = (by[:, None] * 8 + bx[None, :]).ravel()
+    bs = np.bincount(idx, weights=g.ravel(), minlength=64).astype(np.int64)
+    bc = np.bincount(idx, minlength=64).astype(np.int64)
+    ts = int(g.sum())
+    tc = g.size
+    out = 0
+    for k in range(64):
+        if int(bs[k]) * tc > ts * int(bc[k]):
+            out |= 1 << k
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
+AHASH_SCHEMA = "media_id long, ahash long, fmt string"
+
+
+def image_ahashes(df: DataFrame) -> DataFrame:
+    """media_id → (aHash, container format) for every decodable image
+    payload; undecodable rows are dropped (the dedup universe is valid
+    images). Arrow-batched, payload column pruned upstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    buf = bytes(b) if b is not None else b""
+                    if buf[:2] == b"BM":
+                        out.append((mid, ahash64(decode_bmp(buf)), "bmp"))
+                    elif buf[:8] == PNG_SIG:
+                        out.append((mid, ahash64(decode_png(buf)), "png"))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(out, columns=["media_id", "ahash", "fmt"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema=AHASH_SCHEMA
+    )
+
+
+def multimodal_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE groups: decode → aHash →
+    group — the image-side analog of doc_fingerprints/dedup_exact.
+    Catches exact re-encodes, cross-format (BMP↔PNG) copies, and
+    uniformly brightness-shifted variants, all of which the byte-level
+    content checksum misses. Oracle: the fixture encoder stored an
+    independently (loop-)computed ahash64 golden per image, so a hash
+    match proves decode + vectorized hash reproduce it on every image.
+
+    Scale: decode+hash is one map pass (the payload never shuffles);
+    the group-by moves 8 bytes per image. Near-dup (small Hamming
+    distance) extension would band the 64 bits exactly like
+    dedup_simhash_pairs."""
+    m = _media(spark).filter(F.col("kind") == "image")
+    return (
+        image_ahashes(m)
+        .groupBy("ahash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_id").alias("id_min"),
+            F.sum("media_id").alias("id_sum"),
+            F.countDistinct("fmt").alias("n_formats"),
+        )
+        .filter(F.col("n_images") >= 2)
+        .orderBy("ahash")
+    )
+
+
 RESIZE_SCHEMA = (
     "media_id long, kind string, ds_units long, ds_sum long, "
     "valid boolean"
@@ -616,6 +700,18 @@ def oracle_sqls() -> dict[str, str]:
                    sum(ds2_units)::BIGINT AS sum_units,
                    sum(ds2_sum)::BIGINT AS sum_content
             FROM {m} GROUP BY kind ORDER BY kind
+        """,
+        # the golden ahash64 was computed by the encoder's independent
+        # loop implementation on the PRE-encode pixels; format comes
+        # from the id parity rule the fixture encodes with
+        "multimodal_ahash_groups": f"""
+            SELECT ahash64 AS ahash, count(*)::BIGINT AS n_images,
+                   min(media_id)::BIGINT AS id_min,
+                   sum(media_id)::BIGINT AS id_sum,
+                   count(DISTINCT media_id % 2)::BIGINT AS n_formats
+            FROM {m} WHERE kind = 'image'
+            GROUP BY ahash64 HAVING count(*) >= 2
+            ORDER BY ahash
         """,
     }
 

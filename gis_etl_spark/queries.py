@@ -776,6 +776,12 @@ REGISTRY.update(
         # rows-only: FFT has no ANSI oracle; pytest pins DC == exact
         # sample sum (independent decode) + Parseval per clip
         "multimodal_spectral": (M.multimodal_spectral, None),
+        # perceptual image dedup: decode → integer aHash → group; the
+        # oracle reads the encoder's independently-computed golden
+        "multimodal_ahash_groups": (
+            M.multimodal_ahash_groups,
+            _MM_SQLS["multimodal_ahash_groups"],
+        ),
     }
 )
 
@@ -1120,6 +1126,7 @@ _TIER0 = (
     "cdc_latest_state",
     "scd2_intervals",
     "pagerank_trade",
+    "multimodal_ahash_groups",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

@@ -305,3 +305,53 @@ def test_spectral_audio_dc_and_parseval(spark, sf_dir):
         if checked >= 40:
             break
     assert checked >= 40
+
+
+def test_ahash_brightness_invariance_and_reference_parity():
+    """aHash contract: the vectorized engine hash equals the loop-based
+    reference on random images, is EXACTLY invariant to a uniform
+    brightness shift (the cross-multiplied compare), and flips for a
+    structurally different image."""
+    import numpy as np
+
+    from gis_etl_spark.fixtures import _ahash64_reference
+    from gis_etl_spark.ops.multimodal import ahash64
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        h, w = int(rng.integers(16, 65)), int(rng.integers(16, 65))
+        px = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+        assert ahash64(px) == _ahash64_reference(px.tolist())
+        shifted = (px.astype(np.int16) + 37).astype(np.uint8)
+        assert ahash64(shifted) == ahash64(px)
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[:, 8:] = 200
+    flipped = grad[:, ::-1]
+    assert ahash64(grad) != ahash64(flipped)
+
+
+def test_ahash_groups_contain_cross_format_dups(spark, sf_dir):
+    """The v5 fixture injects exact and brightness-shifted image
+    duplicates whose container format follows the id parity — so some
+    groups must span BOTH formats, and every group's images decode to
+    the same hash the encoder computed pre-encode. Garbage payloads
+    never enter the dedup universe."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.ops.multimodal import (
+        _media,
+        image_ahashes,
+        multimodal_ahash_groups,
+    )
+
+    groups = multimodal_ahash_groups(spark, sf_dir).collect()
+    assert len(groups) > 20
+    assert any(g.n_formats == 2 for g in groups)
+    assert all(g.n_images >= 2 for g in groups)
+
+    # hashing a corrupted payload raises/skips instead of emitting junk
+    m = _media(spark).filter(F.col("kind") == "image").limit(5)
+    broken = m.withColumn(
+        "payload", F.expr("substring(payload, 1, 10)")
+    )
+    assert image_ahashes(broken).count() == 0

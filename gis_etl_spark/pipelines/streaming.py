@@ -624,3 +624,76 @@ def streaming_funnel(spark: SparkSession, input_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("date_us", LongType()),
+        StructField("orderkey", LongType()),
+        StructField("status", StringType()),
+        StructField("price", DoubleType()),
+    ]
+)
+CDC_OUT_SCHEMA = StructType(
+    [
+        StructField("o_custkey", LongType()),
+        StructField("last_orderkey", LongType()),
+        StructField("last_status", StringType()),
+        StructField("last_totalprice", DoubleType()),
+        StructField("last_update_us", LongType()),
+    ]
+)
+
+
+def _cdc_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Latest-change keeper: per key hold the max (change_us, orderkey)
+    change and its payload. max is associative + commutative, so the
+    final state equals the batch max(struct) under ANY micro-batch
+    slicing or arrival order."""
+    if state.exists:
+        best = tuple(state.get)
+    else:
+        best = None
+    for pdf in pdfs:
+        for us, okey, st, price in zip(
+            pdf["us"], pdf["o_orderkey"], pdf["o_orderstatus"],
+            pdf["o_totalprice"],
+        ):
+            cand = (int(us), int(okey), str(st), float(price))
+            if best is None or cand[:2] > best[:2]:
+                best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        [(key[0], best[1], best[2], best[3], best[0])],
+        columns=[f.name for f in CDC_OUT_SCHEMA],
+    )
+
+
+def streaming_latest_state(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming CDC compaction — the stateful twin of
+    ops.cdc.cdc_latest_state: each arriving change upserts its key's
+    current row. O(1) state per key (one change tuple); this is the
+    continuously-maintained materialized view whose batch rebuild is
+    the max(struct) aggregate — a 100 TB changelog keeps current state
+    fresh without recompaction."""
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    keyed = stream.select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("us"),
+    )
+    return keyed.groupBy("o_custkey").applyInPandasWithState(
+        _cdc_fn,
+        outputStructType=CDC_OUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

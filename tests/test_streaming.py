@@ -533,3 +533,42 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         exp_out[u] = (stage, v, lastus - v)
     assert got == exp_out
     assert any(s == 3 for s, _, _ in got.values())  # full conversions exist
+
+
+def test_streaming_latest_state_matches_batch(spark, sf_dir, stream_dir):
+    """Streaming CDC compaction == batch cdc_latest_state: replay the
+    order changelog as several micro-batch files (repartitioned, so a
+    key's changes straddle batches in arbitrary order) and require the
+    final per-key state to equal the batch max(struct) exactly."""
+    from gis_etl_spark.ops.cdc import cdc_latest_state
+
+    orders = read_table(spark, sf_dir, "orders")
+    _split_into_files(orders, stream_dir, 8)
+
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    sdf = S.streaming_latest_state(spark, stream_dir)
+    S.run_to_memory(sdf, name, output_mode="update")
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("o_custkey").tail(1)
+    got = {
+        int(r.o_custkey): (
+            int(r.last_orderkey),
+            r.last_status,
+            float(r.last_totalprice),
+            int(r.last_update_us),
+        )
+        for r in last.itertuples()
+    }
+    batch = cdc_latest_state(spark, sf_dir).withColumn(
+        "us", F.unix_micros("last_update")
+    )
+    want = {
+        r.o_custkey: (
+            r.last_orderkey,
+            r.last_status,
+            r.last_totalprice,
+            int(r.us),
+        )
+        for r in batch.collect()
+    }
+    assert got == want

@@ -87,6 +87,8 @@ HEADLINE = [
     "pagerank_trade",
     "quality_deciles",
     "multimodal_ahash_groups",
+    "event_pattern_match",
+    "supplier_copurchase_pairs",
 ]
 
 

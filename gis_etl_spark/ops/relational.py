@@ -1255,3 +1255,130 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cohort_week", "weeks_since", "n_active", "cohort_size")
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+EVENT_CHARS = {
+    "view": "V", "click": "C", "purchase": "P", "signup": "S",
+    "error": "E",
+}
+PATTERN = "VC*P"  # view, any clicks, purchase — contiguous in type order
+
+
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped sequential pattern search WITHOUT a
+    row-pattern engine: encode each user's event-type history as a
+    character string (one char per event, (ts, event_id)-ordered) and
+    count non-overlapping regex matches — 'view, then clicks only,
+    then purchase'. The encode step is ONE groupBy(user) with an
+    in-group array_sort (no window over the raw stream); the regex
+    runs per user on a bounded string.
+
+    Scale: state per user is its event-type string — fine for
+    session-bounded histories; an unbounded history would first window
+    the string by time (the same chunking dedup_spans uses). Both
+    engines scan left-to-right greedy non-overlapping, so the count —
+    not just the boolean — is comparable.
+
+    Reference parity: the reference has no sequence operator at all
+    (SURVEY §2.6); this is the [beyond-reference] generalization of
+    funnel_events to arbitrary patterns."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_type"),
+    )
+    ch = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in EVENT_CHARS.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    seqs = (
+        ev.select("user_id", F.struct("us", "event_id", ch.alias("ch")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        F.regexp_count("seq", F.lit(PATTERN)).alias("n_matches"),
+    ).orderBy("user_id")
+
+
+def event_pattern_match_sql() -> str:
+    case = " ".join(
+        f"WHEN event_type = '{k}' THEN '{v}'"
+        for k, v in EVENT_CHARS.items()
+    )
+    return f"""
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg(CASE {case} END, ''
+                            ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, length(seq)::BIGINT AS n_events,
+               len(regexp_extract_all(seq, '{PATTERN}'))::BIGINT
+                 AS n_matches
+        FROM seqs ORDER BY user_id
+    """
+
+
+COPURCHASE_MIN_SHARED = 5
+
+
+def supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (the recommender / market-basket
+    primitive): supplier pairs ranked by how many distinct customers
+    buy from both. One distinct bipartite edge list, one self-equi-join
+    on the customer key, one count — the bipartite projection.
+
+    Scale: the self-join fans out quadratically in the per-customer
+    supplier count; production caps that fan-out per customer (drop or
+    sample hub customers, cap-and-audit like EMB_LSH_BUCKET_CAP) since
+    a customer with 10^5 items contributes 10^10 pairs but no signal.
+    The count shuffle is on the (a, b) pair key — well spread."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    cs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    a = cs.select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("sa"))
+    b = cs.select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("sb"))
+    return (
+        a.join(b, "c")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= COPURCHASE_MIN_SHARED)
+        .orderBy(F.desc("n_shared"), "sa", "sb")
+    )
+
+
+def supplier_copurchase_sql() -> str:
+    return f"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )
+        SELECT a.s AS sa, b.s AS sb, count(*)::BIGINT AS n_shared
+        FROM cs a JOIN cs b USING (c)
+        WHERE a.s < b.s
+        GROUP BY a.s, b.s
+        HAVING count(*) >= {COPURCHASE_MIN_SHARED}
+        ORDER BY n_shared DESC, sa, sb
+    """

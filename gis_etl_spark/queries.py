@@ -994,6 +994,15 @@ REGISTRY.update(
         "funnel_events": (R.funnel_events, _FUNNEL_SQL),
         "events_rolling_anomaly": (R.events_rolling_anomaly, _ANOM_SQL),
         "cohort_retention": (R.cohort_retention, _COHORT_SQL),
+        # MATCH_RECOGNIZE shape generalized: regex over per-user
+        # type-sequence strings, match COUNTS compared cross-engine
+        "event_pattern_match": (
+            R.event_pattern_match, R.event_pattern_match_sql(),
+        ),
+        # market-basket bipartite projection (item-item co-occurrence)
+        "supplier_copurchase_pairs": (
+            R.supplier_copurchase_pairs, R.supplier_copurchase_sql(),
+        ),
         "q11_important_parts": (R.q11_important_parts, _Q11_SQL),
         "q12_priority_by_returnflag": (R.q12_priority_by_returnflag, _Q12_SQL),
         "q13_order_count_distribution": (
@@ -1127,6 +1136,8 @@ _TIER0 = (
     "scd2_intervals",
     "pagerank_trade",
     "multimodal_ahash_groups",
+    "event_pattern_match",
+    "supplier_copurchase_pairs",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

@@ -89,6 +89,7 @@ HEADLINE = [
     "multimodal_ahash_groups",
     "event_pattern_match",
     "supplier_copurchase_pairs",
+    "spatial_nearest_neighbor",
 ]
 
 

@@ -221,6 +221,70 @@ def near_pairs(
     )
 
 
+def nearest_neighbor_join(
+    pts: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    radius: float,
+) -> DataFrame:
+    """Radius-bounded 1-NN join: for each point, its nearest OTHER
+    point within `radius` — the kNN-join primitive of spatial engines,
+    in the bounded form that stays a grid equi-join (points with no
+    neighbor in range drop out; unbounded exact kNN needs ring
+    expansion, a different plan).
+
+    Candidates come from the same cell/3×3-neighborhood equi-join as
+    near_pairs but DIRECTED (a ≠ b, both orientations kept); the
+    argmin is min(struct(d2, b_id)) — ONE partially-aggregated groupBy
+    on the left id (map-side combine shrinks each partition to ≤ |a|
+    rows before the shuffle), ties to the smaller neighbor id.
+    Returns (a_id, b_id, d2)."""
+    cx = F.floor(F.col(x_col) / F.lit(radius)).cast("long")
+    cy = F.floor(F.col(y_col) / F.lit(radius)).cast("long")
+    a = pts.select(
+        F.col(id_col).alias("a_id"),
+        F.col(x_col).alias("ax"),
+        F.col(y_col).alias("ay"),
+        cx.alias("_cx"),
+        cy.alias("_cy"),
+    )
+    b = (
+        pts.select(
+            F.col(id_col).alias("b_id"),
+            F.col(x_col).alias("bx"),
+            F.col(y_col).alias("by"),
+            cx.alias("_bcx"),
+            cy.alias("_bcy"),
+        )
+        .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "b_id", "bx", "by",
+            (F.col("_bcx") + F.col("_dx")).alias("_cx"),
+            (F.col("_bcy") + F.col("_dy")).alias("_cy"),
+        )
+    )
+    d2 = (
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    )
+    cand = (
+        a.join(b, on=["_cx", "_cy"], how="inner")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(d2 <= F.lit(radius * radius))
+        .select(
+            "a_id",
+            F.struct(d2.alias("d2"), F.col("b_id").alias("b_id")).alias("s"),
+        )
+    )
+    return cand.groupBy("a_id").agg(F.min("s").alias("nn")).select(
+        "a_id",
+        F.col("nn.b_id").alias("b_id"),
+        F.col("nn.d2").alias("d2"),
+    )
+
+
 # --- contract queries -------------------------------------------------------
 
 _WINDOW_US = 24 * 3600 * 1_000_000  # interval_error_activity horizon
@@ -314,6 +378,27 @@ def spatial_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+def spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every building's nearest other building within NEAR_RADIUS_DEG
+    (centroid euclidean, same frame/guards as spatial_near_pairs) —
+    the radius-bounded 1-NN join. Ties break to the smaller neighbor
+    id in both engines (min(struct) vs ORDER BY d2, b_id)."""
+    from gis_etl_spark.geom.functions import decode_centroid_points
+    from gis_etl_spark.ops.geometry_queries import _read
+
+    pts = decode_centroid_points(
+        _read(spark).filter(F.col("geom").isNotNull())
+    )
+    nn = nearest_neighbor_join(
+        pts, "building_id", "cx", "cy", NEAR_RADIUS_DEG
+    )
+    return nn.select(
+        "a_id",
+        F.col("b_id").alias("nn_id"),
+        F.round(F.sqrt(F.col("d2")), 8).alias("nn_dist"),
+    ).orderBy("a_id")
+
+
 def oracle_sqls() -> dict[str, str]:
     from gis_etl_spark.ops.geometry_queries import fixture_paths
 
@@ -366,6 +451,31 @@ def oracle_sqls() -> dict[str, str]:
              AND (b.cx - a.cx) * (b.cx - a.cx)
                + (b.cy - a.cy) * (b.cy - a.cy) <= {r} * {r}
             ORDER BY a_id, b_id
+        """,
+        "spatial_nearest_neighbor": f"""
+            WITH pts AS (
+              SELECT e.building_id, e.cx, e.cy
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL
+                AND abs(e.cx) <= 180.0 AND abs(e.cy) <= 90.0
+            ), cand AS (
+              SELECT a.building_id AS a_id, b.building_id AS b_id,
+                     (b.cx - a.cx) * (b.cx - a.cx)
+                   + (b.cy - a.cy) * (b.cy - a.cy) AS d2
+              FROM pts a JOIN pts b
+                ON a.building_id <> b.building_id
+               AND b.cx BETWEEN a.cx - {r} AND a.cx + {r}
+               AND b.cy BETWEEN a.cy - {r} AND a.cy + {r}
+               AND (b.cx - a.cx) * (b.cx - a.cx)
+                 + (b.cy - a.cy) * (b.cy - a.cy) <= {r} * {r}
+            ), ranked AS (
+              SELECT a_id, b_id, d2,
+                     row_number() OVER (PARTITION BY a_id
+                                        ORDER BY d2, b_id) AS rk
+              FROM cand
+            )
+            SELECT a_id, b_id AS nn_id, round(sqrt(d2), 8) AS nn_dist
+            FROM ranked WHERE rk = 1 ORDER BY a_id
         """,
     }
 

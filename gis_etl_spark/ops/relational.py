@@ -1382,3 +1382,51 @@ def supplier_copurchase_sql() -> str:
         HAVING count(*) >= {COPURCHASE_MIN_SHARED}
         ORDER BY n_shared DESC, sa, sb
     """
+
+
+def customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (the two relative-rank windows no other
+    contract query exercises), partitioned by nation so no global
+    single-partition window exists. Spend totals are exact int64
+    fixed-point units (fxq sum), so the ORDER BY — and therefore every
+    rank, and the rational (rank-1)/(n-1) both engines derive from the
+    same integers — is cross-engine total and hash-stable."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(fxq("o_totalprice")).alias("spend_units")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("spend_units", "o_custkey")
+    return (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .select(
+            "c_nationkey",
+            "o_custkey",
+            "spend_units",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("c_nationkey", "o_custkey")
+    )
+
+
+def customer_spend_rank_sql() -> str:
+    from gis_etl_spark.ops.fixedpoint import fxq_sql
+
+    return f"""
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum({fxq_sql("o_totalprice")}) AS BIGINT)
+                   AS spend_units
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT c_nationkey, o_custkey, spend_units,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM spend JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY spend_units, o_custkey)
+        ORDER BY c_nationkey, o_custkey
+    """

@@ -570,6 +570,11 @@ REGISTRY.update(
         "spatial_near_pairs": (
             J.spatial_near_pairs, _JOIN_SQLS["spatial_near_pairs"],
         ),
+        # radius-bounded 1-NN join: grid candidates → min(struct) argmin
+        "spatial_nearest_neighbor": (
+            J.spatial_nearest_neighbor,
+            _JOIN_SQLS["spatial_nearest_neighbor"],
+        ),
         # rows-only: DuckDB 1.0 has no spatial predicate for a twin
         "points_in_polygons": (J.points_in_polygons, None),
     }
@@ -1003,6 +1008,10 @@ REGISTRY.update(
         "supplier_copurchase_pairs": (
             R.supplier_copurchase_pairs, R.supplier_copurchase_sql(),
         ),
+        # percent_rank / cume_dist over exact integer spend units
+        "customer_spend_rank": (
+            R.customer_spend_rank, R.customer_spend_rank_sql(),
+        ),
         "q11_important_parts": (R.q11_important_parts, _Q11_SQL),
         "q12_priority_by_returnflag": (R.q12_priority_by_returnflag, _Q12_SQL),
         "q13_order_count_distribution": (
@@ -1138,6 +1147,8 @@ _TIER0 = (
     "multimodal_ahash_groups",
     "event_pattern_match",
     "supplier_copurchase_pairs",
+    "spatial_nearest_neighbor",
+    "customer_spend_rank",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

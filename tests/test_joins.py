@@ -236,3 +236,52 @@ def test_pip_join_matches_brute_force(spark):
     }
     assert got == exp
     assert len(exp) > 100  # the synthetic set is genuinely dense
+
+
+def test_nearest_neighbor_join_matches_brute_force(spark):
+    """Radius-bounded 1-NN vs numpy brute force: same survivors (points
+    with any in-range neighbor), same nearest id, exact d2; plus a
+    hand-built tie — two equidistant neighbors resolve to the smaller
+    id — and an isolated point that must drop out."""
+    from gis_etl_spark.ops.joins import nearest_neighbor_join
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "x": rng.uniform(0, 1, n),
+            "y": rng.uniform(0, 1, n),
+        }
+    )
+    r = 0.04
+    got = {
+        int(row.a_id): (int(row.b_id), float(row.d2))
+        for row in nearest_neighbor_join(
+            spark.createDataFrame(pts), "pid", "x", "y", r
+        ).collect()
+    }
+    xy = pts[["x", "y"]].to_numpy()
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    exp = {}
+    for i in range(n):
+        j = int(np.argmin(d2[i]))  # argmin ties → lowest index
+        if d2[i, j] <= r * r:
+            exp[i] = (j, float(d2[i, j]))
+    assert got == exp
+
+    tie = pd.DataFrame(
+        {
+            "pid": [0, 1, 2, 9],
+            "x": [0.5, 0.4, 0.6, 5.0],  # 1 and 2 equidistant from 0
+            "y": [0.5, 0.5, 0.5, 5.0],  # 9 isolated
+        }
+    )
+    got_tie = {
+        int(row.a_id): int(row.b_id)
+        for row in nearest_neighbor_join(
+            spark.createDataFrame(tie), "pid", "x", "y", 0.2
+        ).collect()
+    }
+    assert got_tie == {0: 1, 1: 0, 2: 0}

@@ -90,6 +90,7 @@ HEADLINE = [
     "event_pattern_match",
     "supplier_copurchase_pairs",
     "spatial_nearest_neighbor",
+    "multimodal_ahash_near_pairs",
 ]
 
 

@@ -507,6 +507,56 @@ def multimodal_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAM_T = 3  # pigeonhole-exact: ≤3 flipped bits across 4 bands ⇒ ≥1 band intact
+
+
+def multimodal_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate image pairs by banded Hamming distance over the
+    aHash — the image-side SimHash: split the 64-bit hash into 4×16-bit
+    bands, bucket-join on any shared band, verify with an exact
+    popcount. With HAM_T = 3 < #bands the pigeonhole principle makes
+    banding COMPLETE (any qualifying pair shares at least one intact
+    band), so the result is exact, not approximate — same argument as
+    dedup_simhash_pairs, and the same plan: never an all-pairs join,
+    the shuffle key is (band, value).
+
+    Shifts are arithmetic (sign-preserving) and popcount runs on the
+    two's-complement bits in BOTH engines — verified on negative
+    hashes."""
+    m = _media(spark).filter(F.col("kind") == "image")
+    h = image_ahashes(m).select("media_id", "ahash")
+    bands = h.select(
+        "media_id",
+        "ahash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).select(
+        "media_id",
+        "ahash",
+        "b",
+        F.expr("shiftright(ahash, 16 * b) & 65535").alias("bv"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("a_id"), F.col("ahash").alias("ha"),
+        "b", "bv",
+    )
+    bb = bands.select(
+        F.col("media_id").alias("b_id"), F.col("ahash").alias("hb"),
+        "b", "bv",
+    )
+    cand = (
+        a.join(bb, on=["b", "bv"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.filter(ham <= F.lit(HAM_T))
+        .select("a_id", "b_id", ham.cast("long").alias("hamming"))
+        .orderBy("a_id", "b_id")
+    )
+
+
 RESIZE_SCHEMA = (
     "media_id long, kind string, ds_units long, ds_sum long, "
     "valid boolean"
@@ -712,6 +762,25 @@ def oracle_sqls() -> dict[str, str]:
             FROM {m} WHERE kind = 'image'
             GROUP BY ahash64 HAVING count(*) >= 2
             ORDER BY ahash
+        """,
+        "multimodal_ahash_near_pairs": f"""
+            WITH img AS (
+              SELECT media_id, ahash64 AS ahash FROM {m}
+              WHERE kind = 'image'
+            ), bands AS (
+              SELECT media_id, ahash, t.b,
+                     (ahash >> (16 * t.b)) & 65535 AS bv
+              FROM img, unnest([0, 1, 2, 3]) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+                              a.ahash AS ha, b.ahash AS hb
+              FROM bands a JOIN bands b
+                ON a.b = b.b AND a.bv = b.bv
+               AND a.media_id < b.media_id
+            )
+            SELECT a_id, b_id, bit_count(xor(ha, hb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= {HAM_T}
+            ORDER BY a_id, b_id
         """,
     }
 

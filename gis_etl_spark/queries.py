@@ -787,6 +787,11 @@ REGISTRY.update(
             M.multimodal_ahash_groups,
             _MM_SQLS["multimodal_ahash_groups"],
         ),
+        # banded Hamming near-pairs over the hash — pigeonhole-exact
+        "multimodal_ahash_near_pairs": (
+            M.multimodal_ahash_near_pairs,
+            _MM_SQLS["multimodal_ahash_near_pairs"],
+        ),
     }
 )
 
@@ -1149,6 +1154,7 @@ _TIER0 = (
     "supplier_copurchase_pairs",
     "spatial_nearest_neighbor",
     "customer_spend_rank",
+    "multimodal_ahash_near_pairs",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

@@ -355,3 +355,44 @@ def test_ahash_groups_contain_cross_format_dups(spark, sf_dir):
         "payload", F.expr("substring(payload, 1, 10)")
     )
     assert image_ahashes(broken).count() == 0
+
+
+def test_ahash_near_pairs_pigeonhole_complete(spark, sf_dir):
+    """Banding with HAM_T=3 < 4 bands is COMPLETE by pigeonhole: the
+    banded join must find exactly the pairs a brute-force popcount over
+    all fixture hashes finds. And a lightly-damaged image (a few pixel
+    regions nudged) lands within the near-pair threshold of its
+    original while a random pair does not."""
+    import numpy as np
+
+    from gis_etl_spark.fixtures import ensure_media
+    from gis_etl_spark.ops.multimodal import (
+        HAM_T,
+        ahash64,
+        multimodal_ahash_near_pairs,
+    )
+
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in multimodal_ahash_near_pairs(spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(ensure_media())
+    img = pdf[pdf["kind"] == "image"]
+    hs = list(zip(img["media_id"].astype(int), img["ahash64"].astype(int)))
+    exp = {}
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            (ia, ha), (ib, hb) = hs[i], hs[j]
+            d = bin(((ha ^ hb) + (1 << 64)) % (1 << 64)).count("1")
+            if d <= HAM_T:
+                a, b = sorted((ia, ib))
+                exp[(a, b)] = d
+    assert got == exp
+    assert got, "fixture contains no near pairs — threshold signal lost"
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    damaged = px.copy()
+    damaged[0:2, 0:2] = 255  # nudge one 8x8 block's mean
+    d = bin(((ahash64(px) ^ ahash64(damaged)) + (1 << 64)) % (1 << 64))
+    assert d.count("1") <= HAM_T

@@ -154,6 +154,39 @@ def cmd_dedup_spans(spark: SparkSession, args) -> None:
     print(f"dedup-spans: wrote {args.output}")
 
 
+def cmd_semdedup(spark: SparkSession, args) -> None:
+    """SemDeDup over an embedding corpus (vec_id/embedding parquet):
+    writes (vec_id, list_id, dropped)."""
+    import gis_etl_spark.ops.similarity as S
+
+    S.semdedup(spark, args.input).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(f"semdedup: wrote {args.output}")
+
+
+def cmd_cdc_compact(spark: SparkSession, args) -> None:
+    """Compact an order changelog (orders.parquet) to latest state per
+    customer key."""
+    import gis_etl_spark.ops.cdc as C
+
+    C.cdc_latest_state(spark, args.input).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(f"cdc-compact: wrote {args.output}")
+
+
+def cmd_pagerank(spark: SparkSession, args) -> None:
+    """Exact-int64 PageRank over the customer-supplier trade graph
+    (orders.parquet + lineitem.parquet)."""
+    import gis_etl_spark.ops.graph as G
+
+    G.pagerank_trade(spark, args.input).write.mode("overwrite").parquet(
+        args.output
+    )
+    print(f"pagerank: wrote {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="gis_etl_spark",
@@ -192,6 +225,21 @@ def main(argv: list[str] | None = None) -> None:
     )
     common(p)
 
+    p = sub.add_parser(
+        "semdedup", help="semantic dedup (input dir holds embeddings.parquet)"
+    )
+    common(p)
+
+    p = sub.add_parser(
+        "cdc-compact", help="changelog -> latest state (orders.parquet)"
+    )
+    common(p)
+
+    p = sub.add_parser(
+        "pagerank", help="trade-graph PageRank (orders+lineitem parquet)"
+    )
+    common(p)
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -206,6 +254,9 @@ def main(argv: list[str] | None = None) -> None:
             "heatmap": cmd_heatmap,
             "tiles": cmd_tiles,
             "dedup-spans": cmd_dedup_spans,
+            "semdedup": cmd_semdedup,
+            "cdc-compact": cmd_cdc_compact,
+            "pagerank": cmd_pagerank,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

@@ -82,3 +82,38 @@ def test_cli_tiles_and_dedup_spans(tmp_path):
     dd = pq.read_table(dd_out).to_pydict()
     assert len(dd["doc_id"]) == 500
     assert all(k <= n for k, n in zip(dd["n_kept"], dd["n_spans"]))
+
+
+def test_cli_semdedup_cdc_pagerank(tmp_path):
+    """The three session-3 subcommands end-to-end in subprocesses over
+    the sf0.001 tables; outputs carry the expected columns and
+    non-trivial row counts."""
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    for cmd, cols, min_rows in [
+        ("semdedup", {"vec_id", "list_id", "dropped"}, 100),
+        (
+            "cdc-compact",
+            {"o_custkey", "last_orderkey", "last_status",
+             "last_totalprice", "last_update"},
+            50,
+        ),
+        ("pagerank", {"node_id", "kind", "rank_units"}, 100),
+    ]:
+        out = str(tmp_path / cmd)
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "gis_etl_spark.cli", cmd,
+                "--input", sf, "--output", out, "--master", "local[4]",
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert res.returncode == 0, (cmd, res.stderr[-2000:])
+        pdf = pd.read_parquet(out)
+        assert set(pdf.columns) == cols, cmd
+        assert len(pdf) >= min_rows, cmd

@@ -341,3 +341,86 @@ def test_wkb_text_codecs_roundtrip(pts):
     )
     assert K.from_wkt(K.to_wkt(poly)) == poly
     assert from_geojson_geometry(to_geojson_geometry(poly)) == poly
+
+
+# --- session-3 operator laws (pure-python twins, no Spark) -----------------
+
+
+def _ntile_reference(rank: int, n: int, b: int) -> int:
+    """Textbook NTILE: first (n mod b) buckets take ceil(n/b) rows."""
+    big = n // b + 1
+    small = n // b
+    rem = n % b
+    cut = rem * big
+    if rank <= cut:
+        return (rank - 1) // big + 1
+    return rem + (rank - cut - 1) // small + 1
+
+
+def _ntile_closed_form(rank: int, n: int, b: int) -> int:
+    """The exact expression ops.text.quality_deciles builds in Spark
+    (kept in lockstep — the query's decile column is this formula with
+    n/b folded in as literals)."""
+    size_small = n // b
+    size_big = size_small + 1
+    cut = (n % b) * size_big
+    if rank <= cut:
+        return (rank - 1) // size_big + 1
+    return (rank - cut - 1) // size_small + (n % b) + 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=1_000_000),
+    st.integers(min_value=1, max_value=100),
+    st.data(),
+)
+def test_ntile_closed_form_is_ntile(n, b, data):
+    if n < b:
+        return  # degenerate: size_small = 0; guarded by corpus >> 10
+    rank = data.draw(st.integers(min_value=1, max_value=n))
+    assert _ntile_closed_form(rank, n, b) == _ntile_reference(rank, n, b)
+    # bucket sizes: monotone in rank, every bucket in [1, b]
+    d = _ntile_closed_form(rank, n, b)
+    assert 1 <= d <= b
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=2, max_value=8),
+)
+def test_pagerank_symmetry_on_complete_bipartite(m, n):
+    """On K(m,n) every same-side node is structurally identical, so the
+    integer PageRank must give them identical ranks — and the total
+    mass stays within the div-floor loss bound of the scale."""
+    from gis_etl_spark.ops.graph import PR_SCALE, pagerank_reference
+
+    edges = []
+    for i in range(m):
+        for j in range(n):
+            edges.append((2 * i, 2 * j + 1))
+            edges.append((2 * j + 1, 2 * i))
+    rank = pagerank_reference(edges)
+    left = {rank[2 * i] for i in range(m)}
+    right = {rank[2 * j + 1] for j in range(n)}
+    assert len(left) == 1 and len(right) == 1
+    assert PR_SCALE * 0.9 <= sum(rank.values()) <= PR_SCALE
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=0, max_value=4_000_000_000),
+)
+def test_ahash_uniform_shift_invariance(h, w, seed):
+    """aHash law: any uniform brightness shift that avoids clipping
+    leaves the hash bit-identical (the cross-multiplied compare)."""
+    from gis_etl_spark.ops.multimodal import ahash64
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+    c = int(rng.integers(1, 256 - int(px.max())))
+    shifted = (px.astype(np.int16) + c).astype(np.uint8)
+    assert ahash64(px) == ahash64(shifted)

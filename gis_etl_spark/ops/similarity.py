@@ -1000,26 +1000,37 @@ def kmeans_reference(
 
 
 def _lit_vec(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
+    """Literal double array as ONE parsed SQL expression instead of
+    len(c)+1 py4j F.lit round-trips — the codebook-literal plans
+    (IVF/PQ/IVFPQ) were spending ~2x their execution time just
+    BUILDING the expression tree through the bridge. `repr(x)D` is
+    bit-exact: repr is shortest-exact and Java's Double parsing is
+    correctly rounded (verified bit-for-bit in tests)."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in c) + ")")
 
 
-def _d2_cols(v: Column, cents: list[list[float]]) -> Column:
+def _d2_cols(v: Column | str, cents: list[list[float]]) -> Column:
     """array of struct(d2, c_id); argmin = array_min (lexicographic:
     smallest d2, ties -> smallest c_id). d2 is the same left-to-right
-    (x-y)^2 sum as the reference."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                F.lit(ci).alias("c_id"),
-            )
-            for ci, c in enumerate(cents)
-        ]
-    )
+    (x-y)^2 sum as the reference.
+
+    `v` is an SQL expression string ("v", "slice(v, 1, 8)"): the whole
+    k-way distance array parses as ONE JVM expression. The previous
+    Column/lambda rendition created k zip_with + k aggregate
+    higher-order lambdas through py4j (~25 bridge round-trips each) —
+    profiling showed the PQ plans spending 2x their execution time
+    just BUILDING expression trees. Semantics are unchanged: the SQL
+    text is the same zip_with/aggregate the lambdas produced."""
+    assert isinstance(v, str), "pass the vector as an SQL expression string"
+    items = []
+    for ci, c in enumerate(cents):
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        agg = (
+            f"aggregate(zip_with({v}, {arr}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        )
+        items.append(f"named_struct('d2', {agg}, 'c_id', {ci})")
+    return F.expr("array(" + ",".join(items) + ")")
 
 
 def kmeans_fit(
@@ -1041,7 +1052,7 @@ def kmeans_fit(
     cents = [[round(c, dp) for c in seeds[i]] for i in range(k)]
     for _ in range(iters):
         assigned = emb.select(
-            F.array_min(_d2_cols(F.col("v"), cents))
+            F.array_min(_d2_cols("v", cents))
             .getField("c_id")
             .alias("c"),
             "v",
@@ -1088,7 +1099,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cents is None:
         cents = kmeans_fit(emb)
         _KMEANS_CACHE[key] = cents
-    d2 = F.array_min(_d2_cols(F.col("v"), cents))
+    d2 = F.array_min(_d2_cols("v", cents))
     assigned = emb.select(
         "vec_id", "v", d2.getField("c_id").alias("list_id")
     )
@@ -1098,7 +1109,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.posexplode(
-                F.array_sort(_d2_cols(F.col("v"), cents))
+                F.array_sort(_d2_cols("v", cents))
             ).alias("rk", "s"),
         )
         .filter(F.col("rk") < N_PROBE)
@@ -1298,7 +1309,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
-            F.array_min(_d2_cols(F.col("v"), cents))
+            F.array_min(_d2_cols("v", cents))
             .getField("c_id")
             .alias("list_id"),
         )
@@ -1445,7 +1456,7 @@ def pq_codes_col(cbs: list[list[list[float]]]) -> Column:
     return F.array(
         *[
             F.array_min(
-                _d2_cols(F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB), cbs[m])
+                _d2_cols(f"slice(v, {m * PQ_DSUB + 1}, {PQ_DSUB})", cbs[m])
             ).getField("c_id")
             for m in range(PQ_M)
         ]
@@ -1789,7 +1800,7 @@ def _residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     assigned = emb.select(
         "vec_id",
         "v",
-        F.array_min(_d2_cols(F.col("v"), cents))
+        F.array_min(_d2_cols("v", cents))
         .getField("c_id")
         .alias("list_id"),
     )
@@ -1838,7 +1849,7 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "v",
             F.posexplode(
-                F.array_sort(_d2_cols(F.col("v"), cents))
+                F.array_sort(_d2_cols("v", cents))
             ).alias("rk", "s"),
         )
         .filter(F.col("rk") < N_PROBE)

@@ -572,7 +572,7 @@ def test_ivfpq_structural_invariants(spark, sf_dir):
         r.vec_id: r.list_id
         for r in emb.select(
             "vec_id",
-            F.array_min(_d2_cols(F.col("v"), cents))
+            F.array_min(_d2_cols("v", cents))
             .getField("c_id")
             .alias("list_id"),
         ).collect()
@@ -582,7 +582,7 @@ def test_ivfpq_structural_invariants(spark, sf_dir):
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("qid"),
-            F.posexplode(F.array_sort(_d2_cols(F.col("v"), cents))).alias(
+            F.posexplode(F.array_sort(_d2_cols("v", cents))).alias(
                 "rk", "s"
             ),
         )
@@ -696,3 +696,25 @@ def test_quality_deciles_matches_global_ntile(spark, sf_dir):
     assert [r.decile for r in got] == list(range(1, T.N_DECILES + 1))
     for a, b in zip(got, got[1:]):
         assert a.max_score <= b.min_score
+
+
+def test_lit_vec_sql_literals_bit_exact(spark):
+    """_lit_vec builds double literals as `repr(x)D` SQL text (one
+    parsed expression instead of per-element py4j lits). repr is
+    shortest-exact and Java's Double parsing is correctly rounded, so
+    the round-trip must be BIT-exact — including subnormals, extremes,
+    and negative zero."""
+    import struct
+
+    vals = [
+        0.05424950644373894, -0.2524777352809906, 1e-300, 5e-324,
+        1.7976931348623157e308, -0.0, 123456789.123456789,
+        float.fromhex("0x1.fffffffffffffp-3"),
+    ]
+    row = (
+        spark.range(1)
+        .select(S._lit_vec(vals).alias("a"))
+        .collect()[0]
+    )
+    for got, want in zip(row.a, vals):
+        assert struct.pack("<d", got) == struct.pack("<d", want)

@@ -91,6 +91,7 @@ HEADLINE = [
     "supplier_copurchase_pairs",
     "spatial_nearest_neighbor",
     "multimodal_ahash_near_pairs",
+    "geo_haversine_span",
 ]
 
 

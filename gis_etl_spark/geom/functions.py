@@ -369,3 +369,39 @@ def st_convert_geom(
         return pd.Series(out)
 
     return _udf(geom, epsg, needs_flip)
+
+
+# --- great-circle distance (haversine) --------------------------------------
+
+EARTH_R_M = 6371008.8  # IUGG mean Earth radius, metres
+_DEG2RAD = "0.017453292519943295"  # double nearest pi/180
+
+
+def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Haversine great-circle distance in metres as an SQL expression
+    string — the ST_DISTANCE_SPHERE the engine lacked. ONE text is
+    shared verbatim by the Spark plan (F.expr) and the DuckDB oracle,
+    so the operation SEQUENCE is identical by construction; the only
+    cross-engine freedom left is the libm sin/cos/asin/sqrt ulp, the
+    same (accepted, floor-absorbed) risk class as the slippy-tile
+    ln/tan codec. Degrees->radians is an explicit multiply by the
+    double nearest pi/180 — the builtin radians() differs between
+    engines (x/180*pi vs x*(pi/180)) and would break parity."""
+    k = _DEG2RAD
+    sdlat = f"sin(((({lat2}) - ({lat1})) * {k}) / 2)"
+    sdlon = f"sin(((({lon2}) - ({lon1})) * {k}) / 2)"
+    a = (
+        f"{sdlat} * {sdlat} + cos(({lat1}) * {k}) * cos(({lat2}) * {k})"
+        f" * {sdlon} * {sdlon}"
+    )
+    return f"(2.0 * {EARTH_R_M!r} * asin(sqrt({a})))"
+
+
+def st_distance_sphere(
+    lon1: str, lat1: str, lon2: str, lat2: str
+):
+    """Column form of haversine_m_sql (args are SQL expression
+    strings, typically column names)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(haversine_m_sql(lon1, lat1, lon2, lat2))

@@ -183,6 +183,36 @@ def geo_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_haversine_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source great-circle bbox diagonal in floor-metres —
+    ST_DISTANCE_SPHERE over the centroid extremes [beyond-reference:
+    the reference never measures geodesic extent; footprint-corpus QA
+    wants it]. Geographic sources only (the projected/flipped frames
+    have no spherical meaning). min/max are exact; the haversine text
+    is SHARED verbatim with the oracle (geom.functions.haversine_m_sql)
+    so both engines parse the identical AST — floor-to-metres absorbs
+    the residual libm ulp, the tile-codec risk class."""
+    from gis_etl_spark.geom.functions import haversine_m_sql
+
+    df = P.with_centroid(_read(spark).filter(F.col("geom").isNotNull()))
+    pts = df.select(
+        "source",
+        F.col("centroid").getField("x").alias("cx"),
+        F.col("centroid").getField("y").alias("cy"),
+    ).filter((F.abs(F.col("cx")) <= 180.0) & (F.abs(F.col("cy")) <= 90.0))
+    box = pts.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.min("cx").alias("x0"),
+        F.min("cy").alias("y0"),
+        F.max("cx").alias("x1"),
+        F.max("cy").alias("y1"),
+    )
+    span = F.expr(
+        f"CAST(floor({haversine_m_sql('x0', 'y0', 'x1', 'y1')}) AS BIGINT)"
+    )
+    return box.select("source", "n", span.alias("span_m")).orderBy("source")
+
+
 def geo_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source area/perimeter rollup — ST_AREA/ST_PERIMETER over
     WKB [beyond-reference: footprint QA needs area distributions; the
@@ -669,6 +699,7 @@ def _morton_sql(y: str, x: str) -> str:
 
 
 def oracle_sqls() -> dict[str, str]:
+    from gis_etl_spark.geom.functions import haversine_m_sql as _hav_sql
     from gis_etl_spark.layout.geohex import (
         hex_cell_select_sql,
         hex_disk_sql,
@@ -781,6 +812,21 @@ def oracle_sqls() -> dict[str, str]:
             FROM {b} bb JOIN {e} e USING (building_id)
             WHERE bb.geom IS NOT NULL
             GROUP BY source ORDER BY source
+        """,
+        "geo_haversine_span": f"""
+            WITH box AS (
+              SELECT source, count(*) AS n,
+                     min(e.cx) AS x0, min(e.cy) AS y0,
+                     max(e.cx) AS x1, max(e.cy) AS y1
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL
+                AND abs(e.cx) <= 180.0 AND abs(e.cy) <= 90.0
+              GROUP BY source
+            )
+            SELECT source, n,
+                   CAST(floor({_hav_sql('x0', 'y0', 'x1', 'y1')}) AS BIGINT)
+                     AS span_m
+            FROM box ORDER BY source
         """,
         "geo_area_stats": f"""
             SELECT source, count(*) AS n,

@@ -495,6 +495,10 @@ REGISTRY.update(
             G.geo_source_counts, _GEO_SQLS["geo_source_counts"],
         ),
         "geo_area_stats": (G.geo_area_stats, _GEO_SQLS["geo_area_stats"]),
+        # ST_DISTANCE_SPHERE: shared-text haversine, floor-metres
+        "geo_haversine_span": (
+            G.geo_haversine_span, _GEO_SQLS["geo_haversine_span"],
+        ),
         "geo_tile_census": (G.geo_tile_census, _GEO_SQLS["geo_tile_census"]),
         "geo_geohash_census": (
             G.geo_geohash_census, _GEO_SQLS["geo_geohash_census"],
@@ -1155,6 +1159,7 @@ _TIER0 = (
     "spatial_nearest_neighbor",
     "customer_spend_rank",
     "multimodal_ahash_near_pairs",
+    "geo_haversine_span",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

@@ -101,3 +101,41 @@ def test_st_transform_wkb_path(spark):
         "g2", st_transform(F.col("geom"), F.col("epsg"), 32650)
     ).select((F.col("g2") == F.col("geom")).alias("eq"))
     assert all(r.eq for r in same.collect())
+
+
+def test_haversine_known_distance(spark):
+    """ST_DISTANCE_SPHERE sanity on a published city pair: JFK->LHR
+    great-circle distance is ~5,540-5,570 km depending on the radius
+    model; with the IUGG mean radius the haversine value must sit in
+    that band, agree with an independent math-module evaluation to
+    sub-metre, and be zero for a degenerate pair."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.geom.functions import EARTH_R_M, st_distance_sphere
+
+    jfk = (-73.7781, 40.6413)
+    lhr = (-0.4543, 51.4700)
+    row = (
+        spark.range(1)
+        .select(
+            st_distance_sphere(
+                repr(jfk[0]), repr(jfk[1]), repr(lhr[0]), repr(lhr[1])
+            ).alias("d"),
+            st_distance_sphere("0.0", "0.0", "0.0", "0.0").alias("z"),
+        )
+        .collect()[0]
+    )
+    k = math.pi / 180.0
+    dlat = (lhr[1] - jfk[1]) * k
+    dlon = (lhr[0] - jfk[0]) * k
+    a = (
+        math.sin(dlat / 2) ** 2
+        + math.cos(jfk[1] * k) * math.cos(lhr[1] * k)
+        * math.sin(dlon / 2) ** 2
+    )
+    want = 2 * EARTH_R_M * math.asin(math.sqrt(a))
+    assert abs(row.d - want) < 1.0
+    assert 5.50e6 < row.d < 5.60e6
+    assert row.z == 0.0

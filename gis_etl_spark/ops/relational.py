@@ -1352,6 +1352,9 @@ def supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
+    # no persist: AQE's exchange reuse dedups the identical distinct
+    # subplan across the two join sides, and a per-call persist leaks
+    # a cache entry every build (measured: GC pressure under the gate)
     cs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select("o_custkey", "l_suppkey")

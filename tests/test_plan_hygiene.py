@@ -187,3 +187,50 @@ def test_new_ops_plan_shapes(spark, sf_dir):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert "user_id" in m.group(1) or "stage" in m.group(1), m.group(0)
+
+
+def test_session3_plan_shapes(spark, sf_dir):
+    """Plan pins for the session-3 pack: CDC compaction must be the
+    partially-aggregated max(struct) — two HashAggregates, NO window
+    sort; PageRank iterations stay equi-join + hash agg; the co-
+    purchase projection and the 1-NN join never sort-merge against
+    their broadcast side or fall into a cartesian; the image hash
+    queries keep payload decode in ONE Arrow stage."""
+    plan = _plan(REGISTRY["cdc_latest_state"][0](spark, sf_dir))
+    assert "Window" not in plan, "latest-state must not be a window rank"
+    # struct max lowers to SortAggregate, but the decisive property
+    # holds: a PARTIAL max runs before the one hash-partition exchange,
+    # so the shuffle moves <= |keys| rows per partition, not every
+    # change row (the window rendition shuffles all rows, then sorts)
+    assert "partial_max" in plan
+    # plans print top-down: the partial aggregate must sit BELOW the
+    # exchange (later in the text = earlier in execution)
+    assert plan.index("Exchange hashpartitioning") < plan.index("partial_max")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    plan = _plan(REGISTRY["pagerank_trade"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(REGISTRY["supplier_copurchase_pairs"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan = _plan(REGISTRY["spatial_nearest_neighbor"][0](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the argmin is an aggregate, not a window rank
+    assert "Window" not in plan
+
+    plan = _plan(REGISTRY["quality_deciles"][0](spark, sf_dir))
+    # the ONLY windows run over the tiny distinct-score frame or
+    # per-score partitions — never a global sort of the corpus rows
+    assert "Sort [quality_score" in plan or "Window" in plan
+
+    plan = _plan(REGISTRY["multimodal_ahash_groups"][0](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+
+    # the near-pair self-join must read the PERSISTED hash frame on
+    # both sides instead of re-running the decode lineage per side
+    plan = _plan(REGISTRY["multimodal_ahash_near_pairs"][0](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") == 2, plan[:1500]

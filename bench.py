@@ -280,6 +280,20 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         artifacts["streaming_funnel_state_rows"] = (
             spark.table("bench_fn").select("user_id").distinct().count()
         )
+
+        orders = read_table(spark, SF_DIR, "orders")
+        ord_dir = os.path.join(tmp, "orders_in")
+        orders.repartition(8).write.mode("overwrite").parquet(ord_dir)
+        n_ord = spark.read.parquet(ord_dir).count()
+
+        t0 = time.time()
+        S.run_to_memory(S.streaming_latest_state(spark, ord_dir), "bench_cdc")
+        dt = time.time() - t0
+        out["streaming_latest_state"] = round(dt, 3)
+        artifacts["streaming_latest_state_rows_per_sec"] = int(n_ord / dt)
+        artifacts["streaming_latest_state_state_rows"] = (
+            spark.table("bench_cdc").select("o_custkey").distinct().count()
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -92,6 +92,7 @@ HEADLINE = [
     "spatial_nearest_neighbor",
     "multimodal_ahash_near_pairs",
     "geo_haversine_span",
+    "geo_spatial_clusters",
 ]
 
 

@@ -211,6 +211,61 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair graph — min-label
+    propagation iterated to FIXPOINT with a driver loop (the kmeans_fit
+    discipline): each iteration is one equi-join + partial/final
+    min-agg, lineage truncated per iteration via localCheckpoint so the
+    plan never grows; the loop exits on a changed-count of zero, so
+    the result is the exact transitive closure independent of the
+    iteration schedule. Shared by near-dup cluster assembly
+    (dedup_components) and spatial clustering (geo_spatial_clusters).
+
+    Input: (doc_a, doc_b) pairs, one row per undirected edge.
+    Output: (doc_id, component = min id reachable), one row per node
+    that appears in any pair."""
+    edges = pairs.select("doc_a", "doc_b").union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    # labels decrease monotonically per node, so the fixpoint test is
+    # 'label sum unchanged' — one cheap aggregate over the freshly
+    # checkpointed frame instead of the old self-join diff count
+    # (halves the per-iteration work; matters on deep single-linkage
+    # chains where the loop runs O(graph diameter) rounds)
+    total = labels.agg(F.sum("component")).collect()[0][0]
+    while True:
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_total = labels.agg(F.sum("component")).collect()[0][0]
+        if new_total == total:
+            break
+        total = new_total
+    return labels
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER assembly: connected components over the
     MinHash near-dup pair graph — the step between pair detection and
@@ -229,44 +284,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per doc appearing in any pair — (doc_id,
     component = min doc_id of its cluster, n_members, is_kept)."""
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id")).distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    while True:
-        nbr_min = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-            )
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_min", F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = label_components(pairs)
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("n_members")
     )

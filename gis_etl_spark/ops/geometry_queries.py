@@ -213,6 +213,38 @@ def geo_haversine_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return box.select("source", "n", span.alias("span_m")).orderBy("source")
 
 
+def geo_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-connected building clusters: connected components over
+    the NEAR_RADIUS_DEG proximity graph — single-linkage clustering,
+    the DBSCAN-core shape (every paired point is 'core' here; a
+    min-neighbors gate would be one degree filter on the same edges)
+    [beyond-reference: the reference detects nothing spatial beyond
+    per-file counts]. Edges come from the verified grid-bucketed
+    near-pair join; components from the shared min-label fixpoint
+    (ops.dedup.label_components — one equi-join + min-agg per
+    iteration, lineage truncated, exact transitive closure). The
+    oracle recomputes the closure with a recursive CTE over the golden
+    centroid table.
+
+    Output: one row per cluster (>= 2 members by construction):
+    component = min building_id, n_members, id_sum checksum."""
+    from gis_etl_spark.ops.dedup import label_components
+    from gis_etl_spark.ops.joins import spatial_near_pairs
+
+    pairs = spatial_near_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    labels = label_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("component")
+    )
+
+
 def geo_area_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source area/perimeter rollup — ST_AREA/ST_PERIMETER over
     WKB [beyond-reference: footprint QA needs area distributions; the
@@ -700,6 +732,7 @@ def _morton_sql(y: str, x: str) -> str:
 
 def oracle_sqls() -> dict[str, str]:
     from gis_etl_spark.geom.functions import haversine_m_sql as _hav_sql
+    from gis_etl_spark.ops.joins import NEAR_RADIUS_DEG
     from gis_etl_spark.layout.geohex import (
         hex_cell_select_sql,
         hex_disk_sql,
@@ -812,6 +845,37 @@ def oracle_sqls() -> dict[str, str]:
             FROM {b} bb JOIN {e} e USING (building_id)
             WHERE bb.geom IS NOT NULL
             GROUP BY source ORDER BY source
+        """,
+        "geo_spatial_clusters": f"""
+            WITH RECURSIVE pts AS (
+              SELECT e.building_id, e.cx, e.cy
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL
+                AND abs(e.cx) <= 180.0 AND abs(e.cy) <= 90.0
+            ), p AS (
+              SELECT a.building_id AS u, b.building_id AS v
+              FROM pts a JOIN pts b
+                ON a.building_id < b.building_id
+               AND b.cx BETWEEN a.cx - {repr(NEAR_RADIUS_DEG)}
+                            AND a.cx + {repr(NEAR_RADIUS_DEG)}
+               AND b.cy BETWEEN a.cy - {repr(NEAR_RADIUS_DEG)}
+                            AND a.cy + {repr(NEAR_RADIUS_DEG)}
+               AND (b.cx - a.cx) * (b.cx - a.cx)
+                 + (b.cy - a.cy) * (b.cy - a.cy)
+                   <= {repr(NEAR_RADIUS_DEG)} * {repr(NEAR_RADIUS_DEG)}
+            ), ed AS (
+              SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+            ), reach(u, v) AS (
+              SELECT u, v FROM ed
+              UNION
+              SELECT r.u, ed.v FROM reach r JOIN ed ON ed.u = r.v
+            ), comp AS (
+              SELECT u AS building_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            )
+            SELECT component, count(*)::BIGINT AS n_members,
+                   sum(building_id)::BIGINT AS id_sum
+            FROM comp GROUP BY component ORDER BY component
         """,
         "geo_haversine_span": f"""
             WITH box AS (

@@ -499,6 +499,11 @@ REGISTRY.update(
         "geo_haversine_span": (
             G.geo_haversine_span, _GEO_SQLS["geo_haversine_span"],
         ),
+        # single-linkage spatial clustering: shared min-label fixpoint
+        # vs the oracle's recursive-CTE transitive closure
+        "geo_spatial_clusters": (
+            G.geo_spatial_clusters, _GEO_SQLS["geo_spatial_clusters"],
+        ),
         "geo_tile_census": (G.geo_tile_census, _GEO_SQLS["geo_tile_census"]),
         "geo_geohash_census": (
             G.geo_geohash_census, _GEO_SQLS["geo_geohash_census"],
@@ -1160,6 +1165,7 @@ _TIER0 = (
     "customer_spend_rank",
     "multimodal_ahash_near_pairs",
     "geo_haversine_span",
+    "geo_spatial_clusters",
     "cohort_retention",
     # round-4 session 2: the TPC-H completion pack (22/22)
     "q11_important_parts",

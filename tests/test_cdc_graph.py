@@ -80,3 +80,41 @@ def test_pagerank_matches_sequential_reference(spark, sf_dir):
     }
     assert kinds == {"customer", "supplier"}
     assert n == len(set(u for e in edges for u in e))
+
+
+def test_spatial_clusters_match_union_find(spark, sf_dir):
+    """geo_spatial_clusters == an independent union-find over the same
+    collected pair list: identical components, sizes, and id sums."""
+    from gis_etl_spark.ops.geometry_queries import geo_spatial_clusters
+    from gis_etl_spark.ops.joins import spatial_near_pairs
+
+    pairs = [
+        (r.a_id, r.b_id)
+        for r in spatial_near_pairs(spark, sf_dir).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = defaultdict(list)
+    for node in parent:
+        comps[find(node)].append(node)
+    exp = {
+        min(members): (len(members), sum(members))
+        for members in comps.values()
+    }
+    got = {
+        r.component: (r.n_members, r.id_sum)
+        for r in geo_spatial_clusters(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert len(got) > 20

@@ -282,6 +282,18 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
             spark.table("bench_fn").select("user_id").distinct().count()
         )
 
+        t0 = time.time()
+        S.run_to_memory(
+            S.streaming_rolling_anomaly(spark, ev_dir), "bench_an",
+            output_mode="append",
+        )
+        dt = time.time() - t0
+        out["streaming_rolling_anomaly"] = round(dt, 3)
+        artifacts["streaming_rolling_anomaly_rows_per_sec"] = int(n_ev / dt)
+        artifacts["streaming_rolling_anomaly_flags"] = (
+            spark.table("bench_an").count()
+        )
+
         orders = read_table(spark, SF_DIR, "orders")
         ord_dir = os.path.join(tmp, "orders_in")
         orders.repartition(8).write.mode("overwrite").parquet(ord_dir)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -695,5 +696,84 @@ def streaming_latest_state(spark: SparkSession, input_dir: str) -> DataFrame:
         outputStructType=CDC_OUT_SCHEMA,
         stateStructType=CDC_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ANOM_STATE_SCHEMA = StructType(
+    [StructField("qs", ArrayType(LongType()))]
+)
+ANOM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_window", LongType()),
+    ]
+)
+
+
+def _anomaly_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Trailing-window z-test with a per-user ring buffer of the last
+    ANOM_WINDOW quantized values. The test is the batch op's exact
+    cross-multiplied int64 inequality — no float mean/std — so the
+    flag set equals ops.relational.events_rolling_anomaly under the
+    event-time-ordered arrival contract (the sessionizer contract)."""
+    import math
+
+    from gis_etl_spark.ops.relational import (
+        ANOM_MIN_N,
+        ANOM_WINDOW,
+        ANOM_Z,
+    )
+
+    qs: list[int] = list(state.get[0]) if state.exists else []
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for eid, v, us in zip(pdf["event_id"], pdf["value"], pdf["us"]):
+            q = int(math.floor(float(v) * 100.0 + 0.5))
+            n = len(qs)
+            if n >= ANOM_MIN_N:
+                s = sum(qs)
+                ss = sum(x * x for x in qs)
+                lhs = q * n - s
+                var_num = n * ss - s * s
+                if lhs * lhs * (n - 1) > ANOM_Z * ANOM_Z * n * var_num:
+                    out.append((int(eid), int(key[0]), float(v), n))
+            qs.append(q)
+            if len(qs) > ANOM_WINDOW:
+                qs.pop(0)
+    state.update((qs,))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in ANOM_OUT_SCHEMA]
+    )
+
+
+def streaming_rolling_anomaly(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Streaming rolling-window anomaly detection — the stateful twin
+    of ops.relational.events_rolling_anomaly: O(ANOM_WINDOW) ints of
+    state per user, each arriving event tested against its trailing
+    baseline THEN pushed into the ring buffer. A 100 TB event stream
+    flags outliers on arrival without rescanning history."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    keyed = stream.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("us")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _anomaly_fn,
+        outputStructType=ANOM_OUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

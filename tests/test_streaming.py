@@ -572,3 +572,60 @@ def test_streaming_latest_state_matches_batch(spark, sf_dir, stream_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_rolling_anomaly_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming anomaly-on-arrival == batch trailing-window z-test:
+    feed the events in two TIME-ORDERED chunks (ring buffers must carry
+    across micro-batches) and require the identical flag set."""
+    import time as _t
+
+    from gis_etl_spark.ops.relational import events_rolling_anomaly
+
+    ev = read_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    stream_dir = str(tmp_path / "anom")
+    os.makedirs(stream_dir)
+    rows = ev.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        sub = os.path.join(stream_dir, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            sub + ".dir"
+        )
+        src = glob.glob(os.path.join(sub + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, sub)
+        os.utime(sub, (_t.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(sub + ".dir")
+
+    name = f"an_{uuid.uuid4().hex[:8]}"
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .select(
+            "user_id", "event_id", "value",
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            S._anomaly_fn,
+            outputStructType=S.ANOM_OUT_SCHEMA,
+            stateStructType=S.ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+    S.run_to_memory(sdf, name, output_mode="append")
+    got = {
+        (r.event_id, r.user_id, r.n_window)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.n_window)
+        for r in events_rolling_anomaly(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no anomalies — threshold signal lost"

@@ -119,7 +119,10 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — is total and deterministic."""
     q = text_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     n = q.count()
-    b = N_DECILES
+    # degenerate-corpus guard: fewer rows than buckets would zero
+    # size_small and divide by it; NTILE's own semantics put one row
+    # per bucket then stop — b = min(b, n) reproduces that exactly
+    b = min(N_DECILES, n) if n else 1
     size_small = n // b
     size_big = size_small + 1
     cut = (n % b) * size_big  # rows 1..cut live in the big buckets

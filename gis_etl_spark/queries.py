@@ -1181,8 +1181,11 @@ _TIER0 = (
 #   r1: first 50 of the original definition order (_R1_SCORED).
 #   r2: tier0 = never-scored packs fronted; window = _R2_SCORED.
 #   r3: tier0 = 2 never-scored + 3 oracle-typing fixes; window = _R3_SCORED.
-#   r4 (this ordering): tier0 above (5 never-scored + 3 r1-only), then
-#       r2-only greens (latest row is r2), then r3 greens, then the rest.
+#   r4 (this ordering): tier0 above = the 5 never-scored r3 tail +
+#       3 r1-only geo queries + EVERY query added during round 4
+#       (sessions 2 and 3) — exactly 50, so the whole window is
+#       never-or-oldest-scored; r2-only greens follow, then r3 greens,
+#       then the rest. After r4 every registry entry has a driver row.
 REGISTRY = {
     **{k: REGISTRY[k] for k in _TIER0},
     # latest driver row is r2 — oldest coverage after tier 0.

@@ -1353,6 +1353,44 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the paper's control is TARGET cluster size (k scales with the
+# corpus); this cap is the guard-rail for when a skewed corpus defeats
+# that — same role as EMB_LSH_BUCKET_CAP for the banded path
+SEMDEDUP_CLUSTER_CAP = 4096
+
+
+def semdedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster cost audit for semdedup — the honesty metric the
+    quadratic stage needs: each cluster's size, the pair count it
+    contributes (n·(n−1)/2 — the actual kernel work), and whether it
+    exceeds SEMDEDUP_CLUSTER_CAP (at which point the operator's answer
+    is 'raise k or block the kernel', never 'silently truncate').
+    Assignment-only plan: one map-side argmin + one tiny groupBy —
+    runs long before anyone pays the pairwise stage."""
+    emb = _emb(spark, sf_dir)
+    key = _corpus_key(sf_dir)
+    cents = _KMEANS_CACHE.get(key)
+    if cents is None:
+        cents = kmeans_fit(emb)
+        _KMEANS_CACHE[key] = cents
+    assigned = emb.select(
+        F.array_min(_d2_cols("v", cents)).getField("c_id").alias("list_id")
+    )
+    return (
+        assigned.groupBy("list_id")
+        .agg(F.count("*").alias("n_vecs"))
+        .select(
+            "list_id",
+            "n_vecs",
+            (F.col("n_vecs") * (F.col("n_vecs") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+            (F.col("n_vecs") > SEMDEDUP_CLUSTER_CAP).alias("over_cap"),
+        )
+        .orderBy("list_id")
+    )
+
+
 def semdedup_oracle_sql() -> str:
     """Independent SemDeDup: retrains the codebook via the shared
     unrolled-Lloyd CTEs, re-derives assignments, and recomputes every

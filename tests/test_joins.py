@@ -285,3 +285,38 @@ def test_nearest_neighbor_join_matches_brute_force(spark):
         ).collect()
     }
     assert got_tie == {0: 1, 1: 0, 2: 0}
+
+
+def test_unbounded_nn_join_exact_for_all_points(spark):
+    """Ring-doubling kNN: EVERY point (including far outliers that the
+    bounded join drops) gets its true global nearest neighbor —
+    verified against numpy brute force on a set with a deliberately
+    isolated far cluster and a lone remote point."""
+    from gis_etl_spark.ops.joins import nearest_neighbor_join_unbounded
+
+    rng = np.random.default_rng(23)
+    dense = np.column_stack(
+        [rng.uniform(0, 1, 300), rng.uniform(0, 1, 300)]
+    )
+    far = np.column_stack(
+        [rng.uniform(50, 50.5, 8), rng.uniform(50, 50.5, 8)]
+    )
+    lone = np.array([[200.0, 200.0]])
+    xy = np.vstack([dense, far, lone])
+    pts = pd.DataFrame(
+        {"pid": np.arange(len(xy)), "x": xy[:, 0], "y": xy[:, 1]}
+    )
+    got = {
+        int(r.a_id): (int(r.b_id), float(r.d2))
+        for r in nearest_neighbor_join_unbounded(
+            spark.createDataFrame(pts), "pid", "x", "y", 0.05
+        ).collect()
+    }
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    exp = {
+        i: (int(np.argmin(d2[i])), float(d2[i].min()))
+        for i in range(len(xy))
+    }
+    assert got == exp
+    assert len(got) == len(xy)  # nobody unresolved, even the lone point

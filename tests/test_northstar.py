@@ -718,3 +718,21 @@ def test_lit_vec_sql_literals_bit_exact(spark):
     )
     for got, want in zip(row.a, vals):
         assert struct.pack("<d", got) == struct.pack("<d", want)
+
+
+def test_semdedup_cluster_audit_conserves_and_bounds(spark, sf_dir):
+    """Audit invariants: cluster sizes sum to the corpus, pair counts
+    follow n(n-1)/2 exactly, and the fixture stays under the cap (the
+    audit exists to catch the day that stops being true)."""
+    rows = S.semdedup_cluster_audit(spark, sf_dir).collect()
+    n_corpus = S._emb(spark, sf_dir).count()
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_pairs == r.n_vecs * (r.n_vecs - 1) // 2
+        assert r.over_cap == (r.n_vecs > S.SEMDEDUP_CLUSTER_CAP)
+    assert not any(r.over_cap for r in rows)
+    # audit clusters == the clusters semdedup actually uses
+    sd = S.semdedup(spark, sf_dir).groupBy("list_id").count().collect()
+    assert {(r.list_id, r["count"]) for r in sd} == {
+        (r.list_id, r.n_vecs) for r in rows
+    }

@@ -118,3 +118,49 @@ def test_spatial_clusters_match_union_find(spark, sf_dir):
     }
     assert got == exp
     assert len(got) > 20
+
+
+def test_star_contraction_equals_fixpoint_and_beats_diameter(spark, sf_dir):
+    """Star-contraction CC must label identically to the min-label
+    fixpoint on (a) the real spatial proximity graph, (b) random
+    graphs, and (c) a 120-node PATH — where the fixpoint needs
+    O(diameter) rounds but star contraction stays logarithmic (round
+    count pinned)."""
+    import numpy as np
+
+    from gis_etl_spark.ops.dedup import (
+        _STAR_ROUNDS,
+        label_components,
+        label_components_stars,
+    )
+    from gis_etl_spark.ops.joins import spatial_near_pairs
+
+    def labels_of(df):
+        return {(r.doc_id, r.component) for r in df.collect()}
+
+    spatial = spatial_near_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    assert labels_of(label_components_stars(spatial)) == labels_of(
+        label_components(spatial)
+    )
+
+    rng = np.random.default_rng(9)
+    rand_pairs = [
+        (int(a), int(b))
+        for a, b in zip(
+            rng.integers(0, 80, 150), rng.integers(0, 80, 150)
+        )
+        if a != b
+    ]
+    rdf = spark.createDataFrame(rand_pairs, "doc_a long, doc_b long")
+    assert labels_of(label_components_stars(rdf)) == labels_of(
+        label_components(rdf)
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    got = labels_of(label_components_stars(path))
+    assert got == {(i, 0) for i in range(121)}
+    assert _STAR_ROUNDS["last"] <= 12, _STAR_ROUNDS["last"]

@@ -320,3 +320,33 @@ def test_unbounded_nn_join_exact_for_all_points(spark):
     }
     assert got == exp
     assert len(got) == len(xy)  # nobody unresolved, even the lone point
+
+
+def test_unbounded_nn_join_partitioning_invariant(spark):
+    """The ring-doubling 1-NN must return the identical answer under
+    different input partitionings — min(struct) argmin and the
+    residue loop are order-free."""
+    from gis_etl_spark.ops.joins import nearest_neighbor_join_unbounded
+
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(200),
+            "x": rng.uniform(0, 1, 200),
+            "y": rng.uniform(0, 1, 200),
+        }
+    )
+    base = spark.createDataFrame(pts)
+    a = {
+        (r.a_id, r.b_id, r.d2)
+        for r in nearest_neighbor_join_unbounded(
+            base.repartition(1), "pid", "x", "y", 0.02
+        ).collect()
+    }
+    b = {
+        (r.a_id, r.b_id, r.d2)
+        for r in nearest_neighbor_join_unbounded(
+            base.repartition(7, "pid"), "pid", "x", "y", 0.02
+        ).collect()
+    }
+    assert a == b and len(a) == 200

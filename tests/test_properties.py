@@ -424,3 +424,35 @@ def test_ahash_uniform_shift_invariance(h, w, seed):
     c = int(rng.integers(1, 256 - int(px.max())))
     shifted = (px.astype(np.int16) + c).astype(np.uint8)
     assert ahash64(px) == ahash64(shifted)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.floats(min_value=-179.9, max_value=179.9),
+    st.floats(min_value=-89.0, max_value=89.0),
+    st.floats(min_value=-179.9, max_value=179.9),
+    st.floats(min_value=-89.0, max_value=89.0),
+)
+def test_haversine_metric_laws(lon1, lat1, lon2, lat2):
+    """Great-circle distance laws on the python twin of the shared SQL
+    text: non-negative, zero iff same point (up to formula rounding),
+    symmetric to the last bit (every operation in the formula is
+    commutative or odd-symmetric), and bounded by half the great
+    circle."""
+    import math
+
+    from gis_etl_spark.geom.functions import EARTH_R_M
+
+    k = math.pi / 180.0
+
+    def hav(a, b, c, d):
+        sdlat = math.sin(((d - b) * k) / 2)
+        sdlon = math.sin(((c - a) * k) / 2)
+        x = sdlat * sdlat + math.cos(b * k) * math.cos(d * k) * sdlon * sdlon
+        return 2.0 * EARTH_R_M * math.asin(math.sqrt(min(1.0, x)))
+
+    d = hav(lon1, lat1, lon2, lat2)
+    assert d >= 0.0
+    assert d <= math.pi * EARTH_R_M * 1.0000001
+    assert hav(lon2, lat2, lon1, lat1) == d
+    assert hav(lon1, lat1, lon1, lat1) == 0.0

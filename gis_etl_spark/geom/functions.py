@@ -394,7 +394,12 @@ def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
         f"{sdlat} * {sdlat} + cos(({lat1}) * {k}) * cos(({lat2}) * {k})"
         f" * {sdlon} * {sdlon}"
     )
-    return f"(2.0 * {EARTH_R_M!r} * asin(sqrt({a})))"
+    # Clamp: FP rounding can push `a` a few ulp above 1.0 for
+    # near-antipodal pairs (observed: 1.0000000000000004). Spark's
+    # asin would return NaN; DuckDB's asin hard-errors outside
+    # [-1, 1] — so both engines need the clamp, and sharing it in
+    # the one text keeps parity.
+    return f"(2.0 * {EARTH_R_M!r} * asin(sqrt(least({a}, 1.0))))"
 
 
 def st_distance_sphere(

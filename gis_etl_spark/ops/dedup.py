@@ -323,10 +323,21 @@ def label_components_stars(pairs: DataFrame) -> DataFrame:
     ).localCheckpoint()
 
     def fingerprint(e: DataFrame) -> tuple:
+        # (count, sum u, sum v) alone can collide across distinct edge
+        # sets (e.g. {(1,4),(2,3)} vs {(1,3),(2,4)}) and small-star can
+        # inject new edges mid-run, so the triple is not monotone; the
+        # order-independent sum of a 64-bit edge hash makes a collision
+        # that also matches count+sums astronomically unlikely, at the
+        # cost of one extra agg column in the same pass.
         r = e.agg(
-            F.count("*"), F.sum("u"), F.sum("v")
+            F.count("*"),
+            F.sum("u"),
+            F.sum("v"),
+            # decimal(38,0): full-range int64 hashes overflow a long
+            # sum under ANSI mode; decimal headroom covers 10^19 edges
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
         ).collect()[0]
-        return (r[0], r[1], r[2])
+        return (r[0], r[1], r[2], r[3])
 
     fp = fingerprint(edges)
     rounds = 0

@@ -66,7 +66,10 @@ _EDGE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 def _graph_key(spark: SparkSession, sf_dir: str) -> tuple:
     import os
 
-    parts = [id(spark)]
+    # applicationId, not id(spark): after a session is stopped and
+    # garbage-collected, CPython can reuse the same id for a new
+    # session, which would hand back DataFrames bound to a dead JVM.
+    parts = [spark.sparkContext.applicationId]
     for t in ("orders", "lineitem"):
         st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
         parts += [st.st_mtime_ns, st.st_size]

@@ -409,6 +409,27 @@ def nearest_neighbor_join_unbounded(
         F.col(x_col).alias(x_col),
         F.col(y_col).alias(y_col),
     ).localCheckpoint()
+
+    def _empty_out() -> DataFrame:
+        from pyspark.sql import types as T
+
+        idt = pts.schema[id_col].dataType
+        return pts.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("a_id", idt),
+                    T.StructField("b_id", idt),
+                    T.StructField("d2", T.DoubleType()),
+                ]
+            ),
+        )
+
+    # <2 points: no pair can exist — empty result, not an unresolved-
+    # residue error (the ring doubling would otherwise spin to
+    # max_doublings and raise).
+    if left.limit(2).count() < 2:
+        return _empty_out()
     parts: list[DataFrame] = []
     r = float(r0)
     for _ in range(max_doublings):
@@ -477,6 +498,19 @@ def nearest_neighbor_join_unbounded(
             found.select(F.col("a_id").alias(id_col)), id_col, "left_anti"
         ).localCheckpoint()
         r *= 2.0
+    else:
+        # loop exhausted max_doublings without draining the residue:
+        # silently dropping those points would break the "every point
+        # gets its true nearest" contract — fail loudly instead.
+        n_left = left.count()
+        if n_left:
+            raise ValueError(
+                f"nearest_neighbor_join_unbounded: {n_left} points still "
+                f"unresolved after {max_doublings} doublings (final "
+                f"radius {r!r}); raise max_doublings or r0"
+            )
+    if not parts:
+        return _empty_out()  # max_doublings == 0 with an empty input
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

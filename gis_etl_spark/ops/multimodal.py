@@ -524,7 +524,14 @@ def _ahashes_cached(spark: SparkSession) -> DataFrame:
 
     path = ensure_media()
     st = os.stat(path)
-    key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    # applicationId, not id(spark): a GC'd session's id can be reused
+    # by a new session, resurrecting DataFrames bound to a dead JVM.
+    key = (
+        spark.sparkContext.applicationId,
+        path,
+        st.st_mtime_ns,
+        st.st_size,
+    )
     if key not in _AHASH_CACHE:
         m = _media(spark).filter(F.col("kind") == "image")
         _AHASH_CACHE[key] = (

@@ -1321,8 +1321,11 @@ def event_pattern_match_sql() -> str:
     return f"""
         WITH seqs AS (
           SELECT user_id,
-                 string_agg(CASE {case} END, ''
-                            ORDER BY ts, event_id) AS seq
+                 -- coalesce: a user whose events ALL map outside
+                 -- EVENT_CHARS aggregates to NULL here but to '' in
+                 -- Spark (array_join drops nulls) — normalize to ''
+                 coalesce(string_agg(CASE {case} END, ''
+                            ORDER BY ts, event_id), '') AS seq
           FROM events GROUP BY user_id
         )
         SELECT user_id, length(seq)::BIGINT AS n_events,
@@ -1333,19 +1336,23 @@ def event_pattern_match_sql() -> str:
 
 
 COPURCHASE_MIN_SHARED = 5
+# Per-customer distinct-supplier cap (hub guard): the pair self-join
+# fans out as k² per customer, so one 10⁵-item hub emits 10¹⁰ pairs
+# and kills the stage — drop such customers entirely (a basket shared
+# by everyone carries no co-occurrence signal; standard market-basket
+# practice). TPC-H's observed max degree is 102 at sf0.1, so 512 never
+# fires on the fixture shape; supplier_copurchase_audit reports what a
+# real power-law corpus would lose. Same cap-and-audit discipline as
+# EMB_LSH_BUCKET_CAP / dedup_embedding_lsh_audit.
+COPURCHASE_HUB_CAP = 512
 
 
-def supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Item-item co-occurrence (the recommender / market-basket
-    primitive): supplier pairs ranked by how many distinct customers
-    buy from both. One distinct bipartite edge list, one self-equi-join
-    on the customer key, one count — the bipartite projection.
-
-    Scale: the self-join fans out quadratically in the per-customer
-    supplier count; production caps that fan-out per customer (drop or
-    sample hub customers, cap-and-audit like EMB_LSH_BUCKET_CAP) since
-    a customer with 10^5 items contributes 10^10 pairs but no signal.
-    The count shuffle is on the (a, b) pair key — well spread."""
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct (customer, supplier) bipartite edges with each
+    customer's degree attached — shared by the pair query and its
+    audit. One join + one distinct + one groupBy."""
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -1357,33 +1364,121 @@ def supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a cache entry every build (measured: GC pressure under the gate)
     cs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select("o_custkey", "l_suppkey")
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
         .distinct()
     )
-    a = cs.select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("sa"))
-    b = cs.select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("sb"))
+    deg = cs.groupBy("c").agg(F.count("*").alias("k"))
+    return cs.join(deg, "c")
+
+
+def copurchase_pairs_capped(
+    edges: DataFrame, cap: int, min_shared: int
+) -> DataFrame:
+    """Bipartite projection over (c, s, k) edges with the hub cap
+    ENFORCED in the plan: customers with degree > cap are dropped
+    before the self-join, bounding per-customer fan-out at cap²
+    regardless of corpus skew. Factored out so tests can run it on a
+    synthetic hub frame with a tiny cap."""
+    kept = edges.filter(F.col("k") <= F.lit(cap))
+    a = kept.select("c", F.col("s").alias("sa"))
+    b = kept.select("c", F.col("s").alias("sb"))
     return (
         a.join(b, "c")
         .filter(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= COPURCHASE_MIN_SHARED)
+        .filter(F.col("n_shared") >= min_shared)
         .orderBy(F.desc("n_shared"), "sa", "sb")
     )
+
+
+def supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (the recommender / market-basket
+    primitive): supplier pairs ranked by how many distinct customers
+    buy from both. One distinct bipartite edge list, one self-equi-join
+    on the customer key, one count — the bipartite projection.
+
+    Scale: the self-join fans out quadratically in the per-customer
+    supplier count; COPURCHASE_HUB_CAP drops hub customers before the
+    join (enforced in-plan, not just documented), and
+    supplier_copurchase_audit reports exactly what the cap discarded.
+    The count shuffle is on the (a, b) pair key — well spread."""
+    return copurchase_pairs_capped(
+        _copurchase_edges(spark, sf_dir),
+        COPURCHASE_HUB_CAP,
+        COPURCHASE_MIN_SHARED,
+    )
+
+
+def supplier_copurchase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Honesty metric for the co-purchase hub cap: how many customers
+    the cap dropped and how many pairs that discarded (k·(k−1)/2 per
+    hub). On TPC-H shapes every column is zero-droppage; on a power-law
+    corpus the dropped_pairs column is the difference between 'no
+    co-occurrence there' and 'the cap ate it'. One row; one agg over
+    the per-customer degree table — no self-join."""
+    deg = (
+        _copurchase_edges(spark, sf_dir)
+        .select("c", "k")
+        .distinct()
+    )
+    over = F.col("k") > COPURCHASE_HUB_CAP
+    return deg.agg(
+        F.count("*").alias("n_customers"),
+        F.max("k").alias("max_degree"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("n_capped_customers"),
+        # `div`: integer division keeps the arithmetic in int64 on
+        # both engines (k·(k−1) is even, but / would go via double)
+        F.sum(
+            F.when(over, F.expr("k * (k - 1) div 2")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dropped_pairs"),
+    )
+
+
+_COPURCHASE_CS_SQL = """
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
 
 
 def supplier_copurchase_sql() -> str:
     return f"""
         WITH cs AS (
-          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          {_COPURCHASE_CS_SQL}
+        ), deg AS (
+          SELECT c, count(*) AS k FROM cs GROUP BY c
+        ), kept AS (
+          SELECT cs.c, cs.s FROM cs JOIN deg USING (c)
+          WHERE k <= {COPURCHASE_HUB_CAP}
         )
         SELECT a.s AS sa, b.s AS sb, count(*)::BIGINT AS n_shared
-        FROM cs a JOIN cs b USING (c)
+        FROM kept a JOIN kept b USING (c)
         WHERE a.s < b.s
         GROUP BY a.s, b.s
         HAVING count(*) >= {COPURCHASE_MIN_SHARED}
         ORDER BY n_shared DESC, sa, sb
+    """
+
+
+def supplier_copurchase_audit_sql() -> str:
+    return f"""
+        WITH cs AS (
+          {_COPURCHASE_CS_SQL}
+        ), deg AS (
+          SELECT c, count(*) AS k FROM cs GROUP BY c
+        )
+        SELECT count(*)::BIGINT AS n_customers,
+               max(k)::BIGINT AS max_degree,
+               sum(CASE WHEN k > {COPURCHASE_HUB_CAP} THEN 1
+                   ELSE 0 END)::BIGINT AS n_capped_customers,
+               sum(CASE WHEN k > {COPURCHASE_HUB_CAP}
+                   THEN k * (k - 1) // 2 ELSE 0 END)::BIGINT
+                 AS dropped_pairs
+        FROM deg
     """
 
 

@@ -1267,6 +1267,43 @@ def ivf_kmeans_oracle_sql() -> str:
 # tests compare their recall against the exact pairwise baseline.
 SEMDEDUP_T = EMB_DEDUP_T  # 0.35
 
+# Block side for the per-cluster pairwise kernel: peak memory is
+# BLOCK² doubles (+ the cluster's own vectors) REGARDLESS of cluster
+# size, so a skewed mega-cluster degrades to more block iterations
+# instead of OOMing the executor. 2048² doubles = 32 MB/block. Tests
+# shrink this to force multi-block execution on small clusters.
+SEMDEDUP_BLOCK = 2048
+
+
+def _semdedup_dropped(M: "np.ndarray", t: float, block: int) -> "np.ndarray":
+    """Per-cluster SemDeDup drop flags with BLOCKED pairwise cosine:
+    rows of M are id-ordered unit vectors; returns dropped[i] ⇔ some
+    j < i with cos(M[j], M[i]) >= t.
+
+    The cosine matrix is computed one (row-block × col-block) tile at
+    a time, each tile accumulated over the dimension axis left-to-right
+    — the same IEEE sequence per element as the unblocked outer-product
+    loop and the oracle's list_dot_product, so blocking cannot flip a
+    >= t comparison. Peak extra memory: block² doubles, independent of
+    cluster size (the mega-cluster enforcement SCALE.md prescribes —
+    the audit's over_cap flag now means 'slow', never 'OOM')."""
+    n = M.shape[0]
+    dropped = np.zeros(n, dtype=bool)
+    for jlo in range(1, n, block):  # col block: candidate dropped js
+        jhi = min(jlo + block, n)
+        for ilo in range(0, jhi, block):  # row block: potential twins
+            ihi = min(ilo + block, jhi)
+            tile = np.zeros((ihi - ilo, jhi - jlo))
+            for k in range(M.shape[1]):
+                tile += M[ilo:ihi, k][:, None] * M[jlo:jhi, k][None, :]
+            hit = tile >= t
+            # only i < j counts: mask the diagonal-and-above of the
+            # overlapping region (global indices)
+            gi = np.arange(ilo, ihi)[:, None]
+            gj = np.arange(jlo, jhi)[None, :]
+            dropped[jlo:jhi] |= (hit & (gi < gj)).any(axis=0)
+    return dropped
+
 
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: drop every vector that has a lower-id semantic twin
@@ -1287,10 +1324,13 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs of a cluster in one vectorized pass — never a cross join
     (registry-wide no-CartesianProduct sweep), and ~4x faster than the
     relational self-join rendition whose per-pair HOF dot evaluates
-    interpreted. The quadratic term is bounded by the largest cluster:
-    at scale k grows with the corpus (SemDeDup §3: fix the TARGET
-    cluster size, derive k), and a skewed mega-cluster gets the same
-    cap-and-audit treatment as EMB_LSH_BUCKET_CAP. Cosine accumulates
+    interpreted. The quadratic term is bounded by the largest cluster
+    in TIME only — the kernel is tile-blocked (_semdedup_dropped), so
+    peak memory is SEMDEDUP_BLOCK² per task and a skewed mega-cluster
+    degrades to more tile iterations instead of an executor OOM;
+    semdedup_cluster_audit flags such clusters (at scale k grows with
+    the corpus — SemDeDup §3: fix the TARGET cluster size, derive k).
+    Cosine accumulates
     in dimension order — the bit-exact IEEE sequence the oracle's
     list_dot_product uses — so the >= T comparison cannot flip
     cross-engine."""
@@ -1317,25 +1357,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = float(SEMDEDUP_T)
 
     def cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Pairwise cosine for ONE cluster as a dimension-ordered
-        # accumulation of outer products: C[i,j] sums vn_i[k]·vn_j[k]
-        # left-to-right over k — the same IEEE sequence as the HOF /
-        # list_dot_product dot, vectorized over all pairs at once
-        # (the relational self-join rendition evaluates the lambda dot
-        # per pair interpreted — ~4x slower at 5k vectors). Memory is
-        # n_c² doubles; at scale, block the rows of C and keep the
-        # k-loop inner, same contract.
+        # Pairwise cosine for ONE cluster, dimension-ordered (the same
+        # IEEE sequence as the HOF / list_dot_product dot — the
+        # relational self-join rendition evaluates the lambda dot per
+        # pair interpreted, ~4x slower at 5k vectors), BLOCKED in
+        # SEMDEDUP_BLOCK² tiles so a mega-cluster costs iterations, not
+        # executor memory (see _semdedup_dropped).
         order = np.argsort(pdf["vec_id"].to_numpy())
         ids = pdf["vec_id"].to_numpy()[order]
         M = np.array(pdf["vn"].tolist(), dtype=np.float64)[order]
-        n = len(ids)
-        C = np.zeros((n, n))
-        for k in range(M.shape[1]):
-            col = M[:, k]
-            C += col[:, None] * col[None, :]
-        # dropped_i ⇔ some j < i (id order) with C[j, i] >= T
-        tri = np.triu(C >= t, 1)
-        dropped = tri.any(axis=0)
+        dropped = _semdedup_dropped(M, t, SEMDEDUP_BLOCK)
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -1363,8 +1394,10 @@ def semdedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster cost audit for semdedup — the honesty metric the
     quadratic stage needs: each cluster's size, the pair count it
     contributes (n·(n−1)/2 — the actual kernel work), and whether it
-    exceeds SEMDEDUP_CLUSTER_CAP (at which point the operator's answer
-    is 'raise k or block the kernel', never 'silently truncate').
+    exceeds SEMDEDUP_CLUSTER_CAP. Since the kernel is tile-blocked
+    (_semdedup_dropped: peak memory SEMDEDUP_BLOCK², any cluster size),
+    over_cap now means 'quadratic TIME hotspot — raise k', never an
+    executor OOM and never a silent truncation.
     Assignment-only plan: one map-side argmin + one tiny groupBy —
     runs long before anyone pays the pairwise stage."""
     emb = _emb(spark, sf_dir)

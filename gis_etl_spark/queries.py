@@ -1207,3 +1207,34 @@ REGISTRY = {
         if k not in _R2_SCORED and k not in _R3_SCORED and k not in _TIER0
     },
 }
+
+# ---------------------------------------------------------------------------
+# Round-5 additions + window rotation. Policy (ADVICE r3, kept since):
+# every query added this round is FRONTED into the gate's 50-entry
+# scoring window the round it lands, so no never-scored tail regrows.
+# After the r4 union all pre-existing queries have driver rows; the r5
+# window = the new queries first, then the r4 tier — deliberately kept
+# in-window because round 5 modifies several of its members in place
+# (supplier_copurchase_pairs gains the enforced hub cap,
+# geo_haversine_span gains the asin clamp, event_pattern_match's oracle
+# gains the coalesce), and each needs a fresh driver row this round.
+# ---------------------------------------------------------------------------
+
+REGISTRY.update(
+    {
+        # hub-cap honesty metric for the (now enforced) co-purchase cap
+        "supplier_copurchase_audit": (
+            R.supplier_copurchase_audit,
+            R.supplier_copurchase_audit_sql(),
+        ),
+    }
+)
+
+_R5_NEW = (
+    "supplier_copurchase_audit",
+)
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R5_NEW},
+    **{k: v for k, v in REGISTRY.items() if k not in _R5_NEW},
+}

@@ -350,3 +350,42 @@ def test_unbounded_nn_join_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b and len(a) == 200
+
+
+def test_unbounded_nn_join_degenerate_inputs(spark):
+    """Contract hardening: 0- and 1-point inputs return an EMPTY frame
+    with the output schema (no pairs exist) instead of IndexError-ing
+    on parts[0]."""
+    from gis_etl_spark.ops.joins import nearest_neighbor_join_unbounded
+
+    empty = spark.createDataFrame(
+        [], "pid long, x double, y double"
+    )
+    out = nearest_neighbor_join_unbounded(empty, "pid", "x", "y", 0.1)
+    assert out.columns == ["a_id", "b_id", "d2"]
+    assert out.count() == 0
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"pid": [7], "x": [0.0], "y": [0.0]})
+    )
+    out1 = nearest_neighbor_join_unbounded(one, "pid", "x", "y", 0.1)
+    assert out1.columns == ["a_id", "b_id", "d2"]
+    assert out1.count() == 0
+
+
+def test_unbounded_nn_join_raises_on_unresolved_residue(spark):
+    """If max_doublings is exhausted with points still unresolved, the
+    join must FAIL LOUDLY (the docstring promises every point its true
+    nearest) rather than silently dropping the residue."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops.joins import nearest_neighbor_join_unbounded
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "x": [0.0, 1000.0], "y": [0.0, 0.0]})
+    )
+    with _pytest.raises(ValueError, match="unresolved"):
+        # r0=0.001 doubled twice reaches 0.004 — far short of 1000
+        nearest_neighbor_join_unbounded(
+            pts, "pid", "x", "y", 0.001, max_doublings=2
+        )

@@ -158,3 +158,59 @@ def test_clustered_layout_enables_row_group_skipping(spark, tmp_path):
     assert scan.count() == full.filter(
         F.col("hkey").between(qlo, qhi)
     ).count()
+
+
+def test_copurchase_hub_cap_enforced(spark, sf_dir):
+    """The co-purchase hub cap is ENFORCED in-plan, not just
+    documented: a synthetic hub customer above the cap contributes
+    zero pairs, customers at/below the cap are untouched, and on the
+    TPC-H fixture (max degree far below COPURCHASE_HUB_CAP) the capped
+    query equals the uncapped projection."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.ops.relational import (
+        COPURCHASE_HUB_CAP,
+        COPURCHASE_MIN_SHARED,
+        _copurchase_edges,
+        copurchase_pairs_capped,
+        supplier_copurchase_pairs,
+    )
+
+    # synthetic: customers 1..5 each buy suppliers {10, 11} (degree 2);
+    # hub customer 99 buys suppliers 10..19 (degree 10).
+    rows = [(c, s) for c in range(1, 6) for s in (10, 11)]
+    rows += [(99, s) for s in range(10, 20)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["c", "s"])
+    )
+    edges = edges.join(
+        edges.groupBy("c").agg(F.count("*").alias("k")), "c"
+    )
+
+    capped = {
+        (r.sa, r.sb, r.n_shared)
+        for r in copurchase_pairs_capped(edges, cap=5, min_shared=2)
+        .collect()
+    }
+    # hub 99 dropped: only the (10, 11) pair from the 5 small customers
+    assert capped == {(10, 11, 5)}
+
+    uncapped = {
+        (r.sa, r.sb, r.n_shared)
+        for r in copurchase_pairs_capped(edges, cap=10**9, min_shared=1)
+        .collect()
+    }
+    # with the hub admitted it adds 1 to (10,11) and C(10,2)=45 pairs
+    # total (44 hub-only ones at n_shared=1)
+    assert (10, 11, 6) in uncapped and len(uncapped) == 45
+
+    # TPC-H shape: the production cap never fires, result identical to
+    # the uncapped projection (the cap is a guard, not a semantics change)
+    prod = supplier_copurchase_pairs(spark, sf_dir)
+    tpch_edges = _copurchase_edges(spark, sf_dir)
+    assert tpch_edges.agg(F.max("k")).first()[0] <= COPURCHASE_HUB_CAP
+    unc = copurchase_pairs_capped(
+        tpch_edges, 10**9, COPURCHASE_MIN_SHARED
+    )
+    assert prod.exceptAll(unc).isEmpty() and unc.exceptAll(prod).isEmpty()

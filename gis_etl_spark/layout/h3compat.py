@@ -31,6 +31,10 @@ keys at 100 TB with zero Python):
   with exact H3 semantics
 - h3_str_to_cell / h3_cell_to_str — hex-string ↔ int64 (H3 data
   interchange is usually the 15-char hex form)
+- h3_is_pentagon / h3_cell_to_children / h3_cell_to_children_df —
+  exact pentagon-aware children expansion: the only table it needs is
+  the 12 documented pentagon base cells, offline-verified by
+  re-deriving H3's published per-resolution cell counts (2 + 120·7^r)
 
 For *generating* H3 ids from coordinates, `h3_latlng_to_cell`
 delegates to the real `h3` python package when importable (exact
@@ -145,6 +149,108 @@ def h3_cell_to_center_child(cell: Column | str, child_res: int) -> Column:
     return F.when(res >= F.lit(child_res), v).otherwise(cleared)
 
 
+# The 12 pentagon base cells — a publicly documented H3 constant (H3
+# docs, "Base cells"; res-0 pentagons). This is the ONLY piece of the
+# 122-base-cell table that children expansion needs, and unlike the
+# geodesic face/ijk data it IS offline-verifiable: with exactly 12
+# pentagons losing one child digit per level, the published per-res
+# cell counts must come out as 122, 842, 5882, 41162, ... (= 2 + 120·7^r
+# exactly), which tests/test_h3compat.py pins for res 0-15.
+PENTAGON_BASE_CELLS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+
+
+def _digit_fill(res: int) -> int:
+    """The 7-marker bits for digits beyond `res` (digit field of a
+    valid cell at resolution res with all real digits zero)."""
+    fill = 0
+    for r in range(res + 1, MAX_H3_RES + 1):
+        fill |= 7 << (3 * (MAX_H3_RES - r))
+    return fill
+
+
+def h3_is_pentagon(cell: Column | str) -> Column:
+    """True iff the cell is a pentagon: its base cell is one of the 12
+    pentagon base cells AND every digit up to its resolution is 0 (the
+    pentagon lineage is exactly the center-child chain — H3 docs,
+    'Indexing': digit 1 is the deleted K subsequence under pentagons,
+    so only the digit-0 child of a pentagon is itself a pentagon)."""
+    v = _c(cell)
+    res = h3_get_resolution(v)
+    digit_bits = v.bitwiseAND(F.lit((1 << 45) - 1))
+    zerod = F.lit(False)
+    for r in range(MAX_H3_RES + 1):
+        zerod = F.when(
+            res == r, digit_bits == F.lit(_digit_fill(r))
+        ).otherwise(zerod)
+    return h3_get_base_cell(v).isin(list(PENTAGON_BASE_CELLS)) & zerod
+
+
+def h3_cell_to_children(cell: Column | str) -> Column:
+    """Direct (res+1) children of a cell as array<long> — H3's
+    cellToChildren one level down, bit-for-bit: append each digit
+    0..6, EXCEPT digit 1 under a pentagon parent (the deleted K
+    subsequence), so hexagons yield 7 children and pentagons 6.
+    Resolution-15 input yields NULL (no finer cells exist).
+
+    Pure bit arithmetic over the published layout — native
+    expressions, whole-stage codegen, no Python; the per-row
+    resolution is handled as a constant-folded CASE over the 15
+    possible parent resolutions."""
+    v = _c(cell)
+    res = h3_get_resolution(v)
+    pent = h3_is_pentagon(v)
+    out = F.lit(None).cast("array<long>")
+    for r in range(MAX_H3_RES):  # parent res r -> children res r+1
+        pos = 3 * (MAX_H3_RES - (r + 1))
+        base = (
+            v.bitwiseAND(F.lit(~(0xF << _RES_SHIFT)))
+            .bitwiseOR(F.lit((r + 1) << _RES_SHIFT))
+            .bitwiseAND(F.lit(~(7 << pos)))
+        )
+        hex7 = F.array(
+            *[base.bitwiseOR(F.lit(d << pos)) for d in range(7)]
+        )
+        pent6 = F.array(
+            *[base.bitwiseOR(F.lit(d << pos)) for d in (0, 2, 3, 4, 5, 6)]
+        )
+        out = F.when(
+            res == r, F.when(pent, pent6).otherwise(hex7)
+        ).otherwise(out)
+    return out
+
+
+def h3_cell_to_children_df(df, cell_col: str, child_res: int, out_col="child"):
+    """Full descendant expansion to `child_res` — H3's cellToChildren
+    for arbitrary (even mixed) input resolutions, as a DataFrame
+    transform: one row per descendant. Rows already AT child_res pass
+    through; rows FINER than child_res are dropped (h3 errors there;
+    a dropped row is the relational rendition). Exact for pentagons:
+    each level excludes digit 1 under the (unique, center-child)
+    pentagon lineage, so a res-0 pentagon yields 6, 41, 286, ...
+    descendants while a hexagon yields 7, 49, 343, ...
+
+    Scale: each level is ONE narrow explode (map-side 7x fan-out, no
+    shuffle) — the uncompact plan a 100 TB H3 corpus wants; total
+    output is 7^(child_res-res) per row, the caller's contract."""
+    if not 0 <= child_res <= MAX_H3_RES:
+        raise ValueError(f"child_res out of range: {child_res}")
+    cur = df.withColumn(out_col, _c(cell_col)).filter(
+        h3_get_resolution(F.col(out_col)) <= child_res
+    )
+    for _ in range(child_res):
+        c = F.col(out_col)
+        cur = cur.withColumn(
+            out_col,
+            F.explode(
+                F.when(
+                    h3_get_resolution(c) < child_res,
+                    h3_cell_to_children(c),
+                ).otherwise(F.array(c))
+            ),
+        )
+    return cur
+
+
 def h3_str_to_cell(s: Column | str) -> Column:
     """15-char hex form → int64 id (`conv` base 16)."""
     return F.conv(_c(s), 16, 10).cast("long")
@@ -239,6 +345,74 @@ def h3_parent_rollup_sql() -> str:
                min(p5) AS min_parent5, max(p5) AS max_parent5,
                count(*)::BIGINT AS n_valid
         FROM c GROUP BY base_cell ORDER BY base_cell
+    """
+
+
+def h3_children_rollup(spark, sf_dir: str):
+    """Registry query: expand ALL 122 res-0 base cells (derived from
+    documents so the oracle sees the same table) to their res-2
+    descendants with the exact pentagon-aware children expansion, and
+    report per-base-cell counts + id extrema. The counts themselves
+    re-derive the published H3 cell-count table: 12 pentagon base
+    cells x 41 + 110 hexagons x 49 = 5882 res-2 cells (H3 docs,
+    'Tables of Cell Statistics')."""
+    from gis_etl_spark.io import read_table  # noqa: PLC0415
+
+    bc = (
+        read_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 122).alias("bc"))
+        .distinct()
+    )
+    res0 = bc.select(
+        "bc",
+        (
+            F.lit((_MODE_CELL << 59) | _digit_fill(0)).cast("long")
+            .bitwiseOR(F.shiftleft(F.col("bc"), _BC_SHIFT))
+        ).alias("cell"),
+    )
+    kids = h3_cell_to_children_df(res0, "cell", 2)
+    return (
+        kids.groupBy("bc")
+        .agg(
+            F.count("*").alias("n_res2"),
+            F.min("child").alias("min_child"),
+            F.max("child").alias("max_child"),
+            F.sum(h3_is_pentagon("child").cast("int")).alias("n_pent"),
+        )
+        .orderBy("bc")
+    )
+
+
+def h3_children_rollup_sql() -> str:
+    """Independent oracle twin: re-derives every res-2 descendant id
+    from digit arithmetic alone (no shared code with the Spark
+    expansion beyond the published layout constants)."""
+    pent = ", ".join(str(b) for b in PENTAGON_BASE_CELLS)
+    head = (_MODE_CELL << 59) | (2 << _RES_SHIFT) | _digit_fill(2)
+    d1_pos, d2_pos = 3 * (MAX_H3_RES - 1), 3 * (MAX_H3_RES - 2)
+    return f"""
+        WITH bcs AS (
+          SELECT DISTINCT doc_id % 122 AS bc FROM documents
+        ), digits AS (
+          SELECT unnest(generate_series(0, 6)) AS d
+        ), c1 AS (
+          SELECT bc, d AS d1 FROM bcs, digits
+          WHERE NOT (bc IN ({pent}) AND d = 1)
+        ), c2 AS (
+          SELECT bc, d1, d AS d2 FROM c1, digits
+          WHERE NOT (bc IN ({pent}) AND d1 = 0 AND d = 1)
+        ), cells AS (
+          SELECT bc,
+                 ({head} | (bc * {1 << _BC_SHIFT})
+                   | (d1 * {1 << d1_pos}) | (d2 * {1 << d2_pos}))
+                   AS child,
+                 (bc IN ({pent}) AND d1 = 0 AND d2 = 0)::INT AS is_pent
+          FROM c2
+        )
+        SELECT bc, count(*)::BIGINT AS n_res2,
+               min(child) AS min_child, max(child) AS max_child,
+               sum(is_pent)::BIGINT AS n_pent
+        FROM cells GROUP BY bc ORDER BY bc
     """
 
 

@@ -1227,11 +1227,18 @@ REGISTRY.update(
             R.supplier_copurchase_audit,
             R.supplier_copurchase_audit_sql(),
         ),
+        # pentagon-aware cellToChildren on real H3 ids: 12-pentagon
+        # constant validated by re-deriving the published cell counts
+        "h3_children_rollup": (
+            H3.h3_children_rollup,
+            H3.h3_children_rollup_sql(),
+        ),
     }
 )
 
 _R5_NEW = (
     "supplier_copurchase_audit",
+    "h3_children_rollup",
 )
 
 REGISTRY = {

@@ -173,3 +173,86 @@ def test_latlng_requires_h3_lib(spark):
             H.h3_latlng_to_cell(F.col("lat"), F.col("lng"), 9).alias("c")
         ).first()["c"]
         assert got == EX_RES9
+
+
+def test_children_counts_rederive_published_cell_table(spark):
+    """The ONLY datum children expansion needs beyond the bit layout
+    is the 12-int pentagon base-cell list — validated here by
+    re-deriving H3's published per-resolution cell counts ('Tables of
+    Cell Statistics': res1 = 842, res2 = 5882; closed form
+    2 + 120·7^r): expanding all 122 res-0 cells must yield exactly
+    those totals, with pentagons contributing 6·(count at prior res)
+    ... i.e. 12 pentagons at every resolution."""
+    base = spark.createDataFrame(
+        [((1 << 59) | H._digit_fill(0) | (bc << 45),) for bc in range(122)],
+        "cell long",
+    )
+    r1 = H.h3_cell_to_children_df(base, "cell", 1)
+    assert r1.count() == 842
+    r2 = H.h3_cell_to_children_df(base, "cell", 2)
+    assert r2.count() == 5882
+    # exactly 12 pentagons survive at each res (center-child lineage)
+    assert (
+        r2.filter(H.h3_is_pentagon("child")).count() == 12
+    )
+    # every child's parent is its source cell
+    bad = r2.filter(
+        H.h3_cell_to_parent("child", 0) != F.col("cell")
+    ).count()
+    assert bad == 0
+    # children are valid and unique
+    assert r2.filter(~H.h3_is_valid_cell("child")).count() == 0
+    assert r2.select("child").distinct().count() == 5882
+
+
+def test_children_pentagon_vs_hexagon_digits(spark):
+    """Direct children: a hexagon yields 7 (digits 0-6); a pentagon
+    yields 6 with digit 1 (the deleted K subsequence) absent; the
+    digit-0 child equals h3_cell_to_center_child; res-15 yields NULL."""
+    pent0 = (1 << 59) | H._digit_fill(0) | (4 << 45)   # base cell 4
+    hex0 = (1 << 59) | H._digit_fill(0) | (20 << 45)   # base cell 20
+
+    rows = (
+        spark.createDataFrame([(pent0,), (hex0,)], "cell long")
+        .select(
+            "cell",
+            H.h3_cell_to_children("cell").alias("kids"),
+            H.h3_cell_to_center_child("cell", 1).alias("cc"),
+        )
+        .collect()
+    )
+    by = {r.cell: r for r in rows}
+    pk, hk = by[pent0].kids, by[hex0].kids
+    assert len(pk) == 6 and len(hk) == 7
+
+    def digit1(c):  # digit at res 1
+        return (c >> (3 * 14)) & 7
+
+    assert sorted(digit1(c) for c in pk) == [0, 2, 3, 4, 5, 6]
+    assert sorted(digit1(c) for c in hk) == [0, 1, 2, 3, 4, 5, 6]
+    assert pk[0] == by[pent0].cc and hk[0] == by[hex0].cc
+
+    # EX_RES15 is already the finest resolution: no children exist
+    r15 = (
+        spark.createDataFrame([(EX_RES15,)], "cell long")
+        .select(H.h3_cell_to_children("cell").alias("kids"))
+        .first()
+    )
+    assert r15.kids is None
+
+
+def test_children_df_mixed_res_and_passthrough(spark):
+    """h3_cell_to_children_df on mixed input resolutions: a res-2 row
+    passes through unchanged, a res-0 row expands fully, and a row
+    FINER than the target is dropped."""
+    pent0 = (1 << 59) | H._digit_fill(0) | (4 << 45)
+    res2 = (1 << 59) | (2 << 52) | H._digit_fill(2) | (20 << 45)
+    df = spark.createDataFrame(
+        [(pent0,), (res2,), (EX_RES9,)], "cell long"
+    )
+    out = H.h3_cell_to_children_df(df, "cell", 2)
+    got = out.groupBy("cell").count().collect()
+    by = {r.cell: r["count"] for r in got}
+    assert by[pent0] == 41          # 6 + 5*7: pentagon two levels down
+    assert by[res2] == 1            # already at child_res: passthrough
+    assert EX_RES9 not in by        # finer than child_res: dropped

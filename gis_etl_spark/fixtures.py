@@ -622,6 +622,365 @@ def _encode_wav(samples: np.ndarray, rate: int) -> bytes:
     )
 
 
+# --- independent baseline JPEG encoder (ITU-T T.81, forward direction) ----
+#
+# The FORWARD half of the public JPEG spec — float FDCT, quantization,
+# canonical-Huffman entropy coding, optional restart intervals — written
+# here so the engine's decoder (ops/jpeg.py, the REVERSE direction) has a
+# positive control it shares no code with. JPEG is lossy, so unlike the
+# PNG/BMP fixtures the content goldens cannot be the pre-encode pixels:
+# the encoder keeps its quantized coefficients and derives the golden
+# from them via _jpeg_reconstruct, a LOOP-WRITTEN implementation of the
+# integer-exact reconstruction spec documented in ops/jpeg.py (fixed-
+# point IDCT, replication upsample, BT.601 fixed point). decode_jpeg
+# must reproduce that array byte-for-byte.
+
+# quantization tables in the shape of ITU T.81 Annex K.1 (the exact
+# values are an encoder choice — whatever is written in DQT is what the
+# decoder must use; these keep quality visually reasonable)
+_JQ_LUMA = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+_JQ_CHROMA = [
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+]
+
+# canonical Huffman table definitions (bits[1..16], values) — custom
+# tables covering every symbol the baseline scan can emit, constructed
+# so no code is all ones (T.81 convention). DC: 12 category symbols over
+# lengths 3-5; AC: all 162 run/size symbols over lengths 8-9.
+_JH_DC_BITS = [0, 0, 4, 6, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JH_DC_VALS = bytes(range(12))
+_JH_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 34, 0, 0, 0, 0, 0, 0, 0]
+_JH_AC_VALS = bytes(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
+)
+
+
+def _jpeg_zigzag_positions() -> list:
+    """(row, col) of the k-th zigzag coefficient, derived from the
+    diagonal-walk definition (independent of ops.jpeg.ZIGZAG)."""
+    out = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(s + 1)]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left -> top-right
+        out.extend((r, c) for r, c in diag if r < 8 and c < 8)
+    return out
+
+
+def _jpeg_huff_codes(bits: list, vals: bytes) -> dict:
+    """symbol -> (code, length) per the T.81 annex-C canonical
+    construction."""
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF -> 0xFF 0x00 byte stuffing;
+    pads with 1-bits to a byte boundary (scan end / before RSTn)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def pad(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_subsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-filter chroma downsample by integer factors with edge
+    padding; rounded to int."""
+    if fx == 1 and fy == 1:
+        return np.rint(plane).astype(np.int32)
+    H, W = plane.shape
+    p = np.pad(plane, ((0, -H % fy), (0, -W % fx)), mode="edge")
+    q = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(
+        axis=(1, 3)
+    )
+    return np.rint(q).astype(np.int32)
+
+
+def _encode_jpeg(
+    px: np.ndarray, mode: str = "444", restart: int = 0
+) -> tuple[bytes, np.ndarray]:
+    """(h, w, 3) uint8 RGB -> (baseline JPEG bytes, reconstruction
+    golden). mode: 'gray' (1 component) | '444' | '422' | '420';
+    restart > 0 writes a DRI segment and RSTn markers every `restart`
+    MCUs. The golden is the byte-exact array decode_jpeg must return,
+    computed by the loop-based _jpeg_reconstruct from the quantized
+    coefficients this encoder transmits."""
+    import math
+
+    h, w, _ = px.shape
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if mode == "gray":
+        comps = [(1, 1, 1, 0)]  # (cid, hs, vs, qtab)
+        full = [yy]
+    else:
+        sub = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[mode]
+        comps = [(1, sub[0], sub[1], 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        full = [yy, cb, cr]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # float DCT-II basis (forward side only — the decoder never sees it)
+    cosm = np.array(
+        [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+            for u in range(8)
+        ]
+    )
+    cu = np.array([1 / math.sqrt(2)] + [1.0] * 7)
+    qts = [_JQ_LUMA, _JQ_CHROMA]
+    zzpos = _jpeg_zigzag_positions()
+
+    comp_zz: list[list[list[int]]] = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        plane = _jpeg_subsample(full[ci], hmax // hs, vmax // vs)
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        plane = np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        ).astype(np.float64) - 128.0
+        q = np.array(qts[tq], dtype=np.float64)
+        zzs: list[list[int]] = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = plane[
+                            (my * vs + by) * 8 : (my * vs + by) * 8 + 8,
+                            (mx * hs + bx) * 8 : (mx * hs + bx) * 8 + 8,
+                        ]
+                        S = 0.25 * (cu[:, None] * cu[None, :]) * (
+                            cosm @ blk @ cosm.T
+                        )
+                        # cosm @ blk contracts over x; the outer product
+                        # with cosm.T over y — S[u, v] per the spec
+                        qz = np.rint(S / q).astype(np.int64)
+                        zzs.append([int(qz[r_, c_]) for r_, c_ in zzpos])
+        comp_zz.append(zzs)
+
+    # --- entropy coding -----------------------------------------------------
+    dc_codes = _jpeg_huff_codes(_JH_DC_BITS, _JH_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JH_AC_BITS, _JH_AC_VALS)
+    jw = _JpegBitWriter()
+    pred = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    per_mcu = [c[1] * c[2] for c in comps]
+    rst = 0
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            jw.pad()
+            jw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = [0] * len(comps)
+        for ci in range(len(comps)):
+            for bi in range(per_mcu[ci]):
+                zz = comp_zz[ci][m * per_mcu[ci] + bi]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t = abs(diff).bit_length()
+                code, ln = dc_codes[t]
+                jw.put(code, ln)
+                if t:
+                    jw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                last = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last = k
+                run = 0
+                for k in range(1, last + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        jw.put(code, ln)
+                        run -= 16
+                    s = abs(zz[k]).bit_length()
+                    code, ln = ac_codes[(run << 4) | s]
+                    jw.put(code, ln)
+                    v = zz[k]
+                    jw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, ln = ac_codes[0x00]
+                    jw.put(code, ln)
+    jw.pad()
+
+    # --- marker assembly ----------------------------------------------------
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_luma = bytes(_JQ_LUMA[r_][c_] for r_, c_ in zzpos)
+    zz_chroma = bytes(_JQ_CHROMA[r_][c_] for r_, c_ in zzpos)
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += seg(0xDB, bytes([0x00]) + zz_luma)
+    if mode != "gray":
+        out += seg(0xDB, bytes([0x01]) + zz_chroma)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(_JH_DC_BITS) + _JH_DC_VALS
+    dht += bytes([0x10]) + bytes(_JH_AC_BITS) + _JH_AC_VALS
+    if mode != "gray":
+        # chroma gets its own table ids (same layout) so the decoder's
+        # per-component table selection is actually exercised
+        dht += bytes([0x01]) + bytes(_JH_DC_BITS) + _JH_DC_VALS
+        dht += bytes([0x11]) + bytes(_JH_AC_BITS) + _JH_AC_VALS
+    out += seg(0xC4, dht)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(comps)])
+    for ci, (cid, _hs, _vs, _tq) in enumerate(comps):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([cid, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += jw.out
+    out += b"\xff\xd9"
+
+    recon = _jpeg_reconstruct(comp_zz, comps, qts, mcux, mcuy, h, w)
+    return bytes(out), recon
+
+
+def _jpeg_reconstruct(
+    comp_zz, comps, qts, mcux: int, mcuy: int, h: int, w: int
+) -> np.ndarray:
+    """LOOP-WRITTEN reconstruction of the integer-exact spec documented
+    in ops/jpeg.py — dequantize, fixed-point IDCT ((raw + 2^37) >> 38,
+    +128, clip), replication upsample, BT.601 fixed-point upconvert —
+    deliberately sharing no code with the engine's vectorized decoder.
+    decode_jpeg(payload) must equal this array byte-for-byte."""
+    import math
+
+    K = [
+        [
+            round(
+                (1 / math.sqrt(2) if u == 0 else 1.0)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * (1 << 18)
+            )
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+    zzpos = _jpeg_zigzag_positions()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        q = qts[tq]
+        plane = [[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)]
+        i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = comp_zz[ci][i]
+                        i += 1
+                        S = [[0] * 8 for _ in range(8)]
+                        for k in range(64):
+                            r_, c_ = zzpos[k]
+                            S[r_][c_] = zz[k] * q[r_][c_]
+                        tmp = [
+                            [
+                                sum(S[u][v] * K[v][y] for v in range(8))
+                                for y in range(8)
+                            ]
+                            for u in range(8)
+                        ]
+                        for x in range(8):
+                            row = plane[(my * vs + by) * 8 + x]
+                            for y in range(8):
+                                raw = sum(
+                                    K[u][x] * tmp[u][y] for u in range(8)
+                                )
+                                val = ((raw + (1 << 37)) >> 38) + 128
+                                row[(mx * hs + bx) * 8 + y] = min(
+                                    255, max(0, val)
+                                )
+        fy, fx = vmax // vs, hmax // hs
+        planes.append(
+            [
+                [plane[yy // fy][xx // fx] for xx in range(w)]
+                for yy in range(h)
+            ]
+        )
+    out = [[[0, 0, 0] for _ in range(w)] for _ in range(h)]
+    if len(planes) == 1:
+        for yy in range(h):
+            for xx in range(w):
+                v = planes[0][yy][xx]
+                out[yy][xx] = [v, v, v]
+        return np.array(out, dtype=np.uint8)
+    for yy in range(h):
+        for xx in range(w):
+            Y = planes[0][yy][xx]
+            Cb = planes[1][yy][xx] - 128
+            Cr = planes[2][yy][xx] - 128
+            r_ = Y + ((91881 * Cr + 32768) >> 16)
+            g_ = Y - ((22554 * Cb + 46802 * Cr + 32768) >> 16)
+            b_ = Y + ((116130 * Cb + 32768) >> 16)
+            out[yy][xx] = [
+                min(255, max(0, r_)),
+                min(255, max(0, g_)),
+                min(255, max(0, b_)),
+            ]
+    return np.array(out, dtype=np.uint8)
+
+
 def _ahash64_reference(px) -> int:
     """Independent (pure-Python, loop-based) average-hash: sum-gray the
     pixels, 8x8 block means vs the global mean by exact integer
@@ -661,22 +1020,28 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     """Multimodal fixture (SURVEY.md §2.11): REAL binary payloads +
     typed metadata + content goldens.
 
-    - image: 16-64 px per side — even media_ids uncompressed 24-bit
-      BMP, odd media_ids 8-bit truecolor PNG with all five scanline
-      filter types exercised (both public specs);
+    - image: 16-64 px per side, format cycling by media_id % 3 —
+      uncompressed 24-bit BMP, 8-bit truecolor PNG (all five scanline
+      filter types), and v6: baseline JPEG (ITU T.81) cycling through
+      grayscale / 4:4:4 / 4:2:2 / 4:2:0 sampling with restart
+      intervals on half the images. JPEG is lossy, so its goldens
+      (content/ds2/ahash) are computed on the RECONSTRUCTED pixels —
+      the loop-based _jpeg_reconstruct output the decoder must
+      reproduce byte-exactly — not the pre-encode array;
     - audio: PCM16 RIFF/WAVE (public spec), 1-2 ch, 256-2048 samples,
       sample_rate a multiple of 100 (stored width = rate // 100);
     - video: the 13-byte 'FAKE' container (real video needs codec
       libraries — documented deviation), random body bytes.
 
     Besides header metadata (width/height/channels/n_frames/n_bytes),
-    each row stores `content_units` and `content_sum` — the pixel
-    count + RGB byte sum (image), sample count + |amplitude| sum
+    each row stores `fmt` (container format string, the oracle's
+    format-diversity column), `content_units` and `content_sum` — the
+    pixel count + RGB byte sum (image), sample count + |amplitude| sum
     (audio), or body byte count + sum (video) — computed HERE by the
     encoder, so the engine's numpy decoders are verified content-exact
     by the DuckDB oracle, not just header-exact.
     """
-    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v5", "media.parquet")
+    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v6", "media.parquet")
     if os.path.exists(out):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -687,14 +1052,15 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     for i in range(n_rows):
         kind = kinds[int(rng.integers(0, 3))]
         ahash = None
+        fmt = "fake"
         if kind == "image":
-            # v5: ~20% of images duplicate an earlier one — half as an
-            # exact pixel copy (format still follows the id's parity,
-            # so a BMP image can recur as a PNG: cross-format dups are
-            # real), half uniformly brightness-shifted (aHash-equal by
-            # the cross-multiplication invariance, content-sum-
-            # different). Originals draw pixels in [0, 200) to leave
-            # shift headroom without clipping.
+            # v5+: ~20% of images duplicate an earlier one — half as an
+            # exact pixel copy (format still follows the id's cycle, so
+            # a BMP image can recur as a PNG or JPEG: cross-format dups
+            # are real), half uniformly brightness-shifted (aHash-equal
+            # by the cross-multiplication invariance for the lossless
+            # formats, content-sum-different). Originals draw pixels in
+            # [0, 200) to leave shift headroom without clipping.
             mode = int(rng.integers(0, 100))
             if img_bank and mode < 20:
                 src = img_bank[int(rng.integers(0, len(img_bank)))]
@@ -708,16 +1074,27 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
                 w, h = int(rng.integers(16, 65)), int(rng.integers(16, 65))
                 px = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
                 img_bank.append(px)
-            # half BMP, half PNG — two real public image formats, each
-            # decoded content-exactly by the engine's numpy decoders
-            payload = _encode_png(px) if i % 2 else _encode_bmp(px)
+            # three real public image formats, each decoded
+            # content-exactly by the engine's numpy decoders
+            fmt = ("bmp", "png", "jpg")[i % 3]
+            if fmt == "png":
+                payload = _encode_png(px)
+                gold = px
+            elif fmt == "bmp":
+                payload = _encode_bmp(px)
+                gold = px
+            else:
+                jmode = ("gray", "444", "422", "420")[(i // 3) % 4]
+                jrst = 2 if (i // 3) % 2 == 0 else 0
+                payload, gold = _encode_jpeg(px, jmode, jrst)
             ch, nf = 3, 1
-            units, csum = px.size, int(px.sum(dtype=np.int64))
-            ahash = _ahash64_reference(px.tolist())
+            units, csum = gold.size, int(gold.sum(dtype=np.int64))
+            ahash = _ahash64_reference(gold.tolist())
             # 2× nearest-neighbor downsample golden, computed on the
-            # PRE-encode array: verifying it forces decode → resize to
-            # reproduce every sampled byte end-to-end
-            ds = px[::2, ::2]
+            # DECODED-reference array (pre-encode for the lossless
+            # formats, loop-reconstruction for JPEG): verifying it
+            # forces decode → resize to reproduce every sampled byte
+            ds = gold[::2, ::2]
             ds_units, ds_sum = ds.size, int(ds.sum(dtype=np.int64))
         elif kind == "audio":
             rate = int(rng.integers(80, 481)) * 100
@@ -727,6 +1104,7 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
                 -32768, 32768, size=(n, ch), dtype=np.int16
             )
             payload = _encode_wav(samples, rate)
+            fmt = "wav"
             w, h, nf = rate // 100, 0, n
             units = samples.size
             csum = int(np.abs(samples.astype(np.int64)).sum())
@@ -748,12 +1126,12 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
             ds = body[::2]
             ds_units, ds_sum = ds.size, int(ds.sum(dtype=np.int64))
         rows.append(
-            (i, kind, payload, w, h, ch, nf, len(payload), units, csum,
-             ds_units, ds_sum, ahash)
+            (i, kind, fmt, payload, w, h, ch, nf, len(payload), units,
+             csum, ds_units, ds_sum, ahash)
         )
     df = pd.DataFrame(
         [r[:-1] for r in rows],
-        columns=["media_id", "kind", "payload", "width", "height",
+        columns=["media_id", "kind", "fmt", "payload", "width", "height",
                  "channels", "n_frames", "n_bytes", "content_units",
                  "content_sum", "ds2_units", "ds2_sum"],
     ).astype({"media_id": "int64"})

@@ -245,7 +245,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
             for c in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 5 + 3 * c)
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

@@ -17,6 +17,10 @@ numpy/struct — no imaging library needed:
                      concat → stdlib zlib inflate → per-row unfilter
                      (all five filter types: None/Sub/Up/Average/
                      Paeth) → (h, w, 3) RGB uint8. No imaging library.
+- decode_jpeg      — baseline JPEG (ITU-T T.81, see ops/jpeg.py):
+                     Huffman entropy decode, integer-exact fixed-point
+                     IDCT + BT.601, grayscale/4:4:4/4:2:2/4:2:0, RSTn
+                     restarts → (h, w, 3) RGB uint8.
 - decode_meta      — byte-level header parse (mapInPandas) dispatching
                      on magic (BM / RIFF / legacy 'FAKE' video
                      container), verified against the fixture's stored
@@ -58,6 +62,9 @@ from pyspark.sql.types import (
 )
 
 from gis_etl_spark.fixtures import MEDIA_MAGIC, ensure_media
+from gis_etl_spark.ops.jpeg import decode_jpeg, jpeg_header
+
+JPEG_SIG = b"\xff\xd8"
 
 FEATURE_DIM = 16
 
@@ -296,6 +303,10 @@ def _parse_header(buf: bytes | None) -> tuple[int, int, int, int, bool]:
         if buf[:8] == PNG_SIG:
             w, h = _png_header(bytes(buf))
             return w, h, 3, 1, True
+        if buf[:2] == JPEG_SIG:
+            # grayscale JPEG still decodes to 3 replicated channels
+            w, h = jpeg_header(bytes(buf))
+            return w, h, 3, 1, True
         if buf[:4] == b"RIFF":
             rate, ch, n, _ = _wav_header(bytes(buf))
             return rate // 100, 0, ch, n, True
@@ -364,9 +375,16 @@ def extract_features(payload: pd.Series) -> pd.Series:
 
 
 def decode_image(payload_bytes: bytes) -> np.ndarray:
-    """Real pixel decode — pure-numpy BMP (no imaging library needed).
-    Returns (h, w, 3) uint8 RGB."""
-    return decode_bmp(payload_bytes)
+    """Real pixel decode dispatching on magic bytes — pure-numpy BMP /
+    PNG / baseline JPEG (no imaging library needed). Returns (h, w, 3)
+    uint8 RGB; raises ValueError for non-image payloads."""
+    if payload_bytes[:2] == b"BM":
+        return decode_bmp(payload_bytes)
+    if payload_bytes[:8] == PNG_SIG:
+        return decode_png(payload_bytes)
+    if payload_bytes[:2] == JPEG_SIG:
+        return decode_jpeg(payload_bytes)
+    raise ValueError("unrecognized image payload magic")
 
 
 CONTENT_SCHEMA = (
@@ -397,6 +415,10 @@ def decode_content(df: DataFrame) -> DataFrame:
                             px.sum(dtype=np.int64)), True))
                     elif buf[:8] == PNG_SIG:
                         px = decode_png(buf)
+                        out.append((mid, kind, px.size, int(
+                            px.sum(dtype=np.int64)), True))
+                    elif buf[:2] == JPEG_SIG:
+                        px = decode_jpeg(buf)
                         out.append((mid, kind, px.size, int(
                             px.sum(dtype=np.int64)), True))
                     elif buf[:4] == b"RIFF":
@@ -470,6 +492,8 @@ def image_ahashes(df: DataFrame) -> DataFrame:
                         out.append((mid, ahash64(decode_bmp(buf)), "bmp"))
                     elif buf[:8] == PNG_SIG:
                         out.append((mid, ahash64(decode_png(buf)), "png"))
+                    elif buf[:2] == JPEG_SIG:
+                        out.append((mid, ahash64(decode_jpeg(buf)), "jpg"))
                 except ValueError:
                     continue
             yield pd.DataFrame(out, columns=["media_id", "ahash", "fmt"])
@@ -482,11 +506,12 @@ def image_ahashes(df: DataFrame) -> DataFrame:
 def multimodal_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate IMAGE groups: decode → aHash →
     group — the image-side analog of doc_fingerprints/dedup_exact.
-    Catches exact re-encodes, cross-format (BMP↔PNG) copies, and
+    Catches exact re-encodes, cross-format (BMP↔PNG↔JPEG) copies, and
     uniformly brightness-shifted variants, all of which the byte-level
     content checksum misses. Oracle: the fixture encoder stored an
-    independently (loop-)computed ahash64 golden per image, so a hash
-    match proves decode + vectorized hash reproduce it on every image.
+    independently (loop-)computed ahash64 golden per image (on the
+    reconstruction golden for lossy JPEG), so a hash match proves
+    decode + vectorized hash reproduce it on every image.
 
     Scale: decode+hash is one map pass (the payload never shuffles);
     the group-by moves 8 bytes per image. Near-dup (small Hamming
@@ -617,11 +642,17 @@ def decode_resized(df: DataFrame, factor: int = 2) -> DataFrame:
             ):
                 try:
                     buf = bytes(b) if b is not None else b""
-                    if buf[:2] == b"BM" or buf[:8] == PNG_SIG:
-                        px = (
-                            decode_bmp(buf) if buf[:2] == b"BM"
-                            else decode_png(buf)
-                        )
+                    if (
+                        buf[:2] == b"BM"
+                        or buf[:8] == PNG_SIG
+                        or buf[:2] == JPEG_SIG
+                    ):
+                        if buf[:2] == b"BM":
+                            px = decode_bmp(buf)
+                        elif buf[:8] == PNG_SIG:
+                            px = decode_png(buf)
+                        else:
+                            px = decode_jpeg(buf)
                         ds = resize_nn(px, factor)
                         out.append((mid, kind, ds.size, int(
                             ds.sum(dtype=np.int64)), True))
@@ -731,6 +762,61 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMG_FMT_SCHEMA = "fmt string, n_pixels long, pix_sum long"
+
+
+def image_format_stats(df: DataFrame) -> DataFrame:
+    """Per-payload full decode with the container format derived from
+    MAGIC BYTES (not metadata): (fmt, decoded pixel count, pixel byte
+    sum). One Arrow pass, payloads never shuffle — only the 3-column
+    result does."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                try:
+                    buf = bytes(b) if b is not None else b""
+                    if buf[:2] == b"BM":
+                        fmt = "bmp"
+                    elif buf[:8] == PNG_SIG:
+                        fmt = "png"
+                    elif buf[:2] == JPEG_SIG:
+                        fmt = "jpg"
+                    else:
+                        continue
+                    px = decode_image(buf)
+                    out.append((fmt, px.size, int(px.sum(dtype=np.int64))))
+                except ValueError:
+                    continue
+            yield pd.DataFrame(
+                out, columns=["fmt", "n_pixels", "pix_sum"]
+            )
+
+    return df.select("payload").mapInPandas(run, schema=IMG_FMT_SCHEMA)
+
+
+def multimodal_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode statistics per container format — the query that scores
+    each image decoder SEPARATELY: the fmt='jpg' row is green only if
+    the baseline JPEG decoder reproduces the fixture's loop-based
+    integer reconstruction on every JPEG payload (gray/4:4:4/4:2:2/
+    4:2:0, with and without restart markers), since the oracle sums the
+    encoder-stored goldens grouped by the stored format column while
+    the engine re-derives both format and pixels from the raw bytes."""
+    m = _media(spark).filter(F.col("kind") == "image")
+    return (
+        image_format_stats(m)
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_pixels").alias("sum_pixels"),
+            F.sum("pix_sum").alias("sum_content"),
+        )
+        .orderBy("fmt")
+    )
+
+
 def multimodal_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction pass: per-kind mean feature norm (≈1.0) and
     count — rows-only (hash-seeded kernel is not SQL-expressible)."""
@@ -780,14 +866,27 @@ def oracle_sqls() -> dict[str, str]:
                    sum(ds2_sum)::BIGINT AS sum_content
             FROM {m} GROUP BY kind ORDER BY kind
         """,
+        # per-format decode proof: the engine derives fmt from payload
+        # magic and pixels from a real decode; the oracle groups the
+        # encoder's stored goldens by its stored fmt column. The 'jpg'
+        # row pins the JPEG decoder to the loop-reconstruction spec.
+        "multimodal_image_formats": f"""
+            SELECT fmt, count(*) AS n_images,
+                   sum(content_units)::BIGINT AS sum_pixels,
+                   sum(content_sum)::BIGINT AS sum_content
+            FROM {m} WHERE kind = 'image'
+            GROUP BY fmt ORDER BY fmt
+        """,
         # the golden ahash64 was computed by the encoder's independent
-        # loop implementation on the PRE-encode pixels; format comes
-        # from the id parity rule the fixture encodes with
+        # loop implementation on the decoded-reference pixels (pre-
+        # encode for BMP/PNG, loop reconstruction for lossy JPEG);
+        # format diversity comes from the stored fmt column, which the
+        # engine side re-derives from each payload's magic bytes
         "multimodal_ahash_groups": f"""
             SELECT ahash64 AS ahash, count(*)::BIGINT AS n_images,
                    min(media_id)::BIGINT AS id_min,
                    sum(media_id)::BIGINT AS id_sum,
-                   count(DISTINCT media_id % 2)::BIGINT AS n_formats
+                   count(DISTINCT fmt)::BIGINT AS n_formats
             FROM {m} WHERE kind = 'image'
             GROUP BY ahash64 HAVING count(*) >= 2
             ORDER BY ahash

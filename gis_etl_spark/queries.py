@@ -801,6 +801,12 @@ REGISTRY.update(
             M.multimodal_ahash_near_pairs,
             _MM_SQLS["multimodal_ahash_near_pairs"],
         ),
+        # r6: per-container-format decode proof — the fmt='jpg' row
+        # scores the baseline JPEG decoder (ops/jpeg.py) on its own
+        "multimodal_image_formats": (
+            M.multimodal_image_formats,
+            _MM_SQLS["multimodal_image_formats"],
+        ),
     }
 )
 

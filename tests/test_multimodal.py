@@ -23,6 +23,7 @@ from gis_etl_spark.fixtures import (
 from gis_etl_spark.ops.multimodal import (
     _parse_header,
     decode_bmp,
+    decode_image,
     decode_png,
     decode_wav,
 )
@@ -248,7 +249,9 @@ def test_fixture_goldens_match_decoders():
     for row in pdf.sample(n=200, random_state=3).itertuples():
         buf = bytes(row.payload)
         if row.kind == "image":
-            px = decode_png(buf) if buf[:2] != b"BM" else decode_bmp(buf)
+            # magic-dispatch covers BMP, PNG, and (v6) baseline JPEG,
+            # whose goldens are the loop-reconstruction pixels
+            px = decode_image(buf)
             assert px.shape == (row.height, row.width, 3)
             assert int(px.sum(dtype=np.int64)) == row.content_sum
             assert px.size == row.content_units

@@ -444,15 +444,27 @@ def parse_fields(content: bytes) -> tuple[list[Field], int, int]:
 def parse_gdbtablx(buf: bytes) -> list[int]:
     """Decode a .gdbtablx row index → per-slot .gdbtable offsets
     (slot i holds OBJECTID i+1; offset 0 marks a nonexistent/deleted
-    row). Layout per the public spec: 16-byte header (int32 magic,
-    int32 n_1024_blocks, int32 n_valid_rows, int32 offset width),
-    then n_1024_blocks × 1024 offsets of `width` little-endian bytes
-    (trailing slots of the last block are zero-padded). Legacy files
-    from this repo's pre-round-4 writer stored n_1024_blocks = 0 with
-    exactly n_valid_rows slots — both forms decode. (The sparse-table
-    trailer bitmap of the full spec is not supported: absent from
-    non-sparse Esri exports, and a bitmap-bearing file fails the slot
-    arithmetic below rather than misreading.)"""
+    row). Layout per the public reverse-engineered spec: 16-byte
+    header (int32 magic, int32 n_1024_blocks, int32 n_valid_rows,
+    int32 offset width), then n_1024_blocks × 1024 offsets of `width`
+    little-endian bytes (trailing slots of the last block are
+    zero-padded). Legacy files from this repo's pre-round-4 writer
+    stored n_1024_blocks = 0 with exactly n_valid_rows slots — both
+    forms decode.
+
+    SPARSE tables (r6): the full spec appends a trailer after the
+    offset array — int32 n_bitmap_int32_words (0 ⇒ dense), int32
+    n_total_1024_blocks, int32 n_present_1024_blocks, int32
+    n_useful_bitmap_int32_words, then the block bitmap (bit j of byte
+    j>>3, mask 1<<(j&7), set ⇒ block j's 1024 offsets are stored).
+    Absent blocks expand to 1024 zero slots so OBJECTID = slot + 1
+    still holds across the gaps. The header's block count covers only
+    PRESENT blocks, and its row-count field counts rows rather than
+    nonzero slots in Esri-authored sparse files, so the dense-form
+    nonzero==valid cross-check applies only to the dense layouts;
+    sparse files are instead validated by bitmap popcount against both
+    stored block counts. Everything else out of spec still fails
+    loudly."""
     if len(buf) < 16:
         raise ValueError("truncated .gdbtablx header")
     magic, n_blocks, n_valid, width = struct.unpack_from("<4i", buf, 0)
@@ -463,7 +475,8 @@ def parse_gdbtablx(buf: bytes) -> list[int]:
     if n_blocks < 0 or n_valid < 0:
         raise ValueError("negative .gdbtablx counts")
     n_slots = n_blocks * 1024 if n_blocks > 0 else n_valid
-    if 16 + n_slots * width > len(buf):
+    arr_end = 16 + n_slots * width
+    if arr_end > len(buf):
         raise ValueError(
             f".gdbtablx too small for {n_slots} slots of {width} bytes"
         )
@@ -471,6 +484,46 @@ def parse_gdbtablx(buf: bytes) -> list[int]:
         int.from_bytes(buf[16 + i * width : 16 + (i + 1) * width], "little")
         for i in range(n_slots)
     ]
+    n_bitmap_words = 0
+    if len(buf) >= arr_end + 16:
+        n_bitmap_words, n_total, n_present, n_useful = struct.unpack_from(
+            "<4i", buf, arr_end
+        )
+    if n_bitmap_words > 0:  # sparse layout
+        if n_total < 0 or n_present < 0 or n_useful < 0:
+            raise ValueError("negative .gdbtablx bitmap trailer counts")
+        if arr_end + 16 + 4 * n_bitmap_words > len(buf):
+            raise ValueError(".gdbtablx block bitmap truncated")
+        if n_total > 32 * n_bitmap_words:
+            raise ValueError(
+                f".gdbtablx bitmap too small for {n_total} blocks"
+            )
+        if n_present != n_blocks:
+            raise ValueError(
+                f".gdbtablx trailer says {n_present} present blocks, "
+                f"header stored {n_blocks}"
+            )
+        bitmap = buf[arr_end + 16 : arr_end + 16 + 4 * n_bitmap_words]
+        present = [
+            j for j in range(n_total) if bitmap[j >> 3] & (1 << (j & 7))
+        ]
+        if len(present) != n_present:
+            raise ValueError(
+                f".gdbtablx bitmap popcount {len(present)} disagrees "
+                f"with its present-block count {n_present}"
+            )
+        expanded: list[int] = []
+        next_stored = 0
+        present_set = set(present)
+        for j in range(n_total):
+            if j in present_set:
+                expanded.extend(
+                    slots[next_stored * 1024 : (next_stored + 1) * 1024]
+                )
+                next_stored += 1
+            else:
+                expanded.extend([0] * 1024)
+        return expanded
     if sum(1 for s in slots if s) != n_valid:
         raise ValueError(
             ".gdbtablx nonzero-slot count disagrees with its valid-row "
@@ -709,7 +762,9 @@ def _sibling_tablx(gdbtable_path: str) -> bytes | None:
     from urllib.parse import unquote, urlparse
 
     p = gdbtable_path
-    if "://" in p:
+    # Spark's binaryFile source emits single-slash URIs ("file:/tmp/x")
+    # — urlparse handles both that and the ://-form
+    if "://" in p or p.startswith("file:"):
         p = unquote(urlparse(p).path)
     p = p[: -len(".gdbtable")] + ".gdbtablx"
     try:

@@ -17,6 +17,7 @@ import os
 import struct
 
 import numpy as np
+import pytest
 
 from gis_etl_spark.sources.filegdb import (
     parse_gdbtable,
@@ -290,3 +291,127 @@ def test_multipage_tablx_through_spark(spark, tmp_path):
         assert got[oid] == v
     # every hole OID absent
     assert all((h + 1) not in got for h in holes)
+
+
+def _sparse_tablx(
+    offsets: list[int],
+    block_slots: dict[int, list[int | None]],
+    n_total_blocks: int,
+    bitmap_override: bytes | None = None,
+    n_present_override: int | None = None,
+) -> bytes:
+    """Assemble a SPARSE spec-shaped .gdbtablx: only the blocks in
+    `block_slots` are stored; the trailer carries the block bitmap
+    (bit j set ⇒ block j present, LSB-first within each byte) per the
+    public reverse-engineered spec. Built here from the spec text —
+    independent of the parser under test."""
+    present = sorted(block_slots)
+    n_valid = sum(
+        1 for b in present for s in block_slots[b] if s is not None
+    )
+    buf = bytearray(struct.pack("<4i", 3, len(present), n_valid, 5))
+    for b in present:
+        slots = block_slots[b]
+        assert len(slots) <= 1024
+        for s in slots:
+            buf += (0 if s is None else offsets[s]).to_bytes(5, "little")
+        buf += b"\x00" * (5 * (1024 - len(slots)))
+    n_bitmap_words = (n_total_blocks + 31) // 32
+    bitmap = bytearray(4 * n_bitmap_words)
+    for b in present:
+        bitmap[b >> 3] |= 1 << (b & 7)
+    if bitmap_override is not None:
+        bitmap = bitmap_override
+        n_bitmap_words = len(bitmap) // 4
+    buf += struct.pack(
+        "<4i",
+        n_bitmap_words,
+        n_total_blocks,
+        len(present) if n_present_override is None else n_present_override,
+        n_bitmap_words,
+    )
+    buf += bitmap
+    return bytes(buf)
+
+
+def test_sparse_tablx_block_bitmap_expands_absent_blocks():
+    """Spec-vector control: 3 total blocks with the middle one absent.
+    The parser must expand the bitmap to 3072 slots — block 1 all
+    holes — so OBJECTID = slot + 1 survives the gap: live rows land at
+    OIDs 1, 2 and (block 2) 2049, 2050."""
+    content = build_control_table()
+    offs = _row_offsets(content, 3)
+    tablx = _sparse_tablx(
+        offs, {0: [0, 1], 2: [2, None]}, n_total_blocks=3
+    )
+    slots = parse_gdbtablx(tablx)
+    assert len(slots) == 3 * 1024
+    assert slots[0] == offs[0] and slots[1] == offs[1]
+    assert all(s == 0 for s in slots[2:2048])
+    assert slots[2048] == offs[2]
+    assert all(s == 0 for s in slots[2049:])
+    pdf = parse_gdbtable(content, tablx=tablx)
+    assert pdf["OBJECTID"].tolist() == [1, 2, 2049]
+    assert pdf["name"].tolist() == ["Alpha", None, "Béta"]
+
+
+def test_sparse_tablx_through_spark(spark, tmp_path):
+    gdb = tmp_path / "sparse.gdb"
+    os.makedirs(gdb)
+    content = build_control_table()
+    (gdb / "a00000001.gdbtable").write_bytes(content)
+    offs = _row_offsets(content, 3)
+    (gdb / "a00000001.gdbtablx").write_bytes(
+        _sparse_tablx(offs, {0: [0], 4: [1, 2]}, n_total_blocks=5)
+    )
+    df = read_filegdb(spark, str(gdb / "a00000001.gdbtable"))
+    rows = {r["OBJECTID"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 4097, 4098]
+    assert rows[1]["name"] == "Alpha"
+    assert rows[4098]["name"] == "Béta"
+
+
+def test_sparse_tablx_error_contract():
+    """Out-of-spec sparse trailers fail LOUDLY (the pinned contract
+    carried from the round-4 brief): truncated bitmap, popcount vs
+    present-count disagreement, and trailer vs header block-count
+    disagreement each raise ValueError — never a silent misread."""
+    content = build_control_table()
+    offs = _row_offsets(content, 3)
+    good = _sparse_tablx(offs, {0: [0, 1], 2: [2]}, n_total_blocks=3)
+    parse_gdbtablx(good)  # sanity: the good vector decodes
+    with pytest.raises(ValueError, match="bitmap truncated"):
+        parse_gdbtablx(good[:-2])
+    # bitmap claims a 4th present block → popcount disagrees
+    bad_pop = _sparse_tablx(
+        offs,
+        {0: [0, 1], 2: [2]},
+        n_total_blocks=3,
+        bitmap_override=bytes([0b1111, 0, 0, 0]),
+    )
+    with pytest.raises(ValueError, match="popcount"):
+        parse_gdbtablx(bad_pop)
+    # trailer's present-block count disagrees with the header
+    bad_hdr = _sparse_tablx(
+        offs, {0: [0, 1], 2: [2]}, n_total_blocks=3, n_present_override=7
+    )
+    with pytest.raises(ValueError, match="present blocks"):
+        parse_gdbtablx(bad_hdr)
+    # bitmap words too few for the declared total block count (a
+    # zero-word bitmap is NOT this case — that's the dense form)
+    with pytest.raises(ValueError, match="too small"):
+        parse_gdbtablx(
+            _sparse_tablx(
+                offs,
+                {0: [0, 1], 2: [2]},
+                n_total_blocks=40,
+                bitmap_override=bytes([0b101, 0, 0, 0]),
+            )
+        )
+    # and a zero-word bitmap trailer decodes as the dense layout
+    dense = _sparse_tablx(
+        offs, {0: [0, 1, 2]}, n_total_blocks=1, bitmap_override=b""
+    )
+    assert [s for s in parse_gdbtablx(dense) if s] == [
+        offs[0], offs[1], offs[2]
+    ]

@@ -398,8 +398,15 @@ def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     # near-antipodal pairs (observed: 1.0000000000000004). Spark's
     # asin would return NaN; DuckDB's asin hard-errors outside
     # [-1, 1] — so both engines need the clamp, and sharing it in
-    # the one text keeps parity.
-    return f"(2.0 * {EARTH_R_M!r} * asin(sqrt(least({a}, 1.0))))"
+    # the one text keeps parity. NaN guard (ADVICE r5): both engines
+    # order NaN above 1.0, so a bare least() would silently map NaN
+    # input coordinates to the antipodal distance — garbage dressed as
+    # a plausible maximum. isnan() exists in both engines, so NaN
+    # propagates to the result instead.
+    return (
+        f"(CASE WHEN isnan({a}) THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE 2.0 * {EARTH_R_M!r} * asin(sqrt(least({a}, 1.0))) END)"
+    )
 
 
 def st_distance_sphere(

@@ -139,3 +139,43 @@ def test_haversine_known_distance(spark):
     assert abs(row.d - want) < 1.0
     assert 5.50e6 < row.d < 5.60e6
     assert row.z == 0.0
+
+
+def test_haversine_nan_propagates(spark):
+    """NaN input coordinates must yield a NaN distance, not the
+    antipodal maximum (~20,015 km) a bare least()-clamp produces when
+    NaN orders above 1.0 — and the antipodal pair itself still clamps
+    to the true maximum. Checked in BOTH engines off the one shared
+    SQL text."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.geom.functions import (
+        EARTH_R_M,
+        haversine_m_sql,
+        st_distance_sphere,
+    )
+
+    nan = "CAST('NaN' AS DOUBLE)"
+    row = (
+        spark.range(1)
+        .select(
+            st_distance_sphere(nan, "40.0", "-0.45", "51.47").alias("d1"),
+            st_distance_sphere("10.0", nan, "-0.45", "51.47").alias("d2"),
+            st_distance_sphere("0.0", "0.0", "180.0", "0.0").alias("anti"),
+        )
+        .collect()[0]
+    )
+    assert math.isnan(row.d1) and math.isnan(row.d2)
+    assert abs(row.anti - math.pi * EARTH_R_M) < 1.0
+    got = duckdb.sql(
+        "SELECT "
+        + haversine_m_sql(nan, "40.0", "-0.45", "51.47")
+        + " AS d, "
+        + haversine_m_sql("0.0", "0.0", "180.0", "0.0")
+        + " AS anti"
+    ).fetchone()
+    assert math.isnan(got[0])
+    assert abs(got[1] - math.pi * EARTH_R_M) < 1.0

@@ -447,48 +447,6 @@ def run_to_memory(
     q.awaitTermination()
 
 
-SPAN_DEDUP_STATE_SCHEMA = StructType(
-    [
-        StructField("keep_doc_id", LongType()),
-        StructField("keep_cid", IntegerType()),
-        StructField("n", LongType()),
-    ]
-)
-SPAN_DEDUP_OUT_SCHEMA = StructType(
-    [
-        StructField("span", StringType()),
-        StructField("n_occurrences", LongType()),
-        StructField("keep_doc_id", LongType()),
-        StructField("keep_cid", IntegerType()),
-    ]
-)
-
-
-def _span_dedup_fn(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-span first-occurrence state: (min (doc_id, cid), running
-    count). min, not literal arrival order, so the streamed keeper
-    equals the batch twin's under ANY micro-batch slicing."""
-    if state.exists:
-        kd, kc, n = state.get
-    else:
-        kd, kc, n = None, None, 0
-    for pdf in pdfs:
-        for d, c in zip(pdf["doc_id"], pdf["cid"]):
-            d, c = int(d), int(c)
-            n += 1
-            if kd is None or (d, c) < (kd, kc):
-                kd, kc = d, c
-    state.update((kd, kc, n))
-    yield pd.DataFrame(
-        [(key[0], n, kd, kc)],
-        columns=[f.name for f in SPAN_DEDUP_OUT_SCHEMA],
-    )
-
-
 def streaming_span_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     """Streaming span-level dedup — the stateful twin of
     ops.dedup.dedup_spans (same SPAN_K-word chunking expression, same
@@ -498,7 +456,18 @@ def streaming_span_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     boilerplate against ALL history with one state row per distinct
     span, never reshuffling the accumulated corpus per micro-batch.
     A downstream consumer keeps an arriving span iff the upsert names
-    it as its own keeper."""
+    it as its own keeper.
+
+    r6: NATIVE streaming aggregation, not applyInPandasWithState. The
+    per-span state is (count, min(doc_id, cid)) — both associative —
+    so Spark's built-in stateful agg expresses it exactly: update-mode
+    groupBy().agg(count, min(struct)) keeps state in the JVM state
+    store (no Arrow transfer, no per-group pandas frame — that Python
+    constant was the measured 1 k docs/s bottleneck) and gains
+    map-side PARTIAL aggregation, so a micro-batch's repeated spans
+    collapse before the shuffle. The custom-state demonstration lives
+    on in the sessionizer/funnel/CDC twins, whose transition logic is
+    genuinely non-associative."""
     from gis_etl_spark.ops.dedup import SPAN_K
 
     schema = (
@@ -522,12 +491,22 @@ def streaming_span_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
             ).alias("cid", "span"),
         )
     )
-    return spans.groupBy("span").applyInPandasWithState(
-        _span_dedup_fn,
-        outputStructType=SPAN_DEDUP_OUT_SCHEMA,
-        stateStructType=SPAN_DEDUP_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("d"), F.col("cid").alias("c")
+                )
+            ).alias("keeper"),
+        )
+        .select(
+            "span",
+            "n_occurrences",
+            F.col("keeper.d").alias("keep_doc_id"),
+            F.col("keeper.c").cast("int").alias("keep_cid"),
+        )
     )
 
 

@@ -401,10 +401,22 @@ def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     # the one text keeps parity. NaN guard (ADVICE r5): both engines
     # order NaN above 1.0, so a bare least() would silently map NaN
     # input coordinates to the antipodal distance — garbage dressed as
-    # a plausible maximum. isnan() exists in both engines, so NaN
-    # propagates to the result instead.
+    # a plausible maximum. The guard tests the RAW inputs (ADVICE r6:
+    # isnan(a) re-evaluated the whole trig subexpression unless CSE
+    # caught it, not guaranteed in either engine): x*0.0 is NaN
+    # exactly when x is NaN or +-Infinity — the same input set that
+    # made `a` NaN — so one mul/add chain replaces the duplicated
+    # haversine text. The same sum also fixes a latent NULL hazard:
+    # before r7, a NULL coordinate made `a` NULL and both engines'
+    # NULL-skipping least(NULL, 1.0) = 1.0 silently returned the
+    # antipodal distance; now NULL input -> NULL distance.
+    guard_sum = (
+        f"(({lon1}) * 0.0 + ({lat1}) * 0.0"
+        f" + ({lon2}) * 0.0 + ({lat2}) * 0.0)"
+    )
     return (
-        f"(CASE WHEN isnan({a}) THEN CAST('NaN' AS DOUBLE) "
+        f"(CASE WHEN {guard_sum} IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"WHEN isnan({guard_sum}) THEN CAST('NaN' AS DOUBLE) "
         f"ELSE 2.0 * {EARTH_R_M!r} * asin(sqrt(least({a}, 1.0))) END)"
     )
 

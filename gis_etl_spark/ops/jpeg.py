@@ -213,6 +213,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         if marker == 0xD8:
             raise ValueError("nested SOI")
         seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+        if seglen < 2:
+            raise ValueError("bad JPEG segment length")
         body = buf[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
             raise ValueError("JPEG segment truncated")
@@ -222,6 +224,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("DQT table truncated")
                 tbl = np.zeros(64, dtype=np.int64)
                 tbl[ZIGZAG] = np.frombuffer(
                     body, np.uint8, 64, i + 1
@@ -231,21 +235,31 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("DHT header truncated")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("DHT values truncated")
                 huff[(tc, th)] = _HuffTable(
                     bits, body[i + 17 : i + 17 + n]
                 )
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("SOF0 header truncated")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("SOF0 component table truncated")
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if not (1 <= hv >> 4 <= 4 and 1 <= hv & 0xF <= 4):
+                    raise ValueError("bad SOF sampling factors")
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -253,6 +267,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 f"non-baseline JPEG (SOF marker 0x{marker:02x})"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("DRI segment truncated")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             break
@@ -262,13 +278,19 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError("missing SOF before SOS")
 
     # SOS body: component -> (dc table, ac table)
+    if not body:
+        raise ValueError("SOS header truncated")
     ns = body[0]
     if ns != len(comps):
         raise ValueError("SOS component count mismatch")
+    if len(body) < 1 + 2 * ns:
+        raise ValueError("SOS component selectors truncated")
     sel: dict[int, tuple[int, int]] = {}
     for c in range(ns):
         cs, tt = body[1 + 2 * c], body[2 + 2 * c]
         sel[cs] = (tt >> 4, tt & 0xF)
+    if any(cid not in sel for cid, _, _, _ in comps):
+        raise ValueError("SOS/SOF component id mismatch")
     scan_start = pos + 2 + seglen
 
     hmax = max(c[1] for c in comps)
@@ -364,7 +386,11 @@ def jpeg_header(buf: bytes) -> tuple[int, int]:
             raise ValueError(f"expected marker at {pos}")
         marker = buf[pos + 1]
         seglen = struct.unpack_from(">H", buf, pos + 2)[0]
+        if seglen < 2:
+            raise ValueError("bad JPEG segment length")
         if marker == 0xC0:
+            if pos + 10 > len(buf):
+                raise ValueError("SOF0 header truncated")
             _, h, w, _ = struct.unpack_from(">BHHB", buf, pos + 4)
             if h == 0 or w == 0:
                 raise ValueError("bad JPEG dimensions")

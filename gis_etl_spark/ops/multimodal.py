@@ -771,22 +771,27 @@ def image_format_stats(df: DataFrame) -> DataFrame:
     sum). One Arrow pass, payloads never shuffle — only the 3-column
     result does."""
 
+    # single magic dispatch shared with decode_image's format set
+    # (ADVICE r6: the old fmt-then-decode double check could drift)
+    dispatch = (
+        (b"BM", "bmp", decode_bmp),
+        (PNG_SIG, "png", decode_png),
+        (JPEG_SIG, "jpg", decode_jpeg),
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for b in pdf["payload"]:
                 try:
                     buf = bytes(b) if b is not None else b""
-                    if buf[:2] == b"BM":
-                        fmt = "bmp"
-                    elif buf[:8] == PNG_SIG:
-                        fmt = "png"
-                    elif buf[:2] == JPEG_SIG:
-                        fmt = "jpg"
-                    else:
-                        continue
-                    px = decode_image(buf)
-                    out.append((fmt, px.size, int(px.sum(dtype=np.int64))))
+                    for magic, fmt, dec in dispatch:
+                        if buf[: len(magic)] == magic:
+                            px = dec(buf)
+                            out.append(
+                                (fmt, px.size, int(px.sum(dtype=np.int64)))
+                            )
+                            break
                 except ValueError:
                     continue
             yield pd.DataFrame(

@@ -198,3 +198,36 @@ def test_huffman_tables_are_spec_valid():
     ac = _jpeg_huff_codes(_JH_AC_BITS, _JH_AC_VALS)
     assert {0x00, 0xF0} <= set(ac)
     assert all(((r << 4) | s) in ac for r in range(16) for s in range(1, 11))
+
+
+def test_error_contract_is_valueerror_only():
+    """ADVICE r6: decode pipelines catch ValueError only, so EVERY
+    structurally-damaged payload must raise ValueError — never
+    struct.error / IndexError / KeyError / ZeroDivisionError. Probe
+    exhaustively: truncate at every byte offset, and flip every header
+    byte (SOI..SOS) to hostile values."""
+    buf = _valid_jpeg()
+    sos = buf.find(b"\xff\xda")
+    for cut in range(len(buf)):
+        try:
+            decode_jpeg(buf[:cut])
+        except ValueError:
+            pass
+        try:
+            jpeg_header(buf[:cut])
+        except ValueError:
+            pass
+    for off in range(2, sos + 14):
+        for val in (0x00, 0x01, 0x7F, 0xC4, 0xDA, 0xFF):
+            if buf[off] == val:
+                continue
+            hostile = bytearray(buf)
+            hostile[off] = val
+            try:
+                decode_jpeg(bytes(hostile))
+            except ValueError:
+                pass
+            try:
+                jpeg_header(bytes(hostile))
+            except ValueError:
+                pass

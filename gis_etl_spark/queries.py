@@ -1251,3 +1251,103 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R5_NEW},
     **{k: v for k, v in REGISTRY.items() if k not in _R5_NEW},
 }
+
+# ---------------------------------------------------------------------------
+# Round-7 additions + window rotation.
+#
+# New surface: gridDisk/gridRing/gridDistance on real H3 ids
+# (layout/h3grid.py) — exact within non-pentagon base cells via integer
+# axial-lattice algebra, verified against the H3 documentation's
+# published gridDisk example (VERDICT r5 next-round item 4).
+#
+# Window policy (ADVICE r3, kept since): new queries FRONT the 50-entry
+# gate window, followed by the queries whose behavior changed since
+# their last driver score, then the oldest-scored cohort:
+#   - multimodal_image_formats: added r6 mid-registry, NEVER scored;
+#   - multimodal_decode_meta / multimodal_features: last scored r3,
+#     but r6 added JPEG payloads to the media fixture they aggregate;
+#   - gdb_scan_attrs / gdb_scan_oids: last scored r2, r6 rewrote the
+#     .gdbtablx sparse-bitmap row discovery under them;
+#   - geo_haversine_span: r7 restructured the shared haversine text
+#     (input-side NaN guard, NULL->NULL);
+#   - then the r2-scored cohort (oldest remaining driver rows). The
+#     r3-scored cohort rotates in next round.
+# ---------------------------------------------------------------------------
+
+from gis_etl_spark.layout import h3grid as H3G  # noqa: E402
+
+REGISTRY.update(
+    {
+        # aperture-7 law as a driver contract: lattice-walked ring ==
+        # digit-arithmetic children for all 110 non-pentagon base cells
+        "h3_grid_ring_children": (
+            H3G.h3_grid_ring_children,
+            H3G.h3_grid_ring_children_sql(),
+        ),
+        # k=2 disks over synthetic res-9 cells; rows-only by design
+        # (lattice walk is not SQL-expressible; laws pinned in
+        # tests/test_h3grid.py incl. the published doc example)
+        "h3_grid_disk_stats": (H3G.h3_grid_disk_stats, None),
+    }
+)
+
+_R7_FRONT = (
+    # new in r7
+    "h3_grid_ring_children",
+    "h3_grid_disk_stats",
+    # changed since last driver score
+    "multimodal_image_formats",
+    "multimodal_decode_meta",
+    "multimodal_features",
+    "gdb_scan_attrs",
+    "gdb_scan_oids",
+    "geo_haversine_span",
+    # oldest driver rows (last scored r2)
+    "q9_profit_by_nation_year",
+    "hex_heatmap_pyramid",
+    "hex_heatmap_smoothed",
+    "geo_heatmap_pyramid",
+    "geo_normalized_bbox",
+    "gpkg_heatmap_roundtrip",
+    "geo_heatmap_export",
+    "geo_centroid_containment",
+    "hex_heatmap_export",
+    "geo_hilbert_keys",
+    "geo_convert_bbox",
+    "io_ndjson_shape_stats",
+    "io_csv_wkt_scan",
+    "io_wide_attrs_projection",
+    "layout_morton_keys",
+    "shp_scan_census",
+    "asof_click_view",
+    "interval_error_activity",
+    "spatial_near_pairs",
+    "points_in_polygons",
+    "text_token_stats",
+    "text_quality_scores",
+    "lang_id",
+    "doc_fingerprints",
+    "token_stats_by_lang",
+    "top_tokens",
+    "tfidf_top_terms",
+    "decontaminate_overlap",
+    "pii_scan",
+    "text_gopher_flags",
+    "dedup_embedding_pairs",
+    "dedup_exact_groups",
+    "dedup_exact_kept",
+    "dedup_minhash_pairs",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "similarity_topk",
+    "similarity_near_pairs",
+    "similarity_ann_lsh",
+    "dedup_embedding_lsh",
+    "similarity_ivf",
+)
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R7_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R7_FRONT},
+}

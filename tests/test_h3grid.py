@@ -1,0 +1,256 @@
+"""gridDisk/gridRing/gridDistance on real H3 ids (layout/h3grid.py).
+
+The decisive offline anchors:
+- the H3 documentation's published gridDisk example (res-9 cell
+  8928308280fffff, k=1) reproduced bit-for-bit — it crosses res-8
+  parent boundaries, so it pins the class-parity convention and the
+  digit→unit table on real-world ids;
+- the aperture-7 law gridDisk(centerChild(c), 1) == cellToChildren(c),
+  checked against an INDEPENDENT digit-append expansion for every
+  resolution parity;
+- lattice laws (symmetry, disk sizes, distance metric) over full
+  base-cell populations.
+When the h3 package is importable the whole surface is additionally
+cross-checked against the library (same import gate as latLngToCell).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gis_etl_spark.layout.h3compat import PENTAGON_BASE_CELLS
+from gis_etl_spark.layout.h3grid import (
+    axial_to_cell,
+    disk_offsets,
+    grid_disk_arrays,
+    local_axial,
+)
+
+
+def _mk_cell(bc: int, digits: list[int]) -> int:
+    res = len(digits)
+    h = (1 << 59) | (res << 52) | (bc << 45)
+    for r in range(1, 16):
+        d = digits[r - 1] if r <= res else 7
+        h |= d << (3 * (15 - r))
+    return h
+
+
+def _digits(h: int) -> list[int]:
+    res = (h >> 52) & 0xF
+    return [(h >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
+
+
+def _children(h: int) -> list[int]:
+    """Independent digit-append children expansion (hexagons only)."""
+    res = (h >> 52) & 0xF
+    bc = (h >> 45) & 0x7F
+    return sorted(_mk_cell(bc, _digits(h) + [d]) for d in range(7))
+
+
+def _all_cells(bc: int, res: int) -> list[int]:
+    cells = [_mk_cell(bc, [])]
+    for _ in range(res):
+        cells = [c for p in cells for c in _children(p)]
+    return cells
+
+
+def test_published_grid_disk_example():
+    """H3 docs, grid traversal: gridDisk('8928308280fffff', 1)."""
+    c = int("8928308280fffff", 16)
+    (disk,) = grid_disk_arrays(np.array([c]), 1)
+    got = sorted(format(v, "x") for v in disk)
+    assert got == sorted(
+        [
+            "8928308280fffff",
+            "8928308280bffff",
+            "89283082807ffff",
+            "89283082877ffff",
+            "89283082803ffff",
+            "89283082873ffff",
+            "8928308283bffff",
+        ]
+    )
+
+
+def test_local_axial_roundtrip():
+    rng = np.random.default_rng(7)
+    n = 5000
+    res = rng.integers(1, 16, n)
+    bc = rng.integers(0, 122, n)
+    ids = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        ids[i] = _mk_cell(int(bc[i]), list(rng.integers(0, 7, int(res[i]))))
+    x, y = local_axial(ids)
+    back = axial_to_cell(x, y, res.astype(np.int64), bc.astype(np.int64))
+    assert (back == ids).all()
+
+
+@pytest.mark.parametrize("res", [1, 2, 3, 4, 5, 6])
+def test_aperture7_law_both_parities(res):
+    """gridDisk(centerChild(c), 1) == cellToChildren(c) for hexagons —
+    the ring around a center child is exactly its 6 siblings, at every
+    resolution parity."""
+    rng = np.random.default_rng(res)
+    for bc in (0, 20, 77, 121):  # hexagon base cells
+        for _ in range(20):
+            parent = _mk_cell(bc, list(rng.integers(0, 7, res - 1)))
+            center = _mk_cell(bc, _digits(parent) + [0])
+            (disk,) = grid_disk_arrays(np.array([center]), 1)
+            assert sorted(disk) == _children(parent)
+
+
+def test_neighbor_symmetry_full_base_cell():
+    """b ∈ disk(a,1) ⇔ a ∈ disk(b,1) over every res-3 cell of one
+    hexagon base cell (343 cells, all interior+boundary shapes)."""
+    cells = _all_cells(20, 3)
+    disks = grid_disk_arrays(np.array(cells, dtype=np.int64), 1)
+    dmap = {c: set(d) for c, d in zip(cells, disks)}
+    for c, members in dmap.items():
+        for m in members:
+            if m != c:
+                assert c in dmap[m], (hex(c), hex(m))
+
+
+def test_disk_sizes_and_boundary():
+    """Interior cells: |disk(k)| = 1+3k(k+1); boundary cells fewer
+    (cross-base members withheld); pentagon base cells -> None."""
+    cells = np.array(_all_cells(20, 2), dtype=np.int64)  # 49 cells
+    for k in (1, 2, 3):
+        disks = grid_disk_arrays(cells, k)
+        sizes = [len(d) for d in disks]
+        full = 1 + 3 * k * (k + 1)
+        assert max(sizes) == full
+        assert min(sizes) >= 1
+        # every member is a valid same-base, same-res id
+        for c, d in zip(cells.tolist(), disks):
+            assert c in d
+            for m in d:
+                assert (m >> 45) & 0x7F == 20
+                assert (m >> 52) & 0xF == 2
+    pent = np.array(
+        [_mk_cell(PENTAGON_BASE_CELLS[0], [0, 0])], dtype=np.int64
+    )
+    assert grid_disk_arrays(pent, 1) == [None]
+
+
+def test_disk_equals_bfs_over_neighbors():
+    """disk(k) computed by coordinate offsets equals k rounds of BFS
+    over disk(1) — the direct construction and the traversal agree."""
+    cells = _all_cells(5, 2)
+    arr = np.array(cells, dtype=np.int64)
+    n1 = {c: set(d) for c, d in zip(cells, grid_disk_arrays(arr, 1))}
+    for k in (2, 3):
+        expect = grid_disk_arrays(arr, k)
+        for c, want in zip(cells, expect):
+            frontier = {c}
+            for _ in range(k):
+                frontier = set().union(
+                    *(n1.get(m, {m}) for m in frontier)
+                )
+            # BFS may be SMALLER near the boundary: a true disk member
+            # whose every in-base lattice path leaves the base cell is
+            # unreachable by in-base BFS. It must never be larger.
+            assert frontier <= set(want), hex(c)
+            full = 1 + 3 * k * (k + 1)
+            if len(want) == full:  # interior: exact equality
+                assert frontier == set(want)
+
+
+def test_parent_adjacency_consistency():
+    """Parents of lattice neighbors are identical or themselves
+    neighbors — cross-parent transitions land in an adjacent parent."""
+    cells = _all_cells(33, 3)
+    arr = np.array(cells, dtype=np.int64)
+    disks = grid_disk_arrays(arr, 1)
+    parents = {c: _mk_cell(33, _digits(c)[:-1]) for c in cells}
+    pdisk = {
+        p: set(d)
+        for p, d in zip(
+            sorted(set(parents.values())),
+            grid_disk_arrays(
+                np.array(sorted(set(parents.values())), dtype=np.int64), 1
+            ),
+        )
+    }
+    for c, d in zip(cells, disks):
+        for m in d:
+            pm = _mk_cell(33, _digits(m)[:-1])
+            assert pm in pdisk[parents[c]], (hex(c), hex(m))
+
+
+def test_grid_distance_matches_disk_membership(spark):
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.layout.h3grid import (
+        h3_grid_disk_udf,
+        h3_grid_distance,
+        h3_grid_ring_udf,
+    )
+
+    cells = _all_cells(20, 2)
+    center = cells[24]
+    df = spark.createDataFrame(
+        [(center, c) for c in cells], "a: long, b: long"
+    )
+    rows = df.select(
+        "a",
+        "b",
+        h3_grid_distance("a", "b").alias("dist"),
+        h3_grid_disk_udf(2)(F.col("a")).alias("disk2"),
+        h3_grid_ring_udf(2)(F.col("a")).alias("ring2"),
+    ).collect()
+    arr = np.array(cells, dtype=np.int64)
+    d1 = {c: set(d) for c, d in zip(cells, grid_disk_arrays(arr, 1))}
+    for r in rows:
+        assert set(r["ring2"]) == set(r["disk2"]) - d1[center]
+        in2 = r["b"] in set(r["disk2"])
+        if r["dist"] is not None and r["dist"] <= 2:
+            # distance-k cells can be missing from the truncated disk
+            # only at the base-cell boundary; here bc 20 res 2 center
+            # index 24 keeps k<=2 in-base
+            assert in2
+        if in2:
+            assert r["dist"] is not None and r["dist"] <= 2
+
+
+def test_pentagon_and_mixed_inputs_null_out(spark):
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.layout.h3grid import h3_grid_disk_udf
+
+    pent = _mk_cell(PENTAGON_BASE_CELLS[3], [0])
+    hexc = _mk_cell(10, [0])  # center child: all 6 siblings in-base
+    df = spark.createDataFrame([(pent,), (hexc,)], "c: long")
+    got = {
+        r["c"]: r["d"]
+        for r in df.select(
+            "c", h3_grid_disk_udf(1)(F.col("c")).alias("d")
+        ).collect()
+    }
+    assert got[pent] is None
+    assert got[hexc] is not None and len(got[hexc]) == 7
+
+
+def test_against_h3_library_if_available():
+    h3 = pytest.importorskip("h3")
+    rng = np.random.default_rng(3)
+    cells = [int(h3.latlng_to_cell(lat, lng, 9), 16) if isinstance(
+        h3.latlng_to_cell(lat, lng, 9), str
+    ) else h3.latlng_to_cell(lat, lng, 9) for lat, lng in zip(
+        rng.uniform(-60, 60, 50), rng.uniform(-179, 179, 50)
+    )]
+    for c in cells:
+        (mine,) = grid_disk_arrays(np.array([c], dtype=np.int64), 1)
+        if mine is None:
+            continue
+        lib = {
+            int(x, 16) if isinstance(x, str) else x
+            for x in h3.grid_disk(
+                format(c, "x") if hasattr(h3, "grid_disk") else c, 1
+            )
+        }
+        same_bc = {m for m in lib if (m >> 45) == (c >> 45)}
+        assert set(mine) <= lib
+        assert same_bc <= set(mine)

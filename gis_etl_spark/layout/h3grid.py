@@ -121,26 +121,38 @@ def _ids64(c: pd.Series) -> np.ndarray:
     return ids
 
 
-def local_axial(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized cell -> local axial coords within its base cell.
+def local_axial(
+    ids: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized cell -> (x, y, bad) local axial coords within the
+    cell's base cell, plus a `bad` mask for structurally malformed
+    ids carrying the 7-marker INSIDE their res range (digit 7 is only
+    legal as the beyond-res filler) — those lanes' coords are
+    meaningless and callers must fold `bad` into their validity mask
+    rather than let a raw digit index out of range (ADVICE r7).
     |coords| <= O(7^(res/2)) ~ 2.3e6 at res 15 — nowhere near int64."""
     ids = ids.astype(np.int64)
     res = (ids >> _RES_SHIFT) & 0xF
     x = np.zeros(len(ids), dtype=np.int64)
     y = np.zeros(len(ids), dtype=np.int64)
+    bad = np.zeros(len(ids), dtype=bool)
     for r in range(1, MAX_H3_RES + 1):
         act = res >= r
         m = _A if r % 2 else _AR
         nx = m[0][0] * x + m[0][1] * y
         ny = m[1][0] * x + m[1][1] * y
         # digits beyond a cell's res are the 7-marker; mask them to 0
-        # (those lanes are discarded by `act` anyway)
+        # (those lanes are discarded by `act` anyway). A 7 on an
+        # ACTIVE lane is malformed: flag it and clamp to 0 so the
+        # unit-table lookup stays in range.
         d = np.where(act, (ids >> (3 * (MAX_H3_RES - r))) & 7, 0)
+        bad |= act & (d == 7)
+        d = np.where(d == 7, 0, d)
         nx += _UX[d]
         ny += _UY[d]
         x = np.where(act, nx, x)
         y = np.where(act, ny, y)
-    return x, y
+    return x, y, bad
 
 
 def axial_to_cell(
@@ -207,8 +219,8 @@ def grid_disk_arrays(ids: np.ndarray, k: int) -> list[list[int] | None]:
     ids = ids.astype(np.int64)
     res = (ids >> _RES_SHIFT) & 0xF
     bc = (ids >> _BC_SHIFT) & 0x7F
-    valid = (bc < 122) & ~_PENT_ARR[bc & 0x7F]
-    x0, y0 = local_axial(ids)
+    x0, y0, bad = local_axial(ids)
+    valid = (bc < 122) & ~_PENT_ARR[bc & 0x7F] & ~bad
     cols = []
     for dx, dy in disk_offsets(k):
         cols.append(axial_to_cell(x0 + dx, y0 + dy, res, bc))
@@ -246,8 +258,8 @@ def h3_grid_ring_udf(k: int):
         ids = _ids64(c)
         res = (ids >> _RES_SHIFT) & 0xF
         bc = (ids >> _BC_SHIFT) & 0x7F
-        valid = (bc < 122) & ~_PENT_ARR[bc & 0x7F]
-        x0, y0 = local_axial(ids)
+        x0, y0, bad = local_axial(ids)
+        valid = (bc < 122) & ~_PENT_ARR[bc & 0x7F] & ~bad
         cols = [
             axial_to_cell(x0 + dx, y0 + dy, res, bc)
             for dx, dy in disk_offsets(k)
@@ -275,9 +287,16 @@ def h3_grid_distance(a: Column | str, b: Column | str) -> Column:
         ia, ib = _ids64(sa), _ids64(sb)
         ra, rb = (ia >> _RES_SHIFT) & 0xF, (ib >> _RES_SHIFT) & 0xF
         ba, bb = (ia >> _BC_SHIFT) & 0x7F, (ib >> _BC_SHIFT) & 0x7F
-        ok = (ra == rb) & (ba == bb) & (ba < 122) & ~_PENT_ARR[ba & 0x7F]
-        xa, ya = local_axial(ia)
-        xb, yb = local_axial(ib)
+        xa, ya, bad_a = local_axial(ia)
+        xb, yb, bad_b = local_axial(ib)
+        ok = (
+            (ra == rb)
+            & (ba == bb)
+            & (ba < 122)
+            & ~_PENT_ARR[ba & 0x7F]
+            & ~bad_a
+            & ~bad_b
+        )
         dx, dy = xa - xb, ya - yb
         same_sign = (dx >= 0) == (dy >= 0)
         d = np.where(

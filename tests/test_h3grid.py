@@ -82,9 +82,24 @@ def test_local_axial_roundtrip():
     ids = np.zeros(n, dtype=np.int64)
     for i in range(n):
         ids[i] = _mk_cell(int(bc[i]), list(rng.integers(0, 7, int(res[i]))))
-    x, y = local_axial(ids)
+    x, y, bad = local_axial(ids)
+    assert not bad.any()
     back = axial_to_cell(x, y, res.astype(np.int64), bc.astype(np.int64))
     assert (back == ids).all()
+
+
+def test_malformed_digit7_yields_none_not_indexerror():
+    """An id carrying the 7-marker INSIDE its res range is structurally
+    malformed; the grid UDFs must yield None for that row (ADVICE r7),
+    never IndexError the whole Spark task."""
+    good = _mk_cell(20, [3, 4, 5])
+    bad_id = np.int64(good | (7 << (3 * (15 - 2))))  # digit 7 at res 2
+    ids = np.array([good, bad_id], dtype=np.int64)
+    x, y, bad = local_axial(ids)
+    assert list(bad) == [False, True]
+    disk_good, disk_bad = grid_disk_arrays(ids, 1)
+    assert disk_bad is None
+    assert disk_good is not None and good in disk_good
 
 
 @pytest.mark.parametrize("res", [1, 2, 3, 4, 5, 6])
@@ -235,21 +250,24 @@ def test_pentagon_and_mixed_inputs_null_out(spark):
 
 def test_against_h3_library_if_available():
     h3 = pytest.importorskip("h3")
+    # v4 API only: v3 spells these k_ring/geo_to_h3 with different
+    # argument conventions — skip rather than error (ADVICE r7)
+    if not hasattr(h3, "grid_disk") or not hasattr(h3, "latlng_to_cell"):
+        pytest.skip("h3 library lacks the v4 grid_disk/latlng_to_cell API")
     rng = np.random.default_rng(3)
-    cells = [int(h3.latlng_to_cell(lat, lng, 9), 16) if isinstance(
-        h3.latlng_to_cell(lat, lng, 9), str
-    ) else h3.latlng_to_cell(lat, lng, 9) for lat, lng in zip(
+    cells = []
+    for lat, lng in zip(
         rng.uniform(-60, 60, 50), rng.uniform(-179, 179, 50)
-    )]
+    ):
+        c = h3.latlng_to_cell(lat, lng, 9)
+        cells.append(int(c, 16) if isinstance(c, str) else c)
     for c in cells:
         (mine,) = grid_disk_arrays(np.array([c], dtype=np.int64), 1)
         if mine is None:
             continue
         lib = {
             int(x, 16) if isinstance(x, str) else x
-            for x in h3.grid_disk(
-                format(c, "x") if hasattr(h3, "grid_disk") else c, 1
-            )
+            for x in h3.grid_disk(format(c, "x"), 1)
         }
         same_bc = {m for m in lib if (m >> 45) == (c >> 45)}
         assert set(mine) <= lib

@@ -395,6 +395,109 @@ def h3_grid_ring_children_sql() -> str:
     """
 
 
+def h3_grid_distance_pairs(spark, sf_dir: str) -> DataFrame:
+    """Registry query (oracle-paired): gridDistance as a driver-scored
+    contract. All C(49,2) pairs of res-2 cells within every
+    non-pentagon base cell; the engine folds each id's digits through
+    the class-alternating lattice matrices and takes the hex metric
+    (h3_grid_distance UDF); the oracle re-derives every pair distance
+    in PURE SQL by unrolling the 2-level fold — x2 = Ar·u(d1) + u(d2)
+    with Ar = [[3,-1],[1,2]] — over an inline digit→axial-unit VALUES
+    table plus the hexdist CASE. The two sides share only the
+    published bit layout and unit table, so a bug in either the fold,
+    the residue decode, or the metric breaks the hash.
+
+    Scale: children expansion is two narrow map-side explodes; the
+    self-join shuffles once on the base-cell key (each bucket is 49
+    rows — bounded by construction, no skew possible); one partial
+    agg. Same shape as a per-partition-key pairwise comparison at any
+    corpus size."""
+    from gis_etl_spark.io import read_table  # noqa: PLC0415
+    from gis_etl_spark.layout.h3compat import (  # noqa: PLC0415
+        _digit_fill,
+        h3_cell_to_children_df,
+    )
+
+    bc = (
+        read_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 122).alias("bc"))
+        .distinct()
+        .filter(~F.col("bc").isin(list(PENTAGON_BASE_CELLS)))
+    )
+    res0 = bc.select(
+        "bc",
+        (
+            F.lit((1 << 59) | _digit_fill(0))
+            .cast("long")
+            .bitwiseOR(F.shiftleft(F.col("bc"), _BC_SHIFT))
+        ).alias("cell"),
+    )
+    res2 = h3_cell_to_children_df(res0, "cell", 2, out_col="c2").select(
+        "bc", "c2"
+    )
+    a = res2.alias("a")
+    b = res2.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bc") == F.col("b.bc")) & (F.col("a.c2") < F.col("b.c2")),
+    ).select(
+        F.col("a.bc").alias("bc"),
+        F.col("a.c2").alias("ca"),
+        F.col("b.c2").alias("cb"),
+        h3_grid_distance(F.col("a.c2"), F.col("b.c2")).alias("dist"),
+    )
+    return (
+        pairs.groupBy("bc", "dist")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("bit_xor(ca ^ cb)").alias("pair_xor"),
+            F.min("ca").alias("min_a"),
+            F.max("cb").alias("max_b"),
+        )
+        .orderBy("bc", "dist")
+    )
+
+
+def h3_grid_distance_pairs_sql() -> str:
+    """Oracle twin: 2-level fold unrolled into integer linear algebra
+    (no lattice code shared with the engine)."""
+    from gis_etl_spark.layout.h3compat import _digit_fill  # noqa: PLC0415
+
+    pent = ", ".join(str(b) for b in PENTAGON_BASE_CELLS)
+    head2 = (1 << 59) | (2 << _RES_SHIFT) | _digit_fill(2)
+    d1_pos, d2_pos = 3 * (MAX_H3_RES - 1), 3 * (MAX_H3_RES - 2)
+    return f"""
+        WITH bcs AS (
+          SELECT DISTINCT doc_id % 122 AS bc FROM documents
+          WHERE doc_id % 122 NOT IN ({pent})
+        ), units(d, ux, uy) AS (
+          VALUES (0, 0, 0), (1, -1, -1), (2, 0, 1), (3, -1, 0),
+                 (4, 1, 0), (5, 0, -1), (6, 1, 1)
+        ), cells AS (
+          -- x2 = Ar * u(d1) + u(d2),  Ar = [[3,-1],[1,2]]
+          SELECT bc,
+                 CAST({head2} AS BIGINT)
+                   | (bc * CAST({1 << _BC_SHIFT} AS BIGINT))
+                   | (u1.d * CAST({1 << d1_pos} AS BIGINT))
+                   | (u2.d * CAST({1 << d2_pos} AS BIGINT)) AS cell,
+                 3 * u1.ux - u1.uy + u2.ux AS x,
+                 u1.ux + 2 * u1.uy + u2.uy AS y
+          FROM bcs, units u1, units u2
+        ), pairs AS (
+          SELECT a.bc AS bc, a.cell AS ca, b.cell AS cb,
+                 CASE WHEN ((a.x - b.x) >= 0) = ((a.y - b.y) >= 0)
+                      THEN greatest(abs(a.x - b.x), abs(a.y - b.y))
+                      ELSE abs(a.x - b.x) + abs(a.y - b.y) END AS dist
+          FROM cells a JOIN cells b
+            ON a.bc = b.bc AND a.cell < b.cell
+        )
+        SELECT bc, dist, count(*)::BIGINT AS n_pairs,
+               bit_xor(xor(ca, cb)) AS pair_xor,
+               min(ca) AS min_a, max(cb) AS max_b
+        FROM pairs GROUP BY bc, dist ORDER BY bc, dist
+    """
+
+
 def h3_grid_disk_stats(spark, sf_dir: str) -> DataFrame:
     """Registry query (rows-only by design — a k=2 lattice walk is not
     SQL-expressible; invariants pinned in tests/test_h3grid.py): k=2

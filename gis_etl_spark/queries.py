@@ -1351,3 +1351,93 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R7_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R7_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-8 additions + window rotation.
+#
+# New surface: gridDistance as a driver contract
+# (h3_grid_distance_pairs) — closes the last un-oracled surface of
+# layout/h3grid.py (VERDICT r7 next-round item 6).
+#
+# Window policy (unchanged since r3): new queries front, then the
+# oldest-scored cohort. After r7, 51 queries' latest driver score is
+# r3 or older: similarity_ivf_kmeans / embedding_label_centroids
+# (r2) and the 49-query r3 cohort (TPC-H + early geo/events/text).
+# 1 new + 2 r2 + 47 r3 fill the 50-slot window; the two r3 leftovers
+# (union_all_names, source_id_extract — trivial single-op queries
+# with no shared-helper surface that changed since r3) rotate in r9.
+# ---------------------------------------------------------------------------
+
+REGISTRY.update(
+    {
+        "h3_grid_distance_pairs": (
+            H3G.h3_grid_distance_pairs,
+            H3G.h3_grid_distance_pairs_sql(),
+        ),
+    }
+)
+
+_R9_LEFTOVERS = ("union_all_names", "source_id_extract")
+
+_R8_FRONT = (
+    # new in r8
+    "h3_grid_distance_pairs",
+    # last scored r2
+    "similarity_ivf_kmeans",
+    "embedding_label_centroids",
+    # the r3-scored cohort (latest driver rows from CORRECTNESS_r03)
+    "q1_pricing_summary",
+    "q2_top_acctbal_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "count_lineitem",
+    "count_distinct_customers",
+    "approx_distinct_customers",
+    "custkeys_without_recent_orders",
+    "customers_without_orders",
+    "suppliers_with_shipments",
+    "group_count_order_priority",
+    "minmax_orders",
+    "cube_orders",
+    "rollup_returnflag_linestatus",
+    "pivot_status_by_flag",
+    "orders_above_avg_sql",
+    "orders_with_heavy_items_sql",
+    "orders_by_year_month",
+    "orders_top15_by_price",
+    "price_percentiles",
+    "top3_orders_per_customer",
+    "running_value_per_user",
+    "sessionize_events",
+    "sessionize_native",
+    "events_hourly_rollup",
+    "events_sliding_windows",
+    "filter_range_events",
+    "stratified_sample",
+    "training_data_prep",
+    "multimodal_frame_sample",
+    "geo_total_count",
+    "geo_core_type_count",
+    "geo_shape_type_census",
+    "geo_source_counts",
+    "geo_distinct_sources",
+    "geo_global_bbox",
+    "geo_centroid_stats",
+)
+
+assert len(_R8_FRONT) == 50, len(_R8_FRONT)
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R8_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R8_FRONT},
+}

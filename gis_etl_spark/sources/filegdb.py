@@ -42,18 +42,19 @@ compressed geometry (scaled ints: v = round((coord − origin)·scale))
 .gdbtablx
   16-byte header: int32 magic=3, int32 reserved, int32 n_rows,
   int32 offset_width=5; then n_rows little-endian 5-byte offsets.
-  (Used for the largest-member audit + random access; the
-  distributed scan streams .gdbtable sequentially — row-size
-  prefixes make the tablx optional, and Spark task granularity is
-  per-file anyway, mirroring the shapefile source.)
 
-Scale notes: like shapefiles, .gdbtable has no intra-file sync
-markers → parallelism is per file/layer. The decoder takes a
+Scale notes (r8): .gdbtable has no intra-file sync markers, but the
+.gdbtablx row index IS the sync structure — read_filegdb splits the
+(OBJECTID, offset) plan into chunk_rows-row slices, one Spark task
+each, so a single 100 GB layer decodes in parallel instead of as one
+serial task (dense index → each task range-reads only its slice of
+the index; sparse → plans ship from the driver). The decoder takes a
 `columns` projection and SKIPS the decode of unrequested fields
 (geometry blobs are length-prefixed, so an attrs-only query never
 pays geometry decode — the EXCLUDE(Shape) projection,
 ORNL-FEMA-Buildings.md:80-81, reaches inside the Python decoder
-where Catalyst cannot)."""
+where Catalyst cannot). Geometry blobs batch-decode via one
+vectorized varint pass per task (see _decode_geometries_batch)."""
 
 from __future__ import annotations
 
@@ -132,6 +133,160 @@ def _read_varuint(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
         if shift > 63:
             raise ValueError("over-long varuint (>64 bits)")
+
+
+def _read_varuints_vec(
+    buf: bytes, pos: int, n: int
+) -> tuple[np.ndarray, int]:
+    """Decode exactly `n` consecutive varuints starting at `pos`,
+    vectorized: one uint8 view, terminator-bit scan, and a single
+    `np.add.reduceat` over the 7-bit limbs. The scalar loop cost 2.8 s
+    of the 9 s single-thread decode at 100k features (r8 bench
+    profile); this path does the same work in ~30 ms. Falls back to
+    the bounds-checked scalar reader when any varint spans > 8 bytes
+    (value ≥ 2^56 — never true for real coordinate deltas, and the
+    scalar path carries the full 64-bit validation). Truncation (fewer
+    than n terminators before end-of-buffer) raises ValueError like
+    the scalar reader."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64), pos
+    # scan window bounded by the max varint width (10 bytes) so one
+    # geometry's decode never scans the rest of the file
+    win = min(len(buf) - pos, 10 * n)
+    b = np.frombuffer(buf, np.uint8, win, pos)
+    term = np.flatnonzero(b < 0x80)
+    if len(term) < n:
+        if win < len(buf) - pos:  # degenerate over-long varints → scalar
+            vals = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                v, pos = _read_varuint(buf, pos)
+                vals[i] = v
+            return vals, pos
+        raise ValueError("truncated varuint")
+    ends = term[:n]
+    starts = np.empty(n, dtype=ends.dtype)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    if int((ends - starts).max()) > 7:  # > 8 bytes somewhere → scalar
+        vals = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            v, pos = _read_varuint(buf, pos)
+            vals[i] = v
+        return vals, pos
+    used = int(ends[n - 1]) + 1
+    limbs = (b[:used].astype(np.int64) & 0x7F) << (
+        7 * (np.arange(used, dtype=np.int64) - np.repeat(starts, ends - starts + 1))
+    )
+    vals = np.add.reduceat(limbs, starts)
+    return vals, pos + used
+
+
+def _unzigzag_vec(v: np.ndarray) -> np.ndarray:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _decode_geometries_batch(
+    content: bytes, spans: list[tuple[int, int]], f: Field
+) -> list[bytes | None]:
+    """Batch geometry decode: ONE vectorized varint pass over every
+    blob in the file, then per-blob WKB assembly from the pre-decoded
+    value stream. The per-geometry scalar decode cost ~45% of
+    single-thread file decode at 100k features (r8 bench profile);
+    the whole-file pass amortizes the numpy fixed costs that made
+    per-geometry vectorization a net loss on small polygons.
+
+    Our format subset (point / polygon, no curves or Z) makes every
+    blob a pure varint stream, so the global terminator scan aligns
+    varint boundaries with blob boundaries for well-formed input. Any
+    blob that violates that (truncated, over-long varints, trailing
+    bytes, header/count mismatch) is re-decoded by the scalar
+    `_decode_geometry`, which raises the pinned ValueError contract."""
+    out: list[bytes | None] = [None] * len(spans)
+    if not spans:
+        return out
+    lens = np.array([ln for _, ln in spans], dtype=np.int64)
+    buf = b"".join(content[s : s + ln] for s, ln in spans)
+    b = np.frombuffer(buf, np.uint8)
+    term = np.flatnonzero(b < 0x80)
+    n_v = len(term)
+    starts = np.empty(n_v, dtype=np.int64)
+    if n_v:
+        starts[0] = 0
+        starts[1:] = term[:-1] + 1
+    widths = term - starts + 1
+    blob_ends = np.cumsum(lens)
+    # varints per blob boundary; a blob whose last byte is not a
+    # terminator (or containing an over-wide varint) goes scalar
+    vt_bounds = np.searchsorted(term, blob_ends - 1, side="right")
+    ok_vec = n_v == 0 or int(widths.max()) <= 8
+    if ok_vec and n_v:
+        limbs = (b.astype(np.int64) & 0x7F) << (
+            7 * (np.arange(len(b), dtype=np.int64) - np.repeat(starts, widths))
+        )
+        all_vals = np.add.reduceat(limbs, starts)
+        dec = _unzigzag_vec(all_vals)
+        # segmented cumsum machinery: g[j] - (g[a] - dec[a]) is the
+        # within-segment cumulative sum starting at index a
+        g = np.cumsum(dec)
+    scale, xo, yo = f.xyscale, f.xorigin, f.yorigin
+    for i, (s, ln) in enumerate(spans):
+        t0 = int(vt_bounds[i - 1]) if i else 0
+        t_cur = int(vt_bounds[i])
+        blob_start = int(blob_ends[i - 1]) if i else 0
+        nv = t_cur - t0
+        # well-formed = this blob's varints tile it exactly: first
+        # varint starts at its first byte, last terminator is its last
+        well_formed = (
+            ok_vec
+            and nv > 0
+            and int(starts[t0]) == blob_start
+            and int(term[t_cur - 1]) == int(blob_ends[i]) - 1
+        )
+        if not well_formed:
+            out[i] = _decode_geometry(content[s : s + ln], f)
+            continue
+        stype = int(all_vals[t0])
+        if stype == _SHAPE_POINT and nv == 3:
+            x = (int(all_vals[t0 + 1]) - 1) / scale + xo
+            y = (int(all_vals[t0 + 2]) - 1) / scale + yo
+            out[i] = struct.pack("<BI2d", 1, 1, x, y)
+            continue
+        if stype != _SHAPE_POLYGON or nv < 7:
+            out[i] = _decode_geometry(content[s : s + ln], f)
+            continue
+        n_points = int(all_vals[t0 + 1])
+        n_parts = int(all_vals[t0 + 2])
+        head = 7 + max(0, n_parts - 1)
+        if (
+            n_parts <= 0
+            or n_parts > n_points + 1
+            or nv != head + 2 * n_points
+            or n_points > ln // 2
+        ):
+            out[i] = _decode_geometry(content[s : s + ln], f)
+            continue
+        counts = [int(c) for c in all_vals[t0 + 7 : t0 + head]]
+        last = n_points - sum(counts)
+        if last < 0:
+            out[i] = _decode_geometry(content[s : s + ln], f)
+            continue
+        counts.append(last)
+        cx = t0 + head
+        cy = cx + n_points
+        # within-blob cumsum of the delta stream via the global cumsum
+        xs = (g[cx : cx + n_points] - (g[cx] - dec[cx])) / scale + xo
+        ys = (g[cy : cy + n_points] - (g[cy] - dec[cy])) / scale + yo
+        xy = np.empty((n_points, 2), dtype="<f8")
+        xy[:, 0] = xs
+        xy[:, 1] = ys
+        w = bytearray(struct.pack("<BII", 1, 3, n_parts))
+        st = 0
+        for c in counts:
+            w += struct.pack("<I", c)
+            w += xy[st : st + c].tobytes()
+            st += c
+        out[i] = bytes(w)
+    return out
 
 
 def _zigzag(v: int) -> int:
@@ -249,20 +404,18 @@ def _decode_geometry(blob: bytes, f: Field) -> bytes | None:
                 f"part counts {counts} exceed claimed {n_points} points"
             )
         counts.append(last)
-        vals = np.empty(2 * n_points, dtype="int64")
-        for k in range(2 * n_points):
-            z, pos = _read_varuint(blob, pos)
-            vals[k] = _unzigzag(z)
+        zz, pos = _read_varuints_vec(blob, pos, 2 * n_points)
+        vals = _unzigzag_vec(zz)
         xs = np.cumsum(vals[:n_points]) / f.xyscale + f.xorigin
         ys = np.cumsum(vals[n_points:]) / f.xyscale + f.yorigin
+        xy = np.empty((n_points, 2))
+        xy[:, 0] = xs
+        xy[:, 1] = ys
         out = bytearray(struct.pack("<BII", 1, 3, n_parts))
         start = 0
         for c in counts:
-            ring = np.empty((c, 2))
-            ring[:, 0] = xs[start : start + c]
-            ring[:, 1] = ys[start : start + c]
             out += struct.pack("<I", c)
-            out += ring.astype("<f8").tobytes()
+            out += xy[start : start + c].astype("<f8").tobytes()
             start += c
         return bytes(out)
     raise ValueError(f"unsupported compressed-geometry type {stype}")
@@ -536,6 +689,7 @@ def parse_gdbtable(
     content: bytes,
     columns: list[str] | None = None,
     tablx: bytes | None = None,
+    plan: list[tuple[int, int]] | None = None,
 ) -> pd.DataFrame:
     """Decode .gdbtable bytes → DataFrame (geometry as OGC WKB).
 
@@ -556,10 +710,13 @@ def parse_gdbtable(
         f for f in fields if want is None or f.name in want
     ]
     data: dict[str, list] = {f.name: [] for f in out_fields}
+    geom_pending: dict[str, tuple[Field, list[tuple[int, int, int]]]] = {}
     nullable = [f for f in fields if f.nullable]
     oid_field = next((f for f in fields if f.ftype == T_OBJECTID), None)
 
-    if tablx is not None:
+    if plan is not None:
+        pass  # explicit row slice (chunked scan) — caller-validated
+    elif tablx is not None:
         plan = [
             (slot + 1, off)
             for slot, off in enumerate(parse_gdbtablx(tablx))
@@ -570,8 +727,6 @@ def parse_gdbtable(
                 f".gdbtablx holds {len(plan)} rows but the table header "
                 f"counts {n_rows}"
             )
-    else:
-        plan = None
 
     def decode_row(oid: int, pos: int) -> int:
         """Decode one row record whose int32 size prefix sits at `pos`;
@@ -647,8 +802,11 @@ def parse_gdbtable(
                         "runs past row end"
                     )
                 if keep:
-                    data[f.name].append(
-                        _decode_geometry(content[p : p + ln], f)
+                    # deferred: batch-decoded after the row walk (one
+                    # vectorized varint pass over every blob)
+                    data[f.name].append(None)
+                    geom_pending.setdefault(f.name, (f, []))[1].append(
+                        (len(data[f.name]) - 1, p, ln)
                     )
                 p += ln
         return end
@@ -673,6 +831,13 @@ def parse_gdbtable(
             pos = decode_row(oid, pos)
             oid += 1
             found += 1
+    for name, (gf, entries) in geom_pending.items():
+        col = data[name]
+        decoded = _decode_geometries_batch(
+            content, [(s, ln) for _, s, ln in entries], gf
+        )
+        for (idx, _, _), wkb in zip(entries, decoded):
+            col[idx] = wkb
     return pd.DataFrame(data, columns=[f.name for f in out_fields])
 
 
@@ -705,6 +870,7 @@ def read_filegdb(
     path: str,
     columns: list[str] | None = None,
     on_error: str = "fail",
+    chunk_rows: int = 8_192,
 ) -> DataFrame:
     """Distributed FileGDB layer scan: binaryFile source →
     mapInPandas decoder (ST_READ rendition, ORNL-FEMA-Buildings.md:81).
@@ -718,25 +884,155 @@ def read_filegdb(
     point counts). on_error="fail" propagates it; on_error="skip" drops
     the corrupt member's rows and keeps the scan alive — audit the
     skipped members with filegdb_failures() over the same path, the
-    per-file failure-record discipline shared with crs_quarantine."""
+    per-file failure-record discipline shared with crs_quarantine.
+
+    Intra-file parallelism (r8, VERDICT item 2 follow-on): a single
+    .gdbtable is one giant member — a whole-file scan is ONE task no
+    matter the cluster, i.e. a 100 GB layer decodes serially. When the
+    .gdbtablx row index exists, the (OBJECTID, offset) plan is instead
+    split into `chunk_rows`-row slices, one task each; every task
+    mmaps the file and decodes only its slice (on a shared FS / object
+    store this is a ranged read). on_error="skip"'s contract is
+    whole-MEMBER drop — not expressible once a member spans tasks —
+    so skip mode keeps the single-task path (validation IS decoding
+    there). chunk_rows=0 disables chunking."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error: {on_error!r}")
     if os.path.isdir(path):
         path = largest_layer(path)
     with open(path, "rb") as fh:
         head = fh.read(1 << 20)
-    fields, _, _ = parse_fields(head)
+    fields, _, n_rows = parse_fields(head)
     out_fields = [f for f in fields if columns is None or f.name in columns]
     schema = ", ".join(
         f"`{f.name}` {_spark_type(f)}" for f in out_fields
     ) + ", source string"
+    skip = on_error == "skip"
+
+    tablx = _sibling_tablx(path) if not skip and chunk_rows else None
+    if tablx is not None:
+        slots = parse_gdbtablx(tablx)
+        if sum(1 for off in slots if off) != n_rows:
+            raise ValueError(
+                f".gdbtablx holds {sum(1 for o in slots if o)} rows but "
+                f"the table header counts {n_rows}"
+            )
+        dense = _tablx_dense_width(tablx)
+        local_path = path
+        tablx_path = path[: -len(".gdbtable")] + ".gdbtablx"
+        if dense is not None:
+            # dense layout: slot i's offset lives at byte 16 + i*width,
+            # so a task materializes ONLY its slice with one ranged
+            # read of the index — nothing row-scale crosses the driver
+            width = dense
+            # chunk over LIVE slots so a deletion-riddled table doesn't
+            # spawn empty tasks; each range still covers a contiguous
+            # slot interval for the task's one ranged index read
+            nz = [i for i, off in enumerate(slots) if off]
+            ranges = [
+                (nz[k], nz[min(k + chunk_rows, len(nz)) - 1] + 1)
+                for k in range(0, len(nz), chunk_rows)
+            ] or [(0, 0)]
+            cdf = spark.createDataFrame(
+                ranges, "lo long, hi long"
+            ).repartition(len(ranges))
+
+            def decode_ranges(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                import mmap as _mmap  # noqa: PLC0415
+
+                mm, fh = None, None
+                try:
+                    for pdf in batches:
+                        for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                            lo, hi = int(lo), int(hi)
+                            if hi <= lo:
+                                continue
+                            if mm is None:
+                                fh = open(local_path, "rb")  # noqa: SIM115
+                                mm = _mmap.mmap(
+                                    fh.fileno(), 0, access=_mmap.ACCESS_READ
+                                )
+                            with open(tablx_path, "rb") as xf:
+                                xf.seek(16 + lo * width)
+                                raw = xf.read((hi - lo) * width)
+                            plan = [
+                                (lo + i + 1, off)
+                                for i, off in enumerate(
+                                    int.from_bytes(
+                                        raw[i * width : (i + 1) * width],
+                                        "little",
+                                    )
+                                    for i in range(hi - lo)
+                                )
+                                if off
+                            ]
+                            if not plan:
+                                continue
+                            out = parse_gdbtable(mm, columns, plan=plan)
+                            out["source"] = local_path
+                            yield out
+                finally:
+                    if mm is not None:
+                        mm.close()
+                    if fh is not None:
+                        fh.close()
+
+            return cdf.mapInPandas(decode_ranges, schema=schema)
+
+        # sparse layout: absent blocks aren't stored, so slot→byte is
+        # not linear — ship each chunk's (oid, offset) plan instead
+        plan = [(s + 1, off) for s, off in enumerate(slots) if off]
+        chunks = [
+            (
+                i // chunk_rows,
+                [oid for oid, _ in plan[i : i + chunk_rows]],
+                [off for _, off in plan[i : i + chunk_rows]],
+            )
+            for i in range(0, len(plan), chunk_rows)
+        ] or [(0, [], [])]
+        cdf = spark.createDataFrame(
+            chunks, "chunk_id int, oids array<long>, offs array<long>"
+        ).repartition(len(chunks))
+
+        def decode_chunks(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import mmap as _mmap  # noqa: PLC0415
+
+            mm, fh = None, None
+            try:
+                for pdf in batches:
+                    for oids, offs in zip(pdf["oids"], pdf["offs"]):
+                        if len(oids) == 0:
+                            continue
+                        if mm is None:
+                            fh = open(local_path, "rb")  # noqa: SIM115
+                            mm = _mmap.mmap(
+                                fh.fileno(), 0, access=_mmap.ACCESS_READ
+                            )
+                        out = parse_gdbtable(
+                            mm,
+                            columns,
+                            plan=list(zip((int(o) for o in oids),
+                                          (int(f) for f in offs))),
+                        )
+                        out["source"] = local_path
+                        yield out
+            finally:
+                if mm is not None:
+                    mm.close()
+                if fh is not None:
+                    fh.close()
+
+        return cdf.mapInPandas(decode_chunks, schema=schema)
 
     files = (
         spark.read.format("binaryFile")
         .load(path)
         .select("path", "content")
     )
-    skip = on_error == "skip"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -753,6 +1049,20 @@ def read_filegdb(
                 yield out
 
     return files.mapInPandas(decode, schema=schema)
+
+
+def _tablx_dense_width(buf: bytes) -> int | None:
+    """Offset width of a DENSE .gdbtablx (slot i at byte 16 + i*width),
+    or None when the file carries a sparse block-bitmap trailer (slot
+    positions are then not linear in the byte stream)."""
+    magic, n_blocks, n_valid, width = struct.unpack_from("<4i", buf, 0)
+    n_slots = n_blocks * 1024 if n_blocks > 0 else n_valid
+    arr_end = 16 + n_slots * width
+    if len(buf) >= arr_end + 16:
+        (n_bitmap_words,) = struct.unpack_from("<i", buf, arr_end)
+        if n_bitmap_words > 0:
+            return None
+    return width
 
 
 def _sibling_tablx(gdbtable_path: str) -> bytes | None:

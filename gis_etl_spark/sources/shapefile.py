@@ -44,10 +44,14 @@ OUT_SCHEMA = (
 
 
 def _ring_signed_area(pts: np.ndarray) -> float:
+    # shoelace via two dots + explicit wrap term — np.roll here cost
+    # 53% of the whole decoder's profile at 100k features (r8 bench)
+    if len(pts) == 0:
+        return 0.0
     x, y = pts[:, 0], pts[:, 1]
     return float(
-        (x * np.roll(y, -1) - np.roll(x, -1) * y).sum() / 2.0
-    )
+        x[:-1] @ y[1:] - x[1:] @ y[:-1] + x[-1] * y[0] - x[0] * y[-1]
+    ) / 2.0
 
 
 def _wkb_polygon(rings: list[np.ndarray]) -> bytes:
@@ -63,6 +67,8 @@ def _polygon_wkb_from_parts(parts: list[np.ndarray]) -> bytes:
     shells are clockwise (negative shoelace area), holes counter-
     clockwise, holes follow their shell. Unknown orientation (all-CCW
     writers exist) → first ring is the shell."""
+    if len(parts) == 1:  # one ring = the shell; orientation irrelevant
+        return _wkb_polygon(parts)
     shells: list[list[np.ndarray]] = []
     for pts in parts:
         if _ring_signed_area(pts) < 0 or not shells:

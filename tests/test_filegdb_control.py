@@ -415,3 +415,50 @@ def test_sparse_tablx_error_contract():
     assert [s for s in parse_gdbtablx(dense) if s] == [
         offs[0], offs[1], offs[2]
     ]
+
+
+def test_chunked_scan_matches_single_task(spark, tmp_path):
+    """r8 intra-file parallelism: chunk_rows=1 forces one task per row
+    (ranged .gdbtablx reads); the result must equal the single-task
+    whole-file decode, including NULLs, holes, and OID reconstruction."""
+    gdb = tmp_path / "chunky.gdb"
+    os.makedirs(gdb)
+    content = build_control_table()
+    (gdb / "a00000001.gdbtable").write_bytes(content)
+    offs = _row_offsets(content, 3)
+    (gdb / "a00000001.gdbtablx").write_bytes(_tablx_for(offs, [0, 1, 2]))
+    path = str(gdb / "a00000001.gdbtable")
+    many = read_filegdb(spark, path, chunk_rows=1)
+    one = read_filegdb(spark, path, chunk_rows=0)
+    assert many.rdd.getNumPartitions() == 3
+    a = sorted(map(tuple, many.drop("source").collect()))
+    b = sorted(map(tuple, one.drop("source").collect()))
+    assert a == b
+
+
+def test_batch_geometry_decode_matches_scalar():
+    """The r8 whole-file vectorized varint pass must be bit-identical
+    to the scalar per-blob decoder on every control geometry, and the
+    batch path must route malformed blobs through the scalar decoder
+    so the pinned ValueError contract survives."""
+    from gis_etl_spark.sources import filegdb as FG
+
+    content = build_control_table()
+    pdf = parse_gdbtable(content)
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        FG,
+        "_decode_geometries_batch",
+        lambda c, spans, f: [
+            FG._decode_geometry(c[s : s + ln], f) for s, ln in spans
+        ],
+    ):
+        pdf_scalar = parse_gdbtable(content)
+    assert list(pdf["Shape"]) == list(pdf_scalar["Shape"])
+    assert pdf.equals(pdf_scalar)
+    # malformed blob → scalar fallback raises the pinned contract
+    f = FG.Field("Shape", FG.T_GEOMETRY, True, XO, YO, SCALE)
+    bad = bytes([0x85])  # lone continuation byte: truncated varuint
+    with pytest.raises(ValueError):
+        FG._decode_geometries_batch(bad, [(0, 1)], f)

@@ -312,6 +312,20 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         ev.repartition(8).write.mode("overwrite").parquet(ev_dir)
         n_ev = spark.read.parquet(ev_dir).count()
 
+        # sacrificial warm drains: the FIRST streaming query of a
+        # session pays one-time micro-batch/state-store machinery init
+        # (measured 3.0 s vs 1.2 s steady on the same tiny drain, r8)
+        # that would otherwise be booked to whichever twin runs first —
+        # warm both state flavors (applyInPandasWithState + native agg)
+        warm_dir = os.path.join(tmp, "warm_in")
+        ev.limit(200).coalesce(1).write.mode("overwrite").parquet(warm_dir)
+        S.run_to_memory(S.streaming_sessionize(spark, warm_dir), "bench_w1")
+        wdoc_dir = os.path.join(tmp, "warm_docs")
+        read_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).limit(200).coalesce(1).write.mode("overwrite").parquet(wdoc_dir)
+        S.run_to_memory(S.streaming_exact_dedup(spark, wdoc_dir), "bench_w2")
+
         t0 = time.time()
         S.run_to_memory(S.streaming_sessionize(spark, ev_dir), "bench_sess")
         dt = time.time() - t0
@@ -321,11 +335,23 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
             spark.table("bench_sess").select("user_id").distinct().count()
         )
 
+        # dedup twins get a ×10 duplication-pressure corpus (doc_ids
+        # remapped per replica, text unchanged): 5k unique rows mostly
+        # measured micro-batch setup, not throughput, and dedup-on-
+        # arrival's whole point is heavy duplicate traffic against
+        # BOUNDED state (state_rows stays == distinct hashes/spans
+        # while rows processed grow 10×)
         docs = read_table(spark, SF_DIR, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
         )
+        rep = spark.range(10).crossJoin(docs).select(
+            (F.col("doc_id") + F.col("id") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            "text", "lang", "source", "n_chars",
+        )
         docs_dir = os.path.join(tmp, "docs_in")
-        docs.repartition(8).write.mode("overwrite").parquet(docs_dir)
+        rep.repartition(8).write.mode("overwrite").parquet(docs_dir)
         n_docs = spark.read.parquet(docs_dir).count()
 
         t0 = time.time()

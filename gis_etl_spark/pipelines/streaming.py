@@ -184,68 +184,43 @@ def streaming_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-DEDUP_STATE_SCHEMA = StructType(
-    [
-        StructField("keep_id", LongType()),
-        StructField("n_copies", LongType()),
-    ]
-)
-DEDUP_OUT_SCHEMA = StructType(
-    [
-        StructField("content_hash", StringType()),
-        StructField("n_copies", LongType()),
-        StructField("keep_id", LongType()),
-    ]
-)
-
-
-def _dedup_fn(
-    key: tuple,
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """First-seen exact dedup state: per content hash keep (min doc_id,
-    running copy count). min, not literal first-seen, so the streamed
-    result equals the batch twin bit-for-bit under ANY micro-batch
-    slicing or arrival order."""
-    if state.exists:
-        keep, n = state.get
-    else:
-        keep, n = None, 0
-    for pdf in pdfs:
-        for d in pdf["doc_id"]:
-            d = int(d)
-            n += 1
-            keep = d if keep is None or d < keep else keep
-    state.update((keep, n))
-    yield pd.DataFrame(
-        [(key[0], n, keep)],
-        columns=[f.name for f in DEDUP_OUT_SCHEMA],
-    )
-
-
-def streaming_exact_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming exact dedup over an arriving document corpus — the
     stateful twin of ops.dedup.dedup_exact_groups (same md5-of-text
     key, same min-doc_id keeper): every micro-batch upserts each
     touched hash's (n_copies, keep_id). This is the shape a 100 TB
     ingest pipeline actually runs — dedup-on-arrival against all
     history, with per-hash state instead of a full-corpus reshuffle
-    per increment; state is one row per distinct content hash."""
+    per increment; state is one row per distinct content hash.
+
+    r8: NATIVE streaming aggregation, the same treatment r6 gave span
+    dedup (VERDICT r7 item 5 — this was the slowest streaming twin at
+    3.1k rows/s). The per-hash state (count, min doc_id) is
+    associative, so update-mode groupBy().agg() expresses it exactly:
+    state lives in the JVM state store (no Arrow transfer, no
+    per-group pandas frame) and micro-batch duplicates collapse
+    map-side before the shuffle. min-doc_id (not literal first-seen)
+    keeps the streamed result equal to the batch twin bit-for-bit
+    under ANY micro-batch slicing or arrival order."""
     schema = (
         "doc_id long, text string, lang string, source string, "
         "n_chars long"
     )
-    stream = spark.readStream.schema(schema).parquet(input_dir)
-    keyed = stream.select(
-        F.md5(F.col("text")).alias("content_hash"), "doc_id"
-    )
-    return keyed.groupBy("content_hash").applyInPandasWithState(
-        _dedup_fn,
-        outputStructType=DEDUP_OUT_SCHEMA,
-        stateStructType=DEDUP_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    return (
+        stream.select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
     )
 
 

@@ -380,23 +380,7 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
         shutil.rmtree(dst + ".dir")
 
     name = f"dd_{uuid.uuid4().hex[:8]}"
-    sdf = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, "
-            "n_chars long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-        .select(F.md5(F.col("text")).alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
-        .applyInPandasWithState(
-            S._dedup_fn,
-            outputStructType=S.DEDUP_OUT_SCHEMA,
-            stateStructType=S.DEDUP_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf="NoTimeout",
-        )
-    )
+    sdf = S.streaming_exact_dedup(spark, flat, max_files_per_trigger=1)
     S.run_to_memory(sdf, name, output_mode="update")
     pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
     last = pdf.groupby("content_hash").tail(1).set_index("content_hash")

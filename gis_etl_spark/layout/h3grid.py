@@ -538,3 +538,50 @@ def h3_grid_disk_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("bc")
     )
+
+
+def h3_grid_disk_exact_udf(k: int):
+    """Cross-base-cell-EXACT gridDisk — delegates to the `h3` package
+    when importable, raises NotImplementedError otherwise.
+
+    Decide-and-pin (VERDICT r7 item 3): extending the lattice walk
+    across a base-cell boundary needs (a) the 122-entry base-cell
+    neighbor table and (b) the per-crossing 60° rotation corrections —
+    both published constants in H3's source, GENERATED from the
+    icosahedron face layout (the same geodesic data behind
+    latLngToCell). Neither is re-derivable from the id bit layout this
+    module builds on, and unlike the pentagon set (which the per-res
+    cell counts 2 + 120·7^r verify independently) no offline invariant
+    constrains a candidate adjacency — the one published gridDisk doc
+    example stays inside one base cell. Reproducing a 122×7 table from
+    memory would ship exactly the silently-wrong-neighbor hazard the
+    compat matrix bars for latLngToCell. So: in-base disks stay exact
+    (grid_disk_arrays, len < 1+3k(k+1) flags truncation), and the
+    cross-base-exact form is import-gated like h3_latlng_to_cell."""
+    if k < 0:
+        raise ValueError(f"k out of range: {k}")
+    try:
+        import h3  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "cross-base-exact gridDisk requires the `h3` package (its "
+            "base-cell adjacency/orientation tables are geodesic data "
+            "this engine cannot validate offline); use h3_grid_disk_udf "
+            "for in-base disks with flagged truncation"
+        ) from exc
+
+    def _to_int(c) -> int:
+        return int(c, 16) if isinstance(c, str) else int(c)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(c: pd.Series) -> pd.Series:
+        out = []
+        for v in c:
+            if v is None:
+                out.append(None)
+                continue
+            cells = h3.grid_disk(format(int(v), "x"), k)
+            out.append(sorted(_to_int(x) for x in cells))
+        return pd.Series(out, dtype=object)
+
+    return _udf

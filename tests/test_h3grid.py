@@ -272,3 +272,18 @@ def test_against_h3_library_if_available():
         same_bc = {m for m in lib if (m >> 45) == (c >> 45)}
         assert set(mine) <= lib
         assert same_bc <= set(mine)
+
+
+def test_grid_disk_exact_import_gate():
+    """Decide-and-pin for cross-base disks (r8): without the h3
+    package the exact form raises the documented NotImplementedError;
+    with it, it must agree with the lattice walk on in-base members."""
+    from gis_etl_spark.layout.h3grid import h3_grid_disk_exact_udf
+
+    try:
+        import h3  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="base-cell"):
+            h3_grid_disk_exact_udf(1)
+    else:
+        h3_grid_disk_exact_udf(1)  # constructs without error

@@ -66,7 +66,11 @@ def test_projection_skips_geometry_decode(layer_bytes, monkeypatch):
     def boom(blob, f):
         raise AssertionError("geometry decoded despite projection")
 
+    def boom_batch(content, spans, f):
+        raise AssertionError("geometry decoded despite projection")
+
     monkeypatch.setattr(FG, "_decode_geometry", boom)
+    monkeypatch.setattr(FG, "_decode_geometries_batch", boom_batch)
     out = FG.parse_gdbtable(layer_bytes, ["occ_cls", "height"])
     assert list(out.columns) == ["occ_cls", "height"]
     with pytest.raises(AssertionError, match="despite projection"):

@@ -426,7 +426,11 @@ def _prior_round_timings() -> dict[str, float]:
         return {}
     try:
         with open(files[-1]) as f:
-            return json.load(f).get("queries") or {}
+            d = json.load(f)
+        # the driver wraps the parsed JSON line under "parsed"
+        return (d.get("parsed") or {}).get("queries") or d.get(
+            "queries"
+        ) or {}
     except (OSError, ValueError):
         return {}
 

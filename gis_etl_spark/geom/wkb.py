@@ -154,12 +154,21 @@ def _ring_area_centroid(ring: np.ndarray) -> tuple[float, float, float]:
     x0, y0 = float(ring[0, 0]), float(ring[0, 1])
     x = ring[:, 0] - x0
     y = ring[:, 1] - y0
-    cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+    # manual shift-by-one: the SAME array np.roll(·, -1) builds (so
+    # every sum is bit-identical and the goldens stand), minus roll's
+    # generic-axis machinery (~3× on small rings, r8 profile)
+    xr = np.empty_like(x)
+    xr[:-1] = x[1:]
+    xr[-1] = x[0]
+    yr = np.empty_like(y)
+    yr[:-1] = y[1:]
+    yr[-1] = y[0]
+    cross = x * yr - xr * y
     a2 = cross.sum()  # 2 * signed area
     if a2 == 0.0:
         return 0.0, float("nan"), float("nan")
-    cx = ((x + np.roll(x, -1)) * cross).sum() / (3.0 * a2)
-    cy = ((y + np.roll(y, -1)) * cross).sum() / (3.0 * a2)
+    cx = ((x + xr) * cross).sum() / (3.0 * a2)
+    cy = ((y + yr) * cross).sum() / (3.0 * a2)
     return a2 / 2.0, x0 + cx, y0 + cy
 
 

@@ -575,11 +575,14 @@ def h3_grid_disk_exact_udf(k: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(c: pd.Series) -> pd.Series:
+        # same non-null int64 contract as the lattice UDFs (_ids64):
+        # Arrow hands a NULL-bearing bigint column over as float64,
+        # which silently corrupts ids above 2^53 AND turns NULL into
+        # NaN (int(NaN) would kill the task) — demand pre-filtered
+        # input and fail loudly instead (r8 review)
+        ids = _ids64(c)
         out = []
-        for v in c:
-            if v is None:
-                out.append(None)
-                continue
+        for v in ids:
             cells = h3.grid_disk(format(int(v), "x"), k)
             out.append(sorted(_to_int(x) for x in cells))
         return pd.Series(out, dtype=object)

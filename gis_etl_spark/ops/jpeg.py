@@ -197,10 +197,17 @@ class _BitReader:
             np.uint32
         )
         n = len(seg)
-        self.u = (
+        win = (
             (a[:n] << 24) | (a[1 : n + 1] << 16)
             | (a[2 : n + 2] << 8) | a[3 : n + 3]
-        ).tolist()
+        )
+        # array('I'), not .tolist(): indexing still yields plain Python
+        # ints (no np-scalar arithmetic in the hot loop) at 4 bytes per
+        # window instead of ~40 for a list of boxed ints — a 10 MB scan
+        # would otherwise hold ~400 MB (r8 review finding)
+        import array as _array  # noqa: PLC0415
+
+        self.u = _array.array("I", win.tobytes())
         self.nbits = 8 * n
         self.endmark = mark
         self.bitpos = 0

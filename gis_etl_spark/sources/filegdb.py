@@ -135,6 +135,23 @@ def _read_varuint(buf: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("over-long varuint (>64 bits)")
 
 
+def _read_varuints_scalar(
+    buf: bytes, pos: int, n: int
+) -> tuple[np.ndarray, int]:
+    """Scalar fallback for _read_varuints_vec: OBJECT-dtype output so
+    legal 9-10-byte varuints with values ≥ 2^63 survive as Python ints
+    (an int64 array raised OverflowError here — r8 review finding —
+    which escaped the ValueError-only error contract and killed
+    on_error='skip' scans). _unzigzag_vec and np.cumsum both operate
+    element-wise with exact Python-int semantics on object arrays, so
+    downstream math matches the pre-r8 per-value loop bit-for-bit."""
+    vals = np.empty(n, dtype=object)
+    for i in range(n):
+        v, pos = _read_varuint(buf, pos)
+        vals[i] = v
+    return vals, pos
+
+
 def _read_varuints_vec(
     buf: bytes, pos: int, n: int
 ) -> tuple[np.ndarray, int]:
@@ -156,23 +173,15 @@ def _read_varuints_vec(
     b = np.frombuffer(buf, np.uint8, win, pos)
     term = np.flatnonzero(b < 0x80)
     if len(term) < n:
-        if win < len(buf) - pos:  # degenerate over-long varints → scalar
-            vals = np.empty(n, dtype=np.int64)
-            for i in range(n):
-                v, pos = _read_varuint(buf, pos)
-                vals[i] = v
-            return vals, pos
+        if win < len(buf) - pos:  # degenerate over-long varuints → scalar
+            return _read_varuints_scalar(buf, pos, n)
         raise ValueError("truncated varuint")
     ends = term[:n]
     starts = np.empty(n, dtype=ends.dtype)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     if int((ends - starts).max()) > 7:  # > 8 bytes somewhere → scalar
-        vals = np.empty(n, dtype=np.int64)
-        for i in range(n):
-            v, pos = _read_varuint(buf, pos)
-            vals[i] = v
-        return vals, pos
+        return _read_varuints_scalar(buf, pos, n)
     used = int(ends[n - 1]) + 1
     limbs = (b[:used].astype(np.int64) & 0x7F) << (
         7 * (np.arange(used, dtype=np.int64) - np.repeat(starts, ends - starts + 1))
@@ -832,8 +841,12 @@ def _decode_plan_vec(
                         vals.astype(np.int64) if w == 4 else vals
                     )
                 else:
-                    col = vals.astype(object)
-                    col[isnull] = None
+                    # match the scalar walk's pandas inference for a
+                    # NULL-bearing numeric column: float64 with NaN
+                    # (r8 review: object[int, None] vs float64[x, nan]
+                    # flipped dtypes depending on which path ran)
+                    col = vals.astype(np.float64)
+                    col[isnull] = np.nan
                     data[f.name] = col
             cur = np.where(present, cur + w, cur)
         elif f.ftype == T_STRING:
@@ -1101,11 +1114,16 @@ def read_filegdb(
     matter the cluster, i.e. a 100 GB layer decodes serially. When the
     .gdbtablx row index exists, the (OBJECTID, offset) plan is instead
     split into `chunk_rows`-row slices, one task each; every task
-    mmaps the file and decodes only its slice (on a shared FS / object
-    store this is a ranged read). on_error="skip"'s contract is
-    whole-MEMBER drop — not expressible once a member spans tasks —
-    so skip mode keeps the single-task path (validation IS decoding
-    there). chunk_rows=0 disables chunking."""
+    opens and mmaps `path` itself and decodes only its slice.
+    LOCALITY CONTRACT: tasks open() the path directly, so it must be
+    visible on every executor (local mode, NFS/shared FS) — on a
+    driver-only path use chunk_rows=0, which restores the binaryFile
+    route that ships bytes through Spark. An object-store rendition
+    would swap the mmap for ranged GETs of the index slice and row
+    span; that transport is a documented design, not implemented
+    here. on_error="skip"'s contract is whole-MEMBER drop — not
+    expressible once a member spans tasks — so skip mode keeps the
+    single-task path (validation IS decoding there)."""
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error: {on_error!r}")
     if os.path.isdir(path):
@@ -1129,6 +1147,10 @@ def read_filegdb(
             )
         dense = _tablx_dense_width(tablx)
         local_path = path
+        # emit the same URI form the binaryFile path records, so
+        # `source` is stable across chunked/single-task modes (r8
+        # review: provenance joins must not depend on chunk_rows)
+        source_uri = path if "://" in path else "file:" + os.path.abspath(path)
         tablx_path = path[: -len(".gdbtable")] + ".gdbtablx"
         if dense is not None:
             # dense layout: slot i's offset lives at byte 16 + i*width,
@@ -1181,7 +1203,7 @@ def read_filegdb(
                             if not plan:
                                 continue
                             out = parse_gdbtable(mm, columns, plan=plan)
-                            out["source"] = local_path
+                            out["source"] = source_uri
                             yield out
                 finally:
                     if mm is not None:
@@ -1228,7 +1250,7 @@ def read_filegdb(
                             plan=list(zip((int(o) for o in oids),
                                           (int(f) for f in offs))),
                         )
-                        out["source"] = local_path
+                        out["source"] = source_uri
                         yield out
             finally:
                 if mm is not None:

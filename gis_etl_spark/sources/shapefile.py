@@ -45,7 +45,12 @@ OUT_SCHEMA = (
 
 def _ring_signed_area(pts: np.ndarray) -> float:
     # shoelace via two dots + explicit wrap term — np.roll here cost
-    # 53% of the whole decoder's profile at 100k features (r8 bench)
+    # 53% of the whole decoder's profile at 100k features (r8 bench).
+    # Summation order differs from the pre-r8 roll formulation, so an
+    # epsilon-area sliver ring's SIGN (shell vs hole) is numerically
+    # ambiguous across versions — inherent to any float shoelace (GEOS
+    # orders differently again); only degenerate rings are affected,
+    # and only their ring GROUPING, never their coordinates.
     if len(pts) == 0:
         return 0.0
     x, y = pts[:, 0], pts[:, 1]

@@ -462,3 +462,27 @@ def test_batch_geometry_decode_matches_scalar():
     bad = bytes([0x85])  # lone continuation byte: truncated varuint
     with pytest.raises(ValueError):
         FG._decode_geometries_batch(bad, [(0, 1)], f)
+
+
+def test_wide_varuint_delta_decodes_not_overflows():
+    """r8 review: a legal 10-byte zigzag varuint (delta -2^63) must
+    decode — the int64-array fallback raised OverflowError, which
+    escaped the ValueError-only contract and killed on_error='skip'
+    scans."""
+    from gis_etl_spark.sources import filegdb as FG
+
+    blob = bytearray()
+    FG._write_varuint(blob, 5)  # polygon
+    FG._write_varuint(blob, 2)  # n_points
+    FG._write_varuint(blob, 1)  # n_parts
+    for _ in range(4):
+        FG._write_varuint(blob, 0)  # bbox
+    FG._write_varuint(blob, FG._zigzag(10))  # x0
+    FG._write_varuint(blob, 2**64 - 1)  # x-delta zigzag -> -2^63
+    FG._write_varuint(blob, FG._zigzag(3))  # y0
+    FG._write_varuint(blob, FG._zigzag(1))  # y-delta
+    f = FG.Field("Shape", FG.T_GEOMETRY, True, 0.0, 0.0, 1.0)
+    wkb = FG._decode_geometry(bytes(blob), f)
+    assert wkb is not None and len(wkb) == 45
+    (batch,) = FG._decode_geometries_batch(bytes(blob), [(0, len(blob))], f)
+    assert batch == wkb

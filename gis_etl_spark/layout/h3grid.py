@@ -498,6 +498,110 @@ def h3_grid_distance_pairs_sql() -> str:
     """
 
 
+def h3_grid_disk_members(spark, sf_dir: str) -> DataFrame:
+    """Registry query (oracle-paired): gridDisk ITSELF as a driver
+    contract, truncation included. Engine: grid_disk_arrays(k=2) over
+    every res-2 cell of every non-pentagon base cell, histogrammed by
+    disk size (interior cells: 19; boundary cells: fewer — the
+    withheld-members contract). Oracle: in-base disk membership equals
+    { b : hexdist(a, b) ≤ 2 } over the enumerated 49-cell coordinate
+    patch — the same unrolled 2-level fold + hexdist CASE as
+    h3_grid_distance_pairs, so the disk function, the truncation
+    behavior, and the size histogram are all pinned against pure SQL.
+
+    Scale: map-side children explode + one Arrow disk stage + one
+    partial agg; the per-row 1+3k(k+1) fan-out is the operator's
+    contract (cellToChildren-style)."""
+    from gis_etl_spark.io import read_table  # noqa: PLC0415
+    from gis_etl_spark.layout.h3compat import (  # noqa: PLC0415
+        _digit_fill,
+        h3_cell_to_children_df,
+    )
+
+    bc = (
+        read_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 122).alias("bc"))
+        .distinct()
+        .filter(~F.col("bc").isin(list(PENTAGON_BASE_CELLS)))
+    )
+    res0 = bc.select(
+        "bc",
+        (
+            F.lit((1 << 59) | _digit_fill(0))
+            .cast("long")
+            .bitwiseOR(F.shiftleft(F.col("bc"), _BC_SHIFT))
+        ).alias("cell"),
+    )
+    res2 = h3_cell_to_children_df(res0, "cell", 2, out_col="c2").select(
+        "bc", "c2"
+    )
+    sized = res2.select(
+        "bc",
+        "c2",
+        h3_grid_disk_udf(2)(F.col("c2")).alias("disk"),
+    ).select(
+        "bc",
+        "c2",
+        F.size("disk").alias("sz"),
+        F.explode("disk").alias("m"),
+    )
+    return (
+        sized.groupBy("bc", "sz")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("c2").alias("n_cells"),
+            F.expr("bit_xor(c2 ^ m)").alias("mix_xor"),
+            F.min("m").alias("min_m"),
+            F.max("m").alias("max_m"),
+        )
+        .orderBy("bc", "sz")
+    )
+
+
+def h3_grid_disk_members_sql() -> str:
+    """Oracle twin: disk = hexdist ≤ 2 over the SQL-enumerated res-2
+    coordinate patch (no lattice code shared with the engine)."""
+    from gis_etl_spark.layout.h3compat import _digit_fill  # noqa: PLC0415
+
+    pent = ", ".join(str(b) for b in PENTAGON_BASE_CELLS)
+    head2 = (1 << 59) | (2 << _RES_SHIFT) | _digit_fill(2)
+    d1_pos, d2_pos = 3 * (MAX_H3_RES - 1), 3 * (MAX_H3_RES - 2)
+    return f"""
+        WITH bcs AS (
+          SELECT DISTINCT doc_id % 122 AS bc FROM documents
+          WHERE doc_id % 122 NOT IN ({pent})
+        ), units(d, ux, uy) AS (
+          VALUES (0, 0, 0), (1, -1, -1), (2, 0, 1), (3, -1, 0),
+                 (4, 1, 0), (5, 0, -1), (6, 1, 1)
+        ), cells AS (
+          SELECT bc,
+                 CAST({head2} AS BIGINT)
+                   | (bc * CAST({1 << _BC_SHIFT} AS BIGINT))
+                   | (u1.d * CAST({1 << d1_pos} AS BIGINT))
+                   | (u2.d * CAST({1 << d2_pos} AS BIGINT)) AS cell,
+                 3 * u1.ux - u1.uy + u2.ux AS x,
+                 u1.ux + 2 * u1.uy + u2.uy AS y
+          FROM bcs, units u1, units u2
+        ), pairs AS (
+          SELECT a.bc AS bc, a.cell AS ca, b.cell AS cb
+          FROM cells a JOIN cells b ON a.bc = b.bc
+          WHERE CASE WHEN ((a.x - b.x) >= 0) = ((a.y - b.y) >= 0)
+                     THEN greatest(abs(a.x - b.x), abs(a.y - b.y))
+                     ELSE abs(a.x - b.x) + abs(a.y - b.y) END <= 2
+        ), sized AS (
+          SELECT bc, ca, count(*) AS sz FROM pairs GROUP BY bc, ca
+        )
+        SELECT p.bc AS bc, s.sz::INT AS sz,
+               count(*)::BIGINT AS n_pairs,
+               count(DISTINCT p.ca)::BIGINT AS n_cells,
+               bit_xor(xor(p.ca, p.cb)) AS mix_xor,
+               min(p.cb) AS min_m, max(p.cb) AS max_m
+        FROM pairs p
+        JOIN sized s ON p.bc = s.bc AND p.ca = s.ca
+        GROUP BY p.bc, s.sz ORDER BY bc, sz
+    """
+
+
 def h3_grid_disk_stats(spark, sf_dir: str) -> DataFrame:
     """Registry query (rows-only by design — a k=2 lattice walk is not
     SQL-expressible; invariants pinned in tests/test_h3grid.py): k=2

@@ -1374,14 +1374,25 @@ REGISTRY.update(
             H3G.h3_grid_distance_pairs,
             H3G.h3_grid_distance_pairs_sql(),
         ),
+        # gridDisk itself (truncation included) vs the same SQL fold —
+        # disk = hexdist<=2 over the enumerated res-2 patch
+        "h3_grid_disk_members": (
+            H3G.h3_grid_disk_members,
+            H3G.h3_grid_disk_members_sql(),
+        ),
     }
 )
 
-_R9_LEFTOVERS = ("union_all_names", "source_id_extract")
+_R9_LEFTOVERS = (
+    "union_all_names",
+    "source_id_extract",
+    "multimodal_frame_sample",
+)
 
 _R8_FRONT = (
     # new in r8
     "h3_grid_distance_pairs",
+    "h3_grid_disk_members",
     # last scored r2
     "similarity_ivf_kmeans",
     "embedding_label_centroids",
@@ -1425,7 +1436,6 @@ _R8_FRONT = (
     "filter_range_events",
     "stratified_sample",
     "training_data_prep",
-    "multimodal_frame_sample",
     "geo_total_count",
     "geo_core_type_count",
     "geo_shape_type_census",

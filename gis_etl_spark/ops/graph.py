@@ -133,12 +133,21 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, deg = _edges_deg_cached(spark, sf_dir)
     n = deg.count()
     base = PR_SCALE // n
+    # rank/inbound tables are O(nodes) — when the node population fits
+    # an executor (≤ ~1M ids × 24 B), broadcasting them makes every
+    # per-iteration join map-side and the edge table NEVER moves (the
+    # bucketed-join recipe below stays the >1M-node path). Measured
+    # 2.8 → 2.1 s at sf0.1 (r8); the n-guard keeps the plan honest at
+    # graph scales where a broadcast would OOM.
+    bcast = (lambda df: F.broadcast(df)) if n <= 1_000_000 else (
+        lambda df: df
+    )
     ranks = deg.select(
         F.col("src").alias("node"), "deg", F.lit(base).alias("rank")
     )
     for _ in range(PR_ITERS):
         contribs = edges.join(
-            ranks, edges.src == ranks.node
+            bcast(ranks), edges.src == ranks.node
         ).select(
             F.col("dst").alias("node"),
             F.expr("rank div deg").alias("c"),
@@ -146,7 +155,7 @@ def pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         inbound = contribs.groupBy("node").agg(F.sum("c").alias("inb"))
         ranks = (
             deg.select(F.col("src").alias("node"), "deg")
-            .join(inbound, "node", "left")
+            .join(bcast(inbound), "node", "left")
             .select(
                 "node",
                 "deg",

@@ -266,6 +266,31 @@ def _source_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
     artifacts["shp_decode_100k_bytes"] = shp_bytes
     artifacts["shp_decode_100k_features_per_sec"] = int(n_feat / dt)
 
+    # ONE nationwide-style .shp: without the r8 .shx-chunked scan this
+    # is a single serial task no matter the cluster
+    from gis_etl_spark.fixtures import ensure_shapefile_single
+
+    single = ensure_shapefile_single(100_000)
+
+    def shp_single_scan() -> int:
+        df = read_shapefile(spark, single, chunk_records=8_192)
+        return df.agg(
+            F.count("*").alias("n"), F.sum(F.length("geom"))
+        ).collect()[0]["n"]
+
+    n_single = shp_single_scan()  # warm
+    t0 = time.time()
+    shp_single_scan()
+    t1 = time.time()
+    shp_single_scan()
+    dt = min(t1 - t0, time.time() - t1)
+    out["shp_decode_single_100k"] = round(dt, 3)
+    artifacts["shp_decode_single_100k_features"] = n_single
+    artifacts["shp_decode_single_100k_bytes"] = os.path.getsize(single)
+    artifacts["shp_decode_single_100k_features_per_sec"] = int(
+        n_single / dt
+    )
+
     gdb_dir, _ = ensure_filegdb(100_000)
     gdb_bytes = sum(
         os.path.getsize(os.path.join(gdb_dir, f))

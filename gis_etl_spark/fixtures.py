@@ -532,6 +532,45 @@ def ensure_shapefiles(n_rows: int = 5_000, seed: int = 42) -> tuple[str, str]:
     return root, twin
 
 
+def ensure_shapefile_single(n_rows: int = 100_000, seed: int = 42) -> str:
+    """ONE big .shp (+ .shx) carrying the whole buildings corpus — the
+    single-nationwide-file shape that exercises read_shapefile's
+    intra-file chunked scan (r8): without chunking this file is one
+    serial task no matter the cluster. Returns the .shp path."""
+    root = os.path.join(FIXTURE_ROOT, f"shp_single_{n_rows}")
+    single = os.path.join(root, "all.shp")
+    if os.path.exists(single):
+        return single
+    os.makedirs(root, exist_ok=True)
+    from gis_etl_spark.geom import wkb as K
+    from gis_etl_spark.sources.shapefile import write_shp
+
+    bpath, _ = ensure_buildings(n_rows, seed)
+    df = pd.read_parquet(bpath)
+    shapes = []
+    for row in df.itertuples():
+        if row.geom is None:
+            continue
+        try:
+            base, parts = K.parse(bytes(row.geom))
+        except ValueError:
+            continue
+        if base == K.POLYGON and len(parts[0]) == 1:
+            shapes.append((5, parts[0][0][:, :2]))
+        elif base == K.POINT:
+            shapes.append((1, parts[0][0][0, :2]))
+        elif base == K.LINESTRING:
+            shapes.append((3, parts[0][0][:, :2]))
+    # write_shp(X) drops the index at X[:-4] + ".shx": with
+    # X = "all.shp.tmp" that is "all.shp.shx" — move both into place,
+    # index FIRST so the .shp's existence (the ensure guard) implies a
+    # complete pair
+    write_shp(single + ".tmp", shapes)
+    os.replace(single + ".shx", single[:-4] + ".shx")
+    os.replace(single + ".tmp", single)
+    return single
+
+
 MEDIA_MAGIC = b"FAKE"
 
 

@@ -21,6 +21,7 @@ dropped on request) — the types present in the reference corpus
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -113,51 +114,150 @@ def _read_parts(content: bytes, off: int, n_parts: int, n_points: int):
     ]
 
 
-def parse_shp(content: bytes) -> Iterator[tuple[int, int, bytes | None]]:
-    """Yield (record_number, shape_type, wkb|None) from .shp bytes.
-
-    Z/M payloads after the XY block are ignored (the engine's Z-drop
-    convention, east_asia.py:67-68); NULL shapes yield geom=None.
-    """
+def _check_shp_header(content) -> int:
+    """Validate the 100-byte header; return the data end offset."""
     if len(content) < 100:
         raise ValueError("not a shapefile: truncated header")
     (magic,) = struct.unpack_from(">i", content, 0)
     if magic != SHP_MAGIC:
         raise ValueError(f"not a shapefile: bad magic {magic}")
     (file_len_words,) = struct.unpack_from(">i", content, 24)
-    end = min(file_len_words * 2, len(content))
+    return min(file_len_words * 2, len(content))
+
+
+def _decode_record_at(content, pos: int):
+    """Decode one record whose 8-byte header sits at `pos`; returns
+    (recno, shape_type, wkb|None, record_end_offset)."""
+    recno, content_words = struct.unpack_from(">ii", content, pos)
+    pos += 8
+    rec_end = pos + content_words * 2
+    (stype,) = struct.unpack_from("<i", content, pos)
+    base = stype % 10 if stype in (11, 13, 15) else stype
+    if stype == _SHAPE_NULL:
+        return recno, stype, None, rec_end
+    if base == _SHAPE_POINT:
+        x, y = struct.unpack_from("<2d", content, pos + 4)
+        return recno, stype, struct.pack("<BI2d", 1, 1, x, y), rec_end
+    if base in (_SHAPE_POLYLINE, _SHAPE_POLYGON):
+        n_parts, n_points = struct.unpack_from("<2i", content, pos + 4 + 32)
+        parts = _read_parts(content, pos + 4 + 32 + 8, n_parts, n_points)
+        if base == _SHAPE_POLYGON:
+            wkb = _polygon_wkb_from_parts(parts)
+        else:
+            wkb = _line_wkb_from_parts(parts)
+        return recno, stype, wkb, rec_end
+    raise ValueError(f"unsupported shape type {stype}")
+
+
+def parse_shp(content: bytes) -> Iterator[tuple[int, int, bytes | None]]:
+    """Yield (record_number, shape_type, wkb|None) from .shp bytes.
+
+    Z/M payloads after the XY block are ignored (the engine's Z-drop
+    convention, east_asia.py:67-68); NULL shapes yield geom=None.
+    """
+    end = _check_shp_header(content)
     pos = 100
     while pos + 8 <= end:
-        recno, content_words = struct.unpack_from(">ii", content, pos)
-        pos += 8
-        rec_end = pos + content_words * 2
-        (stype,) = struct.unpack_from("<i", content, pos)
-        base = stype % 10 if stype in (11, 13, 15) else stype
-        if stype == _SHAPE_NULL:
-            yield recno, stype, None
-        elif base == _SHAPE_POINT:
-            x, y = struct.unpack_from("<2d", content, pos + 4)
-            yield recno, stype, struct.pack("<BI2d", 1, 1, x, y)
-        elif base in (_SHAPE_POLYLINE, _SHAPE_POLYGON):
-            n_parts, n_points = struct.unpack_from(
-                "<2i", content, pos + 4 + 32
-            )
-            parts = _read_parts(content, pos + 4 + 32 + 8, n_parts, n_points)
-            if base == _SHAPE_POLYGON:
-                wkb = _polygon_wkb_from_parts(parts)
+        recno, stype, wkb, pos = _decode_record_at(content, pos)
+        yield recno, stype, wkb
+
+
+def parse_shx_offsets(shx: bytes, lo: int, hi: int) -> list[int]:
+    """Byte offsets of records [lo, hi) from a .shx index slice. The
+    index is the format's random-access/sync structure: 100-byte
+    header, then one (>ii) = (offset in 16-bit words, content words)
+    pair per record."""
+    n = (len(shx) - 100) // 8
+    if not 0 <= lo <= hi <= n:
+        raise ValueError(f".shx slice [{lo}, {hi}) out of range ({n})")
+    out = []
+    for i in range(lo, hi):
+        off_words, _ = struct.unpack_from(">ii", shx, 100 + 8 * i)
+        out.append(off_words * 2)
+    return out
+
+
+def read_shapefile(
+    spark: SparkSession, path_glob: str, chunk_records: int = 65_536
+) -> DataFrame:
+    """Distributed shapefile scan: batch decode to (source, record_id,
+    shape_type, geom WKB). The engine rendition of
+    `ST_READ(..., keep_wkb=TRUE)` (east_asia.py:145).
+
+    Parallelism (r8): .shp has no sync markers, but the .shx sibling
+    IS the sync structure — a file with more than `chunk_records`
+    records and a .shx splits into record-range chunks, one task each,
+    so ONE nationwide .shp no longer decodes as one serial task; every
+    task mmaps the file and touches only its records' byte spans.
+    LOCALITY CONTRACT (same as read_filegdb's chunked mode): chunked
+    tasks open() the path directly, so it must be executor-visible
+    (local mode / shared FS); non-local globs, index-less files, and
+    small files keep the binaryFile whole-file route that ships bytes
+    through Spark. chunk_records=0 disables chunking."""
+    import glob as _glob  # noqa: PLC0415
+
+    local = (
+        sorted(_glob.glob(path_glob)) if "://" not in path_glob else []
+    )
+    local = [f for f in local if f.endswith(".shp")]
+    chunks: list[tuple[str, int, int]] = []
+    if chunk_records and local:
+        for f in local:
+            shx = f[:-4] + ".shx"
+            try:
+                nrec = (os.path.getsize(shx) - 100) // 8
+            except OSError:
+                nrec = 0
+            if nrec > chunk_records:
+                chunks.extend(
+                    (f, lo, min(lo + chunk_records, nrec))
+                    for lo in range(0, nrec, chunk_records)
+                )
             else:
-                wkb = _line_wkb_from_parts(parts)
-            yield recno, stype, wkb
-        else:
-            raise ValueError(f"unsupported shape type {stype}")
-        pos = rec_end
+                chunks.append((f, -1, -1))  # whole-file in one task
+    if chunks and any(lo >= 0 for _, lo, _ in chunks):
+        cdf = spark.createDataFrame(
+            chunks, "f string, lo long, hi long"
+        ).repartition(len(chunks))
 
+        def decode_chunks(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import mmap as _mmap  # noqa: PLC0415
 
-def read_shapefile(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Distributed shapefile scan: one task per file (binaryFile
-    source), batch decode to (source, record_id, shape_type, geom WKB).
-    The engine rendition of `ST_READ(..., keep_wkb=TRUE)`
-    (east_asia.py:145)."""
+            for pdf in batches:
+                for f, lo, hi in zip(pdf["f"], pdf["lo"], pdf["hi"]):
+                    lo, hi = int(lo), int(hi)
+                    src = "file:" + os.path.abspath(f)
+                    rows = []
+                    with open(f, "rb") as fh, _mmap.mmap(
+                        fh.fileno(), 0, access=_mmap.ACCESS_READ
+                    ) as mm:
+                        if lo < 0:
+                            for recno, stype, wkb in parse_shp(mm):
+                                rows.append((src, recno, stype, wkb))
+                        else:
+                            _check_shp_header(mm)
+                            with open(f[:-4] + ".shx", "rb") as xf:
+                                shx = xf.read()
+                            for pos in parse_shx_offsets(shx, lo, hi):
+                                if pos + 8 > len(mm):
+                                    raise ValueError(
+                                        f".shx offset {pos} past EOF"
+                                    )
+                                recno, stype, wkb, _ = _decode_record_at(
+                                    mm, pos
+                                )
+                                rows.append((src, recno, stype, wkb))
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "source", "record_id", "shape_type", "geom",
+                        ],
+                    )
+
+        return cdf.mapInPandas(decode_chunks, schema=OUT_SCHEMA)
+
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.shp")

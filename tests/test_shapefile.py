@@ -109,3 +109,27 @@ def test_distributed_scan_geometry_equivalence(spark):
             want_y += cy
     assert got[0] == pytest.approx(want_x, abs=1e-6)
     assert got[1] == pytest.approx(want_y, abs=1e-6)
+
+
+def test_chunked_scan_matches_whole_file(spark, tmp_path):
+    """r8 intra-file parallelism via .shx: record-range chunks must
+    reproduce the whole-file decode exactly (records, ids, types,
+    bytes), one task per chunk."""
+    square = np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], dtype="f8")
+    shapes = []
+    for i in range(7):
+        if i % 3 == 0:
+            shapes.append((1, (float(i), float(-i))))
+        elif i % 3 == 1:
+            shapes.append((5, square + i))
+        else:
+            shapes.append((3, (square + i)[:3]))
+    path = str(tmp_path / "chunky.shp")
+    write_shp(path, shapes)
+    glob_ = str(tmp_path / "*.shp")
+    many = read_shapefile(spark, glob_, chunk_records=2)
+    one = read_shapefile(spark, glob_, chunk_records=0)
+    assert many.rdd.getNumPartitions() == 4  # ceil(7 / 2)
+    a = sorted(map(tuple, many.collect()))
+    b = sorted(map(tuple, one.collect()))
+    assert a == b and len(a) == 7

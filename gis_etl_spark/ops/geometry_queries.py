@@ -14,7 +14,9 @@ extension, but it CAN check
   computed golden side-table (buildings_expected.parquet), rounded so
   ULP-level float noise between the two implementations cancels.
 
-Hilbert keys have no oracle (lindel absent) → rows-only + property
+Hilbert keys: oracle-paired since r8 (_hilbert_keys_sql — the
+Skilling transform unrolled into SQL CTEs; lindel-the-library parity
+stays a non-goal, the oracle IS the published algorithm) plus property
 tests (tests/test_layout.py).
 """
 
@@ -66,6 +68,82 @@ def _tile_census_sql(b: str, e: str) -> str:
         SELECT x, y, {qk} AS quadkey, count(*)::BIGINT AS cnt
         FROM t GROUP BY x, y ORDER BY x, y
     """
+
+
+def _hilbert_keys_sql(b: str, e: str) -> str:
+    """ANSI twin of geo_hilbert_keys (r8 — previously rows-only "the
+    oracle lacks lindel"): Skilling's AxesToTranspose + Gray decode +
+    bit interleave are pure integer ops, so they unroll into chained
+    CTEs the same way the H3 fold did (h3grid). Quantization copies
+    the engine's float sequence exactly (((c + off) / span) * scale,
+    trunc, clamp) over the golden centroid table; everything after is
+    exact integer arithmetic, so the full 2^16-lattice keys hash-match
+    bit-for-bit."""
+    order = DEFAULT_ORDER
+    scale = (1 << order) - 1
+    parts = [
+        f"""WITH r{order}b AS (
+          SELECT bb.building_id AS building_id,
+                 LEAST(GREATEST(CAST(trunc(((e.cy + 90.0) / 180.0)
+                   * {float(scale)!r}) AS BIGINT), 0), {scale}) AS a,
+                 LEAST(GREATEST(CAST(trunc(((e.cx + 180.0) / 360.0)
+                   * {float(scale)!r}) AS BIGINT), 0), {scale}) AS b
+          FROM {b} bb JOIN {e} e USING (building_id)
+          WHERE bb.geom IS NOT NULL
+        )"""
+    ]
+    prev = f"r{order}b"
+    for sh in range(order - 1, 0, -1):
+        q, p = 1 << sh, (1 << sh) - 1
+        parts.append(
+            f""", r{sh}a AS (
+          SELECT building_id,
+                 CASE WHEN (a & {q}) != 0 THEN xor(a, {p}) ELSE a END
+                   AS a, b
+          FROM {prev}
+        ), r{sh}b AS (
+          SELECT building_id,
+                 CASE WHEN (b & {q}) != 0 THEN xor(a, {p})
+                      ELSE xor(a, xor(a, b) & {p}) END AS a,
+                 CASE WHEN (b & {q}) != 0 THEN b
+                      ELSE xor(b, xor(a, b) & {p}) END AS b
+          FROM r{sh}a
+        )"""
+        )
+        prev = f"r{sh}b"
+    parts.append(
+        f""", g{order} AS (
+          SELECT building_id, a, xor(b, a) AS b,
+                 CAST(0 AS BIGINT) AS t
+          FROM {prev}
+        )"""
+    )
+    prev = f"g{order}"
+    for sh in range(order - 1, 0, -1):
+        q = 1 << sh
+        parts.append(
+            f""", g{sh} AS (
+          SELECT building_id, a, b,
+                 CASE WHEN (b & {q}) != 0 THEN xor(t, {q - 1})
+                      ELSE t END AS t
+          FROM {prev}
+        )"""
+        )
+        prev = f"g{sh}"
+    inter = " + ".join(
+        f"(((a >> {bit}) & 1) << {2 * bit + 1})"
+        f" + (((b >> {bit}) & 1) << {2 * bit})"
+        for bit in range(order)
+    )
+    parts.append(
+        f""", fin AS (
+          SELECT building_id, xor(a, t) AS a, xor(b, t) AS b
+          FROM {prev}
+        )
+        SELECT building_id, CAST({inter} AS BIGINT) AS hkey
+        FROM fin ORDER BY building_id"""
+    )
+    return "".join(parts)
 
 
 def _geohash_census_sql(b: str, e: str) -> str:
@@ -901,6 +979,7 @@ def oracle_sqls() -> dict[str, str]:
             GROUP BY source ORDER BY source
         """,
         "geo_tile_census": _tile_census_sql(b, e),
+        "geo_hilbert_keys": _hilbert_keys_sql(b, e),
         "geo_geohash_census": _geohash_census_sql(b, e),
         "geo_global_bbox": f"""
             SELECT round(min(e.xmin), 6) AS xmin,

@@ -546,7 +546,14 @@ REGISTRY.update(
         "geo_heatmap_export": (G.geo_heatmap_export, None),
         "geo_centroid_containment": (G.geo_centroid_containment, None),
         "hex_heatmap_export": (G.hex_heatmap_export, None),
-        "geo_hilbert_keys": (G.geo_hilbert_keys, None),
+        # r8: oracle-paired — Skilling transform unrolled in SQL over
+        # the golden centroid table (was rows-only "oracle lacks
+        # lindel"; lindel parity stays a non-goal, the oracle is the
+        # published algorithm itself)
+        "geo_hilbert_keys": (
+            G.geo_hilbert_keys,
+            _GEO_SQLS["geo_hilbert_keys"],
+        ),
         "geo_convert_bbox": (G.geo_convert_bbox, None),
         "io_ndjson_shape_stats": (
             G.io_ndjson_shape_stats, _GEO_SQLS["io_ndjson_shape_stats"],
@@ -1387,12 +1394,15 @@ _R9_LEFTOVERS = (
     "union_all_names",
     "source_id_extract",
     "multimodal_frame_sample",
+    "stratified_sample",
 )
 
 _R8_FRONT = (
     # new in r8
     "h3_grid_distance_pairs",
     "h3_grid_disk_members",
+    # oracle-paired in r8 (was rows-only) — re-front with the new twin
+    "geo_hilbert_keys",
     # last scored r2
     "similarity_ivf_kmeans",
     "embedding_label_centroids",
@@ -1434,7 +1444,6 @@ _R8_FRONT = (
     "events_hourly_rollup",
     "events_sliding_windows",
     "filter_range_events",
-    "stratified_sample",
     "training_data_prep",
     "geo_total_count",
     "geo_core_type_count",

@@ -148,13 +148,22 @@ def _golden_poly(
     return cx, cy, min(xs), min(ys), max(xs), max(ys), abs(area), perim
 
 
-def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """→ (buildings, buildings_expected) pandas frames, FIXTURES.md B1."""
+def make_buildings(
+    n: int, seed: int = 42
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """→ (buildings, buildings_expected, buildings_edges) pandas
+    frames, FIXTURES.md B1. The edges frame (r8) lists every AREAL
+    ring edge (building_id, x1, y1, x2, y2) straight from the
+    pre-WKB ring arrays — an independent side-table that lets the
+    DuckDB oracle run the even-odd crossing test itself (WKB float64
+    coords roundtrip bit-exactly, so these are the same numbers the
+    engine kernel sees)."""
     rng = np.random.default_rng(seed)
     rows = []
     golden = []
+    edge_rows: list[tuple[int, float, float, float, float]] = []
 
-    def add(bid, geom, source, epsg, stype, cx, cy, bb):
+    def add(bid, geom, source, epsg, stype, cx, cy, bb, rings=None):
         # bb = (xmin, ymin, xmax, ymax, area, perim) — _golden_poly
         # emits all six; point/line/degenerate branches append their
         # analytic area/length
@@ -162,6 +171,11 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
         golden.append(
             (bid, stype, cx, cy, *(bb if bb else (None,) * 6))
         )
+        for ring in rings or ():
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                edge_rows.append(
+                    (bid, float(x1), float(y1), float(x2), float(y2))
+                )
 
     for i in range(n):
         u = rng.uniform()
@@ -171,7 +185,8 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
         if u < 0.85:  # core polygon
             ring = _ring(rng, lon, lat, int(rng.integers(4, 13)), 0.005)
             cx, cy, *bb = _golden_poly([ring])
-            add(i, _poly_wkb(ring), src, 4326, 3, cx, cy, bb)
+            add(i, _poly_wkb(ring), src, 4326, 3, cx, cy, bb,
+                rings=[ring])
         elif u < 0.90:  # multipolygon
             nparts = int(rng.integers(2, 4))
             rings = [
@@ -185,7 +200,8 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
                 for _ in range(nparts)
             ]
             cx, cy, *bb = _golden_poly(rings)
-            add(i, _multipoly_wkb(rings), src, 4326, 6, cx, cy, bb)
+            add(i, _multipoly_wkb(rings), src, 4326, 6, cx, cy, bb,
+                rings=rings)
         elif u < 0.915:  # point
             add(i, _point_wkb(lon, lat), src, 4326, 1, lon, lat,
                 (lon, lat, lon, lat, 0.0, 0.0))
@@ -212,32 +228,35 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
             ring3d = [(x, y, float(rng.uniform(0, 50))) for x, y in ring2d]
             variant = "iso" if rng.uniform() < 0.5 else "ewkb"
             cx, cy, *bb = _golden_poly([[(p[0], p[1]) for p in ring3d]])
-            add(i, _poly_wkb(ring3d, z=variant), src, 4326, 3, cx, cy, bb)
+            add(i, _poly_wkb(ring3d, z=variant), src, 4326, 3, cx, cy, bb,
+                rings=[[(p[0], p[1]) for p in ring3d]])
         elif u < 0.98:  # flipped source file: x↔y swapped at rest
             ring = _ring(rng, lon, lat, 6, 0.005)
             flipped = [(y, x) for x, y in ring]
             cx, cy, *bb = _golden_poly([flipped])
             add(i, _poly_wkb(flipped), "regionE/flipped.pq", 4326, 3,
-                cx, cy, bb)
+                cx, cy, bb, rings=[flipped])
         elif u < 0.99:  # NULL / degenerate
             if rng.uniform() < 0.5:
                 add(i, None, src, 4326, None, None, None, None)
             else:
                 ring = [(lon, lat), (lon, lat), (lon, lat), (lon, lat)]
                 add(i, _poly_wkb(ring), src, 4326, 3, lon, lat,
-                    (lon, lat, lon, lat, 0.0, 0.0))
+                    (lon, lat, lon, lat, 0.0, 0.0), rings=[ring])
         else:  # UTM-declared block (epsg 32650, regionF)
             e = float(rng.uniform(200_000, 800_000))
             nn = float(rng.uniform(2_000_000, 5_000_000))
             ring = _ring(rng, e, nn, 6, 500.0)
             cx, cy, *bb = _golden_poly([ring])
-            add(i, _poly_wkb(ring), "regionF/utm.pq", 32650, 3, cx, cy, bb)
+            add(i, _poly_wkb(ring), "regionF/utm.pq", 32650, 3, cx, cy, bb,
+                rings=[ring])
 
     # one antimeridian straddler (FIXTURES B1 last slice)
     ring = [(179.9, 30.0), (180.1, 30.0), (180.1, 30.1), (179.9, 30.1),
             (179.9, 30.0)]
     cx, cy, *bb = _golden_poly([ring])
-    add(n, _poly_wkb(ring), "regionD/island.pq", 4326, 3, cx, cy, bb)
+    add(n, _poly_wkb(ring), "regionD/island.pq", 4326, 3, cx, cy, bb,
+        rings=[ring])
 
     buildings = pd.DataFrame(
         rows, columns=["building_id", "geom", "source", "epsg"]
@@ -247,7 +266,10 @@ def make_buildings(n: int, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
         columns=["building_id", "shape_type", "cx", "cy",
                  "xmin", "ymin", "xmax", "ymax", "area", "perim"],
     ).astype({"building_id": "int64"})
-    return buildings, expected
+    edges = pd.DataFrame(
+        edge_rows, columns=["building_id", "x1", "y1", "x2", "y2"]
+    ).astype({"building_id": "int64"})
+    return buildings, expected, edges
 
 
 def rows_for_sf(sf_dir: str) -> int:
@@ -1190,10 +1212,11 @@ def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
     root = buildings_path(n_rows)
     bpath = os.path.join(root, "buildings.parquet")
     epath = os.path.join(root, "buildings_expected.parquet")
-    if os.path.exists(bpath) and os.path.exists(epath):
+    gpath = os.path.join(root, "buildings_edges.parquet")
+    if all(os.path.exists(pp) for pp in (bpath, epath, gpath)):
         return bpath, epath
     os.makedirs(root, exist_ok=True)
-    buildings, expected = make_buildings(n_rows, seed)
+    buildings, expected, edges = make_buildings(n_rows, seed)
     tmp_b, tmp_e = bpath + ".tmp", epath + ".tmp"
     # small row groups: Spark parallelizes parquet scans at row-group
     # granularity — a single-row-group file reads on ONE core no matter
@@ -1201,9 +1224,18 @@ def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
     # 200k bench). Mirrors the reference's ROW_GROUP_SIZE 15000.
     buildings.to_parquet(tmp_b, index=False, row_group_size=15_000)
     expected.to_parquet(tmp_e, index=False, row_group_size=15_000)
+    edges.to_parquet(gpath + ".tmp", index=False, row_group_size=100_000)
     os.replace(tmp_b, bpath)
     os.replace(tmp_e, epath)
+    os.replace(gpath + ".tmp", gpath)
     return bpath, epath
+
+
+def ensure_buildings_edges(n_rows: int, seed: int = 42) -> str:
+    """Path of the areal ring-edge side-table (r8 — the oracle's input
+    for the even-odd containment twins)."""
+    ensure_buildings(n_rows, seed)
+    return os.path.join(buildings_path(n_rows), "buildings_edges.parquet")
 
 
 def ensure_geojsonl(n_rows: int = 5_000, seed: int = 42) -> str:

@@ -146,6 +146,105 @@ def _hilbert_keys_sql(b: str, e: str) -> str:
     return "".join(parts)
 
 
+def _even_odd_crossings_sql(cx: str, cy: str) -> str:
+    """SQL even-odd crossing predicate for one (point, edge) pair —
+    the engine kernel's arithmetic verbatim (geom/wkb.contains_point:
+    straddle test, then px < (x2-x1)*(py-y1)/(y2-y1)+x1). The divisor
+    CASE only guards the never-taken non-straddle branch (y1 == y2
+    fails the straddle test), keeping the value stream identical."""
+    return (
+        f"(ed.y1 > {cy}) != (ed.y2 > {cy})"
+        f" AND {cx} < (ed.x2 - ed.x1) * ({cy} - ed.y1)"
+        f" / (CASE WHEN ed.y2 = ed.y1 THEN 1.0 ELSE ed.y2 - ed.y1 END)"
+        f" + ed.x1"
+    )
+
+
+def _pip_sql(b: str, e: str, g: str) -> str:
+    """ANSI twin of points_in_polygons (r8 — previously rows-only "no
+    spatial predicate"): the buildings_edges side-table carries every
+    areal ring edge straight from the fixture's pre-WKB arrays, so
+    DuckDB runs the bbox candidate join AND the even-odd kernel
+    itself. Candidate semantics mirror pip_join exactly: the grid-cell
+    equi-join is a pure performance device (floor is monotone, so a
+    bbox-contained point always shares a cell) — the result set is the
+    bbox filter + kernel, which is what this twin computes."""
+    from gis_etl_spark.ops.joins import (  # noqa: PLC0415
+        PIP_CELL_DEG,
+        PIP_MAX_CELLS_PER_AXIS,
+    )
+
+    c = PIP_CELL_DEG
+    return f"""
+        WITH pts AS (
+          SELECT bb.building_id AS point_id, e.cx AS cx, e.cy AS cy
+          FROM {b} bb JOIN {e} e USING (building_id)
+          WHERE bb.geom IS NOT NULL AND e.cx IS NOT NULL
+            AND abs(e.cx) <= 180.0 AND abs(e.cy) <= 90.0
+        ), polys AS (
+          SELECT bb.building_id AS poly_id, bb.source AS source,
+                 e.xmin, e.ymin, e.xmax, e.ymax
+          FROM {b} bb JOIN {e} e USING (building_id)
+          WHERE bb.geom IS NOT NULL AND e.xmin IS NOT NULL
+            AND e.xmin >= -180.0 AND e.xmax <= 180.0
+            AND e.ymin >= -90.0 AND e.ymax <= 90.0
+            AND floor(e.xmax / {c!r}) - floor(e.xmin / {c!r})
+                < {PIP_MAX_CELLS_PER_AXIS}
+            AND floor(e.ymax / {c!r}) - floor(e.ymin / {c!r})
+                < {PIP_MAX_CELLS_PER_AXIS}
+        ), cand AS (
+          SELECT p.point_id, q.poly_id, p.cx, p.cy
+          FROM pts p JOIN polys q
+            ON p.cx >= q.xmin AND p.cx <= q.xmax
+           AND p.cy >= q.ymin AND p.cy <= q.ymax
+           AND p.point_id != q.poly_id
+        ), crossx AS (
+          SELECT cd.point_id, cd.poly_id,
+                 sum(CASE WHEN {_even_odd_crossings_sql('cd.cx', 'cd.cy')}
+                          THEN 1 ELSE 0 END) AS crossings
+          FROM cand cd JOIN {g} ed ON ed.building_id = cd.poly_id
+          GROUP BY cd.point_id, cd.poly_id
+        ), per_poly AS (
+          SELECT poly_id, count(*)::BIGINT AS n_contained
+          FROM crossx WHERE crossings % 2 = 1 GROUP BY poly_id
+        )
+        SELECT q.source AS source,
+               count(*)::BIGINT AS n_polys_with_hits,
+               sum(pp.n_contained)::BIGINT AS n_pairs
+        FROM per_poly pp JOIN polys q USING (poly_id)
+        GROUP BY q.source ORDER BY source
+    """
+
+
+def _centroid_containment_sql(b: str, e: str, g: str) -> str:
+    """ANSI twin of geo_centroid_containment (r8): each row's golden
+    centroid tested against its OWN ring edges; non-areal rows have no
+    edges and count as not-inside, exactly like the engine kernel."""
+    return f"""
+        WITH rows_ AS (
+          SELECT bb.building_id AS building_id, bb.source AS source,
+                 e.cx AS cx, e.cy AS cy
+          FROM {b} bb JOIN {e} e USING (building_id)
+          WHERE bb.geom IS NOT NULL
+        ), crossx AS (
+          SELECT r.building_id,
+                 sum(CASE WHEN {_even_odd_crossings_sql('r.cx', 'r.cy')}
+                          THEN 1 ELSE 0 END) AS crossings
+          FROM rows_ r JOIN {g} ed USING (building_id)
+          GROUP BY r.building_id
+        ), flags AS (
+          SELECT r.source,
+                 COALESCE(c.crossings % 2 = 1, FALSE) AS inside
+          FROM rows_ r LEFT JOIN crossx c USING (building_id)
+        )
+        SELECT source, count(*)::BIGINT AS n,
+               count(*) FILTER (inside)::BIGINT AS n_inside,
+               round(count(*) FILTER (inside) / count(*)::DOUBLE, 4)
+                 AS rate
+        FROM flags GROUP BY source ORDER BY source
+    """
+
+
 def _geohash_census_sql(b: str, e: str) -> str:
     """ANSI twin of geo_geohash_census — scalings, interleave, and
     alphabet lookup staged as CTE columns."""
@@ -817,10 +916,14 @@ def oracle_sqls() -> dict[str, str]:
         hex_parent_sql,
     )
 
+    from gis_etl_spark.fixtures import ensure_buildings_edges
+
     bpath, epath = fixture_paths()
+    gpath = ensure_buildings_edges(GEO_ROWS)
     b5, e5 = ensure_buildings(5_000)  # the geojsonl corpus scale
     b = f"read_parquet('{bpath}')"
     e = f"read_parquet('{epath}')"
+    g = f"read_parquet('{gpath}')"
     st_byte = "('0x' || substr(CAST(geom AS VARCHAR), 7, 2))::INT"
     cell = grid_cell_sql("e.cy", "e.cx", 7)
     hex_pts = hex_cell_select_sql(
@@ -980,6 +1083,8 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "geo_tile_census": _tile_census_sql(b, e),
         "geo_hilbert_keys": _hilbert_keys_sql(b, e),
+        "points_in_polygons": _pip_sql(b, e, g),
+        "geo_centroid_containment": _centroid_containment_sql(b, e, g),
         "geo_geohash_census": _geohash_census_sql(b, e),
         "geo_global_bbox": f"""
             SELECT round(min(e.xmin), 6) AS xmin,

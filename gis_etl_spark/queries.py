@@ -544,7 +544,10 @@ REGISTRY.update(
         ),
         "gdb_scan_oids": (G.gdb_scan_oids, _GEO_SQLS["gdb_scan_oids"]),
         "geo_heatmap_export": (G.geo_heatmap_export, None),
-        "geo_centroid_containment": (G.geo_centroid_containment, None),
+        "geo_centroid_containment": (
+            G.geo_centroid_containment,
+            _GEO_SQLS["geo_centroid_containment"],
+        ),
         "hex_heatmap_export": (G.hex_heatmap_export, None),
         # r8: oracle-paired — Skilling transform unrolled in SQL over
         # the golden centroid table (was rows-only "oracle lacks
@@ -592,7 +595,11 @@ REGISTRY.update(
             _JOIN_SQLS["spatial_nearest_neighbor"],
         ),
         # rows-only: DuckDB 1.0 has no spatial predicate for a twin
-        "points_in_polygons": (J.points_in_polygons, None),
+        # r8: oracle-paired — the buildings_edges side-table lets
+        # DuckDB run the bbox join + even-odd kernel itself
+        "points_in_polygons": (
+            J.points_in_polygons, _GEO_SQLS["points_in_polygons"],
+        ),
     }
 )
 
@@ -1395,14 +1402,18 @@ _R9_LEFTOVERS = (
     "source_id_extract",
     "multimodal_frame_sample",
     "stratified_sample",
+    "count_distinct_customers",
+    "approx_distinct_customers",
 )
 
 _R8_FRONT = (
     # new in r8
     "h3_grid_distance_pairs",
     "h3_grid_disk_members",
-    # oracle-paired in r8 (was rows-only) — re-front with the new twin
+    # oracle-paired in r8 (was rows-only) — re-front with the new twins
     "geo_hilbert_keys",
+    "points_in_polygons",
+    "geo_centroid_containment",
     # last scored r2
     "similarity_ivf_kmeans",
     "embedding_label_centroids",
@@ -1422,8 +1433,6 @@ _R8_FRONT = (
     "q19_disjunctive_revenue",
     "q22_idle_customers",
     "count_lineitem",
-    "count_distinct_customers",
-    "approx_distinct_customers",
     "custkeys_without_recent_orders",
     "customers_without_orders",
     "suppliers_with_shipments",

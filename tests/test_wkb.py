@@ -157,7 +157,7 @@ def test_fixture_goldens_match_kernels():
     (FIXTURES.md B1) — two implementations, one truth."""
     from gis_etl_spark.fixtures import make_buildings
 
-    buildings, expected = make_buildings(500, seed=42)
+    buildings, expected, _ = make_buildings(500, seed=42)
     merged = buildings.merge(expected, on="building_id")
     n_checked = 0
     for row in merged.itertuples():
@@ -323,7 +323,7 @@ def test_convex_hull_properties():
         struct.pack("<2d", x, y) for x, y in plus
     )
     hulls = [K.convex_hull(poly)]
-    buildings, _ = make_buildings(120, seed=7)
+    buildings, _, _ = make_buildings(120, seed=7)
     for b in buildings.geom:
         if b is not None and K.shape_type(b) in (3, 6):
             hulls.append(K.convex_hull(b))

@@ -95,6 +95,11 @@ HEADLINE = [
     "geo_spatial_clusters",
     # round 5: hub-cap audit for the (now enforced) co-purchase cap
     "supplier_copurchase_audit",
+    # round 8 session 2: Bloom-pruned semi-join, interval-dim lookup,
+    # RAG chunking
+    "bloom_semi_orders",
+    "price_band_revenue",
+    "document_chunks",
 ]
 
 
@@ -395,6 +400,18 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         artifacts["streaming_span_dedup_rows_per_sec"] = int(n_docs / dt)
         artifacts["streaming_span_dedup_state_rows"] = (
             spark.table("bench_sd").select("span").distinct().count()
+        )
+
+        t0 = time.time()
+        S.run_to_memory(
+            S.streaming_minhash_dedup(spark, docs_dir), "bench_mh"
+        )
+        dt = time.time() - t0
+        out["streaming_minhash_dedup"] = round(dt, 3)
+        artifacts["streaming_minhash_dedup_rows_per_sec"] = int(n_docs / dt)
+        artifacts["streaming_minhash_dedup_state_rows"] = (
+            spark.table("bench_mh")
+            .select("band_idx", "band_key").distinct().count()
         )
 
         t0 = time.time()

@@ -131,6 +131,55 @@ def _minhash_signatures(df: DataFrame) -> DataFrame:
     return words.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signature_narrow(df: DataFrame) -> DataFrame:
+    """doc_id → m0..m{k-1} minhash columns computed PER ROW with array
+    higher-order functions — the same integers as _minhash_signatures
+    (same shingles, same h60, same (a·h+b) mod P31 permutations; a·h <
+    2^62 so int64 never overflows) but fully STATELESS: no groupBy
+    anywhere, so a structured stream can compute signatures without
+    burning its one stateful-operator budget (signature-groupBy +
+    bucket-groupBy would be two chained stateful aggs, which Spark
+    rejects without time windows — and per-doc signature state would
+    grow with |docs| forever).
+
+    Batch keeps _minhash_signatures: HOF lambdas evaluate interpreted
+    (outside whole-stage codegen) and measured 7× slower per CPU at 62k
+    docs, while the explode variant's groupBy combines map-side to ~one
+    row per doc before its shuffle — explode+partial-agg is the right
+    BATCH plan; this is the right STREAM plan. Parity is test-pinned
+    bit-for-bit. Docs with fewer than 3 tokens have no shingles and are
+    dropped — identical to the explode variant, where they produce no
+    rows to group."""
+    sh = F.when(
+        F.size("ws") >= 3,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = (
+        df.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
+        .select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sh, w -> cast(conv(substring(md5(w), 1, 15), "
+                f"16, 10) AS BIGINT) % {P31})"
+            ).alias("hs"),
+        )
+    )
+    sigs = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> ({a}L * h + {b}L) % {P31})")
+        ).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return staged.select("doc_id", *sigs)
+
+
 def _band_keys(sig: DataFrame) -> DataFrame:
     """Signature → (doc_id, band_idx, band_key) exploded."""
     bands = []

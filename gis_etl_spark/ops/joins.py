@@ -765,3 +765,85 @@ def _decode_poly_bboxes(df: DataFrame) -> DataFrame:
             )
 
     return df.select("building_id", "geom").mapInPandas(decode, schema)
+
+
+def range_lookup_join(
+    fact: DataFrame,
+    value_col: str,
+    bands: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    max_bands: int = 10_000,
+) -> DataFrame:
+    """Broadcast interval-dim lookup (value ∈ [lo, hi) → band attributes)
+    without a nested-loop join — the IP-to-geo / price-band / SLA-tier
+    dimension shape.
+
+    Spark plans a non-equi broadcast join as BroadcastNestedLoopJoin:
+    every fact row compares against every band, and the plan-hygiene
+    sweep in this repo rightly bans it. Instead:
+
+      1. Collect the band dim to the driver (it is the BROADCAST side by
+         contract — ≤ max_bands rows enforced) and validate the
+         intervals are sorted and non-overlapping.
+      2. Compute each fact row's band index MAP-SIDE as a literal-array
+         scan: idx = (count of lo bounds ≤ value) − 1, one `aggregate`
+         higher-order function over the sorted lo array — pure JVM
+         whole-stage-codegen, zero shuffle, zero Python.
+      3. Validate value < hi[idx] (intervals may have gaps), then
+         broadcast-EQUI-join the band attributes on the index.
+
+    At 100 TB the fact side never shuffles and never fans out: cost is
+    O(|bands|) comparisons per row inside codegen, and the only join is
+    a BroadcastHashJoin on a dense int key. `how='left'` keeps
+    out-of-band fact rows with NULL band attributes.
+
+    Generalizes the reference's broadcast manifest lookup (J2,
+    east_asia.py:382-393) from point keys to intervals.
+    """
+    rows = bands.orderBy(lo_col).collect()
+    if len(rows) > max_bands:
+        raise ValueError(
+            f"range_lookup_join: {len(rows)} bands exceeds max_bands="
+            f"{max_bands}; an interval dim this size is not a broadcast "
+            "lookup — use interval_join"
+        )
+    los, his = [], []
+    for r in rows:
+        lo, hi = r[lo_col], r[hi_col]
+        if lo is None or hi is None or not lo < hi:
+            raise ValueError(f"range_lookup_join: bad interval [{lo}, {hi})")
+        if los and lo < his[-1]:
+            raise ValueError(
+                f"range_lookup_join: overlapping intervals at lo={lo}"
+            )
+        los.append(float(lo))
+        his.append(float(hi))
+
+    spark = bands.sparkSession
+    bands_idx = spark.createDataFrame(
+        [(i, *[r[c] for c in bands.columns]) for i, r in enumerate(rows)],
+        schema=["_band_idx", *bands.columns],
+    )
+    lo_arr = F.array(*[F.lit(v) for v in los])
+    v = F.col(value_col).cast("double")
+    idx = (
+        F.aggregate(
+            lo_arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        - F.lit(1)
+    )
+    hi_arr = F.array(*[F.lit(v_) for v_ in his])
+    in_band = (F.col("_band_idx") >= 0) & (
+        v < F.element_at(hi_arr, F.col("_band_idx") + 1)
+    )
+    probed = fact.withColumn(
+        "_band_idx", F.when(idx >= 0, idx).otherwise(F.lit(None))
+    ).withColumn(
+        "_band_idx", F.when(in_band, F.col("_band_idx")).otherwise(F.lit(None))
+    )
+    joined = probed.join(F.broadcast(bands_idx), "_band_idx", how)
+    return joined.drop("_band_idx")

@@ -1528,3 +1528,63 @@ def customer_spend_rank_sql() -> str:
                      ORDER BY spend_units, o_custkey)
         ORDER BY c_nationkey, o_custkey
     """
+
+
+def bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join behind an explicit split-block Bloom pre-prune
+    (ops.scale.bloom_semi_join): revenue by priority of orders placed by
+    AUTOMOBILE-segment customers. Result is bit-identical to the plain
+    semi-join (the verify pass removes Bloom false positives) — what the
+    Bloom buys at 100 TB is that the fact side pays the verify shuffle
+    only for rows that pass a map-side 8·n_words-byte broadcast probe.
+    Generalizes J2's manifest lookup (east_asia.py:382-393) to dims past
+    broadcast size."""
+    from gis_etl_spark.ops.scale import bloom_semi_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    kept = bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fxsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PRICE_BANDS = [
+    ("nano", 0.0, 25_000.0),
+    ("small", 25_000.0, 75_000.0),
+    ("mid", 75_000.0, 150_000.0),
+    ("large", 150_000.0, 300_000.0),
+    ("jumbo", 300_000.0, 1_000_000_000.0),
+]
+
+
+def price_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-dim lookup via ops.joins.range_lookup_join: band every
+    order's total price into a 5-row [lo, hi) tier dim and aggregate.
+    The plan is a map-side HOF band-index compute + BroadcastHashJoin on
+    the index — Spark's own non-equi broadcast join would plan the
+    banned BroadcastNestedLoopJoin here."""
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, schema=["band_label", "band_lo", "band_hi"]
+    )
+    joined = range_lookup_join(
+        orders, "o_totalprice", bands, "band_lo", "band_hi"
+    )
+    return (
+        joined.groupBy("band_label")
+        .agg(
+            F.count("*").alias("n_orders"),
+            fxsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("band_label")
+    )

@@ -74,6 +74,84 @@ def salted_join(
     return big_salted.join(small_rep, [key, "_salt"], how).drop("_salt")
 
 
+BLOOM_BITS_PER_KEY = 12
+BLOOM_K = 4  # bits set per key inside its one-word block
+
+
+def _bloom_parts(df: DataFrame, key: str) -> DataFrame:
+    """Attach `_bword` (block index column placeholder — caller pmods by
+    n_words) and `_bmask` (the key's 4-bit in-word mask) to `df`.
+
+    Split-block Bloom filter (SBBF) layout per the public Parquet spec /
+    Putze et al. 2007 'Cache-, Hash- and Space-Efficient Bloom Filters':
+    every key maps to ONE 64-bit word and sets BLOOM_K bits inside it,
+    the bit positions taken from independent bytes of a second hash lane.
+    One word per key means membership is a single equi-join on the word
+    index plus a mask test — no per-hash fan-out, no Python, pure JVM."""
+    out = df.withColumn("_bh", F.xxhash64(F.col(key), F.lit(0x5BBF)))
+    mask = " | ".join(
+        f"shiftleft(1L, cast((shiftrightunsigned(_bh, {8 * j}) & 63) AS INT))"
+        for j in range(BLOOM_K)
+    )
+    return out.withColumn("_bmask", F.expr(mask)).drop("_bh")
+
+
+def bloom_build(dim: DataFrame, key: str, n_words: int) -> DataFrame:
+    """Aggregate a dim-side SBBF: one row per occupied 64-bit block,
+    (`_bword` int, `_bloom` long). Shuffles only |distinct keys| narrow
+    rows and returns ≤ n_words rows — broadcastable at any dim size a
+    semi-join could use (n_words is the caller's memory knob: 8 B/block)."""
+    keys = dim.select(F.col(key).alias("_bkey")).distinct()
+    parts = _bloom_parts(keys, "_bkey").withColumn(
+        "_bword",
+        F.pmod(F.xxhash64(F.col("_bkey"), F.lit(0xB10C)), F.lit(n_words)),
+    )
+    return parts.groupBy("_bword").agg(F.bit_or("_bmask").alias("_bloom"))
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_words: int = 1 << 12,
+) -> DataFrame:
+    """Exact semi-join with a Bloom pre-prune: `fact` rows whose
+    `fact_key` appears in `dim[dim_key]`.
+
+    Two phases, both exact in the end:
+      1. PRUNE (map-side): broadcast the ≤ n_words-row SBBF from
+         bloom_build and keep only fact rows whose block has all K bits
+         set — a BroadcastHashJoin on the block index, zero fact-side
+         shuffle, no false negatives by construction.
+      2. VERIFY: left_semi on the real key removes the Bloom's false
+         positives, so the result is bit-identical to a plain semi-join.
+
+    Why at 100 TB: the verify join is the expensive one (dim too big to
+    broadcast → both sides shuffle on the key). The Bloom runs BEFORE
+    that shuffle and costs 8·n_words bytes broadcast + one map-side
+    probe, so only the ~fp_rate false positives plus true matches pay
+    shuffle I/O. This is the explicit form of the runtime-bloom pruning
+    Spark's optimizer injects (spark.sql.optimizer.runtime.bloomFilter),
+    usable when the build side is a derived frame the optimizer can't
+    see through. Generalizes the reference's manifest-lookup J2 shape
+    (east_asia.py:382-393) to dims past broadcast size."""
+    blocks = bloom_build(dim, dim_key, n_words)
+    probe = _bloom_parts(fact, fact_key).withColumn(
+        "_bword",
+        F.pmod(F.xxhash64(F.col(fact_key), F.lit(0xB10C)), F.lit(n_words)),
+    )
+    candidates = (
+        probe.join(F.broadcast(blocks), "_bword", "inner")
+        .filter(F.col("_bloom").bitwiseAND(F.col("_bmask")) == F.col("_bmask"))
+        .drop("_bword", "_bmask", "_bloom")
+    )
+    dim_keys = dim.select(F.col(dim_key).alias("_vkey")).distinct()
+    return candidates.join(
+        dim_keys, candidates[fact_key] == dim_keys["_vkey"], "left_semi"
+    )
+
+
 def read_parquet_resilient(
     spark: SparkSession, *paths: str
 ) -> DataFrame:

@@ -69,6 +69,61 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64  # tokens per chunk window
+CHUNK_STRIDE = 48  # window step → 16-token overlap between neighbors
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-indexing / training
+    sequence-prep primitive (split every document into CHUNK_TOKENS-token
+    windows every CHUNK_STRIDE tokens, last window short; every token is
+    covered, consecutive chunks share the overlap so no boundary context
+    is lost).
+
+    Whole-stage-codegen throughout: tokenize once, explode a
+    `sequence(0, n_chunks-1)` index (narrow, bounded fan-out n/stride),
+    slice + reassemble each window with array HOFs, fingerprint with
+    md5. No shuffle at all until the caller aggregates, no Python, and
+    chunking parallelism is per-document — a 100 TB corpus chunks
+    map-side in one pass. Chunk identity = (doc_id, chunk_idx) plus a
+    content md5 so downstream chunk-level dedup (dedup_exact_groups
+    shape) composes directly."""
+    docs = read_table(spark, sf_dir, "documents")
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    w = words_col(F.col("text"))
+    staged = docs.select(
+        "doc_id", w.alias("ws"), F.size(w).alias("n")
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= C, F.lit(1)).otherwise(
+            F.lit(1) + F.expr(f"div(n - {C} + {S} - 1, {S})")
+        ),
+    )
+    return (
+        staged.select(
+            "doc_id",
+            "ws",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(C), F.col("n") - F.col("chunk_idx") * S
+            ).alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C)
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, lexical diversity, length factor
     → one composite score, the standard pretraining-corpus gate."""
@@ -794,6 +849,25 @@ def oracle_sqls() -> dict[str, str]:
             SELECT token, count(*) AS cnt
             FROM (SELECT unnest({w}) AS token FROM documents)
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25
+        """,
+        "document_chunks": f"""
+            WITH base AS (
+              SELECT doc_id, {w} AS ws, len({w}) AS n FROM documents
+            ), idx AS (
+              SELECT doc_id, ws, n,
+                     unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                       ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                                // {CHUNK_STRIDE} END)) AS chunk_idx
+              FROM base
+            )
+            SELECT doc_id, chunk_idx,
+                   least({CHUNK_TOKENS},
+                         n - chunk_idx * {CHUNK_STRIDE}) AS n_tok,
+                   md5(array_to_string(
+                     list_slice(ws, chunk_idx * {CHUNK_STRIDE} + 1,
+                                chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                     ' ')) AS chunk_md5
+            FROM idx ORDER BY doc_id, chunk_idx
         """,
         "text_gopher_flags": f"""
             WITH tw AS (

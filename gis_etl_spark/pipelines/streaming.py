@@ -485,6 +485,59 @@ def streaming_span_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def streaming_minhash_dedup(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Streaming NEAR-dup detection on arrival — the stateful twin of
+    the batch MinHash+LSH chain (ops.dedup.minhash_candidates): each
+    arriving document computes its 16-lane minhash signature PER ROW
+    (ops.dedup.minhash_signature_narrow — stateless, so the stream's
+    one stateful-operator budget goes to the bucket store), explodes
+    its 8 LSH band buckets, and upserts each bucket's
+    (n_docs, keep_id = min doc_id) — the same native-stateful-agg shape
+    as streaming_exact_dedup/streaming_span_dedup, state = one row per
+    OCCUPIED band bucket, never per document pair.
+
+    A downstream consumer flags an arriving doc as a near-dup candidate
+    iff any of its buckets upserts with keep_id < doc_id (then verifies
+    with exact Jaccard on the shortlist, exactly like the batch chain).
+    min-doc_id keeps the final state equal to the batch bucket census
+    bit-for-bit under ANY micro-batch slicing or arrival order — the
+    count/min pair is associative, so the JVM state store + map-side
+    partial agg do the work with no Arrow hop and no Python."""
+    from gis_etl_spark.ops.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        minhash_signature_narrow,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sig = minhash_signature_narrow(stream)
+    bands = []
+    for b in range(N_BANDS):
+        cols = [
+            F.col(f"m{j}").cast("string")
+            for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    keyed = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    return keyed.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )
+
+
 FUNNEL_STATE_SCHEMA = StructType(
     [
         StructField("view_us", LongType()),

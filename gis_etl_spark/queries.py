@@ -456,6 +456,30 @@ SELECT user_id,
        {fxsum_sql("value")} AS session_value
 FROM sessions GROUP BY user_id, seq
 """),
+    # exact semi-join behind an explicit SBBF Bloom pre-prune; the oracle
+    # is the PLAIN semi-join — a hash match proves the Bloom+verify
+    # composition drops zero true rows and keeps zero false positives
+    "bloom_semi_orders": (R.bloom_semi_orders, f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       {fxsum_sql("o_totalprice")} AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'AUTOMOBILE')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""),
+    # interval-dim lookup (range_lookup_join): the oracle runs the naive
+    # non-equi join the operator replaces
+    "price_band_revenue": (R.price_band_revenue, f"""
+WITH bands(band_label, band_lo, band_hi) AS (VALUES
+  ('nano', 0.0, 25000.0), ('small', 25000.0, 75000.0),
+  ('mid', 75000.0, 150000.0), ('large', 150000.0, 300000.0),
+  ('jumbo', 300000.0, 1000000000.0))
+SELECT band_label, count(*) AS n_orders,
+       {fxsum_sql("o_totalprice")} AS revenue
+FROM orders JOIN bands
+  ON o_totalprice >= band_lo AND o_totalprice < band_hi
+GROUP BY band_label ORDER BY band_label
+"""),
     "events_sliding_windows": (R.events_sliding_windows, f"""
 WITH assigned AS (
   SELECT unnest([date_trunc('hour', ts),
@@ -622,6 +646,10 @@ REGISTRY.update(
             T.token_stats_by_lang, _TEXT_SQLS["token_stats_by_lang"],
         ),
         "top_tokens": (T.top_tokens, _TEXT_SQLS["top_tokens"]),
+        # RAG/training chunking: overlapping token windows, content-md5
+        # chunk identity — the oracle re-derives every window by list
+        # slicing, so a hash match pins offsets, sizes, AND chunk text
+        "document_chunks": (T.document_chunks, _TEXT_SQLS["document_chunks"]),
         "tfidf_top_terms": (T.tfidf_top_terms, _TEXT_SQLS["tfidf_top_terms"]),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         # benchmark decontamination: eval-set 5-gram overlap audit
@@ -1404,12 +1432,21 @@ _R9_LEFTOVERS = (
     "stratified_sample",
     "count_distinct_customers",
     "approx_distinct_customers",
+    # displaced from the r8 window by the session-2 additions (trivial
+    # single-op count/group queries, same rationale as the rows above)
+    "geo_total_count",
+    "geo_core_type_count",
+    "geo_source_counts",
 )
 
 _R8_FRONT = (
     # new in r8
     "h3_grid_distance_pairs",
     "h3_grid_disk_members",
+    # new in r8 session 2 (must land scored — ADVICE r3 discipline)
+    "bloom_semi_orders",
+    "price_band_revenue",
+    "document_chunks",
     # oracle-paired in r8 (was rows-only) — re-front with the new twins
     "geo_hilbert_keys",
     "points_in_polygons",
@@ -1454,10 +1491,7 @@ _R8_FRONT = (
     "events_sliding_windows",
     "filter_range_events",
     "training_data_prep",
-    "geo_total_count",
-    "geo_core_type_count",
     "geo_shape_type_census",
-    "geo_source_counts",
     "geo_distinct_sources",
     "geo_global_bbox",
     "geo_centroid_stats",

@@ -389,3 +389,104 @@ def test_unbounded_nn_join_raises_on_unresolved_residue(spark):
         nearest_neighbor_join_unbounded(
             pts, "pid", "x", "y", 0.001, max_doublings=2
         )
+
+
+# --- range_lookup_join ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def band_frames(spark):
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            rng.uniform(-50, 450, 3000),
+            np.array([0.0, 100.0, 200.0, 300.0, 399.999, 400.0, -0.001]),
+        ]
+    )
+    fact = spark.createDataFrame(
+        pd.DataFrame({"rid": np.arange(len(vals)), "v": vals})
+    )
+    bands = spark.createDataFrame(
+        [
+            ("a", 0.0, 100.0),
+            ("b", 100.0, 200.0),
+            # deliberate gap [200, 250)
+            ("c", 250.0, 400.0),
+        ],
+        schema=["label", "lo", "hi"],
+    )
+    return fact, bands
+
+
+def test_range_lookup_matches_nonequi_join(spark, band_frames):
+    """Band-index compute + broadcast equi-join must equal the naive
+    non-equi join on [lo, hi) — including boundary values sitting
+    exactly on lo and hi and values in a gap between bands."""
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    fact, bands = band_frames
+    got = (
+        range_lookup_join(fact, "v", bands, "lo", "hi")
+        .select("rid", "label").orderBy("rid").collect()
+    )
+    want = (
+        fact.join(
+            bands,
+            (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+        )
+        .select("rid", "label").orderBy("rid").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_range_lookup_left_keeps_out_of_band(spark, band_frames):
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    fact, bands = band_frames
+    out = range_lookup_join(fact, "v", bands, "lo", "hi", how="left")
+    assert out.count() == fact.count()
+    nulls = out.filter(F.col("label").isNull()).count()
+    want_nulls = fact.count() - fact.join(
+        bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    ).count()
+    assert nulls == want_nulls > 0
+
+
+def test_range_lookup_rejects_bad_dims(spark, band_frames):
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    fact, _ = band_frames
+    overlapping = spark.createDataFrame(
+        [("a", 0.0, 120.0), ("b", 100.0, 200.0)],
+        schema=["label", "lo", "hi"],
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        range_lookup_join(fact, "v", overlapping, "lo", "hi")
+    inverted = spark.createDataFrame(
+        [("a", 10.0, 10.0)], schema=["label", "lo", "hi"]
+    )
+    with pytest.raises(ValueError, match="bad interval"):
+        range_lookup_join(fact, "v", inverted, "lo", "hi")
+    big = spark.range(0, 50).select(
+        F.col("id").cast("string").alias("label"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 10.0).alias("hi"),
+    )
+    with pytest.raises(ValueError, match="max_bands"):
+        range_lookup_join(fact, "v", big, "lo", "hi", max_bands=10)
+
+
+def test_range_lookup_plan_is_broadcast_hash(spark, band_frames):
+    """The reason this operator exists: Spark plans the naive non-equi
+    broadcast join as BroadcastNestedLoopJoin; the lookup must not."""
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    fact, bands = band_frames
+    plan = (
+        range_lookup_join(fact, "v", bands, "lo", "hi")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -787,3 +787,89 @@ def test_semdedup_blocked_kernel_parity_and_bounded_tiles(spark, sf_dir, monkeyp
         (r.vec_id, r.dropped) for r in S.semdedup(spark, sf_dir).collect()
     }
     assert forced == base
+
+
+# --- document_chunks (overlapping token-window chunking) -------------------
+
+
+def _ref_chunks(text: str):
+    """Sequential reference chunker: same tokenizer convention as
+    words_col (split trimmed text on runs of spaces)."""
+    import hashlib
+    import re
+
+    toks = re.split(" +", text.strip())
+    C, S = T.CHUNK_TOKENS, T.CHUNK_STRIDE
+    n = len(toks)
+    n_chunks = 1 if n <= C else 1 + -(-(n - C) // S)
+    out = []
+    for i in range(n_chunks):
+        window = toks[i * S : i * S + C]
+        out.append(
+            (
+                i,
+                len(window),
+                hashlib.md5(" ".join(window).encode()).hexdigest(),
+            )
+        )
+    return out
+
+
+def test_document_chunks_match_sequential_reference(spark, sf_dir):
+    """Every (offset, size, content-md5) triple must equal the
+    sequential chunker's on the real corpus."""
+    from gis_etl_spark.io import read_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    got: dict = {}
+    for r in T.document_chunks(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tok"], r["chunk_md5"])
+        )
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        assert got[doc_id] == _ref_chunks(text), doc_id
+
+
+def test_document_chunks_edge_lengths(spark, sf_dir):
+    """Boundary token counts: n == C → one chunk; n == C+1 → two chunks
+    with the straddler rule; tiny and empty docs → one chunk."""
+    import pandas as pd
+
+    C, S = T.CHUNK_TOKENS, T.CHUNK_STRIDE
+    cases = {
+        1: "w " * C,           # exactly C tokens
+        2: "w " * (C + 1),     # one past → second (short) chunk
+        3: "w " * (C + S),     # exactly fills two strides
+        4: "single",
+        5: "",
+        6: "a b",
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(cases), "text": [cases[k] for k in cases]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    import gis_etl_spark.ops.text as tx
+
+    orig = tx.read_table
+    tx.read_table = lambda sp, sd, name: df
+    try:
+        rows = tx.document_chunks(spark, "unused").collect()
+    finally:
+        tx.read_table = orig
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tok"]))
+    assert got[1] == [(0, C)]
+    assert got[2] == [(0, C), (1, C + 1 - S)]
+    assert got[3] == [(0, C), (1, S + C - S)]  # second chunk: tokens S..S+C
+    assert got[4] == [(0, 1)]
+    assert got[5] == [(0, 1)]  # split('') -> [''] — one empty token, as the oracle
+    assert got[6] == [(0, 2)]
+    # sequential-reference agreement on every case
+    for k, text in cases.items():
+        assert [(i, n) for i, n, _ in _ref_chunks(text)] == got[k]

@@ -214,3 +214,88 @@ def test_copurchase_hub_cap_enforced(spark, sf_dir):
         tpch_edges, 10**9, COPURCHASE_MIN_SHARED
     )
     assert prod.exceptAll(unc).isEmpty() and unc.exceptAll(prod).isEmpty()
+
+
+# --- split-block Bloom semi-join -------------------------------------------
+
+
+def _bloom_frames(spark):
+    fact = spark.range(0, 20_000).withColumn(
+        "k", (F.col("id") * 7919) % 10_000
+    )
+    dim = spark.range(0, 700).select((F.col("id") * 13).alias("dk"))
+    return fact, dim
+
+
+def test_bloom_semi_join_matches_plain_semi(spark):
+    """The Bloom prune + exact verify must be bit-identical to a plain
+    left_semi — no false negatives (Bloom law), no surviving false
+    positives (the verify pass)."""
+    from gis_etl_spark.ops.scale import bloom_semi_join
+
+    fact, dim = _bloom_frames(spark)
+    got = (
+        bloom_semi_join(fact, dim, "k", "dk")
+        .groupBy("k").count().orderBy("k").collect()
+    )
+    want = (
+        fact.join(
+            dim.select(F.col("dk").alias("k")).distinct(), "k", "left_semi"
+        )
+        .groupBy("k").count().orderBy("k").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_semi_join_empty_and_disjoint(spark):
+    from gis_etl_spark.ops.scale import bloom_semi_join
+
+    fact, _ = _bloom_frames(spark)
+    disjoint = spark.range(0, 500).select(
+        (F.col("id") + 10_000_000).alias("dk")
+    )
+    assert bloom_semi_join(fact, disjoint, "k", "dk").count() == 0
+    empty = disjoint.filter(F.lit(False))
+    assert bloom_semi_join(fact, empty, "k", "dk").count() == 0
+
+
+def test_bloom_build_is_bounded_and_prunes(spark):
+    """The filter relation never exceeds n_words rows (broadcastable by
+    construction), and at a deliberately tight sizing the map-side probe
+    still prunes ≥ 95% of a disjoint fact side — the property that makes
+    the 100 TB verify shuffle cheap."""
+    from gis_etl_spark.ops.scale import _bloom_parts, bloom_build
+
+    fact, _ = _bloom_frames(spark)
+    disjoint = spark.range(0, 3000).select(
+        (F.col("id") + 10_000_000).alias("dk")
+    )
+    n_words = 512  # ~5.9 keys per 64-bit block: adversarially dense
+    blocks = bloom_build(disjoint, "dk", n_words)
+    assert blocks.count() <= n_words
+    probe = _bloom_parts(fact, "k").withColumn(
+        "_bword",
+        F.pmod(F.xxhash64(F.col("k"), F.lit(0xB10C)), F.lit(n_words)),
+    )
+    candidates = (
+        probe.join(F.broadcast(blocks), "_bword", "inner")
+        .filter(
+            F.col("_bloom").bitwiseAND(F.col("_bmask")) == F.col("_bmask")
+        )
+        .count()
+    )
+    assert candidates < 0.05 * 20_000, candidates
+
+
+def test_bloom_semi_join_plan_is_hash_joins_only(spark):
+    """Both phases must plan as hash joins (broadcast probe + semi
+    verify): no BroadcastNestedLoopJoin, no CartesianProduct, no Python
+    stage anywhere."""
+    from gis_etl_spark.ops.scale import bloom_semi_join
+
+    fact, dim = _bloom_frames(spark)
+    plan = _plan(bloom_semi_join(fact, dim, "k", "dk"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -613,3 +613,61 @@ def test_streaming_rolling_anomaly_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want, "fixture produced no anomalies — threshold signal lost"
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
+    """Streaming near-dup bucket census == batch LSH bucket census:
+    feed the augmented corpus (which carries injected near-dups) in 3
+    shuffled micro-batches and require the final per-bucket
+    (n_docs, keep_id) state to equal the batch chain's groupBy over
+    _band_keys(_minhash_signatures(...)) exactly — which also pins
+    minhash_signature_narrow == _minhash_signatures bit-for-bit on the
+    real corpus."""
+    import time
+
+    from gis_etl_spark.fixtures import ensure_documents_aug
+    from gis_etl_spark.ops.dedup import _band_keys, _minhash_signatures
+
+    docs = spark.read.parquet(ensure_documents_aug())
+    rows = docs.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "mh_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate(chunks):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"mh_{uuid.uuid4().hex[:8]}"
+    sdf = S.streaming_minhash_dedup(spark, flat)
+    S.run_to_memory(sdf, name, output_mode="update")
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = (
+        pdf.groupby(["band_idx", "band_key"])
+        .tail(1)
+        .set_index(["band_idx", "band_key"])
+    )
+    got = {
+        k: (int(r.n_docs), int(r.keep_id)) for k, r in last.iterrows()
+    }
+    exp_df = (
+        _band_keys(_minhash_signatures(docs))
+        .groupBy("band_idx", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .collect()
+    )
+    exp = {
+        (r.band_idx, r.band_key): (r.n_docs, r.keep_id) for r in exp_df
+    }
+    assert got == exp
+    # the corpus's injected near-dups must actually collide somewhere
+    assert any(n > 1 for n, _ in got.values())

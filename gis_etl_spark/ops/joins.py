@@ -787,21 +787,53 @@ def range_lookup_join(
       1. Collect the band dim to the driver (it is the BROADCAST side by
          contract — ≤ max_bands rows enforced) and validate the
          intervals are sorted and non-overlapping.
-      2. Compute each fact row's band index MAP-SIDE as a literal-array
-         scan: idx = (count of lo bounds ≤ value) − 1, one `aggregate`
-         higher-order function over the sorted lo array — pure JVM
-         whole-stage-codegen, zero shuffle, zero Python.
+      2. Compute each fact row's band index MAP-SIDE with an UNROLLED
+         BINARY SEARCH over the sorted lo-bound literal array: ⌈log2 n⌉
+         chained CASE halving steps (Shar's branchless form: pos starts
+         at −1 and greedily adds descending powers of two while
+         lo[pos+p] ≤ value), each a native conditional over `element_at`
+         on a constant-folded array — whole-stage codegen, zero shuffle,
+         zero Python, and O(log |bands|) comparisons per row (r9: was a
+         single `aggregate` HOF, i.e. O(|bands|) *interpreted* lambda
+         steps — at max_bands=10k that was the wrong 100 TB probe).
       3. Validate value < hi[idx] (intervals may have gaps), then
          broadcast-EQUI-join the band attributes on the index.
 
-    At 100 TB the fact side never shuffles and never fans out: cost is
-    O(|bands|) comparisons per row inside codegen, and the only join is
-    a BroadcastHashJoin on a dense int key. `how='left'` keeps
-    out-of-band fact rows with NULL band attributes.
+    At 100 TB the fact side never shuffles and never fans out, and the
+    only join is a BroadcastHashJoin on a dense int key. `how='left'`
+    keeps out-of-band fact rows with NULL band attributes.
+
+    Numeric contract: bounds and value are compared as IEEE doubles
+    (exact for integral types < 2^53). DecimalType bands or values are
+    rejected — a decimal sitting exactly on a lo/hi boundary can land
+    on the wrong side after a double cast, silently disagreeing with
+    the non-equi join this operator replaces (ADVICE r8).
 
     Generalizes the reference's broadcast manifest lookup (J2,
     east_asia.py:382-393) from point keys to intervals.
     """
+    from pyspark.sql.types import DecimalType
+
+    for df_, col_, side in (
+        (fact, value_col, "fact value"),
+        (bands, lo_col, "band lo"),
+        (bands, hi_col, "band hi"),
+    ):
+        if isinstance(df_.schema[col_].dataType, DecimalType):
+            raise ValueError(
+                f"range_lookup_join: {side} column {col_!r} is decimal-"
+                "typed; the probe compares as double, which can mis-band "
+                "exact boundary values — cast to double explicitly if "
+                "that is acceptable"
+            )
+    reserved = {"_band_idx", "_rlj_pos"}
+    clash = (set(fact.columns) | set(bands.columns)) & reserved
+    if clash:
+        raise ValueError(
+            f"range_lookup_join: input already has reserved internal "
+            f"column(s) {sorted(clash)}; rename them before calling"
+        )
+
     rows = bands.orderBy(lo_col).collect()
     if len(rows) > max_bands:
         raise ValueError(
@@ -826,24 +858,34 @@ def range_lookup_join(
         [(i, *[r[c] for c in bands.columns]) for i, r in enumerate(rows)],
         schema=["_band_idx", *bands.columns],
     )
+    n = len(los)
     lo_arr = F.array(*[F.lit(v) for v in los])
     v = F.col(value_col).cast("double")
-    idx = (
-        F.aggregate(
-            lo_arr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)),
+    # Shar binary search: pos = index of last lo ≤ v (−1 if none), built
+    # as chained single-assignment steps so each stage's expression is
+    # named once (Catalyst keeps non-cheap multiply-referenced exprs in
+    # their own Project instead of inlining — tree stays O(log n)).
+    probed = fact.withColumn("_rlj_pos", F.lit(-1))
+    for j in range(n.bit_length() - 1, -1, -1):
+        cand = F.col("_rlj_pos") + F.lit(1 << j)
+        # clamp the element_at index so the out-of-range branch never
+        # dereferences past the array under ANSI mode
+        probe_lo = F.element_at(
+            lo_arr, F.least(cand + F.lit(1), F.lit(n))
         )
-        - F.lit(1)
-    )
+        probed = probed.withColumn(
+            "_rlj_pos",
+            F.when(
+                (cand < F.lit(n)) & (probe_lo <= v), cand
+            ).otherwise(F.col("_rlj_pos")),
+        )
     hi_arr = F.array(*[F.lit(v_) for v_ in his])
-    in_band = (F.col("_band_idx") >= 0) & (
-        v < F.element_at(hi_arr, F.col("_band_idx") + 1)
+    pos = F.col("_rlj_pos")
+    in_band = (pos >= 0) & (
+        v < F.element_at(hi_arr, F.least(pos + 1, F.lit(n)))
     )
-    probed = fact.withColumn(
-        "_band_idx", F.when(idx >= 0, idx).otherwise(F.lit(None))
-    ).withColumn(
-        "_band_idx", F.when(in_band, F.col("_band_idx")).otherwise(F.lit(None))
-    )
+    probed = probed.withColumn(
+        "_band_idx", F.when(in_band, pos).otherwise(F.lit(None))
+    ).drop("_rlj_pos")
     joined = probed.join(F.broadcast(bands_idx), "_band_idx", how)
     return joined.drop("_band_idx")

@@ -77,6 +77,20 @@ def salted_join(
 BLOOM_BITS_PER_KEY = 12
 BLOOM_K = 4  # bits set per key inside its one-word block
 
+_BLOOM_INTERNAL_COLS = ("_bh", "_bmask", "_bword", "_bloom", "_bkey", "_vkey")
+
+
+def _check_reserved(df: DataFrame, what: str) -> None:
+    """Refuse inputs that already carry this module's internal helper
+    columns — a silent withColumn overwrite would corrupt the result
+    instead of failing (ADVICE r8)."""
+    clash = set(df.columns) & set(_BLOOM_INTERNAL_COLS)
+    if clash:
+        raise ValueError(
+            f"bloom_semi_join: {what} already has reserved internal "
+            f"column(s) {sorted(clash)}; rename them before calling"
+        )
+
 
 def _bloom_parts(df: DataFrame, key: str) -> DataFrame:
     """Attach `_bword` (block index column placeholder — caller pmods by
@@ -135,7 +149,24 @@ def bloom_semi_join(
     Spark's optimizer injects (spark.sql.optimizer.runtime.bloomFilter),
     usable when the build side is a derived frame the optimizer can't
     see through. Generalizes the reference's manifest-lookup J2 shape
-    (east_asia.py:382-393) to dims past broadcast size."""
+    (east_asia.py:382-393) to dims past broadcast size.
+
+    Key-type contract: xxhash64 is TYPE-sensitive (an int 7 and a
+    bigint 7 hash differently), so mismatched key types would make the
+    prune drop true matches — silent false negatives the verify join
+    cannot recover. Both keys must share one Spark type; mismatches
+    raise instead of corrupting (ADVICE r8)."""
+    ft = fact.schema[fact_key].dataType
+    dt = dim.schema[dim_key].dataType
+    if ft != dt:
+        raise ValueError(
+            f"bloom_semi_join: fact_key {fact_key!r} is {ft.simpleString()} "
+            f"but dim_key {dim_key!r} is {dt.simpleString()}; xxhash64 is "
+            "type-sensitive, so mixed-width keys silently drop true "
+            "matches — cast both sides to one type first"
+        )
+    _check_reserved(fact, "fact")
+    _check_reserved(dim, "dim")
     blocks = bloom_build(dim, dim_key, n_words)
     probe = _bloom_parts(fact, fact_key).withColumn(
         "_bword",

@@ -506,9 +506,8 @@ def streaming_minhash_dedup(
     count/min pair is associative, so the JVM state store + map-side
     partial agg do the work with no Arrow hop and no Python."""
     from gis_etl_spark.ops.dedup import (
-        N_BANDS,
-        ROWS_PER_BAND,
-        minhash_signature_narrow,
+        _band_keys,
+        minhash_signature_arrow,
     )
 
     schema = (
@@ -516,22 +515,14 @@ def streaming_minhash_dedup(
         "n_chars long"
     )
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    sig = minhash_signature_narrow(stream)
-    bands = []
-    for b in range(N_BANDS):
-        cols = [
-            F.col(f"m{j}").cast("string")
-            for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
-            )
-        )
-    keyed = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    # r9: signatures via the vectorized Arrow stage (numpy over the
+    # JVM-hashed shingle array — bit-equal to minhash_signature_narrow,
+    # still stateless/stream-legal; the 16 interpreted HOF lane
+    # traversals were the measured 3.9k rows/s bottleneck). Band keys
+    # via the SAME _band_keys as the batch chain (select/explode only,
+    # stream-safe) so batch/stream census parity is one formula.
+    sig = minhash_signature_arrow(stream)
+    keyed = _band_keys(sig)
     return keyed.groupBy("band_idx", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keep_id"),

@@ -150,6 +150,21 @@ def minhash_signature_narrow(df: DataFrame) -> DataFrame:
     bit-for-bit. Docs with fewer than 3 tokens have no shingles and are
     dropped — identical to the explode variant, where they produce no
     rows to group."""
+    staged = _shingle_hashes(df)
+    sigs = [
+        F.array_min(
+            F.expr(f"transform(hs, h -> ({a}L * h + {b}L) % {P31})")
+        ).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return staged.select("doc_id", *sigs)
+
+
+def _shingle_hashes(df: DataFrame) -> DataFrame:
+    """doc_id → hs: array<bigint> of DISTINCT shingle hashes (h60 %
+    P31), all JVM-side so md5 stays bit-identical to the batch chain.
+    Docs with <3 tokens have no shingles and are dropped. Shared by
+    both stateless signature stages."""
     sh = F.when(
         F.size("ws") >= 3,
         F.array_distinct(
@@ -159,7 +174,7 @@ def minhash_signature_narrow(df: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    staged = (
+    return (
         df.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
         .select("doc_id", sh.alias("sh"))
         .filter(F.size("sh") > 0)
@@ -171,13 +186,53 @@ def minhash_signature_narrow(df: DataFrame) -> DataFrame:
             ).alias("hs"),
         )
     )
-    sigs = [
-        F.array_min(
-            F.expr(f"transform(hs, h -> ({a}L * h + {b}L) % {P31})")
-        ).alias(f"m{j}")
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    return staged.select("doc_id", *sigs)
+
+
+def minhash_signature_arrow(df: DataFrame) -> DataFrame:
+    """doc_id → m0..m{k-1} minhash columns — the VECTORIZED stateless
+    stage: shingle hashing stays JVM-side (one interpreted transform,
+    md5 bit-identical to _minhash_signatures / the DuckDB oracle), then
+    ONE mapInPandas hop computes all 16 permutation lanes in numpy —
+    the whole Arrow batch's hashes concatenate into a single int64
+    vector, each lane is one (a·H+b) % P broadcast plus a segmented
+    np.minimum.reduceat, so per-doc Python cost is ~zero. Bit-equal to
+    minhash_signature_narrow (a < 2^31 and h < 2^31 ⇒ a·h+b < 2^63:
+    no int64 overflow; both operands nonnegative ⇒ numpy % == SQL %).
+
+    Stream-legal: mapInPandas is stateless, so a structured stream's
+    one stateful-operator budget stays free for the bucket store. The
+    narrow variant's 16 interpreted HOF traversals per row were the
+    measured streaming throughput bottleneck; this replaces them with
+    16 vectorized passes per Arrow batch."""
+    import pandas as pd
+
+    a_vec = np.asarray(MINHASH_A, dtype=np.int64)
+    b_vec = np.asarray(MINHASH_B, dtype=np.int64)
+    out_schema = "doc_id long, " + ", ".join(
+        f"m{j} long" for j in range(N_HASHES)
+    )
+
+    def _lanes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.fromiter(
+                (len(x) for x in pdf["hs"]), dtype=np.int64, count=len(pdf)
+            )
+            hs_all = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["hs"]]
+            )
+            # upstream filter guarantees every segment is non-empty
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[:-1], dtype=np.int64))
+            )
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for j in range(N_HASHES):
+                perm = (a_vec[j] * hs_all + b_vec[j]) % P31
+                out[f"m{j}"] = np.minimum.reduceat(perm, starts)
+            yield pd.DataFrame(out)
+
+    return _shingle_hashes(df).mapInPandas(_lanes, schema=out_schema)
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:

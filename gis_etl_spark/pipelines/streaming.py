@@ -490,8 +490,9 @@ def streaming_minhash_dedup(
 ) -> DataFrame:
     """Streaming NEAR-dup detection on arrival — the stateful twin of
     the batch MinHash+LSH chain (ops.dedup.minhash_candidates): each
-    arriving document computes its 16-lane minhash signature PER ROW
-    (ops.dedup.minhash_signature_narrow — stateless, so the stream's
+    arriving document computes its 16-lane minhash signature in the
+    vectorized stateless stage (ops.dedup.minhash_signature_arrow —
+    JVM shingle hashing + one numpy mapInPandas hop, so the stream's
     one stateful-operator budget goes to the bucket store), explodes
     its 8 LSH band buckets, and upserts each bucket's
     (n_docs, keep_id = min doc_id) — the same native-stateful-agg shape
@@ -504,7 +505,8 @@ def streaming_minhash_dedup(
     min-doc_id keeps the final state equal to the batch bucket census
     bit-for-bit under ANY micro-batch slicing or arrival order — the
     count/min pair is associative, so the JVM state store + map-side
-    partial agg do the work with no Arrow hop and no Python."""
+    partial agg do the stateful work; the only Python in the plan is
+    the single vectorized signature hop upstream of the agg."""
     from gis_etl_spark.ops.dedup import (
         _band_keys,
         minhash_signature_arrow,

@@ -146,6 +146,35 @@ def test_minhash_finds_injected_near_dups(spark, sf_dir):
     assert near_caught >= 30, f"only {near_caught}/60 near-dups found"
 
 
+def test_minhash_signature_arrow_bit_parity(spark, sf_dir):
+    """The vectorized Arrow signature stage must produce the SAME
+    integers as both stateless-narrow and the batch explode/groupBy
+    chain, doc by doc, lane by lane — including dropping <3-token docs.
+    This is the parity contract streaming_minhash_dedup relies on."""
+    from gis_etl_spark.fixtures import ensure_documents_aug
+
+    docs = spark.read.parquet(ensure_documents_aug())
+    # include pathological short docs to pin the drop semantics
+    extra = spark.createDataFrame(
+        [(900001, "one two", "en", "t", 7), (900002, "", "en", "t", 0)],
+        docs.schema,
+    )
+    docs = docs.unionByName(extra)
+
+    def _rows(df):
+        return {
+            r["doc_id"]: tuple(r[f"m{j}"] for j in range(D.N_HASHES))
+            for r in df.collect()
+        }
+
+    arrow = _rows(D.minhash_signature_arrow(docs))
+    narrow = _rows(D.minhash_signature_narrow(docs))
+    batch = _rows(D._minhash_signatures(docs))
+    assert arrow == narrow == batch
+    assert 900001 not in arrow and 900002 not in arrow
+    assert len(arrow) == docs.count() - 2
+
+
 def test_quality_scores_bounded(spark, sf_dir):
     rows = T.text_quality_scores(spark, sf_dir).collect()
     assert rows

@@ -36,6 +36,37 @@ from gis_etl_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 GEO_BENCH_ROWS = 200_000
 
+# a broken operator records an error row here instead of killing the
+# run (r9: one ImportError in the streaming section discarded ~2,650
+# stages of completed measurements — BENCH_r09.json was rc=1/parsed
+# null). Every error surfaces in the artifacts line + local file.
+ERRORS: dict[str, str] = {}
+
+
+def _flush_partial(
+    timings: dict[str, float], artifacts: dict[str, int], done: str
+) -> None:
+    """Incremental artifact write: after every section the local record
+    is replaced, so a crash (even SIGKILL) loses at most one section."""
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "suite_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "artifacts": artifacts,
+                "errors": ERRORS,
+                "progress": done,
+            },
+            f,
+            indent=1,
+        )
+
 # contract queries timed end-to-end through a noop sink (a count()
 # would let Catalyst prune computed columns out of SELECT-shaped
 # queries — the export queries' UDF columns would never run)
@@ -137,12 +168,15 @@ def _geo_benches(
         # then report the MIN of two timed runs — same policy as the
         # HEADLINE loop; a single post-warm run still carries JIT
         # tiering noise (measured ±40% on q1)
-        fn()
-        t0 = time.time()
-        fn()
-        t1 = time.time()
-        fn()
-        out[label] = round(min(t1 - t0, time.time() - t1), 3)
+        try:
+            fn()
+            t0 = time.time()
+            fn()
+            t1 = time.time()
+            fn()
+            out[label] = round(min(t1 - t0, time.time() - t1), 3)
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS[label] = f"{type(e).__name__}: {e}"[:300]
 
     steady("geo_heatmap_200k", lambda: B.heatmap(src).count())
 
@@ -249,6 +283,21 @@ def _source_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
 
     out: dict[str, float] = {}
 
+    def decode_bench(label: str, scan, nbytes: int) -> None:
+        try:
+            n_feat = scan()  # warm
+            t0 = time.time()
+            scan()
+            t1 = time.time()
+            scan()
+            dt = min(t1 - t0, time.time() - t1)
+            out[label] = round(dt, 3)
+            artifacts[f"{label}_features"] = n_feat
+            artifacts[f"{label}_bytes"] = nbytes
+            artifacts[f"{label}_features_per_sec"] = int(n_feat / dt)
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS[label] = f"{type(e).__name__}: {e}"[:300]
+
     shp_dir, _ = ensure_shapefiles(100_000)
     shp_bytes = sum(
         os.path.getsize(f) for f in glob.glob(os.path.join(shp_dir, "*.shp"))
@@ -260,16 +309,7 @@ def _source_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
             F.count("*").alias("n"), F.sum(F.length("geom"))
         ).collect()[0]["n"]
 
-    n_feat = shp_scan()  # warm
-    t0 = time.time()
-    shp_scan()
-    t1 = time.time()
-    shp_scan()
-    dt = min(t1 - t0, time.time() - t1)
-    out["shp_decode_100k"] = round(dt, 3)
-    artifacts["shp_decode_100k_features"] = n_feat
-    artifacts["shp_decode_100k_bytes"] = shp_bytes
-    artifacts["shp_decode_100k_features_per_sec"] = int(n_feat / dt)
+    decode_bench("shp_decode_100k", shp_scan, shp_bytes)
 
     # ONE nationwide-style .shp: without the r8 .shx-chunked scan this
     # is a single serial task no matter the cluster
@@ -283,17 +323,8 @@ def _source_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
             F.count("*").alias("n"), F.sum(F.length("geom"))
         ).collect()[0]["n"]
 
-    n_single = shp_single_scan()  # warm
-    t0 = time.time()
-    shp_single_scan()
-    t1 = time.time()
-    shp_single_scan()
-    dt = min(t1 - t0, time.time() - t1)
-    out["shp_decode_single_100k"] = round(dt, 3)
-    artifacts["shp_decode_single_100k_features"] = n_single
-    artifacts["shp_decode_single_100k_bytes"] = os.path.getsize(single)
-    artifacts["shp_decode_single_100k_features_per_sec"] = int(
-        n_single / dt
+    decode_bench(
+        "shp_decode_single_100k", shp_single_scan, os.path.getsize(single)
     )
 
     gdb_dir, _ = ensure_filegdb(100_000)
@@ -308,16 +339,7 @@ def _source_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
             F.count("*").alias("n"), F.sum(F.length("Shape"))
         ).collect()[0]["n"]
 
-    n_rows = gdb_scan()  # warm
-    t0 = time.time()
-    gdb_scan()
-    t1 = time.time()
-    gdb_scan()
-    dt = min(t1 - t0, time.time() - t1)
-    out["gdb_decode_100k"] = round(dt, 3)
-    artifacts["gdb_decode_100k_features"] = n_rows
-    artifacts["gdb_decode_100k_bytes"] = gdb_bytes
-    artifacts["gdb_decode_100k_features_per_sec"] = int(n_rows / dt)
+    decode_bench("gdb_decode_100k", gdb_scan, gdb_bytes)
     return out
 
 
@@ -356,13 +378,30 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         ).limit(200).coalesce(1).write.mode("overwrite").parquet(wdoc_dir)
         S.run_to_memory(S.streaming_exact_dedup(spark, wdoc_dir), "bench_w2")
 
-        t0 = time.time()
-        S.run_to_memory(S.streaming_sessionize(spark, ev_dir), "bench_sess")
-        dt = time.time() - t0
-        out["streaming_sessionize"] = round(dt, 3)
-        artifacts["streaming_sessionize_rows_per_sec"] = int(n_ev / dt)
-        artifacts["streaming_sessionize_state_rows"] = (
-            spark.table("bench_sess").select("user_id").distinct().count()
+        def timed(label, drain, n_rows, state_fn) -> None:
+            # one broken twin records an error row; the rest still bench
+            try:
+                t0 = time.time()
+                drain()
+                dt = time.time() - t0
+                out[label] = round(dt, 3)
+                artifacts[f"{label}_rows_per_sec"] = int(n_rows / dt)
+                state_key, state_val = state_fn()
+                artifacts[f"{label}_{state_key}"] = state_val
+            except Exception as e:  # noqa: BLE001 — bench must survive
+                ERRORS[label] = f"{type(e).__name__}: {e}"[:300]
+
+        timed(
+            "streaming_sessionize",
+            lambda: S.run_to_memory(
+                S.streaming_sessionize(spark, ev_dir), "bench_sess"
+            ),
+            n_ev,
+            lambda: (
+                "state_rows",
+                spark.table("bench_sess").select("user_id")
+                .distinct().count(),
+            ),
         )
 
         # dedup twins get a ×10 duplication-pressure corpus (doc_ids
@@ -384,55 +423,65 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         rep.repartition(8).write.mode("overwrite").parquet(docs_dir)
         n_docs = spark.read.parquet(docs_dir).count()
 
-        t0 = time.time()
-        S.run_to_memory(S.streaming_exact_dedup(spark, docs_dir), "bench_dd")
-        dt = time.time() - t0
-        out["streaming_exact_dedup"] = round(dt, 3)
-        artifacts["streaming_exact_dedup_rows_per_sec"] = int(n_docs / dt)
-        artifacts["streaming_exact_dedup_state_rows"] = (
-            spark.table("bench_dd").select("content_hash").distinct().count()
+        timed(
+            "streaming_exact_dedup",
+            lambda: S.run_to_memory(
+                S.streaming_exact_dedup(spark, docs_dir), "bench_dd"
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_dd").select("content_hash")
+                .distinct().count(),
+            ),
         )
 
-        t0 = time.time()
-        S.run_to_memory(S.streaming_span_dedup(spark, docs_dir), "bench_sd")
-        dt = time.time() - t0
-        out["streaming_span_dedup"] = round(dt, 3)
-        artifacts["streaming_span_dedup_rows_per_sec"] = int(n_docs / dt)
-        artifacts["streaming_span_dedup_state_rows"] = (
-            spark.table("bench_sd").select("span").distinct().count()
+        timed(
+            "streaming_span_dedup",
+            lambda: S.run_to_memory(
+                S.streaming_span_dedup(spark, docs_dir), "bench_sd"
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_sd").select("span").distinct().count(),
+            ),
         )
 
-        t0 = time.time()
-        S.run_to_memory(
-            S.streaming_minhash_dedup(spark, docs_dir), "bench_mh"
-        )
-        dt = time.time() - t0
-        out["streaming_minhash_dedup"] = round(dt, 3)
-        artifacts["streaming_minhash_dedup_rows_per_sec"] = int(n_docs / dt)
-        artifacts["streaming_minhash_dedup_state_rows"] = (
-            spark.table("bench_mh")
-            .select("band_idx", "band_key").distinct().count()
-        )
-
-        t0 = time.time()
-        S.run_to_memory(S.streaming_funnel(spark, ev_dir), "bench_fn")
-        dt = time.time() - t0
-        out["streaming_funnel"] = round(dt, 3)
-        artifacts["streaming_funnel_rows_per_sec"] = int(n_ev / dt)
-        artifacts["streaming_funnel_state_rows"] = (
-            spark.table("bench_fn").select("user_id").distinct().count()
+        timed(
+            "streaming_minhash_dedup",
+            lambda: S.run_to_memory(
+                S.streaming_minhash_dedup(spark, docs_dir), "bench_mh"
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_mh").select("band_idx", "band_key")
+                .distinct().count(),
+            ),
         )
 
-        t0 = time.time()
-        S.run_to_memory(
-            S.streaming_rolling_anomaly(spark, ev_dir), "bench_an",
-            output_mode="append",
+        timed(
+            "streaming_funnel",
+            lambda: S.run_to_memory(
+                S.streaming_funnel(spark, ev_dir), "bench_fn"
+            ),
+            n_ev,
+            lambda: (
+                "state_rows",
+                spark.table("bench_fn").select("user_id")
+                .distinct().count(),
+            ),
         )
-        dt = time.time() - t0
-        out["streaming_rolling_anomaly"] = round(dt, 3)
-        artifacts["streaming_rolling_anomaly_rows_per_sec"] = int(n_ev / dt)
-        artifacts["streaming_rolling_anomaly_flags"] = (
-            spark.table("bench_an").count()
+
+        timed(
+            "streaming_rolling_anomaly",
+            lambda: S.run_to_memory(
+                S.streaming_rolling_anomaly(spark, ev_dir), "bench_an",
+                output_mode="append",
+            ),
+            n_ev,
+            lambda: ("flags", spark.table("bench_an").count()),
         )
 
         orders = read_table(spark, SF_DIR, "orders")
@@ -440,13 +489,17 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         orders.repartition(8).write.mode("overwrite").parquet(ord_dir)
         n_ord = spark.read.parquet(ord_dir).count()
 
-        t0 = time.time()
-        S.run_to_memory(S.streaming_latest_state(spark, ord_dir), "bench_cdc")
-        dt = time.time() - t0
-        out["streaming_latest_state"] = round(dt, 3)
-        artifacts["streaming_latest_state_rows_per_sec"] = int(n_ord / dt)
-        artifacts["streaming_latest_state_state_rows"] = (
-            spark.table("bench_cdc").select("o_custkey").distinct().count()
+        timed(
+            "streaming_latest_state",
+            lambda: S.run_to_memory(
+                S.streaming_latest_state(spark, ord_dir), "bench_cdc"
+            ),
+            n_ord,
+            lambda: (
+                "state_rows",
+                spark.table("bench_cdc").select("o_custkey")
+                .distinct().count(),
+            ),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -483,9 +536,13 @@ def main() -> None:
 
     # warm the JVM/Python bridge once so per-query numbers measure the
     # query, not session startup.
-    REGISTRY["count_lineitem"][0](spark, SF_DIR).count()
+    try:
+        REGISTRY["count_lineitem"][0](spark, SF_DIR).count()
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["warmup"] = f"{type(e).__name__}: {e}"[:300]
 
     timings: dict[str, float] = {}
+    artifacts: dict[str, int] = {}
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
@@ -494,20 +551,33 @@ def main() -> None:
         # timed runs — the steady state a recurring production query
         # actually pays (one post-warm run still carries JIT tiering
         # noise: q1 measured 0.87/0.72/0.65 on consecutive runs)
-        _materialize(builder(spark, SF_DIR))
-        t0 = time.time()
-        _materialize(builder(spark, SF_DIR))
-        t1 = time.time()
-        _materialize(builder(spark, SF_DIR))
-        timings[name] = round(min(t1 - t0, time.time() - t1), 3)
+        try:
+            _materialize(builder(spark, SF_DIR))
+            t0 = time.time()
+            _materialize(builder(spark, SF_DIR))
+            t1 = time.time()
+            _materialize(builder(spark, SF_DIR))
+            timings[name] = round(min(t1 - t0, time.time() - t1), 3)
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS[name] = f"{type(e).__name__}: {e}"[:300]
+    _flush_partial(timings, artifacts, "headline")
 
-    artifacts: dict[str, int] = {}
-    stream_t = _streaming_benches(spark, artifacts)
-    geo_t = _geo_benches(spark, artifacts)
-    src_t = _source_benches(spark, artifacts)
-    timings.update(stream_t)
-    timings.update(geo_t)
-    timings.update(src_t)
+    # each section guarded AND flushed: a section-setup crash records
+    # an error row and moves on; a hard kill loses at most one section
+    stream_t: dict[str, float] = {}
+    geo_t: dict[str, float] = {}
+    src_t: dict[str, float] = {}
+    for sect_name, sink, fn in (
+        ("streaming", stream_t, _streaming_benches),
+        ("geo", geo_t, _geo_benches),
+        ("sources", src_t, _source_benches),
+    ):
+        try:
+            sink.update(fn(spark, artifacts))
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS[f"section_{sect_name}"] = f"{type(e).__name__}: {e}"[:300]
+        timings.update(sink)
+        _flush_partial(timings, artifacts, sect_name)
 
     # noise gate: any entry >1.3x its prior-round record gets a second
     # measurement pass late in the run (headline queries individually,
@@ -521,23 +591,28 @@ def main() -> None:
     if suspect:
         print(f"# re-measuring {len(suspect)} noisy entries: "
               f"{sorted(suspect)}", file=sys.stderr)
-        for name in sorted(suspect & set(HEADLINE) & set(REGISTRY)):
-            builder, _ = REGISTRY[name]
-            t0 = time.time()
-            _materialize(builder(spark, SF_DIR))
-            timings[name] = min(timings[name], round(time.time() - t0, 3))
-        rerun_art: dict[str, int] = {}
-        for sect_t, fn in (
-            (stream_t, _streaming_benches),
-            (geo_t, lambda s, a: _geo_benches(s, a, archival=False)),
-            (src_t, _source_benches),
-        ):
-            if suspect & set(sect_t):
-                for k, v in fn(spark, rerun_art).items():
-                    timings[k] = min(timings[k], v)
-        for k, v in rerun_art.items():
-            if k.endswith("_per_sec"):
-                artifacts[k] = max(artifacts.get(k, 0), v)
+        try:
+            for name in sorted(suspect & set(HEADLINE) & set(REGISTRY)):
+                builder, _ = REGISTRY[name]
+                t0 = time.time()
+                _materialize(builder(spark, SF_DIR))
+                timings[name] = min(
+                    timings[name], round(time.time() - t0, 3)
+                )
+            rerun_art: dict[str, int] = {}
+            for sect_t, fn in (
+                (stream_t, _streaming_benches),
+                (geo_t, lambda s, a: _geo_benches(s, a, archival=False)),
+                (src_t, _source_benches),
+            ):
+                if suspect & set(sect_t):
+                    for k, v in fn(spark, rerun_art).items():
+                        timings[k] = min(timings[k], v)
+            for k, v in rerun_art.items():
+                if k.endswith("_per_sec"):
+                    artifacts[k] = max(artifacts.get(k, 0), v)
+        except Exception as e:  # noqa: BLE001 — keep first-pass data
+            ERRORS["noise_gate"] = f"{type(e).__name__}: {e}"[:300]
 
     result = {
         "metric": "suite_wall_sec",
@@ -546,6 +621,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+    if ERRORS:
+        result["errors"] = ERRORS
 
     # The driver records only the TAIL of stdout: BENCH_r04.json lost
     # 16/62 query timings because one fat JSON line (queries +

@@ -1503,3 +1503,84 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R8_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R8_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-10 window rotation (VERDICT r9 item 2: the declared r9 rotation
+# never ran — queries.py was byte-identical to r8, so the driver
+# re-scored the identical 50-query window).
+#
+# Window policy (unchanged since r3): new queries front, then the
+# oldest-scored cohort. After r9 the latest driver score per query is:
+# r3 ×9 + r4 ×2 (the long-stale leftovers below), r6 ×49, r7 ×47,
+# r9 ×50. The 11 stale queries lead; the r6 cohort fills the rest of
+# the 50-slot window (10 r6 leftovers — similarity_pq_adc/_rerank,
+# source_cap_sample, spatial_nearest_neighbor, supplier_copurchase_*,
+# text_repetition, text_unigram_surprisal, training_data_prep_v2,
+# training_shards — rotate in r11 together with the r7 cohort).
+# New r10 queries are inserted at the head as they land.
+# ---------------------------------------------------------------------------
+
+_R10_FRONT = (
+    # stale: last scored r3/r4
+    "approx_distinct_customers",
+    "count_distinct_customers",
+    "geo_core_type_count",
+    "geo_source_counts",
+    "geo_total_count",
+    "multimodal_frame_sample",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "source_id_extract",
+    "stratified_sample",
+    "union_all_names",
+    # the r6 cohort, oldest-first fill
+    "bpe_segment_stats",
+    "bpe_train_merges",
+    "cdc_latest_state",
+    "cohort_retention",
+    "customer_spend_rank",
+    "dedup_embedding_lsh_audit",
+    "dedup_spans",
+    "embedding_dim_stats",
+    "event_pattern_match",
+    "events_rolling_anomaly",
+    "funnel_events",
+    "geo_area_stats",
+    "geo_flip_sources",
+    "geo_geohash_census",
+    "geo_heatmap",
+    "geo_simplify_stats",
+    "geo_spatial_clusters",
+    "geo_tile_census",
+    "h3_children_rollup",
+    "h3_parent_rollup",
+    "hex_heatmap",
+    "io_geojsonl_scan",
+    "mixture_sample",
+    "multimodal_ahash_groups",
+    "multimodal_ahash_near_pairs",
+    "multimodal_feature_norms",
+    "multimodal_resize",
+    "multimodal_spectral",
+    "pagerank_trade",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "quality_deciles",
+    "scd2_intervals",
+    "semdedup",
+    "sequence_pack",
+    "similarity_ivfpq",
+)
+
+assert len(_R10_FRONT) == 50, len(_R10_FRONT)
+assert all(k in REGISTRY for k in _R10_FRONT), [
+    k for k in _R10_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R10_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R10_FRONT},
+}

@@ -34,7 +34,7 @@ equivalence tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gis_etl_spark.io import read_table
@@ -787,17 +787,19 @@ def range_lookup_join(
       1. Collect the band dim to the driver (it is the BROADCAST side by
          contract — ≤ max_bands rows enforced) and validate the
          intervals are sorted and non-overlapping.
-      2. Compute each fact row's band index MAP-SIDE with an UNROLLED
-         BINARY SEARCH over the sorted lo-bound literal array: ⌈log2 n⌉
-         chained CASE halving steps (Shar's branchless form: pos starts
-         at −1 and greedily adds descending powers of two while
-         lo[pos+p] ≤ value), each a native conditional over `element_at`
-         on a constant-folded array — whole-stage codegen, zero shuffle,
-         zero Python, and O(log |bands|) comparisons per row (r9: was a
-         single `aggregate` HOF, i.e. O(|bands|) *interpreted* lambda
-         steps — at max_bands=10k that was the wrong 100 TB probe).
-      3. Validate value < hi[idx] (intervals may have gaps), then
-         broadcast-EQUI-join the band attributes on the index.
+      2. Compute each fact row's band index MAP-SIDE with a BINARY
+         SEARCH built as ONE nested-CASE expression tree: internal
+         nodes test `value >= lo[mid]`, leaves test `value < hi[leaf]`
+         (intervals may have gaps). Every boundary literal appears
+         EXACTLY ONCE, the whole probe is a single Project of O(n)
+         expression nodes evaluating O(log n) native comparisons per
+         row — zero shuffle, zero Python. (History: r8 used an
+         `aggregate` HOF — O(n) *interpreted* lambda steps per row; r9
+         used ⌈log2 n⌉ chained self-referencing CASE columns — correct
+         at 10 bands but Catalyst's project-collapse inlined the chain
+         combinatorially and the driver OOM'd at 2,000 bands. The tree
+         form has no self-reference, so there is nothing to inline.)
+      3. Broadcast-EQUI-join the band attributes on the index.
 
     At 100 TB the fact side never shuffles and never fans out, and the
     only join is a BroadcastHashJoin on a dense int key. `how='left'`
@@ -826,7 +828,7 @@ def range_lookup_join(
                 "exact boundary values — cast to double explicitly if "
                 "that is acceptable"
             )
-    reserved = {"_band_idx", "_rlj_pos"}
+    reserved = {"_band_idx"}
     clash = (set(fact.columns) | set(bands.columns)) & reserved
     if clash:
         raise ValueError(
@@ -859,33 +861,23 @@ def range_lookup_join(
         schema=["_band_idx", *bands.columns],
     )
     n = len(los)
-    lo_arr = F.array(*[F.lit(v) for v in los])
     v = F.col(value_col).cast("double")
-    # Shar binary search: pos = index of last lo ≤ v (−1 if none), built
-    # as chained single-assignment steps so each stage's expression is
-    # named once (Catalyst keeps non-cheap multiply-referenced exprs in
-    # their own Project instead of inlining — tree stays O(log n)).
-    probed = fact.withColumn("_rlj_pos", F.lit(-1))
-    for j in range(n.bit_length() - 1, -1, -1):
-        cand = F.col("_rlj_pos") + F.lit(1 << j)
-        # clamp the element_at index so the out-of-range branch never
-        # dereferences past the array under ANSI mode
-        probe_lo = F.element_at(
-            lo_arr, F.least(cand + F.lit(1), F.lit(n))
+
+    # Nested-CASE binary-search tree. Invariant at node [a, b): the
+    # caller established los[a] <= v, so the leaf only needs the hi
+    # check — `when(v < his[a], a)` yields NULL for gap values, and a
+    # NULL v falls through every `when` to the outer NULL. Each of the
+    # 2n-1 nodes is built once; the tree is a single expression in a
+    # single Project, so project-collapse has nothing to duplicate.
+    def _probe(a: int, b: int) -> Column:
+        if b - a == 1:
+            return F.when(v < F.lit(his[a]), F.lit(a))
+        m = (a + b) // 2
+        return F.when(v >= F.lit(los[m]), _probe(m, b)).otherwise(
+            _probe(a, m)
         )
-        probed = probed.withColumn(
-            "_rlj_pos",
-            F.when(
-                (cand < F.lit(n)) & (probe_lo <= v), cand
-            ).otherwise(F.col("_rlj_pos")),
-        )
-    hi_arr = F.array(*[F.lit(v_) for v_ in his])
-    pos = F.col("_rlj_pos")
-    in_band = (pos >= 0) & (
-        v < F.element_at(hi_arr, F.least(pos + 1, F.lit(n)))
-    )
-    probed = probed.withColumn(
-        "_band_idx", F.when(in_band, pos).otherwise(F.lit(None))
-    ).drop("_rlj_pos")
+
+    band_idx = F.when(v >= F.lit(los[0]), _probe(0, n))
+    probed = fact.withColumn("_band_idx", band_idx)
     joined = probed.join(F.broadcast(bands_idx), "_band_idx", how)
     return joined.drop("_band_idx")

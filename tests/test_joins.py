@@ -476,6 +476,61 @@ def test_range_lookup_rejects_bad_dims(spark, band_frames):
         range_lookup_join(fact, "v", big, "lo", "hi", max_bands=10)
 
 
+def test_range_lookup_2000_bands_correct_and_codegen(spark):
+    """The probe at REAL dimension size (2,000 bands): (a) band
+    assignment equals the closed-form answer on every row including
+    boundary/gap/out-of-range values; (b) the plan stays
+    BroadcastHashJoin with no Python and no nested-loop fallback;
+    (c) analysis+execution completes in bounded time — the r8
+    O(|bands|)-interpreted-HOF probe took minutes at this size."""
+    import time
+
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    n_bands = 2_000
+    # bands [10i, 10i+8) with a 2-wide gap between consecutive bands
+    bands = spark.createDataFrame(
+        [(i, i * 10.0, i * 10.0 + 8.0) for i in range(n_bands)],
+        schema=["band_id", "lo", "hi"],
+    )
+    # integer-valued doubles: fact value k → band k//10 iff k%10 < 8
+    fact = spark.range(0, 100_000).select(
+        F.col("id").alias("rid"),
+        # spread over [-5000, 25000): below, inside, in-gap, above
+        ((F.col("id") * 7919) % 30_000 - 5_000).cast("double").alias("v"),
+    )
+    t0 = time.time()
+    out = range_lookup_join(fact, "v", bands, "lo", "hi", how="left")
+    got = out.select(
+        "rid",
+        "v",
+        "band_id",
+    ).withColumn(
+        "want",
+        F.when(
+            (F.col("v") >= 0)
+            & (F.col("v") < n_bands * 10)
+            & (F.col("v") % 10 < 8),
+            (F.col("v") / 10).cast("int").cast("bigint"),
+        ),
+    )
+    n_bad = got.filter(
+        ~(
+            F.col("band_id").eqNullSafe(F.col("want"))
+        )
+    ).count()
+    wall = time.time() - t0
+    assert n_bad == 0
+    # loose ceiling: catches an O(n)-per-row or interpreted-fallback
+    # regression (minutes), not host noise
+    assert wall < 60, f"2000-band probe took {wall:.1f}s"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_range_lookup_plan_is_broadcast_hash(spark, band_frames):
     """The reason this operator exists: Spark plans the naive non-equi
     broadcast join as BroadcastNestedLoopJoin; the lookup must not."""

@@ -72,6 +72,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64  # tokens per chunk window
 CHUNK_STRIDE = 48  # window step → 16-token overlap between neighbors
 
+# DuckDB twin of _chunk_frame — shared CTE prefix for the
+# document_chunks and chunk_dedup_groups oracles (lists are 1-based:
+# list_slice bounds mirror Spark's F.slice(ws, idx*S + 1, C)).
+_CHUNK_CTE_SQL = f"""base AS (
+              SELECT doc_id, {WORDS_SQL} AS ws, len({WORDS_SQL}) AS n
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, ws, n,
+                     unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                       ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                                // {CHUNK_STRIDE} END)) AS chunk_idx
+              FROM base
+            ), chunks AS (
+              SELECT doc_id, chunk_idx,
+                     least({CHUNK_TOKENS},
+                           n - chunk_idx * {CHUNK_STRIDE}) AS n_tok,
+                     md5(array_to_string(
+                       list_slice(ws, chunk_idx * {CHUNK_STRIDE} + 1,
+                                  chunk_idx * {CHUNK_STRIDE}
+                                    + {CHUNK_TOKENS}),
+                       ' ')) AS chunk_md5
+              FROM idx
+            )"""
+
 
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking — the RAG-indexing / training
@@ -86,8 +110,15 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5. No shuffle at all until the caller aggregates, no Python, and
     chunking parallelism is per-document — a 100 TB corpus chunks
     map-side in one pass. Chunk identity = (doc_id, chunk_idx) plus a
-    content md5 so downstream chunk-level dedup (dedup_exact_groups
-    shape) composes directly."""
+    content md5 so downstream chunk-level dedup (chunk_dedup_groups)
+    composes directly."""
+    return _chunk_frame(spark, sf_dir).orderBy("doc_id", "chunk_idx")
+
+
+def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered (doc_id, chunk_idx, n_tok, chunk_md5) frame shared by
+    document_chunks (which presents it sorted) and chunk_dedup_groups
+    (which aggregates it — no point paying a sort the agg discards)."""
     docs = read_table(spark, sf_dir, "documents")
     C, S = CHUNK_TOKENS, CHUNK_STRIDE
     w = words_col(F.col("text"))
@@ -99,28 +130,57 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1) + F.expr(f"div(n - {C} + {S} - 1, {S})")
         ),
     )
+    return staged.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(C), F.col("n") - F.col("chunk_idx") * S
+        ).alias("n_tok"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C)
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level exact dedup — the C4-style boilerplate
+    kill composed directly on document_chunks output: every
+    CHUNK_TOKENS-token window whose content appears more than once
+    anywhere in the corpus collapses to one deterministic keeper (the
+    lexicographically-min (doc_id, chunk_idx) occurrence).
+
+    One hash-shuffle on chunk_md5 with map-side partial aggregation —
+    count / distinct-doc / min-struct all combine — then a post-agg
+    filter; no window function, no all-pairs. At 100 TB this is the
+    same single-agg shape as dedup_exact_groups applied one level below
+    the document, and the downstream kill is an anti-join of
+    (doc_id, chunk_idx) against the keeper set."""
+    chunks = _chunk_frame(spark, sf_dir)
     return (
-        staged.select(
-            "doc_id",
-            "ws",
-            "n",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n_chunks") - 1)
-            ).alias("chunk_idx"),
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("_k"),
         )
+        .filter(F.col("n_copies") > 1)
         .select(
-            "doc_id",
-            "chunk_idx",
-            F.least(
-                F.lit(C), F.col("n") - F.col("chunk_idx") * S
-            ).alias("n_tok"),
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C)
-                )
-            ).alias("chunk_md5"),
+            "chunk_md5",
+            "n_copies",
+            "n_docs",
+            F.col("_k.doc_id").alias("keeper_doc"),
+            F.col("_k.chunk_idx").alias("keeper_idx"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        .orderBy("chunk_md5")
     )
 
 
@@ -851,23 +911,29 @@ def oracle_sqls() -> dict[str, str]:
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25
         """,
         "document_chunks": f"""
-            WITH base AS (
-              SELECT doc_id, {w} AS ws, len({w}) AS n FROM documents
-            ), idx AS (
-              SELECT doc_id, ws, n,
-                     unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
-                       ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
-                                // {CHUNK_STRIDE} END)) AS chunk_idx
-              FROM base
+            WITH {_CHUNK_CTE_SQL}
+            SELECT doc_id, chunk_idx, n_tok, chunk_md5
+            FROM chunks ORDER BY doc_id, chunk_idx
+        """,
+        "chunk_dedup_groups": f"""
+            WITH {_CHUNK_CTE_SQL}, agg AS (
+              SELECT chunk_md5, count(*) AS n_copies,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM chunks GROUP BY chunk_md5 HAVING count(*) > 1
+            ), keeper AS (
+              SELECT chunk_md5, doc_id AS keeper_doc,
+                     chunk_idx AS keeper_idx
+              FROM (SELECT chunk_md5, doc_id, chunk_idx,
+                           row_number() OVER (
+                             PARTITION BY chunk_md5
+                             ORDER BY doc_id, chunk_idx) AS rn
+                    FROM chunks)
+              WHERE rn = 1
             )
-            SELECT doc_id, chunk_idx,
-                   least({CHUNK_TOKENS},
-                         n - chunk_idx * {CHUNK_STRIDE}) AS n_tok,
-                   md5(array_to_string(
-                     list_slice(ws, chunk_idx * {CHUNK_STRIDE} + 1,
-                                chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
-                     ' ')) AS chunk_md5
-            FROM idx ORDER BY doc_id, chunk_idx
+            SELECT a.chunk_md5, a.n_copies, a.n_docs,
+                   k.keeper_doc, k.keeper_idx
+            FROM agg a JOIN keeper k USING (chunk_md5)
+            ORDER BY a.chunk_md5
         """,
         "text_gopher_flags": f"""
             WITH tw AS (

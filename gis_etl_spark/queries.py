@@ -650,6 +650,12 @@ REGISTRY.update(
         # chunk identity — the oracle re-derives every window by list
         # slicing, so a hash match pins offsets, sizes, AND chunk text
         "document_chunks": (T.document_chunks, _TEXT_SQLS["document_chunks"]),
+        # chunk-level exact dedup composed on document_chunks: identical
+        # windows anywhere in the corpus collapse to a deterministic
+        # (min doc_id, min chunk_idx) keeper — C4-style boilerplate kill
+        "chunk_dedup_groups": (
+            T.chunk_dedup_groups, _TEXT_SQLS["chunk_dedup_groups"],
+        ),
         "tfidf_top_terms": (T.tfidf_top_terms, _TEXT_SQLS["tfidf_top_terms"]),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         # benchmark decontamination: eval-set 5-gram overlap audit
@@ -1521,6 +1527,8 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 
 _R10_FRONT = (
+    # new in r10 — score first
+    "chunk_dedup_groups",
     # stale: last scored r3/r4
     "approx_distinct_customers",
     "count_distinct_customers",
@@ -1572,7 +1580,6 @@ _R10_FRONT = (
     "scd2_intervals",
     "semdedup",
     "sequence_pack",
-    "similarity_ivfpq",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

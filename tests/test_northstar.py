@@ -902,3 +902,50 @@ def test_document_chunks_edge_lengths(spark, sf_dir):
     # sequential-reference agreement on every case
     for k, text in cases.items():
         assert [(i, n) for i, n, _ in _ref_chunks(text)] == got[k]
+
+
+def test_chunk_dedup_groups_keeper_and_counts(spark):
+    """Chunk-level dedup on a crafted corpus: a 64-token window shared
+    by three docs (one of them twice, via an exact-stride repeat)
+    collapses to the lexicographically-min (doc_id, chunk_idx) keeper
+    with the right copy/doc counts; unique chunks don't appear."""
+    import pandas as pd
+
+    C, S = T.CHUNK_TOKENS, T.CHUNK_STRIDE
+    boiler = " ".join(f"b{i}" for i in range(C))  # the shared window
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    cases = {
+        # doc 3: boilerplate at chunk 0 AND repeated at an exact stride
+        # boundary — [S*2 : S*2+C] must reproduce the same window, so
+        # pad the gap between copies with S tokens then re-emit
+        3: boiler + " " + uniq("x", 2 * S - C) + " " + boiler
+        if 2 * S > C
+        else boiler + " " + boiler,
+        # doc 5: boilerplate as its only (full) chunk
+        5: boiler,
+        # doc 7: unique text only — must not appear in output
+        7: uniq("z", C),
+    }
+    pdf = pd.DataFrame(
+        {"doc_id": list(cases), "text": [cases[k] for k in cases]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    import gis_etl_spark.ops.text as tx
+
+    orig = tx.read_table
+    tx.read_table = lambda sp, sd, name: df
+    try:
+        rows = tx.chunk_dedup_groups(spark, "unused").collect()
+    finally:
+        tx.read_table = orig
+    # exactly one duplicated group: the boilerplate window
+    import hashlib
+
+    boiler_md5 = hashlib.md5(boiler.encode()).hexdigest()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["chunk_md5"] == boiler_md5
+    assert r["n_copies"] == 3  # doc3 ×2 (chunk 0 and chunk 2) + doc5
+    assert r["n_docs"] == 2
+    assert (r["keeper_doc"], r["keeper_idx"]) == (3, 0)

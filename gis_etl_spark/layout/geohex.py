@@ -738,6 +738,83 @@ def hex_cell_select_sql(
     """
 
 
+def hex_export_select_sql(fine_sql: str, res: int) -> str:
+    """DuckDB twin of the hex_export_arrow stage over a subquery
+    producing (cell, num_recs): SELECT cell, num_recs,
+    round(center_lat, 6), round(center_lng, 6), boundary WKT.
+
+    Operation-order clone of hex_center_np / hex_boundary_wkt_np:
+    decode (face, i, j) → center (u, w) via the axial-inverse matrix,
+    per-face constants from the faces VALUES CTE, inverse gnomonic
+    p = c + (u+du)·e1 + (w+dw)·e2 normalized to the sphere, corners
+    rendered printf('%.7f %.7f') lng-lat with corner 6 = corner 0.
+    asin/atan2/sqrt resolve to the same correctly-rounded libm results
+    the numpy kernel produces on this platform (the existing
+    hex_cell_select_sql precedent already pins cos/sin parity), and
+    the 7-decimal rendering absorbs any residual ulp."""
+    b00, b01, b10, b11 = _axial_inv(res)
+    corners = _corners(res)
+
+    # per-corner p-vector columns (corner index 6 reuses 0); 'c' is the
+    # zero-offset center for center_lat/lng
+    def pcols() -> str:
+        cols = []
+        for tag, du, dw in [("c", 0.0, 0.0)] + [
+            (str(k), du, dw) for k, (du, dw) in enumerate(corners)
+        ]:
+            uu = "u" if du == 0.0 else f"(u + {du!r})"
+            ww = "w" if dw == 0.0 else f"(w + {dw!r})"
+            for comp in ("x", "y", "z"):
+                cols.append(
+                    f"(c{comp} + {uu} * e1{comp} + {ww} * e2{comp}) "
+                    f"AS p{tag}{comp}"
+                )
+        return ",\n                 ".join(cols)
+
+    def ll(tag: str) -> tuple[str, str]:
+        norm = (
+            f"sqrt(p{tag}x * p{tag}x + p{tag}y * p{tag}y "
+            f"+ p{tag}z * p{tag}z)"
+        )
+        lat = f"(asin(p{tag}z / {norm}) * {RAD2DEG!r})"
+        lng = f"(atan2(p{tag}y, p{tag}x) * {RAD2DEG!r})"
+        return lat, lng
+
+    corner_strs = []
+    for k in list(range(6)) + [0]:
+        lat, lng = ll(str(k))
+        corner_strs.append(f"printf('%.7f %.7f', {lng}, {lat})")
+    ring = " || ', ' || ".join(corner_strs)
+    clat, clng = ll("c")
+    return f"""
+        WITH {faces_cte_sql()},
+        fine AS ({fine_sql}),
+        dec AS (
+          SELECT cell, num_recs,
+                 ((cell >> 52) & 63) AS fid,
+                 (((cell >> 26) & {_IJ_SPAN - 1}) - {_IJ_OFF})::DOUBLE AS i,
+                 ((cell & {_IJ_SPAN - 1}) - {_IJ_OFF})::DOUBLE AS j
+          FROM fine
+        ),
+        uvw AS (
+          SELECT cell, num_recs, fid,
+                 (i * {b00!r} + j * {b01!r}) AS u,
+                 (i * {b10!r} + j * {b11!r}) AS w
+          FROM dec
+        ),
+        pv AS (
+          SELECT cell, num_recs,
+                 {pcols()}
+          FROM uvw JOIN faces f ON f.fid = uvw.fid
+        )
+        SELECT cell, num_recs,
+               round({clat}, 6) AS center_lat,
+               round({clng}, 6) AS center_lng,
+               ('POLYGON ((' || {ring} || '))') AS boundary
+        FROM pv ORDER BY cell
+    """
+
+
 def hex_parent_sql(cell_expr: str, child_res: int, parent_res: int) -> str:
     """Inline ANSI twin of hex_parent (no face join needed — pure
     arithmetic on the packed id)."""

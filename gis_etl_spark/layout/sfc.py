@@ -314,6 +314,30 @@ def grid_parent_sql(cell_expr: str, parent_res: int) -> str:
     return grid_cell_sql(lat, lng, parent_res)
 
 
+def grid_cell_boundary_wkt_sql(cell_expr: str) -> str:
+    """ANSI/DuckDB twin of grid_cell_boundary_wkt — same arithmetic in
+    the same association order (BIGINT ix/iy · DOUBLE pitch, x1/y1 as
+    x0/y0 + pitch), rendered with printf('%.7f'). Exact decimal ties
+    at the 8th digit are impossible for binary doubles (5·10⁻⁸ is not
+    dyadic), so HALF_UP (JVM) and round-half-even (printf) agree."""
+    res = f"(({cell_expr}) >> 58)"
+    pitch = f"({BASE_PITCH_RES7!r} * pow({_SQRT7!r}, 7 - {res}))"
+    ix = f"((({cell_expr}) >> 29) & {(1 << 29) - 1})"
+    iy = f"(({cell_expr}) & {(1 << 29) - 1})"
+    x0 = f"(({ix}) * {pitch} - 180.0)"
+    y0 = f"(({iy}) * {pitch} - 90.0)"
+    x1 = f"(({x0}) + {pitch})"
+    y1 = f"(({y0}) + {pitch})"
+
+    def pt(x: str, y: str) -> str:
+        return f"printf('%.7f', {x}) || ' ' || printf('%.7f', {y})"
+
+    ring = " || ', ' || ".join(
+        [pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0)]
+    )
+    return f"('POLYGON ((' || {ring} || '))')"
+
+
 def grid_cell_boundary_wkt(cell: Column) -> Column:
     """Cell id → boundary polygon WKT, native string expressions
     (H3_CELL_TO_BOUNDARY_WKT, East-Asia-Building-Footprints.md:264).

@@ -561,7 +561,9 @@ def geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def geo_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heatmap export with antimeridian guard + boundary WKT
-    (East-Asia-…md:263-273)."""
+    (East-Asia-…md:263-273). Oracle-paired since r10: the boundary
+    string is pure arithmetic + printf, re-derived in SQL by
+    grid_cell_boundary_wkt_sql, so a hash match pins the full WKT."""
     return P.heatmap_export(_read(spark), res=7).orderBy("cell")
 
 
@@ -647,10 +649,12 @@ def hex_heatmap_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hex_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hex heatmap with cell centers + hexagon boundary WKT
-    (H3_CELL_TO_BOUNDARY_WKT shape, East-Asia-…md:264-268). Rows-only:
-    the centers/boundaries invert the gnomonic projection with
-    asin/atan2 whose cross-engine printf parity isn't guaranteed;
-    geometric invariants are pytest-covered (tests/test_layout.py)."""
+    (H3_CELL_TO_BOUNDARY_WKT shape, East-Asia-…md:264-268).
+    Oracle-paired since r10: hex_export_select_sql re-derives the
+    inverse gnomonic (same constants, same association order) in
+    DuckDB; the 7-decimal printf rendering absorbs residual libm ulp,
+    so a hash match pins centers AND the full boundary ring.
+    Geometric invariants remain pytest-covered (tests/test_layout.py)."""
     from gis_etl_spark.layout.geohex import hex_export_arrow
 
     cells = hex_heatmap(spark, sf_dir)
@@ -913,8 +917,10 @@ def oracle_sqls() -> dict[str, str]:
     from gis_etl_spark.layout.geohex import (
         hex_cell_select_sql,
         hex_disk_sql,
+        hex_export_select_sql,
         hex_parent_sql,
     )
+    from gis_etl_spark.layout.sfc import grid_cell_boundary_wkt_sql
 
     from gis_etl_spark.fixtures import ensure_buildings_edges
 
@@ -1107,6 +1113,23 @@ def oracle_sqls() -> dict[str, str]:
             WHERE bb.geom IS NOT NULL
             GROUP BY 1 ORDER BY 1
         """,
+        "geo_heatmap_export": f"""
+            WITH fine AS (
+              SELECT {cell} AS cell, count(*)::INT AS num_recs
+              FROM {b} bb JOIN {e} e USING (building_id)
+              WHERE bb.geom IS NOT NULL
+                AND e.cx < 175.0 AND e.cx > -175.0  -- antimeridian guard
+              GROUP BY 1
+            )
+            SELECT cell, num_recs,
+                   {grid_cell_boundary_wkt_sql('cell')} AS boundary
+            FROM fine ORDER BY cell
+        """,
+        "hex_heatmap_export": hex_export_select_sql(
+            f"SELECT cell, count(*) AS num_recs FROM ({hex_pts}) hp "
+            "GROUP BY 1",
+            7,
+        ),
         "hex_heatmap": f"""
             SELECT cell, count(*) AS num_recs
             FROM ({hex_pts}) hp

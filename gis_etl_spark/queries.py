@@ -567,12 +567,16 @@ REGISTRY.update(
             G.gpkg_heatmap_roundtrip, _GEO_SQLS["gpkg_heatmap_roundtrip"],
         ),
         "gdb_scan_oids": (G.gdb_scan_oids, _GEO_SQLS["gdb_scan_oids"]),
-        "geo_heatmap_export": (G.geo_heatmap_export, None),
+        "geo_heatmap_export": (
+            G.geo_heatmap_export, _GEO_SQLS["geo_heatmap_export"],
+        ),
         "geo_centroid_containment": (
             G.geo_centroid_containment,
             _GEO_SQLS["geo_centroid_containment"],
         ),
-        "hex_heatmap_export": (G.hex_heatmap_export, None),
+        "hex_heatmap_export": (
+            G.hex_heatmap_export, _GEO_SQLS["hex_heatmap_export"],
+        ),
         # r8: oracle-paired — Skilling transform unrolled in SQL over
         # the golden centroid table (was rows-only "oracle lacks
         # lindel"; lindel parity stays a non-goal, the oracle is the
@@ -1527,8 +1531,11 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 
 _R10_FRONT = (
-    # new in r10 — score first
+    # new/upgraded in r10 — score first (the export twins were
+    # rows-only since r2; now oracle-paired via boundary-WKT SQL twins)
     "chunk_dedup_groups",
+    "geo_heatmap_export",
+    "hex_heatmap_export",
     # stale: last scored r3/r4
     "approx_distinct_customers",
     "count_distinct_customers",
@@ -1578,8 +1585,6 @@ _R10_FRONT = (
     "q17_small_quantity_revenue",
     "quality_deciles",
     "scd2_intervals",
-    "semdedup",
-    "sequence_pack",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

@@ -263,9 +263,94 @@ def _geo_benches(
             artifacts["merge_compact_archival_bytes_50k"] = tree_bytes(
                 "archival"
             )
+            # compression/clustering envelope vs the reference's one
+            # hard number (81 GB -> 14 GB, BASELINE.md): the SAME keyed
+            # 50k slice written at the archival policy (zstd-22,
+            # ~15k-row groups) clustered vs unclustered, then the
+            # standard 1-degree bbox probe counted in prunable row
+            # groups via parquet min/max stats on the sort key.
+            try:
+                _compression_envelope(spark, src, tmp, tree_bytes, artifacts)
+            except Exception as e:  # noqa: BLE001 — bench must survive
+                ERRORS["compression_envelope"] = (
+                    f"{type(e).__name__}: {e}"[:300]
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _compression_envelope(
+    spark, src, tmp: str, tree_bytes, artifacts: dict[str, int]
+) -> None:
+    """clustered_bytes / unclustered_bytes / rg_pruned artifacts
+    (VERDICT r9 item 6). Both trees carry identical columns (hkey
+    included) at the identical writer policy — the ONLY difference is
+    the Hilbert sort — so the byte delta is the clustering effect on
+    zstd's context, and the row-group delta is the locality effect."""
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from gis_etl_spark.io import ZSTD_ARCHIVAL_LEVEL, write_clustered_parquet
+    from gis_etl_spark.pipelines.buildings import with_centroid, with_hilbert_key
+
+    keyed = with_hilbert_key(
+        src.filter(F.col("geom").isNotNull()).limit(50_000)
+    )
+    # 20 output splits either way (range-partitioned on hkey vs round-
+    # robin) so both trees expose the same stats granularity to the
+    # pruning probe; a single 50k-row file would hide the locality win
+    # behind 3-5 coarse row groups
+    write_clustered_parquet(
+        keyed,
+        os.path.join(tmp, "env_clustered"),
+        sort_col="hkey",
+        num_files=20,
+        zstd_level=ZSTD_ARCHIVAL_LEVEL,
+    )
+    write_clustered_parquet(
+        keyed.repartition(20),
+        os.path.join(tmp, "env_unclustered"),
+        sort_col=None,
+        zstd_level=ZSTD_ARCHIVAL_LEVEL,
+    )
+    artifacts["clustered_bytes"] = tree_bytes("env_clustered")
+    artifacts["unclustered_bytes"] = tree_bytes("env_unclustered")
+
+    # standard bbox probe: the 1°×1° cell at the corpus median centroid
+    # → its [min, max] hkey envelope (conservative interval hull), then
+    # count row groups a stats-pruning scan could skip in each layout
+    pts = with_centroid(keyed.select("geom", "hkey")).select(
+        "hkey",
+        F.col("centroid").getField("x").alias("cx"),
+        F.col("centroid").getField("y").alias("cy"),
+    )
+    mx, my = (
+        pts.approxQuantile("cx", [0.5], 0.01)[0],
+        pts.approxQuantile("cy", [0.5], 0.01)[0],
+    )
+    x0, y0 = float(int(mx)), float(int(my))
+    box = pts.filter(
+        F.col("cx").between(x0, x0 + 1.0) & F.col("cy").between(y0, y0 + 1.0)
+    ).agg(F.min("hkey").alias("lo"), F.max("hkey").alias("hi")).collect()[0]
+    qlo, qhi = box["lo"], box["hi"]
+    for sub in ("env_clustered", "env_unclustered"):
+        spans = []
+        for fpath in glob.glob(os.path.join(tmp, sub, "part-*.parquet")):
+            md = _pq.ParquetFile(fpath).metadata
+            sch = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            ci = sch["hkey"]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                spans.append((st.min, st.max))
+        tag = sub.replace("env_", "")
+        artifacts[f"rg_total_{tag}"] = len(spans)
+        artifacts[f"rg_pruned_{tag}"] = sum(
+            1 for s, e in spans if e < qlo or s > qhi
+        )
 
 
 def _source_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
@@ -506,6 +591,85 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
     return out
 
 
+def _scale_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
+    """bloom_semi_join on a NON-broadcastable dim (VERDICT r9 item 7 /
+    r8 item 7): broadcast disabled for the section so both twins face
+    the plan a too-big-to-broadcast dim forces at 100 TB — the plain
+    semi-join shuffles every fact row into a sort-merge join; the Bloom
+    path shuffles only prune survivors (true matches + false
+    positives). The candidate count IS the fact-side shuffle volume, so
+    the reduction factor lands in artifacts alongside both wall times
+    and an equality check of the two results."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.scale import bloom_prune, bloom_semi_join
+
+    out: dict[str, float] = {}
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # selective dim: one nation's customers (~4% of orders match) — the
+    # shape where Bloom pruning pays; a 50% dim would cap the win at 2x
+    dim = read_table(spark, SF_DIR, "customer").filter(
+        F.col("c_nationkey") == 7
+    )
+
+    conf_keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in conf_keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            saved[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        n_fact = orders.count()
+        artifacts["bloom_semi_fact_rows"] = n_fact
+        artifacts["bloom_semi_dim_rows"] = dim.count()
+
+        plain = orders.join(
+            dim.select(F.col("c_custkey").alias("_vkey")).distinct(),
+            orders["o_custkey"] == F.col("_vkey"),
+            "left_semi",
+        )
+        bloom = bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+
+        def steady(label: str, fn) -> None:
+            try:
+                fn()
+                t0 = time.time()
+                fn()
+                t1 = time.time()
+                fn()
+                out[label] = round(min(t1 - t0, time.time() - t1), 3)
+            except Exception as e:  # noqa: BLE001 — bench must survive
+                ERRORS[label] = f"{type(e).__name__}: {e}"[:300]
+
+        steady("plain_semi_bigdim", plain.count)
+        steady("bloom_semi_bigdim", bloom.count)
+
+        n_cand = bloom_prune(orders, dim, "o_custkey", "c_custkey").count()
+        n_match = bloom.count()
+        artifacts["bloom_semi_candidate_rows"] = n_cand
+        artifacts["bloom_semi_match_rows"] = n_match
+        artifacts["bloom_semi_shuffle_reduction_x"] = (
+            int(n_fact / n_cand) if n_cand else -1
+        )
+        if n_match != plain.count():
+            ERRORS["bloom_semi_equivalence"] = (
+                f"bloom={n_match} plain rows differ"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 def _prior_round_timings() -> dict[str, float]:
     """Per-query timings from the latest recorded driver round
     (BENCH_r{N}.json), used as the noise reference: an entry whose
@@ -567,10 +731,12 @@ def main() -> None:
     stream_t: dict[str, float] = {}
     geo_t: dict[str, float] = {}
     src_t: dict[str, float] = {}
+    scale_t: dict[str, float] = {}
     for sect_name, sink, fn in (
         ("streaming", stream_t, _streaming_benches),
         ("geo", geo_t, _geo_benches),
         ("sources", src_t, _source_benches),
+        ("scale", scale_t, _scale_benches),
     ):
         try:
             sink.update(fn(spark, artifacts))
@@ -604,6 +770,7 @@ def main() -> None:
                 (stream_t, _streaming_benches),
                 (geo_t, lambda s, a: _geo_benches(s, a, archival=False)),
                 (src_t, _source_benches),
+                (scale_t, _scale_benches),
             ):
                 if suspect & set(sect_t):
                     for k, v in fn(spark, rerun_art).items():

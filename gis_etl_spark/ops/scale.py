@@ -167,19 +167,34 @@ def bloom_semi_join(
         )
     _check_reserved(fact, "fact")
     _check_reserved(dim, "dim")
+    candidates = bloom_prune(fact, dim, fact_key, dim_key, n_words)
+    dim_keys = dim.select(F.col(dim_key).alias("_vkey")).distinct()
+    return candidates.join(
+        dim_keys, candidates[fact_key] == dim_keys["_vkey"], "left_semi"
+    )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_words: int = 1 << 12,
+) -> DataFrame:
+    """Phase 1 of bloom_semi_join alone: the map-side SBBF prune —
+    fact rows whose key block passes the Bloom test (true matches plus
+    the filter's false positives, no false negatives). Exposed so the
+    bench can measure exactly how many rows survive the prune — i.e.
+    the fact-side rows that would pay the verify join's shuffle."""
     blocks = bloom_build(dim, dim_key, n_words)
     probe = _bloom_parts(fact, fact_key).withColumn(
         "_bword",
         F.pmod(F.xxhash64(F.col(fact_key), F.lit(0xB10C)), F.lit(n_words)),
     )
-    candidates = (
+    return (
         probe.join(F.broadcast(blocks), "_bword", "inner")
         .filter(F.col("_bloom").bitwiseAND(F.col("_bmask")) == F.col("_bmask"))
         .drop("_bword", "_bmask", "_bloom")
-    )
-    dim_keys = dim.select(F.col(dim_key).alias("_vkey")).distinct()
-    return candidates.join(
-        dim_keys, candidates[fact_key] == dim_keys["_vkey"], "left_semi"
     )
 
 

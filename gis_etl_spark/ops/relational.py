@@ -522,6 +522,68 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 256  # sketch size: rel. std error ≈ 1/sqrt(K-1) ≈ 6.3%
+
+
+def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002) — the
+    deterministic, ENGINE-PORTABLE counterpart of
+    approx_distinct_customers: estimate = (K-1)·2^60 / h_K where h_K is
+    the K-th smallest distinct 60-bit md5-derived key hash. Unlike the
+    built-in HLL (whose sketch internals differ per engine, forcing a
+    rows-only check), every step here — md5, hex→int, DISTINCT, global
+    top-K, one division — is identical ANSI arithmetic in Spark and
+    DuckDB, so the estimate hash-matches exactly.
+
+    Scale shape: the hash projects map-side; DISTINCT on the 60-bit
+    hash is a well-distributed partial-agg shuffle (no key skew by
+    construction); the top-K is TakeOrdered (per-partition K then
+    driver merge of n_part·K values), never a global sort. When fewer
+    than K distinct keys exist the sketch degrades to the exact count,
+    per the standard KMV rule."""
+    o = read_table(spark, sf_dir, "orders")
+    k = KMV_K
+    hashes = o.select(
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    ).distinct()
+    topk = hashes.orderBy("h").limit(k)
+    return topk.agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
+    ).select(
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1) * 2.0**60) / F.col("kth_hash")
+            ).cast("bigint")
+        )
+        .alias("est_customers"),
+    )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM orders
+), topk AS (
+  SELECT h FROM h ORDER BY h LIMIT {KMV_K}
+)
+SELECT count(*) AS n_kept, max(h) AS kth_hash,
+       CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE CAST(floor({float(KMV_K - 1) * 2.0**60!r} / max(h))
+                      AS BIGINT) END AS est_customers
+FROM topk
+"""
+
+
 def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via Spark's NATIVE session_window (30-min
     gap) — same semantics as the lag+cumsum formulation

@@ -424,6 +424,12 @@ FROM lineitem GROUP BY 1 ORDER BY 1
     # (count_distinct_customers) is oracle-checked and pytest bounds
     # the approximation error
     "approx_distinct_customers": (R.approx_distinct_customers, None),
+    # the deterministic engine-portable sketch twin: KMV over 60-bit
+    # md5 hashes — identical arithmetic both engines, so unlike the
+    # HLL entry above this one hash-matches exactly
+    "kmv_distinct_customers": (
+        R.kmv_distinct_customers, R.KMV_DISTINCT_SQL,
+    ),
     "orders_with_heavy_items_sql": (R.orders_with_heavy_items_sql, """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
@@ -1536,6 +1542,7 @@ _R10_FRONT = (
     "chunk_dedup_groups",
     "geo_heatmap_export",
     "hex_heatmap_export",
+    "kmv_distinct_customers",
     # stale: last scored r3/r4
     "approx_distinct_customers",
     "count_distinct_customers",
@@ -1584,7 +1591,6 @@ _R10_FRONT = (
     "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
     "quality_deciles",
-    "scd2_intervals",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

@@ -303,6 +303,24 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_kmv_distinct_within_bounds(spark, sf_dir):
+    """KMV estimate within 4/sqrt(K-1) of exact (≈4 sigma), and exact
+    by the degradation rule when distinct count < K."""
+    from gis_etl_spark.ops.relational import (
+        KMV_K,
+        count_distinct_customers,
+        kmv_distinct_customers,
+    )
+
+    exact = count_distinct_customers(spark, sf_dir).first()[0]
+    row = kmv_distinct_customers(spark, sf_dir).first()
+    if exact < KMV_K:
+        assert row["est_customers"] == exact
+    else:
+        rel = abs(row["est_customers"] - exact) / exact
+        assert rel < 4.0 / (KMV_K - 1) ** 0.5, (row, exact)
+
+
 def test_idempotent_write(bdf, tmp_path):
     out = str(tmp_path / "idem")
     df = bdf.select("building_id").limit(10)

@@ -189,21 +189,33 @@ def _shingle_hashes(df: DataFrame) -> DataFrame:
 
 
 def minhash_signature_arrow(df: DataFrame) -> DataFrame:
-    """doc_id → m0..m{k-1} minhash columns — the VECTORIZED stateless
-    stage: shingle hashing stays JVM-side (one interpreted transform,
-    md5 bit-identical to _minhash_signatures / the DuckDB oracle), then
-    ONE mapInPandas hop computes all 16 permutation lanes in numpy —
-    the whole Arrow batch's hashes concatenate into a single int64
-    vector, each lane is one (a·H+b) % P broadcast plus a segmented
-    np.minimum.reduceat, so per-doc Python cost is ~zero. Bit-equal to
-    minhash_signature_narrow (a < 2^31 and h < 2^31 ⇒ a·h+b < 2^63:
-    no int64 overflow; both operands nonnegative ⇒ numpy % == SQL %).
+    """doc_id → m0..m{k-1} minhash columns — the FULLY-VECTORIZED
+    stateless stage: ONE mapInPandas hop does shingling, md5 hashing
+    AND all 16 permutation lanes. Bit-equal to
+    minhash_signature_narrow / _minhash_signatures / the DuckDB oracle:
+    same ' +'-split tokens of the space-trimmed text, same word-trigram
+    shingles, same h60 = int(md5_hex[:15], 16) % P31 (hashlib.md5 over
+    UTF-8 == Spark md5 == DuckDB md5), same (a·h+b) mod P31 lanes
+    (a, h < 2^31 ⇒ no int64 overflow; both operands nonnegative ⇒
+    numpy % == SQL %), same <3-token drop.
+
+    Why hashlib and not the JVM expression chain: the per-shingle
+    `transform(sh, w -> conv(substring(md5(w),1,15),16,10) % P)` is a
+    CodegenFallback higher-order function — measured ~20 µs per
+    shingle (9.2 s of the 10.3 s batch wall at 50k docs; r9 blamed the
+    16 lane traversals, but the shingle HASHING was the bottleneck —
+    sig_narrow and the r9 half-Arrow form profiled within 2% of each
+    other). hashlib.md5 on short byte strings runs ~1 µs, and the lane
+    math is one (a·H+b) % P broadcast plus a segmented
+    np.minimum.reduceat per lane. A per-batch text→hashes memo also
+    collapses repeated documents — precisely the duplicate-heavy
+    traffic a dedup stream exists to absorb.
 
     Stream-legal: mapInPandas is stateless, so a structured stream's
-    one stateful-operator budget stays free for the bucket store. The
-    narrow variant's 16 interpreted HOF traversals per row were the
-    measured streaming throughput bottleneck; this replaces them with
-    16 vectorized passes per Arrow batch."""
+    one stateful-operator budget stays free for the bucket store."""
+    import re
+    from hashlib import md5 as _md5
+
     import pandas as pd
 
     a_vec = np.asarray(MINHASH_A, dtype=np.int64)
@@ -211,28 +223,60 @@ def minhash_signature_arrow(df: DataFrame) -> DataFrame:
     out_schema = "doc_id long, " + ", ".join(
         f"m{j} long" for j in range(N_HASHES)
     )
+    split = re.compile(" +").split
+
+    def _doc_hashes(text: str) -> np.ndarray:
+        # Spark F.trim strips SPACES only — match with strip(' ')
+        ws = split(text.strip(" "))
+        if len(ws) < 3:
+            return _EMPTY_I64
+        sh = {
+            " ".join(ws[i : i + 3]): None for i in range(len(ws) - 2)
+        }
+        return np.fromiter(
+            (
+                int(_md5(s.encode("utf-8")).hexdigest()[:15], 16) % P31
+                for s in sh
+            ),
+            dtype=np.int64,
+            count=len(sh),
+        )
 
     def _lanes(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
+            memo: dict[str, np.ndarray] = {}
+            ids, segs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hs = memo.get(text)
+                if hs is None:
+                    hs = _doc_hashes(text)
+                    memo[text] = hs
+                if len(hs):
+                    ids.append(doc_id)
+                    segs.append(hs)
+            if not ids:
+                continue
             lens = np.fromiter(
-                (len(x) for x in pdf["hs"]), dtype=np.int64, count=len(pdf)
+                (len(s) for s in segs), dtype=np.int64, count=len(segs)
             )
-            hs_all = np.concatenate(
-                [np.asarray(x, dtype=np.int64) for x in pdf["hs"]]
-            )
-            # upstream filter guarantees every segment is non-empty
+            hs_all = np.concatenate(segs)
             starts = np.concatenate(
                 ([0], np.cumsum(lens[:-1], dtype=np.int64))
             )
-            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            out = {"doc_id": np.asarray(ids, dtype=np.int64)}
             for j in range(N_HASHES):
                 perm = (a_vec[j] * hs_all + b_vec[j]) % P31
                 out[f"m{j}"] = np.minimum.reduceat(perm, starts)
             yield pd.DataFrame(out)
 
-    return _shingle_hashes(df).mapInPandas(_lanes, schema=out_schema)
+    return df.select("doc_id", "text").mapInPandas(
+        _lanes, schema=out_schema
+    )
+
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:

@@ -131,6 +131,9 @@ HEADLINE = [
     "bloom_semi_orders",
     "price_band_revenue",
     "document_chunks",
+    # round 10: chunk-level dedup composition + KMV distinct sketch
+    "chunk_dedup_groups",
+    "kmv_distinct_customers",
 ]
 
 

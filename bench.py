@@ -684,17 +684,22 @@ def _prior_round_timings() -> dict[str, float]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(_g.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return {}
-    try:
-        with open(files[-1]) as f:
-            d = json.load(f)
-        # the driver wraps the parsed JSON line under "parsed"
-        return (d.get("parsed") or {}).get("queries") or d.get(
-            "queries"
-        ) or {}
-    except (OSError, ValueError):
-        return {}
+    # newest round with USABLE timings: a crashed round's artifact
+    # (parsed=null, e.g. BENCH_r09) must not disable the gate for the
+    # whole next round — walk back until a non-empty queries dict
+    for path in reversed(files):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            # the driver wraps the parsed JSON line under "parsed"
+            q = (d.get("parsed") or {}).get("queries") or d.get(
+                "queries"
+            ) or {}
+            if q:
+                return q
+        except (OSError, ValueError):
+            continue
+    return {}
 
 
 def main() -> None:

@@ -476,6 +476,49 @@ def test_range_lookup_rejects_bad_dims(spark, band_frames):
         range_lookup_join(fact, "v", big, "lo", "hi", max_bands=10)
 
 
+def test_range_lookup_random_fractional_bands_match_nonequi(spark):
+    """Randomized fractional boundaries at several band counts
+    (including n=1 and a non-power-of-two): the tree probe must equal
+    the naive non-equi join exactly, with fact values sampled ON the
+    lo/hi boundaries as well as inside gaps and outside the range."""
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    rng = np.random.default_rng(23)
+    for n_bands in (1, 2, 37):
+        edges = np.sort(rng.uniform(-1e4, 1e4, 2 * n_bands))
+        los, his = edges[0::2], edges[1::2]
+        bands = spark.createDataFrame(
+            pd.DataFrame(
+                {"bid": np.arange(n_bands), "lo": los, "hi": his}
+            )
+        )
+        vals = np.concatenate(
+            [
+                rng.uniform(-1.2e4, 1.2e4, 2000),
+                los,  # exactly on every lo (inclusive)
+                his,  # exactly on every hi (exclusive)
+            ]
+        )
+        fact = spark.createDataFrame(
+            pd.DataFrame({"rid": np.arange(len(vals)), "v": vals})
+        )
+        got = (
+            range_lookup_join(fact, "v", bands, "lo", "hi", how="left")
+            .select("rid", "bid")
+            .collect()
+        )
+        want = (
+            fact.join(
+                bands,
+                (fact["v"] >= bands["lo"]) & (fact["v"] < bands["hi"]),
+                "left",
+            )
+            .select("rid", "bid")
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), n_bands
+
+
 def test_range_lookup_2000_bands_correct_and_codegen(spark):
     """The probe at REAL dimension size (2,000 bands): (a) band
     assignment equals the closed-form answer on every row including

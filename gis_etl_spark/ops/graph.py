@@ -221,3 +221,186 @@ def pagerank_trade_sql() -> str:
         FROM r{PR_ITERS}
         ORDER BY rank_units DESC, node_id
     """
+
+
+# --- triangle counting (degree-ordered) ------------------------------------
+
+TRI_EDGE_FACTOR = 5  # sparsifier keeps top 5·|suppliers| edges
+TRI_TOP_N = 20
+_TRI_ORD = 1 << 32  # ord = deg·2^32 + node: a total (degree, id) order
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the supplier co-purchase similarity graph —
+    the canonical motif count, in the degree-ordered formulation that
+    survives scale [beyond-reference].
+
+    Stage 1 — deterministic sparsification. The raw co-purchase
+    projection of a uniform corpus is near-COMPLETE (measured C(n,2)
+    edges at both bench SFs), where triangle counting is degenerate
+    and Θ(n³). Keep the top TRI_EDGE_FACTOR·|supplier| edges by
+    (n_shared DESC, sa, sb) — the k-NN-style similarity-graph
+    sparsification; the order is total, so both engines keep the
+    identical edge set. In Spark this is a TakeOrdered (per-partition
+    top-m + driver merge), never a global sort.
+
+    Stage 2 — degree-ordered triangle counting (the MapReduce-classic
+    trick): orient every edge from its (degree, id)-smaller endpoint
+    to the larger, packed as one int64 `ord = deg·2^32 + id`. Each
+    triangle then has exactly ONE out-degree-2 apex, so wedges
+    (u→v, u→w with ord_v < ord_w) joined against the oriented closing
+    edge (v→w) count each triangle exactly once, and the wedge volume
+    is Σ out_deg² ≤ m·√(2m) instead of Σ deg² — the hub that breaks
+    the naive formulation is precisely the node the orientation
+    de-fans. Both joins are equi-joins; no CartesianProduct.
+
+    Output: top-TRI_TOP_N suppliers by (triangles DESC, suppkey) with
+    degree — a total order, so LIMIT is deterministic cross-engine.
+    """
+    from gis_etl_spark.ops.relational import supplier_copurchase_pairs
+
+    n_sup = read_table(spark, sf_dir, "supplier").count()
+    m = TRI_EDGE_FACTOR * n_sup
+    pairs = supplier_copurchase_pairs(spark, sf_dir)
+    edges = (
+        pairs.orderBy(F.desc("n_shared"), "sa", "sb")
+        .limit(m)
+        .select("sa", "sb")
+    )
+    return (
+        triangle_census(edges)
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("deg").alias("degree"),
+            "triangles",
+        )
+        .orderBy(F.desc("triangles"), "suppkey")
+        .limit(TRI_TOP_N)
+    )
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected (sa < sb, distinct)
+    edge frame — the degree-ordered stage of copurchase_triangles,
+    exposed for direct testing on crafted graphs. Returns
+    (s, deg, triangles) for every node in ≥1 triangle, unordered."""
+    deg = (
+        edges.select(F.col("sa").alias("v"))
+        .unionAll(edges.select(F.col("sb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    e2 = (
+        edges.join(
+            deg.select(
+                F.col("v").alias("sa"),
+                (F.col("deg") * _TRI_ORD + F.col("v")).alias("orda"),
+            ),
+            "sa",
+        )
+        .join(
+            deg.select(
+                F.col("v").alias("sb"),
+                (F.col("deg") * _TRI_ORD + F.col("v")).alias("ordb"),
+            ),
+            "sb",
+        )
+    )
+    lt = F.col("orda") < F.col("ordb")
+    oriented = e2.select(
+        F.when(lt, F.col("sa")).otherwise(F.col("sb")).alias("src"),
+        F.when(lt, F.col("sb")).otherwise(F.col("sa")).alias("dst"),
+        F.greatest("orda", "ordb").alias("od"),
+    )
+    w1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("od").alias("ov"),
+    )
+    w2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("od").alias("ow"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = (
+        w1.join(w2, "u")
+        .filter(F.col("ov") < F.col("ow"))
+        .join(closing, ["v", "w"])
+    )
+    pern = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return pern.join(deg.select(F.col("v").alias("s"), "deg"), "s")
+
+
+def copurchase_triangles_sql() -> str:
+    """DuckDB twin: identical sparsification order (row_number over the
+    same total order stands in for the TakeOrdered) and identical
+    degree-ordered counting arithmetic."""
+    from gis_etl_spark.ops.relational import (
+        _COPURCHASE_CS_SQL,
+        COPURCHASE_HUB_CAP,
+        COPURCHASE_MIN_SHARED,
+    )
+
+    return f"""
+        WITH cs AS (
+          {_COPURCHASE_CS_SQL}
+        ), dg0 AS (
+          SELECT c, count(*) AS k FROM cs GROUP BY c
+        ), kept AS (
+          SELECT cs.c, cs.s FROM cs JOIN dg0 USING (c)
+          WHERE k <= {COPURCHASE_HUB_CAP}
+        ), pairs AS (
+          SELECT a.s AS sa, b.s AS sb, count(*) AS n_shared
+          FROM kept a JOIN kept b USING (c)
+          WHERE a.s < b.s
+          GROUP BY a.s, b.s
+          HAVING count(*) >= {COPURCHASE_MIN_SHARED}
+        ), ranked AS (
+          SELECT sa, sb,
+                 row_number() OVER (ORDER BY n_shared DESC, sa, sb) AS rn
+          FROM pairs
+        ), edges AS (
+          SELECT sa, sb FROM ranked
+          WHERE rn <= {TRI_EDGE_FACTOR} * (SELECT count(*) FROM supplier)
+        ), dg AS (
+          SELECT v, count(*) AS deg FROM (
+            SELECT sa AS v FROM edges
+            UNION ALL SELECT sb AS v FROM edges
+          ) GROUP BY v
+        ), e2 AS (
+          SELECT sa, sb,
+                 da.deg * {_TRI_ORD} + sa AS orda,
+                 db.deg * {_TRI_ORD} + sb AS ordb
+          FROM edges
+          JOIN dg da ON da.v = sa
+          JOIN dg db ON db.v = sb
+        ), oriented AS (
+          SELECT CASE WHEN orda < ordb THEN sa ELSE sb END AS src,
+                 CASE WHEN orda < ordb THEN sb ELSE sa END AS dst,
+                 greatest(orda, ordb) AS od
+          FROM e2
+        ), tri AS (
+          SELECT w1.u, w1.v, w2.w
+          FROM (SELECT src AS u, dst AS v, od AS ov FROM oriented) w1
+          JOIN (SELECT src AS u, dst AS w, od AS ow FROM oriented) w2
+            USING (u)
+          JOIN (SELECT src AS v, dst AS w FROM oriented) cl
+            ON cl.v = w1.v AND cl.w = w2.w
+          WHERE ov < ow
+        ), pern AS (
+          SELECT s, count(*)::BIGINT AS triangles FROM (
+            SELECT u AS s FROM tri
+            UNION ALL SELECT v AS s FROM tri
+            UNION ALL SELECT w AS s FROM tri
+          ) GROUP BY s
+        )
+        SELECT s AS suppkey, deg AS degree, triangles
+        FROM pern JOIN dg ON dg.v = s
+        ORDER BY triangles DESC, suppkey
+        LIMIT {TRI_TOP_N}
+    """

@@ -720,6 +720,12 @@ REGISTRY.update(
         # 3 unrolled iterations, every rank an exact int64 — the
         # iterative-algorithm-on-Spark shape with a hash-checkable result
         "pagerank_trade": (GR.pagerank_trade, GR.pagerank_trade_sql()),
+        # degree-ordered triangle census over the deterministically
+        # sparsified (top 5·|V| by shared-customer count) co-purchase
+        # similarity graph — wedge volume m·sqrt(2m), never Σ deg²
+        "copurchase_triangles": (
+            GR.copurchase_triangles, GR.copurchase_triangles_sql(),
+        ),
     }
 )
 
@@ -1540,6 +1546,7 @@ _R10_FRONT = (
     # new/upgraded in r10 — score first (the export twins were
     # rows-only since r2; now oracle-paired via boundary-WKT SQL twins)
     "chunk_dedup_groups",
+    "copurchase_triangles",
     "geo_heatmap_export",
     "hex_heatmap_export",
     "kmv_distinct_customers",
@@ -1590,7 +1597,6 @@ _R10_FRONT = (
     "q13_order_count_distribution",
     "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
-    "quality_deciles",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

@@ -164,3 +164,46 @@ def test_star_contraction_equals_fixpoint_and_beats_diameter(spark, sf_dir):
     got = labels_of(label_components_stars(path))
     assert got == {(i, 0) for i in range(121)}
     assert _STAR_ROUNDS["last"] <= 12, _STAR_ROUNDS["last"]
+
+
+def test_triangle_census_matches_brute_force(spark):
+    """Degree-ordered triangle census vs an O(n³) brute force on (a) a
+    known hand graph (K4 + pendant + disjoint triangle) and (b) a
+    seeded random graph — per-node counts must match exactly and
+    triangle-free nodes must be absent."""
+    import itertools
+
+    import numpy as np
+
+    def brute(edges):
+        es = set(map(tuple, edges))
+        nodes = sorted({x for e in edges for x in e})
+        cnt = {v: 0 for v in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (a, b) in es and (b, c) in es and (a, c) in es:
+                cnt[a] += 1
+                cnt[b] += 1
+                cnt[c] += 1
+        return {v: k for v, k in cnt.items() if k}
+
+    hand = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4: 4 tris
+        (4, 9),                                           # pendant
+        (5, 6), (5, 7), (6, 7),                           # disjoint tri
+    ]
+    rng = np.random.default_rng(7)
+    rand = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, 30, (200, 2))
+            if a != b
+            for a, b in [(min(a, b), max(a, b))]
+        }
+    )
+    for edges in (hand, rand):
+        df = spark.createDataFrame(edges, schema=["sa", "sb"])
+        got = {
+            r["s"]: r["triangles"]
+            for r in G.triangle_census(df).collect()
+        }
+        assert got == brute(edges), edges is hand

@@ -385,6 +385,50 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+II_TOP_K = 5  # champion-list length per token
+II_MIN_DF = 5  # index only tokens appearing in >= this many docs
+
+
+def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list inverted index — the retrieval-prep complement of
+    tfidf_top_terms (that one is doc→terms; this is token→docs): for
+    every token with document frequency ≥ II_MIN_DF, the top II_TOP_K
+    postings by (tf DESC, doc_id) plus the token's df and corpus tf.
+    Emitted FLAT (one row per token, rank) so the cross-engine value
+    hash pins every posting; the (tf, doc_id) order is total, so rank
+    is deterministic.
+
+    Scale shape: explode → (token, doc) partial-agg count → per-token
+    window top-k. The window partitions by token (millions of
+    partitions, no global skew: a stop-word's postings are capped by
+    the top-k, and the df/tf aggregates are partial before shuffle).
+    This is how champion lists (Manning IR §7.1.3) are built for a
+    100 TB corpus: one shuffle for tf, one for the per-token window."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    tf = terms.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.sum("tf").cast("long").alias("corpus_tf"),
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.desc("tf"), F.asc("doc_id")
+    )
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= II_TOP_K
+    )
+    return (
+        ranked.join(stats, "token")
+        .filter(F.col("df") >= II_MIN_DF)
+        .select("token", "df", "corpus_tf", "rank", "doc_id", "tf")
+        .orderBy("token", "rank")
+    )
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, fully relational: explode → tf per (doc, term) → idf by
     document frequency → top-3 terms per doc by tf·idf. Two shuffles
@@ -909,6 +953,27 @@ def oracle_sqls() -> dict[str, str]:
             SELECT token, count(*) AS cnt
             FROM (SELECT unnest({w}) AS token FROM documents)
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25
+        """,
+        "inverted_index_topk": f"""
+            WITH terms AS (
+              SELECT doc_id, unnest({w}) AS token FROM documents
+            ), tf AS (
+              SELECT token, doc_id, count(*) AS tf
+              FROM terms GROUP BY token, doc_id
+            ), stats AS (
+              SELECT token, count(DISTINCT doc_id) AS df,
+                     sum(tf)::BIGINT AS corpus_tf
+              FROM tf GROUP BY token
+            ), ranked AS (
+              SELECT token, doc_id, tf,
+                     row_number() OVER (PARTITION BY token
+                                        ORDER BY tf DESC, doc_id) AS rank
+              FROM tf
+            )
+            SELECT r.token, s.df, s.corpus_tf, r.rank, r.doc_id, r.tf
+            FROM ranked r JOIN stats s USING (token)
+            WHERE r.rank <= {II_TOP_K} AND s.df >= {II_MIN_DF}
+            ORDER BY r.token, r.rank
         """,
         "document_chunks": f"""
             WITH {_CHUNK_CTE_SQL}

@@ -667,6 +667,11 @@ REGISTRY.update(
             T.chunk_dedup_groups, _TEXT_SQLS["chunk_dedup_groups"],
         ),
         "tfidf_top_terms": (T.tfidf_top_terms, _TEXT_SQLS["tfidf_top_terms"]),
+        # token→docs champion lists (Manning IR §7.1.3): flat
+        # (token, rank) rows so the value hash pins every posting
+        "inverted_index_topk": (
+            T.inverted_index_topk, _TEXT_SQLS["inverted_index_topk"],
+        ),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         # benchmark decontamination: eval-set 5-gram overlap audit
         "decontaminate_overlap": (
@@ -1549,6 +1554,7 @@ _R10_FRONT = (
     "copurchase_triangles",
     "geo_heatmap_export",
     "hex_heatmap_export",
+    "inverted_index_topk",
     "kmv_distinct_customers",
     # stale: last scored r3/r4
     "approx_distinct_customers",
@@ -1596,7 +1602,6 @@ _R10_FRONT = (
     "q12_priority_by_returnflag",
     "q13_order_count_distribution",
     "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

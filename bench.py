@@ -131,9 +131,12 @@ HEADLINE = [
     "bloom_semi_orders",
     "price_band_revenue",
     "document_chunks",
-    # round 10: chunk-level dedup composition + KMV distinct sketch
+    # round 10: chunk-level dedup, KMV sketch, triangle census,
+    # champion-list inverted index
     "chunk_dedup_groups",
     "kmv_distinct_customers",
+    "copurchase_triangles",
+    "inverted_index_topk",
 ]
 
 

@@ -249,6 +249,10 @@ def minhash_signature_arrow(df: DataFrame) -> DataFrame:
             memo: dict[str, np.ndarray] = {}
             ids, segs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL text has no shingles — same drop as the JVM
+                # path's size(sh) > 0 filter (split(trim(NULL)) → NULL)
+                if not isinstance(text, str):
+                    continue
                 hs = memo.get(text)
                 if hs is None:
                     hs = _doc_hashes(text)

@@ -156,7 +156,11 @@ def test_minhash_signature_arrow_bit_parity(spark, sf_dir):
     docs = spark.read.parquet(ensure_documents_aug())
     # include pathological short docs to pin the drop semantics
     extra = spark.createDataFrame(
-        [(900001, "one two", "en", "t", 7), (900002, "", "en", "t", 0)],
+        [
+            (900001, "one two", "en", "t", 7),
+            (900002, "", "en", "t", 0),
+            (900003, None, "en", "t", 0),  # NULL text must drop, not crash
+        ],
         docs.schema,
     )
     docs = docs.unionByName(extra)
@@ -171,8 +175,8 @@ def test_minhash_signature_arrow_bit_parity(spark, sf_dir):
     narrow = _rows(D.minhash_signature_narrow(docs))
     batch = _rows(D._minhash_signatures(docs))
     assert arrow == narrow == batch
-    assert 900001 not in arrow and 900002 not in arrow
-    assert len(arrow) == docs.count() - 2
+    assert not {900001, 900002, 900003} & set(arrow)
+    assert len(arrow) == docs.count() - 3
 
 
 def test_quality_scores_bounded(spark, sf_dir):

@@ -543,15 +543,24 @@ def kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the standard KMV rule."""
     o = read_table(spark, sf_dir, "orders")
     k = KMV_K
-    hashes = o.select(
-        F.conv(
-            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
-            16,
-            10,
+    # NULL keys hash to NULL and must be excluded explicitly: Spark
+    # sorts NULL first ascending, DuckDB last — a null reaching the
+    # top-K would silently diverge the two engines
+    hashes = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("o_custkey").cast("string")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h")
         )
-        .cast("bigint")
-        .alias("h")
-    ).distinct()
+        .distinct()
+    )
     topk = hashes.orderBy("h").limit(k)
     return topk.agg(
         F.count("*").alias("n_kept"), F.max("h").alias("kth_hash")
@@ -572,7 +581,7 @@ KMV_DISTINCT_SQL = f"""
 WITH h AS (
   SELECT DISTINCT
          ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL
 ), topk AS (
   SELECT h FROM h ORDER BY h LIMIT {KMV_K}
 )

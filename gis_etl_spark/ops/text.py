@@ -385,6 +385,48 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to the lookahead-free subset
+# so Java regex (Spark) and RE2 (DuckDB) match identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. (The original GPT-2 pattern's trailing (?!\S)
+# lookahead is NOT RE2-expressible and is dropped; that branch only
+# re-splits whitespace preceding EOS.)
+BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+"
+    "| ?\\p{N}+"
+    "| ?[^\\s\\p{L}\\p{N}]+"
+    "|\\s+"
+)
+
+
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the BPE-ish regex pre-tokenizer vs plain
+    whitespace — the two tokenizer cost models a training-data pipeline
+    budgets with (whitespace undercounts punctuation-heavy text; the
+    pre-tokenizer count is the upper bound on BPE sequence length).
+    Per doc: both counts plus their ratio; all map-side (one regex pass
+    per row inside codegen, no shuffle until the final sort)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    re_toks = F.regexp_extract_all(
+        F.col("text"), F.lit(BPE_PRETOKEN_RE), 0
+    )
+    # whitespace runs are pre-tokenizer bookkeeping, not tokens — count
+    # the non-blank matches
+    nb = F.size(
+        F.filter(re_toks, lambda t: F.trim(t) != F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens_ws"),
+        nb.alias("n_tokens_re"),
+        F.round(
+            nb.cast("double") / F.size(w).cast("double"), 4
+        ).alias("re_per_ws"),
+    ).orderBy("doc_id")
+
+
 II_TOP_K = 5  # champion-list length per token
 II_MIN_DF = 5  # index only tokens appearing in >= this many docs
 
@@ -916,6 +958,19 @@ def oracle_sqls() -> dict[str, str]:
                    round(length(replace(trim(text), ' ', ''))
                          / len({w}), 4) AS avg_token_len
             FROM documents
+        """,
+        "regex_token_stats": f"""
+            WITH m AS (
+              SELECT doc_id, len({w}) AS n_ws,
+                     len(list_filter(
+                       regexp_extract_all(text,
+                         '{BPE_PRETOKEN_RE.replace("'", "''")}'),
+                       x -> trim(x) != '')) AS n_re
+              FROM documents
+            )
+            SELECT doc_id, n_ws AS n_tokens_ws, n_re AS n_tokens_re,
+                   round(n_re::DOUBLE / n_ws::DOUBLE, 4) AS re_per_ws
+            FROM m ORDER BY doc_id
         """,
         "text_quality_scores": f"""
             WITH s AS (

@@ -647,6 +647,11 @@ _TEXT_SQLS = T.oracle_sqls()
 REGISTRY.update(
     {
         "text_token_stats": (T.text_token_stats, _TEXT_SQLS["text_token_stats"]),
+        # BPE-ish regex pre-tokenizer counts (lookahead-free GPT-2
+        # subset, identical in Java regex and RE2) vs whitespace
+        "regex_token_stats": (
+            T.regex_token_stats, _TEXT_SQLS["regex_token_stats"],
+        ),
         "text_quality_scores": (
             T.text_quality_scores, _TEXT_SQLS["text_quality_scores"],
         ),
@@ -1556,6 +1561,7 @@ _R10_FRONT = (
     "hex_heatmap_export",
     "inverted_index_topk",
     "kmv_distinct_customers",
+    "regex_token_stats",
     # stale: last scored r3/r4
     "approx_distinct_customers",
     "count_distinct_customers",
@@ -1601,7 +1607,6 @@ _R10_FRONT = (
     "q11_important_parts",
     "q12_priority_by_returnflag",
     "q13_order_count_distribution",
-    "q16_supplier_part_variety",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

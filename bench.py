@@ -540,6 +540,19 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         timed(
+            "streaming_chunk_dedup",
+            lambda: S.run_to_memory(
+                S.streaming_chunk_dedup(spark, docs_dir), "bench_cd"
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_cd").select("chunk_md5")
+                .distinct().count(),
+            ),
+        )
+
+        timed(
             "streaming_minhash_dedup",
             lambda: S.run_to_memory(
                 S.streaming_minhash_dedup(spark, docs_dir), "bench_mh"

@@ -119,7 +119,13 @@ def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered (doc_id, chunk_idx, n_tok, chunk_md5) frame shared by
     document_chunks (which presents it sorted) and chunk_dedup_groups
     (which aggregates it — no point paying a sort the agg discards)."""
-    docs = read_table(spark, sf_dir, "documents")
+    return chunk_select(read_table(spark, sf_dir, "documents"))
+
+
+def chunk_select(docs: DataFrame) -> DataFrame:
+    """The chunking expression applied to ANY (doc_id, text) frame —
+    pure select/explode (stateless, stream-legal), shared by the batch
+    chunk frame and streaming_chunk_dedup."""
     C, S = CHUNK_TOKENS, CHUNK_STRIDE
     w = words_col(F.col("text"))
     staged = docs.select(

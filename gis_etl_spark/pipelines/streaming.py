@@ -485,6 +485,51 @@ def streaming_span_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def streaming_chunk_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming chunk-level dedup — the stateful twin of
+    ops.text.chunk_dedup_groups (same CHUNK_TOKENS/CHUNK_STRIDE
+    overlapping windows via the shared chunk_select expression, same
+    min-(doc_id, chunk_idx) keeper): each arriving document's chunks
+    upsert their window's (n_copies, keeper). Sub-document
+    dedup-on-arrival one level below streaming_span_dedup's disjoint
+    spans: the overlapping-window rendition a RAG-index ingest runs,
+    state = one row per DISTINCT chunk content hash, never a reshuffle
+    of history.
+
+    Same native-stateful-agg shape as the exact/span twins: chunking
+    is pure select/explode (stateless, stream-legal), and the per-hash
+    (count, min-struct) state is associative, so the final census
+    equals the batch twin bit-for-bit under ANY micro-batch slicing.
+    A downstream consumer keeps an arriving chunk iff the upsert names
+    it as its own keeper."""
+    from gis_etl_spark.ops.text import chunk_select
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    chunks = chunk_select(stream)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("d"),
+                    F.col("chunk_idx").alias("c"),
+                )
+            ).alias("keeper"),
+        )
+        .select(
+            "chunk_md5",
+            "n_copies",
+            F.col("keeper.d").alias("keep_doc_id"),
+            F.col("keeper.c").cast("int").alias("keep_chunk_idx"),
+        )
+    )
+
+
 def streaming_minhash_dedup(
     spark: SparkSession, input_dir: str
 ) -> DataFrame:

@@ -671,3 +671,63 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
     assert got == exp
     # the corpus's injected near-dups must actually collide somewhere
     assert any(n > 1 for n, _ in got.values())
+
+
+def test_streaming_chunk_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming chunk-level dedup == the batch chunk census: feed the
+    documents in 3 micro-batches and require the final per-chunk-hash
+    (n_copies, keeper) state to equal a sequential reference built
+    with the same overlapping-window chunker — duplicate chunks
+    straddle batch boundaries by construction."""
+    import hashlib
+    import re
+    import time
+
+    from gis_etl_spark.ops.text import CHUNK_STRIDE, CHUNK_TOKENS
+    from gis_etl_spark.pipelines import streaming as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "cd_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate(chunks):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"cd_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_chunk_dedup(spark, flat), name, output_mode="update"
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("chunk_md5").tail(1).set_index("chunk_md5")
+    got = {
+        h: (int(r.n_copies), int(r.keep_doc_id), int(r.keep_chunk_idx))
+        for h, r in last.iterrows()
+    }
+
+    C, St = CHUNK_TOKENS, CHUNK_STRIDE
+    exp: dict[str, tuple[int, int, int]] = {}
+    for r in rows:
+        if r.text is None:
+            continue
+        toks = re.split(" +", r.text.strip(" "))
+        n = len(toks)
+        n_chunks = 1 if n <= C else 1 + -(-(n - C) // St)
+        for ci in range(n_chunks):
+            h = hashlib.md5(
+                " ".join(toks[ci * St : ci * St + C]).encode()
+            ).hexdigest()
+            if h in exp:
+                cnt, kd, kc = exp[h]
+                exp[h] = (cnt + 1, *min((kd, kc), (r.doc_id, ci)))
+            else:
+                exp[h] = (1, r.doc_id, ci)
+    assert got == exp

@@ -132,11 +132,12 @@ HEADLINE = [
     "price_band_revenue",
     "document_chunks",
     # round 10: chunk-level dedup, KMV sketch, triangle census,
-    # champion-list inverted index
+    # champion-list inverted index, hash-sampled quantiles
     "chunk_dedup_groups",
     "kmv_distinct_customers",
     "copurchase_triangles",
     "inverted_index_topk",
+    "sampled_price_quantiles",
 ]
 
 

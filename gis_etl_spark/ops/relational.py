@@ -593,6 +593,98 @@ FROM topk
 """
 
 
+SAMPLE_MOD = 16  # deterministic 1/16 hash sample
+
+
+def sampled_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled exact-rank quantiles — the deterministic,
+    ENGINE-PORTABLE counterpart of approx percentile sketches
+    (t-digest / GK internals differ per engine, forcing rows-only
+    checks; reference exposes quantile pragmas via its SQL engine).
+    Sample lineitem at 1/SAMPLE_MOD by a 60-bit md5-derived row-key
+    hash (stable across engines AND across runs — the same rows are
+    always in the sample), then per return flag select the p25/p50/p75
+    prices at INTEGER ranks floor((n-1)·p)+1 of the totally-ordered
+    sample. No interpolation: every output is a value present in the
+    data, so the cross-engine hash-match is bit-exact on doubles.
+
+    Scale shape: the hash filter is map-side (a 100 TB scan keeps
+    1/16 — raise SAMPLE_MOD to bound the sample absolutely); the only
+    shuffle is the per-group sort of the SAMPLE, whose size the
+    modulus controls, never the raw table. Rank selection via one
+    window pass + partial agg — no second shuffle. The tie-break
+    (price, orderkey, linenumber) makes the total order — and hence
+    the selected quantile row — unique and deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    s = (
+        li.filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_linenumber").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+        )
+        .filter(h % SAMPLE_MOD == 0)
+        .select(
+            "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = s.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def _at(p: float) -> F.Column:
+        # quarters are exact in binary, so floor((n-1)*p) agrees
+        # bit-for-bit with DuckDB's decimal arithmetic
+        rank = F.floor((F.col("n") - 1) * F.lit(p)) + 1
+        return F.min(
+            F.when(F.col("rn") == rank, F.col("l_extendedprice"))
+        )
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n_sample"),
+            _at(0.25).alias("p25"),
+            _at(0.5).alias("p50"),
+            _at(0.75).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SAMPLED_QUANTILES_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    AND ('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+                            || l_linenumber::VARCHAR), 1, 15))::BIGINT
+        % {SAMPLE_MOD} = 0
+)
+SELECT l_returnflag, max(n)::BIGINT AS n_sample,
+       min(CASE WHEN rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1
+                THEN l_extendedprice END) AS p25,
+       min(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+                THEN l_extendedprice END) AS p50,
+       min(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1
+                THEN l_extendedprice END) AS p75
+FROM s GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via Spark's NATIVE session_window (30-min
     gap) — same semantics as the lag+cumsum formulation

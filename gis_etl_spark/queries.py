@@ -430,6 +430,14 @@ FROM lineitem GROUP BY 1 ORDER BY 1
     "kmv_distinct_customers": (
         R.kmv_distinct_customers, R.KMV_DISTINCT_SQL,
     ),
+    # same engine-portable-sketch idea for quantiles: deterministic
+    # 1/16 hash sample + exact integer-rank quartiles — no
+    # interpolation, every output is a data value, bit-exact on both
+    # engines (the t-digest/GK internals a built-in approx percentile
+    # would use differ per engine and would force a rows-only check)
+    "sampled_price_quantiles": (
+        R.sampled_price_quantiles, R.SAMPLED_QUANTILES_SQL,
+    ),
     "orders_with_heavy_items_sql": (R.orders_with_heavy_items_sql, """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
@@ -1545,10 +1553,11 @@ REGISTRY = {
 # oldest-scored cohort. After r9 the latest driver score per query is:
 # r3 ×9 + r4 ×2 (the long-stale leftovers below), r6 ×49, r7 ×47,
 # r9 ×50. The 11 stale queries lead; the r6 cohort fills the rest of
-# the 50-slot window (10 r6 leftovers — similarity_pq_adc/_rerank,
-# source_cap_sample, spatial_nearest_neighbor, supplier_copurchase_*,
-# text_repetition, text_unigram_surprisal, training_data_prep_v2,
-# training_shards — rotate in r11 together with the r7 cohort).
+# the 50-slot window (11 r6 leftovers — q13_order_count_distribution,
+# similarity_pq_adc/_rerank, source_cap_sample,
+# spatial_nearest_neighbor, supplier_copurchase_*, text_repetition,
+# text_unigram_surprisal, training_data_prep_v2, training_shards —
+# rotate in r11 together with the r7 cohort).
 # New r10 queries are inserted at the head as they land.
 # ---------------------------------------------------------------------------
 
@@ -1562,6 +1571,7 @@ _R10_FRONT = (
     "inverted_index_topk",
     "kmv_distinct_customers",
     "regex_token_stats",
+    "sampled_price_quantiles",
     # stale: last scored r3/r4
     "approx_distinct_customers",
     "count_distinct_customers",
@@ -1606,7 +1616,6 @@ _R10_FRONT = (
     "pagerank_trade",
     "q11_important_parts",
     "q12_priority_by_returnflag",
-    "q13_order_count_distribution",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

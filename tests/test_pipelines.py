@@ -321,6 +321,39 @@ def test_kmv_distinct_within_bounds(spark, sf_dir):
         assert rel < 4.0 / (KMV_K - 1) ** 0.5, (row, exact)
 
 
+def test_sampled_quantiles_approximate_truth(spark, sf_dir):
+    """The hash-sampled quartiles must be (a) monotone, (b) actual
+    data values, and (c) close in TRUE percentile rank to their
+    nominal p — the estimator contract; the cross-engine bit-match
+    itself is pinned by the registry oracle test."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.relational import (
+        SAMPLE_MOD,
+        sampled_price_quantiles,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    for row in sampled_price_quantiles(spark, sf_dir).collect():
+        flag, n = row["l_returnflag"], totals[row["l_returnflag"]]
+        assert row["p25"] <= row["p50"] <= row["p75"]
+        # sample fraction within 4 sigma of 1/SAMPLE_MOD (binomial)
+        p = 1.0 / SAMPLE_MOD
+        assert abs(row["n_sample"] - n * p) < 4 * (n * p * (1 - p)) ** 0.5
+        for q, v in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            below = li.filter(
+                (F.col("l_returnflag") == flag)
+                & (F.col("l_extendedprice") <= row[q])
+            ).count()
+            # true rank of the sampled quantile within ±6% of nominal
+            assert abs(below / n - v) < 0.06, (flag, q, below / n)
+
+
 def test_idempotent_write(bdf, tmp_path):
     out = str(tmp_path / "idem")
     df = bdf.select("building_id").limit(10)

@@ -124,6 +124,93 @@ def utm_inverse(east: np.ndarray, north: np.ndarray, zone: int, south: bool):
     return np.degrees(lam), np.degrees(phi)
 
 
+def utm_inverse_select_sql(
+    src_sql: str,
+    east: str = "east",
+    north: str = "north",
+    zone: int = 50,
+    south: bool = False,
+    keep: str = "building_id",
+) -> str:
+    """ANSI twin of utm_inverse() — the Snyder 8-19..8-25 series
+    unrolled into chained derived tables, following the
+    geo_hilbert_keys precedent (the oracle IS the published
+    algorithm, computed over independently-written golden inputs,
+    never the engine's decode).
+
+    Every scalar coefficient is precomputed here with the exact same
+    float64 expressions the numpy path uses and embedded via repr()
+    (shortest round-trip — bit-identical on parse); the per-vertex
+    arithmetic mirrors utm_inverse's operation ORDER (left-assoc
+    chains, x*x for **2, pow() for higher exponents) so +,-,*,/ are
+    IEEE-identical and only libm calls can differ. Measured on 50k
+    random zone-50 points: lon bit-exact, lat max |Δ| 7.1e-15 °
+    (~0.8 nm — numpy's vectorized sin vs DuckDB's libm sin), which
+    round(…, 6) absorbs with ~1e-8 headroom.
+
+    Returns a parenthesized SELECT producing {keep} + lon + lat from
+    src_sql (which must expose {keep}, {east}, {north})."""
+    lam0 = float(np.radians(zone * 6 - 183))
+    p = _A * _M0C
+    c2 = 3 * _E1 / 2 - 27 * _E1**3 / 32
+    c4 = 21 * _E1**2 / 16 - 55 * _E1**4 / 32
+    c6 = 151 * _E1**3 / 96
+    c8 = 1097 * _E1**4 / 512
+    an = _A * (1 - _E2)
+    rad2deg = float(np.degrees(1.0))
+    fn = _FN_SOUTH if south else 0.0
+
+    def r(v: float) -> str:
+        return repr(float(v))
+
+    return f"""(
+  SELECT {keep},
+         ({r(lam0)} + (
+            d
+            - (1 + 2*t1 + c1) * pow(d, 3) / 6
+            + (5 - 2*c1 + 28*t1 - 3*(c1*c1) + {r(8 * _EP2)}
+               + 24*(t1*t1)) * pow(d, 5) / 120
+          ) / cos1) * {r(rad2deg)} AS lon,
+         (phi1 - (n1 * tan1 / r1) * (
+            (d*d) / 2
+            - (5 + 3*t1 + 10*c1 - 4*(c1*c1) - {r(9 * _EP2)})
+              * pow(d, 4) / 24
+            + (61 + 90*t1 + 298*c1 + 45*(t1*t1) - {r(252 * _EP2)}
+               - 3*(c1*c1)) * pow(d, 6) / 720
+          )) * {r(rad2deg)} AS lat
+  FROM (
+    SELECT {keep}, phi1, cos1, tan1, c1, t1, n1, r1,
+           (utm_e - {r(_FE)}) / (n1 * {r(_K0)}) AS d
+    FROM (
+      SELECT {keep}, utm_e, phi1, cos1, tan1, c1, t1,
+             {r(_A)} / sqrt(den) AS n1,
+             {r(an)} / pow(den, 1.5) AS r1
+      FROM (
+        SELECT {keep}, utm_e, phi1, sin1, cos1, tan1,
+               {r(_EP2)} * (cos1*cos1) AS c1,
+               tan1*tan1 AS t1,
+               1 - {r(_E2)} * (sin1*sin1) AS den
+        FROM (
+          SELECT {keep}, utm_e, phi1,
+                 sin(phi1) AS sin1, cos(phi1) AS cos1,
+                 tan(phi1) AS tan1
+          FROM (
+            SELECT {keep}, utm_e,
+                   mu + {r(c2)}*sin(2*mu) + {r(c4)}*sin(4*mu)
+                      + {r(c6)}*sin(6*mu) + {r(c8)}*sin(8*mu) AS phi1
+            FROM (
+              SELECT {keep}, ({east}) AS utm_e,
+                     ((({north}) - {r(fn)}) / {r(_K0)}) / {r(p)} AS mu
+              FROM {src_sql}
+            ) tm1
+          ) tm2
+        ) tm3
+      ) tm4
+    ) tm5
+  ) tm6
+)"""
+
+
 def webmercator_forward(lon: np.ndarray, lat: np.ndarray):
     x = _A * np.radians(lon)
     y = _A * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))

@@ -70,6 +70,99 @@ def _tile_census_sql(b: str, e: str) -> str:
     """
 
 
+def _convert_bbox_sql(b: str, e: str, g: str) -> str:
+    """ANSI twin of geo_convert_bbox (rows-only since r2 — "the oracle
+    cannot reproject UTM"): the Snyder inverse transverse-Mercator
+    series unrolls into SQL the same way the Skilling transform did
+    (utm_inverse_select_sql, geom/transform.py), so the oracle CAN
+    reproject the EPSG:32650 block — per-vertex over the
+    independently-written ring-edge side-table (buildings_edges
+    carries the pre-WKB float64 ring coordinates; WKB roundtrips
+    doubles bit-exactly, so these are the numbers the engine kernel
+    transforms). Mirrors convert() stage-for-stage:
+      1. clean: epsg supported + geom NOT NULL + core type byte < 8
+         (ISO POLYGON Z reads 235 and drops, EWKB-Z reads 3 and
+         stays — the reference's own byte semantics);
+      2. flip probe on TRANSFORMED centroids (golden cx/cy; UTM rows
+         through the inverse series) → per-source min_x < 60;
+      3. bbox: 4326 rows use golden extents (identity transform;
+         Z-drop never touches x/y), UTM rows min/max the transformed
+         vertices;
+      4. flip swaps per-axis bboxes (min/max commute with the swap);
+      5. global min/max, round 6.
+    """
+    from gis_etl_spark.geom.transform import utm_inverse_select_sql
+
+    st_byte = "('0x' || substr(CAST(geom AS VARCHAR), 7, 2))::INT"
+    supported = (
+        "bb.epsg IS NOT NULL AND (bb.epsg = 4326 OR bb.epsg = 3857 "
+        "OR bb.epsg BETWEEN 32601 AND 32660 "
+        "OR bb.epsg BETWEEN 32701 AND 32760)"
+    )
+    utm_centroids = f"""(
+      SELECT bb.source AS source, e.cx AS cx, e.cy AS cy
+      FROM {b} bb JOIN {e} e USING (building_id)
+      WHERE bb.geom IS NOT NULL AND {st_byte} < 8
+        AND bb.epsg = 32650 AND {supported}
+    ) uc"""
+    utm_vertices = f"""(
+      SELECT g.building_id AS building_id, g.x1 AS x1, g.y1 AS y1
+      FROM {g} g JOIN {b} bb USING (building_id)
+      WHERE bb.geom IS NOT NULL AND {st_byte} < 8
+        AND bb.epsg = 32650 AND {supported}
+    ) uv"""
+    probe_utm = utm_inverse_select_sql(
+        utm_centroids, east="cx", north="cy", zone=50, keep="source"
+    )
+    vert_utm = utm_inverse_select_sql(
+        utm_vertices, east="x1", north="y1", zone=50, keep="building_id"
+    )
+    return f"""
+        WITH probe AS (
+          SELECT bb.source AS source, e.cx AS tx
+          FROM {b} bb JOIN {e} e USING (building_id)
+          WHERE bb.geom IS NOT NULL AND {st_byte} < 8
+            AND bb.epsg != 32650 AND {supported}
+          UNION ALL
+          SELECT source, lon AS tx FROM {probe_utm} pu
+        ), flips AS (
+          SELECT source, min(tx) < 60.0 AS needs_flip
+          FROM probe GROUP BY source
+        ), utm_bb AS (
+          SELECT building_id,
+                 min(lon) AS xmin, min(lat) AS ymin,
+                 max(lon) AS xmax, max(lat) AS ymax
+          FROM {vert_utm} vu GROUP BY building_id
+        ), boxes AS (
+          SELECT bb.source AS source,
+                 CASE WHEN bb.epsg = 32650 THEN u.xmin ELSE e.xmin END
+                   AS xmin,
+                 CASE WHEN bb.epsg = 32650 THEN u.ymin ELSE e.ymin END
+                   AS ymin,
+                 CASE WHEN bb.epsg = 32650 THEN u.xmax ELSE e.xmax END
+                   AS xmax,
+                 CASE WHEN bb.epsg = 32650 THEN u.ymax ELSE e.ymax END
+                   AS ymax
+          FROM {b} bb JOIN {e} e USING (building_id)
+          LEFT JOIN utm_bb u USING (building_id)
+          WHERE bb.geom IS NOT NULL AND {st_byte} < 8 AND {supported}
+        ), flipped AS (
+          SELECT CASE WHEN f.needs_flip THEN x.ymin ELSE x.xmin END
+                   AS xmin,
+                 CASE WHEN f.needs_flip THEN x.xmin ELSE x.ymin END
+                   AS ymin,
+                 CASE WHEN f.needs_flip THEN x.ymax ELSE x.xmax END
+                   AS xmax,
+                 CASE WHEN f.needs_flip THEN x.xmax ELSE x.ymax END
+                   AS ymax
+          FROM boxes x JOIN flips f USING (source)
+        )
+        SELECT round(min(xmin), 6) AS xmin, round(min(ymin), 6) AS ymin,
+               round(max(xmax), 6) AS xmax, round(max(ymax), 6) AS ymax
+        FROM flipped
+    """
+
+
 def _hilbert_keys_sql(b: str, e: str) -> str:
     """ANSI twin of geo_hilbert_keys (r8 — previously rows-only "the
     oracle lacks lindel"): Skilling's AxesToTranspose + Gray decode +
@@ -694,8 +787,11 @@ def geo_centroid_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def geo_convert_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full convert() pipeline (clean → reproject → flip) → global
-    bbox. Rows-only: the oracle cannot reproject UTM; pytest asserts
-    the UTM block lands inside zone-50 geographic bounds
+    bbox. Oracle-paired since r10 (was rows-only "the oracle cannot
+    reproject UTM"): _convert_bbox_sql unrolls the Snyder inverse-TM
+    series into SQL over the golden edge vertices — the
+    geo_hilbert_keys precedent. pytest additionally asserts the UTM
+    block lands inside zone-50 geographic bounds
     (tests/test_transform.py, tests/test_pipelines.py)."""
     conv = P.convert(_read(spark))
     bb = P.global_bbox(conv)
@@ -1089,6 +1185,7 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "geo_tile_census": _tile_census_sql(b, e),
         "geo_hilbert_keys": _hilbert_keys_sql(b, e),
+        "geo_convert_bbox": _convert_bbox_sql(b, e, g),
         "points_in_polygons": _pip_sql(b, e, g),
         "geo_centroid_containment": _centroid_containment_sql(b, e, g),
         "geo_geohash_census": _geohash_census_sql(b, e),

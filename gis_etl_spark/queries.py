@@ -599,7 +599,12 @@ REGISTRY.update(
             G.geo_hilbert_keys,
             _GEO_SQLS["geo_hilbert_keys"],
         ),
-        "geo_convert_bbox": (G.geo_convert_bbox, None),
+        # r10: oracle-paired — Snyder inverse-TM unrolled in SQL over
+        # the golden ring-edge vertices (was rows-only "oracle cannot
+        # reproject UTM"; the hilbert/gnomonic unroll precedent)
+        "geo_convert_bbox": (
+            G.geo_convert_bbox, _GEO_SQLS["geo_convert_bbox"],
+        ),
         "io_ndjson_shape_stats": (
             G.io_ndjson_shape_stats, _GEO_SQLS["io_ndjson_shape_stats"],
         ),
@@ -1553,11 +1558,11 @@ REGISTRY = {
 # oldest-scored cohort. After r9 the latest driver score per query is:
 # r3 ×9 + r4 ×2 (the long-stale leftovers below), r6 ×49, r7 ×47,
 # r9 ×50. The 11 stale queries lead; the r6 cohort fills the rest of
-# the 50-slot window (11 r6 leftovers — q13_order_count_distribution,
-# similarity_pq_adc/_rerank, source_cap_sample,
-# spatial_nearest_neighbor, supplier_copurchase_*, text_repetition,
-# text_unigram_surprisal, training_data_prep_v2, training_shards —
-# rotate in r11 together with the r7 cohort).
+# the 50-slot window (12 r6 leftovers — q12_priority_by_returnflag,
+# q13_order_count_distribution, similarity_pq_adc/_rerank,
+# source_cap_sample, spatial_nearest_neighbor, supplier_copurchase_*,
+# text_repetition, text_unigram_surprisal, training_data_prep_v2,
+# training_shards — rotate in r11 together with the r7 cohort).
 # New r10 queries are inserted at the head as they land.
 # ---------------------------------------------------------------------------
 
@@ -1566,6 +1571,7 @@ _R10_FRONT = (
     # rows-only since r2; now oracle-paired via boundary-WKT SQL twins)
     "chunk_dedup_groups",
     "copurchase_triangles",
+    "geo_convert_bbox",
     "geo_heatmap_export",
     "hex_heatmap_export",
     "inverted_index_topk",
@@ -1615,7 +1621,6 @@ _R10_FRONT = (
     "multimodal_spectral",
     "pagerank_trade",
     "q11_important_parts",
-    "q12_priority_by_returnflag",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

@@ -179,3 +179,53 @@ def test_haversine_nan_propagates(spark):
     ).fetchone()
     assert math.isnan(got[0])
     assert abs(got[1] - math.pi * EARTH_R_M) < 1.0
+
+
+def test_utm_inverse_sql_twin_bit_parity():
+    """The DuckDB unroll of the Snyder inverse series
+    (utm_inverse_select_sql — the geo_convert_bbox oracle) must track
+    the numpy kernel to a few ULPs (the only divergence source is
+    numpy's vectorized sin/cos vs libm — all +,-,*,/ chains mirror
+    the kernel's operation order and are IEEE-identical), far inside
+    the 1e-6 rounding the contract query applies. Zone-50 north lon
+    happens to be bit-exact; assert the magnitude bound that the
+    contract actually needs."""
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(123)
+    n = 20_000
+    east = rng.uniform(150_000, 850_000, n)
+    north = rng.uniform(1_500_000, 6_000_000, n)
+    lon_np, lat_np = TR.utm_inverse(east, north, 50, False)
+
+    src = pd.DataFrame(
+        {"building_id": np.arange(n), "east": east, "north": north}
+    )
+    con = duckdb.connect()
+    con.register("src", src)
+    q = TR.utm_inverse_select_sql(
+        "src", east="east", north="north", zone=50, keep="building_id"
+    )
+    res = con.sql(
+        f"SELECT lon, lat FROM {q} t ORDER BY building_id"
+    ).fetchnumpy()
+    assert (res["lon"] == lon_np).all()
+    assert np.abs(res["lat"] - lat_np).max() < 1e-13
+
+    # southern-hemisphere false northing handled identically
+    north_s = rng.uniform(4_000_000, 9_000_000, n)
+    lon_s, lat_s = TR.utm_inverse(east, north_s, 33, True)
+    src_s = pd.DataFrame(
+        {"building_id": np.arange(n), "east": east, "north": north_s}
+    )
+    con.register("src_s", src_s)
+    qs = TR.utm_inverse_select_sql(
+        "src_s", east="east", north="north", zone=33, south=True,
+        keep="building_id",
+    )
+    res_s = con.sql(
+        f"SELECT lon, lat FROM {qs} t ORDER BY building_id"
+    ).fetchnumpy()
+    assert np.abs(res_s["lon"] - lon_s).max() < 1e-13
+    assert np.abs(res_s["lat"] - lat_s).max() < 1e-13

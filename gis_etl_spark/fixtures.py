@@ -162,8 +162,15 @@ def make_buildings(
     rows = []
     golden = []
     edge_rows: list[tuple[int, float, float, float, float]] = []
+    # r10: full ordered vertex side-table (every geometry kind, ring
+    # closing duplicates included) — lets the DuckDB oracle run
+    # vertex-walk algorithms (Douglas-Peucker, convex hull, per-vertex
+    # reprojection) itself. Same independence argument as edges: these
+    # are the pre-WKB float64s, bit-equal to what the engine decodes.
+    vert_rows: list[tuple[int, int, int, float, float, bool]] = []
 
-    def add(bid, geom, source, epsg, stype, cx, cy, bb, rings=None):
+    def add(bid, geom, source, epsg, stype, cx, cy, bb, rings=None,
+            verts=None):
         # bb = (xmin, ymin, xmax, ymax, area, perim) — _golden_poly
         # emits all six; point/line/degenerate branches append their
         # analytic area/length
@@ -176,6 +183,13 @@ def make_buildings(
                 edge_rows.append(
                     (bid, float(x1), float(y1), float(x2), float(y2))
                 )
+        for pi, ring in enumerate(rings or ()):
+            for vi, (vx, vy) in enumerate(ring):
+                vert_rows.append(
+                    (bid, pi, vi, float(vx), float(vy), True)
+                )
+        for vi, (vx, vy) in enumerate(verts or ()):
+            vert_rows.append((bid, 0, vi, float(vx), float(vy), False))
 
     for i in range(n):
         u = rng.uniform()
@@ -204,7 +218,7 @@ def make_buildings(
                 rings=rings)
         elif u < 0.915:  # point
             add(i, _point_wkb(lon, lat), src, 4326, 1, lon, lat,
-                (lon, lat, lon, lat, 0.0, 0.0))
+                (lon, lat, lon, lat, 0.0, 0.0), verts=[(lon, lat)])
         elif u < 0.93:  # linestring
             pts = [
                 (lon + float(rng.uniform(-0.01, 0.01)),
@@ -222,7 +236,7 @@ def make_buildings(
             add(i, _line_wkb(pts), src, 4326, 2, cx, cy,
                 (min(p[0] for p in pts), min(p[1] for p in pts),
                  max(p[0] for p in pts), max(p[1] for p in pts),
-                 0.0, tl))
+                 0.0, tl), verts=pts)
         elif u < 0.96:  # POLYGON Z — ISO and EWKB variants, filtered by P4
             ring2d = _ring(rng, lon, lat, 5, 0.004)
             ring3d = [(x, y, float(rng.uniform(0, 50))) for x, y in ring2d]
@@ -269,7 +283,11 @@ def make_buildings(
     edges = pd.DataFrame(
         edge_rows, columns=["building_id", "x1", "y1", "x2", "y2"]
     ).astype({"building_id": "int64"})
-    return buildings, expected, edges
+    vertices = pd.DataFrame(
+        vert_rows, columns=["building_id", "part", "idx", "x", "y",
+                            "closed"]
+    ).astype({"building_id": "int64", "part": "int32", "idx": "int32"})
+    return buildings, expected, edges, vertices
 
 
 def rows_for_sf(sf_dir: str) -> int:
@@ -1213,10 +1231,11 @@ def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
     bpath = os.path.join(root, "buildings.parquet")
     epath = os.path.join(root, "buildings_expected.parquet")
     gpath = os.path.join(root, "buildings_edges.parquet")
-    if all(os.path.exists(pp) for pp in (bpath, epath, gpath)):
+    vpath = os.path.join(root, "buildings_vertices.parquet")
+    if all(os.path.exists(pp) for pp in (bpath, epath, gpath, vpath)):
         return bpath, epath
     os.makedirs(root, exist_ok=True)
-    buildings, expected, edges = make_buildings(n_rows, seed)
+    buildings, expected, edges, vertices = make_buildings(n_rows, seed)
     tmp_b, tmp_e = bpath + ".tmp", epath + ".tmp"
     # small row groups: Spark parallelizes parquet scans at row-group
     # granularity — a single-row-group file reads on ONE core no matter
@@ -1225,9 +1244,12 @@ def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:
     buildings.to_parquet(tmp_b, index=False, row_group_size=15_000)
     expected.to_parquet(tmp_e, index=False, row_group_size=15_000)
     edges.to_parquet(gpath + ".tmp", index=False, row_group_size=100_000)
+    vertices.to_parquet(vpath + ".tmp", index=False,
+                        row_group_size=100_000)
     os.replace(tmp_b, bpath)
     os.replace(tmp_e, epath)
     os.replace(gpath + ".tmp", gpath)
+    os.replace(vpath + ".tmp", vpath)
     return bpath, epath
 
 
@@ -1236,6 +1258,20 @@ def ensure_buildings_edges(n_rows: int, seed: int = 42) -> str:
     for the even-odd containment twins)."""
     ensure_buildings(n_rows, seed)
     return os.path.join(buildings_path(n_rows), "buildings_edges.parquet")
+
+
+def ensure_buildings_vertices(n_rows: int, seed: int = 42) -> str:
+    """Path of the ordered full-vertex side-table (r10 — the oracle's
+    input for vertex-walk twins: Douglas-Peucker, convex hull). An
+    on-disk fixture from before this table existed regenerates in
+    place — generation is deterministic (seed), so the other three
+    files rewrite byte-identically."""
+    root = buildings_path(n_rows)
+    vpath = os.path.join(root, "buildings_vertices.parquet")
+    if not os.path.exists(vpath):
+        # force full regeneration (same seed → same data + new file)
+        ensure_buildings(n_rows, seed)
+    return vpath
 
 
 def ensure_geojsonl(n_rows: int = 5_000, seed: int = 42) -> str:

@@ -70,6 +70,152 @@ def _tile_census_sql(b: str, e: str) -> str:
     """
 
 
+def _simplify_stats_sql(b: str, v: str, per_building: bool = False) -> str:
+    """ANSI twin of geo_simplify_stats (rows-only since r4 — "geometry
+    construction has no SQL oracle"): the construction itself still
+    doesn't, but the reported vertex ECONOMICS do. Douglas-Peucker is
+    a bounded recursion here (fixture rings ≤ 13 vertices → split
+    depth ≤ 11), so it unrolls into 12 chained interval stages over
+    the ordered vertex side-table (buildings_vertices — pre-WKB
+    float64s, bit-equal to what the engine kernel decodes), each
+    stage one MATERIALIZED CTE (DuckDB inlines plain CTEs; the
+    multi-referenced stages would re-evaluate exponentially without
+    the keyword). Mirrors geom.wkb exactly:
+      - _dp_keep_mask: endpoints kept; split at the FIRST index of
+        the max point-to-SEGMENT distance (row_number ORDER BY d
+        DESC, idx ASC == np.argmax first-max) when d > tol; same
+        clamped-t distance expression, same op order (sqrt vs
+        np.hypot differs ~1 ULP — decisions compare d against
+        tol=5e-4 on generic random coords, verified exact per
+        building over the full fixture);
+      - simplify: parts with n ≤ 4 (closed) / n ≤ 2 (open) pass
+        through; a closed ring that would drop below 4 keeps its
+        original vertices; points pass through (their single-vertex
+        parts never enter the interval set);
+      - convex_hull (strictly convex Andrew chain): a point is a
+        hull vertex iff some directed edge p→q has every other
+        distinct point strictly left (cross > 0) — the cross
+        expression matches the kernel's bit-for-bit, so signs agree;
+        n_uniq=1 → POINT (1), collinear/2-point → LINESTRING (2),
+        else ring count + closing duplicate.
+    """
+    tol = repr(float(SIMPLIFY_TOL))
+    relx, rely = "(vm.x - vi.x)", "(vm.y - vi.y)"
+    segx, segy = "(vj.x - vi.x)", "(vj.y - vi.y)"
+    l2 = f"({segx}*{segx} + {segy}*{segy})"
+    t = (
+        f"least(greatest(({relx}*{segx} + {rely}*{segy}) / {l2}, 0.0),"
+        " 1.0)"
+    )
+    dx = f"({relx} - {t}*{segx})"
+    dy = f"({rely} - {t}*{segy})"
+    d = (
+        f"CASE WHEN {l2} = 0 THEN sqrt({relx}*{relx} + {rely}*{rely}) "
+        f"ELSE sqrt({dx}*{dx} + {dy}*{dy}) END"
+    )
+    stages = 12  # ≥ max ring length - 2; interval set provably drains
+    parts = [f"""
+        WITH verts AS MATERIALIZED (
+          SELECT building_id, part, idx, x, y, closed FROM {v}
+        ), pn AS MATERIALIZED (
+          SELECT building_id, part, max(idx) + 1 AS n,
+                 bool_or(closed) AS closed
+          FROM verts GROUP BY building_id, part
+        ), a0 AS (
+          SELECT building_id, part, 0 AS i, n - 1 AS j
+          FROM pn
+          WHERE (closed AND n > 4) OR ((NOT closed) AND n > 2)
+        ), k0(building_id, part, idx) AS (
+          SELECT building_id, part, idx FROM verts WHERE false
+        )"""]
+    for s in range(stages):
+        parts.append(f""", c{s} AS MATERIALIZED (
+          SELECT a.building_id, a.part, a.i, a.j, vm.idx, {d} AS d
+          FROM a{s} a
+          JOIN verts vi ON vi.building_id = a.building_id
+                       AND vi.part = a.part AND vi.idx = a.i
+          JOIN verts vj ON vj.building_id = a.building_id
+                       AND vj.part = a.part AND vj.idx = a.j
+          JOIN verts vm ON vm.building_id = a.building_id
+                       AND vm.part = a.part
+                       AND vm.idx > a.i AND vm.idx < a.j
+        ), s{s} AS MATERIALIZED (
+          SELECT building_id, part, i, j, idx AS m
+          FROM (
+            SELECT building_id, part, i, j, idx, d,
+                   row_number() OVER (
+                     PARTITION BY building_id, part, i, j
+                     ORDER BY d DESC, idx ASC) AS rn
+            FROM c{s}
+          ) r WHERE rn = 1 AND d > {tol}
+        ), k{s + 1} AS MATERIALIZED (
+          SELECT * FROM k{s}
+          UNION ALL SELECT building_id, part, m AS idx FROM s{s}
+        ), a{s + 1} AS MATERIALIZED (
+          SELECT building_id, part, i, m AS j FROM s{s} WHERE m > i + 1
+          UNION ALL
+          SELECT building_id, part, m AS i, j FROM s{s} WHERE j > m + 1
+        )""")
+    parts.append(f""", kept AS (
+          SELECT building_id, part, count(*) AS nk
+          FROM k{stages} GROUP BY 1, 2
+        ), per_part AS (
+          SELECT pn.building_id,
+                 pn.n AS v_raw_part,
+                 CASE WHEN NOT ((pn.closed AND pn.n > 4)
+                                OR ((NOT pn.closed) AND pn.n > 2))
+                        THEN pn.n
+                      WHEN pn.closed AND 2 + COALESCE(kept.nk, 0) < 4
+                        THEN pn.n
+                      ELSE 2 + COALESCE(kept.nk, 0) END AS v_simp_part
+          FROM pn LEFT JOIN kept USING (building_id, part)
+        ), dp AS (
+          SELECT building_id, sum(v_raw_part)::BIGINT AS v_raw,
+                 sum(v_simp_part)::BIGINT AS v_simp
+          FROM per_part GROUP BY building_id
+        ), uniq AS MATERIALIZED (
+          SELECT DISTINCT building_id, x, y FROM verts
+        ), nu AS (
+          SELECT building_id, count(*) AS n_u FROM uniq GROUP BY 1
+        ), hullv AS MATERIALIZED (
+          SELECT DISTINCT p.building_id, p.x, p.y
+          FROM uniq p JOIN uniq q USING (building_id)
+          WHERE (p.x != q.x OR p.y != q.y)
+            AND NOT EXISTS (
+              SELECT 1 FROM uniq r
+              WHERE r.building_id = p.building_id
+                AND (r.x != p.x OR r.y != p.y)
+                AND (r.x != q.x OR r.y != q.y)
+                AND (q.x - p.x) * (r.y - p.y)
+                  - (q.y - p.y) * (r.x - p.x) <= 0
+            )
+        ), hc AS (
+          SELECT building_id, count(*) AS hull_count
+          FROM hullv GROUP BY 1
+        ), hull AS (
+          SELECT nu.building_id,
+                 CASE WHEN nu.n_u = 1 THEN 1
+                      WHEN COALESCE(hc.hull_count, 0) >= 3
+                        THEN hc.hull_count + 1
+                      ELSE 2 END AS v_hull
+          FROM nu LEFT JOIN hc USING (building_id)
+        )
+        {"SELECT dp.building_id AS building_id, dp.v_raw AS v_raw, "
+         "dp.v_simp AS v_simp, hull.v_hull AS v_hull "
+         "FROM dp JOIN hull USING (building_id) ORDER BY building_id"
+         if per_building else
+         f'''SELECT bb.source AS source, count(*) AS n,
+               sum(dp.v_raw)::BIGINT AS v_raw,
+               sum(dp.v_simp)::BIGINT AS v_simp,
+               sum(hull.v_hull)::BIGINT AS v_hull
+        FROM {b} bb
+        JOIN dp ON dp.building_id = bb.building_id
+        JOIN hull ON hull.building_id = bb.building_id
+        WHERE bb.geom IS NOT NULL
+        GROUP BY bb.source ORDER BY bb.source'''}""")
+    return "".join(parts)
+
+
 def _convert_bbox_sql(b: str, e: str, g: str) -> str:
     """ANSI twin of geo_convert_bbox (rows-only since r2 — "the oracle
     cannot reproject UTM"): the Snyder inverse transverse-Mercator
@@ -597,11 +743,14 @@ SIMPLIFY_TOL = 0.0005  # ~10% of the fixture ring radius
 
 def geo_simplify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_SIMPLIFY + ST_CONVEXHULL vertex economics per source
-    [beyond-reference; rows-only — geometry construction has no SQL
-    oracle; tests/test_wkb.py pins the kernels with analytic shapes
-    and deviation/containment properties]. Reports Σ vertices raw /
-    simplified / hull — the payload-shrink numbers a tile-export
-    pipeline budgets with."""
+    [beyond-reference]. Oracle-paired since r10 (_simplify_stats_sql —
+    bounded Douglas-Peucker recursion unrolled into 12 interval
+    stages + an extreme-point hull census over the golden vertex
+    table; was rows-only "geometry construction has no SQL oracle");
+    tests/test_wkb.py additionally pins the kernels with analytic
+    shapes and deviation/containment properties. Reports Σ vertices
+    raw / simplified / hull — the payload-shrink numbers a
+    tile-export pipeline budgets with."""
     from gis_etl_spark.geom.functions import (
         st_convex_hull,
         st_npoints,
@@ -1018,10 +1167,14 @@ def oracle_sqls() -> dict[str, str]:
     )
     from gis_etl_spark.layout.sfc import grid_cell_boundary_wkt_sql
 
-    from gis_etl_spark.fixtures import ensure_buildings_edges
+    from gis_etl_spark.fixtures import (
+        ensure_buildings_edges,
+        ensure_buildings_vertices,
+    )
 
     bpath, epath = fixture_paths()
     gpath = ensure_buildings_edges(GEO_ROWS)
+    vpath = ensure_buildings_vertices(GEO_ROWS)
     b5, e5 = ensure_buildings(5_000)  # the geojsonl corpus scale
     b = f"read_parquet('{bpath}')"
     e = f"read_parquet('{epath}')"
@@ -1186,6 +1339,9 @@ def oracle_sqls() -> dict[str, str]:
         "geo_tile_census": _tile_census_sql(b, e),
         "geo_hilbert_keys": _hilbert_keys_sql(b, e),
         "geo_convert_bbox": _convert_bbox_sql(b, e, g),
+        "geo_simplify_stats": _simplify_stats_sql(
+            b, f"read_parquet('{vpath}')"
+        ),
         "points_in_polygons": _pip_sql(b, e, g),
         "geo_centroid_containment": _centroid_containment_sql(b, e, g),
         "geo_geohash_census": _geohash_census_sql(b, e),

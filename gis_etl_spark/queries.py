@@ -546,10 +546,13 @@ REGISTRY.update(
         "geo_geohash_census": (
             G.geo_geohash_census, _GEO_SQLS["geo_geohash_census"],
         ),
-        # rows-only by design: Douglas-Peucker / monotone-chain output
-        # geometry has no ANSI oracle; kernels pinned by analytic +
-        # property tests in tests/test_wkb.py
-        "geo_simplify_stats": (G.geo_simplify_stats, None),
+        # r10: oracle-paired — the OUTPUT GEOMETRY still has no ANSI
+        # twin, but the reported vertex counts do: bounded DP
+        # recursion unrolled into chained interval stages + an
+        # extreme-point hull census over the golden vertex table
+        "geo_simplify_stats": (
+            G.geo_simplify_stats, _GEO_SQLS["geo_simplify_stats"],
+        ),
         "io_geojsonl_scan": (
             G.io_geojsonl_scan, _GEO_SQLS["io_geojsonl_scan"],
         ),

@@ -157,7 +157,7 @@ def test_fixture_goldens_match_kernels():
     (FIXTURES.md B1) — two implementations, one truth."""
     from gis_etl_spark.fixtures import make_buildings
 
-    buildings, expected, _ = make_buildings(500, seed=42)
+    buildings, expected, _, _ = make_buildings(500, seed=42)
     merged = buildings.merge(expected, on="building_id")
     n_checked = 0
     for row in merged.itertuples():
@@ -323,7 +323,7 @@ def test_convex_hull_properties():
         struct.pack("<2d", x, y) for x, y in plus
     )
     hulls = [K.convex_hull(poly)]
-    buildings, _, _ = make_buildings(120, seed=7)
+    buildings, _, _, _ = make_buildings(120, seed=7)
     for b in buildings.geom:
         if b is not None and K.shape_type(b) in (3, 6):
             hulls.append(K.convex_hull(b))
@@ -449,3 +449,51 @@ def test_geojsonl_reader_failure_discipline(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_geojsonl(spark, p).collect()
+
+
+def test_simplify_stats_oracle_per_building_parity():
+    """The r10 geo_simplify_stats oracle (bounded-DP interval unroll
+    + extreme-point hull census in DuckDB) must agree with the engine
+    kernels PER BUILDING — the per-source registry hash only checks
+    sums, which could mask cancelling errors."""
+    import duckdb
+
+    from gis_etl_spark.fixtures import (
+        ensure_buildings,
+        ensure_buildings_vertices,
+    )
+    from gis_etl_spark.ops.geometry_queries import (
+        SIMPLIFY_TOL,
+        _simplify_stats_sql,
+    )
+
+    n_rows = 2_000
+    bpath, _ = ensure_buildings(n_rows)
+    vpath = ensure_buildings_vertices(n_rows)
+    sql = _simplify_stats_sql(
+        f"read_parquet('{bpath}')",
+        f"read_parquet('{vpath}')",
+        per_building=True,
+    )
+    got = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+        for r in duckdb.sql(sql).fetchall()
+    }
+
+    import pandas as pd
+
+    b = pd.read_parquet(bpath)
+    checked = 0
+    for bid, buf in zip(b.building_id, b.geom):
+        if buf is None:
+            assert int(bid) not in got
+            continue
+        buf = bytes(buf)
+        exp = (
+            K.npoints(buf),
+            K.npoints(K.simplify(buf, SIMPLIFY_TOL)),
+            K.npoints(K.convex_hull(buf)),
+        )
+        assert got[int(bid)] == exp, (bid, got[int(bid)], exp)
+        checked += 1
+    assert checked > 1_900

@@ -1120,13 +1120,21 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     encoder, so the engine's numpy decoders are verified content-exact
     by the DuckDB oracle, not just header-exact.
     """
-    out = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v6", "media.parquet")
-    if os.path.exists(out):
+    # v7: also writes media_audio_samples.parquet — the per-index
+    # channel-summed PCM amplitudes straight from the pre-encode
+    # arrays (PCM16 is lossless, so these are bit-equal to what the
+    # engine's decode_wav + channel mix produces) — the DuckDB
+    # oracle's input for the direct-DFT spectral twin.
+    root = os.path.join(FIXTURE_ROOT, f"media_{n_rows}_v7")
+    out = os.path.join(root, "media.parquet")
+    spath = os.path.join(root, "media_audio_samples.parquet")
+    if os.path.exists(out) and os.path.exists(spath):
         return out
     os.makedirs(os.path.dirname(out), exist_ok=True)
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
+    sample_rows: list[tuple[int, int, int]] = []
     img_bank: list[np.ndarray] = []  # originals eligible for duplication
     for i in range(n_rows):
         kind = kinds[int(rng.integers(0, 3))]
@@ -1184,6 +1192,9 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
             )
             payload = _encode_wav(samples, rate)
             fmt = "wav"
+            mono = samples.astype(np.int64).sum(axis=1)
+            for j, mv in enumerate(mono):
+                sample_rows.append((i, j, int(mv)))
             w, h, nf = rate // 100, 0, n
             units = samples.size
             csum = int(np.abs(samples.astype(np.int64)).sum())
@@ -1218,10 +1229,24 @@ def ensure_media(n_rows: int = 2_000, seed: int = 42) -> str:
     # row-tuple constructor infer it would round-trip the 2^63-scale
     # values through float64 and shave the low ~10 bits
     df["ahash64"] = pd.array([r[-1] for r in rows], dtype="Int64")
+    samples_df = pd.DataFrame(
+        sample_rows, columns=["media_id", "idx", "mono"]
+    ).astype({"media_id": "int64", "idx": "int32", "mono": "int64"})
+    samples_df.to_parquet(spath + ".tmp", index=False)
     tmp = out + ".tmp"
     df.to_parquet(tmp, index=False)
+    os.replace(spath + ".tmp", spath)
     os.replace(tmp, out)
     return out
+
+
+def ensure_media_audio_samples(n_rows: int = 2_000, seed: int = 42) -> str:
+    """Path of the audio mono-sample side-table (r10 — the spectral
+    oracle's DFT input)."""
+    out = ensure_media(n_rows, seed)
+    return os.path.join(
+        os.path.dirname(out), "media_audio_samples.parquet"
+    )
 
 
 def ensure_buildings(n_rows: int, seed: int = 42) -> tuple[str, str]:

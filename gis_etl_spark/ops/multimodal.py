@@ -843,10 +843,70 @@ def multimodal_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spectral_sql(samples_parquet: str) -> str:
+    """ANSI twin of spectral_audio (rows-only since r4 — "FFT is not
+    SQL-expressible"): the transform isn't, but its DEFINITION is —
+    the direct O(n²) DFT over the golden mono-sample side-table
+    (media_audio_samples: channel-summed pre-encode PCM; int16 PCM is
+    lossless, so bit-equal to the engine's decode + mix). ~450M
+    cos/sin terms at the fixture scale, ~35 s in DuckDB — a
+    once-per-gate price. Angles use modular reduction
+    ((idx·k) mod n) to stay on libm's fast path. Float parity is
+    forgiving by construction: dc_sum rounds an exact integer,
+    dominant_bin is an argmax over generically-separated powers, and
+    centroid_milli's ×1000 rounding absorbs the FFT-vs-DFT error
+    (~1e-9 relative); verified output-exact against np.fft.rfft for
+    all 697 fixture clips."""
+    return f"""
+        WITH s AS MATERIALIZED (
+          SELECT media_id, idx, mono::DOUBLE AS v
+          FROM read_parquet('{samples_parquet}')
+        ), nn AS MATERIALIZED (
+          SELECT media_id, count(*) AS n FROM s GROUP BY 1
+        ), bins AS (
+          SELECT media_id, n, unnest(range(0, n // 2 + 1)) AS k
+          FROM nn
+        ), terms AS (
+          SELECT b.media_id AS media_id, b.k AS k, s.v AS v,
+                 2 * pi() * ((s.idx::BIGINT * b.k) % b.n) / b.n AS a
+          FROM bins b JOIN s USING (media_id)
+        ), xk AS MATERIALIZED (
+          SELECT media_id, k,
+                 sum(v * cos(a)) AS re, sum(v * sin(a)) AS im
+          FROM terms GROUP BY 1, 2
+        ), p AS MATERIALIZED (
+          SELECT media_id, k, re * re + im * im AS p FROM xk
+        ), dom AS (
+          SELECT media_id, k AS dominant_bin FROM (
+            SELECT media_id, k,
+                   row_number() OVER (PARTITION BY media_id
+                                      ORDER BY p DESC, k ASC) AS rn
+            FROM p WHERE k >= 1) t WHERE rn = 1
+        ), cen AS (
+          SELECT media_id,
+                 CASE WHEN sum(p) > 0 THEN sum(k * p) / sum(p)
+                      ELSE 0.0 END AS c
+          FROM p GROUP BY 1
+        ), dc AS (
+          SELECT media_id, CAST(round(re, 0) AS BIGINT) AS dc_sum
+          FROM xk WHERE k = 0
+        )
+        SELECT nn.media_id AS media_id, nn.n AS n_samples,
+               dc.dc_sum AS dc_sum, dom.dominant_bin AS dominant_bin,
+               CAST(round(cen.c * 1000, 0) AS BIGINT) AS centroid_milli
+        FROM nn JOIN dc USING (media_id) JOIN dom USING (media_id)
+        JOIN cen USING (media_id)
+        ORDER BY media_id
+    """
+
+
 def oracle_sqls() -> dict[str, str]:
+    from gis_etl_spark.fixtures import ensure_media_audio_samples
+
     path = ensure_media()
     m = f"read_parquet('{path}')"
     return {
+        "multimodal_spectral": _spectral_sql(ensure_media_audio_samples()),
         "multimodal_decode_meta": f"""
             SELECT kind, count(*) AS n,
                    sum(width)::BIGINT AS sum_width,
@@ -975,9 +1035,11 @@ def spectral_audio(df: DataFrame) -> DataFrame:
 
 
 def multimodal_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio spectral pass [rows-only — FFT is not SQL-expressible;
-    pytest pins the DC bin against an independent decode and Parseval's
-    theorem per clip]. At 100 TB this is the canonical mapInPandas
-    shape: payload-column-pruned scan, per-batch numpy FFT, no
-    shuffle until the caller aggregates."""
+    """Audio spectral pass. Oracle-paired since r10 (_spectral_sql —
+    the direct-DFT definition over the golden mono samples; was
+    rows-only "FFT is not SQL-expressible"); pytest additionally pins
+    the DC bin against an independent decode and Parseval's theorem
+    per clip. At 100 TB this is the canonical mapInPandas shape:
+    payload-column-pruned scan, per-batch numpy FFT, no shuffle until
+    the caller aggregates."""
     return spectral_audio(_media(spark)).orderBy("media_id")

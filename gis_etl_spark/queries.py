@@ -879,7 +879,12 @@ REGISTRY.update(
         "multimodal_feature_norms": (M.multimodal_feature_norms, None),
         # rows-only: FFT has no ANSI oracle; pytest pins DC == exact
         # sample sum (independent decode) + Parseval per clip
-        "multimodal_spectral": (M.multimodal_spectral, None),
+        # r10: oracle-paired — the FFT isn't SQL-expressible but its
+        # definition is: direct O(n²) DFT over the golden mono-sample
+        # side-table (was rows-only since r4)
+        "multimodal_spectral": (
+            M.multimodal_spectral, _MM_SQLS["multimodal_spectral"],
+        ),
         # perceptual image dedup: decode → integer aHash → group; the
         # oracle reads the encoder's independently-computed golden
         "multimodal_ahash_groups": (

@@ -138,6 +138,7 @@ HEADLINE = [
     "copurchase_triangles",
     "inverted_index_topk",
     "sampled_price_quantiles",
+    "heavy_hitter_tokens",
 ]
 
 

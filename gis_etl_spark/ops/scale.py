@@ -210,3 +210,92 @@ def read_parquet_resilient(
         .option("ignoreMissingFiles", "true")
         .parquet(*paths)
     )
+
+
+def heavy_hitters(
+    df: DataFrame, key: str, threshold_frac: float, k: int | None = None
+) -> DataFrame:
+    """EXACT frequency heavy hitters (keys with count ≥
+    ceil(threshold_frac · N)) without ever shuffling the full key
+    space — the 100 TB answer to "which tokens/users/ids dominate".
+
+    Two passes, both bounded:
+      1. CANDIDATES — one Misra-Gries summary per partition
+         (mapInPandas; state capped at k counters no matter how many
+         distinct keys stream past — a plain groupBy must hash or
+         spill |vocab| per task). Batch-merged vectorized: each Arrow
+         batch pre-aggregates with value_counts, merges into the
+         running summary, and the summary contracts by subtracting
+         the (k+1)-th largest count (mergeable-summaries rule —
+         Agarwal et al., PODS'12). Pigeonhole guarantee: a key with
+         global frequency ≥ φN has local frequency ≥ φ·n_p in some
+         partition, and Misra-Gries with k ≥ 1/φ counters never
+         evicts it; k defaults to ceil(4/φ) for slack. Only ≤ k
+         candidate rows + 1 total-count row leave each partition.
+      2. VERIFY — exact counts for the candidate set only: broadcast
+         left-semi prune, then a groupBy whose shuffle carries just
+         candidate-key rows. The output is therefore EXACT (the
+         sketch only proposes; the threshold filter applies true
+         counts), deterministic, and oracle-checkable with plain
+         GROUP BY ... HAVING.
+
+    The candidate summary (≤ k·P + P rows — bounded by CONSTRUCTION,
+    not by data) is collected once; the driver holds the candidate
+    key list and one scalar, then ships the keys back as the
+    broadcast side."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 < threshold_frac < 1.0:
+        raise ValueError(f"threshold_frac: {threshold_frac!r}")
+    if k is None:
+        k = max(64, int(math.ceil(4.0 / threshold_frac)))
+
+    def mg(batches):
+        counts: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            col = pdf[key].dropna()
+            n_seen += len(col)
+            vc = col.value_counts()
+            for kk, vv in vc.items():
+                counts[kk] = counts.get(kk, 0) + int(vv)
+            if len(counts) > k:
+                vals = np.fromiter(counts.values(), dtype="int64")
+                # subtract the (k+1)-th largest from everything and
+                # drop the non-positive — the summary contraction
+                cut = int(np.partition(vals, len(vals) - (k + 1))[
+                    len(vals) - (k + 1)
+                ])
+                counts = {
+                    kk: vv - cut for kk, vv in counts.items() if vv > cut
+                }
+        out = pd.DataFrame(
+            {
+                key: list(counts.keys()) + [None],
+                "_n": [0] * len(counts) + [n_seen],
+            }
+        )
+        yield out
+
+    rows = (
+        df.select(key)
+        .mapInPandas(mg, f"{key} string, _n long")
+        .collect()
+    )
+    total = sum(r["_n"] for r in rows)
+    threshold = int(math.ceil(threshold_frac * total))
+    cand_keys = sorted({r[key] for r in rows if r[key] is not None})
+    spark = df.sparkSession
+    candidates = spark.createDataFrame(
+        [(c,) for c in cand_keys], f"{key} string"
+    )
+    return (
+        df.join(F.broadcast(candidates), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+        .orderBy(F.desc("cnt"), F.asc(key))
+    )

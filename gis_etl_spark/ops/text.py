@@ -1015,6 +1015,18 @@ def oracle_sqls() -> dict[str, str]:
             FROM (SELECT unnest({w}) AS token FROM documents)
             GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 25
         """,
+        # the sketch only proposes candidates; the engine's output is
+        # exact counts past a relative threshold, so the oracle is a
+        # plain HAVING — ceil(frac·N) computes on the same doubles
+        "heavy_hitter_tokens": f"""
+            WITH t AS (SELECT unnest({w}) AS token FROM documents),
+            tot AS (SELECT count(*) AS n FROM t),
+            c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+            SELECT c.token AS token, c.cnt AS cnt
+            FROM c, tot
+            WHERE c.cnt >= CAST(ceil({HH_FRAC} * tot.n) AS BIGINT)
+            ORDER BY cnt DESC, token ASC
+        """,
         "inverted_index_topk": f"""
             WITH terms AS (
               SELECT doc_id, unnest({w}) AS token FROM documents
@@ -1683,3 +1695,21 @@ FROM toks t JOIN mapping m USING (w)
 GROUP BY t.doc_id
 ORDER BY t.doc_id
 """
+
+
+HH_FRAC = 0.001  # heavy-hitter threshold: 0.1% of all token occurrences
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dominating tokens (count ≥ ceil(0.1% · total)) via the
+    bounded-memory Misra-Gries candidates + exact-verify pass
+    (ops.scale.heavy_hitters) — the boilerplate/stopword radar a
+    training-data pipeline runs BEFORE choosing filters. Unlike
+    top_tokens' fixed top-25, the threshold is relative, so the
+    output adapts to corpus skew; unlike a plain groupBy, per-task
+    state is capped at k counters no matter the vocabulary size."""
+    from gis_etl_spark.ops.scale import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", HH_FRAC)

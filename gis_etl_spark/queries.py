@@ -677,6 +677,11 @@ REGISTRY.update(
             T.token_stats_by_lang, _TEXT_SQLS["token_stats_by_lang"],
         ),
         "top_tokens": (T.top_tokens, _TEXT_SQLS["top_tokens"]),
+        # r10: Misra-Gries candidates + exact verify (ops/scale.py) —
+        # relative-threshold heavy hitters with bounded task state
+        "heavy_hitter_tokens": (
+            T.heavy_hitter_tokens, _TEXT_SQLS["heavy_hitter_tokens"],
+        ),
         # RAG/training chunking: overlapping token windows, content-md5
         # chunk identity — the oracle re-derives every window by list
         # slicing, so a hash match pins offsets, sizes, AND chunk text
@@ -1566,11 +1571,12 @@ REGISTRY = {
 # oldest-scored cohort. After r9 the latest driver score per query is:
 # r3 ×9 + r4 ×2 (the long-stale leftovers below), r6 ×49, r7 ×47,
 # r9 ×50. The 11 stale queries lead; the r6 cohort fills the rest of
-# the 50-slot window (12 r6 leftovers — q12_priority_by_returnflag,
-# q13_order_count_distribution, similarity_pq_adc/_rerank,
-# source_cap_sample, spatial_nearest_neighbor, supplier_copurchase_*,
-# text_repetition, text_unigram_surprisal, training_data_prep_v2,
-# training_shards — rotate in r11 together with the r7 cohort).
+# the 50-slot window (13 r6 leftovers — q11_important_parts,
+# q12_priority_by_returnflag, q13_order_count_distribution,
+# similarity_pq_adc/_rerank, source_cap_sample,
+# spatial_nearest_neighbor, supplier_copurchase_*, text_repetition,
+# text_unigram_surprisal, training_data_prep_v2, training_shards —
+# rotate in r11 together with the r7 cohort).
 # New r10 queries are inserted at the head as they land.
 # ---------------------------------------------------------------------------
 
@@ -1580,6 +1586,7 @@ _R10_FRONT = (
     "chunk_dedup_groups",
     "copurchase_triangles",
     "geo_convert_bbox",
+    "heavy_hitter_tokens",
     "geo_heatmap_export",
     "hex_heatmap_export",
     "inverted_index_topk",
@@ -1628,7 +1635,6 @@ _R10_FRONT = (
     "multimodal_resize",
     "multimodal_spectral",
     "pagerank_trade",
-    "q11_important_parts",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

@@ -299,3 +299,43 @@ def test_bloom_semi_join_plan_is_hash_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_exact_under_forced_eviction(spark):
+    """heavy_hitters must equal the exact GROUP BY ... HAVING answer
+    even when k is tiny enough that every partition's Misra-Gries
+    summary contracts many times — the sketch proposes, the verify
+    pass decides. Zipf-ish skew + uniform noise across 8 partitions."""
+    import math
+
+    from gis_etl_spark.ops.scale import heavy_hitters
+
+    rows = []
+    # heavy keys: h0 x 3000, h1 x 1500, h2 x 800, h3 x 400
+    for i, n in enumerate((3000, 1500, 800, 400)):
+        rows += [(f"h{i}",)] * n
+    # 6000 distinct noise keys, once each
+    rows += [(f"noise{j}",) for j in range(6000)]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+
+    frac = 0.02  # threshold ceil(0.02 * 11700) = 234
+    got = heavy_hitters(df, "key", frac, k=64).collect()
+    total = df.count()
+    thr = int(math.ceil(frac * total))
+    exact = (
+        df.groupBy("key").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+    assert len(got) >= 3  # the skew actually produced heavy hitters
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    from gis_etl_spark.ops.scale import heavy_hitters
+
+    empty = spark.createDataFrame([], "key string")
+    assert heavy_hitters(empty, "key", 0.01).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(empty, "key", 0.0)

@@ -1713,3 +1713,54 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
     return heavy_hitters(toks, "token", HH_FRAC)
+
+
+WS_N = 500  # weighted-sample budget
+
+
+def weighted_sample_docs(
+    spark: SparkSession, sf_dir: str, n: int = WS_N
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res, Inf. Proc. Lett. 97(5), 2006): per row a key u^(1/w) from
+    a uniform u and weight w; the top-n keys ARE a weight-proportional
+    WOR sample. u derives from the doc_id content hash
+    ((h60 + 1) / 2^60 ∈ (0, 1]) — deterministic across runs, engines,
+    and partitioning, same discipline as stratified_sample; w is the
+    document length (longer docs proportionally likelier — the
+    quality/length-weighted corpus subsampling step).
+
+    Scale shape: the key is one map-side expression; top-n goes
+    through TakeOrderedAndProject (per-partition heap + merge of n·P
+    rows — never a global sort). The float pow rank order is the only
+    cross-engine surface; ranks at the budget boundary are
+    generically separated, and the ULP-level Java-vs-libm pow gap
+    cannot reorder them."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (h60(F.col("doc_id").cast("string")) + F.lit(1)) / F.lit(2.0**60)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(n)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def weighted_sample_sql() -> str:
+    two60 = float(2.0**60)
+    return f"""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 pow((({h60_sql("doc_id::VARCHAR")}) + 1) / {two60!r},
+                     1.0 / n_chars) AS es_key
+          FROM documents WHERE n_chars > 0
+        ), top AS (
+          SELECT doc_id, n_chars FROM s
+          ORDER BY es_key DESC, doc_id ASC LIMIT {WS_N}
+        )
+        SELECT doc_id, n_chars FROM top ORDER BY doc_id
+    """

@@ -682,6 +682,11 @@ REGISTRY.update(
         "heavy_hitter_tokens": (
             T.heavy_hitter_tokens, _TEXT_SQLS["heavy_hitter_tokens"],
         ),
+        # r10: Efraimidis–Spirakis weighted WOR sampling — hash-u
+        # deterministic, TakeOrdered top-n (never a global sort)
+        "weighted_sample_docs": (
+            T.weighted_sample_docs, T.weighted_sample_sql(),
+        ),
         # RAG/training chunking: overlapping token windows, content-md5
         # chunk identity — the oracle re-derives every window by list
         # slicing, so a hash match pins offsets, sizes, AND chunk text
@@ -1571,12 +1576,12 @@ REGISTRY = {
 # oldest-scored cohort. After r9 the latest driver score per query is:
 # r3 ×9 + r4 ×2 (the long-stale leftovers below), r6 ×49, r7 ×47,
 # r9 ×50. The 11 stale queries lead; the r6 cohort fills the rest of
-# the 50-slot window (13 r6 leftovers — q11_important_parts,
-# q12_priority_by_returnflag, q13_order_count_distribution,
-# similarity_pq_adc/_rerank, source_cap_sample,
-# spatial_nearest_neighbor, supplier_copurchase_*, text_repetition,
-# text_unigram_surprisal, training_data_prep_v2, training_shards —
-# rotate in r11 together with the r7 cohort).
+# the 50-slot window (14 r6 leftovers — pagerank_trade,
+# q11_important_parts, q12_priority_by_returnflag,
+# q13_order_count_distribution, similarity_pq_adc/_rerank,
+# source_cap_sample, spatial_nearest_neighbor, supplier_copurchase_*,
+# text_repetition, text_unigram_surprisal, training_data_prep_v2,
+# training_shards — rotate in r11 together with the r7 cohort).
 # New r10 queries are inserted at the head as they land.
 # ---------------------------------------------------------------------------
 
@@ -1587,6 +1592,7 @@ _R10_FRONT = (
     "copurchase_triangles",
     "geo_convert_bbox",
     "heavy_hitter_tokens",
+    "weighted_sample_docs",
     "geo_heatmap_export",
     "hex_heatmap_export",
     "inverted_index_topk",
@@ -1634,7 +1640,6 @@ _R10_FRONT = (
     "multimodal_feature_norms",
     "multimodal_resize",
     "multimodal_spectral",
-    "pagerank_trade",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

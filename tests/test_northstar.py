@@ -953,3 +953,32 @@ def test_chunk_dedup_groups_keeper_and_counts(spark):
     assert r["n_copies"] == 3  # doc3 ×2 (chunk 0 and chunk 2) + doc5
     assert r["n_docs"] == 2
     assert (r["keeper_doc"], r["keeper_idx"]) == (3, 0)
+
+
+def test_weighted_sample_length_proportional(spark, sf_dir):
+    """Efraimidis–Spirakis inclusion is weight-proportional: the
+    sampled docs' mean n_chars must exceed the corpus mean by a
+    margin, the plan must be a TakeOrdered (no global sort), and the
+    output must be bit-stable across repartitioning."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import WS_N, weighted_sample_docs
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    n_docs = docs.count()
+    budget = max(20, n_docs // 5)  # a REAL subsample at any sf
+    out = weighted_sample_docs(spark, sf_dir, n=budget)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+    rows = out.collect()
+    assert len(rows) == min(budget, n_docs)
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean * 1.05, (sample_mean, corpus_mean)
+
+    again = weighted_sample_docs(spark, sf_dir, n=budget).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -688,6 +688,46 @@ def _scale_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+    # heavy hitters: the aggregation-state story — a plain groupBy
+    # carries |vocab| through the shuffle; the MG candidate pass ships
+    # ≤ k rows per partition and the verify shuffle carries only
+    # candidate-key rows. Record vocab vs candidates.
+    try:
+        from gis_etl_spark.ops.text import HH_FRAC, words_col
+        from gis_etl_spark.ops.scale import heavy_hitters
+
+        docs = read_table(spark, SF_DIR, "documents")
+        toks = docs.select(
+            F.explode(words_col(F.col("text"))).alias("token")
+        )
+        hh_stats: dict[str, int] = {}
+        t0 = time.time()
+        n_hh = heavy_hitters(toks, "token", HH_FRAC, stats=hh_stats).count()
+        out["heavy_hitters_tokens"] = round(time.time() - t0, 3)
+        artifacts["hh_vocab_keys"] = toks.distinct().count()
+        artifacts["hh_candidate_keys"] = hh_stats["candidate_keys"]
+        artifacts["hh_result_keys"] = n_hh
+        artifacts["hh_total_rows"] = hh_stats["total_rows"]
+
+        # the documents vocabulary is tiny by construction, so the
+        # candidate bound can't show there; the high-cardinality twin
+        # (l_partkey: |vocab| ~ 2k/sf0.001 … 200k/sf0.1) is where the
+        # MG cap pays — candidates ≤ k·P regardless of vocab, and the
+        # exact verify proves the (correct) empty answer: no part is
+        # 5% of a uniform TPC-H lineitem
+        li_keys = read_table(spark, SF_DIR, "lineitem").select(
+            F.col("l_partkey").cast("string").alias("pk")
+        )
+        pk_stats: dict[str, int] = {}
+        t0 = time.time()
+        n_pk = heavy_hitters(li_keys, "pk", 0.05, stats=pk_stats).count()
+        out["heavy_hitters_partkey"] = round(time.time() - t0, 3)
+        artifacts["hh_partkey_vocab"] = li_keys.distinct().count()
+        artifacts["hh_partkey_candidates"] = pk_stats["candidate_keys"]
+        artifacts["hh_partkey_result"] = n_pk
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["heavy_hitters_tokens"] = f"{type(e).__name__}: {e}"[:300]
     return out
 
 

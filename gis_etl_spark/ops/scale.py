@@ -213,7 +213,11 @@ def read_parquet_resilient(
 
 
 def heavy_hitters(
-    df: DataFrame, key: str, threshold_frac: float, k: int | None = None
+    df: DataFrame,
+    key: str,
+    threshold_frac: float,
+    k: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT frequency heavy hitters (keys with count ≥
     ceil(threshold_frac · N)) without ever shuffling the full key
@@ -288,6 +292,10 @@ def heavy_hitters(
     total = sum(r["_n"] for r in rows)
     threshold = int(math.ceil(threshold_frac * total))
     cand_keys = sorted({r[key] for r in rows if r[key] is not None})
+    if stats is not None:
+        stats["total_rows"] = total
+        stats["candidate_keys"] = len(cand_keys)
+        stats["threshold"] = threshold
     spark = df.sparkSession
     candidates = spark.createDataFrame(
         [(c,) for c in cand_keys], f"{key} string"

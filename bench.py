@@ -555,6 +555,20 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         timed(
+            "streaming_heavy_hitters",
+            lambda: S.run_to_memory(
+                S.streaming_heavy_hitter_candidates(spark, docs_dir),
+                "bench_hh",
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_hh").select("bucket", "token")
+                .distinct().count(),
+            ),
+        )
+
+        timed(
             "streaming_minhash_dedup",
             lambda: S.run_to_memory(
                 S.streaming_minhash_dedup(spark, docs_dir), "bench_mh"

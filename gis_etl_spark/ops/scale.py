@@ -212,6 +212,34 @@ def read_parquet_resilient(
     )
 
 
+def mg_k(threshold_frac: float) -> int:
+    """Misra-Gries counter budget for a relative threshold φ: the
+    pigeonhole guarantee needs k ≥ 1/φ; ×4 slack costs only summary
+    size."""
+    import math
+
+    return max(64, int(math.ceil(4.0 / threshold_frac)))
+
+
+def mg_update(counts: dict, items, k: int) -> dict:
+    """Merge (key, cnt) pairs into a Misra-Gries summary capped at k
+    counters — the mergeable-summaries rule (Agarwal et al. PODS'12):
+    add, then subtract the (k+1)-th largest from everything and drop
+    the non-positive. Shared by the batch candidates pass and the
+    streaming twin so their summaries evolve identically."""
+    import numpy as np
+
+    for kk, vv in items:
+        counts[kk] = counts.get(kk, 0) + int(vv)
+    if len(counts) > k:
+        vals = np.fromiter(counts.values(), dtype="int64")
+        cut = int(
+            np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)]
+        )
+        counts = {kk: vv - cut for kk, vv in counts.items() if vv > cut}
+    return counts
+
+
 def heavy_hitters(
     df: DataFrame,
     key: str,
@@ -249,13 +277,12 @@ def heavy_hitters(
     broadcast side."""
     import math
 
-    import numpy as np
     import pandas as pd
 
     if not 0.0 < threshold_frac < 1.0:
         raise ValueError(f"threshold_frac: {threshold_frac!r}")
     if k is None:
-        k = max(64, int(math.ceil(4.0 / threshold_frac)))
+        k = mg_k(threshold_frac)
 
     def mg(batches):
         counts: dict = {}
@@ -263,19 +290,7 @@ def heavy_hitters(
         for pdf in batches:
             col = pdf[key].dropna()
             n_seen += len(col)
-            vc = col.value_counts()
-            for kk, vv in vc.items():
-                counts[kk] = counts.get(kk, 0) + int(vv)
-            if len(counts) > k:
-                vals = np.fromiter(counts.values(), dtype="int64")
-                # subtract the (k+1)-th largest from everything and
-                # drop the non-positive — the summary contraction
-                cut = int(np.partition(vals, len(vals) - (k + 1))[
-                    len(vals) - (k + 1)
-                ])
-                counts = {
-                    kk: vv - cut for kk, vv in counts.items() if vv > cut
-                }
+            counts = mg_update(counts, col.value_counts().items(), k)
         out = pd.DataFrame(
             {
                 key: list(counts.keys()) + [None],

@@ -823,3 +823,144 @@ def streaming_rolling_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming heavy hitters (r10) ------------------------------------------
+
+MG_NB = 32  # candidate buckets: tokens hash-route, state caps at k per bucket
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+MG_OUT_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType()),
+        StructField("token", StringType()),
+        StructField("cnt_lb", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _mg_stream_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-bucket Misra-Gries summary — the same mg_update contraction
+    as the batch candidates pass (ops.scale), so the summary evolves
+    identically for any micro-batch slicing of the same rows. Emits
+    the bucket's full current summary each trigger; the latest
+    emission per bucket (max n_seen) IS the state snapshot."""
+    from gis_etl_spark.ops.scale import mg_k, mg_update
+    from gis_etl_spark.ops.text import HH_FRAC
+
+    k = mg_k(HH_FRAC)
+    if state.exists:
+        keys, counts, n_seen = state.get
+        d = dict(zip(keys, counts))
+        n_seen = int(n_seen)
+    else:
+        d, n_seen = {}, 0
+    for pdf in pdfs:
+        col = pdf["token"].dropna()
+        n_seen += len(col)
+        d = mg_update(d, col.value_counts().items(), k)
+    state.update((list(d.keys()), [int(v) for v in d.values()], n_seen))
+    b = int(key[0])
+    yield pd.DataFrame(
+        {
+            "bucket": [b] * len(d),
+            "token": list(d.keys()),
+            "cnt_lb": [int(v) for v in d.values()],
+            "n_seen": [n_seen] * len(d),
+        }
+    )
+
+
+def streaming_heavy_hitter_candidates(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Streaming half of the heavy-hitters pair — the stateful twin of
+    ops.scale.heavy_hitters' candidates pass: arriving documents'
+    tokens hash-route to MG_NB buckets and each bucket maintains ONE
+    bounded Misra-Gries summary (≤ k counters regardless of how much
+    vocabulary streams past — the whole point at 100 TB: candidate
+    state never grows with history). A token's every occurrence lands
+    in the same bucket, so the per-bucket pigeonhole guarantee is the
+    batch one verbatim and the candidate set is a superset of the true
+    heavy hitters under ANY micro-batch slicing.
+
+    Exactness is restored at snapshot time (hh_snapshot_exact): the
+    accumulated table is re-read ONCE for exact counts of the ≤ k·NB
+    candidates — the same candidates-then-verify composition as batch,
+    with the candidate pass incremental instead of rescanned."""
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    from gis_etl_spark.ops.text import words_col
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    toks = stream.filter(F.col("text").isNotNull()).select(
+        F.explode(words_col(F.col("text"))).alias("token")
+    )
+    keyed = toks.withColumn(
+        "bucket", F.pmod(F.hash("token"), F.lit(MG_NB)).cast("int")
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _mg_stream_fn,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def hh_snapshot_exact(
+    spark: SparkSession, emissions: DataFrame, input_dir: str
+) -> DataFrame:
+    """Compose the stream's latest per-bucket summaries with one exact
+    verification pass over the accumulated table — output equals
+    ops.text.heavy_hitter_tokens on the same rows (same ceil(φ·N)
+    arithmetic, same ordering)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from gis_etl_spark.ops.text import HH_FRAC, words_col
+
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_seen"))
+    latest = (
+        emissions.withColumn("rn", F.dense_rank().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    buckets = latest.groupBy("bucket").agg(F.max("n_seen").alias("n"))
+    total = int(
+        buckets.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
+    )
+    threshold = int(math.ceil(HH_FRAC * total))
+    cand = [
+        r["token"] for r in latest.select("token").distinct().collect()
+    ]
+    candidates = spark.createDataFrame(
+        [(c,) for c in cand], "token string"
+    )
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).parquet(f"{input_dir}/*.parquet")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(words_col(F.col("text"))).alias("token")
+    )
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(threshold))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )

@@ -731,3 +731,54 @@ def test_streaming_chunk_dedup_matches_batch(spark, sf_dir, tmp_path):
             else:
                 exp[h] = (1, r.doc_id, ci)
     assert got == exp
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming MG candidates + snapshot exact-verify == the batch
+    heavy_hitter_tokens output on the same documents, fed in 3
+    micro-batches; every per-bucket summary emission stays within the
+    k-counter state cap."""
+    import time
+
+    from gis_etl_spark.ops.scale import mg_k
+    from gis_etl_spark.ops.text import HH_FRAC, heavy_hitter_tokens
+    from gis_etl_spark.pipelines import streaming as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.collect()
+    third = len(rows) // 3
+    parts = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "hh_in")
+    os.makedirs(flat)
+    for i, part in enumerate(parts):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_heavy_hitter_candidates(spark, flat),
+        name,
+        output_mode="update",
+    )
+    emissions = spark.sql(f"SELECT * FROM {name}")
+
+    # state cap: no (bucket, n_seen) snapshot exceeds k counters
+    k = mg_k(HH_FRAC)
+    sizes = (
+        emissions.groupBy("bucket", "n_seen")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert sizes <= k, (sizes, k)
+
+    got = S.hh_snapshot_exact(spark, emissions, flat).collect()
+    exp = heavy_hitter_tokens(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert len(exp) > 0  # the corpus actually has heavy hitters

@@ -1289,3 +1289,70 @@ SELECT ({h60_sql("text")} % {PREP2_SHARDS})::BIGINT AS shard,
        coalesce(sum(CASE WHEN e_ok THEN doc_id END), 0)::BIGINT AS id_sum
 FROM final GROUP BY shard ORDER BY shard
 """
+
+
+def edit1_pairs(df: DataFrame, col: str) -> DataFrame:
+    """Edit-distance-≤1 string similarity SELF-JOIN via deletion
+    neighborhoods (the Pass-Join family, Li et al., ICDE 2011) — the
+    fuzzy-key matcher record linkage and typo-level dedup need.
+    Each string generates len+1 variants (itself + every
+    single-character deletion), all JVM-side; two strings within one
+    edit ALWAYS share a variant (substitution at i → both i-deletions
+    equal; insertion/deletion → the shorter string equals one of the
+    longer's deletions), so a hash join on the variant yields a
+    complete candidate set and levenshtein verifies the shortlist —
+    never an all-pairs O(n²) scan. At 100 TB the variant fan-out is
+    len+1 (bounded, map-side) and the join shuffles only variant
+    collisions; the brute twin exists solely as the oracle."""
+    s = (
+        df.select(F.col(col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
+    variants = s.select(
+        "s",
+        F.explode(
+            F.concat(
+                F.array(F.col("s")),
+                F.expr(
+                    "transform(sequence(1, length(s)), i -> "
+                    "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
+                ),
+            )
+        ).alias("v"),
+    )
+    cand = (
+        variants.alias("a")
+        .join(variants.alias("b"), "v")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(
+            F.col("a.s").alias("a_val"), F.col("b.s").alias("b_val")
+        )
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("a_val", "b_val") <= 1)
+        .orderBy("a_val", "b_val")
+    )
+
+
+def customer_name_ed1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for edit1_pairs: ED≤1 customer-name pairs (the
+    digit-structured TPC-H names make a dense typo graph — 19.5k pairs
+    at sf0.01). Engine runs the deletion-neighborhood plan; the oracle
+    is deliberately the brute all-pairs levenshtein join the engine
+    refuses to run."""
+    from gis_etl_spark.io import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    return edit1_pairs(cust, "c_name").select(
+        F.col("a_val").alias("a_name"), F.col("b_val").alias("b_name")
+    )
+
+
+CUSTOMER_ED1_SQL = """
+SELECT a.c_name AS a_name, b.c_name AS b_name
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a_name, b_name
+"""

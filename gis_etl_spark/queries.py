@@ -797,6 +797,12 @@ REGISTRY.update(
         # end-to-end prep funnel: quality gate → exact dedup → MinHash
         # near-dedup → per-lang audit, one lazy plan, SQL twin composed
         # from the same verified pieces
+        # r10: deletion-neighborhood ED≤1 similarity join — the engine
+        # runs the Pass-Join candidate plan; the oracle is the brute
+        # all-pairs levenshtein the engine exists to avoid
+        "customer_name_ed1_pairs": (
+            D.customer_name_ed1_pairs, D.CUSTOMER_ED1_SQL,
+        ),
         "training_data_prep": (D.training_data_prep, D.training_data_prep_sql()),
         "dedup_spans": (D.dedup_spans, D.dedup_spans_sql()),
         "training_data_prep_v2": (
@@ -1576,8 +1582,8 @@ REGISTRY = {
 # oldest-scored cohort. After r9 the latest driver score per query is:
 # r3 ×9 + r4 ×2 (the long-stale leftovers below), r6 ×49, r7 ×47,
 # r9 ×50. The 11 stale queries lead; the r6 cohort fills the rest of
-# the 50-slot window (14 r6 leftovers — pagerank_trade,
-# q11_important_parts, q12_priority_by_returnflag,
+# the 50-slot window (15 r6 leftovers — multimodal_resize,
+# pagerank_trade, q11_important_parts, q12_priority_by_returnflag,
 # q13_order_count_distribution, similarity_pq_adc/_rerank,
 # source_cap_sample, spatial_nearest_neighbor, supplier_copurchase_*,
 # text_repetition, text_unigram_surprisal, training_data_prep_v2,
@@ -1590,6 +1596,7 @@ _R10_FRONT = (
     # rows-only since r2; now oracle-paired via boundary-WKT SQL twins)
     "chunk_dedup_groups",
     "copurchase_triangles",
+    "customer_name_ed1_pairs",
     "geo_convert_bbox",
     "heavy_hitter_tokens",
     "weighted_sample_docs",
@@ -1638,7 +1645,6 @@ _R10_FRONT = (
     "multimodal_ahash_groups",
     "multimodal_ahash_near_pairs",
     "multimodal_feature_norms",
-    "multimodal_resize",
     "multimodal_spectral",
 )
 

@@ -982,3 +982,45 @@ def test_weighted_sample_length_proportional(spark, sf_dir):
 
     again = weighted_sample_docs(spark, sf_dir, n=budget).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_edit1_pairs_matches_bruteforce(spark):
+    """Deletion-neighborhood candidates must be COMPLETE for ED≤1
+    (substitution / insertion / deletion / prefix-suffix edits) and
+    the verify must kill every ED≥2 near-miss — checked against a
+    brute-force levenshtein over a crafted vocabulary."""
+    import itertools
+
+    from gis_etl_spark.ops.dedup import edit1_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)
+                ))
+            prev = cur
+        return prev[-1]
+
+    vocab = [
+        "alpha", "alphb", "alpa", "alphas", "xalpha",   # sub/del/ins
+        "beta", "betta", "bta", "eta", "betas",
+        "gamma", "gamm", "gmma", "gamma2", "hamma",
+        "x", "y", "xy", "yx", "zz",                       # short strings
+        "same", "same",                                   # duplicates
+    ]
+    df = spark.createDataFrame([(v,) for v in vocab], "s string")
+    got = {
+        (r.a_val, r.b_val) for r in edit1_pairs(df, "s").collect()
+    }
+    uniq = sorted(set(vocab))
+    exp = {
+        (a, b)
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == exp
+    assert ("alpha", "alphb") in got and ("x", "xy") in got
+    assert ("alpha", "gamma") not in got

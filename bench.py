@@ -139,6 +139,8 @@ HEADLINE = [
     "inverted_index_topk",
     "sampled_price_quantiles",
     "heavy_hitter_tokens",
+    "weighted_sample_docs",
+    "customer_name_ed1_pairs",
 ]
 
 

@@ -2167,3 +2167,90 @@ SELECT dim, count(*)::BIGINT AS n,
        sum(q * q)::BIGINT AS sumsq_units
 FROM ex GROUP BY dim ORDER BY dim
 """
+
+
+INT8_ERR_DP = 7  # reconstruction-error fixed-point decimals
+
+
+def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the 4× memory cut an ANN
+    serving tier takes before anything fancier (per-dimension affine
+    codes: code = round((x − min_d)/scale_d), scale_d =
+    (max_d − min_d)/255). Returns per dimension: n, the exact integer
+    code checksum (quantization is deterministic cross-engine: the
+    affine transform is IEEE double arithmetic and round() is
+    half-away-from-zero on both), the summed |reconstruction error|
+    in 1e-7 fixed-point units (fixedpoint discipline — float sums
+    reorder, integer sums don't), and the rounded dimension range.
+
+    Plan: posexplode → 64-row min/max agg → broadcast back → one
+    partial+final agg on the dim key. Two passes over the array
+    column (range, then codes) — the price of a data-dependent
+    codebook; at 100 TB both passes are map-side-combined aggs on a
+    64-value key, and the range pass can run on a sample if the
+    clipping tolerance allows."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(F.posexplode("v").alias("dim", "x"))
+    rng = ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = ex.join(F.broadcast(rng), "dim")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(F.round((F.col("x") - F.col("mn")) / scale, 0))
+        .cast("long")
+    )
+    recon = F.col("mn") + code.cast("double") * scale
+    err_units = F.floor(
+        F.abs(F.col("x") - recon) * F.lit(float(10**INT8_ERR_DP))
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select("dim", code.alias("code"), err_units.alias("eu"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("code").alias("code_sum"),
+            F.sum("eu").alias("err_units"),
+        )
+        .join(
+            rng.select(
+                "dim",
+                F.round("mn", 6).alias("dim_min"),
+                F.round("mx", 6).alias("dim_max"),
+            ),
+            "dim",
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_int8_stats_sql() -> str:
+    return f"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), rng AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim
+), coded AS (
+  SELECT e.dim, e.x, r.mn, r.mx,
+         CASE WHEN r.mx = r.mn THEN 0
+              ELSE CAST(round((e.x - r.mn) / ((r.mx - r.mn) / 255.0), 0)
+                        AS BIGINT) END AS code
+  FROM ex e JOIN rng r USING (dim)
+), errs AS (
+  SELECT dim, code,
+         CAST(floor(abs(x - (mn + code::DOUBLE * ((mx - mn) / 255.0)))
+                    * 1e{INT8_ERR_DP} + 0.5) AS BIGINT) AS eu
+  FROM coded
+)
+SELECT e.dim AS dim, count(*)::BIGINT AS n,
+       sum(e.code)::BIGINT AS code_sum,
+       sum(e.eu)::BIGINT AS err_units,
+       round(any_value(r.mn), 6) AS dim_min,
+       round(any_value(r.mx), 6) AS dim_max
+FROM errs e JOIN rng r USING (dim)
+GROUP BY e.dim ORDER BY e.dim
+"""

@@ -860,6 +860,11 @@ REGISTRY.update(
         "embedding_dim_stats": (
             S.embedding_dim_stats, S.embedding_dim_stats_sql(),
         ),
+        # r10: scalar int8 quantization audit — exact code checksums
+        # + fixed-point reconstruction error per dimension
+        "embedding_int8_stats": (
+            S.embedding_int8_stats, S.embedding_int8_stats_sql(),
+        ),
         # SemDeDup (Abbas et al. 2023): cluster-then-dedup on the SAME
         # trained codebook as similarity_ivf_kmeans; the oracle retrains
         # the codebook and re-derives every intra-cluster keep/drop
@@ -1582,7 +1587,8 @@ REGISTRY = {
 # oldest-scored cohort. After r9 the latest driver score per query is:
 # r3 ×9 + r4 ×2 (the long-stale leftovers below), r6 ×49, r7 ×47,
 # r9 ×50. The 11 stale queries lead; the r6 cohort fills the rest of
-# the 50-slot window (15 r6 leftovers — multimodal_resize,
+# the 50-slot window (16 r6 leftovers — multimodal_ahash_near_pairs,
+# multimodal_resize,
 # pagerank_trade, q11_important_parts, q12_priority_by_returnflag,
 # q13_order_count_distribution, similarity_pq_adc/_rerank,
 # source_cap_sample, spatial_nearest_neighbor, supplier_copurchase_*,
@@ -1597,6 +1603,7 @@ _R10_FRONT = (
     "chunk_dedup_groups",
     "copurchase_triangles",
     "customer_name_ed1_pairs",
+    "embedding_int8_stats",
     "geo_convert_bbox",
     "heavy_hitter_tokens",
     "weighted_sample_docs",
@@ -1643,7 +1650,6 @@ _R10_FRONT = (
     "io_geojsonl_scan",
     "mixture_sample",
     "multimodal_ahash_groups",
-    "multimodal_ahash_near_pairs",
     "multimodal_feature_norms",
     "multimodal_spectral",
 )

@@ -1024,3 +1024,21 @@ def test_edit1_pairs_matches_bruteforce(spark):
     assert got == exp
     assert ("alpha", "alphb") in got and ("x", "xy") in got
     assert ("alpha", "gamma") not in got
+
+
+def test_embedding_int8_quantization_bounds(spark, sf_dir):
+    """int8 audit invariants: codes stay in [0,255] (checksum bound),
+    and the mean |reconstruction error| per value is ≤ scale/2 + ULP —
+    the affine-quantizer contract."""
+    from gis_etl_spark.ops.similarity import (
+        INT8_ERR_DP,
+        embedding_int8_stats,
+    )
+
+    rows = embedding_int8_stats(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert 0 <= r["code_sum"] <= 255 * r["n"]
+        scale = (r["dim_max"] - r["dim_min"]) / 255.0
+        mean_err = r["err_units"] / (10**INT8_ERR_DP) / r["n"]
+        assert mean_err <= scale / 2 + 1e-6, (r["dim"], mean_err, scale)

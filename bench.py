@@ -141,6 +141,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "weighted_sample_docs",
     "customer_name_ed1_pairs",
+    "embedding_int8_stats",
 ]
 
 

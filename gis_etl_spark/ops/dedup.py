@@ -1309,27 +1309,42 @@ def edit1_pairs(df: DataFrame, col: str) -> DataFrame:
         .filter(F.col("s").isNotNull())
         .distinct()
     )
-    variants = s.select(
+    # position-tagged deletions: a substitution at i collides ONLY on
+    # the i-deletions of both strings, so the join key is (variant,
+    # position) — without the tag, repeated characters (zero-padded
+    # ids, runs) make one string's deletions at many positions
+    # identical and buckets cross-multiply (measured 10.9 s → 3.9 s on
+    # 15k TPC-H names at sf0.1 — the remaining wall is the 262k-pair
+    # output itself)
+    dels = s.select(
         "s",
-        F.explode(
-            F.concat(
-                F.array(F.col("s")),
-                F.expr(
-                    "transform(sequence(1, length(s)), i -> "
-                    "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
-                ),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(s)), i -> "
+                "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
             )
-        ).alias("v"),
+        ).alias("tag", "v"),
     )
-    cand = (
-        variants.alias("a")
-        .join(variants.alias("b"), "v")
+    sub_cand = (
+        dels.alias("a")
+        .join(dels.alias("b"), ["v", "tag"])
         .filter(F.col("a.s") < F.col("b.s"))
         .select(
             F.col("a.s").alias("a_val"), F.col("b.s").alias("b_val")
         )
-        .distinct()
     )
+    # insertion/deletion: the shorter string IS a deletion variant of
+    # the longer — join identities against deletions, normalize order
+    indel_cand = (
+        s.alias("i")
+        .join(dels.alias("d"), F.col("i.s") == F.col("d.v"))
+        .filter(F.col("i.s") != F.col("d.s"))
+        .select(
+            F.least("i.s", "d.s").alias("a_val"),
+            F.greatest("i.s", "d.s").alias("b_val"),
+        )
+    )
+    cand = sub_cand.unionByName(indel_cand).distinct()
     return (
         cand.filter(F.levenshtein("a_val", "b_val") <= 1)
         .orderBy("a_val", "b_val")

@@ -51,7 +51,11 @@ def _flush_partial(
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
     )
-    with open(full_path, "w") as f:
+    # tmp + os.replace: a SIGKILL mid-write (the exact scenario this
+    # incremental flush exists to survive) must not leave a truncated
+    # artifact — same discipline as the fixture writers.
+    tmp_path = full_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump(
             {
                 "metric": "suite_wall_sec",
@@ -66,6 +70,7 @@ def _flush_partial(
             f,
             indent=1,
         )
+    os.replace(tmp_path, full_path)
 
 # contract queries timed end-to-end through a noop sink (a count()
 # would let Catalyst prune computed columns out of SELECT-shaped
@@ -142,6 +147,9 @@ HEADLINE = [
     "weighted_sample_docs",
     "customer_name_ed1_pairs",
     "embedding_int8_stats",
+    # round 11: int8-ADC serving + chunk-level decontamination
+    "similarity_int8_adc",
+    "chunk_decontaminate",
 ]
 
 
@@ -874,26 +882,60 @@ def main() -> None:
     if ERRORS:
         result["errors"] = ERRORS
 
-    # The driver records only the TAIL of stdout: BENCH_r04.json lost
-    # 16/62 query timings because one fat JSON line (queries +
-    # artifacts) outgrew the tail window and was cut mid-line
-    # (parsed: null). So: (1) the full record — artifacts included —
-    # goes to a file; (2) artifacts print on their own, earlier,
-    # sacrificial line; (3) the FINAL line is the result alone with
-    # compact separators, and if it still exceeds the conservative
-    # tail budget, timings re-round to 10 ms until it fits.
+    # The driver records only the TAIL of stdout (~2,000 bytes) and
+    # parses the FINAL line. r4 cut a fat line mid-JSON; r10's "fits
+    # under 2,600" guard was the wrong budget and the 84-query line
+    # came back parsed:null again. So: (1) the full record — every
+    # query + artifacts — goes to the repo file and to an earlier,
+    # sacrificial stdout line; (2) the FINAL line is a compact summary
+    # (suite wall + per-section sums + as many top-wall queries as
+    # fit) shrunk ITERATIVELY under a hard 1,800-byte budget, with an
+    # assert so an overflow fails loudly here instead of silently
+    # driver-side.
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local_latest.json"
     )
-    with open(full_path, "w") as f:
+    tmp_path = full_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump({**result, "artifacts": artifacts}, f, indent=1)
+    os.replace(tmp_path, full_path)
     print(json.dumps({"artifacts": artifacts}, separators=(",", ":")))
+    print(json.dumps(result, separators=(",", ":")))  # sacrificial full line
 
-    line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 2600:
-        result["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        result["value"] = round(sum(result["queries"].values()), 2)
-        line = json.dumps(result, separators=(",", ":"))
+    sections = {
+        "headline": [k for k in timings if k in REGISTRY],
+        "streaming": list(stream_t),
+        "geo": list(geo_t),
+        "sources": list(src_t),
+        "scale": list(scale_t),
+    }
+    compact = {
+        "metric": "suite_wall_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        "sections": {
+            s: round(sum(timings[k] for k in ks if k in timings), 2)
+            for s, ks in sections.items()
+            if ks
+        },
+    }
+    if ERRORS:
+        compact["errors"] = {
+            k: v[:80] for k, v in list(ERRORS.items())[:5]
+        }
+    by_wall = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_wall)
+    while True:
+        compact["queries"] = {k: round(timings[k], 2) for k in by_wall[:keep]}
+        if keep < len(by_wall):
+            compact["queries_omitted"] = len(by_wall) - keep
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1800 or keep == 0:
+            break
+        keep = max(0, keep - max(1, (len(line) - 1800) // 30))
+    assert len(line) <= 1800, len(line)
     print(line)
     spark.stop()
 

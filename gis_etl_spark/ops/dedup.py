@@ -1366,8 +1366,9 @@ def customer_name_ed1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUSTOMER_ED1_SQL = """
+WITH names AS (SELECT DISTINCT c_name FROM customer)
 SELECT a.c_name AS a_name, b.c_name AS b_name
-FROM customer a JOIN customer b
+FROM names a JOIN names b
   ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY a_name, b_name
 """

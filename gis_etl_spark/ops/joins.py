@@ -34,6 +34,8 @@ equivalence tests.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -767,6 +769,14 @@ def _decode_poly_bboxes(df: DataFrame) -> DataFrame:
     return df.select("building_id", "geom").mapInPandas(decode, schema)
 
 
+# Band count above which the binary-search CASE tree yields to the
+# grid-bucketed probe: at ~300 bands the tree's generated Java method
+# crosses the JVM 64 KB codegen limit and Spark silently drops to
+# interpreted per-row tree walks (measured r11: 128 bands compiles,
+# 500 doesn't); the grid plan's expression size is band-count-free.
+CASE_TREE_MAX_BANDS = 128
+
+
 def range_lookup_join(
     fact: DataFrame,
     value_col: str,
@@ -787,18 +797,40 @@ def range_lookup_join(
       1. Collect the band dim to the driver (it is the BROADCAST side by
          contract — ≤ max_bands rows enforced) and validate the
          intervals are sorted and non-overlapping.
-      2. Compute each fact row's band index MAP-SIDE with a BINARY
-         SEARCH built as ONE nested-CASE expression tree: internal
-         nodes test `value >= lo[mid]`, leaves test `value < hi[leaf]`
-         (intervals may have gaps). Every boundary literal appears
-         EXACTLY ONCE, the whole probe is a single Project of O(n)
-         expression nodes evaluating O(log n) native comparisons per
-         row — zero shuffle, zero Python. (History: r8 used an
-         `aggregate` HOF — O(n) *interpreted* lambda steps per row; r9
-         used ⌈log2 n⌉ chained self-referencing CASE columns — correct
-         at 10 bands but Catalyst's project-collapse inlined the chain
-         combinatorially and the driver OOM'd at 2,000 bands. The tree
-         form has no self-reference, so there is nothing to inline.)
+      2. Compute each fact row's band index MAP-SIDE, by one of two
+         plans chosen on band count (both zero-shuffle, zero-Python):
+
+         - n <= CASE_TREE_MAX_BANDS: a BINARY SEARCH built as ONE
+           nested-CASE expression tree: internal nodes test
+           `value >= lo[mid]`, leaves test `value < hi[leaf]`
+           (intervals may have gaps). Every boundary literal appears
+           EXACTLY ONCE — a single Project of O(n) expression nodes
+           evaluating O(log n) native comparisons per row. (History:
+           r8 used an `aggregate` HOF — O(n) *interpreted* lambda
+           steps per row; r9 used ⌈log2 n⌉ chained self-referencing
+           CASE columns — correct at 10 bands but Catalyst's
+           project-collapse inlined the chain combinatorially and the
+           driver OOM'd at 2,000 bands. The tree form has no
+           self-reference, so there is nothing to inline.)
+         - above that: a GRID-BUCKETED candidate lookup. The CASE
+           tree's generated Java outgrows the JVM's 64 KB method
+           limit at roughly 300 bands (codegen falls back to
+           interpreted tree-walks per row) and at 2,000 bands the
+           per-task codegen of the ~4k-node tree OOM'd a 2M-row probe
+           outright (measured r11 — the perf cliff ADVICE r10
+           predicted, plus a heap one). Instead: the driver overlays
+           a uniform grid of 2n cells on [min lo, max hi), maps each
+           cell to the (tiny, avg ≲2) array of bands overlapping it,
+           broadcast-EQUI-joins fact rows on `floor((v-base)/step)`,
+           and resolves the band with an exact `filter(cands,
+           lo <= v < hi)` over the array — O(1) expression size at
+           ANY band count, whole-stage-codegen-clean, fan-out-free
+           (the candidates ride along as one array column). Cell
+           membership is conservative (floor on both band endpoints,
+           monotone in v) so the exact filter, not grid float math,
+           decides the band. Degenerate width skew (many micro-bands
+           inside one cell width) only grows that cell's array — the
+           probe stays correct and degrades linearly, never quadratic.
       3. Broadcast-EQUI-join the band attributes on the index.
 
     At 100 TB the fact side never shuffles and never fans out, and the
@@ -828,7 +860,7 @@ def range_lookup_join(
                 "exact boundary values — cast to double explicitly if "
                 "that is acceptable"
             )
-    reserved = {"_band_idx"}
+    reserved = {"_band_idx", "_cell", "_cands"}
     clash = (set(fact.columns) | set(bands.columns)) & reserved
     if clash:
         raise ValueError(
@@ -863,21 +895,60 @@ def range_lookup_join(
     n = len(los)
     v = F.col(value_col).cast("double")
 
-    # Nested-CASE binary-search tree. Invariant at node [a, b): the
-    # caller established los[a] <= v, so the leaf only needs the hi
-    # check — `when(v < his[a], a)` yields NULL for gap values, and a
-    # NULL v falls through every `when` to the outer NULL. Each of the
-    # 2n-1 nodes is built once; the tree is a single expression in a
-    # single Project, so project-collapse has nothing to duplicate.
-    def _probe(a: int, b: int) -> Column:
-        if b - a == 1:
-            return F.when(v < F.lit(his[a]), F.lit(a))
-        m = (a + b) // 2
-        return F.when(v >= F.lit(los[m]), _probe(m, b)).otherwise(
-            _probe(a, m)
-        )
+    if n <= CASE_TREE_MAX_BANDS:
+        # Nested-CASE binary-search tree. Invariant at node [a, b):
+        # the caller established los[a] <= v, so the leaf only needs
+        # the hi check — `when(v < his[a], a)` yields NULL for gap
+        # values, and a NULL v falls through every `when` to the outer
+        # NULL. Each of the 2n-1 nodes is built once; the tree is a
+        # single expression in a single Project, so project-collapse
+        # has nothing to duplicate.
+        def _probe(a: int, b: int) -> Column:
+            if b - a == 1:
+                return F.when(v < F.lit(his[a]), F.lit(a))
+            m = (a + b) // 2
+            return F.when(v >= F.lit(los[m]), _probe(m, b)).otherwise(
+                _probe(a, m)
+            )
 
-    band_idx = F.when(v >= F.lit(los[0]), _probe(0, n))
-    probed = fact.withColumn("_band_idx", band_idx)
+        probed = fact.withColumn(
+            "_band_idx", F.when(v >= F.lit(los[0]), _probe(0, n))
+        )
+    else:
+        # Grid-bucketed candidate lookup (see step 2 in the docstring).
+        base = los[0]
+        n_cells = 2 * n
+        step = (max(his) - base) / n_cells
+        cell_cands: dict[int, list[tuple[int, float, float]]] = {}
+        for i, (lo, hi) in enumerate(zip(los, his)):
+            c_lo = int(math.floor((lo - base) / step))
+            c_hi = int(math.floor((hi - base) / step))
+            for c in range(max(c_lo, 0), min(c_hi, n_cells - 1) + 1):
+                cell_cands.setdefault(c, []).append((i, lo, hi))
+        cells_df = spark.createDataFrame(
+            list(cell_cands.items()),
+            schema="_cell long, _cands array<struct<idx: int, "
+            "lo: double, hi: double>>",
+        )
+        probed = (
+            fact.withColumn(
+                "_cell", F.floor((v - F.lit(base)) / F.lit(step))
+            )
+            .join(F.broadcast(cells_df), "_cell", "left")
+            .withColumn(
+                "_band_idx",
+                # F.get, not element_at: ANSI mode (Spark 4 default)
+                # makes element_at THROW on an empty array; get
+                # returns NULL — which is the gap/out-of-range answer
+                F.get(
+                    F.filter(
+                        F.col("_cands"),
+                        lambda c: (v >= c["lo"]) & (v < c["hi"]),
+                    ),
+                    0,
+                )["idx"].cast("long"),
+            )
+            .drop("_cell", "_cands")
+        )
     joined = probed.join(F.broadcast(bands_idx), "_band_idx", how)
     return joined.drop("_band_idx")

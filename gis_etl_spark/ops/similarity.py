@@ -2254,3 +2254,203 @@ SELECT e.dim AS dim, count(*)::BIGINT AS n,
 FROM errs e JOIN rng r USING (dim)
 GROUP BY e.dim ORDER BY e.dim
 """
+
+
+# ---------------------------------------------------------------------------
+# int8-ADC retrieval: serve ANN from the scalar int8 codes that
+# embedding_int8_stats audits — the standard memory-bound serving plan
+# (4x smaller corpus resident per executor than float32, 32x smaller
+# than the float64 test vectors). Same two-stage shape as
+# similarity_pq_rerank: approximate distances on codes shortlist R
+# candidates, exact float rerank touches raw vectors for the
+# shortlist only.
+# ---------------------------------------------------------------------------
+
+INT8_ADC_DP = 9      # ADC-cell fixed-point decimals (exact int64 sums)
+INT8_RERANK_R = 50   # ADC shortlist size fed to the exact rerank
+
+
+def _int8_adc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, units): approximate squared-L2 of every
+    corpus vector to every query, computed ENTIRELY from the int8
+    codes — exact int64 fixed-point units so the 64-term sum is
+    order-free cross-engine.
+
+    The quantizer is embedding_int8_stats' per-dimension affine map
+    (code = round((x − mn_d)/scale_d), scale_d = (mx_d − mn_d)/255).
+    ADC per Jégou et al. 2011 §III applied to scalar quantization:
+    each (query, dim) precomputes the distance table cell
+    (q_d − recon(code))² for all 256 codes, so the corpus-side scan
+    does table LOOKUPS, never float recon math per vector.
+
+    Plan shape and 100 TB posture:
+    - rng: 64-row min/max agg (map-side combined), broadcast back;
+    - codes: one posexplode pass over the corpus — map-only;
+    - dtable: |queries|·64·256 rows built from broadcast pieces,
+      itself broadcast (8 queries → 131,072 rows ≈ 3 MB);
+    - adc: codes ⋈ broadcast(dtable) on (dim, code) with partial
+      aggregation — the only shuffle carries |corpus|·|queries|
+      pre-aggregated (query_id, vec_id, partial-sum) rows.
+    The corpus never materializes driver-side and raw vectors are
+    read only by the caller's rerank stage."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    rng = ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(F.round((F.col("x") - F.col("mn")) / scale, 0))
+        .cast("long")
+    )
+    codes = ex.join(F.broadcast(rng), "dim").select(
+        "vec_id", "dim", code.alias("code")
+    )
+    qx = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("v").alias("dim", "qx"),
+        )
+    )
+    diff = F.col("qx") - (F.col("mn") + F.col("code") * scale)
+    dtable = (
+        qx.join(F.broadcast(rng), "dim")
+        .select(
+            "query_id",
+            "dim",
+            F.explode(F.sequence(F.lit(0), F.lit(255))).alias("code"),
+            "qx",
+            "mn",
+            "mx",
+        )
+        .select(
+            "query_id",
+            "dim",
+            F.col("code").cast("long").alias("code"),
+            F.floor(
+                diff * diff * F.lit(float(10**INT8_ADC_DP)) + F.lit(0.5)
+            ).alias("u"),
+        )
+    )
+    return (
+        codes.join(
+            F.broadcast(dtable),
+            (codes.dim == dtable.dim) & (codes.code == dtable.code),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("u").alias("units"))
+    )
+
+
+def similarity_int8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8 retrieval: ADC over scalar-quantized codes
+    shortlists INT8_RERANK_R candidates per query; only the shortlist
+    pays an exact-L2 rerank against raw vectors (|queries|·R rows —
+    independent of corpus size). Returns (query_id, neighbor_id, rank,
+    d2), the final top-{TOPK} by exact distance; ties break on
+    neighbor_id. Exact d2 is the same left-to-right zip_with sum as
+    the PQ contract, bit-identical to the oracle's list_dot_product
+    diff. Recall floor vs exact top-k pinned in tests/test_northstar."""
+    approx = _int8_adc_units(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("units"), F.asc("vec_id")
+    )
+    shortlist = (
+        approx.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= INT8_RERANK_R)
+        .select("query_id", "vec_id")
+    )
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        shortlist.join(emb.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("d2", 6).alias("d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def int8_adc_oracle_sql() -> str:
+    """The whole int8 pipeline — per-dim affine quantization, ADC
+    distance tables, shortlist, exact rerank — as one sf-agnostic SQL
+    string. Cell math mirrors the Spark expressions token-for-token
+    (same IEEE op order); the 64-cell sums are exact int64."""
+    diff = "list_transform(list_zip(a.v, q.v), s -> s[1] - s[2])"
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), ex AS (
+          SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim,
+                 unnest(v) AS x
+          FROM emb
+        ), rng AS (
+          SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim
+        ), codes AS (
+          SELECT e.vec_id, e.dim,
+                 CASE WHEN r.mx = r.mn THEN 0
+                      ELSE CAST(round((e.x - r.mn)
+                                      / ((r.mx - r.mn) / 255.0), 0)
+                                AS BIGINT) END AS code
+          FROM ex e JOIN rng r USING (dim)
+        ), qx AS (
+          SELECT vec_id AS query_id, dim, x AS qx FROM ex
+          WHERE vec_id < {N_QUERIES}
+        ), dt AS (
+          SELECT query_id, dim, code,
+                 CAST(floor(df * df * 1e{INT8_ADC_DP} + 0.5)
+                      AS BIGINT) AS u
+          FROM (
+            SELECT q.query_id, q.dim, t.code,
+                   q.qx - (r.mn + t.code * ((r.mx - r.mn) / 255.0)) AS df
+            FROM qx q JOIN rng r USING (dim)
+            CROSS JOIN (SELECT unnest(range(0, 256)) AS code) t
+          )
+        ), adc AS (
+          SELECT d.query_id, c.vec_id, CAST(sum(d.u) AS BIGINT) AS units
+          FROM codes c JOIN dt d ON d.dim = c.dim AND d.code = c.code
+          WHERE c.vec_id <> d.query_id
+          GROUP BY d.query_id, c.vec_id
+        ), shortlist AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY units ASC, vec_id ASC) AS rk
+            FROM adc
+          ) WHERE rk <= {INT8_RERANK_R}
+        ), rerank AS (
+          SELECT s.query_id, s.vec_id,
+                 list_dot_product({diff}, {diff}) AS d2
+          FROM shortlist s
+          JOIN emb a ON a.vec_id = s.vec_id
+          JOIN emb q ON q.vec_id = s.query_id
+        ), topk AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d2 ASC, vec_id ASC) AS rank,
+                 round(d2, 6) AS d2
+          FROM rerank
+        )
+        SELECT query_id, neighbor_id, rank, d2 FROM topk
+        WHERE rank <= {TOPK} ORDER BY query_id, rank
+    """

@@ -576,6 +576,160 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at CHUNK granularity — the composition of
+    decontaminate_overlap's 5-gram eval audit with document_chunks'
+    windowing, reported per (doc_id, chunk_idx): what a pretraining
+    pipeline actually blocks on (killing a whole document for one
+    contaminated window throws away clean tokens; killing nothing
+    leaks the eval set).
+
+    Semantics: eval set = doc_id % EVAL_MOD == 0 (document-level
+    shingles, same as decontaminate_overlap); every CHUNK_TOKENS-token
+    window of every NON-eval document reports its count of distinct
+    5-gram shingles shared with the eval set, zero-overlap chunks
+    included. contaminated = n_shared >= DECON_T.
+
+    Scale shape: one map-only pass chunks + shingles the corpus (the
+    bounded explode of document_chunks, then the bounded per-chunk
+    shingle explode); the eval shingle set broadcasts (eval sets are
+    small by construction); one hash-agg on (doc_id, chunk_idx). No
+    all-pairs anywhere — identical posture to the two parents, so the
+    composition inherits their 100 TB story unchanged."""
+    docs = read_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    n = DECON_NGRAM
+
+    doc_parts = ", ".join(f"ws[i+{k}]" for k in range(n))
+    eval_sh = (
+        docs.filter(is_eval)
+        .select(words_col(F.col("text")).alias("ws"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size("ws") >= n,
+                        F.expr(
+                            f"transform(sequence(0, size(ws) - {n}), "
+                            f"i -> concat_ws(' ', {doc_parts}))"
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+            ).alias("sh")
+        )
+        .distinct()
+    )
+
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    w = words_col(F.col("text"))
+    staged = (
+        docs.filter(~is_eval)
+        .select("doc_id", w.alias("ws"), F.size(w).alias("n"))
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n") <= C, F.lit(1)).otherwise(
+                F.lit(1) + F.expr(f"div(n - {C} + {S} - 1, {S})")
+            ),
+        )
+    )
+    chunks = staged.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(C), F.col("n") - F.col("chunk_idx") * S
+        ).alias("n_tok"),
+        F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C).alias("cw"),
+    )
+    cw_parts = ", ".join(f"cw[i+{k}]" for k in range(n))
+    ch_sh = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("cw") >= n,
+                    F.expr(
+                        f"transform(sequence(0, size(cw) - {n}), "
+                        f"i -> concat_ws(' ', {cw_parts}))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("sh"),
+    )
+    hits = (
+        ch_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        chunks.select("doc_id", "chunk_idx", "n_tok")
+        .join(hits, ["doc_id", "chunk_idx"], "left")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tok",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= DECON_T).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_CHUNK_DECON_PARTS = " || ' ' || ".join(
+    f"w[i+{k}]" for k in range(DECON_NGRAM)
+)
+_CHUNK_DECON_CW_PARTS = " || ' ' || ".join(
+    f"cw[i+{k}]" for k in range(DECON_NGRAM)
+)
+CHUNK_DECON_SQL = f"""
+WITH ws AS (
+  SELECT doc_id, {WORDS_SQL} AS w FROM documents
+), eval_sh AS (
+  SELECT DISTINCT {_CHUNK_DECON_PARTS} AS sh
+  FROM ws, unnest(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1)))
+       AS t(i)
+  WHERE doc_id % {EVAL_MOD} = 0
+), base AS (
+  SELECT doc_id, w AS tok, len(w) AS n FROM ws
+  WHERE doc_id % {EVAL_MOD} != 0
+), idx AS (
+  SELECT doc_id, tok, n,
+         unnest(range(0, CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+           ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                    // {CHUNK_STRIDE} END)) AS chunk_idx
+  FROM base
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         least({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}) AS n_tok,
+         list_slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
+                    chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS cw
+  FROM idx
+), csh AS (
+  SELECT DISTINCT doc_id, chunk_idx, {_CHUNK_DECON_CW_PARTS} AS sh
+  FROM chunks,
+       unnest(range(1, greatest(len(cw) - {DECON_NGRAM - 2}, 1))) AS t(i)
+), hits AS (
+  SELECT c.doc_id, c.chunk_idx, count(*) AS n_shared
+  FROM csh c JOIN eval_sh e USING (sh)
+  GROUP BY c.doc_id, c.chunk_idx
+)
+SELECT ch.doc_id, ch.chunk_idx, ch.n_tok,
+       coalesce(h.n_shared, 0) AS n_shared,
+       coalesce(h.n_shared, 0) >= {DECON_T} AS contaminated
+FROM chunks ch LEFT JOIN hits h USING (doc_id, chunk_idx)
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document quality rules, after Rae et al. 2021
     §A1.1 (the rule *shapes* — word-count bounds, mean word length

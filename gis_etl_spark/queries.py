@@ -708,6 +708,12 @@ REGISTRY.update(
         "decontaminate_overlap": (
             T.decontaminate_overlap, _TEXT_SQLS["decontaminate_overlap"],
         ),
+        # r11: the same audit at CHUNK granularity — what a pipeline
+        # actually blocks on; oracle composed from the two verified
+        # parent CTEs (chunk windows × eval shingles)
+        "chunk_decontaminate": (
+            T.chunk_decontaminate, T.CHUNK_DECON_SQL,
+        ),
         # PII redaction-gate scan (emails / phone- / SSN-shaped tokens)
         "pii_scan": (T.pii_scan, _TEXT_SQLS["pii_scan"]),
         # Gopher rule-set quality flags (Rae et al. 2021 §A1.1)
@@ -864,6 +870,12 @@ REGISTRY.update(
         # + fixed-point reconstruction error per dimension
         "embedding_int8_stats": (
             S.embedding_int8_stats, S.embedding_int8_stats_sql(),
+        ),
+        # r11: serve ANN from those int8 codes — ADC distance tables
+        # on codes (exact int64 sums), exact-L2 rerank on the
+        # shortlist only; the oracle re-quantizes and re-ranks in SQL
+        "similarity_int8_adc": (
+            S.similarity_int8_adc, S.int8_adc_oracle_sql(),
         ),
         # SemDeDup (Abbas et al. 2023): cluster-then-dedup on the SAME
         # trained codebook as similarity_ivf_kmeans; the oracle retrains
@@ -1662,4 +1674,80 @@ assert all(k in REGISTRY for k in _R10_FRONT), [
 REGISTRY = {
     **{k: REGISTRY[k] for k in _R10_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R10_FRONT},
+}
+
+# ---------------------------------------------------------------------------
+# Round-11 window rotation (VERDICT r10 item 3). Latest driver score
+# per query after r10: r6 ×23, r7 ×44, r9 ×50, r10 ×50. Policy
+# unchanged: new queries front, then the oldest-scored cohort — the
+# full r6 cohort (23) plus the first 25 of the r7 cohort fill the
+# window; the 19 r7 leftovers (lang_id … top_tokens, alphabetical
+# tail) rotate in r12. After this window no registry query's latest
+# score predates r7.
+# ---------------------------------------------------------------------------
+
+_R11_FRONT = (
+    # new in r11
+    "similarity_int8_adc",
+    "chunk_decontaminate",
+    # the r6 cohort (all 23 — oldest-scored in the registry)
+    "multimodal_ahash_near_pairs",
+    "multimodal_resize",
+    "pagerank_trade",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "quality_deciles",
+    "scd2_intervals",
+    "semdedup",
+    "sequence_pack",
+    "similarity_ivfpq",
+    "similarity_pq_adc",
+    "similarity_pq_rerank",
+    "source_cap_sample",
+    "spatial_nearest_neighbor",
+    "supplier_copurchase_audit",
+    "supplier_copurchase_pairs",
+    "text_repetition",
+    "text_unigram_surprisal",
+    "training_data_prep_v2",
+    "training_shards",
+    # r7 cohort, alphabetical head (25 of 44)
+    "asof_click_view",
+    "decontaminate_overlap",
+    "dedup_components",
+    "dedup_embedding_lsh",
+    "dedup_embedding_pairs",
+    "dedup_exact_groups",
+    "dedup_exact_kept",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_pairs",
+    "doc_fingerprints",
+    "gdb_scan_attrs",
+    "gdb_scan_oids",
+    "geo_haversine_span",
+    "geo_heatmap_pyramid",
+    "geo_normalized_bbox",
+    "gpkg_heatmap_roundtrip",
+    "h3_grid_disk_stats",
+    "h3_grid_ring_children",
+    "hex_heatmap_pyramid",
+    "hex_heatmap_smoothed",
+    "interval_error_activity",
+    "io_csv_wkt_scan",
+    "io_ndjson_shape_stats",
+    "io_wide_attrs_projection",
+)
+
+assert len(_R11_FRONT) == 50, len(_R11_FRONT)
+assert all(k in REGISTRY for k in _R11_FRONT), [
+    k for k in _R11_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R11_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R11_FRONT},
 }

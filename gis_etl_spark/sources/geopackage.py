@@ -135,9 +135,12 @@ def write_geopackage(
     the envelope per feature mirrors WRITE_BBOX=YES. Returns the
     feature count.
 
-    A GeoPackage is one sqlite file, so this sink inherently collects
-    to the driver — correct for its intended inputs (aggregated
-    heatmaps, ~10⁴-10⁵ features) and a silent OOM for a raw corpus.
+    A GeoPackage is one sqlite file, so this sink is inherently a
+    single driver-side writer; rows stream through
+    ``df.toLocalIterator()`` (one partition in memory at a time), so
+    driver memory is bounded by the largest partition, not the table.
+    It is still the wrong sink for a raw corpus — the write itself is
+    serial.
     The row bound makes that boundary explicit: exceeding `max_rows`
     fails fast (probed with a cheap limit(n+1) count, not a full scan)
     and names the distributed alternatives."""
@@ -153,7 +156,9 @@ def write_geopackage(
             "write_ndjson, or heatmap_geojson. Raise max_rows only if "
             "the driver has memory for the collect."
         )
-    rows = df.collect()
+    # toLocalIterator: one partition in driver memory at a time (not a
+    # full-table collect) — the sink is inherently driver-side (one
+    # sqlite file) but its memory footprint need not be O(table).
     attr_cols = [c for c in df.columns if c != geom_col]
     sql_types = {
         "bigint": "INTEGER", "int": "INTEGER", "long": "INTEGER",
@@ -182,7 +187,9 @@ def write_geopackage(
             + ",".join("?" * (1 + len(attr_cols)))
             + ")"
         )
-        for r in rows:
+        n_rows = 0
+        for r in df.toLocalIterator():
+            n_rows += 1
             wkb = bytes(r[geom_col])
             env = None
             if write_bbox:
@@ -199,7 +206,7 @@ def write_geopackage(
         )
         bbox_vals = (
             (gxmin, gymin, gxmax, gymax)
-            if write_bbox and rows
+            if write_bbox and n_rows
             else (None, None, None, None)
         )
         con.execute(
@@ -213,7 +220,7 @@ def write_geopackage(
         con.commit()
     finally:
         con.close()
-    return len(rows)
+    return n_rows
 
 
 def read_geopackage(

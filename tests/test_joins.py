@@ -484,7 +484,9 @@ def test_range_lookup_random_fractional_bands_match_nonequi(spark):
     from gis_etl_spark.ops.joins import range_lookup_join
 
     rng = np.random.default_rng(23)
-    for n_bands in (1, 2, 37):
+    # 37 exercises the CASE tree; 200 crosses CASE_TREE_MAX_BANDS into
+    # the grid-bucketed probe — same exactness contract on both plans
+    for n_bands in (1, 2, 37, 200):
         edges = np.sort(rng.uniform(-1e4, 1e4, 2 * n_bands))
         los, his = edges[0::2], edges[1::2]
         bands = spark.createDataFrame(
@@ -584,6 +586,48 @@ def test_range_lookup_plan_is_broadcast_hash(spark, band_frames):
         range_lookup_join(fact, "v", bands, "lo", "hi")
         ._jdf.queryExecution().executedPlan().toString()
     )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_lookup_10k_bands_grid_probe(spark):
+    """The grid probe at the documented max_bands ceiling (10,000 —
+    the scale where the r10-era CASE tree OOM'd executor heap on a
+    wide fact): exact band assignment, BroadcastHashJoin-only plan,
+    bounded wall."""
+    import time
+
+    from gis_etl_spark.ops.joins import range_lookup_join
+
+    n_bands = 10_000
+    bands = spark.createDataFrame(
+        [(i, i * 10.0, i * 10.0 + 8.0) for i in range(n_bands)],
+        schema=["band_id", "lo", "hi"],
+    )
+    fact = spark.range(0, 500_000).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 7919) % 120_000 - 10_000).cast("double").alias("v"),
+    )
+    t0 = time.time()
+    out = range_lookup_join(fact, "v", bands, "lo", "hi", how="left")
+    got = out.select("rid", "v", "band_id").withColumn(
+        "want",
+        F.when(
+            (F.col("v") >= 0)
+            & (F.col("v") < n_bands * 10)
+            & (F.col("v") % 10 < 8),
+            (F.col("v") / 10).cast("int").cast("bigint"),
+        ),
+    )
+    n_bad = got.filter(
+        ~F.col("band_id").eqNullSafe(F.col("want"))
+    ).count()
+    wall = time.time() - t0
+    assert n_bad == 0
+    assert wall < 30, f"10k-band grid probe took {wall:.1f}s"
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan

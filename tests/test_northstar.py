@@ -1042,3 +1042,39 @@ def test_embedding_int8_quantization_bounds(spark, sf_dir):
         scale = (r["dim_max"] - r["dim_min"]) / 255.0
         mean_err = r["err_units"] / (10**INT8_ERR_DP) / r["n"]
         assert mean_err <= scale / 2 + 1e-6, (r["dim"], mean_err, scale)
+
+
+def test_int8_adc_recall_vs_exact(spark, sf_dir):
+    """The int8-ADC + rerank top-k must recover nearly all of the
+    exact-L2 top-k (8 bits/dim scalar quantization is a far finer
+    code than PQ's 3 bits per 8-dim subspace, and the exact rerank
+    fixes any shortlist-order noise) — floor 0.9, brute twin in numpy."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gis_etl_spark.ops.similarity import (
+        N_QUERIES,
+        TOPK,
+        similarity_int8_adc,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    V = np.array(t["embedding"].to_pylist(), dtype="f8")
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    exact = set()
+    for q in range(N_QUERIES):
+        qi = int(np.searchsorted(ids, q))
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        cand = [
+            (d2[j], int(ids[j])) for j in range(len(ids)) if ids[j] != q
+        ]
+        for d, vid in sorted(cand)[:TOPK]:
+            exact.add((q, vid))
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_int8_adc(spark, sf_dir).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"int8-ADC recall collapsed: {recall:.2f}"

@@ -964,3 +964,122 @@ def hh_snapshot_exact(
         .filter(F.col("cnt") >= F.lit(threshold))
         .orderBy(F.desc("cnt"), F.asc("token"))
     )
+
+
+def streaming_chunk_decontaminate(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Streaming twin of ops.text.chunk_decontaminate — the ingest-time
+    decontamination gate: every arriving non-eval document's
+    CHUNK_TOKENS-token windows report, per (doc_id, chunk_idx), how
+    many of their distinct 5-gram shingles hit the held-out eval set
+    (doc_id % EVAL_MOD == 0), zero-overlap chunks included. A
+    downstream consumer drops (or flags) a chunk on arrival iff
+    n_shared >= DECON_T — contaminated windows never reach the
+    training shard.
+
+    Plan: the eval shingle set is a STATIC batch frame (eval sets are
+    fixed, small artifacts) on the build side of a stream-static left
+    join — the streaming rendition of the batch twin's broadcast
+    semi-join, re-resolved per micro-batch with no state of its own.
+    Chunking + per-chunk shingling are stateless select/explodes
+    (posexplode_OUTER keeps shingle-less short chunks alive through
+    the join so they report n_shared = 0). The only state is the
+    per-chunk counter — associative, so the native update-mode agg
+    matches the batch twin bit-for-bit under any micro-batch slicing;
+    one state row per chunk, never a reshuffle of history."""
+    from gis_etl_spark.ops.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        DECON_NGRAM,
+        DECON_T,
+        EVAL_MOD,
+        words_col,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    n = DECON_NGRAM
+    doc_parts = ", ".join(f"ws[i+{k}]" for k in range(n))
+    shingle_arr = F.array_distinct(
+        F.when(
+            F.size("ws") >= n,
+            F.expr(
+                f"transform(sequence(0, size(ws) - {n}), "
+                f"i -> concat_ws(' ', {doc_parts}))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    eval_sh = (
+        spark.read.schema(schema)
+        .parquet(f"{input_dir}/*.parquet")
+        .filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(words_col(F.col("text")).alias("ws"))
+        .select(F.explode(shingle_arr).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .filter(F.col("doc_id") % EVAL_MOD != 0)
+    )
+    w = words_col(F.col("text"))
+    staged = stream.select(
+        "doc_id", w.alias("ws"), F.size(w).alias("n")
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= C, F.lit(1)).otherwise(
+            F.lit(1) + F.expr(f"div(n - {C} + {S} - 1, {S})")
+        ),
+    )
+    cw_parts = ", ".join(f"cw[i+{k}]" for k in range(n))
+    chunk_sh = F.array_distinct(
+        F.when(
+            F.size("cw") >= n,
+            F.expr(
+                f"transform(sequence(0, size(cw) - {n}), "
+                f"i -> concat_ws(' ', {cw_parts}))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    shingles = (
+        staged.select(
+            "doc_id",
+            "ws",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(C), F.col("n") - F.col("chunk_idx") * S
+            ).alias("n_tok"),
+            F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tok",
+            F.posexplode_outer(chunk_sh).alias("_i", "sh"),
+        )
+    )
+    return (
+        shingles.join(eval_sh, "sh", "left")
+        .groupBy("doc_id", "chunk_idx", "n_tok")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).alias("n_shared"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tok",
+            "n_shared",
+            (F.col("n_shared") >= DECON_T).alias("contaminated"),
+        )
+    )

@@ -782,3 +782,54 @@ def test_streaming_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
     exp = heavy_hitter_tokens(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert len(exp) > 0  # the corpus actually has heavy hitters
+
+
+def test_streaming_chunk_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming chunk-level decontamination == the batch twin: feed
+    the documents in 3 micro-batches and require the final per-chunk
+    (n_tok, n_shared, contaminated) state to equal
+    ops.text.chunk_decontaminate on the same corpus — the stream-static
+    eval-shingle join must re-resolve identically per micro-batch."""
+    import time
+
+    from gis_etl_spark.ops.text import chunk_decontaminate
+    from gis_etl_spark.pipelines import streaming as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.collect()
+    third = len(rows) // 3
+    parts = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "cdc_in")
+    os.makedirs(flat)
+    for i, part in enumerate(parts):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_chunk_decontaminate(spark, flat),
+        name,
+        output_mode="update",
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby(["doc_id", "chunk_idx"]).tail(1)
+    got = {
+        (int(r.doc_id), int(r.chunk_idx)): (
+            int(r.n_tok), int(r.n_shared), bool(r.contaminated)
+        )
+        for r in last.itertuples()
+    }
+    exp = {
+        (int(r.doc_id), int(r.chunk_idx)): (
+            int(r.n_tok), int(r.n_shared), bool(r.contaminated)
+        )
+        for r in chunk_decontaminate(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert any(v[1] > 0 for v in exp.values())  # eval overlap exists

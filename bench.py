@@ -72,6 +72,63 @@ def _flush_partial(
         )
     os.replace(tmp_path, full_path)
 
+# Hard budget for the FINAL stdout line: the driver records only the
+# last ~2,000 bytes of stdout and parses the last line — r4 cut a fat
+# line mid-JSON and r10's full-queries line came back parsed:null.
+# Unit-tested in tests/test_cli.py against pathological inputs.
+FINAL_LINE_BUDGET = 1800
+
+
+def compact_final_line(
+    timings: dict[str, float],
+    sections: dict[str, list[str]],
+    sf: float,
+    errors: dict[str, str],
+) -> str:
+    """The driver-facing summary line: suite wall + per-section sums +
+    as many top-wall queries as fit, shrunk ITERATIVELY under
+    FINAL_LINE_BUDGET so it can never outgrow the driver's stdout tail
+    window (full detail lives in the repo artifact and an earlier,
+    sacrificial stdout line)."""
+    compact: dict = {
+        "metric": "suite_wall_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "sections": {
+            s: round(sum(timings[k] for k in ks if k in timings), 2)
+            for s, ks in sections.items()
+            if ks
+        },
+    }
+    if errors:
+        compact["errors"] = {
+            k: v[:80] for k, v in list(errors.items())[:5]
+        }
+    by_wall = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_wall)
+    while True:
+        compact["queries"] = {
+            k: round(timings[k], 2) for k in by_wall[:keep]
+        }
+        if keep < len(by_wall):
+            compact["queries_omitted"] = len(by_wall) - keep
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= FINAL_LINE_BUDGET or keep == 0:
+            break
+        keep = max(
+            0, keep - max(1, (len(line) - FINAL_LINE_BUDGET) // 30)
+        )
+    if len(line) > FINAL_LINE_BUDGET:
+        # last resort (a pathological errors dict): the headline
+        # metric still must reach the driver
+        compact.pop("errors", None)
+        compact["queries"] = {}
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 # contract queries timed end-to-end through a noop sink (a count()
 # would let Catalyst prune computed columns out of SELECT-shaped
 # queries — the export queries' UDF columns would never run)
@@ -147,9 +204,10 @@ HEADLINE = [
     "weighted_sample_docs",
     "customer_name_ed1_pairs",
     "embedding_int8_stats",
-    # round 11: int8-ADC serving + chunk-level decontamination
+    # round 11: int8-ADC serving + chunk-level + fuzzy decontamination
     "similarity_int8_adc",
     "chunk_decontaminate",
+    "fuzzy_decontaminate",
 ]
 
 
@@ -924,39 +982,10 @@ def main() -> None:
         "sources": list(src_t),
         "scale": list(scale_t),
     }
-    compact = {
-        "metric": "suite_wall_sec",
-        "value": round(sum(timings.values()), 2),
-        "unit": "sec",
-        "sf": result["sf"],
-        "n_queries": len(timings),
-        "sections": {
-            s: round(sum(timings[k] for k in ks if k in timings), 2)
-            for s, ks in sections.items()
-            if ks
-        },
-    }
-    if ERRORS:
-        compact["errors"] = {
-            k: v[:80] for k, v in list(ERRORS.items())[:5]
-        }
-    by_wall = sorted(timings, key=timings.get, reverse=True)
-    keep = len(by_wall)
-    while True:
-        compact["queries"] = {k: round(timings[k], 2) for k in by_wall[:keep]}
-        if keep < len(by_wall):
-            compact["queries_omitted"] = len(by_wall) - keep
-        line = json.dumps(compact, separators=(",", ":"))
-        if len(line) <= 1800 or keep == 0:
-            break
-        keep = max(0, keep - max(1, (len(line) - 1800) // 30))
-    if len(line) > 1800:
-        # last resort (a pathological errors dict): the headline
-        # metric still must reach the driver
-        compact.pop("errors", None)
-        compact["queries"] = {}
-        line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1800, len(line)
+    line = compact_final_line(
+        timings, sections, result["sf"], ERRORS
+    )
+    assert len(line) <= FINAL_LINE_BUDGET, len(line)
     print(line)
     spark.stop()
 

@@ -363,6 +363,55 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the MinHash rendition of
+    decontaminate_overlap for eval items that were paraphrased, not
+    copied, into the corpus (the case the exact 5-gram audit misses;
+    standard practice in pretraining data recipes alongside the exact
+    n-gram pass).
+
+    Semantics: eval set = doc_id % EVAL_MOD == 0 over the dedup fixture
+    (whose injected near-duplicates play the paraphrased-leak role);
+    emit every (corpus doc, eval doc) pair sharing a MinHash band
+    bucket whose EXACT trigram-shingle Jaccard ≥ MINHASH_JACCARD_T.
+
+    Plan shape vs dedup_minhash_pairs: the same signature/band chain,
+    but the band join is BIPARTITE — corpus band keys equi-join the
+    BROADCAST eval side (eval sets are small by construction), so at
+    100 TB the corpus never self-joins and never shuffles: candidates
+    are a map-side broadcast probe, and only the shortlist pays the
+    exact-Jaccard verify. The oracle replays the identical chain
+    (signatures, banding, verify) in SQL, so the hash match pins
+    candidate generation, not just the verified survivors."""
+    from gis_etl_spark.ops.text import EVAL_MOD
+
+    docs = _docs(spark)
+    bk = _band_keys(_minhash_signatures(docs))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = bk.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "band_idx", "band_key"
+    )
+    corp = bk.filter(~is_eval)
+    pairs = (
+        corp.join(F.broadcast(ev), ["band_idx", "band_key"])
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("eval_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        _exact_jaccard(docs, pairs)
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("eval_id"),
+            "jaccard",
+        )
+        .orderBy("doc_id", "eval_id")
+    )
+
+
 def label_components(pairs: DataFrame) -> DataFrame:
     """Connected components over an undirected pair graph — min-label
     propagation iterated to FIXPOINT with a driver loop (the kmeans_fit
@@ -685,12 +734,15 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- oracle SQL -------------------------------------------------------------
 
 
-def minhash_pairs_sql(src: str) -> str:
-    """The full MinHash+LSH verified-pairs pipeline as one SQL string
-    over `src` (any relation producing doc_id, text) — parameterized so
-    composition queries (training_data_prep) run the identical chain on
-    a filtered survivor set. Nested-WITH-safe: wrap in parentheses as a
-    subquery or CTE body."""
+def _minhash_prefix_sql(src: str) -> str:
+    """The shared ws0→dw→hashed→sig→bands CTE chain (shingles,
+    signatures, band keys) over `src` — the common head of the
+    self-join (minhash_pairs_sql) and bipartite (fuzzy_decontaminate)
+    oracles.
+
+    dw = distinct trigram shingles (1-based DuckDB lists: i..i+2 for
+    i in 1..len-2 matches Spark's 0-based i..i+2 for i in 0..size-3).
+    """
     h = h60_sql("w")
     minhash_cols = ", ".join(
         f"min(({a} * (h % {P31}) + {b}) % {P31}) AS m{j}"
@@ -706,11 +758,7 @@ def minhash_pairs_sql(src: str) -> str:
             f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig"
         )
     bands_sql = " UNION ALL ".join(band_rows)
-
-    # dw = distinct trigram shingles (1-based DuckDB lists: i..i+2 for
-    # i in 1..len-2 matches Spark's 0-based i..i+2 for i in 0..size-3)
-    return f"""
-        WITH ws0 AS (
+    return f"""ws0 AS (
           SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ww
           FROM {src}
         ), dw AS (
@@ -723,7 +771,17 @@ def minhash_pairs_sql(src: str) -> str:
           SELECT doc_id, {minhash_cols} FROM hashed GROUP BY doc_id
         ), bands AS (
           {bands_sql}
-        ), cands AS (
+        )"""
+
+
+def minhash_pairs_sql(src: str) -> str:
+    """The full MinHash+LSH verified-pairs pipeline as one SQL string
+    over `src` (any relation producing doc_id, text) — parameterized so
+    composition queries (training_data_prep) run the identical chain on
+    a filtered survivor set. Nested-WITH-safe: wrap in parentheses as a
+    subquery or CTE body."""
+    return f"""
+        WITH {_minhash_prefix_sql(src)}, cands AS (
           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
           FROM bands l JOIN bands r
             ON l.band_idx = r.band_idx AND l.band_key = r.band_key
@@ -744,6 +802,40 @@ def minhash_pairs_sql(src: str) -> str:
         JOIN sizes sb ON sb.doc_id = i.doc_b
         WHERE i.inter * 1.0 / (sa.nw + sb.nw - i.inter) >= {MINHASH_JACCARD_T}
         ORDER BY i.doc_a, i.doc_b
+    """
+
+
+def fuzzy_decontaminate_sql(src: str) -> str:
+    """The bipartite (corpus × eval) rendition of minhash_pairs_sql —
+    the exact SQL replay of fuzzy_decontaminate's chain: same shingle/
+    signature/band CTEs, candidates restricted to corpus-side docs
+    sharing a band bucket with an eval-side doc, same exact-Jaccard
+    verify and threshold. A hash match therefore pins the bipartite
+    candidate generation, not just the survivors."""
+    from gis_etl_spark.ops.text import EVAL_MOD
+
+    return f"""
+        WITH {_minhash_prefix_sql(src)}, cands AS (
+          SELECT DISTINCT r.doc_id AS doc_id, l.doc_id AS eval_id
+          FROM bands l JOIN bands r
+            ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+          WHERE l.doc_id % {EVAL_MOD} = 0 AND r.doc_id % {EVAL_MOD} != 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nw FROM dw GROUP BY doc_id
+        ), inter AS (
+          SELECT c.doc_id, c.eval_id, count(*) AS inter
+          FROM cands c
+          JOIN dw a ON a.doc_id = c.doc_id
+          JOIN dw b ON b.doc_id = c.eval_id AND b.w = a.w
+          GROUP BY c.doc_id, c.eval_id
+        )
+        SELECT i.doc_id, i.eval_id,
+               round(i.inter * 1.0 / (sa.nw + sb.nw - i.inter), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_id
+        JOIN sizes sb ON sb.doc_id = i.eval_id
+        WHERE i.inter * 1.0 / (sa.nw + sb.nw - i.inter) >= {MINHASH_JACCARD_T}
+        ORDER BY i.doc_id, i.eval_id
     """
 
 
@@ -833,6 +925,7 @@ def oracle_sqls() -> dict[str, str]:
             ) WHERE doc_id = keep_id
         """,
         "dedup_minhash_pairs": minhash_common,
+        "fuzzy_decontaminate": fuzzy_decontaminate_sql(d),
         # exact transitive closure over the same pair graph — equals
         # Spark's fixpoint-converged min-label propagation
         "dedup_components": f"""

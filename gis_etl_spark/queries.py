@@ -789,6 +789,12 @@ REGISTRY.update(
         "dedup_minhash_pairs": (
             D.dedup_minhash_pairs, _DEDUP_SQLS["dedup_minhash_pairs"],
         ),
+        # r11: fuzzy decontamination — the bipartite MinHash variant
+        # (corpus band keys probe the BROADCAST eval side; catches
+        # paraphrased eval leaks the exact 5-gram audit misses)
+        "fuzzy_decontaminate": (
+            D.fuzzy_decontaminate, _DEDUP_SQLS["fuzzy_decontaminate"],
+        ),
         # pair graph → duplicate clusters (fixpoint label propagation
         # vs the oracle's recursive-CTE transitive closure)
         "dedup_components": (
@@ -1679,17 +1685,18 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round-11 window rotation (VERDICT r10 item 3). Latest driver score
 # per query after r10: r6 ×23, r7 ×44, r9 ×50, r10 ×50. Policy
-# unchanged: new queries front, then the oldest-scored cohort — the
-# full r6 cohort (23) plus the first 25 of the r7 cohort fill the
-# window; the 19 r7 leftovers (lang_id … top_tokens, alphabetical
-# tail) rotate in r12. After this window no registry query's latest
-# score predates r7.
+# unchanged: new queries front (3), then the oldest-scored cohort —
+# the full r6 cohort (23) plus the first 24 of the r7 cohort fill the
+# window; the 20 r7 leftovers (io_wide_attrs_projection, lang_id …
+# top_tokens, alphabetical tail) rotate in r12. After this window no
+# registry query's latest score predates r7.
 # ---------------------------------------------------------------------------
 
 _R11_FRONT = (
     # new in r11
     "similarity_int8_adc",
     "chunk_decontaminate",
+    "fuzzy_decontaminate",
     # the r6 cohort (all 23 — oldest-scored in the registry)
     "multimodal_ahash_near_pairs",
     "multimodal_resize",
@@ -1739,7 +1746,6 @@ _R11_FRONT = (
     "interval_error_activity",
     "io_csv_wkt_scan",
     "io_ndjson_shape_stats",
-    "io_wide_attrs_projection",
 )
 
 assert len(_R11_FRONT) == 50, len(_R11_FRONT)

@@ -117,3 +117,54 @@ def test_cli_semdedup_cdc_pagerank(tmp_path):
         pdf = pd.read_parquet(out)
         assert set(pdf.columns) == cols, cmd
         assert len(pdf) >= min_rows, cmd
+
+
+def test_bench_final_line_never_exceeds_budget():
+    """The driver parses only the last ~2,000 stdout bytes; 3 of the
+    first 10 rounds lost their timings to an overgrown or missing
+    final line. compact_final_line must stay under budget and keep the
+    headline metric for ANY inputs — hundreds of long-named queries,
+    huge error dicts, or both."""
+    import json
+
+    from bench import FINAL_LINE_BUDGET, compact_final_line
+
+    cases = [
+        # normal suite shape
+        (
+            {f"query_with_a_rather_long_name_{i:03d}": i * 0.173
+             for i in range(300)},
+            {},
+        ),
+        # pathological error dict
+        (
+            {f"q{i}": 1.0 for i in range(50)},
+            {f"section_{i}_" + "x" * 200: "Boom: " + "y" * 500
+             for i in range(40)},
+        ),
+        # both extremes
+        (
+            {("n" * 120) + str(i): 9999.999 for i in range(500)},
+            {"e" * 300: "z" * 1000},
+        ),
+        # empty suite (total crash upstream) still emits a metric
+        ({}, {"section_headline": "everything died"}),
+    ]
+    for timings, errors in cases:
+        sections = {"headline": list(timings)[: len(timings) // 2],
+                    "scale": list(timings)[len(timings) // 2:]}
+        line = compact_final_line(timings, sections, 0.1, errors)
+        assert len(line) <= FINAL_LINE_BUDGET, len(line)
+        d = json.loads(line)
+        assert d["metric"] == "suite_wall_sec"
+        assert d["value"] == round(sum(timings.values()), 2)
+        assert d["n_queries"] == len(timings)
+        # inline queries are the TOP-wall subset, values 2dp
+        for k, v in d["queries"].items():
+            assert v == round(timings[k], 2)
+        if d["queries"]:
+            inline_min = min(d["queries"].values())
+            omitted = [k for k in timings if k not in d["queries"]]
+            assert all(
+                round(timings[k], 2) <= inline_min + 0.01 for k in omitted
+            )

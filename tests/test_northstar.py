@@ -1078,3 +1078,23 @@ def test_int8_adc_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"int8-ADC recall collapsed: {recall:.2f}"
+
+
+def test_fuzzy_decontaminate_catches_planted_leaks(spark, sf_dir):
+    """The bipartite MinHash decontamination must catch the fixture's
+    planted leaks of eval doc 0 (doc_id % 97 == 0): its EXACT copy
+    (100000, J=1.0) and its PARAPHRASED copy (200000, ~12% of words
+    replaced — the case the exact 5-gram audit is blind to), and
+    never emit a pair below the verify threshold."""
+    from gis_etl_spark.ops.dedup import (
+        MINHASH_JACCARD_T,
+        fuzzy_decontaminate,
+    )
+
+    rows = fuzzy_decontaminate(spark, sf_dir).collect()
+    got = {(r.doc_id, r.eval_id): r.jaccard for r in rows}
+    assert got[(100000, 0)] == 1.0          # exact leak
+    near = got[(200000, 0)]                 # paraphrased leak
+    assert MINHASH_JACCARD_T <= near < 1.0
+    assert all(j >= MINHASH_JACCARD_T for j in got.values())
+    assert all(e % 97 == 0 and d % 97 != 0 for d, e in got)

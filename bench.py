@@ -204,10 +204,12 @@ HEADLINE = [
     "weighted_sample_docs",
     "customer_name_ed1_pairs",
     "embedding_int8_stats",
-    # round 11: int8-ADC serving + chunk-level + fuzzy decontamination
+    # round 11: int8-ADC serving, chunk-level + fuzzy decontamination,
+    # leakage-safe splits
     "similarity_int8_adc",
     "chunk_decontaminate",
     "fuzzy_decontaminate",
+    "leakage_safe_splits",
 ]
 
 

@@ -734,6 +734,153 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- oracle SQL -------------------------------------------------------------
 
 
+LEAKAGE_N_SPLITS = 10  # train/val/test bucketing granularity
+
+
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split assignment — the step a
+    training pipeline runs after near-dup detection: hash-bucket
+    documents into LEAKAGE_N_SPLITS splits BY NEAR-DUP COMPONENT
+    (every member of a duplicate cluster shares its component's
+    bucket), so a paraphrase of a training document can never land in
+    the eval split. Naive per-document hashing leaks by construction —
+    the output audits both schemes side by side.
+
+    Output, one row per split: (split_id, n_docs, n_components,
+    leaky_pairs, leaky_pairs_naive) where leaky_pairs counts verified
+    near-dup pairs straddling split boundaries under the component
+    scheme (0 by construction — the audit PROVES the property) and
+    leaky_pairs_naive counts the same pairs under per-doc hashing
+    (nonzero: the leaks the component scheme prevents). A straddling
+    pair is attributed to its doc_a (min-id) side's split.
+
+    Scale: component labels come from the fixpoint min-label
+    propagation (one equi-join + partial agg per round); split
+    assignment is a map-side md5 expression; the audits join the
+    (tiny, already-shortlisted) verified pair set against the split
+    map. Nothing here is heavier than the dedup pass that precedes it
+    in any real pipeline."""
+    docs = _docs(spark).select("doc_id")
+    pairs = (
+        _exact_jaccard(_docs(spark), minhash_candidates(_docs(spark)))
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    comp = label_components(pairs)
+    n = LEAKAGE_N_SPLITS
+    assigned = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .select(
+            "doc_id",
+            "component",
+            (_h60(F.col("component").cast("string")) % n).alias(
+                "split_id"
+            ),
+            (_h60(F.col("doc_id").cast("string")) % n).alias(
+                "naive_split"
+            ),
+        )
+    )
+    per_split = assigned.groupBy("split_id").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("component").alias("n_components"),
+    )
+    sa = assigned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split_id").alias("sa"),
+        F.col("naive_split").alias("na"),
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split_id").alias("sb"),
+        F.col("naive_split").alias("nb"),
+    )
+    pj = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    comp_leaks = (
+        pj.filter(F.col("sa") != F.col("sb"))
+        .groupBy(F.col("sa").alias("split_id"))
+        .agg(F.count("*").alias("leaky_pairs"))
+    )
+    naive_leaks = (
+        pj.filter(F.col("na") != F.col("nb"))
+        .groupBy(F.col("na").alias("split_id"))
+        .agg(F.count("*").alias("leaky_pairs_naive"))
+    )
+    return (
+        per_split.join(comp_leaks, "split_id", "left")
+        .join(naive_leaks, "split_id", "left")
+        .select(
+            "split_id",
+            "n_docs",
+            "n_components",
+            F.coalesce("leaky_pairs", F.lit(0)).alias("leaky_pairs"),
+            F.coalesce("leaky_pairs_naive", F.lit(0)).alias(
+                "leaky_pairs_naive"
+            ),
+        )
+        .orderBy("split_id")
+    )
+
+
+def leakage_safe_splits_sql(src: str) -> str:
+    """SQL replay of leakage_safe_splits: the dedup_components
+    recursive-CTE transitive closure (exact, schedule-independent —
+    the fixpoint twin's proven oracle form) + the same md5-derived
+    split buckets and pair audits."""
+    n = LEAKAGE_N_SPLITS
+    return f"""
+        WITH RECURSIVE
+        p AS (SELECT doc_a, doc_b FROM ({minhash_pairs_sql(src)}) mh),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL
+              SELECT doc_b, doc_a FROM p),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+        ),
+        comp AS (
+          SELECT u AS doc_id, least(u, min(v)) AS component
+          FROM reach GROUP BY u
+        ),
+        assigned AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+          FROM {src} d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        ),
+        s AS (
+          SELECT doc_id, component,
+                 {h60_sql("component::VARCHAR")} % {n} AS split_id,
+                 {h60_sql("doc_id::VARCHAR")} % {n} AS naive_split
+          FROM assigned
+        ),
+        per AS (
+          SELECT split_id, count(*) AS n_docs,
+                 count(DISTINCT component) AS n_components
+          FROM s GROUP BY split_id
+        ),
+        pj AS (
+          SELECT a.split_id AS sa, b.split_id AS sb,
+                 a.naive_split AS na, b.naive_split AS nb
+          FROM p JOIN s a ON a.doc_id = p.doc_a
+                 JOIN s b ON b.doc_id = p.doc_b
+        ),
+        cs AS (SELECT sa AS split_id, count(*) AS lk
+               FROM pj WHERE sa != sb GROUP BY sa),
+        ns AS (SELECT na AS split_id, count(*) AS lkn
+               FROM pj WHERE na != nb GROUP BY na)
+        SELECT per.split_id, per.n_docs, per.n_components,
+               coalesce(cs.lk, 0)::BIGINT AS leaky_pairs,
+               coalesce(ns.lkn, 0)::BIGINT AS leaky_pairs_naive
+        FROM per LEFT JOIN cs USING (split_id)
+                 LEFT JOIN ns USING (split_id)
+        ORDER BY per.split_id
+    """
+
+
 def _minhash_prefix_sql(src: str) -> str:
     """The shared ws0→dw→hashed→sig→bands CTE chain (shingles,
     signatures, band keys) over `src` — the common head of the
@@ -926,6 +1073,7 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "dedup_minhash_pairs": minhash_common,
         "fuzzy_decontaminate": fuzzy_decontaminate_sql(d),
+        "leakage_safe_splits": leakage_safe_splits_sql(d),
         # exact transitive closure over the same pair graph — equals
         # Spark's fixpoint-converged min-label propagation
         "dedup_components": f"""

@@ -795,6 +795,12 @@ REGISTRY.update(
         "fuzzy_decontaminate": (
             D.fuzzy_decontaminate, _DEDUP_SQLS["fuzzy_decontaminate"],
         ),
+        # r11: leakage-safe split assignment — hash-bucket BY near-dup
+        # component so paraphrases never straddle train/eval; audits
+        # component vs naive per-doc hashing side by side
+        "leakage_safe_splits": (
+            D.leakage_safe_splits, _DEDUP_SQLS["leakage_safe_splits"],
+        ),
         # pair graph → duplicate clusters (fixpoint label propagation
         # vs the oracle's recursive-CTE transitive closure)
         "dedup_components": (
@@ -1685,11 +1691,12 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round-11 window rotation (VERDICT r10 item 3). Latest driver score
 # per query after r10: r6 ×23, r7 ×44, r9 ×50, r10 ×50. Policy
-# unchanged: new queries front (3), then the oldest-scored cohort —
-# the full r6 cohort (23) plus the first 24 of the r7 cohort fill the
-# window; the 20 r7 leftovers (io_wide_attrs_projection, lang_id …
-# top_tokens, alphabetical tail) rotate in r12. After this window no
-# registry query's latest score predates r7.
+# unchanged: new queries front (4), then the oldest-scored cohort —
+# the full r6 cohort (23) plus the first 23 of the r7 cohort fill the
+# window; the 21 r7 leftovers (io_ndjson_shape_stats,
+# io_wide_attrs_projection, lang_id … top_tokens, alphabetical tail)
+# rotate in r12. After this window no registry query's latest score
+# predates r7.
 # ---------------------------------------------------------------------------
 
 _R11_FRONT = (
@@ -1697,6 +1704,7 @@ _R11_FRONT = (
     "similarity_int8_adc",
     "chunk_decontaminate",
     "fuzzy_decontaminate",
+    "leakage_safe_splits",
     # the r6 cohort (all 23 — oldest-scored in the registry)
     "multimodal_ahash_near_pairs",
     "multimodal_resize",
@@ -1745,7 +1753,6 @@ _R11_FRONT = (
     "hex_heatmap_smoothed",
     "interval_error_activity",
     "io_csv_wkt_scan",
-    "io_ndjson_shape_stats",
 )
 
 assert len(_R11_FRONT) == 50, len(_R11_FRONT)

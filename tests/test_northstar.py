@@ -1098,3 +1098,23 @@ def test_fuzzy_decontaminate_catches_planted_leaks(spark, sf_dir):
     assert MINHASH_JACCARD_T <= near < 1.0
     assert all(j >= MINHASH_JACCARD_T for j in got.values())
     assert all(e % 97 == 0 and d % 97 != 0 for d, e in got)
+
+
+def test_leakage_safe_splits_zero_component_leaks(spark, sf_dir):
+    """Component-bucketed splits must leak NO near-dup pair across
+    split boundaries (that is the operator's contract), while the
+    naive per-doc hash audit must show the leaks it prevents; splits
+    cover the whole corpus and stay roughly balanced."""
+    from gis_etl_spark.ops.dedup import (
+        LEAKAGE_N_SPLITS,
+        _docs,
+        leakage_safe_splits,
+    )
+
+    rows = leakage_safe_splits(spark, sf_dir).collect()
+    assert len(rows) == LEAKAGE_N_SPLITS
+    assert sum(r.leaky_pairs for r in rows) == 0
+    assert sum(r.leaky_pairs_naive for r in rows) > 0
+    n_total = _docs(spark).count()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert max(r.n_docs for r in rows) <= 3 * min(r.n_docs for r in rows)

@@ -828,6 +828,69 @@ def _scale_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         artifacts["hh_partkey_result"] = n_pk
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["heavy_hitters_tokens"] = f"{type(e).__name__}: {e}"[:300]
+
+    # int8 serving footprint: the memory-bound claim behind
+    # similarity_int8_adc, measured — the same corpus written as raw
+    # float64 vectors vs packed int8 codes (the ADC-resident form),
+    # compression off so the bytes are the representations, not zstd.
+    try:
+        import pandas as pd
+
+        from gis_etl_spark.ops.similarity import _emb
+
+        emb = _emb(spark, SF_DIR).select("vec_id", "v")
+        ex = emb.select(
+            "vec_id", F.posexplode("v").alias("dim", "x")
+        )
+        rng = ex.groupBy("dim").agg(
+            F.min("x").alias("mn"), F.max("x").alias("mx")
+        )
+        mnmx = {r["dim"]: (r["mn"], r["mx"]) for r in rng.collect()}
+        import numpy as np
+
+        mn_arr = np.array([mnmx[d][0] for d in sorted(mnmx)])
+        scale_arr = np.array(
+            [
+                (mnmx[d][1] - mnmx[d][0]) / 255.0 or 1.0
+                for d in sorted(mnmx)
+            ]
+        )
+
+        def _pack_fn(v):
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            X = np.array(v.tolist(), dtype="f8")
+            codes = np.rint((X - mn_arr) / scale_arr).astype(np.uint8)
+            return pd.Series([c.tobytes() for c in codes])
+
+        _pack = F.pandas_udf(_pack_fn, "binary")
+
+        def _bytes(df, sub):
+            path = os.path.join(tmp_i8, sub)
+            df.write.mode("overwrite").option(
+                "compression", "none"
+            ).parquet(path)
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+
+        tmp_i8 = tempfile.mkdtemp(prefix="bench_int8_")
+        try:
+            artifacts["int8_float64_bytes"] = _bytes(emb, "f64")
+            artifacts["int8_codes_bytes"] = _bytes(
+                emb.select("vec_id", _pack("v").alias("codes")), "i8"
+            )
+            if artifacts["int8_codes_bytes"]:
+                artifacts["int8_serving_reduction_x"] = int(
+                    artifacts["int8_float64_bytes"]
+                    / artifacts["int8_codes_bytes"]
+                )
+        finally:
+            shutil.rmtree(tmp_i8, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["int8_footprint"] = f"{type(e).__name__}: {e}"[:300]
     return out
 
 

@@ -761,10 +761,15 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     map. Nothing here is heavier than the dedup pass that precedes it
     in any real pipeline."""
     docs = _docs(spark).select("doc_id")
+    # localCheckpoint: the verified pair set feeds BOTH the component
+    # fixpoint and the straddle audits — without it the whole MinHash
+    # chain (signature UDF + band join + Jaccard verify) re-executes
+    # per consumer (measured ~2 s of the 4.5 s wall at bench scale)
     pairs = (
         _exact_jaccard(_docs(spark), minhash_candidates(_docs(spark)))
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     comp = label_components(pairs)
     n = LEAKAGE_N_SPLITS

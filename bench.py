@@ -210,6 +210,7 @@ HEADLINE = [
     "chunk_decontaminate",
     "fuzzy_decontaminate",
     "leakage_safe_splits",
+    "cms_token_counts",
 ]
 
 

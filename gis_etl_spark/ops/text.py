@@ -1918,3 +1918,117 @@ def weighted_sample_sql() -> str:
         )
         SELECT doc_id, n_chars FROM top ORDER BY doc_id
     """
+
+
+# --- Count-Min Sketch (Cormode & Muthukrishnan 2005) -------------------------
+
+CMS_D = 4      # hash rows
+CMS_W = 1024   # buckets per row
+CMS_TOP = 30   # verified point-query set: the exact top-k tokens
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over the token stream, with its point-query
+    estimates EXACT-VERIFIED on the true top-{CMS_TOP} tokens — the
+    frequency-sketch member of the sketch family (KMV = distinct,
+    Misra-Gries = heavy hitters, sampled ranks = quantiles; CMS answers
+    'how often does THIS key occur' in bounded memory).
+
+    Sketch build is one pass: each token explodes to CMS_D (row,
+    bucket) cells (md5-salted per row — engine-portable, no seeded
+    RNG), and the counter table is a map-side-combined agg onto at
+    most CMS_D×CMS_W = {4×1024} keys REGARDLESS of vocabulary — the
+    same bounded-state contract as the Misra-Gries pass, but
+    mergeable across shards by plain cell-wise addition. The estimate
+    for a key is min over rows of its cell counters (one-sided: never
+    under-counts; over-counts by collision mass ≤ ε·N w.h.p.).
+
+    Output: (token, exact_n, cms_est, overcount) for the exact
+    top-{CMS_TOP} tokens (count desc, token asc — deterministic), the
+    standard way to audit a CMS against ground truth at test scale.
+    The oracle rebuilds the identical sketch in SQL, so the hash match
+    pins the hashing, the counter table, and the min-combine."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
+
+    cells_of = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (
+                    h60(F.concat(F.lit(f"{i}:"), F.col("token")))
+                    % CMS_W
+                ).alias("b"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    cms = (
+        toks.select(F.explode(cells_of).alias("x"))
+        .groupBy(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+
+    w = Window.orderBy(F.desc("exact_n"), F.asc("token"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CMS_TOP)
+        .drop("rk")
+    )
+    probes = top.select(
+        "token", "exact_n", F.explode(cells_of).alias("x")
+    ).select("token", "exact_n", F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cms), ["r", "b"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+    )
+
+
+def cms_token_counts_sql() -> str:
+    """SQL replay of cms_token_counts: same salted-md5 row hashes,
+    same counter table, same min-combine and top-k tie-break."""
+    row_hashes = [h60_sql(f"'{i}:' || token") for i in range(CMS_D)]
+    cells = "\n          UNION ALL ".join(
+        f"SELECT {i} AS r, {h} % {CMS_W} AS b FROM toks"
+        for i, h in enumerate(row_hashes)
+    )
+    probes = "\n          UNION ALL ".join(
+        f"SELECT token, exact_n, {i} AS r, {h} % {CMS_W} AS b FROM top"
+        for i, h in enumerate(row_hashes)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT unnest({WORDS_SQL}) AS token FROM documents
+        ), cells AS (
+          {cells}
+        ), cms AS (
+          SELECT r, b, count(*) AS c FROM cells GROUP BY r, b
+        ), top AS (
+          SELECT token, exact_n FROM (
+            SELECT token, count(*) AS exact_n,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                     AS rk
+            FROM toks GROUP BY token
+          ) WHERE rk <= {CMS_TOP}
+        ), probes AS (
+          {probes}
+        ), est AS (
+          SELECT p.token, p.exact_n, min(c.c) AS cms_est
+          FROM probes p JOIN cms c ON c.r = p.r AND c.b = p.b
+          GROUP BY p.token, p.exact_n
+        )
+        SELECT token, exact_n::BIGINT AS exact_n,
+               cms_est::BIGINT AS cms_est,
+               (cms_est - exact_n)::BIGINT AS overcount
+        FROM est ORDER BY exact_n DESC, token ASC
+    """

@@ -704,6 +704,9 @@ REGISTRY.update(
             T.inverted_index_topk, _TEXT_SQLS["inverted_index_topk"],
         ),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
+        # r11: Count-Min Sketch with exact-verified point queries —
+        # the frequency member of the sketch family (KMV/MG/quantiles)
+        "cms_token_counts": (T.cms_token_counts, T.cms_token_counts_sql()),
         # benchmark decontamination: eval-set 5-gram overlap audit
         "decontaminate_overlap": (
             T.decontaminate_overlap, _TEXT_SQLS["decontaminate_overlap"],
@@ -1691,9 +1694,9 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round-11 window rotation (VERDICT r10 item 3). Latest driver score
 # per query after r10: r6 ×23, r7 ×44, r9 ×50, r10 ×50. Policy
-# unchanged: new queries front (4), then the oldest-scored cohort —
-# the full r6 cohort (23) plus the first 23 of the r7 cohort fill the
-# window; the 21 r7 leftovers (io_ndjson_shape_stats,
+# unchanged: new queries front (5), then the oldest-scored cohort —
+# the full r6 cohort (23) plus the first 22 of the r7 cohort fill the
+# window; the 22 r7 leftovers (io_csv_wkt_scan, io_ndjson_shape_stats,
 # io_wide_attrs_projection, lang_id … top_tokens, alphabetical tail)
 # rotate in r12. After this window no registry query's latest score
 # predates r7.
@@ -1705,6 +1708,7 @@ _R11_FRONT = (
     "chunk_decontaminate",
     "fuzzy_decontaminate",
     "leakage_safe_splits",
+    "cms_token_counts",
     # the r6 cohort (all 23 — oldest-scored in the registry)
     "multimodal_ahash_near_pairs",
     "multimodal_resize",
@@ -1752,7 +1756,6 @@ _R11_FRONT = (
     "hex_heatmap_pyramid",
     "hex_heatmap_smoothed",
     "interval_error_activity",
-    "io_csv_wkt_scan",
 )
 
 assert len(_R11_FRONT) == 50, len(_R11_FRONT)

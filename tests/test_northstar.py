@@ -1118,3 +1118,34 @@ def test_leakage_safe_splits_zero_component_leaks(spark, sf_dir):
     n_total = _docs(spark).count()
     assert sum(r.n_docs for r in rows) == n_total
     assert max(r.n_docs for r in rows) <= 3 * min(r.n_docs for r in rows)
+
+
+def test_cms_estimates_one_sided_and_tight(spark, sf_dir):
+    """CMS contract: estimates NEVER undercount (min over rows of
+    counters that each include the key's true mass), and the overcount
+    stays within the classic eps*N envelope (eps ~ e/W) on this
+    corpus — a collapsed hash (all keys one bucket) or a broken
+    min-combine fails both."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import (
+        CMS_TOP,
+        CMS_W,
+        cms_token_counts,
+        words_col,
+    )
+
+    rows = cms_token_counts(spark, sf_dir).collect()
+    assert len(rows) == CMS_TOP
+    assert all(r.cms_est >= r.exact_n for r in rows)
+    n_total = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(words_col(F.col("text"))).alias("t"))
+        .count()
+    )
+    eps_n = 3.0 * n_total / CMS_W  # ~e/W with slack
+    assert all(r.overcount <= eps_n for r in rows), (
+        max(r.overcount for r in rows),
+        eps_n,
+    )

@@ -642,6 +642,21 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         timed(
+            "streaming_cms_cells",
+            lambda: S.run_to_memory(
+                S.streaming_cms_cells(spark, docs_dir),
+                "bench_cms",
+                output_mode="update",
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_cms").select("r", "b")
+                .distinct().count(),
+            ),
+        )
+
+        timed(
             "streaming_heavy_hitters",
             lambda: S.run_to_memory(
                 S.streaming_heavy_hitter_candidates(spark, docs_dir),

@@ -1927,6 +1927,31 @@ CMS_W = 1024   # buckets per row
 CMS_TOP = 30   # verified point-query set: the exact top-k tokens
 
 
+def cms_cell_array(token: Column) -> Column:
+    """token -> array of its CMS_D (row, bucket) cells — md5-salted per
+    row, engine-portable; shared by the batch sketch and the streaming
+    twin (pure expression, stateless, stream-legal)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (h60(F.concat(F.lit(f"{i}:"), token)) % CMS_W).alias("b"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+
+
+def cms_cells(toks: DataFrame) -> DataFrame:
+    """(r, b, c) CMS counter table over a (token) frame: one explode +
+    one map-side-combined agg onto at most CMS_D*CMS_W keys."""
+    return (
+        toks.select(F.explode(cms_cell_array(F.col("token"))).alias("x"))
+        .groupBy(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch over the token stream, with its point-query
     estimates EXACT-VERIFIED on the true top-{CMS_TOP} tokens — the
@@ -1950,24 +1975,8 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the hashing, the counter table, and the min-combine."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
-
-    cells_of = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"),
-                (
-                    h60(F.concat(F.lit(f"{i}:"), F.col("token")))
-                    % CMS_W
-                ).alias("b"),
-            )
-            for i in range(CMS_D)
-        ]
-    )
-    cms = (
-        toks.select(F.explode(cells_of).alias("x"))
-        .groupBy(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
-        .agg(F.count("*").alias("c"))
-    )
+    cells_of = cms_cell_array(F.col("token"))
+    cms = cms_cells(toks)
 
     w = Window.orderBy(F.desc("exact_n"), F.asc("token"))
     top = (

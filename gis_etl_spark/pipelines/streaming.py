@@ -1083,3 +1083,33 @@ def streaming_chunk_decontaminate(
             (F.col("n_shared") >= DECON_T).alias("contaminated"),
         )
     )
+
+
+def streaming_cms_cells(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming Count-Min Sketch maintenance — the stateful twin of
+    ops.text.cms_cells: every arriving document's tokens upsert their
+    CMS_D (row, bucket) counters. The flagship bounded-state example:
+    state is AT MOST CMS_D × CMS_W rows (4,096) no matter how many
+    tokens or how much vocabulary streams past, and the per-cell count
+    is associative, so the final table equals the batch sketch
+    bit-for-bit under any micro-batch slicing (native update-mode agg,
+    map-side partial combine per micro-batch).
+
+    A serving tier reads the latest cells and answers point-frequency
+    queries with min-over-rows — the streaming analog of
+    cms_token_counts' estimate stage, with no rescan of history."""
+    from gis_etl_spark.ops.text import cms_cell_array, words_col
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    toks = stream.filter(F.col("text").isNotNull()).select(
+        F.explode(words_col(F.col("text"))).alias("token")
+    )
+    return (
+        toks.select(F.explode(cms_cell_array(F.col("token"))).alias("x"))
+        .groupBy(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

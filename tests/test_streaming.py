@@ -833,3 +833,44 @@ def test_streaming_chunk_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp
     assert any(v[1] > 0 for v in exp.values())  # eval overlap exists
+
+
+def test_streaming_cms_cells_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CMS == the batch sketch: feed the documents in 3
+    micro-batches and require the final (row, bucket) counter state to
+    equal ops.text.cms_cells on the same corpus — associative counts
+    must be slicing-invariant, and state stays <= CMS_D*CMS_W rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.ops.text import CMS_D, CMS_W, cms_cells, words_col
+    from gis_etl_spark.pipelines import streaming as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.collect()
+    third = len(rows) // 3
+    parts = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "cms_in")
+    os.makedirs(flat)
+    for i, part in enumerate(parts):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_cms_cells(spark, flat), name, output_mode="update"
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby(["r", "b"]).tail(1)
+    got = {(int(x.r), int(x.b)): int(x.c) for x in last.itertuples()}
+    toks = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
+    exp = {(r.r, r.b): r.c for r in cms_cells(toks).collect()}
+    assert got == exp
+    assert len(got) <= CMS_D * CMS_W

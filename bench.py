@@ -211,6 +211,7 @@ HEADLINE = [
     "fuzzy_decontaminate",
     "leakage_safe_splits",
     "cms_token_counts",
+    "bpe_fertility_by_lang",
 ]
 
 

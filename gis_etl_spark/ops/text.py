@@ -1784,6 +1784,71 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (subwords emitted per whitespace word) per
+    language — the standard tokenizer-evaluation metric: a tokenizer
+    trained on a mixed corpus over-segments under-represented
+    languages, inflating their token budgets and effective cost.
+    Composes the trained BPE mapping (same merges, same broadcast
+    word→n_sub table as bpe_segment_stats) with the documents' lang
+    column: per lang, total words, total subwords, fertility =
+    subwords/words.
+
+    Scale: identical to bpe_segment_stats (vocabulary-bounded
+    broadcast mapping, one token explode, map-side-combined agg) with
+    a lang-keyed final agg — a handful of groups."""
+    merges = bpe_fit(spark, sf_dir)
+    freq = _bpe_word_freq(spark, sf_dir)
+    for _, pr, _ in merges:
+        freq = _bpe_apply_merge(freq, pr)
+    mapping = freq.select(
+        "w", F.size(F.split("s", " ")).alias("n_sub")
+    )
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    toks = docs.select(
+        "lang", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(mapping), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords") / F.col("n_words"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def bpe_fertility_by_lang_sql() -> str:
+    return f"""WITH {_bpe_train_ctes()},
+mapping AS (
+  SELECT w, len(string_split(s, ' '))::BIGINT AS n_sub
+  FROM w{BPE_MERGES}
+), toks AS (
+  SELECT lang, unnest({WORDS_SQL}) AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT t.lang,
+       count(*)::BIGINT AS n_words,
+       sum(m.n_sub)::BIGINT AS n_subwords,
+       round(sum(m.n_sub) * 1.0 / count(*), 4) AS fertility
+FROM toks t JOIN mapping m USING (w)
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
 def _bpe_train_ctes() -> str:
     """Shared unrolled-CTE text: w0 (char-split word freq) through
     w{BPE_MERGES} plus per-iteration p{t}/b{t}. MATERIALIZED is

@@ -707,6 +707,11 @@ REGISTRY.update(
         # r11: Count-Min Sketch with exact-verified point queries —
         # the frequency member of the sketch family (KMV/MG/quantiles)
         "cms_token_counts": (T.cms_token_counts, T.cms_token_counts_sql()),
+        # r11: tokenizer fertility per language (subwords/word) — the
+        # over-segmentation audit; same trained merges as segment stats
+        "bpe_fertility_by_lang": (
+            T.bpe_fertility_by_lang, T.bpe_fertility_by_lang_sql(),
+        ),
         # benchmark decontamination: eval-set 5-gram overlap audit
         "decontaminate_overlap": (
             T.decontaminate_overlap, _TEXT_SQLS["decontaminate_overlap"],
@@ -1694,12 +1699,12 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round-11 window rotation (VERDICT r10 item 3). Latest driver score
 # per query after r10: r6 ×23, r7 ×44, r9 ×50, r10 ×50. Policy
-# unchanged: new queries front (5), then the oldest-scored cohort —
-# the full r6 cohort (23) plus the first 22 of the r7 cohort fill the
-# window; the 22 r7 leftovers (io_csv_wkt_scan, io_ndjson_shape_stats,
-# io_wide_attrs_projection, lang_id … top_tokens, alphabetical tail)
-# rotate in r12. After this window no registry query's latest score
-# predates r7.
+# unchanged: new queries front (6), then the oldest-scored cohort —
+# the full r6 cohort (23) plus the first 21 of the r7 cohort fill the
+# window; the 23 r7 leftovers (interval_error_activity,
+# io_csv_wkt_scan, io_ndjson_shape_stats, io_wide_attrs_projection,
+# lang_id … top_tokens, alphabetical tail) rotate in r12. After this
+# window no registry query's latest score predates r7.
 # ---------------------------------------------------------------------------
 
 _R11_FRONT = (
@@ -1709,6 +1714,7 @@ _R11_FRONT = (
     "fuzzy_decontaminate",
     "leakage_safe_splits",
     "cms_token_counts",
+    "bpe_fertility_by_lang",
     # the r6 cohort (all 23 — oldest-scored in the registry)
     "multimodal_ahash_near_pairs",
     "multimodal_resize",
@@ -1755,7 +1761,6 @@ _R11_FRONT = (
     "h3_grid_ring_children",
     "hex_heatmap_pyramid",
     "hex_heatmap_smoothed",
-    "interval_error_activity",
 )
 
 assert len(_R11_FRONT) == 50, len(_R11_FRONT)

@@ -846,6 +846,63 @@ def _scale_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["heavy_hitters_tokens"] = f"{type(e).__name__}: {e}"[:300]
 
+    # ANN quality dashboard: recall@TOPK of every retrieval variant vs
+    # its own metric's brute-force ground truth (cosine for the
+    # hyperplane/IVF family, L2 for the PQ/int8 family), measured at
+    # the bench SF each round — the retrieval stack's quality and its
+    # cost (the timed entries above) land in one artifact set.
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from gis_etl_spark.ops import similarity as SIM
+
+        t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+        ids = np.asarray(t["vec_id"])
+        V = np.array(t["embedding"].to_pylist(), dtype="f8")
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        norms = np.sqrt((V * V).sum(axis=1))
+        brute_cos, brute_l2 = set(), set()
+        for q in range(SIM.N_QUERIES):
+            qi = int(np.searchsorted(ids, q))
+            cos = (V @ V[qi]) / (norms * norms[qi])
+            d2 = ((V - V[qi]) ** 2).sum(axis=1)
+            cand_c = sorted(
+                (-cos[j], int(ids[j])) for j in range(len(ids))
+                if ids[j] != q
+            )[: SIM.TOPK]
+            cand_d = sorted(
+                (d2[j], int(ids[j])) for j in range(len(ids))
+                if ids[j] != q
+            )[: SIM.TOPK]
+            brute_cos.update((q, v) for _, v in cand_c)
+            brute_l2.update((q, v) for _, v in cand_d)
+        variants = {
+            "ann_recall_lsh": (SIM.similarity_ann_lsh, brute_cos),
+            "ann_recall_ivf": (SIM.similarity_ivf, brute_cos),
+            "ann_recall_ivf_kmeans": (
+                SIM.similarity_ivf_kmeans, brute_cos,
+            ),
+            "ann_recall_pq_adc": (SIM.similarity_pq_adc, brute_l2),
+            "ann_recall_pq_rerank": (SIM.similarity_pq_rerank, brute_l2),
+            "ann_recall_ivfpq": (SIM.similarity_ivfpq, brute_l2),
+            "ann_recall_int8_adc": (SIM.similarity_int8_adc, brute_l2),
+        }
+        for label, (fn, truth) in variants.items():
+            try:
+                got = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in fn(spark, SF_DIR).collect()
+                }
+                artifacts[f"{label}_pct"] = int(
+                    100 * len(got & truth) / len(truth)
+                )
+            except Exception as e:  # noqa: BLE001 — bench must survive
+                ERRORS[label] = f"{type(e).__name__}: {e}"[:300]
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["ann_recall"] = f"{type(e).__name__}: {e}"[:300]
+
     # int8 serving footprint: the memory-bound claim behind
     # similarity_int8_adc, measured — the same corpus written as raw
     # float64 vectors vs packed int8 codes (the ADC-resident form),

@@ -729,7 +729,9 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
     return out
 
 
-def _scale_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
+def _scale_benches(
+    spark, artifacts: dict[str, int], quick: bool = False
+) -> dict[str, float]:
     """bloom_semi_join on a NON-broadcastable dim (VERDICT r9 item 7 /
     r8 item 7): broadcast disabled for the section so both twins face
     the plan a too-big-to-broadcast dim forces at 100 TB — the plain
@@ -845,6 +847,13 @@ def _scale_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         artifacts["hh_partkey_result"] = n_pk
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["heavy_hitters_tokens"] = f"{type(e).__name__}: {e}"[:300]
+
+    if quick:
+        # noise-gate rerun: re-time the timed entries only — the
+        # dashboard/footprint blocks below are artifacts, not timings,
+        # and re-running 7 retrieval collects + 2 parquet writes would
+        # just burn suite wall that inflates the NEXT round's numbers
+        return out
 
     # ANN quality dashboard: recall@TOPK of every retrieval variant vs
     # its own metric's brute-force ground truth (cosine for the
@@ -1073,7 +1082,7 @@ def main() -> None:
                 (stream_t, _streaming_benches),
                 (geo_t, lambda s, a: _geo_benches(s, a, archival=False)),
                 (src_t, _source_benches),
-                (scale_t, _scale_benches),
+                (scale_t, lambda s, a: _scale_benches(s, a, quick=True)),
             ):
                 if suspect & set(sect_t):
                     for k, v in fn(spark, rerun_art).items():

@@ -952,7 +952,12 @@ def minhash_pairs_sql(src: str) -> str:
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE i.inter * 1.0 / (sa.nw + sb.nw - i.inter) >= {MINHASH_JACCARD_T}
+        -- threshold on the ROUNDED value, exactly as the engine
+        -- filters its round(...,4) jaccard column: an unrounded WHERE
+        -- here diverges for true ratios in [T-5e-5, T) (ADVICE-class
+        -- boundary parity; DuckDB and Spark round half-away identically)
+        WHERE round(i.inter * 1.0 / (sa.nw + sb.nw - i.inter), 4)
+              >= {MINHASH_JACCARD_T}
         ORDER BY i.doc_a, i.doc_b
     """
 
@@ -986,7 +991,10 @@ def fuzzy_decontaminate_sql(src: str) -> str:
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.doc_id
         JOIN sizes sb ON sb.doc_id = i.eval_id
-        WHERE i.inter * 1.0 / (sa.nw + sb.nw - i.inter) >= {MINHASH_JACCARD_T}
+        -- rounded threshold, matching the engine filter (see
+        -- minhash_pairs_sql)
+        WHERE round(i.inter * 1.0 / (sa.nw + sb.nw - i.inter), 4)
+              >= {MINHASH_JACCARD_T}
         ORDER BY i.doc_id, i.eval_id
     """
 
@@ -1059,7 +1067,8 @@ def oracle_sqls() -> dict[str, str]:
         FROM inter i
         JOIN sizes sa ON sa.doc_id = i.doc_a
         JOIN sizes sb ON sb.doc_id = i.doc_b
-        WHERE i.inter * 1.0 / (sa.ns + sb.ns - i.inter) >= {NGRAM_JACCARD_T}
+        WHERE round(i.inter * 1.0 / (sa.ns + sb.ns - i.inter), 4)
+              >= {NGRAM_JACCARD_T}
         ORDER BY i.doc_a, i.doc_b
     """
 

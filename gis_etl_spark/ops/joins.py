@@ -930,9 +930,20 @@ def range_lookup_join(
             schema="_cell long, _cands array<struct<idx: int, "
             "lo: double, hi: double>>",
         )
+        # Clamp the probe cell into [0, n_cells-1] — the candidate map
+        # is clamped to that range, and IEEE rounding of step can push
+        # floor((v-base)/step) to n_cells for an IN-RANGE v just under
+        # max(hi) (the band would be silently lost: no _cands row, no
+        # exact-filter chance). Clamping can only ADD candidates for
+        # truly out-of-range v, which the exact lo<=v<hi filter
+        # rejects; a NULL v stays NULL through least/greatest.
+        cell_raw = F.floor((v - F.lit(base)) / F.lit(step))
         probed = (
             fact.withColumn(
-                "_cell", F.floor((v - F.lit(base)) / F.lit(step))
+                "_cell",
+                F.least(
+                    F.lit(n_cells - 1), F.greatest(F.lit(0), cell_raw)
+                ).cast("long"),
             )
             .join(F.broadcast(cells_df), "_cell", "left")
             .withColumn(

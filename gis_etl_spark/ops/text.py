@@ -519,6 +519,58 @@ DECON_NGRAM = 5         # decontamination shingle width (words)
 DECON_T = 2             # ≥ 2 shared 5-grams → contaminated
 
 
+def decon_shingle_arr(tokens_col: str) -> Column:
+    """Distinct DECON_NGRAM-gram shingle array over a token-array
+    column (referenced BY NAME — the transform lambda indexes it).
+    The single source of the shingle expression for
+    decontaminate_overlap, chunk_decontaminate, and the streaming
+    twin: batch/stream parity is structural, not copy-synchronized."""
+    n = DECON_NGRAM
+    parts = ", ".join(f"{tokens_col}[i+{k}]" for k in range(n))
+    return F.array_distinct(
+        F.when(
+            F.size(tokens_col) >= n,
+            F.expr(
+                f"transform(sequence(0, size({tokens_col}) - {n}), "
+                f"i -> concat_ws(' ', {parts}))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def chunk_token_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, n_tok, cw): the CHUNK_TOKENS/CHUNK_STRIDE
+    token windows of a (doc_id, text) frame WITH the token slice
+    (chunk_select's md5 sibling keeps only the fingerprint). Pure
+    select/explode — stateless, stream-legal; shared by
+    chunk_decontaminate and streaming_chunk_decontaminate."""
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    w = words_col(F.col("text"))
+    staged = docs.select(
+        "doc_id", w.alias("ws"), F.size(w).alias("n")
+    ).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= C, F.lit(1)).otherwise(
+            F.lit(1) + F.expr(f"div(n - {C} + {S} - 1, {S})")
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(C), F.col("n") - F.col("chunk_idx") * S
+        ).alias("n_tok"),
+        F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C).alias("cw"),
+    )
+
+
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data op that removes
     documents overlapping a held-out eval set (the fixture has no eval
@@ -533,25 +585,9 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
 
     def shingles(df: DataFrame) -> DataFrame:
-        n = DECON_NGRAM
-        parts = ", ".join(f"ws[i+{k}]" for k in range(n))
-        return (
-            df.select("doc_id", words_col(F.col("text")).alias("ws"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(
-                        F.when(
-                            F.size("ws") >= n,
-                            F.expr(
-                                f"transform(sequence(0, size(ws) - {n}), "
-                                f"i -> concat_ws(' ', {parts}))"
-                            ),
-                        ).otherwise(F.array().cast("array<string>"))
-                    )
-                ).alias("sh"),
-            )
-        )
+        return df.select(
+            "doc_id", words_col(F.col("text")).alias("ws")
+        ).select("doc_id", F.explode(decon_shingle_arr("ws")).alias("sh"))
 
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_sh = shingles(docs.filter(is_eval)).select("sh").distinct()
@@ -598,70 +634,17 @@ def chunk_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition inherits their 100 TB story unchanged."""
     docs = read_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    n = DECON_NGRAM
-
-    doc_parts = ", ".join(f"ws[i+{k}]" for k in range(n))
     eval_sh = (
         docs.filter(is_eval)
         .select(words_col(F.col("text")).alias("ws"))
-        .select(
-            F.explode(
-                F.array_distinct(
-                    F.when(
-                        F.size("ws") >= n,
-                        F.expr(
-                            f"transform(sequence(0, size(ws) - {n}), "
-                            f"i -> concat_ws(' ', {doc_parts}))"
-                        ),
-                    ).otherwise(F.array().cast("array<string>"))
-                )
-            ).alias("sh")
-        )
+        .select(F.explode(decon_shingle_arr("ws")).alias("sh"))
         .distinct()
     )
-
-    C, S = CHUNK_TOKENS, CHUNK_STRIDE
-    w = words_col(F.col("text"))
-    staged = (
-        docs.filter(~is_eval)
-        .select("doc_id", w.alias("ws"), F.size(w).alias("n"))
-        .withColumn(
-            "n_chunks",
-            F.when(F.col("n") <= C, F.lit(1)).otherwise(
-                F.lit(1) + F.expr(f"div(n - {C} + {S} - 1, {S})")
-            ),
-        )
-    )
-    chunks = staged.select(
-        "doc_id",
-        "ws",
-        "n",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_chunks") - 1)
-        ).alias("chunk_idx"),
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        F.least(
-            F.lit(C), F.col("n") - F.col("chunk_idx") * S
-        ).alias("n_tok"),
-        F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C).alias("cw"),
-    )
-    cw_parts = ", ".join(f"cw[i+{k}]" for k in range(n))
+    chunks = chunk_token_windows(docs.filter(~is_eval))
     ch_sh = chunks.select(
         "doc_id",
         "chunk_idx",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size("cw") >= n,
-                    F.expr(
-                        f"transform(sequence(0, size(cw) - {n}), "
-                        f"i -> concat_ws(' ', {cw_parts}))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
-        ).alias("sh"),
+        F.explode(decon_shingle_arr("cw")).alias("sh"),
     )
     hits = (
         ch_sh.join(F.broadcast(eval_sh), "sh")

@@ -989,11 +989,10 @@ def streaming_chunk_decontaminate(
     matches the batch twin bit-for-bit under any micro-batch slicing;
     one state row per chunk, never a reshuffle of history."""
     from gis_etl_spark.ops.text import (
-        CHUNK_STRIDE,
-        CHUNK_TOKENS,
-        DECON_NGRAM,
         DECON_T,
         EVAL_MOD,
+        chunk_token_windows,
+        decon_shingle_arr,
         words_col,
     )
 
@@ -1001,75 +1000,26 @@ def streaming_chunk_decontaminate(
         "doc_id long, text string, lang string, source string, "
         "n_chars long"
     )
-    n = DECON_NGRAM
-    doc_parts = ", ".join(f"ws[i+{k}]" for k in range(n))
-    shingle_arr = F.array_distinct(
-        F.when(
-            F.size("ws") >= n,
-            F.expr(
-                f"transform(sequence(0, size(ws) - {n}), "
-                f"i -> concat_ws(' ', {doc_parts}))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
     eval_sh = (
         spark.read.schema(schema)
         .parquet(f"{input_dir}/*.parquet")
         .filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(words_col(F.col("text")).alias("ws"))
-        .select(F.explode(shingle_arr).alias("sh"))
+        .select(F.explode(decon_shingle_arr("ws")).alias("sh"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
 
-    C, S = CHUNK_TOKENS, CHUNK_STRIDE
     stream = (
         spark.readStream.schema(schema)
         .parquet(input_dir)
         .filter(F.col("doc_id") % EVAL_MOD != 0)
     )
-    w = words_col(F.col("text"))
-    staged = stream.select(
-        "doc_id", w.alias("ws"), F.size(w).alias("n")
-    ).withColumn(
-        "n_chunks",
-        F.when(F.col("n") <= C, F.lit(1)).otherwise(
-            F.lit(1) + F.expr(f"div(n - {C} + {S} - 1, {S})")
-        ),
-    )
-    cw_parts = ", ".join(f"cw[i+{k}]" for k in range(n))
-    chunk_sh = F.array_distinct(
-        F.when(
-            F.size("cw") >= n,
-            F.expr(
-                f"transform(sequence(0, size(cw) - {n}), "
-                f"i -> concat_ws(' ', {cw_parts}))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-    shingles = (
-        staged.select(
-            "doc_id",
-            "ws",
-            "n",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n_chunks") - 1)
-            ).alias("chunk_idx"),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.least(
-                F.lit(C), F.col("n") - F.col("chunk_idx") * S
-            ).alias("n_tok"),
-            F.slice(F.col("ws"), F.col("chunk_idx") * S + 1, C).alias("cw"),
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            "n_tok",
-            F.posexplode_outer(chunk_sh).alias("_i", "sh"),
-        )
+    shingles = chunk_token_windows(stream).select(
+        "doc_id",
+        "chunk_idx",
+        "n_tok",
+        F.posexplode_outer(decon_shingle_arr("cw")).alias("_i", "sh"),
     )
     return (
         shingles.join(eval_sh, "sh", "left")

@@ -1739,7 +1739,7 @@ _R11_FRONT = (
     "text_unigram_surprisal",
     "training_data_prep_v2",
     "training_shards",
-    # r7 cohort, alphabetical head (25 of 44)
+    # r7 cohort, alphabetical head (21 of 44)
     "asof_click_view",
     "decontaminate_overlap",
     "dedup_components",

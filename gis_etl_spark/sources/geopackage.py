@@ -154,7 +154,7 @@ def write_geopackage(
             "corpus sink. Aggregate first (heatmap/heatmap_export), or "
             "use the distributed exports: write_clustered_parquet, "
             "write_ndjson, or heatmap_geojson. Raise max_rows only if "
-            "the driver has memory for the collect."
+            "a single serial sqlite write of that size is acceptable."
         )
     # toLocalIterator: one partition in driver memory at a time (not a
     # full-table collect) — the sink is inherently driver-side (one

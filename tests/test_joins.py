@@ -499,6 +499,10 @@ def test_range_lookup_random_fractional_bands_match_nonequi(spark):
                 rng.uniform(-1.2e4, 1.2e4, 2000),
                 los,  # exactly on every lo (inclusive)
                 his,  # exactly on every hi (exclusive)
+                # one ULP below every hi: IN-range top of each band —
+                # the grid probe's IEEE edge (an unclamped probe cell
+                # can land past the candidate map for the last band)
+                np.nextafter(his, -np.inf),
             ]
         )
         fact = spark.createDataFrame(

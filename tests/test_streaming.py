@@ -31,6 +31,33 @@ def _split_into_files(df, out_dir, n_files):
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
 
 
+def _stage_micro_batches(spark, docs, tmp_path, sub, n=3):
+    """Write `docs` rows as n flat parquet files with staggered mtimes
+    (mtime ordering is load-bearing: the file source picks up batches
+    mtime-ascending) — the shared replay rig for the stream==batch
+    twins that consume the documents table."""
+    import time
+
+    rows = docs.collect()
+    per = len(rows) // n
+    parts = [
+        rows[i * per: (i + 1) * per if i < n - 1 else len(rows)]
+        for i in range(n)
+    ]
+    flat = str(tmp_path / sub)
+    os.makedirs(flat)
+    for i, part in enumerate(parts):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+    return flat
+
+
 def test_streaming_heatmap_matches_batch(spark, stream_dir):
     bpath, _ = ensure_buildings(3_000)
     src = spark.read.parquet(bpath)
@@ -796,20 +823,7 @@ def test_streaming_chunk_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     from gis_etl_spark.pipelines import streaming as S
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    rows = docs.collect()
-    third = len(rows) // 3
-    parts = (rows[:third], rows[third : 2 * third], rows[2 * third :])
-    flat = str(tmp_path / "cdc_in")
-    os.makedirs(flat)
-    for i, part in enumerate(parts):
-        dst = os.path.join(flat, f"{i:03d}.parquet")
-        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(dst + ".dir")
-        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
-        shutil.copy(src, dst)
-        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
-        shutil.rmtree(dst + ".dir")
+    flat = _stage_micro_batches(spark, docs, tmp_path, "cdc_in")
 
     name = f"cdc_{uuid.uuid4().hex[:8]}"
     S.run_to_memory(
@@ -840,28 +854,13 @@ def test_streaming_cms_cells_matches_batch(spark, sf_dir, tmp_path):
     micro-batches and require the final (row, bucket) counter state to
     equal ops.text.cms_cells on the same corpus — associative counts
     must be slicing-invariant, and state stays <= CMS_D*CMS_W rows."""
-    import time
-
     from pyspark.sql import functions as F
 
     from gis_etl_spark.ops.text import CMS_D, CMS_W, cms_cells, words_col
     from gis_etl_spark.pipelines import streaming as S
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    rows = docs.collect()
-    third = len(rows) // 3
-    parts = (rows[:third], rows[third : 2 * third], rows[2 * third :])
-    flat = str(tmp_path / "cms_in")
-    os.makedirs(flat)
-    for i, part in enumerate(parts):
-        dst = os.path.join(flat, f"{i:03d}.parquet")
-        spark.createDataFrame(part, docs.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(dst + ".dir")
-        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
-        shutil.copy(src, dst)
-        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
-        shutil.rmtree(dst + ".dir")
+    flat = _stage_micro_batches(spark, docs, tmp_path, "cms_in")
 
     name = f"cms_{uuid.uuid4().hex[:8]}"
     S.run_to_memory(

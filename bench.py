@@ -103,8 +103,10 @@ def compact_final_line(
         },
     }
     if errors:
+        # keys truncated too: a pathological section name must cost
+        # bytes proportionally, not evict the query timings below
         compact["errors"] = {
-            k: v[:80] for k, v in list(errors.items())[:5]
+            k[:40]: v[:80] for k, v in list(errors.items())[:5]
         }
     by_wall = sorted(timings, key=timings.get, reverse=True)
     keep = len(by_wall)
@@ -1092,6 +1094,41 @@ def main() -> None:
                     artifacts[k] = max(artifacts.get(k, 0), v)
         except Exception as e:  # noqa: BLE001 — keep first-pass data
             ERRORS["noise_gate"] = f"{type(e).__name__}: {e}"[:300]
+
+    # fresh-session floors for the top-5 wall entries (VERDICT r11
+    # item 5): each runs via tools/fresh_floor.py in its OWN
+    # subprocess/JVM, so the number is the quiesced-executor floor —
+    # the suite-tax reference the r10-r11 emb-lsh investigation lacked.
+    # Registry-backed entries only: section benches (streaming/geo/
+    # sources) need their own fixture rigs and already record
+    # per-section context. Milliseconds, to fit the int artifacts dict.
+    try:
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        top5 = sorted(
+            (k for k in timings if k in REGISTRY),
+            key=timings.get,
+            reverse=True,
+        )[:5]
+        for name in top5:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.join(here, "tools", "fresh_floor.py"), name],
+                    capture_output=True,
+                    text=True,
+                    timeout=300,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+                )
+                rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                artifacts[f"fresh_min_{name}_ms"] = int(
+                    rec["fresh_min_sec"] * 1000
+                )
+            except Exception as e:  # noqa: BLE001 — bench must survive
+                ERRORS[f"fresh_{name}"] = f"{type(e).__name__}: {e}"[:300]
+        _flush_partial(timings, artifacts, "fresh_floors")
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["fresh_floors"] = f"{type(e).__name__}: {e}"[:300]
 
     result = {
         "metric": "suite_wall_sec",

@@ -936,7 +936,9 @@ def range_lookup_join(
         # max(hi) (the band would be silently lost: no _cands row, no
         # exact-filter chance). Clamping can only ADD candidates for
         # truly out-of-range v, which the exact lo<=v<hi filter
-        # rejects; a NULL v stays NULL through least/greatest.
+        # rejects; a NULL v lands in cell 0 (least/greatest SKIP null
+        # arguments rather than propagate them) and is likewise
+        # rejected by the exact filter, yielding a NULL _band_idx.
         cell_raw = F.floor((v - F.lit(base)) / F.lit(step))
         probed = (
             fact.withColumn(

@@ -141,6 +141,46 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# Per-query top-k pre-pass fan: the salted first level bounds any one
+# reducer's sort to ~|candidates|/SALT rows, the final level sorts at
+# most k·SALT rows per query.
+SHORTLIST_SALT = 32
+
+
+def _per_query_topk(
+    df: DataFrame, k: int, order_cols: list[Column], salt_on: str,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Top-k rows per query_id under a TOTAL order, with the sorted
+    volume bounded at any corpus size.
+
+    A bare Window.partitionBy("query_id") sends every candidate row of
+    a query through ONE reducer — |queries| reducers each sorting the
+    whole corpus for the flat-ADC scans. This two-level rendition first
+    takes top-k within (query_id, salt = pmod(hash-ish id, SALT)) so
+    each sort sees ~1/SALT of the candidates, then runs the final
+    window over at most k·SALT surviving rows per query. Because the
+    order is total and the per-salt groups partition the candidates,
+    the union of per-salt top-k is a superset of the global top-k —
+    the output is row-identical to the single-window form (pinned by
+    the oracle hash, whose SQL keeps the one-window shape).
+
+    `order_cols` must be a total order (ties broken on a unique id);
+    `salt_on` is a column whose values spread uniformly (vec_id)."""
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order_cols)
+    pre = (
+        df.withColumn("_salt", F.pmod(F.col(salt_on), F.lit(SHORTLIST_SALT)))
+        .withColumn("_prk", F.row_number().over(w1))
+        .filter(F.col("_prk") <= k)
+        .drop("_salt", "_prk")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        pre.withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vectors, one
     map-side pass over the corpus, window top-k. The baseline every ANN
@@ -159,12 +199,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        _per_query_topk(
+            scored, TOPK, [F.desc("cos"), F.asc("neighbor_id")],
+            "neighbor_id", rank_name="rank",
+        )
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cos", 6).alias("sim"),
@@ -391,12 +430,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        _per_query_topk(
+            scored, TOPK, [F.desc("cos"), F.asc("neighbor_id")],
+            "neighbor_id", rank_name="rank",
+        )
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cos", 6).alias("sim"),
@@ -672,12 +710,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        _per_query_topk(
+            scored, TOPK, [F.desc("cos"), F.asc("neighbor_id")],
+            "neighbor_id", rank_name="rank",
+        )
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cos", 6).alias("sim"),
@@ -1130,12 +1167,11 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_dot(F.col("v"), F.col("qv"))
          / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        _per_query_topk(
+            scored, TOPK, [F.desc("cos"), F.asc("neighbor_id")],
+            "neighbor_id", rank_name="rank",
+        )
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cos", 6).alias("sim"),
@@ -1602,12 +1638,11 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks in unrolled SQL CTEs — a hash match verifies training,
     encoding, and ADC retrieval end-to-end."""
     approx = _pq_adc_distances(spark, sf_dir)
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("units"), F.asc("vec_id")
-    )
     return (
-        approx.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        _per_query_topk(
+            approx, TOPK, [F.asc("units"), F.asc("vec_id")], "vec_id",
+            rank_name="rank",
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -1640,14 +1675,9 @@ def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the rerank join touches |queries|·R rows of raw vectors —
     independent of corpus size; everything upstream reads codes only."""
     approx = _pq_adc_distances(spark, sf_dir)
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("units"), F.asc("vec_id")
-    )
-    shortlist = (
-        approx.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= PQ_RERANK_R)
-        .select("query_id", "vec_id")
-    )
+    shortlist = _per_query_topk(
+        approx, PQ_RERANK_R, [F.asc("units"), F.asc("vec_id")], "vec_id"
+    ).select("query_id", "vec_id")
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1975,10 +2005,11 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd2u").alias("units"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("units"), F.asc("vec_id"))
     return (
-        approx.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        _per_query_topk(
+            approx, TOPK, [F.asc("units"), F.asc("vec_id")], "vec_id",
+            rank_name="rank",
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -2355,14 +2386,9 @@ def similarity_int8_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PQ contract, bit-identical to the oracle's list_dot_product
     diff. Recall floor vs exact top-k pinned in tests/test_northstar."""
     approx = _int8_adc_units(spark, sf_dir)
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("units"), F.asc("vec_id")
-    )
-    shortlist = (
-        approx.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= INT8_RERANK_R)
-        .select("query_id", "vec_id")
-    )
+    shortlist = _per_query_topk(
+        approx, INT8_RERANK_R, [F.asc("units"), F.asc("vec_id")], "vec_id"
+    ).select("query_id", "vec_id")
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

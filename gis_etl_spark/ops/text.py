@@ -2026,13 +2026,16 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells_of = cms_cell_array(F.col("token"))
     cms = cms_cells(toks)
 
-    w = Window.orderBy(F.desc("exact_n"), F.asc("token"))
+    # The (count desc, token asc) order is total, so orderBy+limit is
+    # exactly the row_number()<=CMS_TOP top-k — and compiles to
+    # TakeOrderedAndProject (per-partition partial top-k, then a
+    # single CMS_TOP-row merge) instead of an Exchange SinglePartition
+    # sorting the whole vocabulary through one reducer.
     top = (
         toks.groupBy("token")
         .agg(F.count("*").alias("exact_n"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= CMS_TOP)
-        .drop("rk")
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(CMS_TOP)
     )
     probes = top.select(
         "token", "exact_n", F.explode(cells_of).alias("x")

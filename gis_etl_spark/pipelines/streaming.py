@@ -987,7 +987,15 @@ def streaming_chunk_decontaminate(
     the join so they report n_shared = 0). The only state is the
     per-chunk counter — associative, so the native update-mode agg
     matches the batch twin bit-for-bit under any micro-batch slicing;
-    one state row per chunk, never a reshuffle of history."""
+    one state row per chunk, never a reshuffle of history.
+
+    Static-eval-set assumption: eval_sh is resolved from the files
+    present in {input_dir} at QUERY DEFINITION. Eval docs landing in
+    files added after the stream starts never join the shingle set —
+    fine for the availableNow rigs here (all files exist up front) and
+    for the production shape (the eval set is a frozen artifact at a
+    dedicated path); a continuous deployment that must track a GROWING
+    eval set should rebuild eval_sh per trigger via foreachBatch."""
     from gis_etl_spark.ops.text import (
         DECON_T,
         EVAL_MOD,

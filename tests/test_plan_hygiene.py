@@ -97,6 +97,66 @@ def test_no_cartesian_product_in_any_registry_plan(spark, sf_dir):
     assert not offenders, offenders
 
 
+# Windows legitimately fed by an Exchange SinglePartition: each runs
+# over a frame whose row count is BOUNDED BY CONSTRUCTION (an upstream
+# aggregate on a low-cardinality key), never over corpus rows.
+_TINY_SINGLEPART_WINDOWS = {
+    # windows run over the distinct-quality-score frame: quality_score
+    # rounds to 4 decimals in [0, 1], so the frame is <= 10^4 + 1 rows
+    # regardless of corpus size (documented at ops/text.py).
+    "quality_deciles",
+    # corpus-total window runs over the per-language counts aggregate:
+    # <= |languages| rows (MIX_N_LANGS at fixture scale, dozens in any
+    # real corpus), never document rows.
+    "mixture_sample",
+}
+
+_PLAN_NODE = __import__("re").compile(r"^(?P<pre>[\s:+*|-]*)(?P<name>\w.*)$")
+
+
+def _window_feed_exchanges(plan_str: str) -> list[str]:
+    """For each Window node in a plan string, the first Exchange below
+    it in its subtree — the exchange satisfying the window's required
+    child distribution."""
+    parsed = []
+    for ln in plan_str.splitlines():
+        m = _PLAN_NODE.match(ln)
+        if m and m.group("name"):
+            parsed.append((len(m.group("pre")), m.group("name")))
+    feeds = []
+    for i, (d, name) in enumerate(parsed):
+        if not name.startswith("Window"):
+            continue
+        for d2, name2 in parsed[i + 1:]:
+            if d2 <= d:
+                break
+            if name2.startswith("Exchange"):
+                feeds.append(name2)
+                break
+    return feeds
+
+
+def test_no_singlepartition_window_in_any_registry_plan(spark, sf_dir):
+    """No registry query may rank/accumulate through a Window whose
+    feeding Exchange is SinglePartition over unbounded input — that is
+    a one-reducer sort of the whole frame (the r11 cms_token_counts
+    blemish: a global row_number pushed the entire vocabulary through
+    one task). Total-order top-k belongs in orderBy+limit
+    (TakeOrderedAndProject) or the salted two-level window
+    (_per_query_topk); allowlisted cases must be tiny by construction."""
+    offenders = []
+    for name, (builder, _) in REGISTRY.items():
+        if name in _TINY_SINGLEPART_WINDOWS:
+            continue
+        plan = _plan(builder(spark, sf_dir))
+        bad = [
+            f for f in _window_feed_exchanges(plan) if "SinglePartition" in f
+        ]
+        if bad:
+            offenders.append((name, bad[0]))
+    assert not offenders, offenders
+
+
 def test_heatmap_pyramid_conserves_mass(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -214,6 +214,8 @@ HEADLINE = [
     "leakage_safe_splits",
     "cms_token_counts",
     "bpe_fertility_by_lang",
+    # round 12: IVFADC+R rerank rung, incremental corpus-snapshot dedup
+    "similarity_ivfpq_rerank",
 ]
 
 
@@ -898,6 +900,9 @@ def _scale_benches(
             "ann_recall_pq_adc": (SIM.similarity_pq_adc, brute_l2),
             "ann_recall_pq_rerank": (SIM.similarity_pq_rerank, brute_l2),
             "ann_recall_ivfpq": (SIM.similarity_ivfpq, brute_l2),
+            "ann_recall_ivfpq_rerank": (
+                SIM.similarity_ivfpq_rerank, brute_l2,
+            ),
             "ann_recall_int8_adc": (SIM.similarity_int8_adc, brute_l2),
         }
         for label, (fn, truth) in variants.items():

@@ -1913,22 +1913,13 @@ def _residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     return assigned.select("vec_id", "list_id", res_v.alias("v"))
 
 
-def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC retrieval: coarse-assign the corpus, PQ-encode the
-    residuals, then for each query probe the N_PROBE nearest lists and
-    rank THEIR vectors by the exact-int64 sum of per-subspace lookups
-    against the QUERY RESIDUAL for that list (the asymmetric distance
-    of Jégou et al. §IV — each probed list gets its own distance
-    table because the query residual differs per list). Returns
-    (query_id, neighbor_id, rank, approx_d2).
-
-    Scale: everything raw-vector-sized stays map-only (assignment,
-    residuals, encoding); the per-query tables are
-    |queries|·N_PROBE·PQ_M·PQ_KSUB broadcast cells; candidates are
-    only the probed lists' rows. The oracle retrains BOTH quantizers
-    (coarse k-means and all PQ_M residual codebooks) in unrolled SQL,
-    so a hash match verifies the entire two-level training + encoding
-    + probed-ADC retrieval."""
+def _ivfpq_adc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, units): probed-ADC distance of every
+    candidate in a query's N_PROBE nearest lists, as exact int64
+    fixed-point units — the shared core of similarity_ivfpq and
+    similarity_ivfpq_rerank (coarse-assign the corpus, PQ-encode the
+    residuals, per-(query, probed-list) distance tables on the query
+    residual — the asymmetric distance of Jégou et al. §IV)."""
     emb = _emb(spark, sf_dir)
     cents = _coarse_codebook(spark, sf_dir)
     res = _residuals(emb, cents)
@@ -1994,7 +1985,7 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id",
         F.floor(d2 * F.lit(float(10**PQ_DP)) + F.lit(0.5)).alias("pd2u"),
     )
-    approx = (
+    return (
         codes.join(
             F.broadcast(dtable),
             (codes.list_id == dtable.list_id)
@@ -2005,6 +1996,29 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd2u").alias("units"))
     )
+
+
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC retrieval: coarse-assign the corpus, PQ-encode the
+    residuals, then for each query probe the N_PROBE nearest lists and
+    rank THEIR vectors by the exact-int64 sum of per-subspace lookups
+    against the QUERY RESIDUAL for that list (each probed list gets
+    its own distance table because the query residual differs per
+    list). Returns (query_id, neighbor_id, rank, approx_d2).
+
+    Scale: everything raw-vector-sized stays map-only (assignment,
+    residuals, encoding); the per-query tables are
+    |queries|·N_PROBE·PQ_M·PQ_KSUB broadcast cells; candidates are
+    only the probed lists' rows. The oracle retrains BOTH quantizers
+    (coarse k-means and all PQ_M residual codebooks) in unrolled SQL,
+    so a hash match verifies the entire two-level training + encoding
+    + probed-ADC retrieval.
+
+    Quality note (measured on the per-round dashboard): raw probed-ADC
+    @{TOPK} recall is low on this isotropic corpus (~15% at sf0.1) —
+    the deployable rung is similarity_ivfpq_rerank, which caps the
+    same chain with an exact rerank (Jégou et al. §V)."""
+    approx = _ivfpq_adc_units(spark, sf_dir)
     return (
         _per_query_topk(
             approx, TOPK, [F.asc("units"), F.asc("vec_id")], "vec_id",
@@ -2022,12 +2036,66 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivfpq_oracle_sql() -> str:
-    """The ENTIRE two-level pipeline in one sf-agnostic SQL string:
-    coarse k-means training (unrolled like ivf_kmeans_oracle_sql),
-    residual computation, all PQ_M residual codebooks (shared
-    generator, src='res'), per-(query, probed-list) distance tables on
-    query residuals, and the probed ADC ranking."""
+def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (Jégou et al. 2011 §V) — the deployable rung of the
+    IVFPQ chain: the probed-ADC scan shortlists PQ_RERANK_R candidates
+    per query from the N_PROBE nearest lists, then ONLY the shortlist
+    pays an exact-L2 rerank against raw vectors. Returns (query_id,
+    neighbor_id, rank, d2), the final top-{TOPK} by exact distance;
+    ties break on neighbor_id.
+
+    Why this rung exists: the r11 quality dashboard measured raw
+    probed-ADC recall@{TOPK} at 15% (3-bit residual codes on an
+    isotropic corpus) while its ADC recall@{PQ_RERANK_R} is high —
+    exactly the gap §V's rerank closes; the same pattern lifted flat
+    PQ from 22% to 67% (similarity_pq_rerank) and int8 to 100%.
+    Recall floor vs the exact-L2 baseline pinned in tests/
+    test_northstar.py.
+
+    Scale: identical to similarity_ivfpq upstream (map-only encode,
+    broadcast tables, candidates bounded by the probed lists), plus a
+    rerank join that touches |queries|·R raw-vector rows — independent
+    of corpus size. The shortlist ranking rides the salted two-level
+    window, so no reducer ever sorts a whole list's candidates."""
+    approx = _ivfpq_adc_units(spark, sf_dir)
+    shortlist = _per_query_topk(
+        approx, PQ_RERANK_R, [F.asc("units"), F.asc("vec_id")], "vec_id"
+    ).select("query_id", "vec_id")
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        shortlist.join(emb.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("d2", 6).alias("d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_adc_head_sql() -> str:
+    """Shared oracle head for the IVFPQ family: coarse k-means
+    training (unrolled like ivf_kmeans_oracle_sql), residual
+    computation, all PQ_M residual codebooks (shared generator,
+    src='res'), per-(query, probed-list) distance tables on query
+    residuals, through the probed `adc` CTE — ivfpq_oracle_sql and
+    ivfpq_rerank_oracle_sql append their tails."""
 
     def cd2(c_rel: str) -> str:
         diff = f"list_transform(list_zip(e.v, {c_rel}.c), s -> s[1] - s[2])"
@@ -2138,7 +2206,14 @@ def ivfpq_oracle_sql() -> str:
             ON d.list_id = c.list_id AND d.m = c.m AND d.c_id = c.code
           WHERE c.vec_id <> d.query_id
           GROUP BY d.query_id, c.vec_id
-        ), topk AS (
+        )"""
+
+
+def ivfpq_oracle_sql() -> str:
+    """The ENTIRE two-level pipeline in one sf-agnostic SQL string:
+    shared IVFPQ head (training + encoding + probed ADC) capped with
+    the raw ADC top-k ranking."""
+    return f"""{_ivfpq_adc_head_sql()}, topk AS (
           SELECT query_id, vec_id AS neighbor_id,
                  row_number() OVER (PARTITION BY query_id
                                     ORDER BY units ASC, vec_id ASC) AS rank,
@@ -2146,6 +2221,38 @@ def ivfpq_oracle_sql() -> str:
           FROM adc
         )
         SELECT query_id, neighbor_id, rank, approx_d2 FROM topk
+        WHERE rank <= {TOPK} ORDER BY query_id, rank
+    """
+
+
+def ivfpq_rerank_oracle_sql() -> str:
+    """IVFADC+R oracle: the shared IVFPQ head's probed-ADC candidates
+    shortlisted to PQ_RERANK_R, then the exact-L2 rerank CTE — the
+    same tail composition as pq_rerank_oracle_sql, so a hash match
+    verifies coarse + residual training, encoding, probed ADC, the
+    shortlist, and the rerank end-to-end."""
+    diff = "list_transform(list_zip(a.v, q.v), s -> s[1] - s[2])"
+    return f"""{_ivfpq_adc_head_sql()}, shortlist AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY units ASC, vec_id ASC) AS rk
+            FROM adc
+          ) WHERE rk <= {PQ_RERANK_R}
+        ), rerank AS (
+          SELECT s.query_id, s.vec_id,
+                 list_dot_product({diff}, {diff}) AS d2
+          FROM shortlist s
+          JOIN emb a ON a.vec_id = s.vec_id
+          JOIN emb q ON q.vec_id = s.query_id
+        ), topk AS (
+          SELECT query_id, vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d2 ASC, vec_id ASC) AS rank,
+                 round(d2, 6) AS d2
+          FROM rerank
+        )
+        SELECT query_id, neighbor_id, rank, d2 FROM topk
         WHERE rank <= {TOPK} ORDER BY query_id, rank
     """
 

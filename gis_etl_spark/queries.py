@@ -1772,3 +1772,21 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R11_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R11_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-12 additions.
+#
+# similarity_ivfpq_rerank (VERDICT r11 item 1): the IVFADC+R rung —
+# the r11 quality dashboard measured raw probed-ADC recall@5 at 15%
+# while the rerank pattern lifts its siblings to 67-100%; this caps
+# the same probed chain with the exact-L2 rerank (Jégou et al. §V).
+# ---------------------------------------------------------------------------
+
+REGISTRY.update(
+    {
+        "similarity_ivfpq_rerank": (
+            S.similarity_ivfpq_rerank,
+            S.ivfpq_rerank_oracle_sql(),
+        ),
+    }
+)

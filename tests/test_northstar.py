@@ -544,6 +544,52 @@ def test_pq_adc_and_rerank_properties(spark, sf_dir):
         assert abs(r.d2 - round(true_d2, 6)) < 1e-9
 
 
+def test_ivfpq_rerank_recall(spark, sf_dir):
+    """IVFADC+R (VERDICT r11 item 1): the rerank rung must recover most
+    of the true L2 top-k — the floor sits well under the measured
+    0.78-0.95 — and must strictly beat raw probed-ADC@k (the 15%-recall
+    variant the dashboard flagged). Rerank distances are the TRUE
+    distances on its picks."""
+    import numpy as np
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from gis_etl_spark.ops.similarity import (
+        N_QUERIES,
+        TOPK,
+        _emb,
+        similarity_ivfpq,
+        similarity_ivfpq_rerank,
+    )
+
+    emb = _emb(spark, sf_dir)
+    V = {r.vec_id: np.array(r.v) for r in emb.select("vec_id", "v").collect()}
+    exact = {}
+    for q in range(N_QUERIES):
+        d = sorted(
+            (float(np.sum((V[q] - V[i]) ** 2)), i) for i in V if i != q
+        )
+        exact[q] = {i for _, i in d[:TOPK]}
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert set(got) == set(range(N_QUERIES))
+        assert all(len(v) == TOPK for v in got.values())
+        return sum(
+            len(exact[q] & got[q]) / TOPK for q in range(N_QUERIES)
+        ) / N_QUERIES
+
+    r_rerank = recall(similarity_ivfpq_rerank(spark, sf_dir))
+    r_adc = recall(similarity_ivfpq(spark, sf_dir))
+    assert r_rerank >= 0.6, r_rerank
+    assert r_rerank > r_adc, (r_rerank, r_adc)
+
+    for r in similarity_ivfpq_rerank(spark, sf_dir).collect():
+        true_d2 = float(np.sum((V[r.query_id] - V[r.neighbor_id]) ** 2))
+        assert abs(r.d2 - round(true_d2, 6)) < 1e-9
+
+
 def test_bpe_invariants(spark, sf_dir):
     """BPE trainer/segmenter invariants: monotone nonincreasing merge
     counts, lossless segmentation (subwords concatenate back to the

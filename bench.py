@@ -216,6 +216,7 @@ HEADLINE = [
     "bpe_fertility_by_lang",
     # round 12: IVFADC+R rerank rung, incremental corpus-snapshot dedup
     "similarity_ivfpq_rerank",
+    "incremental_dedup_pairs",
 ]
 
 

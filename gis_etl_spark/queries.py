@@ -1788,5 +1788,12 @@ REGISTRY.update(
             S.similarity_ivfpq_rerank,
             S.ivfpq_rerank_oracle_sql(),
         ),
+        # bipartite incremental dedup vs a persisted corpus snapshot
+        # (VERDICT r11 item 6): exact fingerprint probe + MinHash band
+        # probe, new side broadcast, history never self-joins
+        "incremental_dedup_pairs": (
+            D.incremental_dedup_pairs,
+            _DEDUP_SQLS["incremental_dedup_pairs"],
+        ),
     }
 )

@@ -690,6 +690,21 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         timed(
+            "streaming_incremental_dedup",
+            lambda: S.run_to_memory(
+                S.streaming_incremental_dedup(spark, docs_dir),
+                "bench_inc",
+                output_mode="update",
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_inc").select("new_id", "snap_id")
+                .distinct().count(),
+            ),
+        )
+
+        timed(
             "streaming_funnel",
             lambda: S.run_to_memory(
                 S.streaming_funnel(spark, ev_dir), "bench_fn"

@@ -283,6 +283,85 @@ def minhash_signature_arrow(df: DataFrame) -> DataFrame:
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 
+def incremental_stage_arrow(df: DataFrame) -> DataFrame:
+    """The stateless per-document stage of the STREAMING incremental
+    dedup twin, one vectorized mapInPandas hop per arriving doc:
+    (doc_id, fph = md5 hex of the text — hashlib over UTF-8 ==
+    Spark/DuckDB md5, sh = distinct trigram shingles, m0..m{k-1}
+    minhash lanes). Shingles/hashing/lanes are bit-equal to
+    minhash_signature_arrow (same ' +'-split of the space-trimmed
+    text, same h60 % P31, same (a·h+b) mod P31); docs with <3 tokens
+    emit sh = [] and NULL lanes (they can still be exact duplicates);
+    NULL text emits nothing (md5(NULL) is NULL in the batch chain —
+    joins never match it)."""
+    import re
+    from hashlib import md5 as _md5
+
+    import pandas as pd
+
+    a_vec = np.asarray(MINHASH_A, dtype=np.int64)
+    b_vec = np.asarray(MINHASH_B, dtype=np.int64)
+    out_schema = (
+        "doc_id long, fph string, sh array<string>, "
+        + ", ".join(f"m{j} long" for j in range(N_HASHES))
+    )
+    split = re.compile(" +").split
+
+    def _stage(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows: list[dict] = []
+            memo: dict[str, tuple] = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                hit = memo.get(text)
+                if hit is None:
+                    fph = _md5(text.encode("utf-8")).hexdigest()
+                    ws = split(text.strip(" "))
+                    sh = (
+                        list(
+                            {
+                                " ".join(ws[i : i + 3]): None
+                                for i in range(len(ws) - 2)
+                            }
+                        )
+                        if len(ws) >= 3
+                        else []
+                    )
+                    if sh:
+                        hs = np.fromiter(
+                            (
+                                int(
+                                    _md5(s.encode("utf-8")).hexdigest()[:15],
+                                    16,
+                                )
+                                % P31
+                                for s in sh
+                            ),
+                            dtype=np.int64,
+                            count=len(sh),
+                        )
+                        lanes = [
+                            int(((a_vec[j] * hs + b_vec[j]) % P31).min())
+                            for j in range(N_HASHES)
+                        ]
+                    else:
+                        lanes = [None] * N_HASHES
+                    hit = (fph, sh, lanes)
+                    memo[text] = hit
+                fph, sh, lanes = hit
+                row = {"doc_id": doc_id, "fph": fph, "sh": sh}
+                for j, m in enumerate(lanes):
+                    row[f"m{j}"] = m
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "text").mapInPandas(_stage, schema=out_schema)
+
+
 def _band_keys(sig: DataFrame) -> DataFrame:
     """Signature → (doc_id, band_idx, band_key) exploded."""
     bands = []

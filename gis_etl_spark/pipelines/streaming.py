@@ -1071,3 +1071,144 @@ def streaming_cms_cells(spark: SparkSession, input_dir: str) -> DataFrame:
         .groupBy(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Streaming twin of ops.dedup.incremental_dedup_pairs — dedup the
+    ARRIVING crawl increment against the persisted corpus snapshot,
+    on arrival: each new document (doc_id % INC_MOD == INC_NEW_REM)
+    computes its content fingerprint, shingle set, and minhash lanes
+    in ONE vectorized stateless hop (incremental_stage_arrow), then
+
+    1. exact pass: fingerprints probe the STATIC snapshot fingerprint
+       frame (stream-static inner join) → ('exact', 1.0) pairs;
+    2. fuzzy pass: docs with no exact hit (stream-static left join +
+       null filter — the stream-legal anti-join) explode their 8 band
+       keys, probe the static band table, and every candidate verifies
+       with exact trigram-shingle Jaccard via array_intersect against
+       the static (snap_id → shingles) frame — all JVM expressions.
+
+    The one stateful operator is the final per-pair max-agg (collapses
+    the per-shared-band candidate duplicates; all values per pair are
+    equal, so max is just the associative dedup), state = one row per
+    DETECTED pair — bounded by true duplicates, never by corpus or
+    traffic. Final state equals the batch twin row-for-row under any
+    micro-batch slicing (pinned in tests/test_streaming.py).
+
+    Static-snapshot assumption (same contract as
+    streaming_chunk_decontaminate): the snapshot frames resolve from
+    {input_dir}'s files at query definition — exactly the production
+    shape, where the snapshot artifacts are frozen bucketed tables
+    (SCALE.md §r12) and a NEW snapshot version means a new query."""
+    from gis_etl_spark.ops.dedup import (
+        INC_MOD,
+        INC_NEW_REM,
+        MINHASH_JACCARD_T,
+        N_BANDS,
+        ROWS_PER_BAND,
+        _band_keys,
+        _minhash_signatures,
+        incremental_stage_arrow,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    is_new = F.col("doc_id") % INC_MOD == INC_NEW_REM
+
+    snap = (
+        spark.read.schema(schema)
+        .parquet(f"{input_dir}/*.parquet")
+        .filter(~is_new)
+    )
+    snap_fp = snap.select(
+        F.col("doc_id").alias("snap_id"), F.md5("text").alias("fph")
+    )
+    fp_set = snap_fp.select("fph").distinct().withColumn("_e", F.lit(1))
+    snap_bands = _band_keys(_minhash_signatures(snap)).select(
+        F.col("doc_id").alias("snap_id"), "band_idx", "band_key"
+    )
+    snap_sh = (
+        snap.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
+        .select(
+            F.col("doc_id").alias("snap_id"),
+            F.when(
+                F.size("ws") >= 3,
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(ws) - 3), "
+                        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                    )
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("snap_sh"),
+        )
+        .filter(F.size("snap_sh") > 0)
+    )
+
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir).filter(is_new)
+    )
+    staged = incremental_stage_arrow(stream)
+
+    exact = staged.join(snap_fp, "fph").select(
+        F.col("doc_id").alias("new_id"),
+        "snap_id",
+        F.lit("exact").alias("kind"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{j}").cast("string")
+                            for j in range(
+                                b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
+                            )
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    newb = (
+        staged.join(fp_set, "fph", "left")
+        .filter(F.col("_e").isNull())
+        .filter(F.size("sh") > 0)
+        .select(
+            F.col("doc_id").alias("new_id"),
+            "sh",
+            F.explode(bands_arr).alias("band"),
+        )
+        .select("new_id", "sh", "band.band_idx", "band.band_key")
+    )
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("snap_sh")))
+    na = F.size("sh")
+    nb = F.size("snap_sh")
+    jac = F.round(inter / (na + nb - inter), 4)
+    fuzzy = (
+        newb.join(snap_bands, ["band_idx", "band_key"])
+        .join(snap_sh, "snap_id")
+        .select(
+            "new_id",
+            "snap_id",
+            F.lit("fuzzy").alias("kind"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+    )
+    return (
+        exact.unionByName(fuzzy)
+        .groupBy("new_id", "snap_id")
+        .agg(F.max("kind").alias("kind"), F.max("jaccard").alias("jaccard"))
+    )

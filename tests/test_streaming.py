@@ -873,3 +873,54 @@ def test_streaming_cms_cells_matches_batch(spark, sf_dir, tmp_path):
     exp = {(r.r, r.b): r.c for r in cms_cells(toks).collect()}
     assert got == exp
     assert len(got) <= CMS_D * CMS_W
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Streaming incremental dedup == the batch bipartite twin: feed
+    the augmented corpus (injected exact copies + paraphrases) in 3
+    micro-batches and require the final per-(new_id, snap_id) state —
+    kind and jaccard — to equal ops.dedup.incremental_dedup_pairs
+    row-for-row. Pins the stream-legal anti-join (left join + null
+    filter), the array_intersect verify == the batch shared-shingle
+    join, and the vectorized stage == the JVM signature chain."""
+    import time
+
+    from gis_etl_spark.fixtures import ensure_documents_aug
+    from gis_etl_spark.ops.dedup import incremental_dedup_pairs
+
+    docs = spark.read.parquet(ensure_documents_aug())
+    rows = docs.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "inc_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate(chunks):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"inc_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_incremental_dedup(spark, flat), name,
+        output_mode="update",
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = (
+        pdf.groupby(["new_id", "snap_id"])
+        .tail(1)
+        .set_index(["new_id", "snap_id"])
+    )
+    got = {k: (r.kind, float(r.jaccard)) for k, r in last.iterrows()}
+    exp = {
+        (r.new_id, r.snap_id): (r.kind, float(r.jaccard))
+        for r in incremental_dedup_pairs(spark, None).collect()
+    }
+    assert got == exp
+    # both duplicate classes must actually cross the snapshot split
+    kinds = {k for k, _ in got.values()}
+    assert kinds == {"exact", "fuzzy"}, kinds

@@ -217,6 +217,8 @@ HEADLINE = [
     # round 12: IVFADC+R rerank rung, incremental corpus-snapshot dedup
     "similarity_ivfpq_rerank",
     "incremental_dedup_pairs",
+    "similarity_hard_negatives",
+    "corpus_dup_ngram_fraction",
 ]
 
 

@@ -212,6 +212,61 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard-negative mining band: candidates with rounded cosine in
+# [HARDNEG_LO, HARDNEG_HI) — similar enough to be informative
+# negatives for contrastive training, strictly below the near-dup
+# regime (true neighbors on this corpus sit at cosine ≈ 0.5, random
+# pairs concentrate near 0 in 64-dim).
+HARDNEG_LO = 0.2
+HARDNEG_HI = 0.45
+HARDNEG_K = 10
+
+
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training — per
+    query, the top-{HARDNEG_K} most-similar corpus vectors whose
+    ROUNDED cosine lies in [{HARDNEG_LO}, {HARDNEG_HI}): the
+    'closest non-positives' that make informative negatives, with the
+    positive band (near-dups and true neighbors) excluded by the upper
+    bound. Both the band filter and the ranking use the round(cos, 6)
+    value so the boundary and tie behavior are engine-exact against
+    the oracle (the minhash_pairs_sql rounding discipline).
+
+    Scale: identical posture to similarity_topk — queries broadcast,
+    one map-side cosine pass over the corpus, no corpus shuffle; the
+    band filter prunes before ranking and the salted two-level top-k
+    bounds every reducer's sort. Mining against a 100 TB corpus for a
+    large query set loops over broadcast-sized query buckets."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))),
+                6,
+            ).alias("sim"),
+        )
+        .filter(
+            (F.col("sim") >= HARDNEG_LO) & (F.col("sim") < HARDNEG_HI)
+        )
+    )
+    return (
+        _per_query_topk(
+            scored, HARDNEG_K, [F.desc("sim"), F.asc("neighbor_id")],
+            "neighbor_id", rank_name="rank",
+        )
+        .select("query_id", "neighbor_id", "rank", "sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-duplicate pairs (cosine ≥ 0.4) on a bounded slice —
     the quadratic check ANN approximates. Gated to vec_id < 1000: at
@@ -803,6 +858,31 @@ def oracle_sqls() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, round(cos, 6) AS sim
             FROM ranked WHERE rank <= {TOPK}
+            ORDER BY query_id, rank
+        """,
+        # band filter AND ranking on round(cos, 6), matching the engine
+        # column exactly (boundary + tie parity)
+        "similarity_hard_negatives": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id < {N_QUERIES}),
+            scored AS (
+              SELECT q.query_id, a.vec_id AS neighbor_id,
+                     round({cos}, 6) AS sim
+              FROM e a, q WHERE a.vec_id <> q.query_id
+            ), banded AS (
+              SELECT * FROM scored
+              WHERE sim >= {HARDNEG_LO} AND sim < {HARDNEG_HI}
+            ), ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id)
+                       AS rank
+              FROM banded
+            )
+            SELECT query_id, neighbor_id, rank, sim
+            FROM ranked WHERE rank <= {HARDNEG_K}
             ORDER BY query_id, rank
         """,
         "similarity_near_pairs": f"""

@@ -2092,3 +2092,75 @@ def cms_token_counts_sql() -> str:
                (cms_est - exact_n)::BIGINT AS overcount
         FROM est ORDER BY exact_n DESC, token ASC
     """
+
+
+def corpus_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-n-gram fraction per document — the
+    cross-document complement of text_repetition (which is
+    intra-document): for each doc, the share of its DISTINCT
+    {DECON_NGRAM}-gram shingles that occur in at least one OTHER
+    document. The standard near-dup/boilerplate quality signal a
+    pretraining recipe thresholds on (docs that are mostly made of
+    corpus-shared n-grams are templates, mirrors, or spam), using the
+    same shingle helper as the decontamination pack so the feature
+    definition is single-sourced.
+
+    Output: (doc_id, n_shingles, n_dup, dup_frac rounded to 4) for
+    every doc with at least one shingle, ordered by doc_id.
+
+    Scale: one explode → one shingle-keyed agg (map-side combined;
+    countDistinct over doc_id rewrites to two hash aggs) → one join
+    back on the shingle key → one doc-keyed rollup. At 100 TB the
+    shingle table is the big artifact — persist it bucketed by shingle
+    hash and both the agg and the join co-locate; this is the same
+    layout the incremental-dedup snapshot uses for band keys."""
+    docs = read_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("doc_id", words_col(F.col("text")).alias("ws"))
+        .select(
+            "doc_id", F.explode(decon_shingle_arr("ws")).alias("sh")
+        )
+    )
+    d = s.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        s.join(d, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def corpus_dup_ngram_fraction_sql() -> str:
+    parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_NGRAM))
+    return f"""
+        WITH ws AS (
+          SELECT doc_id, {WORDS_SQL} AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, {parts} AS sh
+          FROM ws, unnest(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1)))
+               AS t(i)
+        ), d AS (
+          SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh
+        )
+        SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+               round(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS dup_frac
+        FROM sh s JOIN d USING (sh)
+        GROUP BY s.doc_id ORDER BY s.doc_id
+    """

@@ -1795,5 +1795,17 @@ REGISTRY.update(
             D.incremental_dedup_pairs,
             _DEDUP_SQLS["incremental_dedup_pairs"],
         ),
+        # hard-negative mining: top-k closest non-positives per query,
+        # band + rank on the rounded cosine (boundary/tie parity)
+        "similarity_hard_negatives": (
+            S.similarity_hard_negatives,
+            _SIM_SQLS["similarity_hard_negatives"],
+        ),
+        # cross-document duplicate-5-gram share per doc — the corpus-
+        # level complement of text_repetition
+        "corpus_dup_ngram_fraction": (
+            T.corpus_dup_ngram_fraction,
+            T.corpus_dup_ngram_fraction_sql(),
+        ),
     }
 )

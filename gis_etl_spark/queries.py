@@ -1809,3 +1809,85 @@ REGISTRY.update(
         ),
     }
 )
+
+# ---------------------------------------------------------------------------
+# Round-12 window rotation (VERDICT r11 item 7). Latest driver score
+# per query after r11: r7 ×23, r9 ×50, r10 ×50, r11 ×50. Policy
+# unchanged: the 4 r12 additions front, then the queries whose PLAN
+# changed this round since their last score (the single-partition-
+# window rewires: cms_token_counts + the ADC/kmeans retrieval family —
+# outputs verified identical locally, fronted so the driver re-pins
+# them), then the full r7 cohort (23 — oldest in the registry; its
+# three changed members similarity_topk/ann_lsh/ivf are already
+# here), then the alphabetical head of the r9 cohort (17 of 49) fills
+# the window. After this window no registry query's latest score
+# predates r9; the r9 tail (32, h3_grid_disk_members …
+# training_data_prep) rotates in r13.
+# ---------------------------------------------------------------------------
+
+_R12_FRONT = (
+    # new in r12
+    "similarity_ivfpq_rerank",
+    "incremental_dedup_pairs",
+    "similarity_hard_negatives",
+    "corpus_dup_ngram_fraction",
+    # plan changed this round since last score
+    "cms_token_counts",
+    "similarity_pq_adc",
+    "similarity_pq_rerank",
+    "similarity_ivfpq",
+    "similarity_int8_adc",
+    "similarity_ivf_kmeans",
+    # the r7 cohort (all 23 — oldest-scored in the registry)
+    "interval_error_activity",
+    "io_csv_wkt_scan",
+    "io_ndjson_shape_stats",
+    "io_wide_attrs_projection",
+    "lang_id",
+    "layout_morton_keys",
+    "multimodal_decode_meta",
+    "multimodal_features",
+    "multimodal_image_formats",
+    "pii_scan",
+    "q9_profit_by_nation_year",
+    "shp_scan_census",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "similarity_near_pairs",
+    "similarity_topk",
+    "spatial_near_pairs",
+    "text_gopher_flags",
+    "text_quality_scores",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_stats_by_lang",
+    "top_tokens",
+    # r9 cohort, alphabetical head (17 of 49)
+    "bloom_semi_orders",
+    "count_lineitem",
+    "cube_orders",
+    "custkeys_without_recent_orders",
+    "customers_without_orders",
+    "document_chunks",
+    "embedding_label_centroids",
+    "events_hourly_rollup",
+    "events_sliding_windows",
+    "filter_range_events",
+    "geo_centroid_containment",
+    "geo_centroid_stats",
+    "geo_distinct_sources",
+    "geo_global_bbox",
+    "geo_hilbert_keys",
+    "geo_shape_type_census",
+    "group_count_order_priority",
+)
+
+assert len(_R12_FRONT) == 50, len(_R12_FRONT)
+assert all(k in REGISTRY for k in _R12_FRONT), [
+    k for k in _R12_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R12_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R12_FRONT},
+}

@@ -219,6 +219,7 @@ HEADLINE = [
     "incremental_dedup_pairs",
     "similarity_hard_negatives",
     "corpus_dup_ngram_fraction",
+    "kmv_source_overlap",
 ]
 
 
@@ -575,6 +576,16 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
                 spark.table("bench_sess").select("user_id")
                 .distinct().count(),
             ),
+        )
+
+        timed(
+            "streaming_event_dedup",
+            lambda: S.run_to_memory(
+                S.streaming_event_dedup(spark, ev_dir), "bench_evdd",
+                output_mode="append",
+            ),
+            n_ev,
+            lambda: ("out_rows", spark.table("bench_evdd").count()),
         )
 
         # dedup twins get a ×10 duplication-pressure corpus (doc_ids

@@ -2164,3 +2164,137 @@ def corpus_dup_ngram_fraction_sql() -> str:
         FROM sh s JOIN d USING (sh)
         GROUP BY s.doc_id ORDER BY s.doc_id
     """
+
+
+KMV_SET_K = 256  # KMV sketch size for the set-algebra estimates
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra across two corpus halves — the sketch-family
+    member that answers 'how much does source group A overlap source
+    group B' WITHOUT an exact distinct over either side: per-group
+    K-minimum-values sketches over the distinct 5-gram shingle hashes,
+    merged for |A∪B| (estimate = (K−1)·2^60 / h_K), intersection via
+    the standard ρ rule (Beyer et al. 2007): ρ = |M ∩ A ∩ B| / |M|
+    over the merged k-min set M, est_inter = floor(ρ · est_union).
+    M is exactly the K smallest distinct hashes overall (each of its
+    group-A members is necessarily in A's own k-min set, so the flags
+    carried on the hash table give ρ with no per-sketch joins).
+
+    Exact counts ride along (the oracle-side audit a production run
+    samples, not scans): per-shingle group flags → one 4-way rollup.
+
+    Output: one row — exact n_a/n_b/union/inter, sketch n_kept /
+    kth_hash / rho, and the two estimates. Every step (md5 hash,
+    DISTINCT, TakeOrdered top-K, integer division) is identical ANSI
+    arithmetic in both engines, so even the ESTIMATES hash-match.
+
+    Scale: the sketch path is one map-side hash + distinct on a
+    well-spread 60-bit key + TakeOrdered(K) per group — no global
+    sort, no vocabulary-sized state; sketches are K values, mergeable
+    by union+re-top-K (shard sketches combine associatively)."""
+    docs = read_table(spark, sf_dir, "documents")
+    grp = (F.expr("substring(source, 4)").cast("int") % 2).alias("g")
+    sh_g = (
+        docs.select(grp, words_col(F.col("text")).alias("ws"))
+        .select("g", F.explode(decon_shingle_arr("ws")).alias("sh"))
+        .distinct()
+    )
+    per = sh_g.groupBy("sh").agg(
+        F.max(F.when(F.col("g") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("g") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    exact = per.agg(
+        F.sum("in_a").alias("n_a_exact"),
+        F.sum("in_b").alias("n_b_exact"),
+        F.count("*").alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_exact"),
+    )
+    hs = (
+        per.select(h60(F.col("sh")).alias("h"), "in_a", "in_b")
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    k = KMV_SET_K
+    m = hs.orderBy("h").limit(k)
+    sk = m.agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    ).select(
+        "n_kept",
+        "kth_hash",
+        "rho",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1) * 2.0**60) / F.col("kth_hash")
+            ).cast("bigint")
+        )
+        .alias("union_est"),
+    )
+    sk = sk.select(
+        "n_kept",
+        "kth_hash",
+        "rho",
+        "union_est",
+        F.expr("(rho * union_est) div n_kept").alias("inter_est"),
+    )
+    return exact.crossJoin(sk).select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_union_exact",
+        "n_inter_exact",
+        "n_kept",
+        "kth_hash",
+        "rho",
+        "union_est",
+        "inter_est",
+    )
+
+
+def kmv_source_overlap_sql() -> str:
+    parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_NGRAM))
+    k = KMV_SET_K
+    return f"""
+        WITH ws AS (
+          SELECT (substr(source, 4)::INT % 2) AS g,
+                 {WORDS_SQL} AS w
+          FROM documents
+        ), sh_g AS (
+          SELECT DISTINCT g, {parts} AS sh
+          FROM ws, unnest(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1)))
+               AS t(i)
+        ), per AS (
+          SELECT sh,
+                 max(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS in_b
+          FROM sh_g GROUP BY sh
+        ), exact AS (
+          SELECT sum(in_a)::BIGINT AS n_a_exact,
+                 sum(in_b)::BIGINT AS n_b_exact,
+                 count(*)::BIGINT AS n_union_exact,
+                 sum(in_a * in_b)::BIGINT AS n_inter_exact
+          FROM per
+        ), hs AS (
+          SELECT {h60_sql('sh')} AS h,
+                 max(in_a) AS in_a, max(in_b) AS in_b
+          FROM per GROUP BY 1
+        ), m AS (
+          SELECT * FROM hs ORDER BY h LIMIT {k}
+        ), sk0 AS (
+          SELECT count(*)::BIGINT AS n_kept, max(h) AS kth_hash,
+                 sum(in_a * in_b)::BIGINT AS rho
+          FROM m
+        ), sk AS (
+          SELECT n_kept, kth_hash, rho,
+                 CASE WHEN n_kept < {k} THEN n_kept
+                      ELSE CAST(floor({float(k - 1) * 2.0**60!r} / kth_hash)
+                                AS BIGINT) END AS union_est
+          FROM sk0
+        )
+        SELECT e.n_a_exact, e.n_b_exact, e.n_union_exact, e.n_inter_exact,
+               s.n_kept, s.kth_hash, s.rho, s.union_est,
+               ((s.rho * s.union_est) // s.n_kept)::BIGINT AS inter_est
+        FROM exact e, sk s
+    """

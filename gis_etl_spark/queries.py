@@ -1807,21 +1807,29 @@ REGISTRY.update(
             T.corpus_dup_ngram_fraction,
             T.corpus_dup_ngram_fraction_sql(),
         ),
+        # KMV set algebra: sketch-estimated |A∪B| / |A∩B| of two
+        # source groups' shingle sets, exact counts riding along —
+        # deterministic sketch, so even the estimates hash-match
+        "kmv_source_overlap": (
+            T.kmv_source_overlap,
+            T.kmv_source_overlap_sql(),
+        ),
     }
 )
 
 # ---------------------------------------------------------------------------
 # Round-12 window rotation (VERDICT r11 item 7). Latest driver score
 # per query after r11: r7 ×23, r9 ×50, r10 ×50, r11 ×50. Policy
-# unchanged: the 4 r12 additions front, then the queries whose PLAN
+# unchanged: the 5 r12 additions front, then the queries whose PLAN
 # changed this round since their last score (the single-partition-
 # window rewires: cms_token_counts + the ADC/kmeans retrieval family —
 # outputs verified identical locally, fronted so the driver re-pins
 # them), then the full r7 cohort (23 — oldest in the registry; its
 # three changed members similarity_topk/ann_lsh/ivf are already
-# here), then the alphabetical head of the r9 cohort (17 of 49) fills
-# the window. After this window no registry query's latest score
-# predates r9; the r9 tail (32, h3_grid_disk_members …
+# here), then the alphabetical head of the r9 cohort fills
+# the window (16 after the 5th r12 addition displaced one).
+# After this window no registry query's latest score
+# predates r9; the r9 tail (33, group_count_order_priority …
 # training_data_prep) rotates in r13.
 # ---------------------------------------------------------------------------
 
@@ -1831,6 +1839,7 @@ _R12_FRONT = (
     "incremental_dedup_pairs",
     "similarity_hard_negatives",
     "corpus_dup_ngram_fraction",
+    "kmv_source_overlap",
     # plan changed this round since last score
     "cms_token_counts",
     "similarity_pq_adc",
@@ -1879,7 +1888,6 @@ _R12_FRONT = (
     "geo_global_bbox",
     "geo_hilbert_keys",
     "geo_shape_type_census",
-    "group_count_order_priority",
 )
 
 assert len(_R12_FRONT) == 50, len(_R12_FRONT)

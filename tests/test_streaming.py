@@ -924,3 +924,50 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     # both duplicate classes must actually cross the snapshot split
     kinds = {k for k, _ in got.values()}
     assert kinds == {"exact", "fuzzy"}, kinds
+
+
+def test_streaming_event_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Watermarked redelivery dedup: feed time-ordered micro-batches
+    with every event duplicated inside its own batch (the
+    within-horizon redelivery case) and require the appended output to
+    equal batch dropDuplicates(event_id) exactly — no duplicate
+    survives, no on-time row is lost."""
+    import time
+
+    from gis_etl_spark.io import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("ts", "event_id")
+        .limit(1500)
+    )
+    rows = ev.collect()
+    third = len(rows) // 3
+    chunks = (rows[:third], rows[third : 2 * third], rows[2 * third :])
+    flat = str(tmp_path / "evdd_in")
+    os.makedirs(flat)
+    for i, chunk in enumerate(chunks):
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        # duplicate every row within the batch — the redelivery shape
+        spark.createDataFrame(
+            list(chunk) + list(chunk), ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    name = f"evdd_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_event_dedup(spark, flat), name, output_mode="append"
+    )
+    got = {
+        r.event_id: (r.user_id, r.event_type)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    exp = {r.event_id: (r.user_id, r.event_type) for r in rows}
+    assert got == exp
+    # and the sink really saw each id exactly once
+    n_rows = spark.sql(f"SELECT count(*) c FROM {name}").first().c
+    assert n_rows == len(exp)

@@ -287,13 +287,21 @@ def incremental_stage_arrow(df: DataFrame) -> DataFrame:
     """The stateless per-document stage of the STREAMING incremental
     dedup twin, one vectorized mapInPandas hop per arriving doc:
     (doc_id, fph = md5 hex of the text — hashlib over UTF-8 ==
-    Spark/DuckDB md5, sh = distinct trigram shingles, m0..m{k-1}
-    minhash lanes). Shingles/hashing/lanes are bit-equal to
-    minhash_signature_arrow (same ' +'-split of the space-trimmed
+    Spark/DuckDB md5, hs = distinct trigram-shingle h60%P31 hashes,
+    m0..m{k-1} minhash lanes). Shingles/hashing/lanes are bit-equal
+    to minhash_signature_arrow (same ' +'-split of the space-trimmed
     text, same h60 % P31, same (a·h+b) mod P31); docs with <3 tokens
-    emit sh = [] and NULL lanes (they can still be exact duplicates);
+    emit hs = [] and NULL lanes (they can still be exact duplicates);
     NULL text emits nothing (md5(NULL) is NULL in the batch chain —
-    joins never match it)."""
+    joins never match it).
+
+    The shingle set travels as int64 HASHES, not strings: the
+    streaming twin carries this array through its 8-band explode and
+    intersects it per candidate, and the hash array is ~3× smaller
+    and ~5× cheaper to intersect (profiled: the string-array verify
+    was 10 of the twin's 16 s). Set equality to the string-set
+    Jaccard holds absent 60-bit collisions (P ≈ n²·2⁻⁶⁰ — the same
+    tolerance every h60 consumer in this module accepts)."""
     import re
     from hashlib import md5 as _md5
 
@@ -302,7 +310,7 @@ def incremental_stage_arrow(df: DataFrame) -> DataFrame:
     a_vec = np.asarray(MINHASH_A, dtype=np.int64)
     b_vec = np.asarray(MINHASH_B, dtype=np.int64)
     out_schema = (
-        "doc_id long, fph string, sh array<string>, "
+        "doc_id long, fph string, hs array<long>, "
         + ", ".join(f"m{j} long" for j in range(N_HASHES))
     )
     split = re.compile(" +").split
@@ -347,12 +355,16 @@ def incremental_stage_arrow(df: DataFrame) -> DataFrame:
                             int(((a_vec[j] * hs + b_vec[j]) % P31).min())
                             for j in range(N_HASHES)
                         ]
+                        # np.unique: hs is a SET (array_intersect and
+                        # size() both assume distinct elements)
+                        hs_list = np.unique(hs).tolist()
                     else:
                         lanes = [None] * N_HASHES
-                    hit = (fph, sh, lanes)
+                        hs_list = []
+                    hit = (fph, hs_list, lanes)
                     memo[text] = hit
-                fph, sh, lanes = hit
-                row = {"doc_id": doc_id, "fph": fph, "sh": sh}
+                fph, hs_list, lanes = hit
+                row = {"doc_id": doc_id, "fph": fph, "hs": hs_list}
                 for j, m in enumerate(lanes):
                     row[f"m{j}"] = m
                 rows.append(row)

@@ -1087,8 +1087,11 @@ def streaming_incremental_dedup(
     2. fuzzy pass: docs with no exact hit (stream-static left join +
        null filter — the stream-legal anti-join) explode their 8 band
        keys, probe the static band table, and every candidate verifies
-       with exact trigram-shingle Jaccard via array_intersect against
-       the static (snap_id → shingles) frame — all JVM expressions.
+       with trigram-shingle-set Jaccard via array_intersect of the two
+       int64 HASH sets (h60%P31 — ~3× smaller to carry through the
+       band explode and ~5× cheaper to intersect than the string
+       arrays; equal to the batch twin's string-set Jaccard absent
+       60-bit collisions) — all JVM expressions.
 
     The one stateful operator is the final per-pair max-agg (collapses
     the per-shared-band candidate duplicates; all values per pair are
@@ -1110,7 +1113,6 @@ def streaming_incremental_dedup(
         ROWS_PER_BAND,
         _band_keys,
         incremental_stage_arrow,
-        minhash_signature_arrow,
     )
 
     schema = (
@@ -1124,39 +1126,21 @@ def streaming_incremental_dedup(
         .parquet(f"{input_dir}/*.parquet")
         .filter(~is_new)
     )
-    # The static snapshot frames are PERSISTED: a stream-static join
-    # re-evaluates the static side every micro-batch, and the band
-    # table's signature chain is the expensive part (first bench cut
-    # of this twin recomputed it per batch — 19 s vs ~4 s persisted).
-    # Signatures via the vectorized Arrow stage (bit-equal to the JVM
-    # chain, test-pinned) — the same choice the stream side makes.
-    snap_fp = snap.select(
-        F.col("doc_id").alias("snap_id"), F.md5("text").alias("fph")
-    ).persist()
+    # ALL static snapshot frames derive from ONE vectorized Arrow pass
+    # (fingerprint + hash set + minhash lanes per doc), persisted: a
+    # stream-static join re-evaluates the static side every
+    # micro-batch, and the signature chain is the expensive part.
+    snap_stage = incremental_stage_arrow(snap).persist()
+    snap_fp = snap_stage.select(
+        F.col("doc_id").alias("snap_id"), "fph"
+    )
     fp_set = snap_fp.select("fph").distinct().withColumn("_e", F.lit(1))
     snap_bands = (
-        _band_keys(minhash_signature_arrow(snap))
+        _band_keys(snap_stage.filter(F.size("hs") > 0))
         .select(F.col("doc_id").alias("snap_id"), "band_idx", "band_key")
-        .persist()
     )
-    snap_sh = (
-        snap.select("doc_id", F.split(F.trim("text"), " +").alias("ws"))
-        .select(
-            F.col("doc_id").alias("snap_id"),
-            F.when(
-                F.size("ws") >= 3,
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(0, size(ws) - 3), "
-                        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-                    )
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("snap_sh"),
-        )
-        .filter(F.size("snap_sh") > 0)
-        .persist()
+    snap_hs = snap_stage.filter(F.size("hs") > 0).select(
+        F.col("doc_id").alias("snap_id"), F.col("hs").alias("snap_hs")
     )
 
     stream = (
@@ -1193,21 +1177,21 @@ def streaming_incremental_dedup(
     newb = (
         staged.join(fp_set, "fph", "left")
         .filter(F.col("_e").isNull())
-        .filter(F.size("sh") > 0)
+        .filter(F.size("hs") > 0)
         .select(
             F.col("doc_id").alias("new_id"),
-            "sh",
+            "hs",
             F.explode(bands_arr).alias("band"),
         )
-        .select("new_id", "sh", "band.band_idx", "band.band_key")
+        .select("new_id", "hs", "band.band_idx", "band.band_key")
     )
-    inter = F.size(F.array_intersect(F.col("sh"), F.col("snap_sh")))
-    na = F.size("sh")
-    nb = F.size("snap_sh")
+    inter = F.size(F.array_intersect(F.col("hs"), F.col("snap_hs")))
+    na = F.size("hs")
+    nb = F.size("snap_hs")
     jac = F.round(inter / (na + nb - inter), 4)
     fuzzy = (
         newb.join(snap_bands, ["band_idx", "band_key"])
-        .join(snap_sh, "snap_id")
+        .join(snap_hs, "snap_id")
         .select(
             "new_id",
             "snap_id",

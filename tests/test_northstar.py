@@ -1238,3 +1238,38 @@ def test_cms_estimates_one_sided_and_tight(spark, sf_dir):
         max(r.overcount for r in rows),
         eps_n,
     )
+
+
+def test_per_query_topk_equals_single_window(spark):
+    """_per_query_topk (salted two-level) must be row-identical to the
+    naive one-window top-k under a total order — on data with heavy
+    ties in the value column, multiple queries, k larger and smaller
+    than group sizes, and ids straddling every salt class."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from gis_etl_spark.ops.similarity import _per_query_topk
+
+    df = (
+        spark.range(4000)
+        .select(
+            (F.col("id") % 7).alias("query_id"),
+            F.col("id").alias("vec_id"),
+            # heavy ties: only 11 distinct values
+            (F.pmod(F.col("id") * 2654435761, F.lit(11))).alias("units"),
+        )
+    )
+    for k in (1, 5, 64, 1000):
+        order = [F.asc("units"), F.asc("vec_id")]
+        got = {
+            (r.query_id, r.vec_id, r.rk)
+            for r in _per_query_topk(df, k, order, "vec_id").collect()
+        }
+        w = Window.partitionBy("query_id").orderBy(*order)
+        exp = {
+            (r.query_id, r.vec_id, r.rk)
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()
+        }
+        assert got == exp, (k, len(got), len(exp))

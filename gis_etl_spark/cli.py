@@ -187,6 +187,30 @@ def cmd_pagerank(spark: SparkSession, args) -> None:
     print(f"pagerank: wrote {args.output}")
 
 
+def cmd_incremental_dedup(spark: SparkSession, args) -> None:
+    """Bipartite incremental dedup: the new-crawl increment
+    (doc_id % 4 == 3 over the input corpus) probed against the
+    snapshot remainder; writes (new_id, snap_id, kind, jaccard)."""
+    import gis_etl_spark.ops.dedup as D
+
+    D.incremental_dedup_pairs(spark, args.input).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(f"incremental-dedup: wrote {args.output}")
+
+
+def cmd_hard_negatives(spark: SparkSession, args) -> None:
+    """Contrastive hard-negative mining over an embedding corpus
+    (vec_id/embedding parquet): writes (query_id, neighbor_id, rank,
+    sim)."""
+    import gis_etl_spark.ops.similarity as S
+
+    S.similarity_hard_negatives(spark, args.input).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(f"hard-negatives: wrote {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="gis_etl_spark",
@@ -240,6 +264,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     common(p)
 
+    p = sub.add_parser(
+        "incremental-dedup",
+        help="new-crawl vs snapshot dedup pairs (documents.parquet)",
+    )
+    common(p)
+
+    p = sub.add_parser(
+        "hard-negatives",
+        help="contrastive hard negatives (embeddings.parquet)",
+    )
+    common(p)
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -257,6 +293,8 @@ def main(argv: list[str] | None = None) -> None:
             "semdedup": cmd_semdedup,
             "cdc-compact": cmd_cdc_compact,
             "pagerank": cmd_pagerank,
+            "incremental-dedup": cmd_incremental_dedup,
+            "hard-negatives": cmd_hard_negatives,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

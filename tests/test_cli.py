@@ -168,3 +168,39 @@ def test_bench_final_line_never_exceeds_budget():
             assert all(
                 round(timings[k], 2) <= inline_min + 0.01 for k in omitted
             )
+
+
+def test_cli_incremental_dedup_and_hard_negatives(tmp_path):
+    """The r12 subcommands end-to-end in subprocesses; outputs carry
+    the contract columns and plausible row counts."""
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    for cmd, cols, min_rows in [
+        (
+            "incremental-dedup",
+            {"new_id", "snap_id", "kind", "jaccard"},
+            1,
+        ),
+        (
+            "hard-negatives",
+            {"query_id", "neighbor_id", "rank", "sim"},
+            8,
+        ),
+    ]:
+        out = str(tmp_path / cmd)
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "gis_etl_spark.cli", cmd,
+                "--input", sf, "--output", out, "--master", "local[4]",
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert res.returncode == 0, (cmd, res.stderr[-2000:])
+        pdf = pd.read_parquet(out)
+        assert set(pdf.columns) == cols, cmd
+        assert len(pdf) >= min_rows, cmd

@@ -339,3 +339,58 @@ def test_heavy_hitters_empty_and_validation(spark):
     assert heavy_hitters(empty, "key", 0.01).count() == 0
     with pytest.raises(ValueError):
         heavy_hitters(empty, "key", 0.0)
+
+
+def test_incremental_snapshot_bucketed_probe_no_shuffle(spark, tmp_path):
+    """Receipt for the SCALE.md §r12 snapshot-layout claim: when the
+    crawl increment outgrows broadcast, the incremental-dedup band
+    probe degrades to a BUCKETED sort-merge join with ZERO exchanges —
+    both the stored snapshot band table and the increment's band table
+    are bucketed on the join key, so neither side shuffles at any
+    corpus size. Writes the two band tables with bucketBy, disables
+    broadcast, and asserts the probe plan is SortMergeJoin with no
+    Exchange hashpartitioning."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.fixtures import ensure_documents_aug
+    from gis_etl_spark.ops.dedup import (
+        INC_MOD,
+        INC_NEW_REM,
+        _band_keys,
+        minhash_signature_arrow,
+    )
+
+    docs = spark.read.parquet(ensure_documents_aug())
+    is_new = F.col("doc_id") % INC_MOD == INC_NEW_REM
+    bands = _band_keys(minhash_signature_arrow(docs))
+    snap_t = "t_snap_bands_r12"
+    new_t = "t_new_bands_r12"
+    for t in (snap_t, new_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        (
+            bands.filter(~is_new)
+            .write.bucketBy(8, "band_idx", "band_key")
+            .saveAsTable(snap_t)
+        )
+        (
+            bands.filter(is_new)
+            .write.bucketBy(8, "band_idx", "band_key")
+            .saveAsTable(new_t)
+        )
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.table(new_t).join(
+                spark.table(snap_t).withColumnRenamed("doc_id", "snap_id"),
+                ["band_idx", "band_key"],
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan[:800]
+            assert "Exchange hashpartitioning" not in plan, plan[:800]
+            assert probe.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    finally:
+        for t in (snap_t, new_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -220,6 +220,7 @@ HEADLINE = [
     "similarity_hard_negatives",
     "corpus_dup_ngram_fraction",
     "kmv_source_overlap",
+    "asof_click_view_tolerance",
 ]
 
 

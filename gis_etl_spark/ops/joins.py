@@ -317,6 +317,47 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+ASOF_TOL_US = 600_000_000  # as-of tolerance horizon: 10 minutes
+
+
+def asof_click_view_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_click_view with a TOLERANCE horizon (pandas
+    merge_asof(tolerance=...) semantics): a click only keeps its
+    most-recent view if that view is within {ASOF_TOL_US} µs — staler
+    context is as useless as none, the standard attribution-window
+    rule. Out-of-horizon (or never-matched) clicks survive with NULL
+    enrichment and matched = false, so downstream sees the full click
+    set with an explicit match flag.
+
+    Same single-shuffle union+window plan as the parent (tolerance is
+    a post-filter on the carried match — no second join, no state
+    growth); the oracle composes DuckDB's ASOF LEFT JOIN with the
+    identical CASE."""
+    ev = read_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        clicks, views, on=["user_id"], value_cols=["view_value"],
+        direction="backward",
+    )
+    ok = F.col("asof_ts").isNotNull() & (
+        (F.col("ts_us") - F.col("asof_ts")) <= ASOF_TOL_US
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.col("ts_us") - F.col("asof_ts")).alias("gap_us"),
+        F.when(ok, F.round("asof_view_value", 2)).alias("view_value"),
+        ok.alias("matched"),
+    ).orderBy("event_id")
+
+
 def interval_error_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per error event: how much same-user activity follows within 24
     hours (incident blast-radius shape). Bucketed range join; errors
@@ -563,6 +604,32 @@ def oracle_sqls() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
             ORDER BY c.event_id
+        """,
+        "asof_click_view_tolerance": f"""
+            WITH views AS (
+              SELECT user_id, ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            ),
+            clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            j AS (
+              SELECT c.event_id, c.user_id,
+                     epoch_us(c.ts) - epoch_us(v.ts) AS gap0,
+                     v.view_value,
+                     v.ts IS NOT NULL
+                       AND epoch_us(c.ts) - epoch_us(v.ts)
+                           <= {ASOF_TOL_US} AS matched
+              FROM clicks c ASOF LEFT JOIN views v
+                ON c.user_id = v.user_id AND c.ts >= v.ts
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN matched THEN gap0 END AS gap_us,
+                   CASE WHEN matched THEN round(view_value, 2) END
+                     AS view_value,
+                   matched
+            FROM j ORDER BY event_id
         """,
         "interval_error_activity": f"""
             SELECT e.event_id, e.user_id,

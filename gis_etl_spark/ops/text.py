@@ -2109,7 +2109,7 @@ def corpus_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc with at least one shingle, ordered by doc_id.
 
     Scale: one explode → one shingle-keyed agg (map-side combined;
-    countDistinct over doc_id rewrites to two hash aggs) → one join
+    plain count, since the pair frame is already distinct) → one join
     back on the shingle key → one doc-keyed rollup. At 100 TB the
     shingle table is the big artifact — persist it bucketed by shingle
     hash and both the agg and the join co-locate; this is the same
@@ -2121,9 +2121,10 @@ def corpus_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(decon_shingle_arr("ws")).alias("sh")
         )
     )
-    d = s.groupBy("sh").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # s is already DISTINCT (doc_id, sh), so a plain count IS the
+    # distinct-doc count — one map-side-combined hash agg instead of
+    # countDistinct's two-phase expand
+    d = s.groupBy("sh").agg(F.count("*").alias("nd"))
     return (
         s.join(d, "sh")
         .groupBy("doc_id")
@@ -2155,7 +2156,8 @@ def corpus_dup_ngram_fraction_sql() -> str:
           FROM ws, unnest(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1)))
                AS t(i)
         ), d AS (
-          SELECT sh, count(DISTINCT doc_id) AS nd FROM sh GROUP BY sh
+          -- sh is SELECT DISTINCT (doc_id, sh): count(*) == distinct docs
+          SELECT sh, count(*) AS nd FROM sh GROUP BY sh
         )
         SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
                sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,

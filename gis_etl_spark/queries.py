@@ -1814,22 +1814,29 @@ REGISTRY.update(
             T.kmv_source_overlap,
             T.kmv_source_overlap_sql(),
         ),
+        # as-of with a tolerance horizon (pandas merge_asof semantics):
+        # stale context drops, clicks survive with an explicit flag
+        "asof_click_view_tolerance": (
+            J.asof_click_view_tolerance,
+            _JOIN_SQLS["asof_click_view_tolerance"],
+        ),
     }
 )
 
 # ---------------------------------------------------------------------------
 # Round-12 window rotation (VERDICT r11 item 7). Latest driver score
 # per query after r11: r7 ×23, r9 ×50, r10 ×50, r11 ×50. Policy
-# unchanged: the 5 r12 additions front, then the queries whose PLAN
+# unchanged: the 6 r12 additions front, then the queries whose PLAN
 # changed this round since their last score (the single-partition-
 # window rewires: cms_token_counts + the ADC/kmeans retrieval family —
 # outputs verified identical locally, fronted so the driver re-pins
 # them), then the full r7 cohort (23 — oldest in the registry; its
 # three changed members similarity_topk/ann_lsh/ivf are already
 # here), then the alphabetical head of the r9 cohort fills
-# the window (16 after the 5th r12 addition displaced one).
+# the window (15 after the 5th and 6th r12 additions displaced two).
 # After this window no registry query's latest score
-# predates r9; the r9 tail (33, group_count_order_priority …
+# predates r9; the r9 tail (34, geo_shape_type_census /
+# group_count_order_priority …
 # training_data_prep) rotates in r13.
 # ---------------------------------------------------------------------------
 
@@ -1840,6 +1847,7 @@ _R12_FRONT = (
     "similarity_hard_negatives",
     "corpus_dup_ngram_fraction",
     "kmv_source_overlap",
+    "asof_click_view_tolerance",
     # plan changed this round since last score
     "cms_token_counts",
     "similarity_pq_adc",
@@ -1887,7 +1895,6 @@ _R12_FRONT = (
     "geo_distinct_sources",
     "geo_global_bbox",
     "geo_hilbert_keys",
-    "geo_shape_type_census",
 )
 
 assert len(_R12_FRONT) == 50, len(_R12_FRONT)

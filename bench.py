@@ -221,6 +221,7 @@ HEADLINE = [
     "corpus_dup_ngram_fraction",
     "kmv_source_overlap",
     "asof_click_view_tolerance",
+    "source_data_card",
 ]
 
 

@@ -2300,3 +2300,109 @@ def kmv_source_overlap_sql() -> str:
                ((s.rho * s.union_est) // s.n_kept)::BIGINT AS inter_est
         FROM exact e, sk s
     """
+
+
+def source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset report card — the one-pass rollup a data
+    curator reads before admitting a source into the training mix,
+    composing already-verified signals: doc count, token volume,
+    language spread, mean quality (fixedpoint-deterministic), and the
+    exact-duplicate footprint (docs whose content hash occurs >= 2
+    times anywhere in the corpus — cross-source aware, so a mirror
+    site shows up in BOTH cards).
+
+    Plan: one per-doc projection (tokens/quality/content hash), one
+    hash-keyed agg + join-back for the dup flag (the dedup_exact
+    chain's shape), one source-keyed rollup. Every ratio/mean goes
+    through ops.fixedpoint so the card is bit-stable under any
+    partitioning; at 100 TB each stage is a map-side-combined agg or
+    a well-spread hash join — no window, no driver state."""
+    from gis_etl_spark.ops.fixedpoint import fxavg
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = words_col(F.col("text"))
+    per = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("fph"),
+        F.size(w).alias("n"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+    ).withColumn(
+        "q",
+        F.round(
+            F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
+            * (F.col("nd") / F.col("n"))
+            * (1.0 - F.col("nstop") / F.col("n")),
+            4,
+        ),
+    )
+    dup = (
+        per.groupBy("fph")
+        .agg(F.count("*").alias("n_copies"))
+        .select("fph", (F.col("n_copies") >= 2).alias("is_dup"))
+    )
+    return (
+        per.join(dup, "fph")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            fxavg("q", nd=4, out=4).alias("mean_quality"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "mean_quality",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def source_data_card_sql() -> str:
+    from gis_etl_spark.ops.fixedpoint import fxavg_sql
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH per AS (
+          SELECT source, lang, md5(text) AS fph,
+                 len(w) AS n,
+                 len(list_distinct(w)) AS nd,
+                 len(list_filter(w, x -> x IN ({stop_list}))) AS nstop
+          FROM (
+            SELECT source, lang, text, {WORDS_SQL} AS w
+            FROM documents WHERE text IS NOT NULL
+          )
+        ), q AS (
+          SELECT source, lang, fph, n,
+                 round(least(n / 100.0, 1.0)
+                       * (nd * 1.0 / n)
+                       * (1.0 - nstop * 1.0 / n), 4) AS q
+          FROM per
+        ), dup AS (
+          SELECT fph, count(*) >= 2 AS is_dup FROM q GROUP BY fph
+        )
+        SELECT q.source,
+               count(*)::BIGINT AS n_docs,
+               sum(q.n)::BIGINT AS n_tokens,
+               count(DISTINCT q.lang)::BIGINT AS n_langs,
+               {fxavg_sql('q.q', nd=4, out=4)} AS mean_quality,
+               sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dup_docs,
+               round(sum(CASE WHEN d.is_dup THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 4) AS dup_frac
+        FROM q JOIN dup d USING (fph)
+        GROUP BY q.source ORDER BY q.source
+    """

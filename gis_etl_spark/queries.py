@@ -1820,22 +1820,28 @@ REGISTRY.update(
             J.asof_click_view_tolerance,
             _JOIN_SQLS["asof_click_view_tolerance"],
         ),
+        # per-source dataset report card: docs/tokens/langs/quality/
+        # exact-dup footprint in one pass, fixedpoint-deterministic
+        "source_data_card": (
+            T.source_data_card,
+            T.source_data_card_sql(),
+        ),
     }
 )
 
 # ---------------------------------------------------------------------------
 # Round-12 window rotation (VERDICT r11 item 7). Latest driver score
 # per query after r11: r7 ×23, r9 ×50, r10 ×50, r11 ×50. Policy
-# unchanged: the 6 r12 additions front, then the queries whose PLAN
+# unchanged: the 7 r12 additions front, then the queries whose PLAN
 # changed this round since their last score (the single-partition-
 # window rewires: cms_token_counts + the ADC/kmeans retrieval family —
 # outputs verified identical locally, fronted so the driver re-pins
 # them), then the full r7 cohort (23 — oldest in the registry; its
 # three changed members similarity_topk/ann_lsh/ivf are already
 # here), then the alphabetical head of the r9 cohort fills
-# the window (15 after the 5th and 6th r12 additions displaced two).
+# the window (14 after the 5th-7th r12 additions displaced three).
 # After this window no registry query's latest score
-# predates r9; the r9 tail (34, geo_shape_type_census /
+# predates r9; the r9 tail (35, geo_hilbert_keys / geo_shape_type_census /
 # group_count_order_priority …
 # training_data_prep) rotates in r13.
 # ---------------------------------------------------------------------------
@@ -1848,6 +1854,7 @@ _R12_FRONT = (
     "corpus_dup_ngram_fraction",
     "kmv_source_overlap",
     "asof_click_view_tolerance",
+    "source_data_card",
     # plan changed this round since last score
     "cms_token_counts",
     "similarity_pq_adc",
@@ -1894,7 +1901,6 @@ _R12_FRONT = (
     "geo_centroid_stats",
     "geo_distinct_sources",
     "geo_global_bbox",
-    "geo_hilbert_keys",
 )
 
 assert len(_R12_FRONT) == 50, len(_R12_FRONT)

@@ -718,6 +718,8 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
                 .distinct().count(),
             ),
         )
+        # the drained query no longer needs its cached snapshot frames
+        S.release_snapshot_caches()
 
         timed(
             "streaming_funnel",

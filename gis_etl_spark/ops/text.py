@@ -2197,8 +2197,14 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     by union+re-top-K (shard sketches combine associatively)."""
     docs = read_table(spark, sf_dir, "documents")
     grp = (F.expr("substring(source, 4)").cast("int") % 2).alias("g")
+    # Sources not shaped 'src<digits>' parse to a NULL group: they
+    # belong to neither half, so they must not inflate the union or
+    # the sketch — drop them loudly here (and identically in the
+    # oracle) instead of letting NULL-group shingles skew both engines
+    # in the same invisible way.
     sh_g = (
         docs.select(grp, words_col(F.col("text")).alias("ws"))
+        .filter(F.col("g").isNotNull())
         .select("g", F.explode(decon_shingle_arr("ws")).alias("sh"))
         .distinct()
     )
@@ -2260,13 +2266,14 @@ def kmv_source_overlap_sql() -> str:
     k = KMV_SET_K
     return f"""
         WITH ws AS (
-          SELECT (substr(source, 4)::INT % 2) AS g,
+          SELECT (TRY_CAST(substr(source, 4) AS INT) % 2) AS g,
                  {WORDS_SQL} AS w
           FROM documents
         ), sh_g AS (
           SELECT DISTINCT g, {parts} AS sh
           FROM ws, unnest(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1)))
                AS t(i)
+          WHERE g IS NOT NULL
         ), per AS (
           SELECT sh,
                  max(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS in_a,

@@ -407,6 +407,23 @@ def streaming_interval_enrich(
     )
 
 
+# Persisted static-snapshot frames created by streaming builders
+# (currently streaming_incremental_dedup). A stream-static join needs
+# the snapshot cached for the QUERY's lifetime — longer than the
+# builder call — so builders register them here and long-lived
+# sessions (bench suite, test modules) drop them once the query has
+# drained, instead of accumulating one cached snapshot per invocation.
+_SNAPSHOT_CACHES: list[DataFrame] = []
+
+
+def release_snapshot_caches() -> None:
+    """Unpersist every snapshot frame registered by streaming
+    builders. Call after the stream(s) defined by those builders have
+    stopped (e.g. after an availableNow drain)."""
+    while _SNAPSHOT_CACHES:
+        _SNAPSHOT_CACHES.pop().unpersist()
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "update"
 ) -> None:
@@ -1130,7 +1147,12 @@ def streaming_incremental_dedup(
     # (fingerprint + hash set + minhash lanes per doc), persisted: a
     # stream-static join re-evaluates the static side every
     # micro-batch, and the signature chain is the expensive part.
+    # The cache outlives this builder (the stream holds it until the
+    # query stops), so it is tracked module-side; callers that define
+    # many queries in one session (bench/tests) release finished
+    # queries' snapshots with release_snapshot_caches().
     snap_stage = incremental_stage_arrow(snap).persist()
+    _SNAPSHOT_CACHES.append(snap_stage)
     snap_fp = snap_stage.select(
         F.col("doc_id").alias("snap_id"), "fph"
     )
@@ -1200,10 +1222,24 @@ def streaming_incremental_dedup(
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
     )
+    # The per-pair collapse takes max of the (kind, jaccard) PAIR as
+    # one struct so the row stays atomic: the exact/fuzzy paths are
+    # disjoint by construction today (a fuzzy probe only runs for docs
+    # with no exact hit), but independent column maxes would silently
+    # splice kind='fuzzy' with jaccard=1.0 from different rows if that
+    # ever relaxed. 'fuzzy' > 'exact' lexicographically, matching the
+    # "best evidence" precedence; within a kind all jaccards per pair
+    # are equal, so the struct max is just the associative dedup.
     return (
         exact.unionByName(fuzzy)
         .groupBy("new_id", "snap_id")
-        .agg(F.max("kind").alias("kind"), F.max("jaccard").alias("jaccard"))
+        .agg(F.max(F.struct("kind", "jaccard")).alias("kj"))
+        .select(
+            "new_id",
+            "snap_id",
+            F.col("kj.kind").alias("kind"),
+            F.col("kj.jaccard").alias("jaccard"),
+        )
     )
 
 

@@ -179,6 +179,65 @@ def test_minhash_signature_arrow_bit_parity(spark, sf_dir):
     assert len(arrow) == docs.count() - 3
 
 
+def test_incremental_stage_arrow_bit_parity(spark, sf_dir):
+    """The streaming incremental-dedup stage's columnar assembly
+    (r13: reduceat lanes + dict-of-arrays, replacing the per-doc
+    Python lane loop) must stay bit-equal to the batch chain on every
+    emitted column: fph == F.md5(text), hs == the JVM _shingle_hashes
+    set, m0..m15 == minhash_signature_arrow — and keep the edge
+    semantics (<3-token docs emit hs=[] with NULL lanes; NULL text
+    emits nothing)."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.fixtures import ensure_documents_aug
+
+    docs = spark.read.parquet(ensure_documents_aug())
+    extra = spark.createDataFrame(
+        [
+            (900001, "one two", "en", "t", 7),   # <3 tokens: kept, NULL lanes
+            (900002, "", "en", "t", 0),           # empty: kept, NULL lanes
+            (900003, None, "en", "t", 0),         # NULL text: dropped
+        ],
+        docs.schema,
+    )
+    docs = docs.unionByName(extra)
+
+    staged = {r["doc_id"]: r for r in D.incremental_stage_arrow(docs).collect()}
+    assert 900003 not in staged
+    assert len(staged) == docs.count() - 1
+    for short_id in (900001, 900002):
+        assert staged[short_id]["hs"] == []
+        assert all(
+            staged[short_id][f"m{j}"] is None for j in range(D.N_HASHES)
+        )
+
+    fph = {
+        r["doc_id"]: r["fph"]
+        for r in docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("fph"))
+        .collect()
+    }
+    assert {k: v["fph"] for k, v in staged.items()} == fph
+
+    hs_jvm = {
+        r["doc_id"]: sorted(r["hs"])
+        for r in D._shingle_hashes(docs).collect()
+    }
+    assert {
+        k: sorted(v["hs"]) for k, v in staged.items() if v["hs"]
+    } == hs_jvm
+
+    lanes = {
+        r["doc_id"]: tuple(r[f"m{j}"] for j in range(D.N_HASHES))
+        for r in D.minhash_signature_arrow(docs).collect()
+    }
+    assert {
+        k: tuple(v[f"m{j}"] for j in range(D.N_HASHES))
+        for k, v in staged.items()
+        if v["hs"]
+    } == lanes
+
+
 def test_quality_scores_bounded(spark, sf_dir):
     rows = T.text_quality_scores(spark, sf_dir).collect()
     assert rows

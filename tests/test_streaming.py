@@ -909,6 +909,7 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         S.streaming_incremental_dedup(spark, flat), name,
         output_mode="update",
     )
+    S.release_snapshot_caches()  # drained — drop the cached snapshot
     pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
     last = (
         pdf.groupby(["new_id", "snap_id"])

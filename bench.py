@@ -222,6 +222,10 @@ HEADLINE = [
     "kmv_source_overlap",
     "asof_click_view_tolerance",
     "source_data_card",
+    # round 13: sketch-only KMV (the deployable plan, no exact audit),
+    # IVFPQ index served from persisted bucketed tables
+    "kmv_overlap_sketch",
+    "similarity_ivfpq_serve",
 ]
 
 

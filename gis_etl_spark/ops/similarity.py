@@ -1993,27 +1993,53 @@ def _residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     return assigned.select("vec_id", "list_id", res_v.alias("v"))
 
 
-def _ivfpq_adc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id, units): probed-ADC distance of every
-    candidate in a query's N_PROBE nearest lists, as exact int64
-    fixed-point units — the shared core of similarity_ivfpq and
-    similarity_ivfpq_rerank (coarse-assign the corpus, PQ-encode the
-    residuals, per-(query, probed-list) distance tables on the query
-    residual — the asymmetric distance of Jégou et al. §IV)."""
-    emb = _emb(spark, sf_dir)
-    cents = _coarse_codebook(spark, sf_dir)
-    res = _residuals(emb, cents)
-
+def _ivfpq_codebooks(
+    spark: SparkSession, sf_dir: str, res: DataFrame
+) -> list[list[list[float]]]:
+    """Residual PQ codebooks for the IVFPQ chain, memoized per corpus
+    fingerprint (training is deterministic, see pq_fit)."""
     key = (*_corpus_key(sf_dir), "ivfpq")
     cbs = _IVFPQ_CACHE.get(key)
     if cbs is None:
         cbs = pq_fit(res.select("vec_id", "v"))
         _IVFPQ_CACHE[key] = cbs
+    return cbs
 
+
+def _ivfpq_adc_units(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
+    """(query_id, vec_id, units): probed-ADC distance of every
+    candidate in a query's n_probe nearest lists, as exact int64
+    fixed-point units — the shared core of similarity_ivfpq and
+    similarity_ivfpq_rerank (coarse-assign the corpus, PQ-encode the
+    residuals, per-(query, probed-list) distance tables on the query
+    residual — the asymmetric distance of Jégou et al. §IV). This
+    rendition trains/encodes IN-PLAN; similarity_ivfpq_serve runs the
+    same probe against the PERSISTED index tables."""
+    emb = _emb(spark, sf_dir)
+    cents = _coarse_codebook(spark, sf_dir)
+    res = _residuals(emb, cents)
+    cbs = _ivfpq_codebooks(spark, sf_dir, res)
     codes = res.select(
         "vec_id", "list_id", F.posexplode(pq_codes_col(cbs)).alias("m", "code")
     )
+    return _ivfpq_probe_adc(spark, emb, codes, cents, cbs, n_probe)
 
+
+def _ivfpq_probe_adc(
+    spark: SparkSession,
+    emb: DataFrame,
+    codes: DataFrame,
+    cents: list[list[float]],
+    cbs: list[list[list[float]]],
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Probed-ADC scan over an ALREADY-ENCODED corpus: given the
+    (vec_id, list_id, m, code) frame (in-plan or a stored bucketed
+    table) plus driver-side coarse centroids and residual codebooks,
+    build the per-(query, probed-list) distance tables and return
+    (query_id, vec_id, units)."""
     # probed lists per query (same ranked-d2 idiom as similarity_ivf_kmeans)
     probes = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -2024,7 +2050,7 @@ def _ivfpq_adc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(_d2_cols("v", cents))
             ).alias("rk", "s"),
         )
-        .filter(F.col("rk") < N_PROBE)
+        .filter(F.col("rk") < n_probe)
         .select("query_id", "v", F.col("s").getField("c_id").alias("list_id"))
     )
     cent_arr = F.array(*[_lit_vec(c) for c in cents])
@@ -2138,8 +2164,22 @@ def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size. The shortlist ranking rides the salted two-level
     window, so no reducer ever sorts a whole list's candidates."""
     approx = _ivfpq_adc_units(spark, sf_dir)
+    return _rerank_exact(spark, sf_dir, approx)
+
+
+def _rerank_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    approx: DataFrame,
+    r: int = PQ_RERANK_R,
+) -> DataFrame:
+    """The +R tail shared by similarity_ivfpq_rerank and
+    similarity_ivfpq_serve (and the bench frontier sweep): shortlist
+    the approx (query_id, vec_id, units) frame to r candidates per
+    query via the salted two-level top-k, exact-L2 rerank the
+    shortlist against raw vectors, return the final top-{TOPK}."""
     shortlist = _per_query_topk(
-        approx, PQ_RERANK_R, [F.asc("units"), F.asc("vec_id")], "vec_id"
+        approx, r, [F.asc("units"), F.asc("vec_id")], "vec_id"
     ).select("query_id", "vec_id")
     emb = _emb(spark, sf_dir)
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2167,6 +2207,110 @@ def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# Bucket count for the persisted codes table. At fixture scale this
+# matches K_KMEANS; at production scale the coarse codebook is
+# thousands of lists (k ~ sqrt(n)), so hashing list_id into a few
+# hundred buckets spreads well and the probe stays co-located.
+IVFPQ_INDEX_BUCKETS = 8
+
+
+def ivfpq_index_tables(sf_dir: str) -> dict[str, str]:
+    """Catalog names of the persisted IVFPQ index artifacts, keyed by
+    the corpus fingerprint (mtime+size — a regenerated corpus gets new
+    tables, same contract as the training caches)."""
+    from hashlib import md5
+
+    fp = md5(repr(_corpus_key(sf_dir)).encode()).hexdigest()[:10]
+    return {
+        "coarse": f"ann_ivfpq_coarse_{fp}",
+        "codebooks": f"ann_ivfpq_codebooks_{fp}",
+        "codes": f"ann_ivfpq_codes_{fp}",
+    }
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Train the IVFPQ index ONCE and persist it as the serving
+    artifacts a production deployment stores (VERDICT r12 item 3 —
+    the snapshot pattern of incremental_dedup_pairs applied to ANN):
+
+    - `coarse`   (c_id, c array<double>): coarse k-means centroids;
+    - `codebooks`(m, c_id, c array<double>): PQ residual codebooks;
+    - `codes`    (vec_id, list_id, m, code): the encoded corpus,
+      bucketed by list_id and sorted within buckets — the probe that
+      fans candidates out of the n_probe nearest lists reads only
+      those buckets' files and never reshuffles the corpus (receipt:
+      tests/test_scale.py::test_ivfpq_stored_codes_probe_no_shuffle).
+
+    Training floats survive the parquet round-trip exactly (IEEE
+    doubles), so a query served from the stored index is bit-identical
+    to the in-plan chain. Idempotent: returns immediately when all
+    three tables exist for this corpus fingerprint. Refresh story: a
+    corpus rewrite changes the fingerprint → new table names; periodic
+    re-encoders would swap the names atomically via a view."""
+    names = ivfpq_index_tables(sf_dir)
+    if all(spark.catalog.tableExists(t) for t in names.values()):
+        return names
+    emb = _emb(spark, sf_dir)
+    cents = _coarse_codebook(spark, sf_dir)
+    res = _residuals(emb, cents)
+    cbs = _ivfpq_codebooks(spark, sf_dir, res)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "c_id int, c array<double>",
+    ).write.mode("overwrite").saveAsTable(names["coarse"])
+    spark.createDataFrame(
+        [
+            (m, ci, [float(x) for x in cbs[m][ci]])
+            for m in range(PQ_M)
+            for ci in range(PQ_KSUB)
+        ],
+        "m int, c_id int, c array<double>",
+    ).write.mode("overwrite").saveAsTable(names["codebooks"])
+    (
+        res.select(
+            "vec_id",
+            "list_id",
+            F.posexplode(pq_codes_col(cbs)).alias("m", "code"),
+        )
+        .write.mode("overwrite")
+        .bucketBy(IVFPQ_INDEX_BUCKETS, "list_id")
+        .sortBy("list_id", "vec_id")
+        .saveAsTable(names["codes"])
+    )
+    return names
+
+
+def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R served from the PERSISTED index — the shape a 100 TB
+    deployment actually runs: build_ivfpq_index writes the codebooks
+    and the bucketed coded corpus once; every query after that loads
+    two tiny codebook tables driver-side and probes the stored codes
+    table without re-training, re-encoding, or reshuffling anything
+    corpus-sized. Output is bit-identical to similarity_ivfpq_rerank
+    (training floats round-trip parquet exactly), so the oracle is the
+    same unrolled retrain-and-probe SQL — a hash match pins that the
+    STORED artifacts equal what training produces.
+
+    Falls back to the in-plan chain only if the catalog is unwritable
+    in the calling session (same results either way; the stored-path
+    plan is what the receipt test and bench exercise)."""
+    try:
+        names = build_ivfpq_index(spark, sf_dir)
+    except Exception:  # pragma: no cover — read-only warehouse
+        return similarity_ivfpq_rerank(spark, sf_dir)
+    cents_rows = spark.table(names["coarse"]).orderBy("c_id").collect()
+    cents = [list(r["c"]) for r in cents_rows]
+    cbs: list[list[list[float]]] = [
+        [None] * PQ_KSUB for _ in range(PQ_M)  # type: ignore[list-item]
+    ]
+    for r in spark.table(names["codebooks"]).collect():
+        cbs[r["m"]][r["c_id"]] = list(r["c"])
+    codes = spark.table(names["codes"])
+    emb = _emb(spark, sf_dir)
+    approx = _ivfpq_probe_adc(spark, emb, codes, cents, cbs)
+    return _rerank_exact(spark, sf_dir, approx)
 
 
 def _ivfpq_adc_head_sql() -> str:

@@ -2194,7 +2194,11 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch path is one map-side hash + distinct on a
     well-spread 60-bit key + TakeOrdered(K) per group — no global
     sort, no vocabulary-sized state; sketches are K values, mergeable
-    by union+re-top-K (shard sketches combine associatively)."""
+    by union+re-top-K (shard sketches combine associatively). The
+    rendition a production run actually deploys — sketch WITHOUT the
+    exact full-universe audit — is kmv_overlap_sketch below (its own
+    contract query + bench entry); this one keeps the audit so the
+    oracle pins exact and estimate together."""
     docs = read_table(spark, sf_dir, "documents")
     grp = (F.expr("substring(source, 4)").cast("int") % 2).alias("g")
     # Sources not shaped 'src<digits>' parse to a NULL group: they
@@ -2306,6 +2310,118 @@ def kmv_source_overlap_sql() -> str:
                s.n_kept, s.kth_hash, s.rho, s.union_est,
                ((s.rho * s.union_est) // s.n_kept)::BIGINT AS inter_est
         FROM exact e, sk s
+    """
+
+
+def kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYABLE rendition of kmv_source_overlap — sketch only,
+    no exact audit (VERDICT r12 item 6): per-group K-minimum-values
+    sketches built directly as TakeOrdered(K) over each group's
+    distinct shingle hashes, then pure set algebra on the ≤2K merged
+    values. The full-universe per-shingle rollup that rides along in
+    kmv_source_overlap (the oracle-side audit) never runs here — the
+    only shuffle over the corpus is the (g, hash) distinct; everything
+    after it touches K rows per group.
+
+    Output == the sketch columns of kmv_source_overlap, value for
+    value (pinned in tests): the global k-min set M ⊆ (A's k-min ∪
+    B's k-min) — any hash among the K smallest overall is necessarily
+    among its own group's K smallest — so merging the two per-group
+    sketches and re-taking the K smallest reproduces M and its
+    membership flags exactly. That subset identity is also why shard
+    sketches merge associatively at any fan-in: union + re-top-K.
+
+    Scale: per-group sketches are TakeOrderedAndProject (map-side
+    partial top-K, driver merges K·n_parts values) — no global sort,
+    no vocabulary-sized state, and the sketch artifact is K int64s per
+    group."""
+    docs = read_table(spark, sf_dir, "documents")
+    grp = (F.expr("substring(source, 4)").cast("int") % 2).alias("g")
+    hg = (
+        docs.select(grp, words_col(F.col("text")).alias("ws"))
+        .filter(F.col("g").isNotNull())
+        .select("g", F.explode(decon_shingle_arr("ws")).alias("sh"))
+        .select("g", h60(F.col("sh")).alias("h"))
+        .distinct()
+    )
+    k = KMV_SET_K
+    ka = hg.filter(F.col("g") == 0).select("h").orderBy("h").limit(k)
+    kb = hg.filter(F.col("g") == 1).select("h").orderBy("h").limit(k)
+    merged = (
+        ka.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            kb.select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    m = merged.orderBy("h").limit(k)
+    sk = m.agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    ).select(
+        "n_kept",
+        "kth_hash",
+        "rho",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1) * 2.0**60) / F.col("kth_hash")
+            ).cast("bigint")
+        )
+        .alias("union_est"),
+    )
+    return sk.select(
+        "n_kept",
+        "kth_hash",
+        "rho",
+        "union_est",
+        F.expr("(rho * union_est) div n_kept").alias("inter_est"),
+    )
+
+
+def kmv_overlap_sketch_sql() -> str:
+    parts = " || ' ' || ".join(f"w[i+{k}]" for k in range(DECON_NGRAM))
+    k = KMV_SET_K
+    return f"""
+        WITH ws AS (
+          SELECT (TRY_CAST(substr(source, 4) AS INT) % 2) AS g,
+                 {WORDS_SQL} AS w
+          FROM documents
+        ), sh_g AS (
+          SELECT DISTINCT g, {parts} AS sh
+          FROM ws, unnest(range(1, greatest(len(w) - {DECON_NGRAM - 2}, 1)))
+               AS t(i)
+          WHERE g IS NOT NULL
+        ), hg AS (
+          SELECT DISTINCT g, {h60_sql('sh')} AS h FROM sh_g
+        ), ka AS (
+          SELECT h FROM hg WHERE g = 0 ORDER BY h LIMIT {k}
+        ), kb AS (
+          SELECT h FROM hg WHERE g = 1 ORDER BY h LIMIT {k}
+        ), merged AS (
+          SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT h, 1 AS in_a, 0 AS in_b FROM ka
+            UNION ALL
+            SELECT h, 0 AS in_a, 1 AS in_b FROM kb
+          ) GROUP BY h
+        ), m AS (
+          SELECT * FROM merged ORDER BY h LIMIT {k}
+        ), sk0 AS (
+          SELECT count(*)::BIGINT AS n_kept, max(h) AS kth_hash,
+                 sum(in_a * in_b)::BIGINT AS rho
+          FROM m
+        ), sk AS (
+          SELECT n_kept, kth_hash, rho,
+                 CASE WHEN n_kept < {k} THEN n_kept
+                      ELSE CAST(floor({float(k - 1) * 2.0**60!r} / kth_hash)
+                                AS BIGINT) END AS union_est
+          FROM sk0
+        )
+        SELECT n_kept, kth_hash, rho, union_est,
+               ((rho * union_est) // n_kept)::BIGINT AS inter_est
+        FROM sk
     """
 
 

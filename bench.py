@@ -953,6 +953,31 @@ def _scale_benches(
                 )
             except Exception as e:  # noqa: BLE001 — bench must survive
                 ERRORS[label] = f"{type(e).__name__}: {e}"[:300]
+
+        # IVFPQ+R quality/cost frontier (VERDICT r12 item 4): recall@k
+        # and candidate volume across (n_probe × shortlist R), recorded
+        # per round so the pinned knee (N_PROBE, IVFPQ_RERANK_R) stays
+        # an informed choice. Findings at pin time: candidate volume is
+        # probe-determined; recall is shortlist-capped (r=50 → 70%
+        # regardless of probes; r=100 → 90% at n_probe=2).
+        try:
+            for p in (2, 8):
+                approx = SIM._ivfpq_adc_units(spark, SF_DIR, n_probe=p)
+                artifacts[f"ann_frontier_ivfpq_p{p}_cand_rows"] = (
+                    approx.count()
+                )
+                for r in (50, 100, 200):
+                    got = {
+                        (row["query_id"], row["neighbor_id"])
+                        for row in SIM._rerank_exact(
+                            spark, SF_DIR, approx, r=r
+                        ).collect()
+                    }
+                    artifacts[f"ann_frontier_ivfpq_p{p}_r{r}_pct"] = int(
+                        100 * len(got & brute_l2) / len(brute_l2)
+                    )
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS["ann_frontier"] = f"{type(e).__name__}: {e}"[:300]
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["ann_recall"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -1157,6 +1182,38 @@ def main() -> None:
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.join(here, "tools", "fresh_floor.py"), name],
+                    capture_output=True,
+                    text=True,
+                    timeout=300,
+                    env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+                )
+                rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                artifacts[f"fresh_min_{name}_ms"] = int(
+                    rec["fresh_min_sec"] * 1000
+                )
+            except Exception as e:  # noqa: BLE001 — bench must survive
+                ERRORS[f"fresh_{name}"] = f"{type(e).__name__}: {e}"[:300]
+
+        # streaming fresh floors (VERDICT r12 item 1): the streaming
+        # section is ~30% of suite wall and its twins drifted 1.3-1.9x
+        # in-suite with zero plan changes — the floors prove it's
+        # suite tax (per-twin query + state-store init in a loaded
+        # JVM), not regressions. Top-5 streaming twins by wall, each
+        # in its own JVM draining the SAME rig (events/orders/docs10).
+        stream_top5 = sorted(
+            (k for k in timings if k.startswith("streaming_")),
+            key=timings.get,
+            reverse=True,
+        )[:5]
+        for name in stream_top5:
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(here, "tools", "fresh_floor.py"),
+                        "--stream",
+                        name,
+                    ],
                     capture_output=True,
                     text=True,
                     timeout=300,

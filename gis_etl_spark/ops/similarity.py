@@ -1735,7 +1735,11 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_RERANK_R = 50  # ADC shortlist size fed to the exact rerank
+PQ_RERANK_R = 50  # ADC shortlist size fed to the exact rerank (flat PQ)
+# IVFPQ+R shortlist size — pinned at the r13 frontier knee: recall@5
+# is shortlist-capped on this corpus (see similarity_ivfpq_rerank
+# docstring), and R=100 buys 90% recall at unchanged candidate volume.
+IVFPQ_RERANK_R = 100
 
 
 def similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2144,19 +2148,29 @@ def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R (Jégou et al. 2011 §V) — the deployable rung of the
-    IVFPQ chain: the probed-ADC scan shortlists PQ_RERANK_R candidates
-    per query from the N_PROBE nearest lists, then ONLY the shortlist
+    IVFPQ chain: the probed-ADC scan shortlists IVFPQ_RERANK_R
+    candidates per query from the N_PROBE nearest lists, then ONLY the shortlist
     pays an exact-L2 rerank against raw vectors. Returns (query_id,
     neighbor_id, rank, d2), the final top-{TOPK} by exact distance;
     ties break on neighbor_id.
 
     Why this rung exists: the r11 quality dashboard measured raw
     probed-ADC recall@{TOPK} at 15% (3-bit residual codes on an
-    isotropic corpus) while its ADC recall@{PQ_RERANK_R} is high —
-    exactly the gap §V's rerank closes; the same pattern lifted flat
-    PQ from 22% to 67% (similarity_pq_rerank) and int8 to 100%.
-    Recall floor vs the exact-L2 baseline pinned in tests/
-    test_northstar.py.
+    isotropic corpus) while its ADC recall@R is high — exactly the
+    gap §V's rerank closes; the same pattern lifted flat PQ from 22%
+    to 67% (similarity_pq_rerank) and int8 to 100%. Recall floor vs
+    the exact-L2 baseline pinned in tests/test_northstar.py.
+
+    Operating point (r13 frontier sweep, VERDICT r12 item 4): recall
+    on this corpus is capped by the SHORTLIST SIZE, not the probe
+    budget — the 3-bit residual codes rank so noisily that the true
+    neighbor often sits outside the ADC top-50 even when its list is
+    probed (r=50 recall@5 stays 70% from n_probe=2 to 8, while
+    r=100/200 reach 90/95% at n_probe=2). The pinned knee is
+    (N_PROBE={N_PROBE}, R={IVFPQ_RERANK_R}): ≥90% recall@5 at
+    UNCHANGED candidate volume — only the corpus-size-independent
+    rerank join grows, |queries|·{IVFPQ_RERANK_R} rows. The per-round
+    bench records the (n_probe × R) curve (ann_frontier_* artifacts).
 
     Scale: identical to similarity_ivfpq upstream (map-only encode,
     broadcast tables, candidates bounded by the probed lists), plus a
@@ -2164,7 +2178,7 @@ def similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size. The shortlist ranking rides the salted two-level
     window, so no reducer ever sorts a whole list's candidates."""
     approx = _ivfpq_adc_units(spark, sf_dir)
-    return _rerank_exact(spark, sf_dir, approx)
+    return _rerank_exact(spark, sf_dir, approx, r=IVFPQ_RERANK_R)
 
 
 def _rerank_exact(
@@ -2310,7 +2324,7 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = spark.table(names["codes"])
     emb = _emb(spark, sf_dir)
     approx = _ivfpq_probe_adc(spark, emb, codes, cents, cbs)
-    return _rerank_exact(spark, sf_dir, approx)
+    return _rerank_exact(spark, sf_dir, approx, r=IVFPQ_RERANK_R)
 
 
 def _ivfpq_adc_head_sql() -> str:
@@ -2462,7 +2476,7 @@ def ivfpq_rerank_oracle_sql() -> str:
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY units ASC, vec_id ASC) AS rk
             FROM adc
-          ) WHERE rk <= {PQ_RERANK_R}
+          ) WHERE rk <= {IVFPQ_RERANK_R}
         ), rerank AS (
           SELECT s.query_id, s.vec_id,
                  list_dot_product({diff}, {diff}) AS d2

@@ -684,7 +684,9 @@ def test_ivfpq_rerank_recall(spark, sf_dir):
 
     r_rerank = recall(similarity_ivfpq_rerank(spark, sf_dir))
     r_adc = recall(similarity_ivfpq(spark, sf_dir))
-    assert r_rerank >= 0.6, r_rerank
+    # floor raised with the r13 knee (R=100): measured 0.90-0.95 at
+    # sf0.1/sf0.01 — recall is shortlist-capped, not probe-capped
+    assert r_rerank >= 0.85, r_rerank
     assert r_rerank > r_adc, (r_rerank, r_adc)
 
     for r in similarity_ivfpq_rerank(spark, sf_dir).collect():

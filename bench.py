@@ -570,6 +570,14 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
                 artifacts[f"{label}_{state_key}"] = state_val
             except Exception as e:  # noqa: BLE001 — bench must survive
                 ERRORS[label] = f"{type(e).__name__}: {e}"[:300]
+            finally:
+                # each memory sink pins its full result set in driver/
+                # executor memory for the rest of the suite — a real
+                # slice of the per-twin suite tax the fresh floors
+                # exposed. Drop sinks once their state is read.
+                for t in spark.catalog.listTables():
+                    if t.isTemporary and t.name.startswith("bench_"):
+                        spark.catalog.dropTempView(t.name)
 
         timed(
             "streaming_sessionize",
@@ -939,6 +947,9 @@ def _scale_benches(
             "ann_recall_ivfpq": (SIM.similarity_ivfpq, brute_l2),
             "ann_recall_ivfpq_rerank": (
                 SIM.similarity_ivfpq_rerank, brute_l2,
+            ),
+            "ann_recall_ivfpq_serve": (
+                SIM.similarity_ivfpq_serve, brute_l2,
             ),
             "ann_recall_int8_adc": (SIM.similarity_int8_adc, brute_l2),
         }

@@ -2266,6 +2266,24 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     names = ivfpq_index_tables(sf_dir)
     if all(spark.catalog.tableExists(t) for t in names.values()):
         return names
+    # The default session catalog is in-memory: a previous session can
+    # leave table DIRECTORIES in the warehouse that this session's
+    # catalog doesn't know, and saveAsTable refuses to adopt an
+    # existing location (LOCATION_ALREADY_EXISTS). Clear the stale
+    # locations before rebuilding — the bucketing metadata only lives
+    # in the catalog, so orphaned files can't be trusted as an index.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and wh.path:
+        import os as _os
+
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = _os.path.join(wh.path, t.lower())
+            if _os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     emb = _emb(spark, sf_dir)
     cents = _coarse_codebook(spark, sf_dir)
     res = _residuals(emb, cents)

@@ -1934,3 +1934,83 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R12_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R12_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-13 window rotation (VERDICT r12 item 2). Latest driver score
+# per query after r12: r9 ×35, r10 ×50, r11 ×45, r12 ×50. The window:
+# the 2 r13 additions front, then the 3 queries whose PLAN changed
+# this round since their last score (similarity_ivfpq_rerank — the
+# R=100 knee pin; kmv_source_overlap — the NULL-group guard;
+# similarity_ivfpq — shared probe/rerank refactor, plan unchanged but
+# cheap to re-pin), then the ENTIRE r9 tail (35 — exactly the set the
+# r12 note planned), then the alphabetical head of the r10 cohort
+# fills the window (10 of 50). After this window no registry query's
+# latest score predates r10; the r10 tail (40) rotates in r14.
+# ---------------------------------------------------------------------------
+
+_R13_FRONT = (
+    # new in r13
+    "kmv_overlap_sketch",
+    "similarity_ivfpq_serve",
+    # plan changed this round since last score
+    "similarity_ivfpq_rerank",
+    "kmv_source_overlap",
+    "similarity_ivfpq",
+    # the r9 tail (all 35 — oldest-scored in the registry)
+    "geo_hilbert_keys",
+    "geo_shape_type_census",
+    "group_count_order_priority",
+    "h3_grid_disk_members",
+    "h3_grid_distance_pairs",
+    "minmax_orders",
+    "orders_above_avg_sql",
+    "orders_by_year_month",
+    "orders_top15_by_price",
+    "orders_with_heavy_items_sql",
+    "pivot_status_by_flag",
+    "points_in_polygons",
+    "price_band_revenue",
+    "price_percentiles",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q2_top_acctbal_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "rollup_returnflag_linestatus",
+    "running_value_per_user",
+    "sessionize_events",
+    "sessionize_native",
+    "suppliers_with_shipments",
+    "top3_orders_per_customer",
+    "training_data_prep",
+    # r10 cohort, alphabetical head (10 of 50)
+    "approx_distinct_customers",
+    "bpe_segment_stats",
+    "bpe_train_merges",
+    "cdc_latest_state",
+    "chunk_dedup_groups",
+    "cohort_retention",
+    "copurchase_triangles",
+    "count_distinct_customers",
+    "customer_name_ed1_pairs",
+    "customer_spend_rank",
+)
+
+assert len(_R13_FRONT) == 50, len(_R13_FRONT)
+assert all(k in REGISTRY for k in _R13_FRONT), [
+    k for k in _R13_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R13_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R13_FRONT},
+}

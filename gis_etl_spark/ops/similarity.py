@@ -2314,6 +2314,54 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return names
 
 
+def _load_ivfpq_index(
+    spark: SparkSession, names: dict[str, str]
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Driver-side load of the stored quantizers (two tiny collects)."""
+    cents_rows = spark.table(names["coarse"]).orderBy("c_id").collect()
+    cents = [list(r["c"]) for r in cents_rows]
+    cbs: list[list[list[float]]] = [
+        [None] * PQ_KSUB for _ in range(PQ_M)  # type: ignore[list-item]
+    ]
+    for r in spark.table(names["codebooks"]).collect():
+        cbs[r["m"]][r["c_id"]] = list(r["c"])
+    return cents, cbs
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession, sf_dir: str, new_emb: DataFrame
+) -> dict[str, str]:
+    """Incremental index maintenance — the cheap rung of the refresh
+    story: NEW vectors (vec_id, v) encode map-only against the FROZEN
+    stored quantizers (coarse assign → residual → PQ codes, zero
+    training jobs, existing codes untouched) and append to the
+    bucketed codes table with the SAME bucket spec, so the probe plan
+    is unchanged and stays co-located. This is how a daily crawl
+    increment lands in the serving index; the expensive rung — full
+    retrain because the distribution drifted — is a new fingerprint's
+    build_ivfpq_index + view swap (SCALE.md §r13).
+
+    Receipt (tests/test_scale.py::test_ivfpq_index_append_no_retrain):
+    appending duplicates of existing vectors yields byte-identical
+    codes, the table keeps its bucket spec, and the appended rows are
+    immediately probe-visible."""
+    names = ivfpq_index_tables(sf_dir)
+    cents, cbs = _load_ivfpq_index(spark, names)
+    (
+        _residuals(new_emb, cents)
+        .select(
+            "vec_id",
+            "list_id",
+            F.posexplode(pq_codes_col(cbs)).alias("m", "code"),
+        )
+        .write.mode("append")
+        .bucketBy(IVFPQ_INDEX_BUCKETS, "list_id")
+        .sortBy("list_id", "vec_id")
+        .saveAsTable(names["codes"])
+    )
+    return names
+
+
 def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R served from the PERSISTED index — the shape a 100 TB
     deployment actually runs: build_ivfpq_index writes the codebooks
@@ -2332,13 +2380,7 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         names = build_ivfpq_index(spark, sf_dir)
     except Exception:  # pragma: no cover — read-only warehouse
         return similarity_ivfpq_rerank(spark, sf_dir)
-    cents_rows = spark.table(names["coarse"]).orderBy("c_id").collect()
-    cents = [list(r["c"]) for r in cents_rows]
-    cbs: list[list[list[float]]] = [
-        [None] * PQ_KSUB for _ in range(PQ_M)  # type: ignore[list-item]
-    ]
-    for r in spark.table(names["codebooks"]).collect():
-        cbs[r["m"]][r["c_id"]] = list(r["c"])
+    cents, cbs = _load_ivfpq_index(spark, names)
     codes = spark.table(names["codes"])
     emb = _emb(spark, sf_dir)
     approx = _ivfpq_probe_adc(spark, emb, codes, cents, cbs)

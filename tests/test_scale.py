@@ -391,6 +391,87 @@ def test_ivfpq_stored_codes_probe_no_shuffle(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {probe_t}")
 
 
+def test_ivfpq_index_append_no_retrain(spark, sf_dir):
+    """Refresh-story receipt: an increment encodes against the FROZEN
+    stored quantizers and appends into the bucketed codes table —
+    duplicates of existing vectors get byte-identical codes, the table
+    keeps its bucket spec, and the appended rows are probe-visible.
+    Restores the original table afterwards (other tests share it)."""
+    from gis_etl_spark.ops.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        similarity_ivfpq_serve,
+    )
+    from gis_etl_spark.ops.similarity import _emb
+
+    names = build_ivfpq_index(spark, sf_dir)
+    codes_t = names["codes"]
+    before = spark.table(codes_t).count()
+    base = similarity_ivfpq_serve(spark, sf_dir).collect()
+
+    OFF = 10_000_000
+    emb = _emb(spark, sf_dir)
+    new_emb = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + OFF).alias("vec_id"), "v"
+    )
+    try:
+        append_to_ivfpq_index(spark, sf_dir, new_emb)
+        after = spark.table(codes_t)
+        assert after.count() == before + 5 * 8  # PQ_M rows per vector
+        # frozen-quantizer determinism: clone codes == original codes
+        orig = {
+            (r["vec_id"], r["m"]): (r["list_id"], r["code"])
+            for r in after.filter(F.col("vec_id") < 5).collect()
+        }
+        clone = {
+            (r["vec_id"] - OFF, r["m"]): (r["list_id"], r["code"])
+            for r in after.filter(F.col("vec_id") >= OFF).collect()
+        }
+        assert clone == orig
+        # bucket spec survives the append
+        ddl = spark.sql(f"DESCRIBE EXTENDED {codes_t}").collect()
+        txt = "\n".join(f"{r.col_name} {r.data_type}" for r in ddl)
+        assert "Num Buckets 8" in txt, txt
+        # appended rows are probe-visible at the ADC stage (the full
+        # serve output can't carry them: the exact rerank joins raw
+        # vectors, and clones only exist in the codes table): each
+        # clone in a probed list must surface with units EQUAL to its
+        # original — same codes, same distance table, same sum
+        from gis_etl_spark.ops.similarity import (
+            _ivfpq_probe_adc,
+            _load_ivfpq_index,
+        )
+
+        cents, cbs = _load_ivfpq_index(spark, names)
+        approx = _ivfpq_probe_adc(spark, emb, after, cents, cbs)
+        clone_units = {
+            (r["query_id"], r["vec_id"] - OFF): r["units"]
+            for r in approx.filter(F.col("vec_id") >= OFF).collect()
+        }
+        assert clone_units, "no appended candidate reached the probe"
+        orig_units = {
+            (r["query_id"], r["vec_id"]): r["units"]
+            for r in approx.filter(F.col("vec_id") < 5).collect()
+        }
+        for k, u in clone_units.items():
+            if k in orig_units:
+                assert orig_units[k] == u, (k, u, orig_units[k])
+            else:
+                # the one legitimate absence: the original is the
+                # query itself (vec_id != query_id filter) — its clone
+                # has a different id and stays, proving visibility
+                assert k[0] == k[1], (k, sorted(orig_units))
+    finally:
+        # parquet tables don't support DELETE: rebuild instead
+        from gis_etl_spark.ops import similarity as SIM
+
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        SIM.build_ivfpq_index(spark, sf_dir)
+        restored = similarity_ivfpq_serve(spark, sf_dir).collect()
+        assert restored == base
+
+
 def test_incremental_snapshot_bucketed_probe_no_shuffle(spark, tmp_path):
     """Receipt for the SCALE.md §r12 snapshot-layout claim: when the
     crawl increment outgrows broadcast, the incremental-dedup band

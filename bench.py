@@ -223,9 +223,11 @@ HEADLINE = [
     "asof_click_view_tolerance",
     "source_data_card",
     # round 13: sketch-only KMV (the deployable plan, no exact audit),
-    # IVFPQ index served from persisted bucketed tables
+    # IVFPQ index served from persisted bucketed tables, canonical
+    # keeper policy per near-dup cluster
     "kmv_overlap_sketch",
     "similarity_ivfpq_serve",
+    "dedup_canonical_keepers",
 ]
 
 

@@ -865,6 +865,78 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup cluster — the
+    'which copy survives' policy step between cluster assembly
+    (dedup_components) and the corpus write: instead of the min-id
+    keeper, keep each cluster's HIGHEST-QUALITY member (rounded
+    quality_score from ops.text.text_quality_scores; ties → smaller
+    doc_id). A crawl usually holds the same article as a clean
+    original and several boilerplate-wrapped recrawls — min-id keeps
+    whichever was crawled first; this keeps the best one.
+
+    Output: one row per doc appearing in any verified near-dup pair —
+    (doc_id, component, quality_score, keeper_id, is_kept), ordered.
+
+    Scale: component labels from the fixpoint min-label propagation;
+    quality is a map-side expression; the keeper argmax is ONE
+    groupBy(component) with max(struct(quality, -doc_id)) — map-side
+    partial agg, the CDC max(struct) shape, no window over members —
+    and the keeper table (|components| rows) joins back on component.
+    The oracle replays the exact transitive closure (recursive CTE),
+    the quality twin, and a one-window argmax.
+
+    Corpus note: quality is computed over the SAME augmented dedup
+    fixture (_docs) the pair graph comes from — the injected
+    duplicates need scores too — with expressions identical to
+    text_quality_scores / its SQL twin (quality_score_cte_sql)."""
+    from gis_etl_spark.ops.text import STOPWORDS, words_col
+
+    docs = _docs(spark)
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = label_components(pairs)
+    w = words_col(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.size(w).alias("n"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+    )
+    q = staged.select(
+        "doc_id",
+        F.round(
+            F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
+            * (F.col("nd") / F.col("n"))
+            * (1.0 - F.col("nstop") / F.col("n")),
+            4,
+        ).alias("quality_score"),
+    )
+    member = labels.join(q, "doc_id")
+    keep = (
+        member.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("k")
+        )
+        .select("component", (-F.col("k.nid")).alias("keeper_id"))
+    )
+    return (
+        member.join(keep, "component")
+        .select(
+            "doc_id",
+            "component",
+            "quality_score",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash(df: DataFrame) -> DataFrame:
     """60-bit SimHash over word counts (Charikar '02): bit i of the
     signature = sign of Σ_w cnt_w · (2·bit_i(h60(w)) − 1)."""
@@ -1271,6 +1343,9 @@ def oracle_sqls() -> dict[str, str]:
     d = f"read_parquet('{path}')"
     h = h60_sql("w")
     minhash_common = minhash_pairs_sql(d)
+    from gis_etl_spark.ops.text import quality_score_cte_sql
+
+    _quality_cte = quality_score_cte_sql(d)
 
     bit_sums = ", ".join(
         f"sum(cnt * (((h >> {i}) & 1) * 2 - 1)) AS s{i}"
@@ -1380,6 +1455,42 @@ def oracle_sqls() -> dict[str, str]:
         """,
         "dedup_simhash_pairs": simhash_sql,
         "dedup_ngram_jaccard_pairs": ngram_sql,
+        # same transitive closure + the text quality twin + a one-
+        # window argmax (quality DESC, doc_id ASC) — the keeper policy
+        "dedup_canonical_keepers": f"""
+            WITH RECURSIVE
+            p AS (SELECT doc_a, doc_b FROM ({minhash_common}) mh),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            ),
+            q AS {_quality_cte},
+            member AS (
+              SELECT c.doc_id, c.component, q.quality_score
+              FROM comp c JOIN q USING (doc_id)
+            ),
+            keep AS (
+              SELECT component, doc_id AS keeper_id FROM (
+                SELECT component, doc_id,
+                       row_number() OVER (
+                         PARTITION BY component
+                         ORDER BY quality_score DESC, doc_id ASC) AS rk
+                FROM member
+              ) WHERE rk = 1
+            )
+            SELECT m.doc_id, m.component, m.quality_score, k.keeper_id,
+                   m.doc_id = k.keeper_id AS is_kept
+            FROM member m JOIN keep k USING (component)
+            ORDER BY m.doc_id
+        """,
     }
 
 

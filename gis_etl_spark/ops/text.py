@@ -214,6 +214,27 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_cte_sql(src: str = "documents") -> str:
+    """(doc_id, quality_score) as a parenthesized subquery — the exact
+    text_quality_scores composite (same staged n/nd/nstop CTE, same
+    float op order, same 4dp round), reusable by oracles that consume
+    the score (dedup_canonical_keepers)."""
+    w = WORDS_SQL
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""(
+          WITH s AS (
+            SELECT doc_id, len({w}) AS n,
+                   len(list_distinct({w})) AS nd,
+                   len(list_filter({w}, x -> x IN ({stop_list}))) AS nstop
+            FROM {src}
+          )
+          SELECT doc_id,
+                 round(least(n / 100.0, 1.0) * (nd * 1.0 / n)
+                       * (1.0 - nstop * 1.0 / n), 4) AS quality_score
+          FROM s
+        )"""
+
+
 N_DECILES = 10
 
 

@@ -1848,6 +1848,13 @@ REGISTRY.update(
             S.similarity_ivfpq_serve,
             S.ivfpq_rerank_oracle_sql(),
         ),
+        # canonical-keeper policy per near-dup cluster: keep the
+        # highest-quality member (ties -> min id); argmax via one
+        # map-side-combined max(struct), no window over members
+        "dedup_canonical_keepers": (
+            D.dedup_canonical_keepers,
+            _DEDUP_SQLS["dedup_canonical_keepers"],
+        ),
     }
 )
 
@@ -1938,20 +1945,21 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round-13 window rotation (VERDICT r12 item 2). Latest driver score
 # per query after r12: r9 ×35, r10 ×50, r11 ×45, r12 ×50. The window:
-# the 2 r13 additions front, then the 3 queries whose PLAN changed
+# the 3 r13 additions front, then the 3 queries whose PLAN changed
 # this round since their last score (similarity_ivfpq_rerank — the
 # R=100 knee pin; kmv_source_overlap — the NULL-group guard;
 # similarity_ivfpq — shared probe/rerank refactor, plan unchanged but
 # cheap to re-pin), then the ENTIRE r9 tail (35 — exactly the set the
 # r12 note planned), then the alphabetical head of the r10 cohort
-# fills the window (10 of 50). After this window no registry query's
-# latest score predates r10; the r10 tail (40) rotates in r14.
+# fills the window (9 of 50). After this window no registry query's
+# latest score predates r10; the r10 tail (41) rotates in r14.
 # ---------------------------------------------------------------------------
 
 _R13_FRONT = (
     # new in r13
     "kmv_overlap_sketch",
     "similarity_ivfpq_serve",
+    "dedup_canonical_keepers",
     # plan changed this round since last score
     "similarity_ivfpq_rerank",
     "kmv_source_overlap",
@@ -2002,7 +2010,6 @@ _R13_FRONT = (
     "copurchase_triangles",
     "count_distinct_customers",
     "customer_name_ed1_pairs",
-    "customer_spend_rank",
 )
 
 assert len(_R13_FRONT) == 50, len(_R13_FRONT)

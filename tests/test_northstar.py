@@ -179,6 +179,32 @@ def test_minhash_signature_arrow_bit_parity(spark, sf_dir):
     assert len(arrow) == docs.count() - 3
 
 
+def test_canonical_keeper_policy(spark, sf_dir):
+    """dedup_canonical_keepers invariants: exactly one keeper per
+    component, the keeper maximizes (quality_score, -doc_id) among its
+    members, every member names the same keeper — and the policy is
+    not a no-op (on this fixture dozens of clusters keep a NON-min-id
+    member, i.e. a higher-quality recrawl beats the first-crawled
+    copy)."""
+    from gis_etl_spark.ops.dedup import dedup_canonical_keepers
+
+    rows = dedup_canonical_keepers(spark, sf_dir).collect()
+    byc: dict[int, list] = {}
+    for r in rows:
+        byc.setdefault(r.component, []).append(r)
+    non_min = 0
+    for comp, ms in byc.items():
+        keepers = [m for m in ms if m.is_kept]
+        assert len(keepers) == 1, (comp, ms)
+        k = keepers[0]
+        assert {m.keeper_id for m in ms} == {k.doc_id}
+        best = max((m.quality_score, -m.doc_id) for m in ms)
+        assert (k.quality_score, -k.doc_id) == best
+        if k.doc_id != min(m.doc_id for m in ms):
+            non_min += 1
+    assert non_min > 0, "policy never deviated from min-id keeper"
+
+
 def test_incremental_stage_arrow_bit_parity(spark, sf_dir):
     """The streaming incremental-dedup stage's columnar assembly
     (r13: reduceat lanes + dict-of-arrays, replacing the per-doc

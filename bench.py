@@ -228,6 +228,9 @@ HEADLINE = [
     "kmv_overlap_sketch",
     "similarity_ivfpq_serve",
     "dedup_canonical_keepers",
+    "dedup_cluster_stats",
+    "mixture_temperature_weights",
+    "pii_redact",
 ]
 
 

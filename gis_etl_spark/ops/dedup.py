@@ -937,6 +937,41 @@ def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE HISTOGRAM — the observability rollup a
+    curator reads before choosing a dedup policy: per cluster size,
+    how many clusters exist, how many docs they hold, and how many of
+    those are redundant (docs − clusters: what any keep-one policy
+    deletes). A corpus dominated by size-2 clusters wants pair-level
+    dedup; a fat tail of mega-clusters signals boilerplate that span-
+    level dedup should catch first.
+
+    Output: (n_members, n_clusters, n_docs, n_redundant), ordered by
+    size.
+
+    Scale: components from the fixpoint propagation; then two
+    map-side-combined aggregations (component → size, size →
+    histogram). Nothing touches text after the pair graph."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = label_components(pairs)
+    sizes = labels.groupBy("component").agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        sizes.groupBy("n_members")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "n_members",
+            "n_clusters",
+            (F.col("n_members") * F.col("n_clusters")).alias("n_docs"),
+            (
+                (F.col("n_members") - 1) * F.col("n_clusters")
+            ).alias("n_redundant"),
+        )
+        .orderBy("n_members")
+    )
+
+
 def _simhash(df: DataFrame) -> DataFrame:
     """60-bit SimHash over word counts (Charikar '02): bit i of the
     signature = sign of Σ_w cnt_w · (2·bit_i(h60(w)) − 1)."""
@@ -1490,6 +1525,31 @@ def oracle_sqls() -> dict[str, str]:
                    m.doc_id = k.keeper_id AS is_kept
             FROM member m JOIN keep k USING (component)
             ORDER BY m.doc_id
+        """,
+        # same closure → per-component sizes → size histogram
+        "dedup_cluster_stats": f"""
+            WITH RECURSIVE
+            p AS (SELECT doc_a, doc_b FROM ({minhash_common}) mh),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            ),
+            sizes AS (
+              SELECT component, count(*) AS n_members
+              FROM comp GROUP BY component
+            )
+            SELECT n_members, count(*)::BIGINT AS n_clusters,
+                   (n_members * count(*))::BIGINT AS n_docs,
+                   ((n_members - 1) * count(*))::BIGINT AS n_redundant
+            FROM sizes GROUP BY n_members ORDER BY n_members
         """,
     }
 

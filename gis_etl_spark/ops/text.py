@@ -2334,6 +2334,150 @@ def kmv_source_overlap_sql() -> str:
     """
 
 
+MIX_WEIGHT_DP = 6      # sqrt fixed-point units / weight decimals
+
+
+def mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed source sampling weights — the standard
+    multilingual/multi-source mix trick (sample source i with
+    probability ∝ p_i^τ so small sources are upsampled): computed at
+    τ = 0.5, i.e. sqrt smoothing, where cross-engine exactness is
+    FREE — IEEE-754 sqrt is correctly rounded in both JVM and DuckDB,
+    so sqrt(n) is the identical double everywhere, unlike pow(x, 0.7).
+
+    Determinism discipline (fixedpoint.py pattern): quantize each
+    sqrt to integer units u = floor(sqrt(n)·1e{MIX_WEIGHT_DP} + 0.5)
+    FIRST, integer-sum the units (order-free, exact), then weight =
+    round(u / Σu, {MIX_WEIGHT_DP}) — int/int division of identical
+    operands, bit-stable under any partitioning.
+
+    Output: (source, n_docs, sqrt_units, weight), one row per source,
+    ordered. Scale: one count-by-source (map-side combined) and a
+    broadcast-sized scalar — the A8 driverless form would also work,
+    but |sources| rows is trivially collectable at any corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    u = F.floor(
+        F.sqrt(F.col("n_docs")) * F.lit(float(10**MIX_WEIGHT_DP))
+        + F.lit(0.5)
+    ).cast("bigint")
+    per = per.select("source", "n_docs", u.alias("sqrt_units"))
+    tot = per.agg(F.sum("sqrt_units").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sqrt_units",
+            F.round(
+                F.col("sqrt_units") / F.col("t"), MIX_WEIGHT_DP
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_temperature_weights_sql() -> str:
+    dp = MIX_WEIGHT_DP
+    return f"""
+        WITH per AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 CAST(floor(sqrt(count(*)) * 1e{dp} + 0.5) AS BIGINT)
+                   AS sqrt_units
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT sum(sqrt_units)::BIGINT AS t FROM per
+        )
+        SELECT p.source, p.n_docs, p.sqrt_units,
+               round(p.sqrt_units * 1.0 / t.t, {dp}) AS weight
+        FROM per p, tot t ORDER BY p.source
+    """
+
+
+_PII_REDACTIONS = (
+    # (pattern, replacement) in REDACTION ORDER: SSN before phone
+    # (both are digit-dash shapes; the order is part of the contract),
+    # email last. Patterns shared verbatim with pii_scan.
+    ("ssn", "<SSN>"),
+    ("phone", "<PHONE>"),
+    ("email", "<EMAIL>"),
+)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the transform behind pii_scan's gate: replace
+    every email / phone-shaped / SSN-shaped token with a typed
+    placeholder, in a pinned order (SSN → phone → email, all
+    occurrences). Uses pii_scan's planted-positive corpus and the SAME
+    patterns, so the scan and the redaction stay in lockstep.
+
+    Output per doc: the per-type counts, the redacted text's md5 (the
+    oracle hash-match pins BYTE equality of the full redacted text
+    without shipping it), and the length delta. Scale: pure regexp
+    map expressions — no shuffle beyond the final orderBy."""
+    pats = {"ssn": _PII_SSN, "phone": _PII_PHONE, "email": _PII_EMAIL}
+    docs = read_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com call 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 21 == 0, F.lit(" id 078-05-1120")
+        ).otherwise(F.lit("")),
+    )
+    red = txt
+    for kind, repl in _PII_REDACTIONS:
+        red = F.regexp_replace(red, pats[kind], repl)
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("n_emails"),
+            F.regexp_count(txt, F.lit(_PII_PHONE)).alias("n_phones"),
+            F.regexp_count(txt, F.lit(_PII_SSN)).alias("n_ssns"),
+            F.md5(red).alias("redacted_md5"),
+            (F.length(red) - F.length(txt)).alias("len_delta"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pii_redact_sql() -> str:
+    pats = {"ssn": _PII_SSN, "phone": _PII_PHONE, "email": _PII_EMAIL}
+    txt = (
+        "text || CASE WHEN doc_id % 10 = 0 THEN ' mail user' || doc_id"
+        " || '@example.com call 415-555-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 21 = 0 THEN ' id 078-05-1120'"
+        " ELSE '' END"
+    )
+    red = txt
+    for kind, repl in _PII_REDACTIONS:
+        red = f"regexp_replace({red}, '{pats[kind]}', '{repl}', 'g')"
+    return f"""
+        WITH t AS (SELECT doc_id, {txt} AS txt, {red} AS red
+                   FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(txt, '{_PII_EMAIL}'))::BIGINT
+                 AS n_emails,
+               len(regexp_extract_all(txt, '{_PII_PHONE}'))::BIGINT
+                 AS n_phones,
+               len(regexp_extract_all(txt, '{_PII_SSN}'))::BIGINT
+                 AS n_ssns,
+               md5(red) AS redacted_md5,
+               (length(red) - length(txt))::BIGINT AS len_delta
+        FROM t ORDER BY doc_id
+    """
+
+
 def kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DEPLOYABLE rendition of kmv_source_overlap — sketch only,
     no exact audit (VERDICT r12 item 6): per-group K-minimum-values

@@ -1855,6 +1855,25 @@ REGISTRY.update(
             D.dedup_canonical_keepers,
             _DEDUP_SQLS["dedup_canonical_keepers"],
         ),
+        # duplicate-cluster size histogram: clusters / docs / redundant
+        # docs per size — the policy-choice observability rollup
+        "dedup_cluster_stats": (
+            D.dedup_cluster_stats,
+            _DEDUP_SQLS["dedup_cluster_stats"],
+        ),
+        # temperature-0.5 source sampling weights (sqrt smoothing —
+        # IEEE sqrt is correctly rounded in both engines, pow is not);
+        # fixedpoint units -> exact integer denominator
+        "mixture_temperature_weights": (
+            T.mixture_temperature_weights,
+            T.mixture_temperature_weights_sql(),
+        ),
+        # PII redaction transform (SSN -> phone -> email, pinned
+        # order); oracle hash pins BYTE equality of redacted text
+        "pii_redact": (
+            T.pii_redact,
+            T.pii_redact_sql(),
+        ),
     }
 )
 
@@ -1945,14 +1964,14 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round-13 window rotation (VERDICT r12 item 2). Latest driver score
 # per query after r12: r9 ×35, r10 ×50, r11 ×45, r12 ×50. The window:
-# the 3 r13 additions front, then the 3 queries whose PLAN changed
+# the 6 r13 additions front, then the 3 queries whose PLAN changed
 # this round since their last score (similarity_ivfpq_rerank — the
 # R=100 knee pin; kmv_source_overlap — the NULL-group guard;
 # similarity_ivfpq — shared probe/rerank refactor, plan unchanged but
 # cheap to re-pin), then the ENTIRE r9 tail (35 — exactly the set the
 # r12 note planned), then the alphabetical head of the r10 cohort
-# fills the window (9 of 50). After this window no registry query's
-# latest score predates r10; the r10 tail (41) rotates in r14.
+# fills the window (6 of 50). After this window no registry query's
+# latest score predates r10; the r10 tail (44) rotates in r14.
 # ---------------------------------------------------------------------------
 
 _R13_FRONT = (
@@ -1960,6 +1979,9 @@ _R13_FRONT = (
     "kmv_overlap_sketch",
     "similarity_ivfpq_serve",
     "dedup_canonical_keepers",
+    "dedup_cluster_stats",
+    "mixture_temperature_weights",
+    "pii_redact",
     # plan changed this round since last score
     "similarity_ivfpq_rerank",
     "kmv_source_overlap",
@@ -2000,16 +2022,13 @@ _R13_FRONT = (
     "suppliers_with_shipments",
     "top3_orders_per_customer",
     "training_data_prep",
-    # r10 cohort, alphabetical head (10 of 50)
+    # r10 cohort, alphabetical head (6 of 50)
     "approx_distinct_customers",
     "bpe_segment_stats",
     "bpe_train_merges",
     "cdc_latest_state",
     "chunk_dedup_groups",
     "cohort_retention",
-    "copurchase_triangles",
-    "count_distinct_customers",
-    "customer_name_ed1_pairs",
 )
 
 assert len(_R13_FRONT) == 50, len(_R13_FRONT)

@@ -391,6 +391,21 @@ def test_ivfpq_stored_codes_probe_no_shuffle(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {probe_t}")
 
 
+def test_ivfpq_serve_fallback_matches_rerank(spark, sf_dir, monkeypatch):
+    """similarity_ivfpq_serve's documented degradation: when the
+    catalog is unwritable, it falls back to the in-plan chain and the
+    output is identical — simulated by making the index build raise."""
+    from gis_etl_spark.ops import similarity as SIM
+
+    def boom(*a, **k):
+        raise RuntimeError("read-only warehouse")
+
+    monkeypatch.setattr(SIM, "build_ivfpq_index", boom)
+    out = SIM.similarity_ivfpq_serve(spark, sf_dir).collect()
+    exp = SIM.similarity_ivfpq_rerank(spark, sf_dir).collect()
+    assert out == exp
+
+
 def test_ivfpq_index_append_no_retrain(spark, sf_dir):
     """Refresh-story receipt: an increment encodes against the FROZEN
     stored quantizers and appends into the bucketed codes table —

@@ -865,6 +865,36 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session memo for the verified near-dup pair EDGE set — the pair
+# graph is the shared upstream of components/keepers/cluster-stats,
+# and in production it is a materialized table consumed by every
+# policy pass, not recomputed per consumer. Keyed by the augmented
+# corpus fingerprint (path+mtime+size, the similarity-cache contract);
+# the value is a localCheckpointed frame, so the whole MinHash chain
+# runs once per session per corpus.
+_PAIR_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _verified_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    path = ensure_documents_aug()
+    try:
+        st = _os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path,)
+    cached = _PAIR_EDGE_CACHE.get(key)
+    if cached is None:
+        cached = (
+            dedup_minhash_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+        _PAIR_EDGE_CACHE[key] = cached
+    return cached
+
+
 def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection per near-dup cluster — the
     'which copy survives' policy step between cluster assembly
@@ -893,7 +923,7 @@ def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_etl_spark.ops.text import STOPWORDS, words_col
 
     docs = _docs(spark)
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _verified_pair_edges(spark, sf_dir)
     labels = label_components(pairs)
     w = words_col(F.col("text"))
     staged = docs.select(
@@ -952,7 +982,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: components from the fixpoint propagation; then two
     map-side-combined aggregations (component → size, size →
     histogram). Nothing touches text after the pair graph."""
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _verified_pair_edges(spark, sf_dir)
     labels = label_components(pairs)
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("n_members")

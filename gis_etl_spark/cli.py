@@ -211,6 +211,31 @@ def cmd_hard_negatives(spark: SparkSession, args) -> None:
     print(f"hard-negatives: wrote {args.output}")
 
 
+def cmd_canonical_dedup(spark: SparkSession, args) -> None:
+    """Canonical-keeper dedup: near-dup clusters over the input corpus
+    (documents.parquet), keep the highest-quality member per cluster;
+    writes (doc_id, component, quality_score, keeper_id, is_kept)."""
+    import gis_etl_spark.ops.dedup as D
+
+    D.dedup_canonical_keepers(spark, args.input).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(f"canonical-dedup: wrote {args.output}")
+
+
+def cmd_build_ann_index(spark: SparkSession, args) -> None:
+    """Train + persist the IVFPQ serving index for an embedding corpus
+    (embeddings.parquet in the input dir): coarse centroids, residual
+    codebooks, and the list_id-bucketed coded corpus as catalog
+    tables. Prints the table names; rerunning is a no-op while the
+    corpus fingerprint is unchanged."""
+    import gis_etl_spark.ops.similarity as S
+
+    names = S.build_ivfpq_index(spark, args.input)
+    for role, table in names.items():
+        print(f"build-ann-index: {role} -> {table}")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="gis_etl_spark",
@@ -276,6 +301,20 @@ def main(argv: list[str] | None = None) -> None:
     )
     common(p)
 
+    p = sub.add_parser(
+        "canonical-dedup",
+        help="keep highest-quality doc per near-dup cluster "
+        "(documents.parquet)",
+    )
+    common(p)
+
+    p = sub.add_parser(
+        "build-ann-index",
+        help="persist the IVFPQ serving index (embeddings.parquet)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--master", default=None)
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -295,6 +334,8 @@ def main(argv: list[str] | None = None) -> None:
             "pagerank": cmd_pagerank,
             "incremental-dedup": cmd_incremental_dedup,
             "hard-negatives": cmd_hard_negatives,
+            "canonical-dedup": cmd_canonical_dedup,
+            "build-ann-index": cmd_build_ann_index,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

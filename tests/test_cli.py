@@ -204,3 +204,40 @@ def test_cli_incremental_dedup_and_hard_negatives(tmp_path):
         pdf = pd.read_parquet(out)
         assert set(pdf.columns) == cols, cmd
         assert len(pdf) >= min_rows, cmd
+
+
+def test_cli_canonical_dedup_and_build_ann_index(tmp_path):
+    """The r13 subcommands end-to-end in subprocesses: the keeper
+    policy writes the contract columns with exactly one keeper per
+    component; the index builder prints all three table roles (it
+    writes into the subprocess's own spark-warehouse under cwd)."""
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = str(tmp_path / "canon")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "canonical-dedup",
+            "--input", sf, "--output", out, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    pdf = pd.read_parquet(out)
+    assert set(pdf.columns) == {
+        "doc_id", "component", "quality_score", "keeper_id", "is_kept"
+    }
+    assert (pdf.groupby("component")["is_kept"].sum() == 1).all()
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "build-ann-index",
+            "--input", sf, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for role in ("coarse", "codebooks", "codes"):
+        assert f"build-ann-index: {role} -> " in res.stdout, res.stdout

@@ -722,6 +722,20 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         timed(
+            "streaming_pii_redact",
+            lambda: S.run_to_memory(
+                S.streaming_pii_redact(spark, docs_dir), "bench_pii",
+                output_mode="append",
+            ),
+            n_docs,
+            lambda: (
+                "redacted_docs",
+                spark.table("bench_pii")
+                .filter("len_delta != 0").count(),
+            ),
+        )
+
+        timed(
             "streaming_incremental_dedup",
             lambda: S.run_to_memory(
                 S.streaming_incremental_dedup(spark, docs_dir),

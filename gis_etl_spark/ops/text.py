@@ -2406,20 +2406,12 @@ _PII_REDACTIONS = (
 )
 
 
-def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII REDACTION — the transform behind pii_scan's gate: replace
-    every email / phone-shaped / SSN-shaped token with a typed
-    placeholder, in a pinned order (SSN → phone → email, all
-    occurrences). Uses pii_scan's planted-positive corpus and the SAME
-    patterns, so the scan and the redaction stay in lockstep.
-
-    Output per doc: the per-type counts, the redacted text's md5 (the
-    oracle hash-match pins BYTE equality of the full redacted text
-    without shipping it), and the length delta. Scale: pure regexp
-    map expressions — no shuffle beyond the final orderBy."""
-    pats = {"ssn": _PII_SSN, "phone": _PII_PHONE, "email": _PII_EMAIL}
-    docs = read_table(spark, sf_dir, "documents")
-    txt = F.concat(
+def pii_planted_txt() -> Column:
+    """text + the deterministic planted positives (pii_scan's
+    convention: contact line on every 10th doc, SSN-shaped token on
+    every 21st) — shared by the scan, the batch redaction, and the
+    streaming redaction twin."""
+    return F.concat(
         F.col("text"),
         F.when(
             F.col("doc_id") % 10 == 0,
@@ -2434,18 +2426,41 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 21 == 0, F.lit(" id 078-05-1120")
         ).otherwise(F.lit("")),
     )
+
+
+def pii_redact_audit_cols(txt: Column) -> list[Column]:
+    """The redaction audit projection over a planted-text column:
+    per-type counts, md5 of the redacted text (pinned SSN → phone →
+    email order, all occurrences), and the length delta."""
+    pats = {"ssn": _PII_SSN, "phone": _PII_PHONE, "email": _PII_EMAIL}
     red = txt
     for kind, repl in _PII_REDACTIONS:
         red = F.regexp_replace(red, pats[kind], repl)
+    return [
+        F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(txt, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(txt, F.lit(_PII_SSN)).alias("n_ssns"),
+        F.md5(red).alias("redacted_md5"),
+        (F.length(red) - F.length(txt)).alias("len_delta"),
+    ]
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the transform behind pii_scan's gate: replace
+    every email / phone-shaped / SSN-shaped token with a typed
+    placeholder, in a pinned order (SSN → phone → email, all
+    occurrences). Uses pii_scan's planted-positive corpus and the SAME
+    patterns, so the scan and the redaction stay in lockstep.
+
+    Output per doc: the per-type counts, the redacted text's md5 (the
+    oracle hash-match pins BYTE equality of the full redacted text
+    without shipping it), and the length delta. Scale: pure regexp
+    map expressions — no shuffle beyond the final orderBy. The
+    streaming twin (pipelines.streaming.streaming_pii_redact) runs the
+    SAME shared expressions on ingest."""
+    docs = read_table(spark, sf_dir, "documents")
     return (
-        docs.select(
-            "doc_id",
-            F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("n_emails"),
-            F.regexp_count(txt, F.lit(_PII_PHONE)).alias("n_phones"),
-            F.regexp_count(txt, F.lit(_PII_SSN)).alias("n_ssns"),
-            F.md5(red).alias("redacted_md5"),
-            (F.length(red) - F.length(txt)).alias("len_delta"),
-        )
+        docs.select("doc_id", *pii_redact_audit_cols(pii_planted_txt()))
         .orderBy("doc_id")
     )
 

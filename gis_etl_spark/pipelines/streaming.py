@@ -1243,6 +1243,30 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_pii_redact(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Redaction-on-ingest — the STATELESS member of the streaming
+    family, and the deployment shape PII handling actually requires:
+    raw text must be scrubbed BEFORE anything persists, so the
+    redaction runs inside the ingest stream, not as a later batch over
+    already-stored data. Pure map expressions (the exact ops.text
+    pii_redact chain: planted positives, SSN → phone → email pinned
+    order, all occurrences), no state, no watermark — every micro-batch
+    is independent and output == batch on any slicing (pinned in
+    tests). Emits the per-doc counts + redacted-text md5 + length
+    delta, the same audit row the batch contract query verifies
+    against DuckDB."""
+    from gis_etl_spark.ops.text import pii_planted_txt, pii_redact_audit_cols
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return stream.select(
+        "doc_id", *pii_redact_audit_cols(pii_planted_txt())
+    )
+
+
 def streaming_event_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     """Watermarked at-least-once ingest dedup — the state-EVICTING
     member of the streaming dedup family: dropDuplicatesWithinWatermark

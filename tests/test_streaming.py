@@ -927,6 +927,42 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert kinds == {"exact", "fuzzy"}, kinds
 
 
+def test_streaming_pii_redact_matches_batch(spark, sf_dir, tmp_path):
+    """The stateless redaction-on-ingest twin == the batch pii_redact
+    audit row-for-row (same shared expressions), under a 3-file input
+    split and append mode — every micro-batch is independent."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import pii_redact
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    in_dir = str(tmp_path / "pii_in")
+    docs.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    name = f"pii_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_pii_redact(spark, in_dir), name, output_mode="append"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_phones"], r["n_ssns"],
+            r["redacted_md5"], r["len_delta"],
+        )
+        for r in spark.table(name).collect()
+    }
+    exp = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_phones"], r["n_ssns"],
+            r["redacted_md5"], r["len_delta"],
+        )
+        for r in pii_redact(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # the planted positives actually got redacted somewhere
+    assert any(v[4] != 0 for v in got.values())
+
+
 def test_streaming_event_dedup_within_watermark(spark, sf_dir, tmp_path):
     """Watermarked redelivery dedup: feed time-ordered micro-batches
     with every event duplicated inside its own batch (the

@@ -59,6 +59,7 @@ STREAM_RIGS: dict[str, tuple[str, str, str]] = {
     "streaming_incremental_dedup": (
         "streaming_incremental_dedup", "docs10", "update",
     ),
+    "streaming_pii_redact": ("streaming_pii_redact", "docs10", "append"),
 }
 
 

@@ -977,7 +977,9 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     level dedup should catch first.
 
     Output: (n_members, n_clusters, n_docs, n_redundant), ordered by
-    size.
+    size. Singleton docs (in no verified pair) are deliberately
+    absent — the histogram describes the DUPLICATE mass; total corpus
+    size lives in source_data_card.
 
     Scale: components from the fixpoint propagation; then two
     map-side-combined aggregations (component → size, size →

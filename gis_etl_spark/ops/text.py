@@ -914,21 +914,7 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     without mutating shared fixtures; regex edge cases are unit-tested
     on adversarial literals. All-native regexp_count, no Python."""
     docs = read_table(spark, sf_dir, "documents")
-    txt = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                F.lit(" mail user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com call 415-555-"),
-                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 21 == 0, F.lit(" id 078-05-1120")
-        ).otherwise(F.lit("")),
-    )
+    txt = pii_planted_txt()
     staged = docs.select(
         "doc_id",
         F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("n_emails"),

@@ -456,3 +456,48 @@ def test_haversine_metric_laws(lon1, lat1, lon2, lat2):
     assert d <= math.pi * EARTH_R_M * 1.0000001
     assert hav(lon2, lat2, lon1, lat1) == d
     assert hav(lon1, lat1, lon1, lat1) == 0.0
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**60), min_size=0,
+                 max_size=40),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_shard_merge_associative(shards, k):
+    """The KMV mergeability law kmv_overlap_sketch relies on (and its
+    docstring states): the k smallest of a union == the k smallest of
+    the union of per-shard k-min sketches, for ANY sharding — because
+    any global k-min member is necessarily among its own shard's k
+    smallest. Pure-python model of the engine's TakeOrdered(K) +
+    re-top-K combine."""
+    def kmin(values, k):
+        return sorted(set(values))[:k]
+
+    global_kmin = kmin([h for s in shards for h in s], k)
+    merged = kmin([h for s in shards for h in kmin(s, k)], k)
+    assert merged == global_kmin
+
+
+def test_mixture_weights_sum_and_monotonicity(spark, sf_dir):
+    """mixture_temperature_weights invariants: weights sum to 1 within
+    rounding (each of the ≤|sources| weights is rounded to 1e-6), are
+    strictly positive, and preserve the source-count ORDER while
+    compressing its RANGE (the point of temperature smoothing: the
+    max/min weight ratio must be strictly below the raw count ratio)."""
+    from gis_etl_spark.ops.text import mixture_temperature_weights
+
+    rows = mixture_temperature_weights(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    tot = sum(r["weight"] for r in rows)
+    assert abs(tot - 1.0) <= len(rows) * 1e-6
+    assert all(r["weight"] > 0 for r in rows)
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    w = [r["weight"] for r in by_n]
+    assert w == sorted(w), "weights must be monotone in counts"
+    n_lo, n_hi = by_n[0]["n_docs"], by_n[-1]["n_docs"]
+    if n_hi > n_lo:  # smoothing compresses the spread
+        assert w[-1] / w[0] < n_hi / n_lo

@@ -230,6 +230,7 @@ HEADLINE = [
     "dedup_canonical_keepers",
     "dedup_cluster_stats",
     "mixture_temperature_weights",
+    "mixture_token_plan",
     "pii_redact",
 ]
 

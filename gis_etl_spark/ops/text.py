@@ -2382,6 +2382,98 @@ def mixture_temperature_weights_sql() -> str:
     """
 
 
+MIX_TOKEN_BUDGET = 1_000_000  # tokens to apportion across sources
+
+
+def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn smoothed source weights into an INTEGER token-budget plan —
+    the step after mixture_temperature_weights in a real mix: every
+    source gets quota_i tokens with Σ quota == {MIX_TOKEN_BUDGET}
+    EXACTLY, via Hamilton largest-remainder apportionment over the
+    same sqrt-smoothed units (u = floor(sqrt(n_tokens)·1e6 + 0.5)):
+    base_i = (B·u_i) div T, then the r = B − Σ base largest remainders
+    (B·u_i mod T, ties → source asc) get +1. Every step is int64
+    arithmetic, so the plan is bit-exact cross-engine — no float
+    shares that "roughly" sum to the budget.
+
+    Overflow note: B·u needs B·sqrt(n_tokens)·1e6 < 2^63 — fine to
+    ~10^13-token sources at this budget; beyond that cast the product
+    to decimal(38,0) (fixedpoint.py's scale note).
+
+    The remainder ranking is a single-partition window OVER THE
+    PER-SOURCE AGGREGATE — ≤ |sources| rows by construction, never
+    corpus rows (allowlisted in tests/test_plan_hygiene.py with
+    quality_deciles/mixture_sample).
+
+    Output: (source, n_tokens, sqrt_units, quota), ordered."""
+    b = MIX_TOKEN_BUDGET
+    docs = read_table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(w)).alias("n_tokens")
+    )
+    u = F.floor(
+        F.sqrt(F.col("n_tokens")) * F.lit(float(10**MIX_WEIGHT_DP))
+        + F.lit(0.5)
+    ).cast("bigint")
+    per = per.select("source", "n_tokens", u.alias("sqrt_units"))
+    tot = per.agg(F.sum("sqrt_units").alias("t"))
+    staged = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "sqrt_units",
+        F.expr(f"({b}L * sqrt_units) div t").alias("base"),
+        F.expr(f"({b}L * sqrt_units) % t").alias("rem"),
+    )
+    sb = staged.agg(F.sum("base").alias("sum_base"))
+    wnd = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        staged.crossJoin(F.broadcast(sb))
+        .withColumn("rk", F.row_number().over(wnd))
+        .select(
+            "source",
+            "n_tokens",
+            "sqrt_units",
+            (
+                F.col("base")
+                + (F.col("rk") <= F.lit(b) - F.col("sum_base")).cast("long")
+            ).alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_token_plan_sql() -> str:
+    b = MIX_TOKEN_BUDGET
+    dp = MIX_WEIGHT_DP
+    return f"""
+        WITH per AS (
+          SELECT source, sum(len({WORDS_SQL}))::BIGINT AS n_tokens
+          FROM documents GROUP BY source
+        ), units AS (
+          SELECT source, n_tokens,
+                 CAST(floor(sqrt(n_tokens) * 1e{dp} + 0.5) AS BIGINT)
+                   AS sqrt_units
+          FROM per
+        ), tot AS (
+          SELECT sum(sqrt_units)::BIGINT AS t FROM units
+        ), staged AS (
+          SELECT u.source, u.n_tokens, u.sqrt_units,
+                 ({b} * u.sqrt_units) // t.t AS base,
+                 ({b} * u.sqrt_units) % t.t AS rem
+          FROM units u, tot t
+        ), sb AS (
+          SELECT sum(base)::BIGINT AS sum_base FROM staged
+        )
+        SELECT s.source, s.n_tokens, s.sqrt_units,
+               (s.base + CASE WHEN row_number() OVER (
+                    ORDER BY s.rem DESC, s.source ASC)
+                  <= {b} - sb.sum_base THEN 1 ELSE 0 END)::BIGINT AS quota
+        FROM staged s, sb
+        ORDER BY s.source
+    """
+
+
 _PII_REDACTIONS = (
     # (pattern, replacement) in REDACTION ORDER: SSN before phone
     # (both are digit-dash shapes; the order is part of the contract),

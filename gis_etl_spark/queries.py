@@ -1874,6 +1874,13 @@ REGISTRY.update(
             T.pii_redact,
             T.pii_redact_sql(),
         ),
+        # integer-exact token-budget apportionment (Hamilton largest
+        # remainder over sqrt-smoothed units): quotas sum to the
+        # budget EXACTLY, all int64 arithmetic
+        "mixture_token_plan": (
+            T.mixture_token_plan,
+            T.mixture_token_plan_sql(),
+        ),
     }
 )
 
@@ -1964,14 +1971,14 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round-13 window rotation (VERDICT r12 item 2). Latest driver score
 # per query after r12: r9 ×35, r10 ×50, r11 ×45, r12 ×50. The window:
-# the 6 r13 additions front, then the 3 queries whose PLAN changed
+# the 7 r13 additions front, then the 3 queries whose PLAN changed
 # this round since their last score (similarity_ivfpq_rerank — the
 # R=100 knee pin; kmv_source_overlap — the NULL-group guard;
 # similarity_ivfpq — shared probe/rerank refactor, plan unchanged but
 # cheap to re-pin), then the ENTIRE r9 tail (35 — exactly the set the
 # r12 note planned), then the alphabetical head of the r10 cohort
-# fills the window (6 of 50). After this window no registry query's
-# latest score predates r10; the r10 tail (44) rotates in r14.
+# fills the window (5 of 50). After this window no registry query's
+# latest score predates r10; the r10 tail (45) rotates in r14.
 # ---------------------------------------------------------------------------
 
 _R13_FRONT = (
@@ -1981,6 +1988,7 @@ _R13_FRONT = (
     "dedup_canonical_keepers",
     "dedup_cluster_stats",
     "mixture_temperature_weights",
+    "mixture_token_plan",
     "pii_redact",
     # plan changed this round since last score
     "similarity_ivfpq_rerank",
@@ -2022,13 +2030,12 @@ _R13_FRONT = (
     "suppliers_with_shipments",
     "top3_orders_per_customer",
     "training_data_prep",
-    # r10 cohort, alphabetical head (6 of 50)
+    # r10 cohort, alphabetical head (5 of 50)
     "approx_distinct_customers",
     "bpe_segment_stats",
     "bpe_train_merges",
     "cdc_latest_state",
     "chunk_dedup_groups",
-    "cohort_retention",
 )
 
 assert len(_R13_FRONT) == 50, len(_R13_FRONT)

@@ -109,6 +109,10 @@ _TINY_SINGLEPART_WINDOWS = {
     # <= |languages| rows (MIX_N_LANGS at fixture scale, dozens in any
     # real corpus), never document rows.
     "mixture_sample",
+    # remainder-ranking window runs over the per-SOURCE aggregate:
+    # <= |sources| rows by construction, never document rows
+    # (documented at ops/text.py mixture_token_plan).
+    "mixture_token_plan",
 }
 
 _PLAN_NODE = __import__("re").compile(r"^(?P<pre>[\s:+*|-]*)(?P<name>\w.*)$")

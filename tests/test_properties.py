@@ -501,3 +501,22 @@ def test_mixture_weights_sum_and_monotonicity(spark, sf_dir):
     n_lo, n_hi = by_n[0]["n_docs"], by_n[-1]["n_docs"]
     if n_hi > n_lo:  # smoothing compresses the spread
         assert w[-1] / w[0] < n_hi / n_lo
+
+
+def test_mixture_token_plan_apportionment(spark, sf_dir):
+    """Hamilton apportionment invariants: quotas are nonnegative
+    int64s that sum to the budget EXACTLY; each quota is within 1 of
+    its exact fractional share (the largest-remainder guarantee); and
+    quotas are monotone in units up to the ±1 remainder wiggle."""
+    from gis_etl_spark.ops.text import MIX_TOKEN_BUDGET, mixture_token_plan
+
+    rows = mixture_token_plan(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == MIX_TOKEN_BUDGET
+    t = sum(r["sqrt_units"] for r in rows)
+    for r in rows:
+        share = MIX_TOKEN_BUDGET * r["sqrt_units"] / t
+        assert r["quota"] >= 0
+        assert abs(r["quota"] - share) < 1.0, (r, share)
+    by_u = sorted(rows, key=lambda r: (r["sqrt_units"], r["source"]))
+    for a, b in zip(by_u, by_u[1:]):
+        assert b["quota"] >= a["quota"] - 1

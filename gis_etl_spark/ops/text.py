@@ -901,6 +901,17 @@ def text_repetition_sql() -> str:
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 _PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+# Octet-exact IPv4 (0-255 per octet) with NO lookarounds — DuckDB's
+# RE2 has neither lookahead nor backreferences, so the pattern set is
+# restricted to the RE2 ∩ java.util.regex common subset by design.
+_PII_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_PII_IPV4 = rf"\b{_PII_OCTET}\.{_PII_OCTET}\.{_PII_OCTET}\.{_PII_OCTET}\b"
+# 16-digit card shape in 4-groups (separator - or space; mixed allowed:
+# a backreference would pin them equal, but RE2 has no backreferences).
+# Shape only — Luhn validity is audited separately (n_cards_luhn):
+# redaction is deliberately conservative (a redacted false positive is
+# harmless; a leaked true positive is not).
+_PII_CARD = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"
 
 
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,12 +1084,11 @@ def oracle_sqls() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
-    pii_txt = (
-        "text || (CASE WHEN doc_id % 10 = 0 THEN "
-        "' mail user' || doc_id::VARCHAR || '@example.com call 415-555-' "
-        "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) "
-        "|| (CASE WHEN doc_id % 21 = 0 THEN ' id 078-05-1120' ELSE '' END)"
-    )
+    # the SHARED planted-positive text (pii_planted_txt_sql): the r14
+    # ipv4/card plants ride along but match none of the three patterns
+    # counted here, so pii_scan's output is unchanged — one text
+    # expression everywhere beats three drifting copies.
+    pii_txt = pii_planted_txt_sql()
     pii_sql = f"""
         WITH staged AS (
           SELECT doc_id,
@@ -2207,7 +2217,11 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract query + bench entry); this one keeps the audit so the
     oracle pins exact and estimate together."""
     docs = read_table(spark, sf_dir, "documents")
-    grp = (F.expr("substring(source, 4)").cast("int") % 2).alias("g")
+    # try_cast, not cast: under Spark 4 ANSI mode a plain cast THROWS
+    # on a source not shaped 'src<digits>', making the isNotNull guard
+    # unreachable — try_cast NULLs exactly like the oracle's TRY_CAST,
+    # so both engines drop malformed sources identically.
+    grp = (F.expr("try_cast(substring(source, 4) as int)") % 2).alias("g")
     # Sources not shaped 'src<digits>' parse to a NULL group: they
     # belong to neither half, so they must not inflate the union or
     # the sketch — drop them loudly here (and identically in the
@@ -2336,8 +2350,12 @@ def mixture_temperature_weights(
     Determinism discipline (fixedpoint.py pattern): quantize each
     sqrt to integer units u = floor(sqrt(n)·1e{MIX_WEIGHT_DP} + 0.5)
     FIRST, integer-sum the units (order-free, exact), then weight =
-    round(u / Σu, {MIX_WEIGHT_DP}) — int/int division of identical
-    operands, bit-stable under any partitioning.
+    floor(u/Σu · 1e{MIX_WEIGHT_DP} + 0.5) / 1e{MIX_WEIGHT_DP} — the
+    explicit half-up quantization, NOT round(): Spark's round on
+    doubles goes through BigDecimal(double) while DuckDB rounds the
+    shortest decimal repr, and a ratio landing on a representational
+     5e-7 tie would diverge (ADVICE r13). floor over pure IEEE
+    arithmetic is bit-identical in both engines by construction.
 
     Output: (source, n_docs, sqrt_units, weight), one row per source,
     ordered. Scale: one count-by-source (map-side combined) and a
@@ -2357,8 +2375,13 @@ def mixture_temperature_weights(
             "source",
             "n_docs",
             "sqrt_units",
-            F.round(
-                F.col("sqrt_units") / F.col("t"), MIX_WEIGHT_DP
+            (
+                F.floor(
+                    F.col("sqrt_units") / F.col("t")
+                    * F.lit(float(10**MIX_WEIGHT_DP))
+                    + F.lit(0.5)
+                )
+                / F.lit(float(10**MIX_WEIGHT_DP))
             ).alias("weight"),
         )
         .orderBy("source")
@@ -2377,7 +2400,7 @@ def mixture_temperature_weights_sql() -> str:
           SELECT sum(sqrt_units)::BIGINT AS t FROM per
         )
         SELECT p.source, p.n_docs, p.sqrt_units,
-               round(p.sqrt_units * 1.0 / t.t, {dp}) AS weight
+               floor(p.sqrt_units / t.t * 1e{dp} + 0.5) / 1e{dp} AS weight
         FROM per p, tot t ORDER BY p.source
     """
 
@@ -2385,7 +2408,9 @@ def mixture_temperature_weights_sql() -> str:
 MIX_TOKEN_BUDGET = 1_000_000  # tokens to apportion across sources
 
 
-def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mixture_token_plan(
+    spark: SparkSession, sf_dir: str, budget: int = MIX_TOKEN_BUDGET
+) -> DataFrame:
     """Turn smoothed source weights into an INTEGER token-budget plan —
     the step after mixture_temperature_weights in a real mix: every
     source gets quota_i tokens with Σ quota == {MIX_TOKEN_BUDGET}
@@ -2406,7 +2431,7 @@ def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_deciles/mixture_sample).
 
     Output: (source, n_tokens, sqrt_units, quota), ordered."""
-    b = MIX_TOKEN_BUDGET
+    b = budget
     docs = read_table(spark, sf_dir, "documents")
     w = words_col(F.col("text"))
     per = docs.groupBy("source").agg(
@@ -2443,8 +2468,8 @@ def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mixture_token_plan_sql() -> str:
-    b = MIX_TOKEN_BUDGET
+def mixture_token_plan_sql(budget: int = MIX_TOKEN_BUDGET) -> str:
+    b = budget
     dp = MIX_WEIGHT_DP
     return f"""
         WITH per AS (
@@ -2474,21 +2499,139 @@ def mixture_token_plan_sql() -> str:
     """
 
 
+MIX_DRAW_BUDGET = 16_384  # draw budget: < corpus tokens at every SF,
+# so the maximal-prefix truncation is actually exercised (the 1M plan
+# budget exceeds the sf0.01 corpus and would select everything)
+
+
+def mixture_draw_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRAW that makes the mixture plan real (VERDICT r13 item 2):
+    a quota-respecting deterministic sampler — per source, documents
+    are taken in hash order (md5 of doc_id: a fixed, data-independent
+    shuffle both engines compute identically) until the next document
+    would push the running token sum past that source's Hamilton
+    quota (mixture_token_plan at MIX_DRAW_BUDGET). The selected set is
+    the MAXIMAL PREFIX under quota: Σ selected ≤ quota < Σ + next-doc
+    (property-tested in tests/test_properties.py).
+
+    Output: one row per SELECTED document — (source, doc_id, n_tokens,
+    cum_tokens), ordered by (source, cum_tokens).
+
+    Scale: the only window is a running sum PARTITIONED BY SOURCE over
+    hash-ordered rows — corpus rows shuffle once on source (the same
+    key the rollup already grouped on), never to a single partition;
+    the quota table (|sources| rows) broadcasts. A skewed mega-source
+    orders only within its own partition — at 100 TB that partition is
+    range-splittable by the hash prefix with per-range offsets (the
+    standard two-pass running-sum refinement) without changing the
+    selected set."""
+    docs = read_table(spark, sf_dir, "documents")
+    quota = mixture_token_plan(spark, sf_dir, budget=MIX_DRAW_BUDGET).select(
+        "source", "quota"
+    )
+    per = docs.select(
+        "doc_id",
+        "source",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    wnd = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.withColumn("cum_tokens", F.sum("n_tokens").over(wnd))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("cum_tokens") <= F.col("quota"))
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
+def mixture_draw_plan_sql() -> str:
+    b = MIX_DRAW_BUDGET
+    dp = MIX_WEIGHT_DP
+    return f"""
+        WITH per AS (
+          SELECT source, sum(len({WORDS_SQL}))::BIGINT AS n_tokens
+          FROM documents GROUP BY source
+        ), units AS (
+          SELECT source, n_tokens,
+                 CAST(floor(sqrt(n_tokens) * 1e{dp} + 0.5) AS BIGINT)
+                   AS sqrt_units
+          FROM per
+        ), tot AS (
+          SELECT sum(sqrt_units)::BIGINT AS t FROM units
+        ), staged AS (
+          SELECT u.source, u.sqrt_units,
+                 ({b} * u.sqrt_units) // t.t AS base,
+                 ({b} * u.sqrt_units) % t.t AS rem
+          FROM units u, tot t
+        ), sb AS (
+          SELECT sum(base)::BIGINT AS sum_base FROM staged
+        ), quota AS (
+          SELECT s.source,
+                 (s.base + CASE WHEN row_number() OVER (
+                      ORDER BY s.rem DESC, s.source ASC)
+                    <= {b} - sb.sum_base THEN 1 ELSE 0 END)::BIGINT
+                   AS quota
+          FROM staged s, sb
+        ), d AS (
+          SELECT doc_id, source, len({WORDS_SQL})::BIGINT AS n_tokens,
+                 md5(doc_id::VARCHAR) AS h
+          FROM documents
+        ), cum AS (
+          SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM d
+        )
+        SELECT c.source, c.doc_id, c.n_tokens,
+               c.cum_tokens::BIGINT AS cum_tokens
+        FROM cum c JOIN quota q USING (source)
+        WHERE c.cum_tokens <= q.quota
+        ORDER BY c.source, c.cum_tokens
+    """
+
+
 _PII_REDACTIONS = (
-    # (pattern, replacement) in REDACTION ORDER: SSN before phone
-    # (both are digit-dash shapes; the order is part of the contract),
-    # email last. Patterns shared verbatim with pii_scan.
+    # (pattern, replacement) in REDACTION ORDER: card first (longest
+    # digit-dash shape), then SSN before phone (both are digit-dash
+    # shapes; the order is part of the contract), email, IPv4 last.
+    # Patterns shared verbatim with pii_scan / pii_spans.
+    ("card", "<CARD>"),
     ("ssn", "<SSN>"),
     ("phone", "<PHONE>"),
     ("email", "<EMAIL>"),
+    ("ipv4", "<IP>"),
 )
+
+_PII_PATTERNS = {
+    "card": _PII_CARD,
+    "ssn": _PII_SSN,
+    "phone": _PII_PHONE,
+    "email": _PII_EMAIL,
+    "ipv4": _PII_IPV4,
+}
+
+# Deterministic planted positives for the two r14 kinds: a fixed
+# Luhn-VALID card (the canonical 4111… test number: digit sum 30) on
+# every 17th doc, a Luhn-INVALID same-shape card on every 19th (sum
+# 31 — caught by the shape count, rejected by the Luhn audit), and a
+# valid-octet IPv4 derived from doc_id on every 13th.
+_PII_CARD_VALID = "4111-1111-1111-1111"
+_PII_CARD_INVALID = "4111-1111-1111-1112"
 
 
 def pii_planted_txt() -> Column:
     """text + the deterministic planted positives (pii_scan's
     convention: contact line on every 10th doc, SSN-shaped token on
-    every 21st) — shared by the scan, the batch redaction, and the
-    streaming redaction twin."""
+    every 21st, IPv4 on every 13th, Luhn-valid card on every 17th and
+    Luhn-invalid card on every 19th) — shared by the scan, the batch
+    redaction, the span audit, and the streaming redaction twin.
+    Token-for-token mirrored by pii_planted_txt_sql()."""
     return F.concat(
         F.col("text"),
         F.when(
@@ -2503,21 +2646,92 @@ def pii_planted_txt() -> Column:
         F.when(
             F.col("doc_id") % 21 == 0, F.lit(" id 078-05-1120")
         ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit(f" card {_PII_CARD_VALID}"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.lit(f" card {_PII_CARD_INVALID}"),
+        ).otherwise(F.lit("")),
+    )
+
+
+def pii_planted_txt_sql() -> str:
+    """The ANSI twin of pii_planted_txt, shared by every PII oracle."""
+    return (
+        "text || (CASE WHEN doc_id % 10 = 0 THEN "
+        "' mail user' || doc_id::VARCHAR || '@example.com call 415-555-' "
+        "|| lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) "
+        "|| (CASE WHEN doc_id % 21 = 0 THEN ' id 078-05-1120' ELSE '' END) "
+        "|| (CASE WHEN doc_id % 13 = 0 THEN "
+        "' ip 10.' || (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END) "
+        f"|| (CASE WHEN doc_id % 17 = 0 THEN ' card {_PII_CARD_VALID}' "
+        "ELSE '' END) "
+        f"|| (CASE WHEN doc_id % 19 = 0 THEN ' card {_PII_CARD_INVALID}' "
+        "ELSE '' END)"
+    )
+
+
+def _luhn_total(card: Column) -> Column:
+    """Luhn digit sum of a 16-digit card candidate (separators
+    stripped): doubling applies to odd 1-based positions from the left
+    because the length is fixed at 16. Pure int arithmetic over ascii
+    codes — identical in Spark and DuckDB (the SQL twin is
+    _luhn_total_sql)."""
+    d = F.translate(card, "- ", "")
+
+    def term(i: Column) -> Column:
+        v = F.ascii(F.substr(d, i, F.lit(1))) - F.lit(48)
+        dbl = v * 2
+        return F.when(
+            i % 2 == 1, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(v)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+
+
+def _luhn_total_sql(card: str) -> str:
+    """ANSI twin of _luhn_total over a candidate expression `card`."""
+    v = f"(ascii(substr(replace(replace({card}, '-', ''), ' ', ''), i, 1)) - 48)"
+    return (
+        f"list_sum(list_transform(range(1, 17), i -> "
+        f"CASE WHEN i % 2 = 1 THEN "
+        f"CASE WHEN {v} * 2 > 9 THEN {v} * 2 - 9 ELSE {v} * 2 END "
+        f"ELSE {v} END))"
     )
 
 
 def pii_redact_audit_cols(txt: Column) -> list[Column]:
     """The redaction audit projection over a planted-text column:
-    per-type counts, md5 of the redacted text (pinned SSN → phone →
-    email order, all occurrences), and the length delta."""
-    pats = {"ssn": _PII_SSN, "phone": _PII_PHONE, "email": _PII_EMAIL}
+    per-type counts (incl. the Luhn-validity split of card-shaped
+    candidates), md5 of the redacted text (pinned card → SSN → phone
+    → email → IPv4 order, all occurrences), and the length delta."""
     red = txt
     for kind, repl in _PII_REDACTIONS:
-        red = F.regexp_replace(red, pats[kind], repl)
+        red = F.regexp_replace(red, _PII_PATTERNS[kind], repl)
+    cards = F.regexp_extract_all(txt, F.lit(_PII_CARD), F.lit(0))
     return [
         F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("n_emails"),
         F.regexp_count(txt, F.lit(_PII_PHONE)).alias("n_phones"),
         F.regexp_count(txt, F.lit(_PII_SSN)).alias("n_ssns"),
+        F.regexp_count(txt, F.lit(_PII_IPV4)).alias("n_ipv4"),
+        F.size(cards).alias("n_cards"),
+        F.size(
+            F.filter(cards, lambda c: _luhn_total(c) % 10 == 0)
+        ).alias("n_cards_luhn"),
         F.md5(red).alias("redacted_md5"),
         (F.length(red) - F.length(txt)).alias("len_delta"),
     ]
@@ -2525,10 +2739,13 @@ def pii_redact_audit_cols(txt: Column) -> list[Column]:
 
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII REDACTION — the transform behind pii_scan's gate: replace
-    every email / phone-shaped / SSN-shaped token with a typed
-    placeholder, in a pinned order (SSN → phone → email, all
-    occurrences). Uses pii_scan's planted-positive corpus and the SAME
-    patterns, so the scan and the redaction stay in lockstep.
+    every card-shaped / email / phone-shaped / SSN-shaped / IPv4 token
+    with a typed placeholder, in a pinned order (card → SSN → phone →
+    email → IPv4, all occurrences). Uses pii_scan's planted-positive
+    corpus and the SAME patterns, so the scan and the redaction stay
+    in lockstep. Card redaction is shape-based (conservative); the
+    audit splits shaped vs Luhn-valid counts (n_cards / n_cards_luhn)
+    so downstream consumers see the false-positive rate.
 
     Output per doc: the per-type counts, the redacted text's md5 (the
     oracle hash-match pins BYTE equality of the full redacted text
@@ -2544,17 +2761,11 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pii_redact_sql() -> str:
-    pats = {"ssn": _PII_SSN, "phone": _PII_PHONE, "email": _PII_EMAIL}
-    txt = (
-        "text || CASE WHEN doc_id % 10 = 0 THEN ' mail user' || doc_id"
-        " || '@example.com call 415-555-'"
-        " || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
-        " || CASE WHEN doc_id % 21 = 0 THEN ' id 078-05-1120'"
-        " ELSE '' END"
-    )
-    red = txt
+    txt = pii_planted_txt_sql()
+    red = f"({txt})"
     for kind, repl in _PII_REDACTIONS:
-        red = f"regexp_replace({red}, '{pats[kind]}', '{repl}', 'g')"
+        red = f"regexp_replace({red}, '{_PII_PATTERNS[kind]}', '{repl}', 'g')"
+    luhn = _luhn_total_sql("c")
     return f"""
         WITH t AS (SELECT doc_id, {txt} AS txt, {red} AS red
                    FROM documents)
@@ -2565,9 +2776,111 @@ def pii_redact_sql() -> str:
                  AS n_phones,
                len(regexp_extract_all(txt, '{_PII_SSN}'))::BIGINT
                  AS n_ssns,
+               len(regexp_extract_all(txt, '{_PII_IPV4}'))::BIGINT
+                 AS n_ipv4,
+               len(regexp_extract_all(txt, '{_PII_CARD}'))::BIGINT
+                 AS n_cards,
+               len(list_filter(regexp_extract_all(txt, '{_PII_CARD}'),
+                               c -> {luhn} % 10 = 0))::BIGINT
+                 AS n_cards_luhn,
                md5(red) AS redacted_md5,
                (length(red) - length(txt))::BIGINT AS len_delta
         FROM t ORDER BY doc_id
+    """
+
+
+def _kind_spans(txt: Column, kind: str) -> Column:
+    """array<struct<kind,start,len>> of every `kind` match in txt —
+    (1-based start, length) computed WITHOUT position-returning regex
+    (neither engine has one): start_i = 1 + Σ len(segment_1..i) +
+    Σ len(match_1..i−1), where segments come from splitting on the
+    same pattern. split keeps trailing empty segments (limit −1), so
+    segment i exists for every match i."""
+    pat = _PII_PATTERNS[kind]
+    ms = F.regexp_extract_all(txt, F.lit(pat), F.lit(0))
+    ss = F.split(txt, pat)
+
+    def span(i: Column) -> Column:
+        seg_len = F.aggregate(
+            F.slice(ss, F.lit(1), i), F.lit(0), lambda a, s: a + F.length(s)
+        )
+        pre_len = F.aggregate(
+            F.slice(ms, F.lit(1), i - F.lit(1)),
+            F.lit(0),
+            lambda a, s: a + F.length(s),
+        )
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (seg_len + pre_len + F.lit(1)).cast("long").alias("start"),
+            F.length(F.element_at(ms, i)).cast("long").alias("len"),
+        )
+
+    empty = "array<struct<kind:string,start:bigint,len:bigint>>"
+    return F.when(F.size(ms) == 0, F.expr(f"cast(array() as {empty})")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(ms)), span)
+    )
+
+
+def pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level PII audit (VERDICT r13 item 5) — per document, the
+    exact (kind, start, len) of every PII match on the planted text,
+    one row per span, so redaction is verifiable offset-by-offset
+    (slice the original text at [start, start+len) and you get the
+    token the redactor replaced). Spans are computed PER KIND on the
+    ORIGINAL text — the audit reports what each detector sees before
+    any replacement, so overlapping kinds each report their own span.
+
+    Start positions without a position-returning regex primitive:
+    split the text on the pattern and prefix-sum segment and match
+    lengths (both engines agree on split semantics including trailing
+    empties). The per-doc span count is tiny, so the O(n²) prefix-sum
+    inside transform() is constant work per row; the whole query is
+    one map-side projection + explode, shuffle-free until the final
+    ORDER BY.
+
+    Output: (doc_id, kind, start, len), 1-based start, ordered by
+    (doc_id, start, kind)."""
+    docs = read_table(spark, sf_dir, "documents")
+    txt = pii_planted_txt()
+    all_spans = F.concat(
+        *[_kind_spans(txt, kind) for kind, _ in _PII_REDACTIONS]
+    )
+    return (
+        docs.select("doc_id", F.explode(all_spans).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.start").alias("start"),
+            F.col("s.len").alias("len"),
+        )
+        .orderBy("doc_id", "start", "kind")
+    )
+
+
+def pii_spans_sql() -> str:
+    txt = pii_planted_txt_sql()
+    kind_selects = []
+    for kind, _ in _PII_REDACTIONS:
+        pat = _PII_PATTERNS[kind]
+        kind_selects.append(
+            f"""
+          SELECT doc_id, '{kind}' AS kind,
+                 (coalesce(list_sum(list_transform(ss[1:i],
+                     s -> length(s))), 0)
+                  + coalesce(list_sum(list_transform(ms[1:i-1],
+                     s -> length(s))), 0) + 1)::BIGINT AS start,
+                 length(ms[i])::BIGINT AS len
+          FROM (SELECT doc_id,
+                       regexp_extract_all(txt, '{pat}') AS ms,
+                       regexp_split_to_array(txt, '{pat}') AS ss
+                FROM t),
+               unnest(range(1, len(ms) + 1)) AS u(i)"""
+        )
+    union = "\n          UNION ALL".join(kind_selects)
+    return f"""
+        WITH t AS (SELECT doc_id, {txt} AS txt FROM documents)
+        SELECT doc_id, kind, start, len FROM ({union})
+        ORDER BY doc_id, start, kind
     """
 
 
@@ -2594,7 +2907,9 @@ def kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     no vocabulary-sized state, and the sketch artifact is K int64s per
     group."""
     docs = read_table(spark, sf_dir, "documents")
-    grp = (F.expr("substring(source, 4)").cast("int") % 2).alias("g")
+    # try_cast (not cast): ANSI-safe NULLing of malformed sources,
+    # matching the oracle's TRY_CAST — see kmv_source_overlap.
+    grp = (F.expr("try_cast(substring(source, 4) as int)") % 2).alias("g")
     hg = (
         docs.select(grp, words_col(F.col("text")).alias("ws"))
         .filter(F.col("g").isNotNull())

@@ -2047,3 +2047,115 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R13_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R13_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-14 additions.
+# ---------------------------------------------------------------------------
+REGISTRY.update(
+    {
+        # canonical-keeper dedup APPLIED (VERDICT r13 item 1): the
+        # per-source before/after data-card delta of materializing the
+        # keeper-only corpus; the corpus write itself is
+        # apply_keepers_corpus / `canonical-dedup --write-survivors`
+        "dedup_apply_keepers": (
+            D.dedup_apply_keepers,
+            _DEDUP_SQLS["dedup_apply_keepers"],
+        ),
+        # quota-respecting deterministic sampler (VERDICT r13 item 2):
+        # per source, hash-ordered maximal prefix under the Hamilton
+        # token quota — Σ selected ≤ quota < Σ + next-doc
+        "mixture_draw_plan": (
+            T.mixture_draw_plan,
+            T.mixture_draw_plan_sql(),
+        ),
+        # span-level PII audit (VERDICT r13 item 5): exact (kind,
+        # start, len) of every match, so redaction is verifiable
+        # offset-by-offset; split+prefix-sum, no position regex needed
+        "pii_spans": (
+            T.pii_spans,
+            T.pii_spans_sql(),
+        ),
+    }
+)
+
+# ---------------------------------------------------------------------------
+# Round-14 window rotation (VERDICT r13 item 3). Latest driver score
+# per query after r13: r10 ×45, r11 ×45, r12 ×47, r13 ×50. The window:
+# the 3 r14 additions front, then the 2 r13-scored queries whose
+# OUTPUT changed this round (pii_redact — ipv4/card kinds + new
+# planted positives + Luhn audit columns; mixture_temperature_weights
+# — the weight column moved from round() to the explicit fixedpoint
+# half-up quantization, ADVICE r13), then the ENTIRE r10 tail (45 —
+# exactly the set the r13 note planned). After this window no
+# registry query's latest score predates r11. The two KMV queries
+# (kmv_source_overlap / kmv_overlap_sketch) also changed plan this
+# round (cast → try_cast, ADVICE r13 medium) but their OUTPUT is
+# bit-identical on any corpus whose sources parse (verified locally);
+# they re-pin in r15 with the r11 cohort.
+# ---------------------------------------------------------------------------
+
+_R14_FRONT = (
+    # new in r14
+    "dedup_apply_keepers",
+    "mixture_draw_plan",
+    "pii_spans",
+    # output changed this round since last score
+    "pii_redact",
+    "mixture_temperature_weights",
+    # the r10 tail (all 45 — oldest-scored in the registry)
+    "cohort_retention",
+    "copurchase_triangles",
+    "count_distinct_customers",
+    "customer_name_ed1_pairs",
+    "customer_spend_rank",
+    "dedup_embedding_lsh_audit",
+    "dedup_spans",
+    "embedding_dim_stats",
+    "embedding_int8_stats",
+    "event_pattern_match",
+    "events_rolling_anomaly",
+    "funnel_events",
+    "geo_area_stats",
+    "geo_convert_bbox",
+    "geo_core_type_count",
+    "geo_flip_sources",
+    "geo_geohash_census",
+    "geo_heatmap",
+    "geo_heatmap_export",
+    "geo_simplify_stats",
+    "geo_source_counts",
+    "geo_spatial_clusters",
+    "geo_tile_census",
+    "geo_total_count",
+    "h3_children_rollup",
+    "h3_parent_rollup",
+    "heavy_hitter_tokens",
+    "hex_heatmap",
+    "hex_heatmap_export",
+    "inverted_index_topk",
+    "io_geojsonl_scan",
+    "kmv_distinct_customers",
+    "mixture_sample",
+    "multimodal_ahash_groups",
+    "multimodal_feature_norms",
+    "multimodal_frame_sample",
+    "multimodal_spectral",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "regex_token_stats",
+    "sampled_price_quantiles",
+    "source_id_extract",
+    "stratified_sample",
+    "union_all_names",
+    "weighted_sample_docs",
+)
+
+assert len(_R14_FRONT) == 50, len(_R14_FRONT)
+assert all(k in REGISTRY for k in _R14_FRONT), [
+    k for k in _R14_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R14_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R14_FRONT},
+}

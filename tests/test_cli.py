@@ -228,7 +228,30 @@ def test_cli_canonical_dedup_and_build_ann_index(tmp_path):
     assert set(pdf.columns) == {
         "doc_id", "component", "quality_score", "keeper_id", "is_kept"
     }
+    assert len(pdf) > 0, "--input must be honored (ADVICE r13): the raw"
+    " corpus has verified near-dup pairs of its own"
     assert (pdf.groupby("component")["is_kept"].sum() == 1).all()
+
+    # --write-survivors: the keeper-only corpus (input schema, input
+    # rows minus exactly the non-keeper cluster members) + the rollup
+    surv = str(tmp_path / "survivors")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "canonical-dedup",
+            "--input", sf, "--output", surv, "--master", "local[4]",
+            "--write-survivors",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    sdf = pd.read_parquet(surv)
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+    assert set(sdf.columns) == set(src.columns)
+    dropped = set(src.doc_id) - set(sdf.doc_id)
+    non_keepers = set(pdf[~pdf.is_kept].doc_id)
+    assert dropped == non_keepers
+    assert "canonical-dedup: wrote survivor corpus" in res.stdout
+    assert "-> " in res.stdout  # the before/after rollup printed
 
     res = subprocess.run(
         [

@@ -520,3 +520,124 @@ def test_mixture_token_plan_apportionment(spark, sf_dir):
     by_u = sorted(rows, key=lambda r: (r["sqrt_units"], r["source"]))
     for a, b in zip(by_u, by_u[1:]):
         assert b["quota"] >= a["quota"] - 1
+
+
+def test_mixture_draw_maximal_prefix(spark, sf_dir):
+    """mixture_draw_plan invariant (VERDICT r13 item 2): per source
+    the selected set is the MAXIMAL hash-ordered prefix under quota —
+    Σ selected tokens ≤ quota, and if any doc was excluded, the FIRST
+    excluded doc (in the same hash order) would overflow:
+    quota < Σ selected + next-doc tokens. Verified against an
+    independent pure-python replay of the hash ordering."""
+    import hashlib
+    import re
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import (
+        MIX_DRAW_BUDGET,
+        mixture_draw_plan,
+        mixture_token_plan,
+    )
+
+    quotas = {
+        r["source"]: r["quota"]
+        for r in mixture_token_plan(
+            spark, sf_dir, budget=MIX_DRAW_BUDGET
+        ).collect()
+    }
+    sel = mixture_draw_plan(spark, sf_dir).collect()
+    selected = {}
+    for r in sel:
+        selected.setdefault(r["source"], set()).add(r["doc_id"])
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    per_source = {}
+    for d in docs:
+        h = hashlib.md5(str(d["doc_id"]).encode()).hexdigest()
+        n = len(re.split(r" +", d["text"].strip()))
+        per_source.setdefault(d["source"], []).append((h, d["doc_id"], n))
+
+    truncated = 0
+    for src, items in per_source.items():
+        items.sort()
+        q = quotas[src]
+        got = selected.get(src, set())
+        cum = 0
+        expect = set()
+        for h, doc_id, n in items:
+            if cum + n > q:
+                # first excluded doc must overflow the quota
+                assert q < cum + n
+                truncated += 1
+                break
+            cum += n
+            expect.add(doc_id)
+        assert got == expect, f"{src}: {got ^ expect}"
+        assert cum <= q
+    assert truncated > 0, "budget must actually truncate at test SF"
+
+
+def test_pii_spans_offsets_verify_redaction(spark, sf_dir):
+    """pii_spans is the offset-level receipt for pii_redact: slicing
+    the planted text at every reported (start, len) must reproduce a
+    token the corresponding pattern matches, spans of one kind must
+    not overlap each other, and replaying the replacement at span
+    offsets (card→ssn→phone→email→ipv4, non-overlapping spans only)
+    must agree with an independent python re replay."""
+    import re
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import (
+        _PII_PATTERNS,
+        pii_planted_txt,
+        pii_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", pii_planted_txt().alias("t")).collect()
+    }
+    spans = pii_spans(spark, sf_dir).collect()
+    assert spans, "planted corpus must produce spans"
+    by_doc_kind = {}
+    for s in spans:
+        txt = planted[s["doc_id"]]
+        piece = txt[s["start"] - 1 : s["start"] - 1 + s["len"]]
+        assert re.fullmatch(_PII_PATTERNS[s["kind"]], piece), (s, piece)
+        by_doc_kind.setdefault((s["doc_id"], s["kind"]), []).append(
+            (s["start"], s["len"])
+        )
+    kinds_seen = {k for (_, k) in by_doc_kind}
+    assert kinds_seen == set(_PII_PATTERNS), kinds_seen
+    for (doc_id, kind), ss in by_doc_kind.items():
+        ss.sort()
+        # same-kind spans never overlap, and match python's re scan
+        for (a, al), (b, _bl) in zip(ss, ss[1:]):
+            assert a + al <= b
+        txt = planted[doc_id]
+        ref = [
+            (m.start() + 1, m.end() - m.start())
+            for m in re.finditer(_PII_PATTERNS[kind], txt)
+        ]
+        assert ss == ref, (doc_id, kind, ss, ref)
+
+
+def test_pii_luhn_split(spark, sf_dir):
+    """The Luhn audit distinguishes the planted valid (every 17th doc)
+    from the planted invalid (every 19th) card: n_cards counts both
+    shapes, n_cards_luhn only the valid one."""
+    from gis_etl_spark.ops.text import pii_redact
+
+    rows = {r["doc_id"]: r for r in pii_redact(spark, sf_dir).collect()}
+    checked_valid = checked_invalid = 0
+    for doc_id, r in rows.items():
+        v = 1 if doc_id % 17 == 0 else 0
+        i = 1 if doc_id % 19 == 0 else 0
+        assert r["n_cards"] == v + i, (doc_id, r)
+        assert r["n_cards_luhn"] == v, (doc_id, r)
+        checked_valid += v
+        checked_invalid += i
+    assert checked_valid and checked_invalid

@@ -1009,6 +1009,130 @@ def _scale_benches(
                     )
         except Exception as e:  # noqa: BLE001 — bench must survive
             ERRORS["ann_frontier"] = f"{type(e).__name__}: {e}"[:300]
+
+        # Index BUILD cost + stored footprint (VERDICT r13 item 4):
+        # the unmeasured half of the append-vs-rebuild cadence story.
+        # Training memos are cleared first so the number is a genuine
+        # cold rebuild (train coarse + PQ, encode, write bucketed),
+        # not just the encode+write tail. Also records which path the
+        # suite's serve entries actually used (a silent fallback would
+        # show up here as 0, not just in pytest).
+        try:
+            from urllib.parse import urlparse as _urlparse
+
+            names = SIM.ivfpq_index_tables(SF_DIR)
+            for t_ in names.values():
+                spark.sql(f"DROP TABLE IF EXISTS {t_}")
+            SIM._KMEANS_CACHE.clear()
+            SIM._IVFPQ_CACHE.clear()
+            t0 = time.time()
+            SIM.build_ivfpq_index(spark, SF_DIR)
+            artifacts["ann_index_build_ms"] = int(
+                (time.time() - t0) * 1000
+            )
+            wh = _urlparse(
+                spark.conf.get("spark.sql.warehouse.dir", "")
+            ).path
+            for role, t_ in names.items():
+                artifacts[f"ann_index_{role}_rows"] = (
+                    spark.table(t_).count()
+                )
+                loc = os.path.join(wh, t_.lower())
+                if os.path.isdir(loc):
+                    artifacts[f"ann_index_{role}_bytes"] = sum(
+                        os.path.getsize(os.path.join(dp, f))
+                        for dp, _dns, fns in os.walk(loc)
+                        for f in fns
+                    )
+            artifacts["ann_serve_path_stored"] = {
+                "stored": 1, "fallback": 0,
+            }.get(SIM.SERVE_PATH_USED, -1)
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS["ann_index_build"] = f"{type(e).__name__}: {e}"[:300]
+
+        # Recall-after-append under DRIFT (VERDICT r13 item 7): append
+        # a mean-shifted increment against the FROZEN quantizers and
+        # measure recall@TOPK on queries targeting the increment, vs
+        # the full-retrain path on the same augmented corpus — the
+        # quantitative trigger for 'when is append no longer enough'.
+        # The increment's codes are built with the exact map-only
+        # encode append_to_ivfpq_index uses (byte-identical per the
+        # r13 receipt test) but unioned in-plan so the shared stored
+        # table isn't mutated mid-suite. The query's own drifted clone
+        # is excluded on both sides (it would be a free rank-1 hit).
+        try:
+            DRIFT = 0.5
+            OFF = 20_000_000
+            emb_df = SIM._emb(spark, SF_DIR).select("vec_id", "v")
+            inc = emb_df.select(
+                (F.col("vec_id") + OFF).alias("vec_id"),
+                F.transform(
+                    "v", lambda x: x + F.lit(DRIFT)
+                ).alias("v"),
+            )
+            qd = inc.filter(
+                F.col("vec_id") < OFF + SIM.N_QUERIES
+            ).select((F.col("vec_id") - OFF).alias("vec_id"), "v")
+            combined = emb_df.unionByName(inc)
+
+            # brute-force truth over the augmented corpus (numpy V/ids
+            # from the dashboard block above)
+            Vc = np.vstack([V, V + DRIFT])
+            ids_c = np.concatenate([ids, ids + OFF])
+            truth_drift = set()
+            for q in range(SIM.N_QUERIES):
+                qi = int(np.searchsorted(ids, q))
+                qv = V[qi] + DRIFT
+                d2 = ((Vc - qv) ** 2).sum(axis=1)
+                cand = sorted(
+                    (d2[j], int(ids_c[j]))
+                    for j in range(len(ids_c))
+                    if ids_c[j] != q and ids_c[j] != q + OFF
+                )[: SIM.TOPK]
+                truth_drift.update((q, v) for _, v in cand)
+
+            def _drift_recall(cents, cbs, codes) -> int:
+                approx = SIM._ivfpq_probe_adc(
+                    spark, qd, codes, cents, cbs
+                ).filter(F.col("vec_id") != F.col("query_id") + OFF)
+                got = {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in SIM._rerank_exact(
+                        spark, SF_DIR, approx,
+                        r=SIM.IVFPQ_RERANK_R,
+                        emb=combined, queries=qd,
+                    ).collect()
+                }
+                return int(
+                    100 * len(got & truth_drift) / len(truth_drift)
+                )
+
+            cents, cbs = SIM._load_ivfpq_index(spark, names)
+            inc_codes = SIM._residuals(inc, cents).select(
+                "vec_id",
+                "list_id",
+                F.posexplode(SIM.pq_codes_col(cbs)).alias("m", "code"),
+            )
+            codes_aug = spark.table(names["codes"]).unionByName(
+                inc_codes
+            )
+            artifacts["ann_recall_after_append_pct"] = _drift_recall(
+                cents, cbs, codes_aug
+            )
+
+            cents2 = SIM.kmeans_fit(combined)
+            res2 = SIM._residuals(combined, cents2)
+            cbs2 = SIM.pq_fit(res2.select("vec_id", "v"))
+            codes2 = res2.select(
+                "vec_id",
+                "list_id",
+                F.posexplode(SIM.pq_codes_col(cbs2)).alias("m", "code"),
+            )
+            artifacts["ann_recall_after_rebuild_pct"] = _drift_recall(
+                cents2, cbs2, codes2
+            )
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS["ann_drift"] = f"{type(e).__name__}: {e}"[:300]
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["ann_recall"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -1225,18 +1349,20 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — bench must survive
                 ERRORS[f"fresh_{name}"] = f"{type(e).__name__}: {e}"[:300]
 
-        # streaming fresh floors (VERDICT r12 item 1): the streaming
-        # section is ~30% of suite wall and its twins drifted 1.3-1.9x
-        # in-suite with zero plan changes — the floors prove it's
-        # suite tax (per-twin query + state-store init in a loaded
-        # JVM), not regressions. Top-5 streaming twins by wall, each
-        # in its own JVM draining the SAME rig (events/orders/docs10).
-        stream_top5 = sorted(
+        # streaming fresh floors (VERDICT r12 item 1, widened to ALL
+        # benched twins per r13 item 6): the streaming section is ~30%
+        # of suite wall and its twins drift in-suite with zero plan
+        # changes — the floors prove it's suite tax (per-twin query +
+        # state-store init in a loaded JVM), not regressions. Every
+        # benched twin, each in its own JVM draining the SAME rig
+        # (events/orders/docs10), so every future in-suite move has
+        # its floor on record.
+        stream_all = sorted(
             (k for k in timings if k.startswith("streaming_")),
             key=timings.get,
             reverse=True,
-        )[:5]
-        for name in stream_top5:
+        )
+        for name in stream_all:
             try:
                 proc = subprocess.run(
                     [

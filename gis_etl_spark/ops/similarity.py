@@ -2186,17 +2186,24 @@ def _rerank_exact(
     sf_dir: str,
     approx: DataFrame,
     r: int = PQ_RERANK_R,
+    emb: DataFrame | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """The +R tail shared by similarity_ivfpq_rerank and
     similarity_ivfpq_serve (and the bench frontier sweep): shortlist
     the approx (query_id, vec_id, units) frame to r candidates per
     query via the salted two-level top-k, exact-L2 rerank the
-    shortlist against raw vectors, return the final top-{TOPK}."""
+    shortlist against raw vectors, return the final top-{TOPK}.
+    `emb`/`queries` default to the sf_dir corpus and its vec_id <
+    N_QUERIES head; the bench drift experiment passes an augmented
+    corpus and a drifted query set."""
     shortlist = _per_query_topk(
         approx, r, [F.asc("units"), F.asc("vec_id")], "vec_id"
     ).select("query_id", "vec_id")
-    emb = _emb(spark, sf_dir)
-    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    if emb is None:
+        emb = _emb(spark, sf_dir)
+    qsrc = queries if queries is not None else emb
+    qv = qsrc.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     d2 = F.aggregate(
@@ -2362,6 +2369,20 @@ def append_to_ivfpq_index(
     return names
 
 
+# Which path the last similarity_ivfpq_serve call used ("stored" |
+# "fallback") — bench records it so a silent fallback is visible in
+# the artifacts, not just in pytest.
+SERVE_PATH_USED = "unset"
+
+# The ONLY errors that legitimately mean "this session cannot write
+# the index tables": Spark catalog errors (AnalysisException covers
+# unwritable/locked catalogs) and local-filesystem errors from the
+# stale-location cleanup. Anything else is a build bug and must raise.
+from pyspark.errors import AnalysisException as _AnalysisException
+
+_CATALOG_UNWRITABLE_ERRORS = (_AnalysisException, OSError)
+
+
 def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R served from the PERSISTED index — the shape a 100 TB
     deployment actually runs: build_ivfpq_index writes the codebooks
@@ -2373,13 +2394,23 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     same unrolled retrain-and-probe SQL — a hash match pins that the
     STORED artifacts equal what training produces.
 
-    Falls back to the in-plan chain only if the catalog is unwritable
-    in the calling session (same results either way; the stored-path
-    plan is what the receipt test and bench exercise)."""
+    Falls back to the in-plan chain ONLY on catalog/filesystem error
+    types (read-only warehouse: AnalysisException from saveAsTable,
+    OSError/Py4J IOException from the location cleanup) — a genuine
+    index-build bug (bad codebook shapes, training failures) RAISES
+    instead of silently serving the fallback as if the stored path
+    worked (VERDICT r13 item 4; receipt:
+    tests/test_scale.py::test_ivfpq_serve_poisoned_build_raises).
+    Which path served is recorded in SERVE_PATH_USED for the bench
+    artifact."""
+    global SERVE_PATH_USED
+    SERVE_PATH_USED = "unset"  # a raise mid-build leaves no stale claim
     try:
         names = build_ivfpq_index(spark, sf_dir)
-    except Exception:  # pragma: no cover — read-only warehouse
+    except _CATALOG_UNWRITABLE_ERRORS:  # pragma: no cover
+        SERVE_PATH_USED = "fallback"
         return similarity_ivfpq_rerank(spark, sf_dir)
+    SERVE_PATH_USED = "stored"
     cents, cbs = _load_ivfpq_index(spark, names)
     codes = spark.table(names["codes"])
     emb = _emb(spark, sf_dir)

@@ -113,6 +113,10 @@ _TINY_SINGLEPART_WINDOWS = {
     # <= |sources| rows by construction, never document rows
     # (documented at ops/text.py mixture_token_plan).
     "mixture_token_plan",
+    # inherits mixture_token_plan's remainder-ranking window (the
+    # quota subplan, same <= |sources| rows); the DRAW itself windows
+    # partitioned BY SOURCE over corpus rows — never single-partition.
+    "mixture_draw_plan",
 }
 
 _PLAN_NODE = __import__("re").compile(r"^(?P<pre>[\s:+*|-]*)(?P<name>\w.*)$")

@@ -58,3 +58,23 @@ def test_oracle_keys_subset():
     q = e.queries()
     o = e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_doc_registry_counts():
+    """Round-close count honesty, mechanized (VERDICT r13 item 8 —
+    the second consecutive round of prose-count drift): every
+    `registry count: N` literal in the living docs must equal
+    len(REGISTRY), so the docs cannot close a round stale. Historical
+    per-round sections keep their as-of-then numbers; only this
+    pinned marker is the current-count claim."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    found = 0
+    for doc in ("SCALE.md", "COVERAGE.md"):
+        with open(os.path.join(here, doc)) as f:
+            for n in re.findall(r"registry count: (\d+)", f.read()):
+                assert int(n) == len(REGISTRY), (doc, n, len(REGISTRY))
+                found += 1
+    assert found >= 2, "both living docs must carry the pinned marker"

@@ -393,17 +393,52 @@ def test_ivfpq_stored_codes_probe_no_shuffle(spark, sf_dir):
 
 def test_ivfpq_serve_fallback_matches_rerank(spark, sf_dir, monkeypatch):
     """similarity_ivfpq_serve's documented degradation: when the
-    catalog is unwritable, it falls back to the in-plan chain and the
-    output is identical — simulated by making the index build raise."""
+    catalog is UNWRITABLE (an AnalysisException — the error type a
+    read-only warehouse actually raises), it falls back to the in-plan
+    chain, the output is identical, and the fallback is RECORDED in
+    SERVE_PATH_USED (VERDICT r13 item 4: the silent-fallback artifact)."""
+    from pyspark.errors import AnalysisException
+
     from gis_etl_spark.ops import similarity as SIM
 
     def boom(*a, **k):
-        raise RuntimeError("read-only warehouse")
+        raise AnalysisException("read-only warehouse")
 
     monkeypatch.setattr(SIM, "build_ivfpq_index", boom)
     out = SIM.similarity_ivfpq_serve(spark, sf_dir).collect()
+    assert SIM.SERVE_PATH_USED == "fallback"
     exp = SIM.similarity_ivfpq_rerank(spark, sf_dir).collect()
     assert out == exp
+
+
+def test_ivfpq_serve_poisoned_build_raises(spark, sf_dir, monkeypatch):
+    """A GENUINE index-build bug must FAIL serve, not silently fall
+    back to the in-plan chain (VERDICT r13 item 4): a poisoned
+    _coarse_codebook — the training step, not a catalog error —
+    propagates out of similarity_ivfpq_serve. Guards the r13 blanket
+    `except Exception` from regressing back."""
+    import pytest
+
+    from gis_etl_spark.ops import similarity as SIM
+
+    def poisoned(*a, **k):
+        raise RuntimeError("poisoned codebook")
+
+    # fresh table names so the build really runs training (and the
+    # failed attempt can't touch the session-shared stored index)
+    monkeypatch.setattr(
+        SIM,
+        "ivfpq_index_tables",
+        lambda _sd: {
+            "coarse": "t_poison_coarse",
+            "codebooks": "t_poison_codebooks",
+            "codes": "t_poison_codes",
+        },
+    )
+    monkeypatch.setattr(SIM, "_coarse_codebook", poisoned)
+    with pytest.raises(RuntimeError, match="poisoned"):
+        SIM.similarity_ivfpq_serve(spark, sf_dir)
+    assert SIM.SERVE_PATH_USED != "fallback"
 
 
 def test_ivfpq_index_append_no_retrain(spark, sf_dir):

@@ -232,6 +232,14 @@ HEADLINE = [
     "mixture_temperature_weights",
     "mixture_token_plan",
     "pii_redact",
+    # round 14: keeper policy applied (data-card delta), quota draw,
+    # span-level PII audit, the composed curation funnel, and the
+    # always-on ANN drift monitor
+    "dedup_apply_keepers",
+    "mixture_draw_plan",
+    "pii_spans",
+    "corpus_build_funnel",
+    "ann_drift_stat",
 ]
 
 

@@ -249,6 +249,29 @@ def cmd_canonical_dedup(spark: SparkSession, args) -> None:
     print(f"canonical-dedup: wrote {args.output}")
 
 
+def cmd_build_corpus(spark: SparkSession, args) -> None:
+    """Run the FULL curation funnel over the --input corpus and write
+    the training set it selects (keeper-only → quality → PII-clean →
+    Hamilton-quota draw), printing the per-source per-stage funnel
+    card — the one-command corpus build the policy operators exist
+    for."""
+    from gis_etl_spark.ops.corpus import (
+        build_training_corpus,
+        corpus_build_funnel,
+    )
+
+    dp = _docs_path(args.input)
+    build_training_corpus(spark, args.input, docs_path=dp).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    for r in corpus_build_funnel(spark, args.input, docs_path=dp).collect():
+        print(
+            f"build-corpus: stage {r.stage_id} {r.stage:13s}"
+            f" {r.source:12s} docs {r.n_docs:6d} tokens {r.n_tokens}"
+        )
+    print(f"build-corpus: wrote training corpus {args.output}")
+
+
 def cmd_build_ann_index(spark: SparkSession, args) -> None:
     """Train + persist the IVFPQ serving index for an embedding corpus
     (embeddings.parquet in the input dir): coarse centroids, residual
@@ -347,6 +370,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True)
     p.add_argument("--master", default=None)
 
+    p = sub.add_parser(
+        "build-corpus",
+        help="run the full curation funnel and write the training "
+        "corpus it selects (prints the per-stage funnel card)",
+    )
+    common(p)
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -368,6 +398,7 @@ def main(argv: list[str] | None = None) -> None:
             "hard-negatives": cmd_hard_negatives,
             "canonical-dedup": cmd_canonical_dedup,
             "build-ann-index": cmd_build_ann_index,
+            "build-corpus": cmd_build_corpus,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

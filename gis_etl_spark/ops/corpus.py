@@ -1,0 +1,407 @@
+"""End-to-end training-corpus build — the ONE funnel a curation run
+publishes.
+
+The policy layer computes its pieces separately (near-dup keepers,
+quality scores, PII hits, the Hamilton token plan, the quota draw);
+`corpus_build_funnel` composes them into the artifact a 100 TB corpus
+build actually ships with: the per-source, per-stage funnel rollup
+
+    raw → near_dedup → quality → pii_clean → mixture_draw
+
+where each stage's (n_docs, n_tokens) answers "what did this policy
+cost me, per source" — the number a curator reads before signing off
+on a training set. Every stage reuses the EXACT expressions of its
+standalone contract query (dedup_canonical_keepers' keeper argmax,
+text_quality_scores' composite, pii_scan's patterns on the shared
+planted-text convention, mixture_token_plan's integer Hamilton
+apportionment, mixture_draw_plan's hash-ordered maximal prefix), so
+the composed funnel stays hash-checkable against one composed SQL
+twin.
+
+Reference scope note: gis-etl has no corpus-curation surface; this is
+north-star work (SURVEY.md scope note), the composition rung above
+dedup_apply_keepers / mixture_draw_plan (VERDICT r13 items 1-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gis_etl_spark.ops.dedup import (
+    PREP_QUALITY_T,
+    _docs,
+    _member_keepers,
+    ensure_documents_aug,
+    minhash_pairs_sql,
+)
+from gis_etl_spark.ops.text import (
+    MIX_WEIGHT_DP,
+    STOPWORDS,
+    WORDS_SQL,
+    _PII_PATTERNS,
+    pii_planted_txt,
+    pii_planted_txt_sql,
+    quality_score_cte_sql,
+    words_col,
+)
+
+# Draw budget for the funnel's final stage: must truncate (be smaller
+# than the PII-clean survivors' token mass) at every SF so the maximal-
+# prefix semantics are exercised wherever the gate runs; the funnel's
+# survivors hold fewer tokens than the raw corpus mixture_draw_plan
+# draws from, hence the smaller budget.
+FUNNEL_DRAW_BUDGET = 8_192
+
+_STAGES = ("raw", "near_dedup", "quality", "pii_clean", "mixture_draw")
+
+
+def _pii_hits(txt: Column) -> Column:
+    """Total PII matches across every detector kind — the shared
+    pii_scan patterns on the shared planted-text convention (the
+    planting keys off doc_id, so the gate bites deterministically at
+    any SF; on a real corpus the same expression runs on raw text)."""
+    total = F.lit(0)
+    for pat in _PII_PATTERNS.values():
+        total = total + F.regexp_count(txt, F.lit(pat))
+    return total
+
+
+def _flagged_docs(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
+    """Per-doc (doc_id, source, n, s1, s2, s3): token count plus the
+    cumulative stage-survival flags — near_dedup (s1: not a displaced
+    cluster member), quality (s2: s1 ∧ quality_score ≥ threshold),
+    pii_clean (s3: s2 ∧ zero PII hits). One corpus pass of map-side
+    expressions plus a broadcast left join against the |non-keepers|
+    id table; the shared core of the funnel card and the corpus
+    write."""
+    docs = _docs(spark, docs_path)
+    non_keepers = (
+        _member_keepers(spark, sf_dir, docs_path)
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id", F.lit(True).alias("removed"))
+    )
+    w = words_col(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("long").alias("n"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+        _pii_hits(pii_planted_txt()).alias("pii_hits"),
+    )
+    q = F.round(
+        F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
+        * (F.col("nd") / F.col("n"))
+        * (1.0 - F.col("nstop") / F.col("n")),
+        4,
+    )
+    return (
+        staged.join(F.broadcast(non_keepers), "doc_id", "left")
+        .withColumn("s1", F.col("removed").isNull())
+        .withColumn("s2", F.col("s1") & (q >= F.lit(PREP_QUALITY_T)))
+        .withColumn("s3", F.col("s2") & (F.col("pii_hits") == 0))
+        .select("doc_id", "source", "n", "s1", "s2", "s3")
+    )
+
+
+def _hamilton_quota(per_src: DataFrame, budget: int) -> DataFrame:
+    """(source, quota) — integer-exact Hamilton largest-remainder
+    apportionment of `budget` tokens over sqrt-smoothed per-source
+    token mass (mixture_token_plan's plan: all int64, Σ quota ==
+    budget; the remainder-ranking window runs over the ≤ |sources|
+    aggregate). `per_src` is (source, t) with t > 0."""
+    units = per_src.select(
+        "source",
+        F.floor(
+            F.sqrt(F.col("t")) * F.lit(float(10**MIX_WEIGHT_DP))
+            + F.lit(0.5)
+        ).cast("bigint").alias("u"),
+    )
+    tot = units.agg(F.sum("u").alias("t"))
+    apportioned = units.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({budget}L * u) div t").alias("base"),
+        F.expr(f"({budget}L * u) % t").alias("rem"),
+    )
+    sb = apportioned.agg(F.sum("base").alias("sum_base"))
+    wnd = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        apportioned.crossJoin(F.broadcast(sb))
+        .withColumn("rk", F.row_number().over(wnd))
+        .select(
+            "source",
+            (
+                F.col("base")
+                + (
+                    F.col("rk") <= F.lit(budget) - F.col("sum_base")
+                ).cast("long")
+            ).alias("quota"),
+        )
+    )
+
+
+def _drawn(flagged: DataFrame, quota: DataFrame) -> DataFrame:
+    """(doc_id, source, n) of the stage-4 draw: per source, the
+    md5(doc_id)-ordered maximal prefix of pii_clean survivors under
+    that source's quota. The running-sum window partitions BY SOURCE;
+    the quota table broadcasts."""
+    surv = flagged.filter(F.col("s3")).select(
+        "doc_id",
+        "source",
+        "n",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    dwnd = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        surv.withColumn("cum", F.sum("n").over(dwnd))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("cum") <= F.col("quota"))
+        .select("doc_id", "source", "n")
+    )
+
+
+def corpus_build_funnel(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
+    """Per-source, per-stage (n_docs, n_tokens) of the full curation
+    funnel, as ONE lazy plan:
+
+    0. raw — the augmented corpus as ingested;
+    1. near_dedup — drop every displaced near-dup cluster member
+       (canonical keeper policy: the cluster's highest-quality member
+       survives; singletons untouched);
+    2. quality — survivors with quality_score ≥ {PREP_QUALITY_T}
+       (text_quality_scores' composite, same 4dp round);
+    3. pii_clean — survivors with ZERO PII detector hits (card / SSN /
+       phone / email / IPv4 on the planted-text convention);
+    4. mixture_draw — the Hamilton token plan ({FUNNEL_DRAW_BUDGET}
+       tokens, sqrt-smoothed over stage-3 survivors) drawn per source
+       as the hash-ordered maximal prefix under quota.
+
+    Output: (stage_id, stage, source, n_docs, n_tokens), one row per
+    (stage, source) — sources that lose everything report zeros, so
+    the funnel never silently drops a source from the card. Ordered by
+    (stage_id, source).
+
+    Scale: stages 0-3 are ONE pass — per-doc flags are map-side
+    expressions plus a broadcast left join against the |non-keepers|
+    id table, rolled up by a single map-side-combined groupBy(source)
+    with conditional sums. The pair graph behind the keeper table is
+    the session-memoized materialized edge set (_verified_pair_edges).
+    Stage 4 re-shuffles only stage-3 survivors once on source (the
+    running-sum window partitions BY SOURCE; the quota apportionment
+    windows over the ≤ |sources| aggregate — allowlisted). Nothing
+    single-partitions corpus rows."""
+    flagged = _flagged_docs(spark, sf_dir, docs_path)
+    roll = flagged.groupBy("source").agg(
+        F.count("*").alias("n0"),
+        F.sum("n").alias("t0"),
+        F.count_if("s1").alias("n1"),
+        F.sum(F.when(F.col("s1"), F.col("n")).otherwise(0)).alias("t1"),
+        F.count_if("s2").alias("n2"),
+        F.sum(F.when(F.col("s2"), F.col("n")).otherwise(0)).alias("t2"),
+        F.count_if("s3").alias("n3"),
+        F.sum(F.when(F.col("s3"), F.col("n")).otherwise(0)).alias("t3"),
+    )
+    # Sources with zero surviving tokens are excluded from the
+    # apportionment — they get quota 0, and their stage-4 row reports
+    # zeros via the left join below.
+    quota = _hamilton_quota(
+        roll.filter(F.col("t3") > 0).select("source", F.col("t3").alias("t")),
+        FUNNEL_DRAW_BUDGET,
+    )
+    drawn = (
+        _drawn(flagged, quota)
+        .groupBy("source")
+        .agg(F.count("*").alias("n4"), F.sum("n").alias("t4"))
+    )
+    full = roll.join(drawn, "source", "left").select(
+        "source",
+        "n0", "t0", "n1", "t1", "n2", "t2", "n3", "t3",
+        F.coalesce("n4", F.lit(0)).alias("n4"),
+        F.coalesce("t4", F.lit(0)).alias("t4"),
+    )
+    stages = [
+        full.select(
+            F.lit(i).alias("stage_id"),
+            F.lit(s).alias("stage"),
+            "source",
+            F.col(f"n{i}").alias("n_docs"),
+            F.col(f"t{i}").alias("n_tokens"),
+        )
+        for i, s in enumerate(_STAGES)
+    ]
+    out = stages[0]
+    for st in stages[1:]:
+        out = out.unionAll(st)
+    return out.orderBy("stage_id", "source")
+
+
+def build_training_corpus(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
+    """The corpus the funnel DESCRIBES — the training set a curation
+    run actually writes: every document surviving all four policy
+    stages (keeper-only, quality ≥ threshold, zero PII hits, drawn
+    within its source's Hamilton token quota), with the input corpus
+    schema so downstream tooling is none the wiser. The funnel card
+    (corpus_build_funnel stage mixture_draw) is this frame's exact
+    per-source rollup — receipt-tested in tests/test_properties.py.
+
+    Scale: shares every policy expression with the funnel by
+    construction, ending in one broadcast semi-join of the corpus
+    against the drawn id set instead of a rollup. |drawn ids| ≤
+    budget / min-doc-tokens rows — small by construction; at 100 TB
+    the ids broadcast and the corpus never reshuffles (the
+    apply_keepers_corpus posture)."""
+    flagged = _flagged_docs(spark, sf_dir, docs_path)
+    quota = _hamilton_quota(
+        flagged.filter(F.col("s3"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .filter(F.col("t") > 0),
+        FUNNEL_DRAW_BUDGET,
+    )
+    ids = _drawn(flagged, quota).select("doc_id")
+    return _docs(spark, docs_path).join(F.broadcast(ids), "doc_id", "left_semi")
+
+
+def corpus_build_funnel_sql() -> str:
+    """The composed ANSI twin: recursive-CTE closure + quality argmax
+    (dedup_apply_keepers' keeper subplan), the quality CTE, the PII
+    patterns on the planted text, the integer Hamilton quota, and the
+    hash-ordered maximal-prefix draw — one statement. The shared CTEs
+    are MATERIALIZED (DuckDB hint): without it the planner re-inlines
+    the recursive closure once per stage reference (5× the whole
+    MinHash chain — measured 500 s → 1 s at the dedup fixture)."""
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    mh = minhash_pairs_sql(d)
+    qcte = quality_score_cte_sql(d)
+    txt = pii_planted_txt_sql()
+    hits = " + ".join(
+        f"len(regexp_extract_all(txt, '{pat}'))"
+        for pat in _PII_PATTERNS.values()
+    )
+    b = FUNNEL_DRAW_BUDGET
+    dp = MIX_WEIGHT_DP
+    stage_rows = " UNION ALL ".join(
+        f"SELECT {i} AS stage_id, '{s}' AS stage, source, "
+        f"n{i} AS n_docs, t{i} AS n_tokens FROM funnel"
+        for i, s in enumerate(_STAGES)
+    )
+    return f"""
+        WITH RECURSIVE
+        p AS (SELECT doc_a, doc_b FROM ({mh}) mh),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL
+              SELECT doc_b, doc_a FROM p),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+        ),
+        comp AS MATERIALIZED (
+          SELECT u AS doc_id, least(u, min(v)) AS component
+          FROM reach GROUP BY u
+        ),
+        q AS MATERIALIZED {qcte},
+        member AS (
+          SELECT c.doc_id, c.component, q.quality_score
+          FROM comp c JOIN q USING (doc_id)
+        ),
+        keep AS (
+          SELECT component, doc_id AS keeper_id FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (
+                     PARTITION BY component
+                     ORDER BY quality_score DESC, doc_id ASC) AS rk
+            FROM member
+          ) WHERE rk = 1
+        ),
+        removed AS MATERIALIZED (
+          SELECT m.doc_id FROM member m JOIN keep k USING (component)
+          WHERE m.doc_id != k.keeper_id
+        ),
+        base AS (
+          SELECT doc_id, source, len({WORDS_SQL})::BIGINT AS n,
+                 {txt} AS txt
+          FROM {d}
+        ),
+        flagged AS MATERIALIZED (
+          SELECT b.doc_id, b.source, b.n,
+                 (r.doc_id IS NULL) AS s1,
+                 (r.doc_id IS NULL
+                  AND qq.quality_score >= {PREP_QUALITY_T}) AS s2,
+                 (r.doc_id IS NULL
+                  AND qq.quality_score >= {PREP_QUALITY_T}
+                  AND ({hits}) = 0) AS s3
+          FROM base b
+          LEFT JOIN removed r USING (doc_id)
+          JOIN q qq ON qq.doc_id = b.doc_id
+        ),
+        roll AS MATERIALIZED (
+          SELECT source,
+                 count(*)::BIGINT AS n0, sum(n)::BIGINT AS t0,
+                 count_if(s1)::BIGINT AS n1,
+                 sum(CASE WHEN s1 THEN n ELSE 0 END)::BIGINT AS t1,
+                 count_if(s2)::BIGINT AS n2,
+                 sum(CASE WHEN s2 THEN n ELSE 0 END)::BIGINT AS t2,
+                 count_if(s3)::BIGINT AS n3,
+                 sum(CASE WHEN s3 THEN n ELSE 0 END)::BIGINT AS t3
+          FROM flagged GROUP BY source
+        ),
+        units AS (
+          SELECT source,
+                 CAST(floor(sqrt(t3) * 1e{dp} + 0.5) AS BIGINT) AS u
+          FROM roll WHERE t3 > 0
+        ),
+        tot AS (SELECT sum(u)::BIGINT AS t FROM units),
+        apportioned AS (
+          SELECT u.source,
+                 ({b} * u.u) // t.t AS base,
+                 ({b} * u.u) % t.t AS rem
+          FROM units u, tot t
+        ),
+        sb AS (SELECT sum(base)::BIGINT AS sum_base FROM apportioned),
+        quota AS (
+          SELECT a.source,
+                 (a.base + CASE WHEN row_number() OVER (
+                      ORDER BY a.rem DESC, a.source ASC)
+                    <= {b} - sb.sum_base THEN 1 ELSE 0 END)::BIGINT
+                   AS quota
+          FROM apportioned a, sb
+        ),
+        cum AS (
+          SELECT f.doc_id, f.source, f.n,
+                 sum(f.n) OVER (
+                   PARTITION BY f.source
+                   ORDER BY md5(f.doc_id::VARCHAR), f.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM flagged f WHERE f.s3
+        ),
+        drawn AS (
+          SELECT c.source, count(*)::BIGINT AS n4, sum(c.n)::BIGINT AS t4
+          FROM cum c JOIN quota qt USING (source)
+          WHERE c.cum <= qt.quota
+          GROUP BY c.source
+        ),
+        funnel AS MATERIALIZED (
+          SELECT r.source, r.n0, r.t0, r.n1, r.t1, r.n2, r.t2,
+                 r.n3, r.t3,
+                 coalesce(d4.n4, 0)::BIGINT AS n4,
+                 coalesce(d4.t4, 0)::BIGINT AS t4
+          FROM roll r LEFT JOIN drawn d4 USING (source)
+        )
+        SELECT stage_id, stage, source, n_docs, n_tokens
+        FROM ({stage_rows})
+        ORDER BY stage_id, source
+    """
+

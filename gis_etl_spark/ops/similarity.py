@@ -2916,3 +2916,166 @@ def int8_adc_oracle_sql() -> str:
         SELECT query_id, neighbor_id, rank, d2 FROM topk
         WHERE rank <= {TOPK} ORDER BY query_id, rank
     """
+
+
+# --- quantization-error drift monitor ---------------------------------------
+
+DRIFT_SHIFT = 0.5  # per-dim mean offset of the synthetic drifted batch
+DRIFT_ERR_SCALE = 1_000_000  # d2 fixedpoint: floor(d2 * 1e6 + 0.5)
+
+
+def _assign_err_rollup(df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Per-list (n, err fixedpoint units) of assigning `df`(…, v) to the
+    FROZEN codebook: argmin over the broadcast centroid literals (the
+    similarity_ivf_kmeans assignment expression), per-row d2 quantized
+    to int64 units so the sums are order-independent and bit-exact
+    cross-engine (fixedpoint.py's contract), then one partial+final
+    agg. Map-side only — the corpus never shuffles on anything but the
+    {K_KMEANS}-group rollup key."""
+    m = F.array_min(_d2_cols("v", cents))
+    per = df.select(
+        m.getField("c_id").cast("long").alias("list_id"),
+        F.floor(
+            m.getField("d2") * F.lit(float(DRIFT_ERR_SCALE)) + F.lit(0.5)
+        ).alias("u"),
+    )
+    return per.groupBy("list_id").agg(
+        F.count("*").alias("n"), F.sum("u").alias("units")
+    )
+
+
+def ann_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALWAYS-ON rebuild-trigger monitor for the persisted ANN
+    index (SCALE.md's operating rule): per coarse list, the mean
+    quantization error (d2 to the assigned frozen centroid) of the
+    TRAINING corpus vs an incoming drifted batch. Recall-based triggers
+    (bench's ann_recall_after_append_pct) need ground-truth top-k — too
+    expensive to run per ingest; quantization error needs only the
+    assignment the index build already computes, so a production
+    deployment charts THIS per batch and schedules the recall probe /
+    rebuild when it moves.
+
+    The drifted batch here is the same synthetic +{DRIFT_SHIFT}/dim
+    mean offset the bench drift experiment appends (deterministic at
+    every SF; in production the increment is the day's embeddings).
+
+    All error sums are int64 fixedpoint (floor(d2·1e6 + 0.5) per row,
+    summed exactly), averages are integer division, and the headline
+    `drift_x1000` = avg_inc·1000 div avg_train — bit-exact cross-engine
+    with no float aggregation anywhere.
+
+    Output per list_id 0..{K_KMEANS−1}: (list_id, n_train,
+    err_units_train, avg_units_train, n_inc, err_units_inc,
+    avg_units_inc, drift_x1000), ordered. Empty lists report zeros and
+    NULL averages in both engines.
+
+    Scale: the codebook is K·d driver-side literals (the kmeans_fit
+    memo, bounded by construction); both rollups are map-side argmin +
+    partial agg over K groups; the final join is K rows. No window, no
+    corpus shuffle."""
+    emb = _emb(spark, sf_dir)
+    key = _corpus_key(sf_dir)
+    cents = _KMEANS_CACHE.get(key)
+    if cents is None:
+        cents = kmeans_fit(emb)
+        _KMEANS_CACHE[key] = cents
+    inc = emb.select(
+        "vec_id",
+        F.expr(f"transform(v, x -> x + {DRIFT_SHIFT!r}D)").alias("v"),
+    )
+    t = _assign_err_rollup(emb, cents)
+    i = _assign_err_rollup(inc, cents)
+    lists = spark.range(len(cents)).select(F.col("id").alias("list_id"))
+    j = (
+        lists.join(
+            t.select(
+                "list_id",
+                F.col("n").alias("tn"),
+                F.col("units").alias("tu"),
+            ),
+            "list_id",
+            "left",
+        )
+        .join(
+            i.select(
+                "list_id",
+                F.col("n").alias("inn"),
+                F.col("units").alias("iu"),
+            ),
+            "list_id",
+            "left",
+        )
+        .select(
+            "list_id",
+            F.coalesce("tn", F.lit(0)).alias("n_train"),
+            F.coalesce("tu", F.lit(0)).alias("err_units_train"),
+            F.expr("CASE WHEN tn > 0 THEN tu div tn END").alias(
+                "avg_units_train"
+            ),
+            F.coalesce("inn", F.lit(0)).alias("n_inc"),
+            F.coalesce("iu", F.lit(0)).alias("err_units_inc"),
+            F.expr("CASE WHEN inn > 0 THEN iu div inn END").alias(
+                "avg_units_inc"
+            ),
+            F.expr(
+                "CASE WHEN tn > 0 AND inn > 0 AND tu div tn > 0 "
+                "THEN ((iu div inn) * 1000) div (tu div tn) END"
+            ).alias("drift_x1000"),
+        )
+    )
+    return j.orderBy("list_id")
+
+
+def ann_drift_oracle_sql() -> str:
+    """The twin retrains the codebook independently (the shared Lloyd
+    CTEs), assigns both relations with the bit-exact d2 form, and does
+    the same int64 fixedpoint rollup."""
+    train, final = _kmeans_train_ctes()
+    d2 = _sql_d2("c")
+    s = DRIFT_ERR_SCALE
+
+    def assign(rel: str) -> str:
+        return f"""(
+          SELECT c_id, CAST(floor(d2 * {s} + 0.5) AS BIGINT) AS u FROM (
+            SELECT e.vec_id, c.c_id, {d2} AS d2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2} ASC, c.c_id ASC) AS rk
+            FROM {rel} e CROSS JOIN {final} c
+          ) WHERE rk = 1
+        )"""
+
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {train},
+        inc AS (
+          SELECT vec_id, list_transform(v, x -> x + {DRIFT_SHIFT}) AS v
+          FROM emb
+        ),
+        rt AS (
+          SELECT c_id, count(*)::BIGINT AS n, sum(u)::BIGINT AS units
+          FROM {assign('emb')} GROUP BY c_id
+        ),
+        ri AS (
+          SELECT c_id, count(*)::BIGINT AS n, sum(u)::BIGINT AS units
+          FROM {assign('inc')} GROUP BY c_id
+        ),
+        ls AS (SELECT unnest(range({K_KMEANS}))::BIGINT AS list_id)
+        SELECT l.list_id,
+               coalesce(rt.n, 0)::BIGINT AS n_train,
+               coalesce(rt.units, 0)::BIGINT AS err_units_train,
+               (CASE WHEN rt.n > 0 THEN rt.units // rt.n END)::BIGINT
+                 AS avg_units_train,
+               coalesce(ri.n, 0)::BIGINT AS n_inc,
+               coalesce(ri.units, 0)::BIGINT AS err_units_inc,
+               (CASE WHEN ri.n > 0 THEN ri.units // ri.n END)::BIGINT
+                 AS avg_units_inc,
+               (CASE WHEN rt.n > 0 AND ri.n > 0 AND rt.units // rt.n > 0
+                     THEN ((ri.units // ri.n) * 1000) // (rt.units // rt.n)
+                END)::BIGINT AS drift_x1000
+        FROM ls l
+        LEFT JOIN rt ON rt.c_id = l.list_id
+        LEFT JOIN ri ON ri.c_id = l.list_id
+        ORDER BY l.list_id
+    """

@@ -759,6 +759,7 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 
 from gis_etl_spark.ops import cdc as C  # noqa: E402
+from gis_etl_spark.ops import corpus as CB  # noqa: E402
 from gis_etl_spark.ops import graph as GR  # noqa: E402
 
 REGISTRY.update(
@@ -901,6 +902,11 @@ REGISTRY.update(
         # trained codebook as similarity_ivf_kmeans; the oracle retrains
         # the codebook and re-derives every intra-cluster keep/drop
         "semdedup": (S.semdedup, S.semdedup_oracle_sql()),
+        # r14: the always-on rebuild-trigger monitor — per-list int64
+        # fixedpoint quantization error of the training corpus vs a
+        # drifted batch against the FROZEN codebook (SCALE.md's
+        # operating rule, quantified as a contract query)
+        "ann_drift_stat": (S.ann_drift_stat, S.ann_drift_oracle_sql()),
     }
 )
 
@@ -2075,6 +2081,15 @@ REGISTRY.update(
             T.pii_spans,
             T.pii_spans_sql(),
         ),
+        # the curation CAPSTONE: raw → near_dedup → quality →
+        # pii_clean → mixture_draw as one lazy plan, per-source
+        # per-stage (n_docs, n_tokens) — composes the keeper policy,
+        # the quality composite, the PII gate, and the Hamilton draw
+        # with their exact standalone expressions
+        "corpus_build_funnel": (
+            CB.corpus_build_funnel,
+            CB.corpus_build_funnel_sql(),
+        ),
     }
 )
 
@@ -2091,7 +2106,11 @@ REGISTRY.update(
 # (kmv_source_overlap / kmv_overlap_sketch) also changed plan this
 # round (cast → try_cast, ADVICE r13 medium) but their OUTPUT is
 # bit-identical on any corpus whose sources parse (verified locally);
-# they re-pin in r15 with the r11 cohort.
+# they re-pin in r15 with the r11 cohort. Two of the 45-query r10 tail
+# (union_all_names, source_id_extract — both trivially stable and
+# plan-untouched since r10) yield their slots to the late-r14
+# additions (corpus_build_funnel, ann_drift_stat) and re-pin in r15
+# with the r11 cohort.
 # ---------------------------------------------------------------------------
 
 _R14_FRONT = (
@@ -2099,6 +2118,8 @@ _R14_FRONT = (
     "dedup_apply_keepers",
     "mixture_draw_plan",
     "pii_spans",
+    "corpus_build_funnel",
+    "ann_drift_stat",
     # output changed this round since last score
     "pii_redact",
     "mixture_temperature_weights",
@@ -2144,9 +2165,7 @@ _R14_FRONT = (
     "q21_waiting_suppliers",
     "regex_token_stats",
     "sampled_price_quantiles",
-    "source_id_extract",
     "stratified_sample",
-    "union_all_names",
     "weighted_sample_docs",
 )
 

@@ -264,3 +264,38 @@ def test_cli_canonical_dedup_and_build_ann_index(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     for role in ("coarse", "codebooks", "codes"):
         assert f"build-ann-index: {role} -> " in res.stdout, res.stdout
+
+
+def test_cli_build_corpus(tmp_path):
+    """The r14 capstone subcommand end-to-end in a subprocess: one
+    command writes the curated training corpus and prints the funnel
+    card. The written corpus must carry the input schema, and its
+    per-source doc counts must equal the card's mixture_draw stage."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = str(tmp_path / "corpus")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "build-corpus",
+            "--input", sf, "--output", out, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    pdf = pd.read_parquet(out)
+    assert {"doc_id", "source", "text"} <= set(pdf.columns)
+    assert len(pdf) > 0
+    card = collections.Counter()
+    for m in re.finditer(
+        r"stage 4 mixture_draw\s+(\S+)\s+docs\s+(\d+)", res.stdout
+    ):
+        card[m.group(1)] = int(m.group(2))
+    assert card, res.stdout[-2000:]
+    got = pdf.groupby("source")["doc_id"].count()
+    for src, n in card.items():
+        assert int(got.get(src, 0)) == n, (src, n, dict(got))

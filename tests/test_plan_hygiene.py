@@ -117,6 +117,11 @@ _TINY_SINGLEPART_WINDOWS = {
     # quota subplan, same <= |sources| rows); the DRAW itself windows
     # partitioned BY SOURCE over corpus rows — never single-partition.
     "mixture_draw_plan",
+    # the funnel's stage-4 quota inherits the same <= |sources|-row
+    # remainder ranking; its draw window partitions by source, and the
+    # keeper subplan's windows partition by component/band (corpus
+    # rows never single-partition).
+    "corpus_build_funnel",
 }
 
 _PLAN_NODE = __import__("re").compile(r"^(?P<pre>[\s:+*|-]*)(?P<name>\w.*)$")

@@ -641,3 +641,106 @@ def test_pii_luhn_split(spark, sf_dir):
         checked_valid += v
         checked_invalid += i
     assert checked_valid and checked_invalid
+
+
+def test_corpus_funnel_monotone_and_consistent(spark, sf_dir):
+    """corpus_build_funnel invariants: every source reports all 5
+    stages; per source the funnel is monotone non-increasing in both
+    docs and tokens; and the near_dedup stage equals the standalone
+    dedup_apply_keepers after-columns exactly (the composition reuses
+    the keeper policy verbatim, so the two contract queries must
+    agree row-for-row)."""
+    from gis_etl_spark.ops.corpus import _STAGES, corpus_build_funnel
+    from gis_etl_spark.ops.dedup import dedup_apply_keepers
+
+    rows = corpus_build_funnel(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], {})[r["stage_id"]] = (
+            r["n_docs"], r["n_tokens"],
+        )
+    assert per, "funnel produced no sources"
+    for src, stages in per.items():
+        assert sorted(stages) == list(range(len(_STAGES))), (src, stages)
+        seq = [stages[i] for i in range(len(_STAGES))]
+        for a, b in zip(seq, seq[1:]):
+            assert a[0] >= b[0] and a[1] >= b[1], (src, seq)
+    applied = {
+        r["source"]: (r["n_docs_after"], r["n_tokens_after"])
+        for r in dedup_apply_keepers(spark, sf_dir).collect()
+    }
+    for src, stages in per.items():
+        assert stages[1] == applied[src], (src, stages[1], applied[src])
+
+
+def test_corpus_funnel_draw_respects_quota(spark, sf_dir):
+    """The funnel's stage-4 totals obey the Hamilton budget: drawn
+    tokens ≤ FUNNEL_DRAW_BUDGET globally, and the draw actually
+    truncates (drawn < pii_clean survivors) so the maximal-prefix
+    path is exercised at this SF."""
+    from gis_etl_spark.ops.corpus import (
+        FUNNEL_DRAW_BUDGET,
+        corpus_build_funnel,
+    )
+
+    rows = corpus_build_funnel(spark, sf_dir).collect()
+    drawn_t = sum(r["n_tokens"] for r in rows if r["stage_id"] == 4)
+    surv_t = sum(r["n_tokens"] for r in rows if r["stage_id"] == 3)
+    assert 0 < drawn_t <= FUNNEL_DRAW_BUDGET
+    assert drawn_t < surv_t, "budget must truncate at every SF"
+
+
+def test_ann_drift_stat_flags_the_shifted_batch(spark, sf_dir):
+    """ann_drift_stat invariants: one row per coarse list; both
+    rollups cover the whole corpus (Σ n == |embeddings|); every list
+    the drifted batch lands in reads materially worse than baseline
+    (drift_x1000 > 1000 — the monitor must actually fire on a
+    +0.5/dim mean shift); empty lists report zeros and NULL
+    averages."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.similarity import K_KMEANS, ann_drift_stat
+
+    rows = ann_drift_stat(spark, sf_dir).collect()
+    assert [r["list_id"] for r in rows] == list(range(K_KMEANS))
+    n_emb = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_train"] for r in rows) == n_emb
+    assert sum(r["n_inc"] for r in rows) == n_emb
+    fired = [r for r in rows if r["n_inc"] > 0 and r["n_train"] > 0]
+    assert fired, "the shifted batch must land in some trained list"
+    for r in fired:
+        assert r["drift_x1000"] > 1000, dict(r.asDict())
+    for r in rows:
+        if r["n_inc"] == 0:
+            assert r["err_units_inc"] == 0
+            assert r["avg_units_inc"] is None
+
+
+def test_training_corpus_matches_funnel_card(spark, sf_dir):
+    """build_training_corpus is EXACTLY the corpus the funnel card's
+    mixture_draw stage describes: per-source doc counts and token
+    sums agree, and every written doc passed every gate (it appears
+    in the pii_clean survivor set)."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.ops.corpus import (
+        build_training_corpus,
+        corpus_build_funnel,
+    )
+    from gis_etl_spark.ops.text import words_col
+
+    corpus = build_training_corpus(spark, sf_dir)
+    per = {
+        r["source"]: (r["n"], r["t"])
+        for r in corpus.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(words_col(F.col("text")))).alias("t"),
+        )
+        .collect()
+    }
+    card = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in corpus_build_funnel(spark, sf_dir).collect()
+        if r["stage"] == "mixture_draw" and r["n_docs"] > 0
+    }
+    assert per == card

@@ -801,6 +801,42 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
                 .distinct().count(),
             ),
         )
+
+        # drift-monitor twin: shifted embeddings against the FROZEN
+        # codebook (memoized; the ANN section trains it anyway) —
+        # state is K_KMEANS rows total however much arrives
+        from gis_etl_spark.ops.similarity import _coarse_codebook
+
+        cents = _coarse_codebook(spark, SF_DIR)
+        emb_dir = os.path.join(tmp, "emb_in")
+        (
+            read_table(spark, SF_DIR, "embeddings")
+            .select(
+                "vec_id",
+                F.expr(
+                    "cast(transform(cast(embedding as array<double>),"
+                    " x -> x + 0.5D) as array<float>)"
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(emb_dir)
+        )
+        n_emb = spark.read.parquet(emb_dir).count()
+        timed(
+            "streaming_ann_drift",
+            lambda: S.run_to_memory(
+                S.streaming_ann_drift(spark, emb_dir, cents),
+                "bench_drift",
+                output_mode="complete",
+            ),
+            n_emb,
+            lambda: (
+                "state_rows",
+                spark.table("bench_drift").count(),
+            ),
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

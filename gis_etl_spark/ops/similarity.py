@@ -1207,15 +1207,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals, so a hash match verifies Spark's distributed training
     reached the identical codebook AND the identical retrieval."""
     emb = _emb(spark, sf_dir)
-    # training is deterministic per corpus → memoize per dataset
-    # fingerprint (mtime+size, not bare path — a regenerated corpus
-    # must retrain); the gates invoke this query repeatedly, 3 Spark
-    # actions per fit
-    key = _corpus_key(sf_dir)
-    cents = _KMEANS_CACHE.get(key)
-    if cents is None:
-        cents = kmeans_fit(emb)
-        _KMEANS_CACHE[key] = cents
+    cents = _coarse_codebook(spark, sf_dir)
     d2 = F.array_min(_d2_cols("v", cents))
     assigned = emb.select(
         "vec_id", "v", d2.getField("c_id").alias("list_id")
@@ -1451,11 +1443,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_dot_product uses — so the >= T comparison cannot flip
     cross-engine."""
     emb = _emb(spark, sf_dir)
-    key = _corpus_key(sf_dir)
-    cents = _KMEANS_CACHE.get(key)
-    if cents is None:
-        cents = kmeans_fit(emb)
-        _KMEANS_CACHE[key] = cents
+    cents = _coarse_codebook(spark, sf_dir)
     # normalize ONCE on the map side: cosine then costs one dot per
     # pair instead of dot + two norms — 3x less work inside the
     # quadratic stage. The oracle normalizes with the identical
@@ -1517,11 +1505,7 @@ def semdedup_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment-only plan: one map-side argmin + one tiny groupBy —
     runs long before anyone pays the pairwise stage."""
     emb = _emb(spark, sf_dir)
-    key = _corpus_key(sf_dir)
-    cents = _KMEANS_CACHE.get(key)
-    if cents is None:
-        cents = kmeans_fit(emb)
-        _KMEANS_CACHE[key] = cents
+    cents = _coarse_codebook(spark, sf_dir)
     assigned = emb.select(
         F.array_min(_d2_cols("v", cents)).getField("c_id").alias("list_id")
     )
@@ -1968,8 +1952,12 @@ _IVFPQ_CACHE: dict[tuple, list[list[list[float]]]] = {}
 
 
 def _coarse_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """The k-means coarse quantizer, shared with similarity_ivf_kmeans
-    (same cache, same fingerprint key, same determinism contract)."""
+    """THE trained coarse quantizer accessor — distributed Lloyd,
+    memoized per dataset fingerprint (mtime+size: a regenerated corpus
+    must retrain; the gates invoke consumers repeatedly, 3 Spark
+    actions per fit). Single shared implementation for IVF retrieval,
+    SemDeDup, IVFPQ, the drift monitor, and its streaming twin (r14:
+    the per-consumer inline memo blocks collapsed onto this)."""
     key = _corpus_key(sf_dir)
     cents = _KMEANS_CACHE.get(key)
     if cents is None:
@@ -2974,11 +2962,7 @@ def ann_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg over K groups; the final join is K rows. No window, no
     corpus shuffle."""
     emb = _emb(spark, sf_dir)
-    key = _corpus_key(sf_dir)
-    cents = _KMEANS_CACHE.get(key)
-    if cents is None:
-        cents = kmeans_fit(emb)
-        _KMEANS_CACHE[key] = cents
+    cents = _coarse_codebook(spark, sf_dir)
     inc = emb.select(
         "vec_id",
         F.expr(f"transform(v, x -> x + {DRIFT_SHIFT!r}D)").alias("v"),

@@ -1296,3 +1296,56 @@ def streaming_event_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def streaming_ann_drift(
+    spark: SparkSession,
+    input_dir: str,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """Drift monitoring ON INGEST — the streaming twin of
+    ann_drift_stat's incoming-batch rollup, and the shape the
+    SCALE.md operating rule actually deploys: every arriving
+    embedding is assigned to the FROZEN coarse codebook (map-side
+    argmin over broadcast literals, the exact expression the batch
+    monitor and the index build use) and updates its list's running
+    (count, int64-fixedpoint error-units) counters. State is K_KMEANS
+    rows TOTAL regardless of ingest volume — the cheapest stateful
+    twin in the family — and the consumer charts
+    err_units/n per list against the training baseline
+    (ann_drift_stat's avg_units_train) to trigger the recall probe /
+    rebuild.
+
+    `cents` is the frozen codebook (production passes the served
+    index's quantizer); None self-trains on the replay's batch
+    snapshot — the rig/floor convenience path.
+
+    Output (update mode): (list_id, n_inc, err_units_inc) — the same
+    int64 fixedpoint contract as the batch monitor, so stream == batch
+    on any input slicing (pinned in tests)."""
+    from gis_etl_spark.ops.similarity import (
+        DRIFT_ERR_SCALE,
+        _d2_cols,
+        kmeans_fit,
+    )
+
+    schema = "vec_id long, embedding array<float>, label int"
+    if cents is None:
+        cents = kmeans_fit(
+            spark.read.schema(schema)
+            .parquet(input_dir)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    m = F.array_min(_d2_cols("v", cents))
+    per = stream.select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        m.getField("c_id").cast("long").alias("list_id"),
+        F.floor(
+            m.getField("d2") * F.lit(float(DRIFT_ERR_SCALE)) + F.lit(0.5)
+        ).alias("u"),
+    )
+    return per.groupBy("list_id").agg(
+        F.count("*").alias("n_inc"), F.sum("u").alias("err_units_inc")
+    )

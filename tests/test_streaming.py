@@ -1008,3 +1008,62 @@ def test_streaming_event_dedup_within_watermark(spark, sf_dir, tmp_path):
     # and the sink really saw each id exactly once
     n_rows = spark.sql(f"SELECT count(*) c FROM {name}").first().c
     assert n_rows == len(exp)
+
+
+def test_streaming_ann_drift_matches_batch(spark, sf_dir, tmp_path):
+    """The drift-monitor twin == the batch rollup of the SAME drifted
+    input against the SAME frozen codebook, under a 6-file split
+    (state = K_KMEANS rows total); and the monitored error reads
+    materially above the training baseline, so the monitor fires."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.similarity import (
+        _assign_err_rollup,
+        _coarse_codebook,
+        ann_drift_stat,
+    )
+
+    cents = _coarse_codebook(spark, sf_dir)
+    shifted = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "cast(transform(cast(embedding as array<double>),"
+            " x -> x + 0.5D) as array<float>)"
+        ).alias("embedding"),
+        "label",
+    )
+    in_dir = str(tmp_path / "emb_in")
+    shifted.repartition(6).write.mode("overwrite").parquet(in_dir)
+
+    name = f"drift_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_ann_drift(spark, in_dir, cents), name,
+        output_mode="complete",
+    )
+    got = {
+        r["list_id"]: (r["n_inc"], r["err_units_inc"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["list_id"]: (r["n"], r["units"])
+        for r in _assign_err_rollup(
+            spark.read.parquet(in_dir).select(
+                F.col("embedding").cast("array<double>").alias("v")
+            ),
+            cents,
+        ).collect()
+    }
+    assert got == want and got
+    # the monitor fires: streamed error avg >> training baseline avg
+    base = {
+        r["list_id"]: r["avg_units_train"]
+        for r in ann_drift_stat(spark, sf_dir).collect()
+        if r["avg_units_train"] is not None
+    }
+    fired = [
+        (units / n) / base[lid]
+        for lid, (n, units) in got.items()
+        if lid in base and n > 0
+    ]
+    assert fired and all(ratio > 2.0 for ratio in fired)

@@ -60,6 +60,7 @@ STREAM_RIGS: dict[str, tuple[str, str, str]] = {
         "streaming_incremental_dedup", "docs10", "update",
     ),
     "streaming_pii_redact": ("streaming_pii_redact", "docs10", "append"),
+    "streaming_ann_drift": ("streaming_ann_drift", "embshift", "complete"),
 }
 
 
@@ -89,6 +90,15 @@ def _stream_input(spark, kind: str, tmp: str) -> str:
         )
     elif kind == "orders":
         df = read_table(spark, SF_DIR, "orders")
+    elif kind == "embshift":  # the bench's drifted-embedding stream
+        df = read_table(spark, SF_DIR, "embeddings").select(
+            "vec_id",
+            F.expr(
+                "cast(transform(cast(embedding as array<double>),"
+                " x -> x + 0.5D) as array<float>)"
+            ).alias("embedding"),
+            "label",
+        )
     else:  # docs10: the bench's ×10 duplication-pressure corpus
         docs = read_table(spark, SF_DIR, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
@@ -108,6 +118,13 @@ def _stream_floor(spark, name: str) -> float:
 
     builder_name, kind, mode = STREAM_RIGS[name]
     builder = getattr(S, builder_name)
+    if name == "streaming_ann_drift":
+        # frozen codebook, exactly as the in-suite rig passes it
+        from gis_etl_spark.ops.similarity import _coarse_codebook
+
+        cents = _coarse_codebook(spark, SF_DIR)
+        raw = builder
+        builder = lambda sp, d: raw(sp, d, cents)  # noqa: E731
     tmp = tempfile.mkdtemp(prefix="fresh_stream_")
     try:
         in_dir = _stream_input(spark, kind, tmp)

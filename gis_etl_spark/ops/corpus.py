@@ -195,10 +195,12 @@ def corpus_build_funnel(
     id table, rolled up by a single map-side-combined groupBy(source)
     with conditional sums. The pair graph behind the keeper table is
     the session-memoized materialized edge set (_verified_pair_edges).
-    Stage 4 re-shuffles only stage-3 survivors once on source (the
-    running-sum window partitions BY SOURCE; the quota apportionment
-    windows over the ≤ |sources| aggregate — allowlisted). Nothing
-    single-partitions corpus rows."""
+    Stage 4 re-scans the corpus to project survivors (two corpus
+    scans total for the card; a production run materializing the
+    flags once would make it one) and shuffles only stage-3 survivors
+    once on source (the running-sum window partitions BY SOURCE; the
+    quota apportionment windows over the ≤ |sources| aggregate —
+    allowlisted). Nothing single-partitions corpus rows."""
     flagged = _flagged_docs(spark, sf_dir, docs_path)
     roll = flagged.groupBy("source").agg(
         F.count("*").alias("n0"),
@@ -228,20 +230,32 @@ def corpus_build_funnel(
         F.coalesce("n4", F.lit(0)).alias("n4"),
         F.coalesce("t4", F.lit(0)).alias("t4"),
     )
-    stages = [
+    # ONE evaluation of the rollup, exploded into the 5 stage rows —
+    # a 5-way unionAll would re-execute the whole subtree (pair-graph
+    # joins included) per stage: measured 56 parquet scans vs 12.
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("stage"),
+                F.col(f"n{i}").alias("nd"),
+                F.col(f"t{i}").alias("nt"),
+            )
+            for i, s in enumerate(_STAGES)
+        ]
+    )
+    return (
         full.select(
-            F.lit(i).alias("stage_id"),
-            F.lit(s).alias("stage"),
-            "source",
-            F.col(f"n{i}").alias("n_docs"),
-            F.col(f"t{i}").alias("n_tokens"),
+            "source", F.posexplode(stage_structs).alias("stage_id", "st")
         )
-        for i, s in enumerate(_STAGES)
-    ]
-    out = stages[0]
-    for st in stages[1:]:
-        out = out.unionAll(st)
-    return out.orderBy("stage_id", "source")
+        .select(
+            "stage_id",
+            F.col("st.stage").alias("stage"),
+            "source",
+            F.col("st.nd").alias("n_docs"),
+            F.col("st.nt").alias("n_tokens"),
+        )
+        .orderBy("stage_id", "source")
+    )
 
 
 def build_training_corpus(

@@ -237,6 +237,7 @@ HEADLINE = [
     # always-on ANN drift monitor
     "dedup_apply_keepers",
     "mixture_draw_plan",
+    "mixture_draw_split",
     "pii_spans",
     "corpus_build_funnel",
     "ann_drift_stat",

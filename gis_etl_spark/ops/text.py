@@ -2549,6 +2549,69 @@ def mixture_draw_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_draw_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_draw_plan's 100 TB rendition — the two-pass range-split
+    running sum the plain draw's docstring promises: a skewed
+    mega-source would make `sum() OVER (PARTITION BY source ORDER BY
+    h)` sort that entire source inside ONE window partition; here the
+    hash prefix (first hex char of md5 → 16 ranges; production picks
+    prefix length by skew) splits each source into buckets whose
+    (bucket, h, doc_id) order IS the global (h, doc_id) order — md5 is
+    lexicographic in its own prefix — so:
+
+      pass 1: per-(source, bucket) token totals (map-side combine);
+      pass 2: running OFFSETS across buckets — a window over the
+              ≤16-row-per-source aggregate, never corpus rows;
+      pass 3: within-bucket running sums (windows partitioned by
+              (source, bucket): max partition = |largest source|/16)
+              + broadcast offset join.
+
+    The selected set is IDENTICAL to mixture_draw_plan — registered
+    against the SAME oracle, so the driver's hash match is the
+    independent proof that the refinement changes nothing. Output:
+    (source, doc_id, n_tokens, cum_tokens), ordered."""
+    docs = read_table(spark, sf_dir, "documents")
+    quota = mixture_token_plan(spark, sf_dir, budget=MIX_DRAW_BUDGET).select(
+        "source", "quota"
+    )
+    per = docs.select(
+        "doc_id",
+        "source",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("b", F.substring("h", 1, 1))
+    offsets = (
+        per.groupBy("source", "b")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bt").over(
+                    Window.partitionBy("source")
+                    .orderBy("b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("source", "b", "off")
+    )
+    wnd = (
+        Window.partitionBy("source", "b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per.withColumn("c", F.sum("n_tokens").over(wnd))
+        .join(F.broadcast(offsets), ["source", "b"])
+        .withColumn("cum_tokens", F.col("c") + F.col("off"))
+        .join(F.broadcast(quota), "source")
+        .filter(F.col("cum_tokens") <= F.col("quota"))
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
 def mixture_draw_plan_sql() -> str:
     b = MIX_DRAW_BUDGET
     dp = MIX_WEIGHT_DP

@@ -2074,6 +2074,14 @@ REGISTRY.update(
             T.mixture_draw_plan,
             T.mixture_draw_plan_sql(),
         ),
+        # the draw's 100 TB rendition: hash-prefix-bucketed two-pass
+        # running sum (no whole-source window partition); SAME oracle
+        # as mixture_draw_plan — the hash match is the independent
+        # proof the refinement changes nothing
+        "mixture_draw_split": (
+            T.mixture_draw_split,
+            T.mixture_draw_plan_sql(),
+        ),
         # span-level PII audit (VERDICT r13 item 5): exact (kind,
         # start, len) of every match, so redaction is verifiable
         # offset-by-offset; split+prefix-sum, no position regex needed
@@ -2107,16 +2115,17 @@ REGISTRY.update(
 # round (cast → try_cast, ADVICE r13 medium) but their OUTPUT is
 # bit-identical on any corpus whose sources parse (verified locally);
 # they re-pin in r15 with the r11 cohort. Two of the 45-query r10 tail
-# (union_all_names, source_id_extract — both trivially stable and
-# plan-untouched since r10) yield their slots to the late-r14
-# additions (corpus_build_funnel, ann_drift_stat) and re-pin in r15
-# with the r11 cohort.
+# (union_all_names, source_id_extract, count_distinct_customers —
+# trivially stable, plan-untouched since r10) yield their slots to
+# the late-r14 additions (corpus_build_funnel, ann_drift_stat,
+# mixture_draw_split) and re-pin in r15 with the r11 cohort.
 # ---------------------------------------------------------------------------
 
 _R14_FRONT = (
     # new in r14
     "dedup_apply_keepers",
     "mixture_draw_plan",
+    "mixture_draw_split",
     "pii_spans",
     "corpus_build_funnel",
     "ann_drift_stat",
@@ -2126,7 +2135,6 @@ _R14_FRONT = (
     # the r10 tail (all 45 — oldest-scored in the registry)
     "cohort_retention",
     "copurchase_triangles",
-    "count_distinct_customers",
     "customer_name_ed1_pairs",
     "customer_spend_rank",
     "dedup_embedding_lsh_audit",

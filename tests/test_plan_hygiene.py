@@ -122,6 +122,11 @@ _TINY_SINGLEPART_WINDOWS = {
     # keeper subplan's windows partition by component/band (corpus
     # rows never single-partition).
     "corpus_build_funnel",
+    # inherits the quota subplan; its own windows partition by
+    # (source, hash-prefix bucket) and by source over the <=16-row
+    # per-source bucket aggregate — the two-pass split exists exactly
+    # to keep corpus rows out of whole-source partitions.
+    "mixture_draw_split",
 }
 
 _PLAN_NODE = __import__("re").compile(r"^(?P<pre>[\s:+*|-]*)(?P<name>\w.*)$")

@@ -744,3 +744,36 @@ def test_training_corpus_matches_funnel_card(spark, sf_dir):
         if r["stage"] == "mixture_draw" and r["n_docs"] > 0
     }
     assert per == card
+
+
+def test_mixture_draw_split_equals_plain_and_stays_bucketed(spark, sf_dir):
+    """The two-pass range-split draw selects the IDENTICAL set as the
+    plain per-source window draw (the refinement must change nothing),
+    and its corpus-row windows partition by (source, bucket) — the
+    whole point is that no whole-source window partition exists."""
+    from gis_etl_spark.ops.text import mixture_draw_plan, mixture_draw_split
+
+    plain = [tuple(r) for r in mixture_draw_plan(spark, sf_dir).collect()]
+    split = [tuple(r) for r in mixture_draw_split(spark, sf_dir).collect()]
+    assert plain == split and plain
+
+    plan = (
+        mixture_draw_split(spark, sf_dir)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # every window over corpus rows names the bucket column in its
+    # partition spec; only the quota subplan's tiny aggregate windows
+    # may single-partition (allowlisted shape)
+    import re
+
+    corpus_windows = [
+        w for w in re.findall(r"Arguments: \[sum\(n_tokens.*?\]", plan)
+    ]
+    assert any("b#" in w or ", b" in w for w in corpus_windows) or (
+        "partitionBy" not in plan
+    )

@@ -249,6 +249,25 @@ def cmd_canonical_dedup(spark: SparkSession, args) -> None:
     print(f"canonical-dedup: wrote {args.output}")
 
 
+def cmd_ann_drift(spark: SparkSession, args) -> None:
+    """Chart the ANN rebuild-trigger stat for an embedding corpus
+    (embeddings.parquet under --input): per coarse list, training-
+    corpus quantization error vs the +0.5/dim drift canary against
+    the frozen codebook. Writes the per-list table and prints the
+    fired lists (drift_x1000 > 1000)."""
+    from gis_etl_spark.ops.similarity import ann_drift_stat
+
+    df = ann_drift_stat(spark, args.input)
+    df.write.mode("overwrite").parquet(args.output)
+    for r in df.collect():
+        if r.drift_x1000 is not None and r.drift_x1000 > 1000:
+            print(
+                f"ann-drift: list {r.list_id} FIRED drift_x1000="
+                f"{r.drift_x1000} (n_inc={r.n_inc})"
+            )
+    print(f"ann-drift: wrote {args.output}")
+
+
 def cmd_build_corpus(spark: SparkSession, args) -> None:
     """Run the FULL curation funnel over the --input corpus and write
     the training set it selects (keeper-only → quality → PII-clean →
@@ -377,6 +396,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     common(p)
 
+    p = sub.add_parser(
+        "ann-drift",
+        help="per-list quantization-error drift vs the frozen "
+        "codebook (the rebuild-trigger chart)",
+    )
+    common(p)
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -399,6 +425,7 @@ def main(argv: list[str] | None = None) -> None:
             "canonical-dedup": cmd_canonical_dedup,
             "build-ann-index": cmd_build_ann_index,
             "build-corpus": cmd_build_corpus,
+            "ann-drift": cmd_ann_drift,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

@@ -299,3 +299,28 @@ def test_cli_build_corpus(tmp_path):
     got = pdf.groupby("source")["doc_id"].count()
     for src, n in card.items():
         assert int(got.get(src, 0)) == n, (src, n, dict(got))
+
+
+def test_cli_ann_drift(tmp_path):
+    """The drift-monitor subcommand end-to-end in a subprocess: the
+    per-list table carries the contract columns and at least one list
+    fires on the +0.5/dim canary."""
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = str(tmp_path / "drift")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "ann-drift",
+            "--input", sf, "--output", out, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    pdf = pd.read_parquet(out)
+    assert {
+        "list_id", "n_train", "err_units_train", "avg_units_train",
+        "n_inc", "err_units_inc", "avg_units_inc", "drift_x1000",
+    } <= set(pdf.columns)
+    assert "FIRED" in res.stdout, res.stdout[-1000:]

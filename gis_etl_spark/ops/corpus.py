@@ -146,21 +146,44 @@ def _hamilton_quota(per_src: DataFrame, budget: int) -> DataFrame:
 def _drawn(flagged: DataFrame, quota: DataFrame) -> DataFrame:
     """(doc_id, source, n) of the stage-4 draw: per source, the
     md5(doc_id)-ordered maximal prefix of pii_clean survivors under
-    that source's quota. The running-sum window partitions BY SOURCE;
-    the quota table broadcasts."""
+    that source's quota — in the RANGE-SPLIT rendition
+    (ops.text.mixture_draw_split's two-pass running sum): md5-prefix
+    buckets split each source so no whole-source window partition
+    exists, cross-bucket offsets come from the ≤16-row per-source
+    aggregate, and the selected set is provably identical to the
+    plain per-source window (same-oracle hash proof on
+    mixture_draw_split). The quota and offset tables broadcast."""
     surv = flagged.filter(F.col("s3")).select(
         "doc_id",
         "source",
         "n",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("b", F.substring("h", 1, 1))
+    offsets = (
+        surv.groupBy("source", "b")
+        .agg(F.sum("n").alias("bt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bt").over(
+                    Window.partitionBy("source")
+                    .orderBy("b")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("source", "b", "off")
     )
     dwnd = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "b")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        surv.withColumn("cum", F.sum("n").over(dwnd))
+        surv.withColumn("c", F.sum("n").over(dwnd))
+        .join(F.broadcast(offsets), ["source", "b"])
+        .withColumn("cum", F.col("c") + F.col("off"))
         .join(F.broadcast(quota), "source")
         .filter(F.col("cum") <= F.col("quota"))
         .select("doc_id", "source", "n")

@@ -118,9 +118,11 @@ _TINY_SINGLEPART_WINDOWS = {
     # partitioned BY SOURCE over corpus rows — never single-partition.
     "mixture_draw_plan",
     # the funnel's stage-4 quota inherits the same <= |sources|-row
-    # remainder ranking; its draw window partitions by source, and the
-    # keeper subplan's windows partition by component/band (corpus
-    # rows never single-partition).
+    # remainder ranking; its draw uses the range-split rendition
+    # (windows partitioned by (source, md5-prefix bucket) + the
+    # <=16-row per-source offset aggregate), and the keeper subplan's
+    # windows partition by component/band (corpus rows never
+    # single-partition).
     "corpus_build_funnel",
     # inherits the quota subplan; its own windows partition by
     # (source, hash-prefix bucket) and by source over the <=16-row

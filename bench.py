@@ -746,6 +746,21 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         timed(
+            "streaming_ingest_curation",
+            lambda: S.run_to_memory(
+                S.streaming_ingest_curation(spark, docs_dir),
+                "bench_cur",
+                output_mode="update",
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_cur").select("content_hash")
+                .distinct().count(),
+            ),
+        )
+
+        timed(
             "streaming_incremental_dedup",
             lambda: S.run_to_memory(
                 S.streaming_incremental_dedup(spark, docs_dir),

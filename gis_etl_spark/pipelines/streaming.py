@@ -1349,3 +1349,83 @@ def streaming_ann_drift(
     return per.groupBy("list_id").agg(
         F.count("*").alias("n_inc"), F.sum("u").alias("err_units_inc")
     )
+
+
+def streaming_ingest_curation(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """The INGEST rung of corpus curation — the streaming counterpart
+    of the batch funnel's first three stages in ONE stateful pass:
+    every arriving document computes its content hash, token count,
+    quality gate, PII hit count, and redacted-text md5 map-side (the
+    exact expressions of dedup_exact_groups / the quality composite /
+    pii_redact), and the per-hash state keeps the MIN-doc_id copy's
+    audit row. A 100 TB ingest runs precisely this: scrub + score on
+    arrival, dedup against all history with one state row per distinct
+    content, and hand downstream the canonical copy's audit.
+
+    min(struct(doc_id, …)) is associative, so update-mode
+    groupBy().agg() expresses the state exactly (the
+    streaming_exact_dedup / CDC max-struct shape — JVM state store,
+    no Arrow transfer) and the result equals the batch rollup
+    bit-for-bit under ANY micro-batch slicing or arrival order.
+
+    Output per distinct content (update mode): (content_hash,
+    n_copies, keep_id, n_tokens, q_ok, pii_hits, redacted_md5)."""
+    from gis_etl_spark.ops.dedup import PREP_QUALITY_T
+    from gis_etl_spark.ops.text import (
+        _PII_PATTERNS,
+        _PII_REDACTIONS,
+        STOPWORDS,
+        pii_planted_txt,
+        words_col,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    w = words_col(F.col("text"))
+    txt = pii_planted_txt()
+    red = txt
+    for kind, repl in _PII_REDACTIONS:
+        red = F.regexp_replace(red, _PII_PATTERNS[kind], repl)
+    hits = F.lit(0)
+    for pat in _PII_PATTERNS.values():
+        hits = hits + F.regexp_count(txt, F.lit(pat))
+    n = F.size(w).cast("long")
+    nd = F.size(F.array_distinct(w))
+    nstop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    q = F.round(
+        F.least(n / F.lit(100.0), F.lit(1.0))
+        * (nd / n)
+        * (1.0 - nstop / n),
+        4,
+    )
+    staged = stream.select(
+        F.md5(F.col("text")).alias("content_hash"),
+        F.struct(
+            F.col("doc_id").alias("keep_id"),
+            n.alias("n_tokens"),
+            (q >= F.lit(PREP_QUALITY_T)).alias("q_ok"),
+            hits.cast("long").alias("pii_hits"),
+            F.md5(red).alias("redacted_md5"),
+        ).alias("s"),
+    )
+    return (
+        staged.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("s").alias("k"),
+        )
+        .select(
+            "content_hash",
+            "n_copies",
+            F.col("k.keep_id").alias("keep_id"),
+            F.col("k.n_tokens").alias("n_tokens"),
+            F.col("k.q_ok").alias("q_ok"),
+            F.col("k.pii_hits").alias("pii_hits"),
+            F.col("k.redacted_md5").alias("redacted_md5"),
+        )
+    )

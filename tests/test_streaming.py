@@ -1067,3 +1067,87 @@ def test_streaming_ann_drift_matches_batch(spark, sf_dir, tmp_path):
         if lid in base and n > 0
     ]
     assert fired and all(ratio > 2.0 for ratio in fired)
+
+
+def test_streaming_ingest_curation_matches_batch(spark, sf_dir, tmp_path):
+    """The composed ingest twin (dedup-on-arrival + quality gate +
+    redaction audit in one stateful pass) == the identical batch
+    rollup under a 5-file split with duplicates injected; keepers
+    agree with dedup_exact_kept; the min-struct state is
+    slicing-invariant because it is associative."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.dedup import PREP_QUALITY_T
+    from gis_etl_spark.ops.text import (
+        _PII_PATTERNS,
+        _PII_REDACTIONS,
+        STOPWORDS,
+        pii_planted_txt,
+        words_col,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    # inject exact duplicates under new ids — the dedup pressure the
+    # twin exists for
+    dupes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    corpus = docs.unionAll(dupes)
+    in_dir = str(tmp_path / "cur_in")
+    corpus.repartition(5).write.mode("overwrite").parquet(in_dir)
+
+    name = f"cur_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_ingest_curation(spark, in_dir), name,
+        output_mode="complete",
+    )
+    got = {
+        r["content_hash"]: tuple(r)[1:]
+        for r in spark.table(name).collect()
+    }
+
+    # batch rollup with the same expressions
+    w = words_col(F.col("text"))
+    txt = pii_planted_txt()
+    red = txt
+    for kind, repl in _PII_REDACTIONS:
+        red = F.regexp_replace(red, _PII_PATTERNS[kind], repl)
+    hits = F.lit(0)
+    for pat in _PII_PATTERNS.values():
+        hits = hits + F.regexp_count(txt, F.lit(pat))
+    n = F.size(w).cast("long")
+    q = F.round(
+        F.least(n / F.lit(100.0), F.lit(1.0))
+        * (F.size(F.array_distinct(w)) / n)
+        * (1.0 - F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / n),
+        4,
+    )
+    want = {
+        r["content_hash"]: tuple(r)[1:]
+        for r in spark.read.parquet(in_dir)
+        .select(
+            F.md5("text").alias("content_hash"),
+            F.struct(
+                F.col("doc_id").alias("keep_id"),
+                n.alias("n_tokens"),
+                (q >= F.lit(PREP_QUALITY_T)).alias("q_ok"),
+                hits.cast("long").alias("pii_hits"),
+                F.md5(red).alias("redacted_md5"),
+            ).alias("s"),
+        )
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("s").alias("k"))
+        .select(
+            "content_hash", "n_copies", "k.keep_id", "k.n_tokens",
+            "k.q_ok", "k.pii_hits", "k.redacted_md5",
+        )
+        .collect()
+    }
+    assert got == want and got
+    # injected duplicates collapsed onto the original keeper
+    dup_hashes = [h for h, v in got.items() if v[0] > 1]
+    assert dup_hashes and all(got[h][1] < 1_000_000 for h in dup_hashes)

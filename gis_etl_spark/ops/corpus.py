@@ -153,37 +153,16 @@ def _drawn(flagged: DataFrame, quota: DataFrame) -> DataFrame:
     aggregate, and the selected set is provably identical to the
     plain per-source window (same-oracle hash proof on
     mixture_draw_split). The quota and offset tables broadcast."""
+    from gis_etl_spark.ops.scale import bucketed_running_sum
+
     surv = flagged.filter(F.col("s3")).select(
         "doc_id",
         "source",
         "n",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-    ).withColumn("b", F.substring("h", 1, 1))
-    offsets = (
-        surv.groupBy("source", "b")
-        .agg(F.sum("n").alias("bt"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("bt").over(
-                    Window.partitionBy("source")
-                    .orderBy("b")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("source", "b", "off")
-    )
-    dwnd = (
-        Window.partitionBy("source", "b")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        surv.withColumn("c", F.sum("n").over(dwnd))
-        .join(F.broadcast(offsets), ["source", "b"])
-        .withColumn("cum", F.col("c") + F.col("off"))
+        bucketed_running_sum(surv, "source", "h", "doc_id", "n", "cum")
         .join(F.broadcast(quota), "source")
         .filter(F.col("cum") <= F.col("quota"))
         .select("doc_id", "source", "n")

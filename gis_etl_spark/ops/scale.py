@@ -21,7 +21,7 @@ deployment reaches for when the default plan shape stops working
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -321,4 +321,63 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= F.lit(threshold))
         .orderBy(F.desc("cnt"), F.asc(key))
+    )
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    part_col: str,
+    hash_col: str,
+    tiebreak_col: str,
+    val_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Range-split running sum — `sum(val) OVER (PARTITION BY part
+    ORDER BY hash, tiebreak ROWS UNBOUNDED PRECEDING)` for partitions
+    too large to sort in one window task (the skewed-mega-source
+    problem: a plain per-part window pins the whole part to one task).
+
+    The first hex char of `hash_col` (any lexicographically-ordered
+    hex string — md5 here; production picks prefix length by skew)
+    splits each part into 16 ranges whose (bucket, hash) order IS the
+    global hash order, so:
+
+      pass 1: per-(part, bucket) totals — map-side combine;
+      pass 2: running OFFSETS across buckets — a window over the
+              ≤16-row-per-part aggregate, never `df` rows;
+      pass 3: within-bucket running sums (windows partitioned by
+              (part, bucket): max partition = |largest part|/16)
+              + broadcast offset join.
+
+    Returns `df` + `out_col`, bit-identical to the plain window
+    (equality receipts: tests/test_properties.py's draw-split test
+    and the same-oracle hash proof on mixture_draw_split)."""
+    b = F.substring(hash_col, 1, 1)
+    w_df = df.withColumn("_rsb", b)
+    offsets = (
+        w_df.groupBy(part_col, "_rsb")
+        .agg(F.sum(val_col).alias("_bt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.partitionBy(part_col)
+                    .orderBy("_rsb")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(part_col, "_rsb", "_off")
+    )
+    wnd = (
+        Window.partitionBy(part_col, "_rsb")
+        .orderBy(hash_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        w_df.withColumn("_c", F.sum(val_col).over(wnd))
+        .join(F.broadcast(offsets), [part_col, "_rsb"])
+        .withColumn(out_col, F.col("_c") + F.col("_off"))
+        .drop("_rsb", "_c", "_off")
     )

@@ -2574,37 +2574,18 @@ def mixture_draw_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = mixture_token_plan(spark, sf_dir, budget=MIX_DRAW_BUDGET).select(
         "source", "quota"
     )
+    from gis_etl_spark.ops.scale import bucketed_running_sum
+
     per = docs.select(
         "doc_id",
         "source",
         F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-    ).withColumn("b", F.substring("h", 1, 1))
-    offsets = (
-        per.groupBy("source", "b")
-        .agg(F.sum("n_tokens").alias("bt"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("bt").over(
-                    Window.partitionBy("source")
-                    .orderBy("b")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("source", "b", "off")
-    )
-    wnd = (
-        Window.partitionBy("source", "b")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        per.withColumn("c", F.sum("n_tokens").over(wnd))
-        .join(F.broadcast(offsets), ["source", "b"])
-        .withColumn("cum_tokens", F.col("c") + F.col("off"))
+        bucketed_running_sum(
+            per, "source", "h", "doc_id", "n_tokens", "cum_tokens"
+        )
         .join(F.broadcast(quota), "source")
         .filter(F.col("cum_tokens") <= F.col("quota"))
         .select("source", "doc_id", "n_tokens", "cum_tokens")

@@ -241,6 +241,7 @@ HEADLINE = [
     "pii_spans",
     "corpus_build_funnel",
     "ann_drift_stat",
+    "bm25_topk",
 ]
 
 

@@ -498,6 +498,176 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10   # postings returned per query
+BM25_NTERMS = 8  # top corpus tokens -> BM25_NTERMS/2 two-term queries
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 query scoring — the missing rung between the champion-list
+    index (inverted_index_topk) and a serving stack: score documents
+    for a query set and return each query's top-{BM25_TOPK}.
+
+    Query set (deterministic + data-derived, the similarity family's
+    vec_id<N convention adapted to text): the {BM25_NTERMS} most
+    frequent non-stopword tokens by (corpus tf DESC, token ASC) pair
+    up in rank order into {BM25_NTERMS}//2 two-term queries.
+
+    Score: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    idf = ln(1 + (N−df+0.5)/(df+0.5)) (Robertson-Sparck Jones, +1
+    floor), k1={BM25_K1}, b={BM25_B}. Determinism: each per-term score
+    is one canonical double expression replicated token-for-token in
+    the SQL twin; a query has ≤2 terms, so the per-doc sum is a single
+    commutative double add (order cannot vary); the SUM is then
+    quantized to int64 units (floor(score·1e6 + 0.5)) and ranking
+    ties break on doc_id — the fixedpoint discipline, with ln's
+    cross-engine agreement absorbed exactly as the kmeans contract
+    absorbs it (a flip needs the product to land within an ulp of a
+    rounding boundary; not observed).
+
+    Output: (query_id, q_terms, rank, doc_id, score_units), ordered.
+
+    Scale: one explode→(token,doc) partial-agg shuffle for tf; df and
+    the corpus stats are map-side-combined aggregates; the query-term
+    table ({BM25_NTERMS} rows) broadcasts into the postings join, so
+    only matching postings survive the map side; the final window
+    partitions by query over candidate docs only."""
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    tf = terms.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = terms.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.sum("tf").alias("corpus_tf"),
+    )
+    corpus = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").alias("n_tokens"),
+    )
+    qterms = (
+        stats.filter(~F.col("token").isin(*STOPWORDS))
+        .orderBy(F.desc("corpus_tf"), F.asc("token"))
+        .limit(BM25_NTERMS)
+        .select(
+            "token",
+            "df",
+            F.row_number()
+            .over(Window.orderBy(F.desc("corpus_tf"), F.asc("token")))
+            .alias("trk"),
+        )
+        .select(
+            "token",
+            "df",
+            F.expr("cast((trk - 1) div 2 as bigint)").alias("query_id"),
+        )
+    )
+    qnames = qterms.groupBy("query_id").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("token"))).alias(
+            "q_terms"
+        )
+    )
+    # one canonical double expression, replicated verbatim in SQL
+    idf = F.expr(
+        "ln(1.0D + (cast(n_docs as double) - cast(df as double) + 0.5D)"
+        " / (cast(df as double) + 0.5D))"
+    )
+    denom = F.expr(
+        f"cast(tf as double) + {BM25_K1}D * (1.0D - {BM25_B}D"
+        f" + {BM25_B}D * cast(dl as double)"
+        " * cast(n_docs as double) / cast(n_tokens as double))"
+    )
+    per_term = idf * (F.expr(f"cast(tf as double) * {1.0 + BM25_K1}D")) / denom
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("query_id", "doc_id", per_term.alias("sc"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.floor(F.sum("sc") * F.lit(1e6) + F.lit(0.5)).alias(
+                "score_units"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .join(F.broadcast(qnames), "query_id")
+        .select("query_id", "q_terms", "rank", "doc_id", "score_units")
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_topk_sql() -> str:
+    """The twin rebuilds tf/df/dl/corpus stats, the same query-term
+    ranking, and the token-for-token score expression in DuckDB."""
+    stop = ", ".join(f"'{t}'" for t in STOPWORDS)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+        WITH terms AS (
+          SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents
+        ), tf AS (
+          SELECT token, doc_id, count(*)::BIGINT AS tf
+          FROM terms GROUP BY token, doc_id
+        ), dl AS (
+          SELECT doc_id, count(*)::BIGINT AS dl
+          FROM terms GROUP BY doc_id
+        ), stats AS (
+          SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+                 sum(tf)::BIGINT AS corpus_tf
+          FROM tf GROUP BY token
+        ), corpus AS (
+          SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS n_tokens
+          FROM dl
+        ), qterms AS (
+          SELECT token, df,
+                 ((row_number() OVER (
+                     ORDER BY corpus_tf DESC, token ASC) - 1) // 2)
+                   ::BIGINT AS query_id
+          FROM stats WHERE token NOT IN ({stop})
+          ORDER BY corpus_tf DESC, token ASC LIMIT {BM25_NTERMS}
+        ), qnames AS (
+          SELECT query_id,
+                 string_agg(token, ' ' ORDER BY token) AS q_terms
+          FROM qterms GROUP BY query_id
+        ), scored AS (
+          SELECT q.query_id, t.doc_id,
+                 CAST(floor(sum(
+                   ln(1.0 + (CAST(c.n_docs AS DOUBLE)
+                             - CAST(q.df AS DOUBLE) + 0.5)
+                          / (CAST(q.df AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * {1.0 + k1})
+                   / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b}
+                      + {b} * CAST(d.dl AS DOUBLE)
+                        * CAST(c.n_docs AS DOUBLE)
+                        / CAST(c.n_tokens AS DOUBLE)))
+                 ) * 1e6 + 0.5) AS BIGINT) AS score_units
+          FROM tf t
+          JOIN qterms q USING (token)
+          JOIN dl d USING (doc_id)
+          CROSS JOIN corpus c
+          GROUP BY q.query_id, t.doc_id
+        ), ranked AS (
+          SELECT query_id, doc_id, score_units,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_units DESC, doc_id ASC) AS rank
+          FROM scored
+        )
+        SELECT r.query_id, n.q_terms, r.rank, r.doc_id, r.score_units
+        FROM ranked r JOIN qnames n USING (query_id)
+        WHERE r.rank <= {BM25_TOPK}
+        ORDER BY r.query_id, r.rank
+    """
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, fully relational: explode → tf per (doc, term) → idf by
     document frequency → top-3 terms per doc by tf·idf. Two shuffles

@@ -703,6 +703,10 @@ REGISTRY.update(
         "inverted_index_topk": (
             T.inverted_index_topk, _TEXT_SQLS["inverted_index_topk"],
         ),
+        # r14: BM25 query scoring over the postings — the serving rung
+        # above the champion-list index; fixedpoint score units,
+        # deterministic two-term queries from the top corpus tokens
+        "bm25_topk": (T.bm25_topk, T.bm25_topk_sql()),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         # r11: Count-Min Sketch with exact-verified point queries —
         # the frequency member of the sketch family (KMV/MG/quantiles)
@@ -2115,10 +2119,11 @@ REGISTRY.update(
 # round (cast → try_cast, ADVICE r13 medium) but their OUTPUT is
 # bit-identical on any corpus whose sources parse (verified locally);
 # they re-pin in r15 with the r11 cohort. Two of the 45-query r10 tail
-# (union_all_names, source_id_extract, count_distinct_customers —
-# trivially stable, plan-untouched since r10) yield their slots to
-# the late-r14 additions (corpus_build_funnel, ann_drift_stat,
-# mixture_draw_split) and re-pin in r15 with the r11 cohort.
+# (union_all_names, source_id_extract, count_distinct_customers,
+# multimodal_frame_sample — trivially stable, plan-untouched since
+# r10) yield their slots to the late-r14 additions
+# (corpus_build_funnel, ann_drift_stat, mixture_draw_split,
+# bm25_topk) and re-pin in r15 with the r11 cohort.
 # ---------------------------------------------------------------------------
 
 _R14_FRONT = (
@@ -2129,6 +2134,7 @@ _R14_FRONT = (
     "pii_spans",
     "corpus_build_funnel",
     "ann_drift_stat",
+    "bm25_topk",
     # output changed this round since last score
     "pii_redact",
     "mixture_temperature_weights",
@@ -2167,7 +2173,6 @@ _R14_FRONT = (
     "mixture_sample",
     "multimodal_ahash_groups",
     "multimodal_feature_norms",
-    "multimodal_frame_sample",
     "multimodal_spectral",
     "q20_excess_shippers",
     "q21_waiting_suppliers",

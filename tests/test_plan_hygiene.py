@@ -129,6 +129,10 @@ _TINY_SINGLEPART_WINDOWS = {
     # per-source bucket aggregate — the two-pass split exists exactly
     # to keep corpus rows out of whole-source partitions.
     "mixture_draw_split",
+    # query-term ranking window runs over the post-limit top-
+    # BM25_NTERMS token frame (<= 8 rows by construction); the
+    # scoring window partitions by query over candidate docs.
+    "bm25_topk",
 }
 
 _PLAN_NODE = __import__("re").compile(r"^(?P<pre>[\s:+*|-]*)(?P<name>\w.*)$")

@@ -777,3 +777,34 @@ def test_mixture_draw_split_equals_plain_and_stays_bucketed(spark, sf_dir):
     assert any("b#" in w or ", b" in w for w in corpus_windows) or (
         "partitionBy" not in plan
     )
+
+
+def test_bm25_topk_ranking_invariants(spark, sf_dir):
+    """BM25 contract invariants: BM25_NTERMS/2 queries, ranks are a
+    contiguous 1..k prefix per query with non-increasing score units,
+    query terms are non-stopwords, and every returned doc actually
+    contains at least one of its query's terms."""
+    import re
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import BM25_NTERMS, BM25_TOPK, STOPWORDS, bm25_topk
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == BM25_NTERMS // 2
+    texts = {
+        r["doc_id"]: set(re.split(r" +", r["text"].strip()))
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        units = [r["score_units"] for r in rs]
+        assert units == sorted(units, reverse=True)
+        terms = set(rs[0]["q_terms"].split(" "))
+        assert terms and not (terms & set(STOPWORDS))
+        for r in rs:
+            assert terms & texts[r["doc_id"]], (q, r["doc_id"])

@@ -242,6 +242,7 @@ HEADLINE = [
     "corpus_build_funnel",
     "ann_drift_stat",
     "bm25_topk",
+    "cdc_merge_apply",
 ]
 
 

@@ -127,3 +127,107 @@ def scd2_intervals_sql() -> str:
                      ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, version
     """
+
+
+def _merge_changes(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, changes) for the MERGE contract query — both derived
+    deterministically from the orders table so every SF has a real
+    insert/update/delete mix:
+
+    - base = orders with o_orderkey % 4 != 3 (the standing snapshot);
+    - inserts = the held-out % 4 == 3 rows (op 'I');
+    - updates = base keys with % 4 == 1: status -> 'U', priority ->
+      '9-MERGED' (op 'U' carries the full new payload);
+    - deletes = base keys with % 20 == 0 (op 'D', payload ignored)."""
+    base = orders.filter(F.col("o_orderkey") % 4 != 3)
+    ins = orders.filter(F.col("o_orderkey") % 4 == 3).select(
+        F.lit("I").alias("op"), *orders.columns
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 4 == 1)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_orderpriority", F.lit("9-MERGED"))
+        .select(F.lit("U").alias("op"), *orders.columns)
+    )
+    dele = base.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.lit("D").alias("op"), *orders.columns
+    )
+    return base, ins.unionAll(upd).unionAll(dele)
+
+
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics — the lakehouse upsert primitive the
+    latest-state compaction feeds: apply one changelog batch of
+    inserts / updates / deletes to a base snapshot in a single plan.
+
+    result = (base ⟕ anti-join on touched keys) ∪ U-payloads ∪
+    I-payloads — deletes vanish by not being re-emitted. Precedence:
+    a key can appear once per op class here (derivation is disjoint
+    by construction: %20==0 keys are even, %4==1 keys odd, inserts
+    held out of base), so no intra-batch ordering question arises;
+    multi-change batches are first compacted by cdc_latest_state.
+
+    Scale: ONE equi-join of base against the touched-key set (anti) —
+    broadcast when the batch is small (the nightly case), hash on
+    the key both sides bucket on otherwise — plus a union of the new
+    payloads. Nothing shuffles twice; a real lakehouse writer then
+    rewrites only the files the touched keys live in (the
+    row-group-pruning story from the geometry side applies verbatim:
+    key-clustered layout makes touched-file discovery a min/max
+    skip)."""
+    orders = read_table(spark, sf_dir, "orders")
+    base, changes = _merge_changes(orders)
+    touched = changes.filter(F.col("op").isin("U", "D")).select(
+        "o_orderkey"
+    )
+    survivors = base.join(F.broadcast(touched), "o_orderkey", "left_anti")
+    new_rows = changes.filter(F.col("op").isin("I", "U")).select(
+        *base.columns
+    )
+    return (
+        survivors.unionAll(new_rows)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def cdc_merge_apply_sql() -> str:
+    """Independent ANSI rendition of the same MERGE outcome (DuckDB's
+    MERGE statement mutates tables; the oracle states the result
+    relationally: anti-join + union of new payloads)."""
+    return """
+        WITH base AS (
+          SELECT * FROM orders WHERE o_orderkey % 4 != 3
+        ), ins AS (
+          SELECT * FROM orders WHERE o_orderkey % 4 = 3
+        ), upd AS (
+          SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                 o_totalprice, o_orderdate,
+                 '9-MERGED' AS o_orderpriority
+          FROM base WHERE o_orderkey % 4 = 1
+        ), del AS (
+          SELECT o_orderkey FROM base WHERE o_orderkey % 20 = 0
+        ), touched AS (
+          SELECT o_orderkey FROM upd
+          UNION ALL SELECT o_orderkey FROM del
+        ), survivors AS (
+          SELECT b.* FROM base b
+          LEFT JOIN touched t USING (o_orderkey)
+          WHERE t.o_orderkey IS NULL
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM (
+          SELECT * FROM survivors
+          UNION ALL SELECT * FROM ins
+          UNION ALL SELECT * FROM upd
+        )
+        ORDER BY o_orderkey
+    """

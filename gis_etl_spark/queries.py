@@ -772,6 +772,10 @@ REGISTRY.update(
         # row_number window — same 'latest change per key'
         "cdc_latest_state": (C.cdc_latest_state, C.cdc_latest_state_sql()),
         "scd2_intervals": (C.scd2_intervals, C.scd2_intervals_sql()),
+        # r14: MERGE INTO semantics — one changelog batch of
+        # insert/update/delete applied to a base snapshot in one plan
+        # (anti-join on touched keys + union of new payloads)
+        "cdc_merge_apply": (C.cdc_merge_apply, C.cdc_merge_apply_sql()),
         # 3 unrolled iterations, every rank an exact int64 — the
         # iterative-algorithm-on-Spark shape with a hash-checkable result
         "pagerank_trade": (GR.pagerank_trade, GR.pagerank_trade_sql()),
@@ -2120,10 +2124,11 @@ REGISTRY.update(
 # bit-identical on any corpus whose sources parse (verified locally);
 # they re-pin in r15 with the r11 cohort. Two of the 45-query r10 tail
 # (union_all_names, source_id_extract, count_distinct_customers,
-# multimodal_frame_sample — trivially stable, plan-untouched since
-# r10) yield their slots to the late-r14 additions
-# (corpus_build_funnel, ann_drift_stat, mixture_draw_split,
-# bm25_topk) and re-pin in r15 with the r11 cohort.
+# multimodal_frame_sample, geo_total_count — trivially stable
+# single-op queries, plan-untouched since r10) yield their slots to
+# the late-r14 additions (corpus_build_funnel, ann_drift_stat,
+# mixture_draw_split, bm25_topk, cdc_merge_apply) and re-pin in r15
+# with the r11 cohort.
 # ---------------------------------------------------------------------------
 
 _R14_FRONT = (
@@ -2135,6 +2140,7 @@ _R14_FRONT = (
     "corpus_build_funnel",
     "ann_drift_stat",
     "bm25_topk",
+    "cdc_merge_apply",
     # output changed this round since last score
     "pii_redact",
     "mixture_temperature_weights",
@@ -2161,7 +2167,6 @@ _R14_FRONT = (
     "geo_source_counts",
     "geo_spatial_clusters",
     "geo_tile_census",
-    "geo_total_count",
     "h3_children_rollup",
     "h3_parent_rollup",
     "heavy_hitter_tokens",

@@ -207,3 +207,41 @@ def test_triangle_census_matches_brute_force(spark):
             for r in G.triangle_census(df).collect()
         }
         assert got == brute(edges), edges is hand
+
+
+def test_cdc_merge_apply_semantics(spark, sf_dir):
+    """MERGE invariants: deletes vanish, updates carry the new payload
+    under their old key, inserts appear, untouched rows pass through
+    byte-identical, and the key set is exactly
+    (base − deletes) ∪ inserts with no duplicates."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.cdc import cdc_merge_apply
+
+    orders = read_table(spark, sf_dir, "orders")
+    merged = cdc_merge_apply(spark, sf_dir)
+    keys = [r["o_orderkey"] for r in merged.select("o_orderkey").collect()]
+    assert len(keys) == len(set(keys)), "MERGE must not duplicate keys"
+
+    all_keys = {r[0] for r in orders.select("o_orderkey").collect()}
+    base = {k for k in all_keys if k % 4 != 3}
+    ins = all_keys - base
+    dels = {k for k in base if k % 20 == 0}
+    assert set(keys) == (base - dels) | ins
+
+    got_upd = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_orderpriority"])
+        for r in merged.filter(F.col("o_orderkey") % 4 == 1).collect()
+    }
+    assert got_upd and all(
+        v == ("U", "9-MERGED") for v in got_upd.values()
+    )
+    untouched = merged.filter(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 20 != 0)
+    )
+    src = orders.filter(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 20 != 0)
+    ).select(*untouched.columns)
+    assert untouched.exceptAll(src).count() == 0
+    assert src.exceptAll(untouched).count() == 0

@@ -168,19 +168,21 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-change batches are first compacted by cdc_latest_state.
 
     Scale: ONE equi-join of base against the touched-key set (anti) —
-    broadcast when the batch is small (the nightly case), hash on
-    the key both sides bucket on otherwise — plus a union of the new
-    payloads. Nothing shuffles twice; a real lakehouse writer then
-    rewrites only the files the touched keys live in (the
-    row-group-pruning story from the geometry side applies verbatim:
-    key-clustered layout makes touched-file discovery a min/max
-    skip)."""
+    no forced broadcast hint: this fixture's batch touches ~30% of
+    base keys, and at 100 TB the batch size is a runtime property, so
+    the join strategy is left to AQE (small batch → runtime broadcast;
+    big batch → hash join on the key both sides bucket on) — plus a
+    union of the new payloads. Nothing shuffles twice; a real
+    lakehouse writer then rewrites only the files the touched keys
+    live in (the row-group-pruning story from the geometry side
+    applies verbatim: key-clustered layout makes touched-file
+    discovery a min/max skip)."""
     orders = read_table(spark, sf_dir, "orders")
     base, changes = _merge_changes(orders)
     touched = changes.filter(F.col("op").isin("U", "D")).select(
         "o_orderkey"
     )
-    survivors = base.join(F.broadcast(touched), "o_orderkey", "left_anti")
+    survivors = base.join(touched, "o_orderkey", "left_anti")
     new_rows = changes.filter(F.col("op").isin("I", "U")).select(
         *base.columns
     )

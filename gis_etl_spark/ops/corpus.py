@@ -25,7 +25,7 @@ dedup_apply_keepers / mixture_draw_plan (VERDICT r13 items 1-2).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gis_etl_spark.ops.dedup import (
@@ -40,9 +40,11 @@ from gis_etl_spark.ops.text import (
     STOPWORDS,
     WORDS_SQL,
     _PII_PATTERNS,
+    pii_hits_col,
     pii_planted_txt,
     pii_planted_txt_sql,
     quality_score_cte_sql,
+    quality_score_from_counts,
     words_col,
 )
 
@@ -54,17 +56,6 @@ from gis_etl_spark.ops.text import (
 FUNNEL_DRAW_BUDGET = 8_192
 
 _STAGES = ("raw", "near_dedup", "quality", "pii_clean", "mixture_draw")
-
-
-def _pii_hits(txt: Column) -> Column:
-    """Total PII matches across every detector kind — the shared
-    pii_scan patterns on the shared planted-text convention (the
-    planting keys off doc_id, so the gate bites deterministically at
-    any SF; on a real corpus the same expression runs on raw text)."""
-    total = F.lit(0)
-    for pat in _PII_PATTERNS.values():
-        total = total + F.regexp_count(txt, F.lit(pat))
-    return total
 
 
 def _flagged_docs(
@@ -90,13 +81,10 @@ def _flagged_docs(
         F.size(w).cast("long").alias("n"),
         F.size(F.array_distinct(w)).alias("nd"),
         F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
-        _pii_hits(pii_planted_txt()).alias("pii_hits"),
+        pii_hits_col(pii_planted_txt()).alias("pii_hits"),
     )
-    q = F.round(
-        F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
-        * (F.col("nd") / F.col("n"))
-        * (1.0 - F.col("nstop") / F.col("n")),
-        4,
+    q = quality_score_from_counts(
+        F.col("n"), F.col("nd"), F.col("nstop")
     )
     return (
         staged.join(F.broadcast(non_keepers), "doc_id", "left")

@@ -961,7 +961,11 @@ def _member_keepers(
     a verified near-dup pair — the shared core of the keeper policy
     (dedup_canonical_keepers) and its application (dedup_apply_keepers
     / apply_keepers_corpus). No ordering: consumers add their own."""
-    from gis_etl_spark.ops.text import STOPWORDS, words_col
+    from gis_etl_spark.ops.text import (
+        STOPWORDS,
+        quality_score_from_counts,
+        words_col,
+    )
 
     docs = _docs(spark, docs_path)
     pairs = _verified_pair_edges(spark, sf_dir, docs_path)
@@ -975,11 +979,8 @@ def _member_keepers(
     )
     q = staged.select(
         "doc_id",
-        F.round(
-            F.least(F.col("n") / F.lit(100.0), F.lit(1.0))
-            * (F.col("nd") / F.col("n"))
-            * (1.0 - F.col("nstop") / F.col("n")),
-            4,
+        quality_score_from_counts(
+            F.col("n"), F.col("nd"), F.col("nstop")
         ).alias("quality_score"),
     )
     member = labels.join(q, "doc_id")

@@ -2370,6 +2370,30 @@ from pyspark.errors import AnalysisException as _AnalysisException
 
 _CATALOG_UNWRITABLE_ERRORS = (_AnalysisException, OSError)
 
+# JVM-side write failures a genuinely unwritable warehouse raises at
+# EXECUTION time (not analysis): saveAsTable surfaces them as
+# Py4JJavaError wrapping an IOException / permission / space error.
+# Matched by message so a genuine build bug (shape errors, training
+# NPEs) still raises instead of silently serving the fallback.
+_UNWRITABLE_JVM_MARKERS = (
+    "IOException",
+    "Permission denied",
+    "Read-only file system",
+    "ReadOnly",
+    "No space left",
+)
+
+
+def _is_unwritable_jvm_error(e: Exception) -> bool:
+    try:
+        from py4j.protocol import Py4JJavaError
+    except ImportError:  # pragma: no cover
+        return False
+    if not isinstance(e, Py4JJavaError):
+        return False
+    msg = str(e)
+    return any(m in msg for m in _UNWRITABLE_JVM_MARKERS)
+
 
 def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC+R served from the PERSISTED index — the shape a 100 TB
@@ -2382,12 +2406,15 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     same unrolled retrain-and-probe SQL — a hash match pins that the
     STORED artifacts equal what training produces.
 
-    Falls back to the in-plan chain ONLY on catalog/filesystem error
-    types (read-only warehouse: AnalysisException from saveAsTable,
-    OSError/Py4J IOException from the location cleanup) — a genuine
-    index-build bug (bad codebook shapes, training failures) RAISES
-    instead of silently serving the fallback as if the stored path
-    worked (VERDICT r13 item 4; receipt:
+    Falls back to the in-plan chain ONLY on unwritable-warehouse
+    errors: AnalysisException from saveAsTable, OSError from the
+    location handling, and execution-time JVM write failures
+    (Py4JJavaError whose cause is an IOException / permission /
+    no-space error — matched by _is_unwritable_jvm_error, since py4j
+    wraps them all in one exception type). A genuine index-build bug
+    (bad codebook shapes, training failures) RAISES instead of
+    silently serving the fallback as if the stored path worked
+    (VERDICT r13 item 4; receipt:
     tests/test_scale.py::test_ivfpq_serve_poisoned_build_raises).
     Which path served is recorded in SERVE_PATH_USED for the bench
     artifact."""
@@ -2396,6 +2423,11 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         names = build_ivfpq_index(spark, sf_dir)
     except _CATALOG_UNWRITABLE_ERRORS:  # pragma: no cover
+        SERVE_PATH_USED = "fallback"
+        return similarity_ivfpq_rerank(spark, sf_dir)
+    except Exception as e:  # pragma: no cover — JVM write failures
+        if not _is_unwritable_jvm_error(e):
+            raise
         SERVE_PATH_USED = "fallback"
         return similarity_ivfpq_rerank(spark, sf_dir)
     SERVE_PATH_USED = "stored"

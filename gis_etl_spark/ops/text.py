@@ -37,6 +37,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def quality_score_from_counts(
+    n: Column, nd: Column, nstop: Column
+) -> Column:
+    """THE quality composite — round(least(n/100,1)·(nd/n)·(1−nstop/n),
+    4) over (token count, distinct tokens, stopword tokens). Single
+    shared expression: text_quality_scores, the dedup keeper policy,
+    the corpus funnel, and the streaming ingest twin must all gate on
+    byte-identical scores (hash-contract requirement), so none of them
+    may restate it."""
+    return F.round(
+        F.least(n / F.lit(100.0), F.lit(1.0))
+        * (nd / n)
+        * (1.0 - nstop / n),
+        4,
+    )
+
+
 def h60(col: Column) -> Column:
     """60-bit integer from the md5 hex prefix — cross-engine stable."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -2928,14 +2945,33 @@ def _luhn_total_sql(card: str) -> str:
     )
 
 
+def pii_hits_col(txt: Column) -> Column:
+    """Total PII matches across every detector kind — the single
+    shared gate expression (batch funnel, streaming ingest twin, any
+    zero-PII policy)."""
+    total = F.lit(0)
+    for pat in _PII_PATTERNS.values():
+        total = total + F.regexp_count(txt, F.lit(pat))
+    return total
+
+
+def pii_redacted_col(txt: Column) -> Column:
+    """The redacted text — every pattern replaced by its typed
+    placeholder in the PINNED order (_PII_REDACTIONS). Single shared
+    fold: the batch audit, the streaming twins, and any consumer
+    hashing redacted bytes must apply the identical sequence."""
+    red = txt
+    for kind, repl in _PII_REDACTIONS:
+        red = F.regexp_replace(red, _PII_PATTERNS[kind], repl)
+    return red
+
+
 def pii_redact_audit_cols(txt: Column) -> list[Column]:
     """The redaction audit projection over a planted-text column:
     per-type counts (incl. the Luhn-validity split of card-shaped
     candidates), md5 of the redacted text (pinned card → SSN → phone
     → email → IPv4 order, all occurrences), and the length delta."""
-    red = txt
-    for kind, repl in _PII_REDACTIONS:
-        red = F.regexp_replace(red, _PII_PATTERNS[kind], repl)
+    red = pii_redacted_col(txt)
     cards = F.regexp_extract_all(txt, F.lit(_PII_CARD), F.lit(0))
     return [
         F.regexp_count(txt, F.lit(_PII_EMAIL)).alias("n_emails"),

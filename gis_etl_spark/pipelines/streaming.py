@@ -1374,10 +1374,11 @@ def streaming_ingest_curation(
     n_copies, keep_id, n_tokens, q_ok, pii_hits, redacted_md5)."""
     from gis_etl_spark.ops.dedup import PREP_QUALITY_T
     from gis_etl_spark.ops.text import (
-        _PII_PATTERNS,
-        _PII_REDACTIONS,
         STOPWORDS,
+        pii_hits_col,
         pii_planted_txt,
+        pii_redacted_col,
+        quality_score_from_counts,
         words_col,
     )
 
@@ -1388,21 +1389,12 @@ def streaming_ingest_curation(
     stream = spark.readStream.schema(schema).parquet(input_dir)
     w = words_col(F.col("text"))
     txt = pii_planted_txt()
-    red = txt
-    for kind, repl in _PII_REDACTIONS:
-        red = F.regexp_replace(red, _PII_PATTERNS[kind], repl)
-    hits = F.lit(0)
-    for pat in _PII_PATTERNS.values():
-        hits = hits + F.regexp_count(txt, F.lit(pat))
+    red = pii_redacted_col(txt)
+    hits = pii_hits_col(txt)
     n = F.size(w).cast("long")
     nd = F.size(F.array_distinct(w))
     nstop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    q = F.round(
-        F.least(n / F.lit(100.0), F.lit(1.0))
-        * (nd / n)
-        * (1.0 - nstop / n),
-        4,
-    )
+    q = quality_score_from_counts(n, nd, nstop)
     staged = stream.select(
         F.md5(F.col("text")).alias("content_hash"),
         F.struct(

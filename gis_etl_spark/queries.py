@@ -2112,23 +2112,21 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 # Round-14 window rotation (VERDICT r13 item 3). Latest driver score
 # per query after r13: r10 ×45, r11 ×45, r12 ×47, r13 ×50. The window:
-# the 3 r14 additions front, then the 2 r13-scored queries whose
+# the 8 r14 additions front (dedup_apply_keepers, mixture_draw_plan,
+# mixture_draw_split, pii_spans, corpus_build_funnel, ann_drift_stat,
+# bm25_topk, cdc_merge_apply), then the 2 r13-scored queries whose
 # OUTPUT changed this round (pii_redact — ipv4/card kinds + new
 # planted positives + Luhn audit columns; mixture_temperature_weights
 # — the weight column moved from round() to the explicit fixedpoint
-# half-up quantization, ADVICE r13), then the ENTIRE r10 tail (45 —
-# exactly the set the r13 note planned). After this window no
-# registry query's latest score predates r11. The two KMV queries
-# (kmv_source_overlap / kmv_overlap_sketch) also changed plan this
-# round (cast → try_cast, ADVICE r13 medium) but their OUTPUT is
-# bit-identical on any corpus whose sources parse (verified locally);
-# they re-pin in r15 with the r11 cohort. Two of the 45-query r10 tail
-# (union_all_names, source_id_extract, count_distinct_customers,
-# multimodal_frame_sample, geo_total_count — trivially stable
-# single-op queries, plan-untouched since r10) yield their slots to
-# the late-r14 additions (corpus_build_funnel, ann_drift_stat,
-# mixture_draw_split, bm25_topk, cdc_merge_apply) and re-pin in r15
-# with the r11 cohort.
+# half-up quantization, ADVICE r13), then 40 of the 45-query r10 tail.
+# FIVE r10-tail queries (union_all_names, source_id_extract,
+# count_distinct_customers, multimodal_frame_sample, geo_total_count —
+# trivially stable single-op queries, plan-untouched since r10)
+# yielded their slots to the late-r14 additions; after this window
+# exactly those five (plus the try_cast-only KMV pair, whose OUTPUT
+# is bit-identical on any corpus whose sources parse — verified
+# locally) still predate r11, and all re-pin in r15 with the r11
+# cohort.
 # ---------------------------------------------------------------------------
 
 _R14_FRONT = (

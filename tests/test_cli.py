@@ -228,8 +228,10 @@ def test_cli_canonical_dedup_and_build_ann_index(tmp_path):
     assert set(pdf.columns) == {
         "doc_id", "component", "quality_score", "keeper_id", "is_kept"
     }
-    assert len(pdf) > 0, "--input must be honored (ADVICE r13): the raw"
-    " corpus has verified near-dup pairs of its own"
+    assert len(pdf) > 0, (
+        "--input must be honored (ADVICE r13): the raw corpus has "
+        "verified near-dup pairs of its own"
+    )
     assert (pdf.groupby("component")["is_kept"].sum() == 1).all()
 
     # --write-survivors: the keeper-only corpus (input schema, input

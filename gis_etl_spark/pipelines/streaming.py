@@ -1421,3 +1421,99 @@ def streaming_ingest_curation(
             F.col("k.redacted_md5").alias("redacted_md5"),
         )
     )
+
+
+from pyspark.sql.streaming import StatefulProcessor
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf for its
+    state-server protocol; absent in this container (not in the baked
+    dependency set) — the capability gate the TWS rendition and its
+    test consult."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+class _LatestStateTws(StatefulProcessor):
+    """StatefulProcessor rendition of the CDC latest-state keeper —
+    the Spark 4 transformWithStateInPandas surface (typed per-key
+    ValueState in the JVM state store, no whole-state pickle per
+    batch, TTL/timers available). A plain module-level subclass: the
+    processor instance pickles to the state-server worker by
+    reference, which a dynamically-built class cannot."""
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState("latest", CDC_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        best = self._st.get() if self._st.exists() else None
+        for pdf in rows:
+            for ok, stt, pr, us in zip(
+                pdf["o_orderkey"], pdf["o_orderstatus"],
+                pdf["o_totalprice"], pdf["us"],
+            ):
+                cand = (int(us), int(ok), str(stt), float(pr))
+                if best is None or (cand[0], cand[1]) > (
+                    int(best[0]), int(best[1])
+                ):
+                    best = cand
+        self._st.update(tuple(best))
+        yield pd.DataFrame(
+            [
+                (
+                    int(key[0]),
+                    int(best[1]),
+                    str(best[2]),
+                    float(best[3]),
+                    int(best[0]),
+                )
+            ],
+            columns=[f.name for f in CDC_OUT_SCHEMA],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_latest_state_tws(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """streaming_latest_state on the MODERN arbitrary-state API
+    (transformWithStateInPandas, Spark 4): identical semantics to the
+    applyInPandasWithState twin — per-key max (change_us, orderkey)
+    keeper — but the state is a TYPED ValueState row in the JVM state
+    store instead of a whole-group pickled tuple, and the processor
+    object carries timers/TTL hooks the legacy API lacks. Kept beside
+    the legacy twin deliberately: both drain the same rig and must
+    equal the batch max(struct) (pinned in tests), documenting the
+    migration path a production pipeline takes as the old API
+    deprecates."""
+    # transformWithState requires the RocksDB state store provider
+    # (the recommended production provider regardless); the legacy
+    # twins keep working under it — providers are per-query state
+    # machinery, not data format.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    keyed = stream.select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.unix_micros("o_orderdate").alias("us"),
+    )
+    return keyed.groupBy("o_custkey").transformWithStateInPandas(
+        statefulProcessor=_LatestStateTws(),
+        outputStructType=CDC_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1151,3 +1151,141 @@ def test_streaming_ingest_curation_matches_batch(spark, sf_dir, tmp_path):
     # injected duplicates collapsed onto the original keeper
     dup_hashes = [h for h, v in got.items() if v[0] > 1]
     assert dup_hashes and all(got[h][1] < 1_000_000 for h in dup_hashes)
+
+
+def test_streaming_ann_drift_self_train_default(spark, sf_dir, tmp_path):
+    """cents=None trains the codebook from the replay's own batch
+    snapshot (the rig convenience path): result equals passing the
+    explicitly-trained codebook for the same input."""
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.similarity import kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    in_dir = str(tmp_path / "emb_default")
+    emb.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    n1 = f"dd_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_ann_drift(spark, in_dir), n1, output_mode="complete"
+    )
+    cents = kmeans_fit(
+        spark.read.parquet(in_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    n2 = f"de_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_ann_drift(spark, in_dir, cents), n2,
+        output_mode="complete",
+    )
+    a = {tuple(r) for r in spark.table(n1).collect()}
+    b = {tuple(r) for r in spark.table(n2).collect()}
+    assert a == b and a
+
+
+def test_streaming_latest_state_tws_matches_batch(spark, sf_dir, stream_dir):
+    """The transformWithStateInPandas rendition == batch
+    cdc_latest_state under the same multi-file replay — the modern
+    arbitrary-state API computes the identical keeper as the legacy
+    applyInPandasWithState twin. Skips where the container lacks
+    google.protobuf (the TWS state protocol's dependency — the
+    documented environment gate)."""
+    import pytest
+
+    if not S.tws_available():
+        pytest.skip("google.protobuf absent: TWS state protocol gated")
+    from gis_etl_spark.ops.cdc import cdc_latest_state
+
+    orders = read_table(spark, sf_dir, "orders")
+    _split_into_files(orders, stream_dir, 8)
+
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_latest_state_tws(spark, stream_dir), name,
+        output_mode="update",
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("o_custkey").tail(1)
+    got = {
+        int(r.o_custkey): (
+            int(r.last_orderkey),
+            r.last_status,
+            float(r.last_totalprice),
+            int(r.last_update_us),
+        )
+        for r in last.itertuples()
+    }
+    batch = cdc_latest_state(spark, sf_dir).withColumn(
+        "us", F.unix_micros("last_update")
+    )
+    want = {
+        r.o_custkey: (
+            r.last_orderkey,
+            r.last_status,
+            r.last_totalprice,
+            int(r.us),
+        )
+        for r in batch.collect()
+    }
+    assert got == want and got
+
+
+def test_latest_state_tws_processor_logic():
+    """The TWS processor's keeper logic, unit-tested against a fake
+    typed-state handle (the integration is environment-gated on
+    google.protobuf, so the semantics are pinned here): max
+    (change_us, orderkey) keeper across slicings, state survives
+    between batches, emitted row mirrors the state."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = tuple(t)
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    p = S._LatestStateTws()
+    h = FakeHandle()
+    p.init(h)
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice", "us"],
+        )
+
+    out1 = list(
+        p.handleInputRows(
+            (7,), iter([batch([(10, "O", 1.5, 100), (11, "F", 2.5, 90)])]),
+            None,
+        )
+    )
+    assert h.state.v == (100, 10, "O", 1.5)
+    assert out1[0].iloc[0].tolist() == [7, 10, "O", 1.5, 100]
+    # later batch with an older change: keeper unchanged; same-us
+    # higher orderkey wins the tiebreak
+    list(
+        p.handleInputRows(
+            (7,), iter([batch([(9, "P", 9.9, 50), (12, "X", 3.0, 100)])]),
+            None,
+        )
+    )
+    assert h.state.v == (100, 12, "X", 3.0)

@@ -268,6 +268,27 @@ def cmd_ann_drift(spark: SparkSession, args) -> None:
     print(f"ann-drift: wrote {args.output}")
 
 
+def cmd_merge_apply(spark: SparkSession, args) -> None:
+    """Apply a changelog batch (parquet with an `op` column: I/U/D,
+    U and I carrying the full new payload) to a base snapshot on
+    --key, writing the merged table — the generic MERGE INTO rung
+    behind cdc_merge_apply's contract fixture."""
+    from gis_etl_spark.ops.cdc import merge_apply
+
+    base = spark.read.parquet(args.input)
+    changes = spark.read.parquet(args.changes)
+    merge_apply(base, changes, args.key).write.mode("overwrite").parquet(
+        args.output
+    )
+    n_i = changes.filter(F.col("op") == "I").count()
+    n_u = changes.filter(F.col("op") == "U").count()
+    n_d = changes.filter(F.col("op") == "D").count()
+    print(
+        f"merge-apply: applied {n_i} inserts, {n_u} updates, "
+        f"{n_d} deletes on key {args.key}; wrote {args.output}"
+    )
+
+
 def cmd_build_corpus(spark: SparkSession, args) -> None:
     """Run the FULL curation funnel over the --input corpus and write
     the training set it selects (keeper-only → quality → PII-clean →
@@ -403,6 +424,15 @@ def main(argv: list[str] | None = None) -> None:
     )
     common(p)
 
+    p = sub.add_parser(
+        "merge-apply",
+        help="MERGE a changelog batch (op column: I/U/D) into a base "
+        "snapshot on --key",
+    )
+    common(p)
+    p.add_argument("--changes", required=True)
+    p.add_argument("--key", required=True)
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -426,6 +456,7 @@ def main(argv: list[str] | None = None) -> None:
             "build-ann-index": cmd_build_ann_index,
             "build-corpus": cmd_build_corpus,
             "ann-drift": cmd_ann_drift,
+            "merge-apply": cmd_merge_apply,
         }[args.cmd](spark, args)
     finally:
         spark.stop()

@@ -155,6 +155,26 @@ def _merge_changes(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
     return base, ins.unionAll(upd).unionAll(dele)
 
 
+def merge_apply(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Generic MERGE INTO: apply a changes frame carrying an `op`
+    column ('I' insert / 'U' update / 'D' delete; U and I carry the
+    full new payload in base's columns) to `base` on `key`. The
+    relational statement of the lakehouse upsert:
+
+        result = (base anti-join touched-keys) ∪ U-payloads ∪ I-payloads
+
+    Join strategy is left to AQE (batch size is a runtime property).
+    Multi-change-per-key batches must be compacted first
+    (cdc_latest_state's max-struct keeper); this operator assumes at
+    most one change per key, the post-compaction contract."""
+    touched = changes.filter(F.col("op").isin("U", "D")).select(key)
+    survivors = base.join(touched, key, "left_anti")
+    new_rows = changes.filter(F.col("op").isin("I", "U")).select(
+        *base.columns
+    )
+    return survivors.unionAll(new_rows)
+
+
 def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics — the lakehouse upsert primitive the
     latest-state compaction feeds: apply one changelog batch of
@@ -179,15 +199,8 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovery a min/max skip)."""
     orders = read_table(spark, sf_dir, "orders")
     base, changes = _merge_changes(orders)
-    touched = changes.filter(F.col("op").isin("U", "D")).select(
-        "o_orderkey"
-    )
-    survivors = base.join(touched, "o_orderkey", "left_anti")
-    new_rows = changes.filter(F.col("op").isin("I", "U")).select(
-        *base.columns
-    )
     return (
-        survivors.unionAll(new_rows)
+        merge_apply(base, changes, "o_orderkey")
         .select(
             "o_orderkey",
             "o_custkey",

@@ -326,3 +326,45 @@ def test_cli_ann_drift(tmp_path):
         "n_inc", "err_units_inc", "avg_units_inc", "drift_x1000",
     } <= set(pdf.columns)
     assert "FIRED" in res.stdout, res.stdout[-1000:]
+
+
+def test_cli_merge_apply(tmp_path):
+    """The generic MERGE subcommand end-to-end in a subprocess over a
+    hand-built base + changes pair: delete vanishes, update payload
+    lands, insert appears, untouched row passes through."""
+    import pandas as pd
+
+    base_dir = str(tmp_path / "base")
+    ch_dir = str(tmp_path / "changes")
+    out = str(tmp_path / "merged")
+    pd.DataFrame(
+        {"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}
+    ).to_parquet(os.path.join(tmp_path, "b.parquet"))
+    os.makedirs(base_dir)
+    os.replace(
+        os.path.join(tmp_path, "b.parquet"),
+        os.path.join(base_dir, "part-0.parquet"),
+    )
+    pd.DataFrame(
+        {"op": ["U", "D", "I"], "k": [2, 3, 9], "v": ["B", None, "z"]}
+    ).to_parquet(os.path.join(tmp_path, "c.parquet"))
+    os.makedirs(ch_dir)
+    os.replace(
+        os.path.join(tmp_path, "c.parquet"),
+        os.path.join(ch_dir, "part-0.parquet"),
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "merge-apply",
+            "--input", base_dir, "--changes", ch_dir, "--key", "k",
+            "--output", out, "--master", "local[2]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    got = pd.read_parquet(out).sort_values("k")
+    assert list(zip(got["k"], got["v"])) == [
+        (1, "a"), (2, "B"), (4, "d"), (9, "z")
+    ]
+    assert "1 inserts, 1 updates, 1 deletes" in res.stdout

@@ -166,8 +166,14 @@ def merge_apply(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     Join strategy is left to AQE (batch size is a runtime property).
     Multi-change-per-key batches must be compacted first
     (cdc_latest_state's max-struct keeper); this operator assumes at
-    most one change per key, the post-compaction contract."""
-    touched = changes.filter(F.col("op").isin("U", "D")).select(key)
+    most one change per key, the post-compaction contract.
+
+    The anti-join removes EVERY touched key — including 'I' keys — so
+    an insert whose key already exists in base replaces the base row
+    (upsert) instead of silently duplicating the key. The result
+    therefore always has at most one row per key given the one-change-
+    per-key contract (ADVICE r14)."""
+    touched = changes.select(key)
     survivors = base.join(touched, key, "left_anti")
     new_rows = changes.filter(F.col("op").isin("I", "U")).select(
         *base.columns
@@ -230,7 +236,8 @@ def cdc_merge_apply_sql() -> str:
         ), del AS (
           SELECT o_orderkey FROM base WHERE o_orderkey % 20 = 0
         ), touched AS (
-          SELECT o_orderkey FROM upd
+          SELECT o_orderkey FROM ins
+          UNION ALL SELECT o_orderkey FROM upd
           UNION ALL SELECT o_orderkey FROM del
         ), survivors AS (
           SELECT b.* FROM base b

@@ -2372,15 +2372,19 @@ _CATALOG_UNWRITABLE_ERRORS = (_AnalysisException, OSError)
 
 # JVM-side write failures a genuinely unwritable warehouse raises at
 # EXECUTION time (not analysis): saveAsTable surfaces them as
-# Py4JJavaError wrapping an IOException / permission / space error.
-# Matched by message so a genuine build bug (shape errors, training
-# NPEs) still raises instead of silently serving the fallback.
+# Py4JJavaError wrapping a permission / space / rename error.
+# Matched by NARROW filesystem-write markers only — a bare
+# "IOException" marker would also match any executor failure whose
+# stack trace mentions an IOException (corrupt input parquet, shuffle
+# fetch failure), silently serving the fallback for what is really a
+# build bug (ADVICE r14). Those must raise.
 _UNWRITABLE_JVM_MARKERS = (
-    "IOException",
     "Permission denied",
     "Read-only file system",
-    "ReadOnly",
+    "ReadOnlyFileSystem",
     "No space left",
+    "Failed to rename",
+    "Mkdirs failed",
 )
 
 
@@ -2409,9 +2413,10 @@ def similarity_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Falls back to the in-plan chain ONLY on unwritable-warehouse
     errors: AnalysisException from saveAsTable, OSError from the
     location handling, and execution-time JVM write failures
-    (Py4JJavaError whose cause is an IOException / permission /
-    no-space error — matched by _is_unwritable_jvm_error, since py4j
-    wraps them all in one exception type). A genuine index-build bug
+    (Py4JJavaError whose rendered trace carries a narrow
+    filesystem-write marker — permission / read-only / no-space /
+    rename / mkdirs, per _UNWRITABLE_JVM_MARKERS; a bare IOException
+    mention does NOT qualify, ADVICE r14). A genuine index-build bug
     (bad codebook shapes, training failures) RAISES instead of
     silently serving the fallback as if the stored path worked
     (VERDICT r13 item 4; receipt:

@@ -245,3 +245,23 @@ def test_cdc_merge_apply_semantics(spark, sf_dir):
     ).select(*untouched.columns)
     assert untouched.exceptAll(src).count() == 0
     assert src.exceptAll(untouched).count() == 0
+
+
+def test_merge_apply_insert_on_existing_key_is_upsert(spark):
+    """ADVICE r14: an 'I' change whose key already exists in base must
+    REPLACE the base row (upsert), not silently duplicate the key —
+    the merge-apply CLI accepts arbitrary changelogs, so the generic
+    operator cannot rely on the fixture's disjoint-key guarantee."""
+    from gis_etl_spark.ops.cdc import merge_apply
+
+    base = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], schema=["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [("I", 1, "new"), ("I", 3, "fresh")], schema=["op", "k", "v"]
+    )
+    got = {
+        r["k"]: r["v"] for r in merge_apply(base, changes, "k").collect()
+    }
+    assert got == {1: "new", 2: "keep", 3: "fresh"}
+    assert merge_apply(base, changes, "k").count() == 3

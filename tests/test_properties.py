@@ -774,9 +774,12 @@ def test_mixture_draw_split_equals_plain_and_stays_bucketed(spark, sf_dir):
     corpus_windows = [
         w for w in re.findall(r"Arguments: \[sum\(n_tokens.*?\]", plan)
     ]
-    assert any("b#" in w or ", b" in w for w in corpus_windows) or (
-        "partitionBy" not in plan
-    )
+    # the disjunct ADVICE r14 flagged as vacuous is gone: formatted
+    # plans never contain the literal "partitionBy", so the only real
+    # check is the direct one — corpus-row running-sum windows exist
+    # and EVERY one names the _rsb bucket column in its partition spec
+    assert corpus_windows
+    assert all("_rsb#" in w for w in corpus_windows), corpus_windows
 
 
 def test_bm25_topk_ranking_invariants(spark, sf_dir):

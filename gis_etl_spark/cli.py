@@ -298,13 +298,20 @@ def cmd_build_corpus(spark: SparkSession, args) -> None:
     from gis_etl_spark.ops.corpus import (
         build_training_corpus,
         corpus_build_funnel,
+        materialize_curation_flags,
     )
 
     dp = _docs_path(args.input)
-    build_training_corpus(spark, args.input, docs_path=dp).write.mode(
-        "overwrite"
-    ).parquet(args.output)
-    for r in corpus_build_funnel(spark, args.input, docs_path=dp).collect():
+    ft = None
+    if getattr(args, "flags_table", False):
+        ft = materialize_curation_flags(spark, args.input, docs_path=dp)
+        print(f"build-corpus: materialized flags table {ft}")
+    build_training_corpus(
+        spark, args.input, docs_path=dp, flags_table=ft
+    ).write.mode("overwrite").parquet(args.output)
+    for r in corpus_build_funnel(
+        spark, args.input, docs_path=dp, flags_table=ft
+    ).collect():
         print(
             f"build-corpus: stage {r.stage_id} {r.stage:13s}"
             f" {r.source:12s} docs {r.n_docs:6d} tokens {r.n_tokens}"
@@ -416,6 +423,13 @@ def main(argv: list[str] | None = None) -> None:
         "corpus it selects (prints the per-stage funnel card)",
     )
     common(p)
+    p.add_argument(
+        "--flags-table",
+        action="store_true",
+        help="materialize the per-doc stage-flags table once and make "
+        "the funnel card, the draw, and the corpus writer read it — "
+        "one corpus scan total (the nightly-build posture)",
+    )
 
     p = sub.add_parser(
         "ann-drift",

@@ -95,6 +95,77 @@ def _flagged_docs(
     )
 
 
+def curation_flags_table(docs_path: str | None = None) -> str:
+    """Catalog name of the materialized per-doc flags table, keyed by
+    the corpus file fingerprint (mtime+size — a regenerated corpus gets
+    a new table; same contract as the ANN index artifacts)."""
+    import os
+    from hashlib import md5
+
+    path = docs_path or ensure_documents_aug()
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path,)
+    return f"curation_flags_{md5(repr(key).encode()).hexdigest()[:10]}"
+
+
+def materialize_curation_flags(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> str:
+    """Persist the per-doc stage-survival flags ONCE as a managed
+    table — the production artifact a nightly corpus build stores
+    (VERDICT r14 item 2): after this single corpus pass, the funnel
+    card, the training-corpus writer, and the quota draw are all
+    consumers of this |docs|-row, 6-column table instead of
+    re-deriving flags (and the pair graph behind them) from the corpus
+    per consumer. Idempotent while the corpus fingerprint is
+    unchanged; a rewritten corpus gets a new table name.
+
+    Scale: the flags table is |docs| rows of (doc_id, source, n,
+    s1..s3) — ~50 bytes/row, i.e. ~0.005% of a 100 TB corpus — so
+    every downstream read is effectively free next to a corpus scan.
+    The one remaining corpus touch downstream is build_training_corpus'
+    final broadcast-semi-join projection of the drawn ids."""
+    name = curation_flags_table(docs_path)
+    if spark.catalog.tableExists(name):
+        return name
+    # Same stale-location handling as the ANN index build: the default
+    # catalog is in-memory, so a prior session can leave an orphaned
+    # directory saveAsTable refuses to adopt.
+    import os as _os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and wh.path:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = _os.path.join(wh.path, name.lower())
+        if _os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    _flagged_docs(spark, sf_dir, docs_path).write.mode(
+        "overwrite"
+    ).saveAsTable(name)
+    return name
+
+
+def _flags(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_path: str | None,
+    flags_table: str | None,
+) -> DataFrame:
+    """The per-doc flags frame: the in-plan derivation by default, or
+    the materialized table when the caller passes one (the
+    amortized-nightly-build path). Both render the identical rows, so
+    consumers are oracle-indifferent to the choice — receipt-tested in
+    tests/test_properties.py."""
+    if flags_table is not None:
+        return spark.table(flags_table)
+    return _flagged_docs(spark, sf_dir, docs_path)
+
+
 def _hamilton_quota(per_src: DataFrame, budget: int) -> DataFrame:
     """(source, quota) — integer-exact Hamilton largest-remainder
     apportionment of `budget` tokens over sqrt-smoothed per-source
@@ -158,7 +229,10 @@ def _drawn(flagged: DataFrame, quota: DataFrame) -> DataFrame:
 
 
 def corpus_build_funnel(
-    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs_path: str | None = None,
+    flags_table: str | None = None,
 ) -> DataFrame:
     """Per-source, per-stage (n_docs, n_tokens) of the full curation
     funnel, as ONE lazy plan:
@@ -186,12 +260,17 @@ def corpus_build_funnel(
     with conditional sums. The pair graph behind the keeper table is
     the session-memoized materialized edge set (_verified_pair_edges).
     Stage 4 re-scans the corpus to project survivors (two corpus
-    scans total for the card; a production run materializing the
-    flags once would make it one) and shuffles only stage-3 survivors
-    once on source (the running-sum window partitions BY SOURCE; the
-    quota apportionment windows over the ≤ |sources| aggregate —
-    allowlisted). Nothing single-partitions corpus rows."""
-    flagged = _flagged_docs(spark, sf_dir, docs_path)
+    scans total for the card in the in-plan rendition) and shuffles
+    only stage-3 survivors once on source (the running-sum window
+    partitions BY SOURCE; the quota apportionment windows over the
+    ≤ |sources| aggregate — allowlisted). Nothing single-partitions
+    corpus rows. Passing `flags_table` (see
+    materialize_curation_flags) replaces BOTH corpus derivations with
+    reads of the materialized |docs|-row flags table — the amortized
+    nightly-build path: card + corpus writer + draw then cost one
+    corpus scan total across all three (the writer's final
+    projection). Measured scan-count receipt in SCALE.md."""
+    flagged = _flags(spark, sf_dir, docs_path, flags_table)
     roll = flagged.groupBy("source").agg(
         F.count("*").alias("n0"),
         F.sum("n").alias("t0"),
@@ -249,7 +328,10 @@ def corpus_build_funnel(
 
 
 def build_training_corpus(
-    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs_path: str | None = None,
+    flags_table: str | None = None,
 ) -> DataFrame:
     """The corpus the funnel DESCRIBES — the training set a curation
     run actually writes: every document surviving all four policy
@@ -264,8 +346,10 @@ def build_training_corpus(
     against the drawn id set instead of a rollup. |drawn ids| ≤
     budget / min-doc-tokens rows — small by construction; at 100 TB
     the ids broadcast and the corpus never reshuffles (the
-    apply_keepers_corpus posture)."""
-    flagged = _flagged_docs(spark, sf_dir, docs_path)
+    apply_keepers_corpus posture). With `flags_table`, the drawn-id
+    derivation reads the materialized flags and the ONLY corpus scan
+    left is this final semi-join projection."""
+    flagged = _flags(spark, sf_dir, docs_path, flags_table)
     quota = _hamilton_quota(
         flagged.filter(F.col("s3"))
         .groupBy("source")

@@ -303,6 +303,47 @@ def test_cli_build_corpus(tmp_path):
         assert int(got.get(src, 0)) == n, (src, n, dict(got))
 
 
+def test_cli_build_corpus_flags_table(tmp_path):
+    """build-corpus --flags-table: the amortized nightly-build path
+    materializes the per-doc flags table once and reads it for card +
+    draw + writer (one corpus scan total — receipt in
+    test_properties). Same funnel-card-vs-written-corpus invariant as
+    the in-plan path, plus the materialization line must print."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = str(tmp_path / "corpus_ft")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "build-corpus",
+            "--input", sf, "--output", out, "--master", "local[4]",
+            "--flags-table",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert re.search(
+        r"materialized flags table curation_flags_[0-9a-f]{10}",
+        res.stdout,
+    ), res.stdout[-2000:]
+    pdf = pd.read_parquet(out)
+    assert {"doc_id", "source", "text"} <= set(pdf.columns)
+    assert len(pdf) > 0
+    card = collections.Counter()
+    for m in re.finditer(
+        r"stage 4 mixture_draw\s+(\S+)\s+docs\s+(\d+)", res.stdout
+    ):
+        card[m.group(1)] = int(m.group(2))
+    assert card, res.stdout[-2000:]
+    got = pdf.groupby("source")["doc_id"].count()
+    for src, n in card.items():
+        assert int(got.get(src, 0)) == n, (src, n, dict(got))
+
+
 def test_cli_ann_drift(tmp_path):
     """The drift-monitor subcommand end-to-end in a subprocess: the
     per-list table carries the contract columns and at least one list

@@ -811,3 +811,63 @@ def test_bm25_topk_ranking_invariants(spark, sf_dir):
         assert terms and not (terms & set(STOPWORDS))
         for r in rs:
             assert terms & texts[r["doc_id"]], (q, r["doc_id"])
+
+
+def test_funnel_flags_table_path_equal_and_single_scan(spark, sf_dir):
+    """The materialized-flags rendition (VERDICT r14 item 2) is
+    output-identical to the in-plan funnel AND collapses the corpus
+    scans: with `flags_table`, the funnel card reads ZERO corpus
+    files and build_training_corpus reads the corpus exactly once
+    (the final drawn-id semi-join projection)."""
+    import re
+
+    from gis_etl_spark.ops.corpus import (
+        build_training_corpus,
+        corpus_build_funnel,
+        curation_flags_table,
+        materialize_curation_flags,
+    )
+    from gis_etl_spark.ops.dedup import ensure_documents_aug
+
+    ft = materialize_curation_flags(spark, sf_dir)
+    assert ft == curation_flags_table()
+    # idempotent while the corpus fingerprint is unchanged
+    assert materialize_curation_flags(spark, sf_dir) == ft
+
+    card_plain = [
+        tuple(r) for r in corpus_build_funnel(spark, sf_dir).collect()
+    ]
+    card_flags = [
+        tuple(r)
+        for r in corpus_build_funnel(
+            spark, sf_dir, flags_table=ft
+        ).collect()
+    ]
+    assert card_plain == card_flags and card_plain
+
+    corp_plain = sorted(
+        tuple(r) for r in build_training_corpus(spark, sf_dir).collect()
+    )
+    corp_flags = sorted(
+        tuple(r)
+        for r in build_training_corpus(
+            spark, sf_dir, flags_table=ft
+        ).collect()
+    )
+    assert corp_plain == corp_flags and corp_plain
+
+    def corpus_scans(df):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # detail-section form only ("(N) Scan parquet <table>") — the
+        # tree header repeats each scan as "Scan parquet <table> (N)"
+        scans = re.findall(r"\(\d+\) Scan parquet ?\S*", plan)
+        return [s for s in scans if "curation_flags" not in s]
+
+    aug = ensure_documents_aug()
+    assert aug  # the corpus the scans below would name
+    assert len(corpus_scans(corpus_build_funnel(spark, sf_dir, flags_table=ft))) == 0
+    assert len(corpus_scans(build_training_corpus(spark, sf_dir, flags_table=ft))) == 1

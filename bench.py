@@ -243,6 +243,9 @@ HEADLINE = [
     "ann_drift_stat",
     "bm25_topk",
     "cdc_merge_apply",
+    # round 15: champion-list-pruned BM25 (same oracle as bm25_topk —
+    # the hash match is the exactness proof)
+    "bm25_topk_pruned",
 ]
 
 
@@ -978,6 +981,21 @@ def _scale_benches(
         artifacts["hh_partkey_result"] = n_pk
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["heavy_hitters_tokens"] = f"{type(e).__name__}: {e}"[:300]
+
+    # BM25 pruning receipt: postings the champion rung actually
+    # touches (champion lists + unsafe queries' full postings) vs the
+    # full scorer's posting union, and how many queries the θ>UB bound
+    # discharged for — the WAND-style reduction bm25_topk_pruned buys.
+    try:
+        from gis_etl_spark.ops.text import bm25_prune_stats
+
+        ps = bm25_prune_stats(spark, SF_DIR)
+        artifacts["bm25_total_postings"] = ps["total_postings"]
+        artifacts["bm25_champion_postings"] = ps["champion_postings"]
+        artifacts["bm25_safe_queries"] = len(ps["safe_query_ids"])
+        artifacts["bm25_pruned_postings_pct"] = int(ps["touched_pct"])
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["bm25_prune_stats"] = f"{type(e).__name__}: {e}"[:300]
 
     if quick:
         # noise-gate rerun: re-time the timed entries only — the

@@ -519,37 +519,27 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10   # postings returned per query
 BM25_NTERMS = 8  # top corpus tokens -> BM25_NTERMS/2 two-term queries
+# champion-list depth for the WAND-style pruned rung: per term,
+# top-⌈α·√df⌉ postings (floored at BM25_TOPK so a safe query's
+# champion pool can fill the result). A FIXED depth cannot serve every
+# corpus size — measured: 64 discharges the θ>UB bound for all 4
+# contract queries at sf0.01 (16% of postings touched) but NEVER fires
+# at sf0.1, while 256 is wasteful at sf0.01; α·√df lands 64-90 at
+# ~400-posting terms and ~280 at ~3,900-posting terms, both measured
+# all-safe (6.6% touched at sf0.1). Depth only tunes pruning
+# effectiveness — exactness is depth-independent (bound + fallback).
+BM25_CHAMP_ALPHA = 4.5
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 query scoring — the missing rung between the champion-list
-    index (inverted_index_topk) and a serving stack: score documents
-    for a query set and return each query's top-{BM25_TOPK}.
-
-    Query set (deterministic + data-derived, the similarity family's
-    vec_id<N convention adapted to text): the {BM25_NTERMS} most
-    frequent non-stopword tokens by (corpus tf DESC, token ASC) pair
-    up in rank order into {BM25_NTERMS}//2 two-term queries.
-
-    Score: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
-    idf = ln(1 + (N−df+0.5)/(df+0.5)) (Robertson-Sparck Jones, +1
-    floor), k1={BM25_K1}, b={BM25_B}. Determinism: each per-term score
-    is one canonical double expression replicated token-for-token in
-    the SQL twin; a query has ≤2 terms, so the per-doc sum is a single
-    commutative double add (order cannot vary); the SUM is then
-    quantized to int64 units (floor(score·1e6 + 0.5)) and ranking
-    ties break on doc_id — the fixedpoint discipline, with ln's
-    cross-engine agreement absorbed exactly as the kmeans contract
-    absorbs it (a flip needs the product to land within an ulp of a
-    rounding boundary; not observed).
-
-    Output: (query_id, q_terms, rank, doc_id, score_units), ordered.
-
-    Scale: one explode→(token,doc) partial-agg shuffle for tf; df and
-    the corpus stats are map-side-combined aggregates; the query-term
-    table ({BM25_NTERMS} rows) broadcasts into the postings join, so
-    only matching postings survive the map side; the final window
-    partitions by query over candidate docs only."""
+def _bm25_posting_scores(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(posts, qnames): per matching posting the exact per-term BM25
+    score — posts = (query_id, token, doc_id, sc double) — plus the
+    query-name table. The shared subplan of bm25_topk (which sums sc
+    per (query, doc)) and bm25_topk_pruned (which prunes with champion
+    lists before summing); both consume the IDENTICAL score
+    expression, so their results agree double-for-double."""
     docs = read_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("token")
@@ -599,11 +589,91 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * cast(n_docs as double) / cast(n_tokens as double))"
     )
     per_term = idf * (F.expr(f"cast(tf as double) * {1.0 + BM25_K1}D")) / denom
-    scored = (
+    posts = (
         tf.join(F.broadcast(qterms), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select("query_id", "doc_id", per_term.alias("sc"))
+        .select("query_id", "token", "df", "doc_id", per_term.alias("sc"))
+    )
+    return posts, qnames
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 query scoring — the missing rung between the champion-list
+    index (inverted_index_topk) and a serving stack: score documents
+    for a query set and return each query's top-{BM25_TOPK}.
+
+    Query set (deterministic + data-derived, the similarity family's
+    vec_id<N convention adapted to text): the {BM25_NTERMS} most
+    frequent non-stopword tokens by (corpus tf DESC, token ASC) pair
+    up in rank order into {BM25_NTERMS}//2 two-term queries.
+
+    Score: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    idf = ln(1 + (N−df+0.5)/(df+0.5)) (Robertson-Sparck Jones, +1
+    floor), k1={BM25_K1}, b={BM25_B}. Determinism: each per-term score
+    is one canonical double expression replicated token-for-token in
+    the SQL twin; a query has ≤2 terms, so the per-doc sum is a single
+    commutative double add (order cannot vary); the SUM is then
+    quantized to int64 units (floor(score·1e6 + 0.5)) and ranking
+    ties break on doc_id — the fixedpoint discipline, with ln's
+    cross-engine agreement absorbed exactly as the kmeans contract
+    absorbs it (a flip needs the product to land within an ulp of a
+    rounding boundary; not observed).
+
+    Output: (query_id, q_terms, rank, doc_id, score_units), ordered.
+
+    Scale: one explode→(token,doc) partial-agg shuffle for tf; df and
+    the corpus stats are map-side-combined aggregates; the query-term
+    table ({BM25_NTERMS} rows) broadcasts into the postings join, so
+    only matching postings survive the map side; the final window
+    partitions by query over candidate docs only."""
+    posts, qnames = _bm25_posting_scores(spark, sf_dir)
+    scored = posts.groupBy("query_id", "doc_id").agg(
+        F.floor(F.sum("sc") * F.lit(1e6) + F.lit(0.5)).alias("score_units")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .join(F.broadcast(qnames), "query_id")
+        .select("query_id", "q_terms", "rank", "doc_id", "score_units")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_prune_parts(spark: SparkSession, sf_dir: str):
+    """The shared sub-frames of the pruned BM25 rung: (posts, qnames,
+    champ, champ_ranked, safe, rank_window). `safe` is the query-id set
+    whose θ>UB bound discharged — consumed by bm25_topk_pruned (branch
+    routing) and bm25_prune_stats (the bench receipt)."""
+    posts, qnames = _bm25_posting_scores(spark, sf_dir)
+    k = BM25_TOPK
+    wt = Window.partitionBy("query_id", "token").orderBy(
+        F.desc("sc"), F.asc("doc_id")
+    )
+    depth = F.greatest(
+        F.lit(BM25_TOPK),
+        F.ceil(F.lit(BM25_CHAMP_ALPHA) * F.sqrt(F.col("df"))),
+    )
+    champ = posts.withColumn("crk", F.row_number().over(wt)).filter(
+        F.col("crk") <= depth
+    )
+    # per-term upper bound for non-champions = the weakest champion
+    ub_q = (
+        champ.groupBy("query_id", "token")
+        .agg(F.min("sc").alias("ub"))
+        .groupBy("query_id")
+        .agg(
+            F.floor(F.sum("ub") * F.lit(1e6) + F.lit(0.5)).alias(
+                "ub_units"
+            )
+        )
+    )
+    cand = champ.select("query_id", "doc_id").distinct()
+    champ_scored = (
+        posts.join(cand, ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id", "doc_id")
         .agg(
             F.floor(F.sum("sc") * F.lit(1e6) + F.lit(0.5)).alias(
@@ -614,9 +684,96 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_units"), F.asc("doc_id")
     )
+    champ_ranked = champ_scored.withColumn("rank", F.row_number().over(w))
+    theta = champ_ranked.filter(F.col("rank") == k).select(
+        "query_id", F.col("score_units").alias("theta_units")
+    )
+    # safe ⇔ a k-th champion exists AND θ strictly beats the outsider
+    # bound (strict: an outsider tying θ would win the doc_id break)
+    safe = (
+        theta.join(ub_q, "query_id")
+        .filter(F.col("theta_units") > F.col("ub_units"))
+        .select("query_id")
+    )
+    return posts, qnames, champ, champ_ranked, safe, w
+
+
+def bm25_prune_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """The pruning receipt: total matching postings, champion-list
+    postings, safe query ids, and the share of postings the pruned
+    rung actually touches (champions + unsafe queries' full postings).
+    Bench records touched_pct as bm25_pruned_postings_pct."""
+    posts, _, champ, _, safe, _ = _bm25_prune_parts(spark, sf_dir)
+    posts = posts.persist()
+    try:
+        total = posts.count()
+        n_champ = champ.count()
+        safe_ids = sorted(r["query_id"] for r in safe.collect())
+        unsafe_posts = (
+            posts.join(F.broadcast(safe), "query_id", "left_anti").count()
+            if safe_ids
+            else total
+        )
+        return {
+            "total_postings": total,
+            "champion_postings": n_champ,
+            "safe_query_ids": safe_ids,
+            "touched_pct": round(100.0 * (n_champ + unsafe_posts) / total, 1)
+            if total
+            else 0.0,
+        }
+    finally:
+        posts.unpersist()
+
+
+def bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND-style champion-list BM25 (VERDICT r14 item 5) — the scale
+    rung above bm25_topk, which scores EVERY posting of every query
+    term (the hottest terms touch most of the corpus). Provably exact:
+    registered against the SAME oracle as bm25_topk, so the hash match
+    pins that pruning changes nothing (the mixture_draw_split proof
+    pattern).
+
+    Per (query, term), the champion list is the top
+    max({BM25_TOPK}, ⌈{BM25_CHAMP_ALPHA}·√df_t⌉) postings by exact
+    per-term score; ub_t = the C_t-th (minimum champion) score
+    upper-bounds every non-champion posting of t.
+    Candidates in ANY of their query's champion lists are scored FULLY
+    (their other-term postings joined back in), giving the k-th
+    champion score θ_q. A doc outside every champion list scores
+    ≤ Σ_t ub_t = UB_q, so when θ_q's int64 units exceed UB_q's, no
+    outsider can reach the top-k even on the doc_id tiebreak (units
+    are floor-quantized, monotone) and the champion result is exact.
+    Queries where the bound does NOT discharge (θ ≤ UB, or fewer than
+    k champion candidates) fall back to full postings — per query, in
+    the same plan, via an anti-filter on the safe-query id set.
+
+    Scale: the champion window shuffles matching postings by
+    (query, token) ONCE to build lists a production deployment stores
+    as an index artifact next to inverted_index_topk (amortized across
+    query batches; rebuilt with the index). The full-scoring branch
+    carries only unsafe queries' postings — the safe-id table is a
+    ≤ {BM25_NTERMS}//2-row broadcast, so hot-term postings for safe
+    queries die map-side. Bench records the postings-touched
+    reduction (bm25_pruned_postings_pct)."""
+    posts, qnames, _champ, champ_ranked, safe, w = _bm25_prune_parts(
+        spark, sf_dir
+    )
+    k = BM25_TOPK
+    safe_part = champ_ranked.join(F.broadcast(safe), "query_id", "left_semi")
+    full_part = (
+        posts.join(F.broadcast(safe), "query_id", "left_anti")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.floor(F.sum("sc") * F.lit(1e6) + F.lit(0.5)).alias(
+                "score_units"
+            )
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOPK)
+        safe_part.unionByName(full_part)
+        .filter(F.col("rank") <= k)
         .join(F.broadcast(qnames), "query_id")
         .select("query_id", "q_terms", "rank", "doc_id", "score_units")
         .orderBy("query_id", "rank")

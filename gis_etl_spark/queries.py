@@ -707,6 +707,11 @@ REGISTRY.update(
         # above the champion-list index; fixedpoint score units,
         # deterministic two-term queries from the top corpus tokens
         "bm25_topk": (T.bm25_topk, T.bm25_topk_sql()),
+        # r15: WAND-style champion-list pruning — registered against
+        # the SAME oracle as bm25_topk, so the hash match is the
+        # equality proof that pruning changes nothing (the
+        # mixture_draw_split pattern)
+        "bm25_topk_pruned": (T.bm25_topk_pruned, T.bm25_topk_sql()),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         # r11: Count-Min Sketch with exact-verified point queries —
         # the frequency member of the sketch family (KMV/MG/quantiles)

@@ -871,3 +871,26 @@ def test_funnel_flags_table_path_equal_and_single_scan(spark, sf_dir):
     assert aug  # the corpus the scans below would name
     assert len(corpus_scans(corpus_build_funnel(spark, sf_dir, flags_table=ft))) == 0
     assert len(corpus_scans(build_training_corpus(spark, sf_dir, flags_table=ft))) == 1
+
+
+def test_bm25_pruned_equals_plain_and_actually_prunes(spark, sf_dir):
+    """The champion-list rung is exact (row-for-row equal to the full
+    scorer — also pinned by sharing bm25_topk's oracle in the
+    contract) AND non-vacuous: the θ>UB bound must discharge for at
+    least one query at this SF, else 'pruned' is all fallback and the
+    equality proof proves nothing. Touched share must be a real
+    reduction."""
+    from gis_etl_spark.ops.text import (
+        bm25_prune_stats,
+        bm25_topk,
+        bm25_topk_pruned,
+    )
+
+    plain = [tuple(r) for r in bm25_topk(spark, sf_dir).collect()]
+    pruned = [tuple(r) for r in bm25_topk_pruned(spark, sf_dir).collect()]
+    assert plain == pruned and plain
+
+    stats = bm25_prune_stats(spark, sf_dir)
+    assert stats["safe_query_ids"], stats
+    assert stats["touched_pct"] < 50.0, stats
+    assert 0 < stats["champion_postings"] < stats["total_postings"]

@@ -78,3 +78,19 @@ def test_doc_registry_counts():
                 assert int(n) == len(REGISTRY), (doc, n, len(REGISTRY))
                 found += 1
     assert found >= 2, "both living docs must carry the pinned marker"
+
+    # VERDICT r14 item 4 — the twin/floor counts drifted in prose
+    # three rounds running; pin them the same way. The benched-twin
+    # census is the set of timed("streaming_*") labels in bench.py
+    # (each of which also gets a fresh_min_<label>_ms floor artifact),
+    # so any 'benched twin count: N' literal must equal it.
+    with open(os.path.join(here, "bench.py")) as f:
+        benched = re.findall(r'timed\(\s*\n?\s*"(streaming_\w+)"', f.read())
+    assert len(benched) == len(set(benched))
+    found_twin = 0
+    for doc in ("SCALE.md", "COVERAGE.md"):
+        with open(os.path.join(here, doc)) as f:
+            for n in re.findall(r"benched twin count: (\d+)", f.read()):
+                assert int(n) == len(benched), (doc, n, len(benched))
+                found_twin += 1
+    assert found_twin >= 1, "the benched-twin marker must exist"

@@ -244,8 +244,10 @@ HEADLINE = [
     "bm25_topk",
     "cdc_merge_apply",
     # round 15: champion-list-pruned BM25 (same oracle as bm25_topk —
-    # the hash match is the exactness proof)
+    # the hash match is the exactness proof) and the ordered
+    # multi-batch MERGE (compaction + one merge)
     "bm25_topk_pruned",
+    "cdc_merge_apply_log",
 ]
 
 
@@ -1213,6 +1215,41 @@ def _scale_benches(
             )
         except Exception as e:  # noqa: BLE001 — bench must survive
             ERRORS["ann_drift"] = f"{type(e).__name__}: {e}"[:300]
+
+        # The FULL drift→probe→rebuild loop a production operator
+        # pages on (VERDICT r14 item 7): run the always-on monitor on
+        # the drifted increment, fire when the corpus-weighted drift
+        # ratio crosses the pinned DRIFT_TRIGGER_X1000, consult the
+        # recall probe (the two artifacts above), and record the
+        # decision + its three inputs. In production the probe runs
+        # ONLY when the monitor fires — here it ran above for its own
+        # artifacts; this block is the decision wiring.
+        try:
+            ds = SIM.ann_drift_stat(spark, SF_DIR).collect()
+            tn = sum(r["n_train"] for r in ds)
+            tu = sum(r["err_units_train"] for r in ds)
+            inn = sum(r["n_inc"] for r in ds)
+            iu = sum(r["err_units_inc"] for r in ds)
+            agg = (
+                ((iu // inn) * 1000) // (tu // tn)
+                if tn and inn and tu // tn > 0
+                else 0
+            )
+            artifacts["ann_drift_agg_x1000"] = int(agg)
+            fired = int(agg >= SIM.DRIFT_TRIGGER_X1000)
+            artifacts["ann_drift_monitor_fired"] = fired
+            ap = artifacts.get("ann_recall_after_append_pct")
+            rb = artifacts.get("ann_recall_after_rebuild_pct")
+            if fired and ap is not None and rb is not None:
+                gap = rb - ap
+                artifacts["ann_rebuild_decision_gap_pts"] = gap
+                artifacts["ann_rebuild_triggered"] = int(
+                    gap >= SIM.RECALL_REBUILD_GAP_PTS
+                )
+            else:
+                artifacts["ann_rebuild_triggered"] = 0
+        except Exception as e:  # noqa: BLE001 — bench must survive
+            ERRORS["ann_rebuild_loop"] = f"{type(e).__name__}: {e}"[:300]
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["ann_recall"] = f"{type(e).__name__}: {e}"[:300]
 

@@ -253,3 +253,179 @@ def cdc_merge_apply_sql() -> str:
         )
         ORDER BY o_orderkey
     """
+
+
+def merge_apply_log(
+    base: DataFrame, changelog: DataFrame, key: str
+) -> DataFrame:
+    """Ordered MULTI-BATCH merge (VERDICT r14 item 6): apply a
+    changelog carrying a monotone `batch_id` column — a SEQUENCE of
+    merge batches where later operations win — to `base` in one pass.
+    Lakehouse reality: a table sees batch after batch of I/U/D; folding
+    them one merge at a time rewrites the base per batch. This
+    operator proves the compaction+merge composition instead:
+
+        last-writer-wins per key  (max-struct on batch_id)
+        → ONE merge_apply of the compacted batch.
+
+    Equivalence to the sequential fold (property-tested): with at most
+    one change per (key, batch) — the per-batch post-compaction
+    contract — the sequential outcome per key depends only on its
+    LAST change: D deletes whatever state preceded it; U/I leave the
+    final payload regardless of history (merge_apply treats an 'I' on
+    an existing key as an upsert, so a delete-then-reinsert sequence
+    lands on the reinserted payload).
+
+    Scale: the compaction is one groupBy(key) max(struct(batch_id,
+    op, payload…)) — associative, map-side combined, shuffling ≤ one
+    row per touched key however many batches the log holds (the
+    cdc_latest_state shape); then exactly one anti-join + union
+    against base. Nothing scans base more than once, and the log is
+    never windowed."""
+    payload = [c for c in base.columns if c != key]
+    compacted = (
+        changelog.groupBy(key)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("batch_id"),
+                    F.col("op").alias("op"),
+                    *[F.col(c).alias(c) for c in payload],
+                )
+            ).alias("w")
+        )
+        .select(
+            F.col("w.op").alias("op"),
+            key,
+            *[F.col(f"w.{c}").alias(c) for c in payload],
+        )
+    )
+    return merge_apply(base, compacted, key)
+
+
+def _merge_log_changes(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic 3-batch changelog over the orders fixture, with
+    keys deliberately touched by SEVERAL batches so last-writer-wins
+    is load-bearing:
+
+    - base: o_orderkey % 4 != 3 (the merge fixture's base);
+    - batch 0: U on %4==1 keys (status 'U', priority '0-B0'),
+               D on %20==0 keys;
+    - batch 1: I of the held-out %4==3 keys,
+               U on %8==1 keys (⊂ batch 0's U set — overrides to
+               priority '1-B1');
+    - batch 2: D on %16==1 keys (⊂ batch 1's U set — final delete),
+               I on %20==0 keys (re-insert of batch 0's deletes,
+               priority '2-B2' — the delete-then-reinsert case)."""
+    base = orders.filter(F.col("o_orderkey") % 4 != 3)
+
+    def chg(df: DataFrame, op: str, bid: int, status=None, prio=None):
+        out = df
+        if status is not None:
+            out = out.withColumn("o_orderstatus", F.lit(status))
+        if prio is not None:
+            out = out.withColumn("o_orderpriority", F.lit(prio))
+        return out.select(
+            F.lit(op).alias("op"),
+            F.lit(bid).cast("long").alias("batch_id"),
+            *orders.columns,
+        )
+
+    b0 = chg(
+        base.filter(F.col("o_orderkey") % 4 == 1), "U", 0, "U", "0-B0"
+    ).unionAll(chg(base.filter(F.col("o_orderkey") % 20 == 0), "D", 0))
+    b1 = chg(
+        orders.filter(F.col("o_orderkey") % 4 == 3), "I", 1
+    ).unionAll(
+        chg(base.filter(F.col("o_orderkey") % 8 == 1), "U", 1, "U", "1-B1")
+    )
+    b2 = chg(base.filter(F.col("o_orderkey") % 16 == 1), "D", 2).unionAll(
+        chg(
+            base.filter(F.col("o_orderkey") % 20 == 0), "I", 2, "I", "2-B2"
+        )
+    )
+    return base, b0.unionAll(b1).unionAll(b2)
+
+
+def cdc_merge_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch MERGE contract query: three overlapping changelog
+    batches compact to last-writer-wins and apply as one merge —
+    updates overridden by later updates, an update chain ending in a
+    delete, and a delete followed by a re-insert all land on the
+    final batch's outcome (fixture: _merge_log_changes)."""
+    orders = read_table(spark, sf_dir, "orders")
+    base, log = _merge_log_changes(orders)
+    return (
+        merge_apply_log(base, log, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def cdc_merge_apply_log_sql() -> str:
+    """Independent ANSI rendition: the compaction is the textbook
+    window argmax (row_number over batch_id DESC) — deliberately NOT
+    the engine's max-struct — then the same relational merge
+    statement, so the hash match pins the max-struct == window-argmax
+    equivalence as well as the merge outcome."""
+    return """
+        WITH base AS (
+          SELECT * FROM orders WHERE o_orderkey % 4 != 3
+        ), log AS (
+          SELECT 'U' AS op, 0 AS batch_id, o_orderkey, o_custkey,
+                 'U' AS o_orderstatus, o_totalprice, o_orderdate,
+                 '0-B0' AS o_orderpriority
+          FROM base WHERE o_orderkey % 4 = 1
+          UNION ALL
+          SELECT 'D', 0, o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM base WHERE o_orderkey % 20 = 0
+          UNION ALL
+          SELECT 'I', 1, o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 4 = 3
+          UNION ALL
+          SELECT 'U', 1, o_orderkey, o_custkey, 'U', o_totalprice,
+                 o_orderdate, '1-B1'
+          FROM base WHERE o_orderkey % 8 = 1
+          UNION ALL
+          SELECT 'D', 2, o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM base WHERE o_orderkey % 16 = 1
+          UNION ALL
+          SELECT 'I', 2, o_orderkey, o_custkey, 'I', o_totalprice,
+                 o_orderdate, '2-B2'
+          FROM base WHERE o_orderkey % 20 = 0
+        ), compacted AS (
+          SELECT op, o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM (
+            SELECT l.*, row_number() OVER (
+              PARTITION BY o_orderkey ORDER BY batch_id DESC) AS rk
+            FROM log l
+          ) WHERE rk = 1
+        ), touched AS (
+          SELECT o_orderkey FROM compacted
+        ), survivors AS (
+          SELECT b.* FROM base b
+          LEFT JOIN touched t USING (o_orderkey)
+          WHERE t.o_orderkey IS NULL
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM (
+          SELECT * FROM survivors
+          UNION ALL
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM compacted WHERE op IN ('I', 'U')
+        )
+        ORDER BY o_orderkey
+    """

@@ -47,6 +47,7 @@ Arrow-heavy pass; maxRecordsPerBatch bounds executor memory.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -58,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
 )
 
 from gis_etl_spark.fixtures import MEDIA_MAGIC, ensure_media
@@ -357,19 +358,41 @@ def decode_meta(df: DataFrame) -> DataFrame:
     )
 
 
-@F.pandas_udf(ArrayType(FloatType()))
+@F.pandas_udf(ArrayType(DoubleType()))
 def extract_features(payload: pd.Series) -> pd.Series:
-    """Deterministic fake featurizer: sha256(payload) seeds a 16-dim
-    unit vector — the batch shape of a real encoder; swap the kernel
-    for PIL/torch when available."""
+    """Deterministic fake featurizer — the batch shape of a real
+    encoder (swap the kernel for PIL/torch when available). r15
+    (VERDICT r14 item 8): the kernel is now a TWINNABLE integer hash
+    instead of an un-SQL-able PRNG — component j of the raw vector is
+    (h60(md5(hex(payload) ∥ '_j')) % 2001 − 1000)/1000, normalized to
+    a unit vector with fixed left-fold float64 arithmetic, so a SQL
+    engine reproduces every byte of the output (the oracle behind
+    multimodal_feature_norms re-derives the vectors in DuckDB and the
+    hash match pins them). Determinism note: /, *, sqrt are IEEE
+    correctly-rounded and the fold order is pinned, so python here ==
+    unrolled SQL there, bit for bit."""
 
     def feat(b):
         if b is None:
             return None
-        seed = int.from_bytes(hashlib.sha256(bytes(b)).digest()[:8], "little")
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(FEATURE_DIM)
-        return (v / np.linalg.norm(v)).astype(np.float32).tolist()
+        hx = bytes(b).hex()
+        raw = []
+        for j in range(FEATURE_DIM):
+            k = (
+                int(
+                    hashlib.md5(f"{hx}_{j}".encode()).hexdigest()[:15], 16
+                )
+                % 2001
+                - 1000
+            )
+            raw.append(k / 1000.0)
+        n2 = 0.0
+        for x in raw:  # pinned left fold, mirrored in the SQL twin
+            n2 = n2 + x * x
+        nrm = math.sqrt(n2)
+        if nrm == 0.0:
+            return raw
+        return [x / nrm for x in raw]
 
     return payload.map(feat)
 
@@ -823,24 +846,80 @@ def multimodal_image_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction pass: per-kind mean feature norm (≈1.0) and
-    count — rows-only (hash-seeded kernel is not SQL-expressible)."""
-    feats = _media(spark).select(
+    """Feature extraction pass, ORACLE-PAIRED since r15 (VERDICT r14
+    item 8 — was the rows-only 'hash-seeded kernel'): run the
+    vectorized featurizer over every payload and roll up, per kind,
+    the count and the int64-fixedpoint sum/avg of each unit vector's
+    L1 mass (Σ|component| ∈ [1, 4] for a 16-dim unit vector — payload-
+    dependent, so the rollup pins the vector CONTENT, not just its
+    2-norm, which is 1 by construction). The per-media unit =
+    floor(L1·1e6 + 0.5) is quantized BEFORE aggregation, so the group
+    sums are exact integers in both engines; L1 folds left in pinned
+    order (0.0 + |v0| + |v1| + …), mirroring the kernel's own folds.
+
+    Scale: one Arrow batch pass (the pandas_udf featurizer — the real
+    encoder's seat) + a map-side-combined groupBy(kind); nothing
+    shuffles payload bytes."""
+    feats = _media(spark).filter(F.col("payload").isNotNull()).select(
         "media_id", "kind", extract_features(F.col("payload")).alias("f")
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("f", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    l1 = F.aggregate(
+        F.transform("f", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
+    units = F.floor(l1 * F.lit(1e6) + F.lit(0.5)).cast("long")
     return (
-        feats.select("kind", norm.alias("nrm"))
+        feats.select("kind", units.alias("u"))
         .groupBy("kind")
-        .agg(F.count("*").alias("n"), F.round(F.avg("nrm"), 3).alias("avg_norm"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("u").alias("sum_l1_units"),
+            F.expr("sum(u) div count(u)").alias("avg_l1_units"),
+        )
         .orderBy("kind")
     )
+
+
+def _feature_norms_sql(media_parquet: str) -> str:
+    """The ANSI twin re-derives the ENTIRE featurizer in DuckDB — raw
+    component j = (('0x'||substr(md5(hex(payload)||'_j'),1,15))::BIGINT
+    % 2001 − 1000)/1000, the pinned-order squared-sum fold, sqrt,
+    normalization, and the pinned-order L1 fold — fully unrolled over
+    the {FEATURE_DIM} dims so every float op replays in the kernel's
+    exact order (IEEE correctly-rounded ops ⇒ bit-equal doubles ⇒
+    equal fixedpoint units)."""
+    vs = ", ".join(
+        f"((('0x' || substr(md5(lower(hex(payload)) || '_{j}'), 1, 15))"
+        f"::BIGINT % 2001 - 1000) / 1000.0) AS v{j}"
+        for j in range(FEATURE_DIM)
+    )
+    sq_fold = "0.0"
+    for j in range(FEATURE_DIM):
+        sq_fold = f"({sq_fold} + v{j} * v{j})"
+    l1_fold = "0.0"
+    for j in range(FEATURE_DIM):
+        l1_fold = f"({l1_fold} + abs(v{j} / nrm))"
+    return f"""
+        WITH raw AS (
+          SELECT media_id, kind, {vs}
+          FROM read_parquet('{media_parquet}')
+          WHERE payload IS NOT NULL
+        ), nn AS (
+          SELECT *, sqrt({sq_fold}) AS nrm FROM raw
+        ), u AS (
+          SELECT kind,
+                 CASE WHEN nrm = 0.0 THEN CAST(floor(
+                        0.0 * 1e6 + 0.5) AS BIGINT)
+                      ELSE CAST(floor({l1_fold} * 1e6 + 0.5) AS BIGINT)
+                 END AS u
+          FROM nn
+        )
+        SELECT kind, count(*)::BIGINT AS n,
+               sum(u)::BIGINT AS sum_l1_units,
+               (sum(u) // count(u))::BIGINT AS avg_l1_units
+        FROM u GROUP BY kind ORDER BY kind
+    """
 
 
 def _spectral_sql(samples_parquet: str) -> str:
@@ -907,6 +986,7 @@ def oracle_sqls() -> dict[str, str]:
     m = f"read_parquet('{path}')"
     return {
         "multimodal_spectral": _spectral_sql(ensure_media_audio_samples()),
+        "multimodal_feature_norms": _feature_norms_sql(path),
         "multimodal_decode_meta": f"""
             SELECT kind, count(*) AS n,
                    sum(width)::BIGINT AS sum_width,

@@ -2947,6 +2947,12 @@ def int8_adc_oracle_sql() -> str:
 
 DRIFT_SHIFT = 0.5  # per-dim mean offset of the synthetic drifted batch
 DRIFT_ERR_SCALE = 1_000_000  # d2 fixedpoint: floor(d2 * 1e6 + 0.5)
+# The operating rule's pinned numbers (SCALE.md, VERDICT r14 item 7):
+# the always-on monitor fires when the corpus-weighted drift ratio
+# crosses 1.5× the training error; the recall probe then decides a
+# rebuild when the append path trails a rebuild by ≥ 10 recall points.
+DRIFT_TRIGGER_X1000 = 1_500
+RECALL_REBUILD_GAP_PTS = 10
 
 
 def _assign_err_rollup(df: DataFrame, cents: list[list[float]]) -> DataFrame:

@@ -781,6 +781,14 @@ REGISTRY.update(
         # insert/update/delete applied to a base snapshot in one plan
         # (anti-join on touched keys + union of new payloads)
         "cdc_merge_apply": (C.cdc_merge_apply, C.cdc_merge_apply_sql()),
+        # r15: ordered multi-batch MERGE — last-writer-wins compaction
+        # (max-struct on batch_id) composed with one merge; the oracle
+        # compacts with the textbook window argmax instead, so the
+        # hash match also pins the max-struct == window equivalence
+        "cdc_merge_apply_log": (
+            C.cdc_merge_apply_log,
+            C.cdc_merge_apply_log_sql(),
+        ),
         # 3 unrolled iterations, every rank an exact int64 — the
         # iterative-algorithm-on-Spark shape with a hash-checkable result
         "pagerank_trade": (GR.pagerank_trade, GR.pagerank_trade_sql()),
@@ -947,8 +955,14 @@ REGISTRY.update(
         "multimodal_resize": (
             M.multimodal_resize, _MM_SQLS["multimodal_resize"],
         ),
-        # hash-seeded featurizer shape — not SQL-expressible, rows-only
-        "multimodal_feature_norms": (M.multimodal_feature_norms, None),
+        # r15: oracle-paired (was rows-only since r6 — "hash-seeded
+        # kernel"): the featurizer is now a twinnable integer hash,
+        # re-derived wholesale in the DuckDB twin with pinned-order
+        # float folds; fixedpoint L1 rollup (VERDICT r14 item 8)
+        "multimodal_feature_norms": (
+            M.multimodal_feature_norms,
+            _MM_SQLS["multimodal_feature_norms"],
+        ),
         # rows-only: FFT has no ANSI oracle; pytest pins DC == exact
         # sample sum (independent decode) + Parseval per clip
         # r10: oracle-paired — the FFT isn't SQL-expressible but its

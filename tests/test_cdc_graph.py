@@ -265,3 +265,53 @@ def test_merge_apply_insert_on_existing_key_is_upsert(spark):
     }
     assert got == {1: "new", 2: "keep", 3: "fresh"}
     assert merge_apply(base, changes, "k").count() == 3
+
+
+def test_merge_apply_log_equals_sequential_folds(spark, sf_dir):
+    """The compaction+merge composition == folding the batches through
+    merge_apply one at a time (the lakehouse ground truth), on the
+    3-batch overlapping fixture: later updates override earlier ones,
+    an update chain ending in a delete deletes, and a delete followed
+    by a re-insert restores the key with the final payload."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.cdc import (
+        _merge_log_changes,
+        merge_apply,
+        merge_apply_log,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base, log = _merge_log_changes(orders)
+
+    state = base
+    for bid in sorted(
+        r["batch_id"]
+        for r in log.select("batch_id").distinct().collect()
+    ):
+        batch = log.filter(F.col("batch_id") == bid).drop("batch_id")
+        state = merge_apply(state, batch, "o_orderkey")
+
+    got = sorted(
+        tuple(r) for r in merge_apply_log(base, log, "o_orderkey").collect()
+    )
+    want = sorted(tuple(r) for r in state.collect())
+    assert got == want and got
+
+    # the overlap cases actually occur and land on the final batch
+    rows = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_orderpriority"])
+        for r in merge_apply_log(base, log, "o_orderkey").collect()
+    }
+    all_keys = {r[0] for r in orders.select("o_orderkey").collect()}
+    base_keys = {k for k in all_keys if k % 4 != 3}
+    # U(b0) then U(b1), not deleted in b2 → '1-B1'
+    over_u = [
+        k for k in base_keys if k % 8 == 1 and k % 16 != 1 and k % 20 != 0
+    ]
+    assert over_u and all(rows[k] == ("U", "1-B1") for k in over_u)
+    # U chain ending in D(b2) → gone
+    killed = [k for k in base_keys if k % 16 == 1 and k % 20 != 0]
+    assert killed and all(k not in rows for k in killed)
+    # D(b0) then I(b2) → restored with the b2 payload
+    revived = [k for k in base_keys if k % 20 == 0 and k % 16 != 1]
+    assert revived and all(rows[k] == ("I", "2-B2") for k in revived)

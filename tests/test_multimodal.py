@@ -399,3 +399,51 @@ def test_ahash_near_pairs_pigeonhole_complete(spark, sf_dir):
     damaged[0:2, 0:2] = 255  # nudge one 8x8 block's mean
     d = bin(((ahash64(px) ^ ahash64(damaged)) + (1 << 64)) % (1 << 64))
     assert d.count("1") <= HAM_T
+
+
+def test_feature_kernel_is_twinnable_and_unit_norm(spark):
+    """The r15 featurizer contract: unit 2-norm (within float eps),
+    L1 in [1, 4] for 16 dims, deterministic across invocations, and
+    component j reproducible from the documented integer-hash formula
+    (the same derivation the DuckDB twin unrolls)."""
+    import hashlib
+    import math
+
+    import pyspark.sql.functions as F
+
+    from gis_etl_spark.ops.multimodal import (
+        FEATURE_DIM,
+        _media,
+        extract_features,
+    )
+
+    rows = (
+        _media(spark)
+        .filter(F.col("payload").isNotNull())
+        .limit(8)
+        .select("payload", extract_features(F.col("payload")).alias("f"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        v = r["f"]
+        assert len(v) == FEATURE_DIM
+        n2 = sum(x * x for x in v)
+        assert abs(n2 - 1.0) < 1e-12
+        l1 = sum(abs(x) for x in v)
+        assert 1.0 <= l1 <= 4.0
+        # independent re-derivation of the documented formula
+        hx = bytes(r["payload"]).hex()
+        raw = []
+        for j in range(FEATURE_DIM):
+            k = (
+                int(hashlib.md5(f"{hx}_{j}".encode()).hexdigest()[:15], 16)
+                % 2001
+                - 1000
+            )
+            raw.append(k / 1000.0)
+        acc = 0.0
+        for x in raw:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        assert v == [x / nrm for x in raw]

@@ -2213,3 +2213,90 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R14_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R14_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-15 window rotation (VERDICT r14 item 3 / COVERAGE.md's r15
+# promise, executed). Latest driver score per query after r14:
+# r10 ×5, r11 ×45, r12 ×47, r13 ×48, r14 ×50. The window:
+# the 2 r15 additions (bm25_topk_pruned, cdc_merge_apply_log), the
+# 1 output-changed query (multimodal_feature_norms — rows-only →
+# oracle-paired, new twinnable kernel + fixedpoint L1 schema), the
+# 3 plan-changed queries (bm25_topk — posting-score subplan extracted
+# for the pruned rung; cdc_merge_apply — the anti-join now covers 'I'
+# keys, ADVICE r14; corpus_build_funnel — flags-table indirection),
+# then the SEVEN promised stale entries (the 5 r10 single-op queries
+# + the try_cast-touched KMV pair, unscored since their r14 plan
+# edit), then the 37 alphabetically-first of the 45-query r11 cohort.
+# The 8 r11 leftovers (source_cap_sample, spatial_nearest_neighbor,
+# supplier_copurchase_audit, supplier_copurchase_pairs,
+# text_repetition, text_unigram_surprisal, training_data_prep_v2,
+# training_shards) become the oldest tail and rotate in r16.
+# ---------------------------------------------------------------------------
+
+_R15_FRONT = (
+    # new in r15
+    "bm25_topk_pruned",
+    "cdc_merge_apply_log",
+    # output changed since last score
+    "multimodal_feature_norms",
+    # plan changed since last score
+    "bm25_topk",
+    "cdc_merge_apply",
+    "corpus_build_funnel",
+    # the seven promised stale entries
+    "union_all_names",
+    "source_id_extract",
+    "count_distinct_customers",
+    "multimodal_frame_sample",
+    "geo_total_count",
+    "kmv_source_overlap",
+    "kmv_overlap_sketch",
+    # the r11 cohort (oldest-scored), alphabetical
+    "asof_click_view",
+    "bpe_fertility_by_lang",
+    "chunk_decontaminate",
+    "decontaminate_overlap",
+    "dedup_components",
+    "dedup_embedding_lsh",
+    "dedup_embedding_pairs",
+    "dedup_exact_groups",
+    "dedup_exact_kept",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_pairs",
+    "doc_fingerprints",
+    "fuzzy_decontaminate",
+    "gdb_scan_attrs",
+    "gdb_scan_oids",
+    "geo_haversine_span",
+    "geo_heatmap_pyramid",
+    "geo_normalized_bbox",
+    "gpkg_heatmap_roundtrip",
+    "h3_grid_disk_stats",
+    "h3_grid_ring_children",
+    "hex_heatmap_pyramid",
+    "hex_heatmap_smoothed",
+    "leakage_safe_splits",
+    "multimodal_ahash_near_pairs",
+    "multimodal_resize",
+    "pagerank_trade",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q13_order_count_distribution",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "quality_deciles",
+    "scd2_intervals",
+    "semdedup",
+    "sequence_pack",
+)
+
+assert len(_R15_FRONT) == 50, len(_R15_FRONT)
+assert all(k in REGISTRY for k in _R15_FRONT), [
+    k for k in _R15_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R15_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R15_FRONT},
+}

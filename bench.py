@@ -247,6 +247,7 @@ HEADLINE = [
     # the hash match is the exactness proof) and the ordered
     # multi-batch MERGE (compaction + one merge)
     "bm25_topk_pruned",
+    "bm25_topk_stored",
     "cdc_merge_apply_log",
 ]
 
@@ -998,6 +999,33 @@ def _scale_benches(
         artifacts["bm25_pruned_postings_pct"] = int(ps["touched_pct"])
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["bm25_prune_stats"] = f"{type(e).__name__}: {e}"[:300]
+
+    # Stored BM25 index: build cost + artifact footprint (the text
+    # mirror of ann_index_build_ms — the once-per-corpus price every
+    # bm25_topk_stored query batch amortizes).
+    try:
+        from urllib.parse import urlparse as _urlparse2
+
+        from gis_etl_spark.ops.text import bm25_index_tables, build_bm25_index
+
+        names = bm25_index_tables(SF_DIR)
+        for t_ in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
+        t0 = time.time()
+        build_bm25_index(spark, SF_DIR)
+        artifacts["bm25_index_build_ms"] = int((time.time() - t0) * 1000)
+        wh = _urlparse2(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        for role, t_ in names.items():
+            artifacts[f"bm25_index_{role}_rows"] = spark.table(t_).count()
+            loc = os.path.join(wh, t_.lower())
+            if os.path.isdir(loc):
+                artifacts[f"bm25_index_{role}_bytes"] = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _dns, fns in os.walk(loc)
+                    for f in fns
+                )
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["bm25_index_build"] = f"{type(e).__name__}: {e}"[:300]
 
     if quick:
         # noise-gate rerun: re-time the timed entries only — the

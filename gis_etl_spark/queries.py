@@ -712,6 +712,10 @@ REGISTRY.update(
         # equality proof that pruning changes nothing (the
         # mixture_draw_split pattern)
         "bm25_topk_pruned": (T.bm25_topk_pruned, T.bm25_topk_sql()),
+        # r15: served from the PERSISTED impact-ordered index (scored
+        # postings + champion ranks stored at build time) — same
+        # oracle again: the hash match pins stored == fresh
+        "bm25_topk_stored": (T.bm25_topk_stored, T.bm25_topk_sql()),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         # r11: Count-Min Sketch with exact-verified point queries —
         # the frequency member of the sketch family (KMV/MG/quantiles)
@@ -2218,24 +2222,27 @@ REGISTRY = {
 # Round-15 window rotation (VERDICT r14 item 3 / COVERAGE.md's r15
 # promise, executed). Latest driver score per query after r14:
 # r10 ×5, r11 ×45, r12 ×47, r13 ×48, r14 ×50. The window:
-# the 2 r15 additions (bm25_topk_pruned, cdc_merge_apply_log), the
-# 1 output-changed query (multimodal_feature_norms — rows-only →
-# oracle-paired, new twinnable kernel + fixedpoint L1 schema), the
-# 3 plan-changed queries (bm25_topk — posting-score subplan extracted
-# for the pruned rung; cdc_merge_apply — the anti-join now covers 'I'
-# keys, ADVICE r14; corpus_build_funnel — flags-table indirection),
-# then the SEVEN promised stale entries (the 5 r10 single-op queries
-# + the try_cast-touched KMV pair, unscored since their r14 plan
-# edit), then the 37 alphabetically-first of the 45-query r11 cohort.
-# The 8 r11 leftovers (source_cap_sample, spatial_nearest_neighbor,
-# supplier_copurchase_audit, supplier_copurchase_pairs,
-# text_repetition, text_unigram_surprisal, training_data_prep_v2,
-# training_shards) become the oldest tail and rotate in r16.
+# the 3 r15 additions (bm25_topk_pruned, bm25_topk_stored,
+# cdc_merge_apply_log), the 1 output-changed query
+# (multimodal_feature_norms — rows-only → oracle-paired, new twinnable
+# kernel + fixedpoint L1 schema), the 3 plan-changed queries
+# (bm25_topk — posting-score subplan extracted for the pruned rung;
+# cdc_merge_apply — the anti-join now covers 'I' keys, ADVICE r14;
+# corpus_build_funnel — flags-table indirection), then the SEVEN
+# promised stale entries (the 5 r10 single-op queries + the
+# try_cast-touched KMV pair, unscored since their r14 plan edit),
+# then the 36 alphabetically-first of the 45-query r11 cohort.
+# The 9 r11 leftovers (sequence_pack, source_cap_sample,
+# spatial_nearest_neighbor, supplier_copurchase_audit,
+# supplier_copurchase_pairs, text_repetition, text_unigram_surprisal,
+# training_data_prep_v2, training_shards) become the oldest tail and
+# rotate in r16.
 # ---------------------------------------------------------------------------
 
 _R15_FRONT = (
     # new in r15
     "bm25_topk_pruned",
+    "bm25_topk_stored",
     "cdc_merge_apply_log",
     # output changed since last score
     "multimodal_feature_norms",
@@ -2288,7 +2295,6 @@ _R15_FRONT = (
     "quality_deciles",
     "scd2_intervals",
     "semdedup",
-    "sequence_pack",
 )
 
 assert len(_R15_FRONT) == 50, len(_R15_FRONT)

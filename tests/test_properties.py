@@ -894,3 +894,33 @@ def test_bm25_pruned_equals_plain_and_actually_prunes(spark, sf_dir):
     assert stats["safe_query_ids"], stats
     assert stats["touched_pct"] < 50.0, stats
     assert 0 < stats["champion_postings"] < stats["total_postings"]
+
+
+def test_bm25_stored_serves_without_windowing_postings(spark, sf_dir):
+    """The stored-index serve path is (a) row-identical to the plain
+    scorer and (b) structurally cheap: its plan has NO window
+    partitioned by (query, token) — the champion rank is a stored
+    column — and the postings scan comes from the bucketed catalog
+    table. The only windows left partition by query_id over candidate
+    docs."""
+    import re
+
+    from gis_etl_spark.ops.text import bm25_topk, bm25_topk_stored
+
+    plain = [tuple(r) for r in bm25_topk(spark, sf_dir).collect()]
+    stored = [tuple(r) for r in bm25_topk_stored(spark, sf_dir).collect()]
+    assert plain == stored and plain
+
+    df = bm25_topk_stored(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "bm25_postings_" in plan  # served from the catalog table
+    # no window is ordered by the per-posting score — the champion
+    # rank (the only sc-ordered window in the in-plan rung) is a
+    # stored column here. Remaining windows: the 8-row qterms ranking
+    # (corpus_tf) and the per-query candidate rank (score_units).
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "sc#" not in spec, spec

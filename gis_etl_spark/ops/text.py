@@ -682,9 +682,13 @@ def _bm25_prune_parts_from(posts: DataFrame):
             )
         )
     )
+    # the candidate set is ≤ Σ champion depths rows (≤ a few hundred
+    # per query by construction) — broadcast it into the postings so
+    # the full-score pass is map-side (a plain join statically plans
+    # SMJ here; audited r15)
     cand = champ.select("query_id", "doc_id").distinct()
     champ_scored = (
-        posts.join(cand, ["query_id", "doc_id"], "left_semi")
+        posts.join(F.broadcast(cand), ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id", "doc_id")
         .agg(
             F.floor(F.sum("sc") * F.lit(1e6) + F.lit(0.5)).alias(
@@ -702,7 +706,7 @@ def _bm25_prune_parts_from(posts: DataFrame):
     # safe ⇔ a k-th champion exists AND θ strictly beats the outsider
     # bound (strict: an outsider tying θ would win the doc_id break)
     safe = (
-        theta.join(ub_q, "query_id")
+        theta.join(F.broadcast(ub_q), "query_id")
         .filter(F.col("theta_units") > F.col("ub_units"))
         .select("query_id")
     )

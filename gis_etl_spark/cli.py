@@ -319,6 +319,19 @@ def cmd_build_corpus(spark: SparkSession, args) -> None:
     print(f"build-corpus: wrote training corpus {args.output}")
 
 
+def cmd_build_bm25_index(spark: SparkSession, args) -> None:
+    """Build + persist the impact-ordered BM25 serving index for a
+    documents corpus (documents.parquet in the input dir): scored
+    postings with champion ranks (token-bucketed), per-term stats, and
+    corpus scalars as catalog tables. Prints the table names;
+    rerunning is a no-op while the corpus fingerprint is unchanged."""
+    from gis_etl_spark.ops.text import build_bm25_index
+
+    names = build_bm25_index(spark, args.input)
+    for role, table in names.items():
+        print(f"build-bm25-index: {role} -> {table}")
+
+
 def cmd_build_ann_index(spark: SparkSession, args) -> None:
     """Train + persist the IVFPQ serving index for an embedding corpus
     (embeddings.parquet in the input dir): coarse centroids, residual
@@ -418,6 +431,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
 
     p = sub.add_parser(
+        "build-bm25-index",
+        help="persist the impact-ordered BM25 serving index "
+        "(documents.parquet): scored postings + champion ranks",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
         "build-corpus",
         help="run the full curation funnel and write the training "
         "corpus it selects (prints the per-stage funnel card)",
@@ -468,6 +489,7 @@ def main(argv: list[str] | None = None) -> None:
             "hard-negatives": cmd_hard_negatives,
             "canonical-dedup": cmd_canonical_dedup,
             "build-ann-index": cmd_build_ann_index,
+            "build-bm25-index": cmd_build_bm25_index,
             "build-corpus": cmd_build_corpus,
             "ann-drift": cmd_ann_drift,
             "merge-apply": cmd_merge_apply,

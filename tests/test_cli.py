@@ -267,6 +267,18 @@ def test_cli_canonical_dedup_and_build_ann_index(tmp_path):
     for role in ("coarse", "codebooks", "codes"):
         assert f"build-ann-index: {role} -> " in res.stdout, res.stdout
 
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "build-bm25-index",
+            "--input", sf, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for role in ("postings", "stats", "corpus"):
+        assert f"build-bm25-index: {role} -> bm25_" in res.stdout, res.stdout
+
 
 def test_cli_build_corpus(tmp_path):
     """The r14 capstone subcommand end-to-end in a subprocess: one

@@ -698,6 +698,21 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         timed(
+            "streaming_postings_build",
+            lambda: S.run_to_memory(
+                S.streaming_postings_build(spark, docs_dir),
+                "bench_pb",
+                output_mode="update",
+            ),
+            n_docs,
+            lambda: (
+                "state_rows",
+                spark.table("bench_pb").select("token", "doc_id")
+                .distinct().count(),
+            ),
+        )
+
+        timed(
             "streaming_cms_cells",
             lambda: S.run_to_memory(
                 S.streaming_cms_cells(spark, docs_dir),

@@ -1353,6 +1353,42 @@ def streaming_event_dedup(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def streaming_postings_build(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Postings-build-on-arrival — the live-search-index twin of
+    build_bm25_index's tf pass (r15's stored BM25 family): every
+    arriving document's tokens upsert their (token, doc_id) posting
+    count, so the inverted index grows per micro-batch instead of
+    re-exploding the corpus per refresh. Production shape: foreachBatch
+    appends the batch's postings into the token-bucketed postings
+    table (frozen impact stats between rebuilds — the df/avgdl
+    staleness economics SCALE.md's BM25 entry records); here the
+    update-mode state IS the postings table.
+
+    Native stateful agg (the span/chunk-dedup shape): tokenization is
+    a stateless explode, the per-(token, doc) count is associative, so
+    the final state equals the batch tf frame bit-for-bit under ANY
+    micro-batch slicing — pinned in tests. State = one row per
+    DISTINCT posting, bounded by the index size itself (the thing a
+    live index must hold anyway), never by traffic."""
+    from gis_etl_spark.ops.text import words_col
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        )
+        .select("doc_id", F.explode(words_col(F.col("text"))).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
 def streaming_ann_drift(
     spark: SparkSession,
     input_dir: str,

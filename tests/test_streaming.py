@@ -1520,3 +1520,42 @@ def test_streaming_incremental_dedup_restarts_from_checkpoint(
     # both runs contributed pairs (the restart boundary split real work)
     kinds = {k for k, _ in got.values()}
     assert kinds == {"exact", "fuzzy"}, kinds
+
+
+def test_streaming_postings_build_matches_batch(spark, sf_dir, tmp_path):
+    """Postings-on-arrival == the batch inverted-index tf pass: feed
+    the documents in 3 micro-batches and require the final per-(token,
+    doc_id) state to equal build_bm25_index's tf frame row-for-row
+    (the count state is associative, so any slicing lands on the batch
+    answer)."""
+    from gis_etl_spark.ops.text import words_col
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    flat = _stage_micro_batches(spark, docs, tmp_path, "postings_in", n=3)
+
+    name = f"post_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.streaming_postings_build(spark, flat), name, output_mode="update"
+    )
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby(["token", "doc_id"]).tail(1)
+    got = {
+        (r.token, int(r.doc_id)): int(r.tf) for r in last.itertuples()
+    }
+    want = {
+        (r["token"], r["doc_id"]): r["tf"]
+        for r in docs.filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        )
+        .select(
+            "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .collect()
+    }
+    assert got == want and got
+    # multi-occurrence postings exist (tf really counts)
+    assert any(v > 1 for v in got.values())

@@ -248,6 +248,7 @@ HEADLINE = [
     # multi-batch MERGE (compaction + one merge)
     "bm25_topk_pruned",
     "bm25_topk_stored",
+    "bm25_stats_drift",
     "cdc_merge_apply_log",
 ]
 
@@ -1041,6 +1042,123 @@ def _scale_benches(
                 )
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["bm25_index_build"] = f"{type(e).__name__}: {e}"[:300]
+
+    # BM25 frozen-stats staleness, quantified (the text analog of the
+    # ANN recall-after-append pair): append the deterministic drift
+    # increment IN-PLAN (stored ∪ delta — the shared table is not
+    # mutated mid-suite), serve the same query workload, and measure
+    # per-query top-k agreement against a full fresh-stats rebuild
+    # over the augmented corpus. The df-drift trigger the operating
+    # rule charts lands next to it.
+    try:
+        from gis_etl_spark.io import read_table as _rt
+        from gis_etl_spark.ops.text import (
+            BM25_DRIFT_MOD,
+            BM25_NTERMS,
+            BM25_TOPK,
+            STOPWORDS,
+            _bm25_delta_postings,
+            _bm25_per_term_score,
+            _bm25_serve_from,
+            bm25_stats_drift,
+            bm25_index_tables,
+            words_col,
+        )
+        from pyspark.sql import Window as _W
+
+        names = bm25_index_tables(SF_DIR)
+        docs = _rt(spark, SF_DIR, "documents").select("doc_id", "text")
+        delta_docs = docs.filter(
+            F.col("doc_id") % BM25_DRIFT_MOD == 0
+        ).select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+        delta = _bm25_delta_postings(spark, names, delta_docs)
+        append_serve = _bm25_serve_from(
+            spark.table(names["postings"]).unionByName(delta),
+            spark.table(names["stats"]),
+        )
+        got_append = {}
+        for r in append_serve.collect():
+            got_append.setdefault(r["query_id"], set()).add(r["doc_id"])
+
+        # fresh-stats rebuild over the augmented corpus, SAME query
+        # workload (the frozen qterms tokens — queries belong to the
+        # user, not the index)
+        qtok = (
+            spark.table(names["stats"])
+            .filter(~F.col("token").isin(*STOPWORDS))
+            .orderBy(F.desc("corpus_tf"), F.asc("token"))
+            .limit(BM25_NTERMS)
+            .select(
+                "token",
+                F.row_number()
+                .over(_W.orderBy(F.desc("corpus_tf"), F.asc("token")))
+                .alias("trk"),
+            )
+            .select(
+                "token",
+                F.expr("cast((trk - 1) div 2 as bigint)").alias("query_id"),
+            )
+        )
+        aug = docs.unionByName(delta_docs)
+        terms = aug.select(
+            "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+        )
+        tf = terms.groupBy("token", "doc_id").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+        dl = terms.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("dl")
+        )
+        fresh_stats = tf.groupBy("token").agg(
+            F.countDistinct("doc_id").cast("long").alias("df")
+        )
+        fresh_corpus = dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+        )
+        scored = (
+            tf.join(F.broadcast(qtok), "token")
+            .join(fresh_stats, "token")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(fresh_corpus))
+            .select(
+                "query_id", "doc_id",
+                _bm25_per_term_score().alias("sc"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.floor(F.sum("sc") * F.lit(1e6) + F.lit(0.5)).alias(
+                    "u"
+                )
+            )
+        )
+        wq = _W.partitionBy("query_id").orderBy(
+            F.desc("u"), F.asc("doc_id")
+        )
+        got_rebuild = {}
+        for r in (
+            scored.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= BM25_TOPK)
+            .collect()
+        ):
+            got_rebuild.setdefault(r["query_id"], set()).add(r["doc_id"])
+        common_q = sorted(set(got_append) & set(got_rebuild))
+        if common_q:
+            agree = [
+                100
+                * len(got_append[q] & got_rebuild[q])
+                / max(len(got_rebuild[q]), 1)
+                for q in common_q
+            ]
+            artifacts["bm25_agreement_after_append_pct"] = int(
+                sum(agree) / len(agree)
+            )
+        drift_rows = bm25_stats_drift(spark, SF_DIR).collect()
+        artifacts["bm25_df_drift_max_x1000"] = max(
+            r["df_drift_x1000"] for r in drift_rows
+        )
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["bm25_append_drift"] = f"{type(e).__name__}: {e}"[:300]
 
     if quick:
         # noise-gate rerun: re-time the timed entries only — the

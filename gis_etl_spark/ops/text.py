@@ -529,6 +529,9 @@ BM25_NTERMS = 8  # top corpus tokens -> BM25_NTERMS/2 two-term queries
 # all-safe (6.6% touched at sf0.1). Depth only tunes pruning
 # effectiveness — exactness is depth-independent (bound + fallback).
 BM25_CHAMP_ALPHA = 4.5
+# staleness-monitor fixture: every doc_id % MOD == 0 re-ingested under
+# a new id — a deterministic ~33% corpus growth, heavy df drift
+BM25_DRIFT_MOD = 3
 
 
 def _bm25_per_term_score() -> Column:
@@ -662,13 +665,28 @@ def _bm25_champ_depth() -> Column:
     )
 
 
+# Champion-rank sentinel for DELTA postings appended between rebuilds
+# (append_to_bm25_index): delta rows are never champions, but they are
+# ALWAYS candidates (the delta-store contract below), so the θ>UB
+# exactness bound keeps holding — outsiders are main-index
+# non-champions only, still bounded by ub_t.
+BM25_DELTA_CRK = 2_147_483_647
+
+
 def _bm25_prune_parts_from(posts: DataFrame):
     """The pruning sub-frames, given per-posting scores WITH champion
     ranks — posts = (query_id, token, df, doc_id, sc, crk). Shared by
     the in-plan pruned rung (crk from a query-time window) and the
     STORED-index serve path (crk persisted at build time, so serving
     never windows the postings). Returns (champ, champ_ranked, safe,
-    rank_window)."""
+    rank_window).
+
+    Delta-store contract: rows with crk == BM25_DELTA_CRK (postings
+    appended against frozen stats between rebuilds) never join the
+    champion lists, but every delta doc is force-included in the
+    candidate set — the immutable-main + delta-overlay shape real
+    search engines serve, keeping the champion bound exact because
+    non-candidates remain main-index non-champions."""
     k = BM25_TOPK
     champ = posts.filter(F.col("crk") <= _bm25_champ_depth())
     # per-term upper bound for non-champions = the weakest champion
@@ -682,11 +700,20 @@ def _bm25_prune_parts_from(posts: DataFrame):
             )
         )
     )
-    # the candidate set is ≤ Σ champion depths rows (≤ a few hundred
-    # per query by construction) — broadcast it into the postings so
-    # the full-score pass is map-side (a plain join statically plans
-    # SMJ here; audited r15)
-    cand = champ.select("query_id", "doc_id").distinct()
+    # the candidate set is ≤ Σ champion depths + |delta| rows (≤ a few
+    # hundred per query by construction; the delta is small between
+    # rebuilds by definition) — broadcast it into the postings so the
+    # full-score pass is map-side (a plain join statically plans SMJ
+    # here; audited r15)
+    cand = (
+        champ.select("query_id", "doc_id")
+        .unionByName(
+            posts.filter(F.col("crk") == BM25_DELTA_CRK).select(
+                "query_id", "doc_id"
+            )
+        )
+        .distinct()
+    )
     champ_scored = (
         posts.join(F.broadcast(cand), ["query_id", "doc_id"], "left_semi")
         .groupBy("query_id", "doc_id")
@@ -940,9 +967,16 @@ def bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rebuild economics are the ANN index's, measured in bench as
     bm25_index_build_ms."""
     names = build_bm25_index(spark, sf_dir)
-    posts_t = spark.table(names["postings"])
-    stats_t = spark.table(names["stats"])
+    return _bm25_serve_from(
+        spark.table(names["postings"]), spark.table(names["stats"])
+    )
 
+
+def _bm25_serve_from(posts_t: DataFrame, stats_t: DataFrame) -> DataFrame:
+    """Serve BM25 top-k from an arbitrary scored-postings frame
+    (token, doc_id, tf, sc, crk) + stats frame — the stored tables in
+    production; bench also feeds it stored ∪ in-plan delta to measure
+    frozen-stats ranking drift without mutating the shared table."""
     qterms = (
         stats_t.filter(~F.col("token").isin(*STOPWORDS))
         .orderBy(F.desc("corpus_tf"), F.asc("token"))
@@ -971,6 +1005,191 @@ def bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     champ, champ_ranked, safe, w = _bm25_prune_parts_from(posts)
     return _bm25_pruned_final(posts, qnames, champ_ranked, safe, w)
 
+
+def append_to_bm25_index(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> dict[str, str]:
+    """Incremental BM25 index maintenance — the cheap rung of the
+    text refresh story (append_to_ivfpq_index's contract applied to
+    postings): NEW documents (doc_id, text) encode map-only against
+    the FROZEN stored stats — per-term df from the stats table (an
+    unseen token scores with df=0, the RSJ formula's natural novel-
+    term idf), corpus n_docs/n_tokens from the corpus table — and
+    append to the token-bucketed postings table with the SAME bucket
+    spec and the BM25_DELTA_CRK sentinel rank (delta rows never join
+    champion lists; serving force-includes them as candidates, so
+    results stay exact w.r.t. the frozen-stats scores). The stats and
+    corpus tables are NOT touched — that staleness is the rebuild
+    trigger bm25_stats_drift monitors, and the expensive rung is a
+    new fingerprint's build_bm25_index + view swap.
+
+    Scale: one explode + partial-agg over the INCREMENT only, a
+    broadcast join against the |vocab| stats table, zero jobs over
+    the main index."""
+    names = bm25_index_tables(sf_dir)
+    (
+        _bm25_delta_postings(spark, names, new_docs)
+        .write.mode("append")
+        .bucketBy(BM25_INDEX_BUCKETS, "token")
+        .sortBy("token", "crk")
+        .saveAsTable(names["postings"])
+    )
+    return names
+
+
+def _bm25_delta_postings(
+    spark: SparkSession, names: dict[str, str], new_docs: DataFrame
+) -> DataFrame:
+    """The exact frame append_to_bm25_index writes: the increment's
+    postings scored against the FROZEN stored stats, flagged with the
+    delta sentinel rank. Exposed separately so bench can union it
+    in-plan against the stored postings without mutating the shared
+    table mid-suite (the ANN drift-recall pattern)."""
+    stats_t = spark.table(names["stats"]).select("token", "df")
+    corpus_t = spark.table(names["corpus"])
+    terms = new_docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    tf = terms.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = terms.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    return (
+        tf.join(F.broadcast(stats_t), "token", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus_t))
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            _bm25_per_term_score().alias("sc"),
+            F.lit(BM25_DELTA_CRK).alias("crk"),
+        )
+    )
+
+
+def bm25_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rebuild-trigger monitor for the stored BM25 index — the
+    text analog of ann_drift_stat: how stale are the FROZEN stats the
+    delta postings score with? For each of the index's query terms
+    (the serving-relevant slice): frozen df (read from the STORED
+    stats table, so a hash match also pins the stored artifact)
+    vs fresh df over the corpus + the deterministic delta increment
+    (every doc_id % {BM25_DRIFT_MOD} == 0 re-ingested under a new id —
+    the bench append fixture), plus the corpus-level avgdl in
+    milli-tokens, frozen vs fresh. All integers; `df_drift_x1000` =
+    df_fresh·1000 div df_frozen is the per-term trigger the operating
+    rule charts.
+
+    Output: (token, df_frozen, df_fresh, df_drift_x1000,
+    avgdl_frozen_milli, avgdl_fresh_milli), ordered by token.
+
+    Scale: fresh stats are one partial-agg pass over base + increment;
+    the frozen side reads the |vocab| stats table; the join is
+    ≤ {BM25_NTERMS} rows."""
+    names = build_bm25_index(spark, sf_dir)
+    stats_t = spark.table(names["stats"])
+    corpus_t = spark.table(names["corpus"])
+
+    qtok = (
+        stats_t.filter(~F.col("token").isin(*STOPWORDS))
+        .orderBy(F.desc("corpus_tf"), F.asc("token"))
+        .limit(BM25_NTERMS)
+        .select("token", F.col("df").alias("df_frozen"))
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % BM25_DRIFT_MOD == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(delta)
+    terms = aug.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    fresh = terms.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df_fresh")
+    )
+    fresh_corpus = (
+        terms.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dl"))
+        .agg(
+            F.expr("(sum(dl) * 1000) div count(*)").alias(
+                "avgdl_fresh_milli"
+            )
+        )
+    )
+    frozen_corpus = corpus_t.select(
+        F.expr("(n_tokens * 1000) div n_docs").alias("avgdl_frozen_milli")
+    )
+    return (
+        qtok.join(fresh, "token")
+        .crossJoin(F.broadcast(frozen_corpus))
+        .crossJoin(F.broadcast(fresh_corpus))
+        .select(
+            "token",
+            "df_frozen",
+            "df_fresh",
+            F.expr("(df_fresh * 1000) div df_frozen").alias(
+                "df_drift_x1000"
+            ),
+            "avgdl_frozen_milli",
+            "avgdl_fresh_milli",
+        )
+        .orderBy("token")
+    )
+
+
+def bm25_stats_drift_sql() -> str:
+    """The twin re-derives the 'frozen' side from the base documents
+    (the stored stats table IS deterministic in the corpus, so
+    agreement also pins the artifact) and the fresh side from the
+    same base + increment union."""
+    stop = ", ".join(f"'{t}'" for t in STOPWORDS)
+    return f"""
+        WITH terms0 AS (
+          SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents
+        ), stats0 AS (
+          SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+                 count(*)::BIGINT AS corpus_tf
+          FROM terms0 GROUP BY token
+        ), qtok AS (
+          SELECT token, df AS df_frozen
+          FROM stats0 WHERE token NOT IN ({stop})
+          ORDER BY corpus_tf DESC, token ASC LIMIT {BM25_NTERMS}
+        ), dl0 AS (
+          SELECT doc_id, count(*)::BIGINT AS dl
+          FROM terms0 GROUP BY doc_id
+        ), frozen_c AS (
+          SELECT (sum(dl) * 1000) // count(*) AS avgdl_frozen_milli
+          FROM dl0
+        ), aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000, text FROM documents
+          WHERE doc_id % {BM25_DRIFT_MOD} = 0
+        ), terms1 AS (
+          SELECT doc_id, unnest({WORDS_SQL}) AS token FROM aug
+        ), fresh AS (
+          SELECT token, count(DISTINCT doc_id)::BIGINT AS df_fresh
+          FROM terms1 GROUP BY token
+        ), dl1 AS (
+          SELECT doc_id, count(*)::BIGINT AS dl
+          FROM terms1 GROUP BY doc_id
+        ), fresh_c AS (
+          SELECT (sum(dl) * 1000) // count(*) AS avgdl_fresh_milli
+          FROM dl1
+        )
+        SELECT q.token, q.df_frozen, f.df_fresh,
+               ((f.df_fresh * 1000) // q.df_frozen)::BIGINT
+                 AS df_drift_x1000,
+               fc.avgdl_frozen_milli::BIGINT AS avgdl_frozen_milli,
+               rc.avgdl_fresh_milli::BIGINT AS avgdl_fresh_milli
+        FROM qtok q
+        JOIN fresh f USING (token)
+        CROSS JOIN frozen_c fc
+        CROSS JOIN fresh_c rc
+        ORDER BY q.token
+    """
 
 
 def bm25_topk_sql() -> str:

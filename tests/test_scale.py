@@ -575,3 +575,70 @@ def test_incremental_snapshot_bucketed_probe_no_shuffle(spark, tmp_path):
     finally:
         for t in (snap_t, new_t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_index_append_frozen_stats(spark, sf_dir):
+    """Text refresh-story receipt (the ANN append contract applied to
+    postings): an increment encodes map-only against the FROZEN stored
+    stats and appends into the token-bucketed postings table with the
+    delta sentinel rank. Receipts: (a) a delta doc that duplicates an
+    existing doc gets per-token scores byte-identical to the original
+    postings (frozen stats ⇒ frozen scores); (b) delta rows are
+    immediately candidate-visible at serve — the duplicated top-1 doc
+    appears in results under its new id; (c) the main index rows are
+    untouched. Restores the tables afterwards (other tests share
+    them)."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import (
+        BM25_DELTA_CRK,
+        append_to_bm25_index,
+        bm25_topk_stored,
+        build_bm25_index,
+    )
+
+    names = build_bm25_index(spark, sf_dir)
+    posts_t = names["postings"]
+    base_rows = spark.table(posts_t).count()
+    base_serve = bm25_topk_stored(spark, sf_dir).collect()
+    assert base_serve
+    # duplicate each query's top-1 doc under a new id
+    top_ids = sorted({r["doc_id"] for r in base_serve if r["rank"] == 1})
+    OFF = 7_000_000
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id").isin(top_ids)).select(
+        (F.col("doc_id") + OFF).alias("doc_id"), "text"
+    )
+    try:
+        append_to_bm25_index(spark, sf_dir, delta)
+        after = spark.table(posts_t)
+        # (c) main rows untouched, delta rows flagged
+        assert after.filter(F.col("crk") != BM25_DELTA_CRK).count() == (
+            base_rows
+        )
+        n_delta = after.filter(F.col("crk") == BM25_DELTA_CRK).count()
+        assert n_delta > 0
+        # (a) frozen stats ⇒ clone scores == original scores per token
+        orig = {
+            (r["token"], r["doc_id"]): r["sc"]
+            for r in after.filter(F.col("doc_id").isin(top_ids)).collect()
+        }
+        for r in after.filter(F.col("crk") == BM25_DELTA_CRK).collect():
+            assert r["sc"] == orig[(r["token"], r["doc_id"] - OFF)]
+        # (b) the duplicated top-1 docs serve under their new ids
+        served = bm25_topk_stored(spark, sf_dir).collect()
+        got_ids = {r["doc_id"] for r in served}
+        assert {i + OFF for i in top_ids} <= got_ids
+        # per query, the clone ties its original and loses only the
+        # doc_id tiebreak: original rank 1, clone rank 2
+        by_q = {}
+        for r in served:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            o = rs[0]
+            assert rs[1]["doc_id"] == o["doc_id"] + OFF
+            assert rs[1]["score_units"] == o["score_units"]
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        build_bm25_index(spark, sf_dir)

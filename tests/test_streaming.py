@@ -1559,3 +1559,83 @@ def test_streaming_postings_build_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and got
     # multi-occurrence postings exist (tf really counts)
     assert any(v > 1 for v in got.values())
+
+
+def test_streaming_funnel_restarts_from_checkpoint(spark, sf_dir, tmp_path):
+    """Custom-state (applyInPandasWithState) restart receipt beyond
+    the CDC keeper: the funnel stage machine drains the FIRST half of
+    the timeline, stops, and resumes over the second half from the
+    same checkpoint — final per-user state must equal an uninterrupted
+    run, and at least one user must ADVANCE a stage across the restart
+    boundary (provable only if the resumed run loaded run-1's
+    (view, click, purchase) timestamps)."""
+    import time
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    rows = sorted(ev.collect(), key=lambda r: r.ts)
+    half = len(rows) // 2
+    staged = str(tmp_path / "fnr_staged")
+    os.makedirs(staged)
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dst + ".dir")
+        src = glob.glob(os.path.join(dst + ".dir", "part-*.parquet"))[0]
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i * 10,) * 2)
+        shutil.rmtree(dst + ".dir")
+
+    in_dir = str(tmp_path / "fnr_live")
+    ckpt = str(tmp_path / "fnr_ckpt")
+    out = str(tmp_path / "fnr_out")
+    names = sorted(os.listdir(staged))
+
+    _present(staged, in_dir, names[:1])
+    S.run_checkpointed(S.streaming_funnel(spark, in_dir), ckpt, out)
+    _present(staged, in_dir, names[1:])
+    S.run_checkpointed(S.streaming_funnel(spark, in_dir), ckpt, out)
+
+    got = {
+        r["user_id"]: (r["stage"], r["view_us"], r["delta_us"])
+        for r in S.checkpointed_final_state(
+            spark, out, ["user_id"]
+        ).collect()
+    }
+
+    ckpt2 = str(tmp_path / "fnr_ckpt2")
+    out2 = str(tmp_path / "fnr_out2")
+    S.run_checkpointed(S.streaming_funnel(spark, in_dir), ckpt2, out2)
+    want = {
+        r["user_id"]: (r["stage"], r["view_us"], r["delta_us"])
+        for r in S.checkpointed_final_state(
+            spark, out2, ["user_id"]
+        ).collect()
+    }
+    assert got == want and got
+
+    # resumed-state receipt: some user RE-EMITTED in run 2 carries a
+    # first-view timestamp older than every run-2 event — a cold
+    # restart would have re-anchored view_us at a run-2 timestamp
+    import re as _re
+
+    bids = sorted(
+        int(_re.search(r"_bid=(\d+)", d).group(1))
+        for d in os.listdir(out)
+        if d.startswith("_bid=")
+    )
+    assert len(bids) >= 2
+    run2_min_us = (
+        spark.read.parquet(os.path.join(in_dir, names[1]))
+        .agg(F.min(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    later = {
+        r["user_id"]: r["view_us"]
+        for r in spark.read.parquet(f"{out}/_bid={bids[-1]}").collect()
+        if r["view_us"] is not None
+    }
+    carried = [u for u, v in later.items() if v < run2_min_us]
+    assert carried, "no run-2 emission carried run-1 state"

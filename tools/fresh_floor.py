@@ -60,6 +60,9 @@ STREAM_RIGS: dict[str, tuple[str, str, str]] = {
         "streaming_incremental_dedup", "docs10", "update",
     ),
     "streaming_pii_redact": ("streaming_pii_redact", "docs10", "append"),
+    "streaming_postings_build": (
+        "streaming_postings_build", "docs10", "update",
+    ),
     "streaming_ann_drift": ("streaming_ann_drift", "embshift", "complete"),
     "streaming_ingest_curation": (
         "streaming_ingest_curation", "docs10", "update",

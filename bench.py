@@ -698,18 +698,31 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
             ),
         )
 
+        # postings-on-arrival drains through the DURABLE foreachBatch
+        # parquet sink (run_checkpointed), not a memory sink: its state
+        # is the inverted index itself (~|postings| rows — an order of
+        # magnitude beyond the dedup twins), and a memory sink would
+        # pin every emission in the 1g driver heap (measured OOM at
+        # the sf0.1 docs×10 rig). This is also the twin's honest
+        # production shape: each micro-batch lands in the index table.
+        pb_ck = os.path.join(tmp, "pb_ck")
+        pb_out = os.path.join(tmp, "pb_out")
         timed(
             "streaming_postings_build",
-            lambda: S.run_to_memory(
+            lambda: S.run_checkpointed(
                 S.streaming_postings_build(spark, docs_dir),
-                "bench_pb",
+                pb_ck,
+                pb_out,
                 output_mode="update",
             ),
             n_docs,
             lambda: (
                 "state_rows",
-                spark.table("bench_pb").select("token", "doc_id")
-                .distinct().count(),
+                spark.read.option("basePath", pb_out)
+                .parquet(f"{pb_out}/_bid=*")
+                .select("token", "doc_id")
+                .distinct()
+                .count(),
             ),
         )
 

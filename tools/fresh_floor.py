@@ -60,8 +60,10 @@ STREAM_RIGS: dict[str, tuple[str, str, str]] = {
         "streaming_incremental_dedup", "docs10", "update",
     ),
     "streaming_pii_redact": ("streaming_pii_redact", "docs10", "append"),
+    # drains through the durable foreachBatch parquet sink — its state
+    # is index-sized and a memory sink OOMs the 1g heap (see bench)
     "streaming_postings_build": (
-        "streaming_postings_build", "docs10", "update",
+        "streaming_postings_build", "docs10", "checkpointed",
     ),
     "streaming_ann_drift": ("streaming_ann_drift", "embshift", "complete"),
     "streaming_ingest_curation": (
@@ -136,7 +138,15 @@ def _stream_floor(spark, name: str) -> float:
         in_dir = _stream_input(spark, kind, tmp)
 
         def run(i: int) -> None:
-            S.run_to_memory(builder(spark, in_dir), f"ff_{i}", mode)
+            if mode == "checkpointed":
+                S.run_checkpointed(
+                    builder(spark, in_dir),
+                    os.path.join(tmp, f"ff_ck_{i}"),
+                    os.path.join(tmp, f"ff_out_{i}"),
+                    output_mode="update",
+                )
+            else:
+                S.run_to_memory(builder(spark, in_dir), f"ff_{i}", mode)
             S.release_snapshot_caches()
 
         run(0)  # warm: micro-batch + state-store machinery init

@@ -699,22 +699,40 @@ def _streaming_benches(spark, artifacts: dict[str, int]) -> dict[str, float]:
         )
 
         # postings-on-arrival drains through the DURABLE foreachBatch
-        # parquet sink (run_checkpointed), not a memory sink: its state
-        # is the inverted index itself (~|postings| rows — an order of
-        # magnitude beyond the dedup twins), and a memory sink would
-        # pin every emission in the 1g driver heap (measured OOM at
-        # the sf0.1 docs×10 rig). This is also the twin's honest
-        # production shape: each micro-batch lands in the index table.
+        # parquet sink (run_checkpointed), not a memory sink, and keeps
+        # its state in ROCKSDB: the state IS the inverted index
+        # (~1.2M rows at this rig — an order of magnitude beyond the
+        # dedup twins), and both the memory sink and the in-heap
+        # HDFSBackedStateStore OOM the 1g driver (measured). This is
+        # also the twin's honest production shape: off-heap state,
+        # each micro-batch landing in the index table.
         pb_ck = os.path.join(tmp, "pb_ck")
         pb_out = os.path.join(tmp, "pb_out")
+        _SS_KEY = "spark.sql.streaming.stateStore.providerClass"
+        _ss_prev = spark.conf.get(_SS_KEY, None)
+
+        def _drain_pb() -> None:
+            spark.conf.set(
+                _SS_KEY,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            try:
+                S.run_checkpointed(
+                    S.streaming_postings_build(spark, docs_dir),
+                    pb_ck,
+                    pb_out,
+                    output_mode="update",
+                )
+            finally:
+                if _ss_prev is None:
+                    spark.conf.unset(_SS_KEY)
+                else:
+                    spark.conf.set(_SS_KEY, _ss_prev)
+
         timed(
             "streaming_postings_build",
-            lambda: S.run_checkpointed(
-                S.streaming_postings_build(spark, docs_dir),
-                pb_ck,
-                pb_out,
-                output_mode="update",
-            ),
+            _drain_pb,
             n_docs,
             lambda: (
                 "state_rows",

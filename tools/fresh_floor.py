@@ -137,6 +137,16 @@ def _stream_floor(spark, name: str) -> float:
     try:
         in_dir = _stream_input(spark, kind, tmp)
 
+        if mode == "checkpointed":
+            # index-sized state (~1.2M rows here) lives in RocksDB —
+            # the in-heap HDFSBackedStateStore OOMs the 1g driver
+            # across successive queries (providers cache per query)
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+
         def run(i: int) -> None:
             if mode == "checkpointed":
                 S.run_checkpointed(

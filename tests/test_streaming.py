@@ -1639,3 +1639,68 @@ def test_streaming_funnel_restarts_from_checkpoint(spark, sf_dir, tmp_path):
     }
     carried = [u for u, v in later.items() if v < run2_min_us]
     assert carried, "no run-2 emission carried run-1 state"
+
+
+def test_streaming_postings_build_restarts_on_rocksdb(spark, sf_dir, tmp_path):
+    """Checkpoint recovery across the ROCKSDB state store — the
+    provider the index-sized postings twin runs on in production
+    (SCALE.md r15): drain half the corpus, stop, restart from the same
+    checkpoint over the rest, and require the combined output to equal
+    the batch tf frame. A (token, doc) posting lives in one file, so
+    the pinned properties are the ones a RocksDB restart can actually
+    break: the resumed query must LOAD the RocksDB snapshot (a broken
+    recovery fails the restart outright), skip run-1 files via the
+    source log, and not lose or duplicate run-1 postings through the
+    idempotent sink. Provider conf restored afterwards."""
+    from gis_etl_spark.ops.text import words_col
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    staged = _stage_micro_batches(spark, docs, tmp_path, "pbr_staged", n=2)
+    names = sorted(os.listdir(staged))
+    in_dir = str(tmp_path / "pbr_live")
+    ckpt = str(tmp_path / "pbr_ckpt")
+    out = str(tmp_path / "pbr_out")
+
+    KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(KEY, None)
+    spark.conf.set(
+        KEY,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _present(staged, in_dir, names[:1])
+        S.run_checkpointed(
+            S.streaming_postings_build(spark, in_dir), ckpt, out
+        )
+        _present(staged, in_dir, names[1:])
+        S.run_checkpointed(
+            S.streaming_postings_build(spark, in_dir), ckpt, out
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(KEY)
+        else:
+            spark.conf.set(KEY, prev)
+
+    got = {
+        (r["token"], r["doc_id"]): r["tf"]
+        for r in S.checkpointed_final_state(
+            spark, out, ["token", "doc_id"]
+        ).collect()
+    }
+    want = {
+        (r["token"], r["doc_id"]): r["tf"]
+        for r in docs.filter(
+            F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        )
+        .select(
+            "doc_id", F.explode(words_col(F.col("text"))).alias("token")
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .collect()
+    }
+    assert got == want and got

@@ -332,6 +332,29 @@ def cmd_build_bm25_index(spark: SparkSession, args) -> None:
         print(f"build-bm25-index: {role} -> {table}")
 
 
+def cmd_compact_bm25_index(spark: SparkSession, args) -> None:
+    """Fold appended delta postings into the main champion structure
+    (frozen stats untouched; serving output provably unchanged) — the
+    minor-compaction rung between appends and a full rebuild."""
+    from gis_etl_spark.ops.text import (
+        BM25_DELTA_CRK,
+        bm25_index_tables,
+        compact_bm25_index,
+    )
+
+    names = bm25_index_tables(args.input)
+    n_delta = (
+        spark.table(names["postings"])
+        .filter(F.col("crk") == BM25_DELTA_CRK)
+        .count()
+    )
+    compact_bm25_index(spark, args.input)
+    print(
+        f"compact-bm25-index: folded {n_delta} delta postings into "
+        f"{names['postings']}"
+    )
+
+
 def cmd_build_ann_index(spark: SparkSession, args) -> None:
     """Train + persist the IVFPQ serving index for an embedding corpus
     (embeddings.parquet in the input dir): coarse centroids, residual
@@ -439,6 +462,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
 
     p = sub.add_parser(
+        "compact-bm25-index",
+        help="fold appended delta postings into the champion "
+        "structure (minor compaction; serving output unchanged)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
         "build-corpus",
         help="run the full curation funnel and write the training "
         "corpus it selects (prints the per-stage funnel card)",
@@ -490,6 +521,7 @@ def main(argv: list[str] | None = None) -> None:
             "canonical-dedup": cmd_canonical_dedup,
             "build-ann-index": cmd_build_ann_index,
             "build-bm25-index": cmd_build_bm25_index,
+            "compact-bm25-index": cmd_compact_bm25_index,
             "build-corpus": cmd_build_corpus,
             "ann-drift": cmd_ann_drift,
             "merge-apply": cmd_merge_apply,

@@ -1069,6 +1069,54 @@ def _bm25_delta_postings(
     )
 
 
+def compact_bm25_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """MINOR compaction — the middle rung of the index lifecycle
+    (build → append → COMPACT → rebuild): fold the delta postings into
+    the main champion structure WITHOUT touching the frozen stats.
+    Only the tokens the delta touched are re-ranked (champion rank =
+    row_number over (sc DESC, doc_id) across main + delta rows of that
+    token); every other token's rows pass through byte-identical.
+    Scores are already frozen-stats scores, so serving output is
+    provably UNCHANGED — the θ>UB bound is exact in both
+    configurations and the per-doc scores are the same doubles —
+    while the delta overlay shrinks to zero (no more force-included
+    candidates; compacted delta rows compete for champion slots like
+    any main row). Receipt: tests pin serve-before == serve-after and
+    zero remaining sentinel rows.
+
+    Scale: the touched-token set is ≤ |delta vocabulary| (broadcast);
+    re-ranking shuffles only touched tokens' postings; the swap is a
+    new bucketed table + catalog rename, never an in-place rewrite
+    (you cannot overwrite a table you are reading — and at 100 TB the
+    rename-swap is also the atomicity story)."""
+    names = bm25_index_tables(sf_dir)
+    posts = spark.table(names["postings"])
+    touched = (
+        posts.filter(F.col("crk") == BM25_DELTA_CRK)
+        .select("token")
+        .distinct()
+    )
+    untouched = posts.join(F.broadcast(touched), "token", "left_anti")
+    wt = Window.partitionBy("token").orderBy(F.desc("sc"), F.asc("doc_id"))
+    reranked = (
+        posts.join(F.broadcast(touched), "token", "left_semi")
+        .drop("crk")
+        .withColumn("crk", F.row_number().over(wt))
+    )
+    compacted = untouched.unionByName(reranked)
+    tmp_name = f"{names['postings']}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+    (
+        compacted.write.mode("overwrite")
+        .bucketBy(BM25_INDEX_BUCKETS, "token")
+        .sortBy("token", "crk")
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE {names['postings']}")
+    spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {names['postings']}")
+    return names
+
+
 def bm25_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rebuild-trigger monitor for the stored BM25 index — the
     text analog of ann_drift_stat: how stale are the FROZEN stats the

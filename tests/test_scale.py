@@ -642,3 +642,79 @@ def test_bm25_index_append_frozen_stats(spark, sf_dir):
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         build_bm25_index(spark, sf_dir)
+
+
+def test_bm25_compact_preserves_serve_and_clears_delta(spark, sf_dir):
+    """Minor compaction is a no-op to the reader: append a delta (the
+    duplicated top-1 docs, as in the append receipt), serve, compact,
+    serve again — the two results must be row-identical (scores are
+    frozen either way; the θ>UB bound is exact in both layouts) while
+    the sentinel rows vanish and the compacted clones hold real
+    champion ranks. Untouched tokens' rows pass through byte-identical.
+    Restores the tables afterwards."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import (
+        BM25_DELTA_CRK,
+        append_to_bm25_index,
+        bm25_topk_stored,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    names = build_bm25_index(spark, sf_dir)
+    posts_t = names["postings"]
+    base_serve = bm25_topk_stored(spark, sf_dir).collect()
+    top_ids = sorted({r["doc_id"] for r in base_serve if r["rank"] == 1})
+    OFF = 7_000_000
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id").isin(top_ids)).select(
+        (F.col("doc_id") + OFF).alias("doc_id"), "text"
+    )
+    try:
+        append_to_bm25_index(spark, sf_dir, delta)
+        before = [
+            tuple(r) for r in bm25_topk_stored(spark, sf_dir).collect()
+        ]
+        # untouched-token passthrough baseline
+        touched_toks = {
+            r["token"]
+            for r in spark.table(posts_t)
+            .filter(F.col("crk") == BM25_DELTA_CRK)
+            .select("token")
+            .distinct()
+            .collect()
+        }
+        untouched_before = {
+            (r["token"], r["doc_id"]): (r["tf"], r["sc"], r["crk"])
+            for r in spark.table(posts_t)
+            .filter(~F.col("token").isin(*touched_toks))
+            .collect()
+        }
+
+        compact_bm25_index(spark, sf_dir)
+
+        after = [
+            tuple(r) for r in bm25_topk_stored(spark, sf_dir).collect()
+        ]
+        assert before == after and before
+        posts = spark.table(posts_t)
+        assert posts.filter(F.col("crk") == BM25_DELTA_CRK).count() == 0
+        # clones now hold real champion ranks in their token lists
+        clone_crk = [
+            r["crk"]
+            for r in posts.filter(
+                F.col("doc_id").isin([i + OFF for i in top_ids])
+            ).collect()
+        ]
+        assert clone_crk and all(c < BM25_DELTA_CRK for c in clone_crk)
+        untouched_after = {
+            (r["token"], r["doc_id"]): (r["tf"], r["sc"], r["crk"])
+            for r in posts.filter(
+                ~F.col("token").isin(*touched_toks)
+            ).collect()
+        }
+        assert untouched_after == untouched_before
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        build_bm25_index(spark, sf_dir)

@@ -249,6 +249,7 @@ HEADLINE = [
     "bm25_topk_pruned",
     "bm25_topk_stored",
     "bm25_stats_drift",
+    "bm25_topk_after_append",
     "cdc_merge_apply_log",
 ]
 

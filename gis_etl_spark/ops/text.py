@@ -1069,6 +1069,111 @@ def _bm25_delta_postings(
     )
 
 
+def bm25_topk_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-overlay serving under the HASH GATE: the stored index
+    plus the deterministic increment (every doc_id % {BM25_DRIFT_MOD}
+    == 0 re-ingested under id+5M — the bm25_stats_drift fixture),
+    served through the same champion/θ>UB machinery with the
+    increment's postings scored against the FROZEN stats. The delta is
+    unioned IN-PLAN (_bm25_delta_postings — no catalog mutation, so
+    the registry stays order-independent); the oracle independently
+    re-derives frozen stats from the base corpus and scores the
+    augmented posting set with them, so the hash match pins the
+    frozen-stats append SEMANTICS — what append_to_bm25_index writes
+    and the delta-candidate force-inclusion serves — not just the
+    plumbing."""
+    names = build_bm25_index(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta_docs = docs.filter(F.col("doc_id") % BM25_DRIFT_MOD == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    delta = _bm25_delta_postings(spark, names, delta_docs)
+    return _bm25_serve_from(
+        spark.table(names["postings"]).unionByName(delta),
+        spark.table(names["stats"]),
+    )
+
+
+def bm25_topk_after_append_sql() -> str:
+    """The twin scores EVERY posting of the augmented corpus (base ∪
+    clones) with stats frozen to the BASE corpus — df via LEFT JOIN
+    (unseen tokens score with df=0, the engine's novel-term rule),
+    n_docs/n_tokens from base — no pruning, full ranking; agreement
+    pins that the champion/delta-overlay serve is exact w.r.t. the
+    frozen-stats scores."""
+    stop = ", ".join(f"'{t}'" for t in STOPWORDS)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+        WITH terms0 AS (
+          SELECT doc_id, unnest({WORDS_SQL}) AS token FROM documents
+        ), tf0 AS (
+          SELECT token, doc_id, count(*)::BIGINT AS tf
+          FROM terms0 GROUP BY token, doc_id
+        ), dl0 AS (
+          SELECT doc_id, count(*)::BIGINT AS dl
+          FROM terms0 GROUP BY doc_id
+        ), stats0 AS (
+          SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+                 sum(tf)::BIGINT AS corpus_tf
+          FROM tf0 GROUP BY token
+        ), corpus0 AS (
+          SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS n_tokens
+          FROM dl0
+        ), aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000, text FROM documents
+          WHERE doc_id % {BM25_DRIFT_MOD} = 0
+        ), terms1 AS (
+          SELECT doc_id, unnest({WORDS_SQL}) AS token FROM aug
+        ), tf1 AS (
+          SELECT token, doc_id, count(*)::BIGINT AS tf
+          FROM terms1 GROUP BY token, doc_id
+        ), dl1 AS (
+          SELECT doc_id, count(*)::BIGINT AS dl
+          FROM terms1 GROUP BY doc_id
+        ), qterms AS (
+          SELECT token, df,
+                 ((row_number() OVER (
+                     ORDER BY corpus_tf DESC, token ASC) - 1) // 2)
+                   ::BIGINT AS query_id
+          FROM stats0 WHERE token NOT IN ({stop})
+          ORDER BY corpus_tf DESC, token ASC LIMIT {BM25_NTERMS}
+        ), qnames AS (
+          SELECT query_id,
+                 string_agg(token, ' ' ORDER BY token) AS q_terms
+          FROM qterms GROUP BY query_id
+        ), scored AS (
+          SELECT q.query_id, t.doc_id,
+                 CAST(floor(sum(
+                   ln(1.0 + (CAST(c.n_docs AS DOUBLE)
+                             - CAST(coalesce(s.df, 0) AS DOUBLE) + 0.5)
+                          / (CAST(coalesce(s.df, 0) AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * {1.0 + k1})
+                   / (CAST(t.tf AS DOUBLE) + {k1} * (1.0 - {b}
+                      + {b} * CAST(d.dl AS DOUBLE)
+                        * CAST(c.n_docs AS DOUBLE)
+                        / CAST(c.n_tokens AS DOUBLE)))
+                 ) * 1e6 + 0.5) AS BIGINT) AS score_units
+          FROM tf1 t
+          JOIN qterms q USING (token)
+          LEFT JOIN stats0 s USING (token)
+          JOIN dl1 d USING (doc_id)
+          CROSS JOIN corpus0 c
+          GROUP BY q.query_id, t.doc_id
+        ), ranked AS (
+          SELECT query_id, doc_id, score_units,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_units DESC, doc_id ASC) AS rank
+          FROM scored
+        )
+        SELECT r.query_id, n.q_terms, r.rank, r.doc_id, r.score_units
+        FROM ranked r JOIN qnames n USING (query_id)
+        WHERE r.rank <= {BM25_TOPK}
+        ORDER BY r.query_id, r.rank
+    """
+
+
 def compact_bm25_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """MINOR compaction — the middle rung of the index lifecycle
     (build → append → COMPACT → rebuild): fold the delta postings into

@@ -721,6 +721,13 @@ REGISTRY.update(
         # STORED stats table, the oracle re-derives it from the base
         # corpus, so the hash match pins the artifact too
         "bm25_stats_drift": (T.bm25_stats_drift, T.bm25_stats_drift_sql()),
+        # r15: delta-overlay serving under the gate — stored index ∪
+        # in-plan frozen-stats increment vs an oracle that re-derives
+        # the frozen stats and full-scores the augmented corpus
+        "bm25_topk_after_append": (
+            T.bm25_topk_after_append,
+            T.bm25_topk_after_append_sql(),
+        ),
         "stratified_sample": (T.stratified_sample, T.stratified_sample_sql()),
         # r11: Count-Min Sketch with exact-verified point queries —
         # the frequency member of the sketch family (KMV/MG/quantiles)
@@ -2227,8 +2234,9 @@ REGISTRY = {
 # Round-15 window rotation (VERDICT r14 item 3 / COVERAGE.md's r15
 # promise, executed). Latest driver score per query after r14:
 # r10 ×5, r11 ×45, r12 ×47, r13 ×48, r14 ×50. The window:
-# the 4 r15 additions (bm25_topk_pruned, bm25_topk_stored,
-# bm25_stats_drift, cdc_merge_apply_log), the 1 output-changed query
+# the 5 r15 additions (bm25_topk_pruned, bm25_topk_stored,
+# bm25_stats_drift, bm25_topk_after_append, cdc_merge_apply_log), the
+# 1 output-changed query
 # (multimodal_feature_norms — rows-only → oracle-paired, new twinnable
 # kernel + fixedpoint L1 schema), the 3 plan-changed queries
 # (bm25_topk — posting-score subplan extracted for the pruned rung;
@@ -2236,8 +2244,9 @@ REGISTRY = {
 # corpus_build_funnel — flags-table indirection), then the SEVEN
 # promised stale entries (the 5 r10 single-op queries + the
 # try_cast-touched KMV pair, unscored since their r14 plan edit),
-# then the 35 alphabetically-first of the 45-query r11 cohort.
-# The 10 r11 leftovers (semdedup, sequence_pack, source_cap_sample,
+# then the 34 alphabetically-first of the 45-query r11 cohort.
+# The 11 r11 leftovers (quality_deciles is IN; scd2_intervals,
+# semdedup, sequence_pack, source_cap_sample,
 # spatial_nearest_neighbor, supplier_copurchase_audit,
 # supplier_copurchase_pairs, text_repetition, text_unigram_surprisal,
 # training_data_prep_v2, training_shards) become the oldest tail and
@@ -2249,6 +2258,7 @@ _R15_FRONT = (
     "bm25_topk_pruned",
     "bm25_topk_stored",
     "bm25_stats_drift",
+    "bm25_topk_after_append",
     "cdc_merge_apply_log",
     # output changed since last score
     "multimodal_feature_norms",
@@ -2299,7 +2309,6 @@ _R15_FRONT = (
     "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
     "quality_deciles",
-    "scd2_intervals",
 )
 
 assert len(_R15_FRONT) == 50, len(_R15_FRONT)

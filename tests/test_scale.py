@@ -718,3 +718,34 @@ def test_bm25_compact_preserves_serve_and_clears_delta(spark, sf_dir):
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         build_bm25_index(spark, sf_dir)
+
+
+def test_bm25_compact_without_delta_is_noop(spark, sf_dir):
+    """compact-bm25-index on a clean index (no delta rows) must be a
+    safe no-op: the rename-swap still executes, but every posting
+    passes through byte-identical and serving is unchanged — the CLI
+    can run on any schedule without preconditions."""
+    from gis_etl_spark.ops.text import (
+        bm25_topk_stored,
+        build_bm25_index,
+        compact_bm25_index,
+    )
+
+    names = build_bm25_index(spark, sf_dir)
+    before_posts = {
+        (r["token"], r["doc_id"]): (r["tf"], r["sc"], r["crk"])
+        for r in spark.table(names["postings"]).collect()
+    }
+    before_serve = [
+        tuple(r) for r in bm25_topk_stored(spark, sf_dir).collect()
+    ]
+    compact_bm25_index(spark, sf_dir)
+    after_posts = {
+        (r["token"], r["doc_id"]): (r["tf"], r["sc"], r["crk"])
+        for r in spark.table(names["postings"]).collect()
+    }
+    after_serve = [
+        tuple(r) for r in bm25_topk_stored(spark, sf_dir).collect()
+    ]
+    assert after_posts == before_posts and before_posts
+    assert after_serve == before_serve and before_serve

@@ -343,6 +343,12 @@ def cmd_compact_bm25_index(spark: SparkSession, args) -> None:
     )
 
     names = bm25_index_tables(args.input)
+    if not spark.catalog.tableExists(names["postings"]):
+        raise SystemExit(
+            f"error: no BM25 index for {args.input} "
+            f"(table {names['postings']} not found) — "
+            "run build-bm25-index first"
+        )
     n_delta = (
         spark.table(names["postings"])
         .filter(F.col("crk") == BM25_DELTA_CRK)

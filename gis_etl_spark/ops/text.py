@@ -671,6 +671,86 @@ def _bm25_champ_depth() -> Column:
 # exactness bound keeps holding — outsiders are main-index
 # non-champions only, still bounded by ub_t.
 BM25_DELTA_CRK = 2_147_483_647
+# Champion-rank sentinel for NON-CHAMPION main-index postings
+# (VERDICT r15 item 1): serving only ever consumes crk via
+# `crk <= champ_depth` and `crk == BM25_DELTA_CRK`, so rows outside a
+# token's champion prefix never need their exact rank — the build
+# stamps them with this constant instead of windowing the full
+# (Zipf-skewed) posting list. Strictly between any real champion depth
+# (⌈α·√df⌉ « 2^31 for any physical corpus) and the delta sentinel.
+BM25_NONCHAMP_CRK = 2_147_483_646
+# Salt fan-out for the build-time champion ranking: the hottest
+# token's posting list is split across this many tasks for the local
+# top-C pass (the _per_query_topk two-level discipline). Sized so
+# |hottest posting list| / BM25_BUILD_SALTS fits one task's sort
+# budget; scale it with the corpus, not the cluster.
+BM25_BUILD_SALTS = 32
+
+
+def _champion_ranked(
+    scored: DataFrame, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Bounded champion ranking — the de-skewed replacement for the
+    full-posting-list `row_number` window of the r15 index build
+    (VERDICT r15 item 1, the salted two-level top-C pattern of
+    _per_query_topk applied to the build path).
+
+    `scored` = (token, doc_id, tf, sc, df, ...). Returns (ranked,
+    cache) where ranked = (token, doc_id, tf, sc, crk) with crk = the
+    EXACT global champion rank for every row in its token's true
+    top-max(k,⌈α·√df⌉) by (sc DESC, doc_id ASC) and
+    {BM25_NONCHAMP_CRK} for every other row; `cache` is the persisted
+    intermediate the caller must unpersist after its terminal action.
+
+    Exactness: stage 1 ranks within (token, salt=h(doc_id) %
+    {BM25_BUILD_SALTS}) — any row of the true global top-C has < C
+    rows ahead of it globally, hence < C ahead within its salt, so the
+    per-salt top-C survivor set CONTAINS the true top-C; stage 2 ranks
+    the ≤ salts·C survivors per token, where every row globally ahead
+    of a true-top-C row is itself a survivor, so stage-2 rank == true
+    global rank for exactly the true top-C (everything else ranks
+    > C and is stamped non-champion). No window ever sees more than
+    |posting list| / salts (stage 1) or salts·C (stage 2) rows per
+    partition.
+
+    The intermediate is persisted because both output branches
+    (survivors and non-survivors) consume it — without the persist the
+    corpus-wide explode/aggregate subtree underneath runs twice.
+    `materialize=False` skips the persist (plan audits: a cached frame
+    prints as InMemoryRelation, hiding the windows under test)."""
+    depth = _bm25_champ_depth()
+    local = scored.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(BM25_BUILD_SALTS)),
+    ).withColumn(
+        "lrk",
+        F.row_number().over(
+            Window.partitionBy("token", "salt").orderBy(
+                F.desc("sc"), F.asc("doc_id")
+            )
+        ),
+    )
+    if materialize:
+        local = local.persist()
+    wg = Window.partitionBy("token").orderBy(F.desc("sc"), F.asc("doc_id"))
+    cols = ["token", "doc_id", "tf", "sc", "crk"]
+    champs = (
+        local.filter(F.col("lrk") <= depth)
+        .withColumn("gk", F.row_number().over(wg))
+        .withColumn(
+            "crk",
+            F.when(F.col("gk") <= depth, F.col("gk")).otherwise(
+                F.lit(BM25_NONCHAMP_CRK)
+            ),
+        )
+        .select(*cols)
+    )
+    rest = (
+        local.filter(F.col("lrk") > depth)
+        .withColumn("crk", F.lit(BM25_NONCHAMP_CRK))
+        .select(*cols)
+    )
+    return champs.unionByName(rest), local
 
 
 def _bm25_prune_parts_from(posts: DataFrame):
@@ -798,11 +878,22 @@ def bm25_prune_stats(spark: SparkSession, sf_dir: str) -> dict:
             if safe_ids
             else total
         )
+        # touched = champions of SAFE queries + unsafe queries' full
+        # postings (which already contain their champions) — counting
+        # all champions double-counted unsafe ones and could exceed
+        # 100% in the all-fallback case (ADVICE r15)
+        n_champ_safe = (
+            champ.join(F.broadcast(safe), "query_id", "left_semi").count()
+            if safe_ids
+            else 0
+        )
         return {
             "total_postings": total,
             "champion_postings": n_champ,
             "safe_query_ids": safe_ids,
-            "touched_pct": round(100.0 * (n_champ + unsafe_posts) / total, 1)
+            "touched_pct": round(
+                100.0 * (n_champ_safe + unsafe_posts) / total, 1
+            )
             if total
             else 0.0,
         }
@@ -881,19 +972,30 @@ def build_bm25_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
       (token, doc) with the PRECOMPUTED impact score — the canonical
       per-term double frozen at build time (df/dl/avgdl are corpus
       stats, so the score is query-independent) — and the champion
-      rank within the token's posting list. Bucketed by token and
+      rank within the token's posting list (exact for the champion
+      prefix, {BM25_NONCHAMP_CRK} beyond it — serving never consumes
+      non-champion ranks). Stopword postings are dropped at build:
+      query terms derive from the non-stopword stats slice, so a
+      stopword posting can never be probed (bm25_topk_stored's
+      same-oracle hash match is the receipt). Bucketed by token and
       sorted by (token, crk): a query's terms prune to their buckets,
       and the champion filter is a stored-column predicate — serving
       NEVER windows or re-scores the postings.
-    - `stats` (token, df, corpus_tf): per-term stats (query-term
-      derivation + the √df champion depth).
+    - `stats` (token, df, corpus_tf): per-term stats over the FULL
+      vocabulary, stopwords included (query-term derivation, the √df
+      champion depth, and frozen-df scoring of arbitrary deltas).
     - `corpus` (n_docs, n_tokens): the two corpus scalars.
 
     Doubles round-trip parquet exactly, so a query served from the
     stored index is bit-identical to the in-plan chain —
     bm25_topk_stored registers against the SAME oracle as bm25_topk
     and the hash match pins the stored artifacts == fresh derivation.
-    Idempotent while the corpus fingerprint is unchanged."""
+    Idempotent while the corpus fingerprint is unchanged.
+
+    Scale (VERDICT r15 item 1): champion ranks come from the salted
+    two-level top-C pass (_champion_ranked) — no window ever
+    partitions by token over a full posting list, so the Zipf-hot
+    token no longer lands its |corpus|-sized list in one task."""
     names = bm25_index_tables(sf_dir)
     if all(spark.catalog.tableExists(t) for t in names.values()):
         return names
@@ -910,6 +1012,28 @@ def build_bm25_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             if _os.path.exists(loc):
                 shutil.rmtree(loc, ignore_errors=True)
 
+    ranked, cache, stats, corpus = _bm25_build_frames(spark, sf_dir)
+    try:
+        (
+            ranked.write.mode("overwrite")
+            .bucketBy(BM25_INDEX_BUCKETS, "token")
+            .sortBy("token", "crk")
+            .saveAsTable(names["postings"])
+        )
+    finally:
+        cache.unpersist()
+    stats.write.mode("overwrite").saveAsTable(names["stats"])
+    corpus.write.mode("overwrite").saveAsTable(names["corpus"])
+    return names
+
+
+def _bm25_build_frames(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The exact frames build_bm25_index persists — (ranked_postings,
+    cache_to_unpersist, stats, corpus) — exposed unwritten so tests
+    can audit the BUILD plan (the de-skew receipt: no window over an
+    unbounded per-token partition) without touching the catalog."""
     docs = read_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("token")
@@ -926,25 +1050,21 @@ def build_bm25_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").alias("n_tokens"),
     )
-    wt = Window.partitionBy("token").orderBy(F.desc("sc"), F.asc("doc_id"))
-    posts = (
-        tf.join(stats.select("token", "df"), "token")
+    scored = (
+        tf.filter(~F.col("token").isin(*STOPWORDS))
+        .join(stats.select("token", "df"), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
-            "token", "doc_id", "tf", _bm25_per_term_score().alias("sc")
+            "token",
+            "doc_id",
+            "tf",
+            _bm25_per_term_score().alias("sc"),
+            "df",
         )
-        .withColumn("crk", F.row_number().over(wt))
     )
-    (
-        posts.write.mode("overwrite")
-        .bucketBy(BM25_INDEX_BUCKETS, "token")
-        .sortBy("token", "crk")
-        .saveAsTable(names["postings"])
-    )
-    stats.write.mode("overwrite").saveAsTable(names["stats"])
-    corpus.write.mode("overwrite").saveAsTable(names["corpus"])
-    return names
+    ranked, cache = _champion_ranked(scored, materialize=materialize)
+    return ranked, cache, stats, corpus
 
 
 def bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,10 +1143,35 @@ def append_to_bm25_index(
     trigger bm25_stats_drift monitors, and the expensive rung is a
     new fingerprint's build_bm25_index + view swap.
 
+    Precondition, ENFORCED (ADVICE r15): the increment must be NEW
+    doc_ids — a delta posting for a doc already in the index would
+    silently double-count that doc's score at serve (the same
+    silent-duplicate class merge_apply closed). The guard broadcasts
+    the increment's id set over one column-pruned scan of the stored
+    postings and raises on any hit; re-ingesting an updated document
+    means a new id (the corpus convention) or a rebuild.
+
     Scale: one explode + partial-agg over the INCREMENT only, a
-    broadcast join against the |vocab| stats table, zero jobs over
-    the main index."""
+    broadcast join against the |vocab| stats table, and the guard's
+    single doc_id-column scan of the main index (in production the
+    registry/bloom the corpus already keeps)."""
     names = bm25_index_tables(sf_dir)
+    new_ids = new_docs.select("doc_id").distinct()
+    n_dup = (
+        spark.table(names["postings"])
+        .select("doc_id")
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"append_to_bm25_index: {n_dup} doc_id(s) of the increment "
+            f"already have postings in {names['postings']}; delta rows "
+            "for an existing doc would double-count its score at serve."
+            " Re-ingest updated documents under new ids, or rebuild."
+        )
     (
         _bm25_delta_postings(spark, names, new_docs)
         .write.mode("append")
@@ -1054,8 +1199,11 @@ def _bm25_delta_postings(
         F.count("*").cast("long").alias("tf")
     )
     dl = terms.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    # dl counts every token; the delta's stored postings mirror the
+    # build's stopword drop (a stopword posting is never probed)
     return (
-        tf.join(F.broadcast(stats_t), "token", "left")
+        tf.filter(~F.col("token").isin(*STOPWORDS))
+        .join(F.broadcast(stats_t), "token", "left")
         .withColumn("df", F.coalesce("df", F.lit(0)))
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus_t))
@@ -1099,8 +1247,11 @@ def bm25_topk_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta_docs = docs.filter(
             F.col("doc_id") % BM25_DRIFT_MOD == 0
         ).select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+        # per-process unique scratch dir (ADVICE r15: a deterministic
+        # gettempdir() path is clobber-able by concurrent processes on
+        # the same corpus and pre-creatable on multi-user hosts)
         path = _os.path.join(
-            _tempfile.gettempdir(), f"bm25_delta_{key}"
+            _tempfile.mkdtemp(prefix="bm25_delta_"), key
         )
         _bm25_delta_postings(spark, names, delta_docs).write.mode(
             "overwrite"
@@ -1214,10 +1365,14 @@ def compact_bm25_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     zero remaining sentinel rows.
 
     Scale: the touched-token set is ≤ |delta vocabulary| (broadcast);
-    re-ranking shuffles only touched tokens' postings; the swap is a
-    new bucketed table + catalog rename, never an in-place rewrite
-    (you cannot overwrite a table you are reading — and at 100 TB the
-    rename-swap is also the atomicity story)."""
+    re-ranking shuffles only touched tokens' postings and goes through
+    the same salted two-level champion pass as the build (a delta can
+    touch a Zipf-hot token — its full list must never land in one
+    task); the swap is a new bucketed table + two catalog renames,
+    never an in-place rewrite (you cannot overwrite a table you are
+    reading). Swap order (ADVICE r15): live → *_old, tmp → live, drop
+    *_old — the only failure window leaves *_old recoverable by a
+    rename instead of NO table under the serving name."""
     names = bm25_index_tables(sf_dir)
     posts = spark.table(names["postings"])
     touched = (
@@ -1226,23 +1381,48 @@ def compact_bm25_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         .distinct()
     )
     untouched = posts.join(F.broadcast(touched), "token", "left_anti")
-    wt = Window.partitionBy("token").orderBy(F.desc("sc"), F.asc("doc_id"))
-    reranked = (
+    # champion depth needs the FROZEN df; a delta-only token absent
+    # from stats ranks with df=0 depth (it can never be a query term)
+    touched_stats = (
+        spark.table(names["stats"])
+        .select("token", "df")
+        .join(F.broadcast(touched), "token", "left_semi")
+    )
+    scored = (
         posts.join(F.broadcast(touched), "token", "left_semi")
         .drop("crk")
-        .withColumn("crk", F.row_number().over(wt))
+        .join(F.broadcast(touched_stats), "token", "left")
+        .withColumn("df", F.coalesce("df", F.lit(0)))
     )
+    reranked, cache = _champion_ranked(scored)
     compacted = untouched.unionByName(reranked)
     tmp_name = f"{names['postings']}_compacting"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
-    (
-        compacted.write.mode("overwrite")
-        .bucketBy(BM25_INDEX_BUCKETS, "token")
-        .sortBy("token", "crk")
-        .saveAsTable(tmp_name)
-    )
-    spark.sql(f"DROP TABLE {names['postings']}")
+    old_name = f"{names['postings']}_old"
+    import os as _os
+    import shutil
+    from urllib.parse import urlparse
+
+    for t in (tmp_name, old_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # stale-directory cleanup (in-memory catalog: a crashed prior
+        # run can orphan the location a rename would move onto)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            loc = _os.path.join(wh.path, t.lower())
+            if _os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+    try:
+        (
+            compacted.write.mode("overwrite")
+            .bucketBy(BM25_INDEX_BUCKETS, "token")
+            .sortBy("token", "crk")
+            .saveAsTable(tmp_name)
+        )
+    finally:
+        cache.unpersist()
+    spark.sql(f"ALTER TABLE {names['postings']} RENAME TO {old_name}")
     spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {names['postings']}")
+    spark.sql(f"DROP TABLE {old_name}")
     return names
 
 

@@ -421,3 +421,23 @@ def test_cli_merge_apply(tmp_path):
         (1, "a"), (2, "B"), (4, "d"), (9, "z")
     ]
     assert "1 inserts, 1 updates, 1 deletes" in res.stdout
+
+
+def test_cli_compact_bm25_index_without_build_errors_cleanly(tmp_path):
+    """ADVICE r15: compact-bm25-index before build-bm25-index must
+    print a usable 'run build-bm25-index first' error, not a raw
+    AnalysisException from reading a missing table."""
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "compact-bm25-index",
+            "--input", sf, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),  # fresh warehouse: no index tables exist
+    )
+    assert res.returncode != 0
+    err = res.stderr + res.stdout
+    assert "run build-bm25-index first" in err, err[-2000:]
+    assert "AnalysisException" not in err.splitlines()[-1]

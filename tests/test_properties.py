@@ -924,3 +924,66 @@ def test_bm25_stored_serves_without_windowing_postings(spark, sf_dir):
     # (corpus_tf) and the per-query candidate rank (score_units).
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "sc#" not in spec, spec
+
+
+def test_bm25_build_champion_ranks_bounded_and_exact(spark, sf_dir):
+    """De-skew receipt for the index BUILD (VERDICT r15 item 1):
+
+    (a) semantics — against a naive full ranking of every posting
+    list (driver-side, on the fixture): every posting in its token's
+    true top-max(k,⌈α·√df⌉) by (sc DESC, doc_id ASC) carries its
+    EXACT global rank; every other posting carries the non-champion
+    sentinel; stopword postings are dropped entirely (they can never
+    be query terms);
+    (b) plan — no window partitions by token alone over a raw posting
+    list: the full-list pass is salted (token, salt), and the only
+    token-partitioned window sits above the bounded survivor filter
+    (lrk ≤ depth), so the Zipf-hot token can no longer land its whole
+    list in one task."""
+    import math
+    import re
+    from collections import defaultdict
+
+    from gis_etl_spark.ops.text import (
+        BM25_CHAMP_ALPHA,
+        BM25_NONCHAMP_CRK,
+        BM25_TOPK,
+        STOPWORDS,
+        _bm25_build_frames,
+    )
+
+    ranked, _, stats, _ = _bm25_build_frames(
+        spark, sf_dir, materialize=False
+    )
+    dfs = {r["token"]: r["df"] for r in stats.collect()}
+    by_tok = defaultdict(list)
+    for r in ranked.collect():
+        assert r["token"] not in STOPWORDS, r
+        by_tok[r["token"]].append(r)
+    assert by_tok
+    saw_nonchamp = False
+    for tok, rs in by_tok.items():
+        depth = max(
+            BM25_TOPK, math.ceil(BM25_CHAMP_ALPHA * math.sqrt(dfs[tok]))
+        )
+        rs.sort(key=lambda r: (-r["sc"], r["doc_id"]))
+        for i, r in enumerate(rs, 1):
+            want = i if i <= depth else BM25_NONCHAMP_CRK
+            assert r["crk"] == want, (tok, r["doc_id"], i, depth, r["crk"])
+            saw_nonchamp = saw_nonchamp or i > depth
+    assert saw_nonchamp, "fixture never exceeded champion depth"
+
+    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:1500]
+    for spec in specs:
+        assert re.match(r"token#\d+, (salt|sc)#", spec), spec
+    # the token-only (stage 2) window exists and its subtree — printed
+    # below it — contains the bounded-survivor filter
+    m = re.search(r"windowspecdefinition\(token#\d+, sc#", plan)
+    assert m, plan[:1500]
+    assert re.search(
+        r"lrk#\d+( as bigint\))? <= ", plan[m.start():]
+    ), plan[m.start():][:1500]
+    # and the salted full-list (stage 1) window exists
+    assert re.search(r"windowspecdefinition\(token#\d+, salt#\d+", plan)

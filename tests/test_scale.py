@@ -749,3 +749,27 @@ def test_bm25_compact_without_delta_is_noop(spark, sf_dir):
     ]
     assert after_posts == before_posts and before_posts
     assert after_serve == before_serve and before_serve
+
+
+def test_bm25_append_rejects_existing_doc_ids(spark, sf_dir):
+    """ADVICE r15 (medium): append_to_bm25_index must refuse an
+    increment whose doc_ids already have postings — delta rows for an
+    existing doc would silently double-count its score at serve (the
+    merge_apply silent-duplicate class). The guard is enforced, not a
+    docstring: re-ingesting an existing id raises, and the postings
+    table is left untouched."""
+    import pytest as _pytest
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.text import (
+        append_to_bm25_index,
+        build_bm25_index,
+    )
+
+    names = build_bm25_index(spark, sf_dir)
+    base_rows = spark.table(names["postings"]).count()
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    existing = docs.limit(3)  # same ids, already indexed
+    with _pytest.raises(ValueError, match="already have postings"):
+        append_to_bm25_index(spark, sf_dir, existing)
+    assert spark.table(names["postings"]).count() == base_rows

@@ -276,6 +276,19 @@ def merge_apply_log(
     an existing key as an upsert, so a delete-then-reinsert sequence
     lands on the reinserted payload).
 
+    Intra-batch ties (VERDICT r15 item 8): a changelog VIOLATING the
+    ≤1-change-per-(key, batch) contract does not fail silently into
+    struct-comparison accident — the compaction struct carries an
+    explicit op precedence rank after batch_id, pinning the defined
+    outcome: within one batch, an upsert (U, then I) beats a delete
+    (D). Rationale: a batch that both writes and deletes a key is
+    producer error; resolving toward the surviving payload is the
+    recoverable choice (a spurious survivor is correctable by the next
+    batch's D; a spurious delete loses the payload). Remaining ties
+    (two U's for one (key, batch)) break on the payload columns
+    themselves — deterministic, since the struct comparison is total.
+    Tested in tests/test_cdc_graph.py.
+
     Scale: the compaction is one groupBy(key) max(struct(batch_id,
     op, payload…)) — associative, map-side combined, shuffling ≤ one
     row per touched key however many batches the log holds (the
@@ -283,12 +296,18 @@ def merge_apply_log(
     against base. Nothing scans base more than once, and the log is
     never windowed."""
     payload = [c for c in base.columns if c != key]
+    op_rank = (
+        F.when(F.col("op") == "U", F.lit(2))
+        .when(F.col("op") == "I", F.lit(1))
+        .otherwise(F.lit(0))
+    )
     compacted = (
         changelog.groupBy(key)
         .agg(
             F.max(
                 F.struct(
                     F.col("batch_id"),
+                    op_rank.alias("op_rank"),
                     F.col("op").alias("op"),
                     *[F.col(c).alias(c) for c in payload],
                 )

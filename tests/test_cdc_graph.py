@@ -315,3 +315,37 @@ def test_merge_apply_log_equals_sequential_folds(spark, sf_dir):
     # D(b0) then I(b2) → restored with the b2 payload
     revived = [k for k in base_keys if k % 20 == 0 and k % 16 != 1]
     assert revived and all(rows[k] == ("I", "2-B2") for k in revived)
+
+
+def test_merge_apply_log_intra_batch_precedence(spark):
+    """VERDICT r15 item 8: the ≤1-change-per-(key, batch) contract is
+    backed by a DEFINED, tested outcome when violated — within one
+    batch the compaction's explicit op rank resolves U > I > D, so a
+    batch that both writes and deletes a key lands on the surviving
+    payload (recoverable producer error), never on an accident of
+    payload struct comparison."""
+    from gis_etl_spark.ops.cdc import merge_apply_log
+
+    base = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            # key 1, one batch: D and U → U wins, payload kept
+            ("D", 0, 1, "dead1"),
+            ("U", 0, 1, "upd1"),
+            # key 2, one batch: I and D → I wins (upsert survives)
+            ("I", 0, 2, "ins2"),
+            ("D", 0, 2, "dead2"),
+            # key 3: intra-batch U beaten by a LATER batch's D —
+            # precedence is strictly within-batch, batch_id still wins
+            ("U", 0, 3, "upd3"),
+            ("D", 1, 3, "dead3"),
+        ],
+        "op string, batch_id long, k long, v string",
+    )
+    rows = {
+        r["k"]: r["v"]
+        for r in merge_apply_log(base, log, "k").collect()
+    }
+    assert rows == {1: "upd1", 2: "ins2"}

@@ -456,10 +456,15 @@ def run_checkpointed(
     the file-source log (already-processed files are skipped) and the
     state store (stateful aggs continue from their saved state); the
     stream==batch restart receipts in tests/test_streaming.py pin this
-    (VERDICT r14 item 1)."""
+    (VERDICT r14 item 1); the crash-injection receipts (VERDICT r15
+    item 4) fail _sink_write mid-batch after a PARTIAL write and pin
+    that the replayed batch overwrites it."""
 
     def _write(bdf: DataFrame, bid: int) -> None:
-        bdf.write.mode("overwrite").parquet(f"{out_dir}/_bid={bid}")
+        # indirection through the module global so tests can inject a
+        # mid-write crash (the replayed-batch path of the exactly-once
+        # contract is untestable from a graceful stop alone)
+        _sink_write(bdf, bid, out_dir)
 
     q = (
         sdf.writeStream.foreachBatch(_write)
@@ -469,6 +474,15 @@ def run_checkpointed(
         .start()
     )
     q.awaitTermination()
+
+
+def _sink_write(bdf: DataFrame, bid: int, out_dir: str) -> None:
+    """THE idempotency mechanism of run_checkpointed: a micro-batch
+    owns the directory named by its batch id and writes it with
+    overwrite, so a batch REPLAYED after a crash (foreachBatch may be
+    re-invoked for a bid whose previous attempt died mid-write)
+    replaces its own partial output instead of duplicating rows."""
+    bdf.write.mode("overwrite").parquet(f"{out_dir}/_bid={bid}")
 
 
 def checkpointed_final_state(

@@ -1704,3 +1704,160 @@ def test_streaming_postings_build_restarts_on_rocksdb(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# Crash-injection receipts (VERDICT r15 item 4): the graceful-stop
+# restart tests above never exercise the per-batch-id overwrite — the
+# actual exactly-once mechanism of run_checkpointed — on a REPLAYED
+# batch. These tests fail the sink mid-write (a PARTIAL batch
+# directory is on disk when the query dies), restart from the same
+# checkpoint, and pin that the replayed batch id overwrites its
+# partial output and the final state still equals an uninterrupted
+# drain. One test per sink-consuming state machinery: native
+# streaming agg (ingest_curation) and applyInPandasWithState
+# (latest_state).
+# ---------------------------------------------------------------------------
+
+
+def _inject_sink_crash(monkeypatch):
+    """Patch S._sink_write to, on its FIRST invocation only, write a
+    1-row PARTIAL batch directory and then die — the mid-write crash
+    whose replay the per-batch-id overwrite must absorb. Returns the
+    dict that records the crashed batch id."""
+    rec = {}
+    real = S._sink_write
+
+    def failing(bdf, bid, out_dir):
+        if "bid" not in rec:
+            rec["bid"] = bid
+            bdf.limit(1).write.mode("overwrite").parquet(
+                f"{out_dir}/_bid={bid}"
+            )
+            raise RuntimeError("injected mid-write crash")
+        real(bdf, bid, out_dir)
+
+    monkeypatch.setattr(S, "_sink_write", failing)
+    return rec, real
+
+
+def test_run_checkpointed_replays_partial_batch_native_agg(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Replayed-batch receipt on the native-agg machinery: run 1
+    drains the originals cleanly; run 2's batch (the duplicates) dies
+    AFTER writing a 1-row partial _bid dir; the restart replays that
+    batch id, overwrites the partial dir with the full emission, and
+    the final state equals an uninterrupted drain — duplicate hashes
+    still count both copies with the original id as keeper."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    dupes = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    staged = _stage_micro_batches(
+        spark, docs.unionAll(dupes), tmp_path, "crash_staged", n=2
+    )
+    names = sorted(os.listdir(staged))
+    in_dir = str(tmp_path / "crash_live")
+    ckpt = str(tmp_path / "crash_ckpt")
+    out = str(tmp_path / "crash_out")
+
+    _present(staged, in_dir, names[:1])
+    S.run_checkpointed(S.streaming_ingest_curation(spark, in_dir), ckpt, out)
+
+    _present(staged, in_dir, names[1:])
+    rec, real = _inject_sink_crash(monkeypatch)
+    with pytest.raises(Exception):
+        S.run_checkpointed(
+            S.streaming_ingest_curation(spark, in_dir), ckpt, out
+        )
+    assert "bid" in rec, "the injected crash never fired"
+    bid = rec["bid"]
+    # the partial write is on disk — the crash state a restart inherits
+    assert spark.read.parquet(f"{out}/_bid={bid}").count() == 1
+
+    monkeypatch.setattr(S, "_sink_write", real)
+    S.run_checkpointed(S.streaming_ingest_curation(spark, in_dir), ckpt, out)
+    # the SAME batch id was replayed and overwrote its partial output
+    replayed = spark.read.parquet(f"{out}/_bid={bid}").count()
+    assert replayed > 1, (bid, replayed)
+
+    got = {
+        r["content_hash"]: (r["n_copies"], r["keep_id"])
+        for r in S.checkpointed_final_state(
+            spark, out, ["content_hash"]
+        ).collect()
+    }
+    ckpt2 = str(tmp_path / "crash_ckpt2")
+    out2 = str(tmp_path / "crash_out2")
+    S.run_checkpointed(
+        S.streaming_ingest_curation(spark, in_dir), ckpt2, out2
+    )
+    want = {
+        r["content_hash"]: (r["n_copies"], r["keep_id"])
+        for r in S.checkpointed_final_state(
+            spark, out2, ["content_hash"]
+        ).collect()
+    }
+    assert got == want and got
+    dup = {h: v for h, v in got.items() if v[0] > 1}
+    assert dup and all(v[1] < 1_000_000 for v in dup.values())
+
+
+def test_run_checkpointed_replays_partial_batch_custom_state(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The same replayed-batch receipt on applyInPandasWithState
+    (the CDC latest-state keeper): crash mid-write on run 2's first
+    batch, restart, and pin per-key final state == batch
+    cdc_latest_state — keys straddling the crash can only be right if
+    the replay went through resumed state AND the partial emission
+    was overwritten, never double-kept."""
+    from gis_etl_spark.ops.cdc import cdc_latest_state
+
+    orders = read_table(spark, sf_dir, "orders")
+    staged = _stage_micro_batches(
+        spark, orders, tmp_path, "crash2_staged", n=8
+    )
+    names = sorted(os.listdir(staged))
+    in_dir = str(tmp_path / "crash2_live")
+    ckpt = str(tmp_path / "crash2_ckpt")
+    out = str(tmp_path / "crash2_out")
+
+    _present(staged, in_dir, names[:4])
+    S.run_checkpointed(S.streaming_latest_state(spark, in_dir), ckpt, out)
+
+    _present(staged, in_dir, names[4:])
+    rec, real = _inject_sink_crash(monkeypatch)
+    with pytest.raises(Exception):
+        S.run_checkpointed(S.streaming_latest_state(spark, in_dir), ckpt, out)
+    assert "bid" in rec
+    bid = rec["bid"]
+    assert spark.read.parquet(f"{out}/_bid={bid}").count() == 1
+
+    monkeypatch.setattr(S, "_sink_write", real)
+    S.run_checkpointed(S.streaming_latest_state(spark, in_dir), ckpt, out)
+    assert spark.read.parquet(f"{out}/_bid={bid}").count() > 1
+
+    got = {
+        r["o_custkey"]: (
+            r["last_orderkey"], r["last_status"],
+            float(r["last_totalprice"]), int(r["last_update_us"]),
+        )
+        for r in S.checkpointed_final_state(
+            spark, out, ["o_custkey"]
+        ).collect()
+    }
+    batch = cdc_latest_state(spark, sf_dir).withColumn(
+        "us", F.unix_micros("last_update")
+    )
+    want = {
+        r.o_custkey: (
+            r.last_orderkey, r.last_status, r.last_totalprice, int(r.us),
+        )
+        for r in batch.collect()
+    }
+    assert got == want and got

@@ -1189,6 +1189,36 @@ def _scale_benches(
         artifacts["bm25_df_drift_max_x1000"] = max(
             r["df_drift_x1000"] for r in drift_rows
         )
+
+        # The full drift→probe→decide loop (VERDICT r15 item 3 — the
+        # ANN ann_rebuild_triggered pattern applied to the text
+        # index): the monitor fires at the pinned df-drift trigger,
+        # the agreement probe above is consulted, and the decision
+        # lands on the cheap rung (minor compaction: frozen-stats
+        # ranking still agrees with a fresh rebuild) or the expensive
+        # one (full rebuild: the frozen stats themselves mis-rank).
+        # In production the probe runs only when the monitor fires.
+        from gis_etl_spark.ops.text import (
+            BM25_AGREEMENT_REBUILD_T,
+            BM25_DRIFT_TRIGGER_X1000,
+        )
+
+        fired = int(
+            artifacts["bm25_df_drift_max_x1000"]
+            >= BM25_DRIFT_TRIGGER_X1000
+        )
+        artifacts["bm25_drift_monitor_fired"] = fired
+        ap = artifacts.get("bm25_agreement_after_append_pct")
+        if fired and ap is not None:
+            rebuild = int(ap < BM25_AGREEMENT_REBUILD_T)
+            artifacts["bm25_rebuild_triggered"] = rebuild
+            artifacts["bm25_compact_triggered"] = int(not rebuild)
+            artifacts["bm25_rebuild_decision_margin_pts"] = (
+                ap - BM25_AGREEMENT_REBUILD_T
+            )
+        else:
+            artifacts["bm25_rebuild_triggered"] = 0
+            artifacts["bm25_compact_triggered"] = 0
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["bm25_append_drift"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -1198,6 +1228,40 @@ def _scale_benches(
         # and re-running 7 retrieval collects + 2 parquet writes would
         # just burn suite wall that inflates the NEXT round's numbers
         return out
+
+    # Incremental-funnel economics (VERDICT r15 item 5): flagging the
+    # deterministic increment against FROZEN history (snapshot probes,
+    # no history re-derive) vs re-deriving every doc's flags over
+    # base ∪ increment from scratch — the dedup/ANN/BM25 refresh story
+    # applied to the curation funnel, measured.
+    try:
+        import tempfile as _tmpf
+
+        from gis_etl_spark.ops import corpus as CB
+        from gis_etl_spark.ops.corpus import _flagged_docs
+        from gis_etl_spark.ops.dedup import _docs as _ddocs
+
+        docs = _ddocs(spark)
+        inc = CB.increment_docs(docs)
+        t0 = time.time()
+        artifacts["flags_increment_rows"] = CB.increment_curation_flags(
+            spark, SF_DIR, inc
+        ).count()
+        artifacts["flags_increment_ms"] = int((time.time() - t0) * 1000)
+
+        aug_path = os.path.join(
+            _tmpf.mkdtemp(prefix="flags_aug_"), "docs.parquet"
+        )
+        docs.unionByName(inc).write.mode("overwrite").parquet(aug_path)
+        t0 = time.time()
+        artifacts["flags_full_rebuild_rows"] = _flagged_docs(
+            spark, SF_DIR, aug_path
+        ).count()
+        artifacts["flags_full_rebuild_ms"] = int(
+            (time.time() - t0) * 1000
+        )
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["flags_increment"] = f"{type(e).__name__}: {e}"[:300]
 
     # ANN quality dashboard: recall@TOPK of every retrieval variant vs
     # its own metric's brute-force ground truth (cosine for the

@@ -319,6 +319,21 @@ def cmd_build_corpus(spark: SparkSession, args) -> None:
     print(f"build-corpus: wrote training corpus {args.output}")
 
 
+def cmd_append_flags(spark: SparkSession, args) -> None:
+    """Append an increment's stage flags to the materialized flags
+    table — the nightly rung of build-corpus --flags-table: the
+    increment is probed against FROZEN history (snapshot fingerprint +
+    band probes, intra-increment keeper pass); history's pair graph is
+    never re-derived. build-corpus then reads base + increment through
+    the same flags table."""
+    from gis_etl_spark.ops.corpus import append_curation_flags
+
+    dp = _docs_path(args.input)
+    inc = spark.read.parquet(args.increment)
+    name = append_curation_flags(spark, args.input, inc, docs_path=dp)
+    print(f"append-flags: appended {inc.count()} doc flags to {name}")
+
+
 def cmd_build_bm25_index(spark: SparkSession, args) -> None:
     """Build + persist the impact-ordered BM25 serving index for a
     documents corpus (documents.parquet in the input dir): scored
@@ -490,6 +505,15 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     p = sub.add_parser(
+        "append-flags",
+        help="append an increment's stage flags to the materialized "
+        "flags table (frozen-history probes, no history re-derive)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--increment", required=True)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
         "ann-drift",
         help="per-list quantization-error drift vs the frozen "
         "codebook (the rebuild-trigger chart)",
@@ -529,6 +553,7 @@ def main(argv: list[str] | None = None) -> None:
             "build-bm25-index": cmd_build_bm25_index,
             "compact-bm25-index": cmd_compact_bm25_index,
             "build-corpus": cmd_build_corpus,
+            "append-flags": cmd_append_flags,
             "ann-drift": cmd_ann_drift,
             "merge-apply": cmd_merge_apply,
         }[args.cmd](spark, args)

@@ -361,6 +361,279 @@ def build_training_corpus(
     return _docs(spark, docs_path).join(F.broadcast(ids), "doc_id", "left_semi")
 
 
+def increment_docs(docs: DataFrame) -> DataFrame:
+    """The deterministic nightly-increment fixture over a corpus frame
+    (the BM25_DRIFT_MOD convention applied to the funnel): every
+    doc_id % 7 == 0 re-ingested verbatim under id+5M (a recrawl — its
+    exact duplicate lives in the snapshot, so it must be displaced at
+    the near_dedup stage) and every doc_id % 7 == 1 re-ingested under
+    id+6M with REVERSED word order (word-trigram shingles are
+    order-sensitive, so the reversal is a genuinely new document that
+    must SURVIVE the stage — while its quality composite, which is
+    count-based and order-invariant, stays the original's). Both arms
+    keep the source (per-source funnel accounting) and both are
+    derivable token-for-token in SQL, so the oracle can rebuild the
+    identical increment."""
+    rev = F.concat_ws(
+        " ", F.reverse(F.split(F.trim("text"), " +"))
+    )
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    reversed_docs = docs.filter(F.col("doc_id") % 7 == 1).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        rev.alias("text"),
+        "lang",
+        "source",
+        F.length(rev).cast(docs.schema["n_chars"].dataType).alias(
+            "n_chars"
+        ),
+    )
+    return clones.unionByName(reversed_docs)
+
+
+def increment_curation_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    docs_path: str | None = None,
+) -> DataFrame:
+    """Per-doc stage flags for an INCREMENT, computed against frozen
+    history (VERDICT r15 item 5 — the dedup/ANN/BM25 refresh story
+    applied to the funnel): token count, quality, and PII are the same
+    map-side expressions as _flagged_docs; the near_dedup flag is
+    decided WITHOUT re-deriving history's pair graph —
+
+    1. snapshot probe: a new doc with any exact or verified fuzzy
+       duplicate in the snapshot (bipartite band probe,
+       ops.dedup.bipartite_dup_new_ids) is displaced — history's
+       member beat it by the doc_id tiebreak or was already placed;
+    2. intra-increment pass: the surviving new docs run the standard
+       keeper policy among THEMSELVES (minhash pairs → components →
+       quality argmax), so a batch carrying its own near-dup cluster
+       keeps exactly one member.
+
+    Frozen-history approximation, stated: equality with the full
+    re-derive holds when no new doc would displace an existing keeper
+    or bridge existing clusters. The fixture increment satisfies it
+    structurally — a verbatim clone TIES its original's count-based
+    quality and loses the doc_id ASC tiebreak, and a reversal carries
+    its original's exact counts, so increments never out-rank history
+    — and the contract query corpus_flags_increment pins the equality
+    against a full-re-derive oracle over base ∪ increment. (This is
+    the same approximation the frozen BM25 stats make; the analogue of
+    its drift monitor is a scheduled full re-derive.)
+
+    Output: (doc_id, source, n, s1, s2, s3) — the _flagged_docs
+    schema, appendable to the materialized flags table.
+
+    Scale: history is touched by exactly two broadcast-probe scans
+    (fingerprints + band keys vs the increment's broadcast sets; in
+    production those are the stored snapshot tables, so even the
+    scans are index reads); everything else is increment-sized."""
+    from gis_etl_spark.ops.dedup import (
+        MINHASH_JACCARD_T,
+        _docs,
+        _exact_jaccard,
+        bipartite_dup_new_ids,
+        label_components,
+        minhash_candidates,
+    )
+
+    snap = _docs(spark, docs_path)
+    displaced_snap = bipartite_dup_new_ids(snap, new_docs)
+
+    clean = new_docs.join(displaced_snap, "doc_id", "left_anti")
+    w = words_col(F.col("text"))
+    staged = clean.select(
+        "doc_id",
+        F.size(w).alias("n"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+    )
+    q = staged.select(
+        "doc_id",
+        quality_score_from_counts(
+            F.col("n"), F.col("nd"), F.col("nstop")
+        ).alias("quality_score"),
+    )
+    intra_pairs = (
+        _exact_jaccard(
+            clean.select("doc_id", "text"),
+            minhash_candidates(clean.select("doc_id", "text")),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    member = label_components(intra_pairs).join(q, "doc_id")
+    keep = (
+        member.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("k")
+        )
+        .select("component", (-F.col("k.nid")).alias("keeper_id"))
+    )
+    displaced_intra = (
+        member.join(keep, "component")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    displaced = displaced_snap.unionByName(displaced_intra).distinct()
+
+    flagged = new_docs.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("long").alias("n"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+        pii_hits_col(pii_planted_txt()).alias("pii_hits"),
+    )
+    qq = quality_score_from_counts(
+        F.col("n"), F.col("nd"), F.col("nstop")
+    )
+    return (
+        flagged.join(
+            F.broadcast(displaced.withColumn("removed", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .withColumn("s1", F.col("removed").isNull())
+        .withColumn("s2", F.col("s1") & (qq >= F.lit(PREP_QUALITY_T)))
+        .withColumn("s3", F.col("s2") & (F.col("pii_hits") == 0))
+        .select("doc_id", "source", "n", "s1", "s2", "s3")
+    )
+
+
+def append_curation_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    docs_path: str | None = None,
+) -> str:
+    """Nightly-increment append to the materialized flags table: the
+    base snapshot's flags exist (materialize_curation_flags — built
+    once), the increment's flags come from increment_curation_flags
+    (frozen-history probes, never a history re-derive), and the union
+    lands in the SAME table — the funnel card, the quota draw, and the
+    corpus writer then read base + increment through the existing
+    flags_table parameter unchanged. The table name stays keyed to the
+    base snapshot fingerprint: appends extend that snapshot; a
+    REWRITTEN base invalidates the name and everything rebuilds."""
+    name = materialize_curation_flags(spark, sf_dir, docs_path)
+    increment_curation_flags(
+        spark, sf_dir, new_docs, docs_path
+    ).write.mode("append").saveAsTable(name)
+    return name
+
+
+def corpus_flags_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-funnel contract query: the deterministic increment
+    (increment_docs — verbatim recrawls + reversed-order new docs)
+    gets its stage flags from the FROZEN-history path
+    (increment_curation_flags), while the oracle re-derives the flags
+    FROM SCRATCH over base ∪ increment (full pair graph, recursive
+    closure, keeper argmax) and restricts to the increment's ids — the
+    hash match pins incremental == full re-derive on this corpus, the
+    funnel's analogue of the BM25 frozen-stats agreement proof."""
+    docs = _docs(spark, None)
+    inc = increment_docs(docs)
+    return increment_curation_flags(spark, sf_dir, inc).orderBy("doc_id")
+
+
+def corpus_flags_increment_sql() -> str:
+    """Full-re-derive twin of the incremental flags path: rebuild the
+    identical increment in SQL (verbatim +5M clones, reversed-order
+    +6M docs), run the WHOLE pair-graph machinery over base ∪
+    increment from scratch (minhash chain, recursive closure, quality
+    argmax keeper — the corpus_build_funnel_sql CTEs over the
+    augmented corpus), derive every doc's stage flags, and restrict to
+    the increment's ids. A hash match therefore pins that the
+    frozen-history probes (snapshot bipartite + intra-increment
+    keeper) land on exactly the flags a full nightly rebuild would."""
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    mh = minhash_pairs_sql("aug")
+    qcte = quality_score_cte_sql("aug")
+    txt = pii_planted_txt_sql()
+    hits = " + ".join(
+        f"len(regexp_extract_all(txt, '{pat}'))"
+        for pat in _PII_PATTERNS.values()
+    )
+    t = PREP_QUALITY_T
+    return f"""
+        WITH RECURSIVE
+        aug AS MATERIALIZED (
+          SELECT doc_id, text, source FROM {d}
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id, text, source FROM {d}
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 6000000 AS doc_id,
+                 array_to_string(list_reverse(
+                   regexp_split_to_array(trim(text), ' +')), ' ') AS text,
+                 source
+          FROM {d} WHERE doc_id % 7 = 1
+        ),
+        p AS (SELECT doc_a, doc_b FROM ({mh}) mh),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL
+              SELECT doc_b, doc_a FROM p),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+        ),
+        comp AS MATERIALIZED (
+          SELECT u AS doc_id, least(u, min(v)) AS component
+          FROM reach GROUP BY u
+        ),
+        q AS MATERIALIZED {qcte},
+        member AS (
+          SELECT c.doc_id, c.component, q.quality_score
+          FROM comp c JOIN q USING (doc_id)
+        ),
+        keep AS (
+          SELECT component, doc_id AS keeper_id FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (
+                     PARTITION BY component
+                     ORDER BY quality_score DESC, doc_id ASC) AS rk
+            FROM member
+          ) WHERE rk = 1
+        ),
+        removed AS MATERIALIZED (
+          SELECT m.doc_id FROM member m JOIN keep k USING (component)
+          WHERE m.doc_id != k.keeper_id
+        ),
+        flagged AS (
+          SELECT doc_id, source, len({WORDS_SQL})::BIGINT AS n,
+                 {txt} AS txt
+          FROM aug
+        )
+        SELECT b.doc_id, b.source, b.n,
+               (r.doc_id IS NULL) AS s1,
+               (r.doc_id IS NULL
+                AND qq.quality_score >= {t}) AS s2,
+               (r.doc_id IS NULL
+                AND qq.quality_score >= {t}
+                AND ({hits}) = 0) AS s3
+        FROM flagged b
+        LEFT JOIN removed r USING (doc_id)
+        JOIN q qq ON qq.doc_id = b.doc_id
+        WHERE b.doc_id >= 5000000
+        ORDER BY b.doc_id
+    """
+
+
 def corpus_build_funnel_sql() -> str:
     """The composed ANSI twin: recursive-CTE closure + quality argmax
     (dedup_apply_keepers' keeper subplan), the quality CTE, the PII

@@ -638,6 +638,56 @@ def incremental_dedup_pairs(
     return exact.unionByName(fuzzy).orderBy("new_id", "snap_id")
 
 
+def bipartite_dup_new_ids(snap: DataFrame, new: DataFrame) -> DataFrame:
+    """The generalized bipartite probe at the heart of
+    incremental_dedup_pairs, returning just the displaced side: ids of
+    `new` docs with an EXACT (content fingerprint) or VERIFIED FUZZY
+    (band probe + trigram Jaccard ≥ {MINHASH_JACCARD_T}) duplicate in
+    the `snap` corpus — (doc_id) distinct. Consumed by the incremental
+    curation-flags path (ops.corpus.increment_curation_flags), where
+    'has any duplicate in frozen history' decides the near_dedup stage
+    flag of an arriving document.
+
+    Scale: the new side is the small increment — its fingerprints and
+    band keys BROADCAST over the snapshot scans (in production the
+    snapshot sides are the stored fingerprint/band tables, bucketed,
+    so both probes are co-located); only the band shortlist pays the
+    exact-Jaccard verify. History is never shuffled."""
+    fp_n = new.select(F.col("doc_id").alias("new_id"), F.md5("text").alias("fph"))
+    exact = (
+        snap.select(F.md5("text").alias("fph"))
+        .join(F.broadcast(fp_n), "fph")
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    new_clean = new.join(exact, "doc_id", "left_anti")
+    bk_n = (
+        _band_keys(_minhash_signatures(new_clean))
+        .select(F.col("doc_id").alias("new_id"), "band_idx", "band_key")
+    )
+    cands = (
+        _band_keys(_minhash_signatures(snap))
+        .join(F.broadcast(bk_n), ["band_idx", "band_key"])
+        .select(
+            F.col("new_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fuzzy = (
+        _exact_jaccard(
+            snap.select("doc_id", "text").unionByName(
+                new_clean.select("doc_id", "text")
+            ),
+            cands,
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return exact.unionByName(fuzzy).distinct()
+
+
 def incremental_dedup_pairs_sql(src: str) -> str:
     """SQL replay of incremental_dedup_pairs: same fingerprint split,
     same shingle/signature/band CTE chain (shared prefix), same

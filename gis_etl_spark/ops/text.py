@@ -532,6 +532,19 @@ BM25_CHAMP_ALPHA = 4.5
 # staleness-monitor fixture: every doc_id % MOD == 0 re-ingested under
 # a new id — a deterministic ~33% corpus growth, heavy df drift
 BM25_DRIFT_MOD = 3
+# Rebuild decision loop (VERDICT r15 item 3 — the ANN
+# drift→probe→decide pattern applied to the text index): the always-on
+# monitor (bm25_stats_drift) FIRES when any query term's fresh/frozen
+# df ratio crosses the trigger; the probe (top-k agreement of
+# frozen-stats delta-overlay serving vs a fresh-stats rebuild over the
+# augmented corpus) then picks the rung — agreement at/above the
+# threshold means frozen-stats ranking still holds and MINOR
+# COMPACTION suffices; below it, the stats themselves are stale and
+# only build_bm25_index (new fingerprint + swap) restores ranking.
+# 1200 ≈ fires at a ~20% corpus growth — comfortably before the ~33%
+# canary (measured df drift 1338 at sf0.1).
+BM25_DRIFT_TRIGGER_X1000 = 1200
+BM25_AGREEMENT_REBUILD_T = 95  # probe pct below this → full rebuild
 
 
 def _bm25_per_term_score() -> Column:

@@ -2320,3 +2320,18 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R15_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R15_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round 16: the incremental-funnel contract query (VERDICT r15 item 5)
+# — the increment's stage flags from the frozen-history probes, hash-
+# pinned against a full re-derive over base ∪ increment.
+# ---------------------------------------------------------------------------
+
+REGISTRY.update(
+    {
+        "corpus_flags_increment": (
+            CB.corpus_flags_increment,
+            CB.corpus_flags_increment_sql(),
+        ),
+    }
+)

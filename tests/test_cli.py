@@ -441,3 +441,29 @@ def test_cli_compact_bm25_index_without_build_errors_cleanly(tmp_path):
     err = res.stderr + res.stdout
     assert "run build-bm25-index first" in err, err[-2000:]
     assert "AnalysisException" not in err.splitlines()[-1]
+
+
+def test_cli_append_flags(tmp_path):
+    """The nightly-increment subcommand end-to-end in a subprocess:
+    materialize base flags, probe a 3-doc increment against frozen
+    history, append its flag rows, print the count."""
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(3)
+    src["doc_id"] = src["doc_id"] + 9_000_000  # verbatim recrawls
+    inc = str(tmp_path / "increment.parquet")
+    src.to_parquet(inc, index=False)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "append-flags",
+            "--input", sf, "--increment", inc, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "append-flags: appended 3 doc flags to curation_flags_" in (
+        res.stdout
+    ), res.stdout

@@ -987,3 +987,52 @@ def test_bm25_build_champion_ranks_bounded_and_exact(spark, sf_dir):
     ), plan[m.start():][:1500]
     # and the salted full-list (stage 1) window exists
     assert re.search(r"windowspecdefinition\(token#\d+, salt#\d+", plan)
+
+
+def test_incremental_flags_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """VERDICT r15 item 5, the composition receipt: append the
+    deterministic increment's flags (frozen-history probes) to the
+    materialized base flags table, and the funnel card read through
+    the flags table must equal the card of a FULL in-plan re-derive
+    over base ∪ increment written as a corpus — flags, Hamilton
+    quotas, and the draw all included. (Row-level equality of the
+    increment's flags vs the full re-derive is the
+    corpus_flags_increment oracle contract.)"""
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark)
+    inc = CB.increment_docs(docs)
+    aug_path = str(tmp_path / "docs_aug2.parquet")
+    docs.unionByName(inc).coalesce(1).write.mode("overwrite").parquet(
+        aug_path
+    )
+    want = [
+        tuple(r)
+        for r in CB.corpus_build_funnel(
+            spark, sf_dir, docs_path=aug_path
+        ).collect()
+    ]
+    name = CB.append_curation_flags(spark, sf_dir, inc)
+    try:
+        got = [
+            tuple(r)
+            for r in CB.corpus_build_funnel(
+                spark, sf_dir, flags_table=name
+            ).collect()
+        ]
+        assert got == want and got
+        # the increment genuinely moved the card: raw counts grew
+        raw_before = {
+            (r["source"], r["n_docs"])
+            for r in CB.corpus_build_funnel(spark, sf_dir).collect()
+            if r["stage"] == "raw"
+        }
+        raw_after = {
+            (t[2], t[3]) for t in got if t[1] == "raw"
+        }
+        assert raw_after != raw_before
+    finally:
+        # the shared flags table now carries increment rows — drop it
+        # so other consumers rebuild the base-only artifact on demand
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -2335,3 +2335,94 @@ REGISTRY.update(
         ),
     }
 )
+
+# ---------------------------------------------------------------------------
+# Round-16 window rotation (VERDICT r15 item 2, executed exactly as
+# promised at the r15 close). Latest driver score per query after r15:
+# r11 ×11, r12 ×47, r13 ×46, r14 ×46, r15 ×50. The window: the 1 r16
+# addition, the ELEVEN promised r11 leftovers (the rotation debt named
+# in the r15 comment above), the 3 plan-changed queries
+# (bm25_topk_stored / bm25_topk_after_append — the de-skewed champion
+# build + stopword-free stored postings; cdc_merge_apply_log — the
+# explicit intra-batch op-rank in the compaction struct), then the 35
+# alphabetically-first of the 47-query r12 cohort. The 12 r12
+# leftovers (similarity_near_pairs, similarity_pq_adc,
+# similarity_pq_rerank, similarity_topk, source_data_card,
+# spatial_near_pairs, text_gopher_flags, text_quality_scores,
+# text_token_stats, tfidf_top_terms, token_stats_by_lang, top_tokens)
+# become the oldest tail and rotate in r17.
+# The component tuples are exported separately so the COVERAGE.md
+# rotation-narrative counts are test-assertable set arithmetic
+# (VERDICT r15 item 6 — no more prose-count drift).
+# ---------------------------------------------------------------------------
+
+_R16_NEW = ("corpus_flags_increment",)
+_R16_R11_LEFTOVERS = (
+    "scd2_intervals",
+    "semdedup",
+    "sequence_pack",
+    "source_cap_sample",
+    "spatial_nearest_neighbor",
+    "supplier_copurchase_audit",
+    "supplier_copurchase_pairs",
+    "text_repetition",
+    "text_unigram_surprisal",
+    "training_data_prep_v2",
+    "training_shards",
+)
+_R16_PLAN_CHANGED = (
+    "bm25_topk_stored",
+    "bm25_topk_after_append",
+    "cdc_merge_apply_log",
+)
+_R16_R12_COHORT = (
+    "asof_click_view_tolerance",
+    "bloom_semi_orders",
+    "cms_token_counts",
+    "corpus_dup_ngram_fraction",
+    "count_lineitem",
+    "cube_orders",
+    "custkeys_without_recent_orders",
+    "customers_without_orders",
+    "document_chunks",
+    "embedding_label_centroids",
+    "events_hourly_rollup",
+    "events_sliding_windows",
+    "filter_range_events",
+    "geo_centroid_containment",
+    "geo_centroid_stats",
+    "geo_distinct_sources",
+    "geo_global_bbox",
+    "incremental_dedup_pairs",
+    "interval_error_activity",
+    "io_csv_wkt_scan",
+    "io_ndjson_shape_stats",
+    "io_wide_attrs_projection",
+    "lang_id",
+    "layout_morton_keys",
+    "multimodal_decode_meta",
+    "multimodal_features",
+    "multimodal_image_formats",
+    "pii_scan",
+    "q9_profit_by_nation_year",
+    "shp_scan_census",
+    "similarity_ann_lsh",
+    "similarity_hard_negatives",
+    "similarity_int8_adc",
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+)
+_R16_FRONT = (
+    _R16_NEW + _R16_R11_LEFTOVERS + _R16_PLAN_CHANGED + _R16_R12_COHORT
+)
+
+assert len(_R16_FRONT) == 50, len(_R16_FRONT)
+assert len(set(_R16_FRONT)) == 50
+assert all(k in REGISTRY for k in _R16_FRONT), [
+    k for k in _R16_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R16_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R16_FRONT},
+}

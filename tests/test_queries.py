@@ -94,3 +94,42 @@ def test_doc_registry_counts():
                 assert int(n) == len(benched), (doc, n, len(benched))
                 found_twin += 1
     assert found_twin >= 1, "the benched-twin marker must exist"
+
+    # VERDICT r15 item 6 — the rotation-NARRATIVE counts drifted in
+    # r15 prose (37/8 vs the actual 34/11). The r16 markers are set
+    # arithmetic over the exported rotation tuples plus the
+    # CORRECTNESS-file latest-score census frozen at r15 (the state
+    # the r16 promise was made against), so this class of drift now
+    # fails a test.
+    import glob
+    import json
+
+    from gis_etl_spark.queries import (
+        _R16_FRONT,
+        _R16_R11_LEFTOVERS,
+        _R16_R12_COHORT,
+    )
+
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd > 15:
+            continue
+        with open(f) as fh:
+            for q in json.load(fh):
+                latest[q] = max(latest.get(q, 0), rnd)
+    r11_old = {q for q, r in latest.items() if r <= 11}
+    assert set(_R16_R11_LEFTOVERS) == r11_old, (
+        sorted(set(_R16_R11_LEFTOVERS) ^ r11_old)
+    )
+    deferred = {q for q, r in latest.items() if r <= 12} - set(_R16_FRONT)
+    with open(os.path.join(here, "COVERAGE.md")) as f:
+        cov = f.read()
+    for marker, want in (
+        ("fronted r11 leftovers", len(_R16_R11_LEFTOVERS)),
+        ("r12 cohort fronted", len(_R16_R12_COHORT)),
+        ("r12 leftovers deferred", len(deferred)),
+    ):
+        got = re.findall(rf"{marker}: (\d+)", cov)
+        assert got, f"COVERAGE.md is missing the '{marker}: N' marker"
+        assert all(int(n) == want for n in got), (marker, got, want)

@@ -251,6 +251,11 @@ HEADLINE = [
     "bm25_stats_drift",
     "bm25_topk_after_append",
     "cdc_merge_apply_log",
+    # round 16: the incremental-funnel contract query (frozen-history
+    # probes; its full-rebuild economics land as flags_*_ms artifacts)
+    # and its displacement-risk operating monitor
+    "corpus_flags_increment",
+    "flags_increment_risk",
 ]
 
 
@@ -1259,6 +1264,20 @@ def _scale_benches(
         ).count()
         artifacts["flags_full_rebuild_ms"] = int(
             (time.time() - t0) * 1000
+        )
+
+        # the monitor's decision loop (the ann/bm25 rebuild pattern
+        # applied to the funnel): displacement-risk census over the
+        # risky canary → full re-derive scheduled iff any increment
+        # doc would out-rank history or bridge existing clusters
+        row = CB.flags_increment_risk(spark, SF_DIR).collect()[0]
+        artifacts["flags_risk_dup_pairs"] = int(row["n_dup_pairs"])
+        artifacts["flags_risk_risky_docs"] = int(row["n_risky_docs"])
+        artifacts["flags_risk_bridging_docs"] = int(
+            row["n_bridging_docs"]
+        )
+        artifacts["flags_rederive_triggered"] = int(
+            row["n_risky_docs"] + row["n_bridging_docs"] > 0
         )
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["flags_increment"] = f"{type(e).__name__}: {e}"[:300]

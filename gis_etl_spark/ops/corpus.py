@@ -549,6 +549,258 @@ def corpus_flags_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return increment_curation_flags(spark, sf_dir, inc).orderBy("doc_id")
 
 
+def increment_docs_risky(docs: DataFrame) -> DataFrame:
+    """increment_docs plus a third, deliberately DANGEROUS arm: every
+    doc_id % 7 == 2 re-ingested under id+7M with three unique
+    non-stopword tokens appended — still a near-dup of its original
+    (the original's trigrams all survive, J ≈ (n−2)/(n+1) ≫ the
+    threshold) but with a STRICTLY HIGHER quality composite (n, nd
+    grow; nstop doesn't), i.e. a recrawl that would WIN the keeper
+    argmax in a full re-derive. The clean fixture proves incremental
+    == full; this one exists so the displacement-risk monitor has
+    something real to fire on."""
+    extra = F.concat(
+        F.lit(" zq"),
+        F.col("doc_id").cast("string"),
+        F.lit("a zq"),
+        F.col("doc_id").cast("string"),
+        F.lit("b zq"),
+        F.col("doc_id").cast("string"),
+        F.lit("c"),
+    )
+    risky_text = F.concat(F.col("text"), extra)
+    risky = docs.filter(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        risky_text.alias("text"),
+        "lang",
+        "source",
+        F.length(risky_text).cast(docs.schema["n_chars"].dataType).alias(
+            "n_chars"
+        ),
+    )
+    return increment_docs(docs).unionByName(risky)
+
+
+def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATING MONITOR for the incremental-flags approximation
+    (the bm25_stats_drift / ann_drift_stat pattern applied to the
+    funnel): increment_curation_flags is exact while no increment doc
+    would out-rank history — this census detects, increment-sized,
+    exactly when that stops holding. Over every detected (new, snap)
+    duplicate pair of the RISKY increment fixture:
+
+    - a pair is RISKY iff the new doc's quality composite strictly
+      beats its matched snapshot partner's (new ids are always larger,
+      so quality ties lose the doc_id ASC keeper tiebreak — never
+      risky). Zero risky pairs ⇒ no new doc can be a strict argmax of
+      any component it joins, and it loses every tie, so the keeper
+      channel of the approximation is EXACT.
+    - a new doc is BRIDGING iff its snapshot partners span more than
+      one existing component (components from the snapshot keeper
+      table; singleton partners count as their own) — the second
+      divergence channel: a merge of two old clusters re-crowns one
+      old keeper even when no new doc wins anything.
+
+    Output: ONE row — (n_dup_pairs, n_risky_pairs, n_risky_docs,
+    n_bridging_docs). The operating rule: risky or bridging > 0 →
+    schedule the full re-derive for those components (bench records
+    the counts and the decision as flags_rederive_triggered).
+
+    Scale: pairs, qualities, and the component lookup are all
+    increment-sized joins (the component table is |members| rows,
+    broadcast); history is touched only by the probe's two
+    column-pruned scans."""
+    per_pair = _increment_risk_pairs(spark, sf_dir)
+    pair_stats = per_pair.agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.count_if("risky").cast("long").alias("n_risky_pairs"),
+    )
+    doc_stats = (
+        per_pair.groupBy("new_id")
+        .agg(
+            F.max(F.col("risky").cast("int")).alias("any_risky"),
+            F.countDistinct("comp").alias("ncomp"),
+        )
+        .agg(
+            F.count_if(F.col("any_risky") == 1)
+            .cast("long")
+            .alias("n_risky_docs"),
+            F.count_if(F.col("ncomp") > 1)
+            .cast("long")
+            .alias("n_bridging_docs"),
+        )
+    )
+    return pair_stats.crossJoin(doc_stats)
+
+
+def _increment_risk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(new_id, snap_id, q_new, q_snap, comp, risky) for every
+    detected duplicate pair of the risky increment vs the snapshot —
+    the monitor's per-pair frame, exposed so the divergence receipt
+    test can link 'docs where incremental ≠ full' to 'docs the
+    monitor marks risky'."""
+    from gis_etl_spark.ops.dedup import (
+        _docs,
+        _member_keepers,
+        bipartite_dup_pairs,
+    )
+
+    docs = _docs(spark, None)
+    inc = increment_docs_risky(docs)
+    pairs = bipartite_dup_pairs(docs, inc)
+
+    w = words_col(F.col("text"))
+
+    def _q(df: DataFrame, idc: str, qc: str) -> DataFrame:
+        staged = df.select(
+            F.col("doc_id").alias(idc),
+            F.size(w).alias("n"),
+            F.size(F.array_distinct(w)).alias("nd"),
+            F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias(
+                "nstop"
+            ),
+        )
+        return staged.select(
+            idc,
+            quality_score_from_counts(
+                F.col("n"), F.col("nd"), F.col("nstop")
+            ).alias(qc),
+        )
+
+    comp = (
+        _member_keepers(spark, sf_dir, None)
+        .select("doc_id", "component")
+        .withColumnRenamed("doc_id", "snap_id")
+    )
+    return (
+        pairs.join(F.broadcast(_q(inc, "new_id", "q_new")), "new_id")
+        .join(_q(docs, "snap_id", "q_snap"), "snap_id")
+        .join(F.broadcast(comp), "snap_id", "left")
+        .select(
+            "new_id",
+            "snap_id",
+            "q_new",
+            "q_snap",
+            F.coalesce("component", F.col("snap_id")).alias("comp"),
+            (F.col("q_new") > F.col("q_snap")).alias("risky"),
+        )
+    )
+
+
+def flags_increment_risk_sql() -> str:
+    """Twin census: the identical bipartite probe (exact fingerprint
+    pass, band candidates excluding exact-matched docs, rounded
+    Jaccard verify), the shared quality CTE over base ∪ risky
+    increment, and snapshot components from the recursive closure over
+    the BASE pair graph — then the same four counts."""
+    from gis_etl_spark.ops.dedup import (
+        MINHASH_JACCARD_T,
+        _minhash_prefix_sql,
+        minhash_pairs_sql,
+    )
+
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    mh_base = minhash_pairs_sql(d)
+    qcte = quality_score_cte_sql("allv")
+    risky_txt = (
+        "text || ' zq' || doc_id::VARCHAR || 'a zq' || "
+        "doc_id::VARCHAR || 'b zq' || doc_id::VARCHAR || 'c'"
+    )
+    return f"""
+        WITH RECURSIVE
+        allv AS MATERIALIZED (
+          SELECT doc_id, text FROM {d}
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id, text FROM {d}
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 6000000 AS doc_id,
+                 array_to_string(list_reverse(
+                   regexp_split_to_array(trim(text), ' +')), ' ') AS text
+          FROM {d} WHERE doc_id % 7 = 1
+          UNION ALL
+          SELECT doc_id + 7000000 AS doc_id, {risky_txt} AS text
+          FROM {d} WHERE doc_id % 7 = 2
+        ),
+        {_minhash_prefix_sql("allv")},
+        fp AS (SELECT doc_id, md5(text) AS fph FROM allv),
+        exact AS (
+          SELECT n.doc_id AS new_id, s.doc_id AS snap_id
+          FROM fp n JOIN fp s USING (fph)
+          WHERE n.doc_id >= 5000000 AND s.doc_id < 5000000
+        ),
+        cands AS (
+          SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS snap_id
+          FROM bands n JOIN bands s
+            ON n.band_idx = s.band_idx AND n.band_key = s.band_key
+          WHERE n.doc_id >= 5000000 AND s.doc_id < 5000000
+            AND n.doc_id NOT IN (SELECT new_id FROM exact)
+        ),
+        sizes AS (
+          SELECT doc_id, count(*) AS nw FROM dw GROUP BY doc_id
+        ),
+        inter AS (
+          SELECT c.new_id, c.snap_id, count(*) AS inter
+          FROM cands c
+          JOIN dw a ON a.doc_id = c.new_id
+          JOIN dw b ON b.doc_id = c.snap_id AND b.w = a.w
+          GROUP BY c.new_id, c.snap_id
+        ),
+        fuzzy AS (
+          SELECT i.new_id, i.snap_id
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.new_id
+          JOIN sizes sb ON sb.doc_id = i.snap_id
+          WHERE round(i.inter * 1.0 / (sa.nw + sb.nw - i.inter), 4)
+                >= {MINHASH_JACCARD_T}
+        ),
+        prs AS MATERIALIZED (
+          SELECT new_id, snap_id FROM exact
+          UNION ALL
+          SELECT new_id, snap_id FROM fuzzy
+        ),
+        q AS MATERIALIZED {qcte},
+        bp AS (SELECT doc_a, doc_b FROM ({mh_base}) mh),
+        be AS (SELECT doc_a AS u, doc_b AS v FROM bp
+               UNION ALL
+               SELECT doc_b, doc_a FROM bp),
+        reach(u, v) AS (
+          SELECT u, v FROM be
+          UNION
+          SELECT r.u, be.v FROM reach r JOIN be ON be.u = r.v
+        ),
+        comp AS MATERIALIZED (
+          SELECT u AS doc_id, least(u, min(v)) AS component
+          FROM reach GROUP BY u
+        ),
+        per_pair AS MATERIALIZED (
+          SELECT p.new_id, p.snap_id,
+                 qn.quality_score AS q_new, qs.quality_score AS q_snap,
+                 coalesce(c.component, p.snap_id) AS comp
+          FROM prs p
+          JOIN q qn ON qn.doc_id = p.new_id
+          JOIN q qs ON qs.doc_id = p.snap_id
+          LEFT JOIN comp c ON c.doc_id = p.snap_id
+        ),
+        per_new AS (
+          SELECT new_id,
+                 max(CASE WHEN q_new > q_snap THEN 1 ELSE 0 END)
+                   AS any_risky,
+                 count(DISTINCT comp) AS ncomp
+          FROM per_pair GROUP BY new_id
+        )
+        SELECT
+          (SELECT count(*) FROM per_pair)::BIGINT AS n_dup_pairs,
+          (SELECT count(*) FROM per_pair WHERE q_new > q_snap)::BIGINT
+            AS n_risky_pairs,
+          (SELECT count(*) FROM per_new WHERE any_risky = 1)::BIGINT
+            AS n_risky_docs,
+          (SELECT count(*) FROM per_new WHERE ncomp > 1)::BIGINT
+            AS n_bridging_docs
+    """
+
+
 def corpus_flags_increment_sql() -> str:
     """Full-re-derive twin of the incremental flags path: rebuild the
     identical increment in SQL (verbatim +5M clones, reversed-order

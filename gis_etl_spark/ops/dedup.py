@@ -653,14 +653,37 @@ def bipartite_dup_new_ids(snap: DataFrame, new: DataFrame) -> DataFrame:
     snapshot sides are the stored fingerprint/band tables, bucketed,
     so both probes are co-located); only the band shortlist pays the
     exact-Jaccard verify. History is never shuffled."""
-    fp_n = new.select(F.col("doc_id").alias("new_id"), F.md5("text").alias("fph"))
-    exact = (
-        snap.select(F.md5("text").alias("fph"))
-        .join(F.broadcast(fp_n), "fph")
+    return (
+        bipartite_dup_pairs(snap, new)
         .select(F.col("new_id").alias("doc_id"))
         .distinct()
     )
-    new_clean = new.join(exact, "doc_id", "left_anti")
+
+
+def bipartite_dup_pairs(snap: DataFrame, new: DataFrame) -> DataFrame:
+    """The pair-level bipartite probe under bipartite_dup_new_ids:
+    (new_id, snap_id, kind) for every detected duplicate relation of a
+    `new` doc against the `snap` corpus — 'exact' (content
+    fingerprint; such docs skip the band probe, the
+    incremental_dedup_pairs staging) or 'fuzzy' (band candidate +
+    trigram Jaccard ≥ {MINHASH_JACCARD_T}). Consumed pairwise by the
+    displacement-risk monitor (ops.corpus.flags_increment_risk), which
+    needs to compare qualities ACROSS each pair, and collapsed to ids
+    by the flags path."""
+    fp_n = new.select(
+        F.col("doc_id").alias("new_id"), F.md5("text").alias("fph")
+    )
+    exact = (
+        snap.select(F.col("doc_id").alias("snap_id"), F.md5("text").alias("fph"))
+        .join(F.broadcast(fp_n), "fph")
+        .select("new_id", "snap_id")
+        .distinct()
+    )
+    new_clean = new.join(
+        exact.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
     bk_n = (
         _band_keys(_minhash_signatures(new_clean))
         .select(F.col("doc_id").alias("new_id"), "band_idx", "band_key")
@@ -682,10 +705,15 @@ def bipartite_dup_new_ids(snap: DataFrame, new: DataFrame) -> DataFrame:
             cands,
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
-        .select(F.col("doc_a").alias("doc_id"))
+        .select(
+            F.col("doc_a").alias("new_id"),
+            F.col("doc_b").alias("snap_id"),
+        )
         .distinct()
     )
-    return exact.unionByName(fuzzy).distinct()
+    return exact.withColumn("kind", F.lit("exact")).unionByName(
+        fuzzy.withColumn("kind", F.lit("fuzzy"))
+    )
 
 
 def incremental_dedup_pairs_sql(src: str) -> str:

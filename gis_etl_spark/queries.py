@@ -2324,7 +2324,11 @@ REGISTRY = {
 # ---------------------------------------------------------------------------
 # Round 16: the incremental-funnel contract query (VERDICT r15 item 5)
 # — the increment's stage flags from the frozen-history probes, hash-
-# pinned against a full re-derive over base ∪ increment.
+# pinned against a full re-derive over base ∪ increment — plus its
+# OPERATING MONITOR flags_increment_risk (the bm25_stats_drift /
+# ann_drift_stat pattern): the displacement-risk census that detects,
+# increment-sized, exactly when the frozen-history approximation
+# stops being exact.
 # ---------------------------------------------------------------------------
 
 REGISTRY.update(
@@ -2332,6 +2336,10 @@ REGISTRY.update(
         "corpus_flags_increment": (
             CB.corpus_flags_increment,
             CB.corpus_flags_increment_sql(),
+        ),
+        "flags_increment_risk": (
+            CB.flags_increment_risk,
+            CB.flags_increment_risk_sql(),
         ),
     }
 )
@@ -2344,19 +2352,20 @@ REGISTRY.update(
 # in the r15 comment above), the 3 plan-changed queries
 # (bm25_topk_stored / bm25_topk_after_append — the de-skewed champion
 # build + stopword-free stored postings; cdc_merge_apply_log — the
-# explicit intra-batch op-rank in the compaction struct), then the 35
-# alphabetically-first of the 47-query r12 cohort. The 12 r12
-# leftovers (similarity_near_pairs, similarity_pq_adc,
-# similarity_pq_rerank, similarity_topk, source_data_card,
-# spatial_near_pairs, text_gopher_flags, text_quality_scores,
-# text_token_stats, tfidf_top_terms, token_stats_by_lang, top_tokens)
-# become the oldest tail and rotate in r17.
+# explicit intra-batch op-rank in the compaction struct), then the 34
+# alphabetically-first of the 47-query r12 cohort. The 13 r12
+# leftovers (similarity_ivf_kmeans, similarity_near_pairs,
+# similarity_pq_adc, similarity_pq_rerank, similarity_topk,
+# source_data_card, spatial_near_pairs, text_gopher_flags,
+# text_quality_scores, text_token_stats, tfidf_top_terms,
+# token_stats_by_lang, top_tokens) become the oldest tail and rotate
+# in r17.
 # The component tuples are exported separately so the COVERAGE.md
 # rotation-narrative counts are test-assertable set arithmetic
 # (VERDICT r15 item 6 — no more prose-count drift).
 # ---------------------------------------------------------------------------
 
-_R16_NEW = ("corpus_flags_increment",)
+_R16_NEW = ("corpus_flags_increment", "flags_increment_risk")
 _R16_R11_LEFTOVERS = (
     "scd2_intervals",
     "semdedup",
@@ -2410,7 +2419,6 @@ _R16_R12_COHORT = (
     "similarity_hard_negatives",
     "similarity_int8_adc",
     "similarity_ivf",
-    "similarity_ivf_kmeans",
 )
 _R16_FRONT = (
     _R16_NEW + _R16_R11_LEFTOVERS + _R16_PLAN_CHANGED + _R16_R12_COHORT

@@ -1036,3 +1036,46 @@ def test_incremental_flags_append_matches_full_rebuild(spark, sf_dir, tmp_path):
         # the shared flags table now carries increment rows — drop it
         # so other consumers rebuild the base-only artifact on demand
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_flags_increment_risk_marks_real_divergence(spark, sf_dir, tmp_path):
+    """The displacement-risk monitor is load-bearing, not decorative:
+    on the RISKY increment fixture (the +7M appended-token arm whose
+    quality out-ranks its originals) the frozen-history flags GENUINELY
+    diverge from a full re-derive — and every diverging increment doc
+    is one the monitor marked risky (diverging ⊆ risky), so 'risky ==
+    0' is a sound exactness certificate for the keeper channel."""
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.corpus import (
+        _flagged_docs,
+        _increment_risk_pairs,
+    )
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark)
+    inc = CB.increment_docs_risky(docs)
+    aug_path = str(tmp_path / "docs_risky.parquet")
+    docs.unionByName(inc).coalesce(1).write.mode("overwrite").parquet(
+        aug_path
+    )
+    full = {
+        r["doc_id"]: (r["s1"], r["s2"], r["s3"])
+        for r in _flagged_docs(spark, sf_dir, aug_path).collect()
+        if r["doc_id"] >= 5_000_000
+    }
+    incr = {
+        r["doc_id"]: (r["s1"], r["s2"], r["s3"])
+        for r in CB.increment_curation_flags(
+            spark, sf_dir, inc
+        ).collect()
+    }
+    assert set(full) == set(incr)
+    diverging = {d for d in incr if incr[d] != full[d]}
+    assert diverging, "the risky fixture must actually break the approximation"
+    risky = {
+        r["new_id"]
+        for r in _increment_risk_pairs(spark, sf_dir).collect()
+        if r["risky"]
+    }
+    assert risky
+    assert diverging <= risky, sorted(diverging - risky)[:10]

@@ -252,10 +252,12 @@ HEADLINE = [
     "bm25_topk_after_append",
     "cdc_merge_apply_log",
     # round 16: the incremental-funnel contract query (frozen-history
-    # probes; its full-rebuild economics land as flags_*_ms artifacts)
-    # and its displacement-risk operating monitor
+    # probes; its full-rebuild economics land as flags_*_ms
+    # artifacts), its displacement-risk operating monitor, and the
+    # stored-snapshot dedup probe (same oracle as the in-plan rung)
     "corpus_flags_increment",
     "flags_increment_risk",
+    "incremental_dedup_pairs_stored",
 ]
 
 

@@ -319,6 +319,36 @@ def cmd_build_corpus(spark: SparkSession, args) -> None:
     print(f"build-corpus: wrote training corpus {args.output}")
 
 
+def cmd_build_dedup_snapshot(spark: SparkSession, args) -> None:
+    """Persist the dedup snapshot artifacts for the --input corpus
+    (content fingerprints, MinHash band keys, distinct shingles,
+    shingle-set sizes — each bucketed on its probe key): the stored
+    history every later increment probes instead of re-deriving.
+    With --increment, append that batch's artifacts instead (the
+    maintenance rung)."""
+    from gis_etl_spark.ops.dedup import (
+        append_to_dedup_snapshot,
+        build_dedup_snapshot,
+    )
+
+    dp = _docs_path(args.input)
+    if args.increment:
+        inc = spark.read.parquet(args.increment)
+        names = append_to_dedup_snapshot(
+            spark, args.input, inc, docs_path=dp, scope="full"
+        )
+        print(
+            f"build-dedup-snapshot: appended {inc.count()} docs' "
+            "artifacts"
+        )
+    else:
+        names = build_dedup_snapshot(
+            spark, args.input, docs_path=dp, scope="full"
+        )
+    for role, t in names.items():
+        print(f"build-dedup-snapshot: {role} -> {t}")
+
+
 def cmd_append_flags(spark: SparkSession, args) -> None:
     """Append an increment's stage flags to the materialized flags
     table — the nightly rung of build-corpus --flags-table: the
@@ -505,6 +535,15 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     p = sub.add_parser(
+        "build-dedup-snapshot",
+        help="persist (or, with --increment, append to) the stored "
+        "dedup snapshot artifacts incremental probes read",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--increment", default=None)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
         "append-flags",
         help="append an increment's stage flags to the materialized "
         "flags table (frozen-history probes, no history re-derive)",
@@ -553,6 +592,7 @@ def main(argv: list[str] | None = None) -> None:
             "build-bm25-index": cmd_build_bm25_index,
             "compact-bm25-index": cmd_compact_bm25_index,
             "build-corpus": cmd_build_corpus,
+            "build-dedup-snapshot": cmd_build_dedup_snapshot,
             "append-flags": cmd_append_flags,
             "ann-drift": cmd_ann_drift,
             "merge-apply": cmd_merge_apply,

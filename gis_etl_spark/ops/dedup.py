@@ -638,6 +638,231 @@ def incremental_dedup_pairs(
     return exact.unionByName(fuzzy).orderBy("new_id", "snap_id")
 
 
+DEDUP_SNAP_BUCKETS = 8
+
+
+def dedup_snapshot_tables(
+    docs_path: str | None = None, scope: str = "incsplit"
+) -> dict[str, str]:
+    """Catalog names of the PERSISTED snapshot-side dedup artifacts,
+    keyed by the corpus file fingerprint (mtime+size — the
+    ivfpq/bm25/flags table contract) and the snapshot SCOPE
+    ('incsplit' = the contract fixture's history side, doc_id %
+    {INC_MOD} != {INC_NEW_REM}; 'full' = the whole corpus is history —
+    the CLI posture, where increments arrive later via
+    append_to_dedup_snapshot): content fingerprints, band keys,
+    distinct shingles, and shingle-set sizes. These are the four
+    tables the incremental probes read in production instead of
+    re-deriving history per increment."""
+    import os
+    from hashlib import md5
+
+    path = docs_path or ensure_documents_aug()
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, scope)
+    except OSError:
+        key = (path, scope)
+    fp = md5(repr(key).encode()).hexdigest()[:10]
+    return {
+        "fingerprints": f"dedup_snap_fp_{fp}",
+        "bands": f"dedup_snap_bands_{fp}",
+        "shingles": f"dedup_snap_sh_{fp}",
+        "sizes": f"dedup_snap_sz_{fp}",
+    }
+
+
+def _snapshot_frames(docs: DataFrame) -> dict[str, DataFrame]:
+    """The four snapshot artifacts for a corpus frame — one shared
+    derivation for the initial build and the per-batch append."""
+    sh = _doc_shingles(docs)
+    return {
+        "fingerprints": docs.select(
+            "doc_id", F.md5("text").alias("fph")
+        ),
+        "bands": _band_keys(_minhash_signatures(docs)),
+        "shingles": sh,
+        "sizes": sh.groupBy("doc_id").agg(F.count("*").alias("nw")),
+    }
+
+
+_SNAP_BUCKET_COLS = {
+    "fingerprints": ("fph",),
+    "bands": ("band_idx", "band_key"),
+    "shingles": ("w",),
+    "sizes": ("doc_id",),
+}
+
+
+def build_dedup_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_path: str | None = None,
+    scope: str = "incsplit",
+) -> dict[str, str]:
+    """Build + persist the snapshot-side dedup index ONCE — the
+    build→probe→append ladder (build_ivfpq_index / build_bm25_index)
+    applied to the incremental-dedup story, making the
+    'in production the snapshot artifacts are stored tables' posture
+    of incremental_dedup_pairs real instead of narrated. Snapshot =
+    the incremental split's history side (doc_id % {INC_MOD} !=
+    {INC_NEW_REM}); each table is bucketed on its probe key
+    (fingerprints by fph, bands by (band_idx, band_key), shingles by
+    w, sizes by doc_id) so snapshot-side joins co-locate without a
+    shuffle at any corpus size. Idempotent per corpus fingerprint.
+
+    Scale: one derivation pass over history, after which every
+    increment pays only broadcast probes of these tables —
+    incremental_dedup_pairs_stored is hash-pinned equal to the
+    in-plan rung (same oracle), and append_to_dedup_snapshot grows
+    history by appending, never recomputing. scope='full' snapshots
+    the WHOLE corpus (the CLI posture) instead of the fixture's
+    history side."""
+    names = dedup_snapshot_tables(docs_path, scope)
+    if all(spark.catalog.tableExists(t) for t in names.values()):
+        return names
+    import os as _os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("", "file") and wh.path:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = _os.path.join(wh.path, t.lower())
+            if _os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+
+    snap = _docs(spark, docs_path)
+    if scope == "incsplit":
+        snap = snap.filter(F.col("doc_id") % INC_MOD != INC_NEW_REM)
+    for role, frame in _snapshot_frames(snap).items():
+        (
+            frame.write.mode("overwrite")
+            .bucketBy(DEDUP_SNAP_BUCKETS, *_SNAP_BUCKET_COLS[role])
+            .saveAsTable(names[role])
+        )
+    return names
+
+
+def append_to_dedup_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    docs_path: str | None = None,
+    scope: str = "incsplit",
+) -> dict[str, str]:
+    """Fold an ingested batch into the stored snapshot so the NEXT
+    increment's probes see it — the cheap maintenance rung: derive the
+    batch's four artifact frames (batch-sized work only) and append
+    them under the same bucket specs. No stats freeze is involved
+    (fingerprints/bands/shingles are per-doc, not corpus-relative), so
+    unlike the BM25 delta there is no staleness to monitor — appending
+    IS the exact maintenance operation, receipt-tested: a doc
+    duplicated across two batches is detected by the second batch's
+    probe purely through the rows the first batch appended."""
+    names = build_dedup_snapshot(spark, sf_dir, docs_path, scope)
+    for role, frame in _snapshot_frames(
+        new_docs.select("doc_id", "text")
+    ).items():
+        (
+            frame.write.mode("append")
+            .bucketBy(DEDUP_SNAP_BUCKETS, *_SNAP_BUCKET_COLS[role])
+            .saveAsTable(names[role])
+        )
+    return names
+
+
+def incremental_dedup_pairs_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """incremental_dedup_pairs served from the PERSISTED snapshot
+    tables — registered against the SAME oracle as the in-plan rung,
+    so the hash match pins stored artifacts == fresh derivation (the
+    bm25_topk_stored equality-proof pattern): exact pass probes the
+    stored fingerprint table, the fuzzy pass probes the stored band
+    table and pays the Jaccard verify against the stored shingle and
+    size tables; only the increment's side is derived in-plan.
+
+    Scale: the increment's fingerprints, band keys, and shingles
+    broadcast; history is touched only via column-pruned scans of the
+    bucketed tables (and snapshot-side joins would co-locate
+    bucket-to-bucket if the broadcast were infeasible — the r12
+    SMJ-without-exchange receipt)."""
+    names = build_dedup_snapshot(spark, sf_dir)
+    docs = _docs(spark, None)
+    new = docs.filter(F.col("doc_id") % INC_MOD == INC_NEW_REM).select(
+        "doc_id", "text"
+    )
+
+    fp_new = new.select(F.col("doc_id").alias("new_id"), F.md5("text").alias("fph"))
+    exact = (
+        spark.table(names["fingerprints"])
+        .join(F.broadcast(fp_new), "fph")
+        .select(
+            "new_id",
+            F.col("doc_id").alias("snap_id"),
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    new_clean = new.join(
+        exact.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    bk_new = _band_keys(_minhash_signatures(new_clean)).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_key"
+    )
+    cands = (
+        spark.table(names["bands"])
+        .join(F.broadcast(bk_new), ["band_idx", "band_key"])
+        .select(
+            F.col("new_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    wa = _doc_shingles(new_clean).select(F.col("doc_id").alias("doc_a"), "w")
+    wb = spark.table(names["shingles"]).select(
+        F.col("doc_id").alias("doc_b"), "w"
+    )
+    inter = (
+        cands.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = (
+        wa.groupBy("doc_a").agg(F.count("*").alias("na"))
+    )
+    nb = spark.table(names["sizes"]).select(
+        F.col("doc_id").alias("doc_b"), F.col("nw").alias("nb")
+    )
+    fuzzy = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select(
+            F.col("doc_a").alias("new_id"),
+            F.col("doc_b").alias("snap_id"),
+            F.lit("fuzzy").alias("kind"),
+            "jaccard",
+        )
+    )
+    return exact.unionByName(fuzzy).orderBy("new_id", "snap_id")
+
+
 def bipartite_dup_new_ids(snap: DataFrame, new: DataFrame) -> DataFrame:
     """The generalized bipartite probe at the heart of
     incremental_dedup_pairs, returning just the displaced side: ids of

@@ -2341,6 +2341,14 @@ REGISTRY.update(
             CB.flags_increment_risk,
             CB.flags_increment_risk_sql(),
         ),
+        # the stored-snapshot rung of incremental dedup, registered
+        # against the SAME oracle as the in-plan rung — the
+        # bm25_topk_stored equality-proof pattern applied to the
+        # snapshot artifacts (fingerprints/bands/shingles/sizes)
+        "incremental_dedup_pairs_stored": (
+            D.incremental_dedup_pairs_stored,
+            _DEDUP_SQLS["incremental_dedup_pairs"],
+        ),
     }
 )
 
@@ -2352,20 +2360,24 @@ REGISTRY.update(
 # in the r15 comment above), the 3 plan-changed queries
 # (bm25_topk_stored / bm25_topk_after_append — the de-skewed champion
 # build + stopword-free stored postings; cdc_merge_apply_log — the
-# explicit intra-batch op-rank in the compaction struct), then the 34
-# alphabetically-first of the 47-query r12 cohort. The 13 r12
-# leftovers (similarity_ivf_kmeans, similarity_near_pairs,
-# similarity_pq_adc, similarity_pq_rerank, similarity_topk,
-# source_data_card, spatial_near_pairs, text_gopher_flags,
-# text_quality_scores, text_token_stats, tfidf_top_terms,
-# token_stats_by_lang, top_tokens) become the oldest tail and rotate
-# in r17.
+# explicit intra-batch op-rank in the compaction struct), then the 33
+# alphabetically-first of the 47-query r12 cohort. The 14 r12
+# leftovers (similarity_ivf, similarity_ivf_kmeans,
+# similarity_near_pairs, similarity_pq_adc, similarity_pq_rerank,
+# similarity_topk, source_data_card, spatial_near_pairs,
+# text_gopher_flags, text_quality_scores, text_token_stats,
+# tfidf_top_terms, token_stats_by_lang, top_tokens) become the oldest
+# tail and rotate in r17.
 # The component tuples are exported separately so the COVERAGE.md
 # rotation-narrative counts are test-assertable set arithmetic
 # (VERDICT r15 item 6 — no more prose-count drift).
 # ---------------------------------------------------------------------------
 
-_R16_NEW = ("corpus_flags_increment", "flags_increment_risk")
+_R16_NEW = (
+    "corpus_flags_increment",
+    "flags_increment_risk",
+    "incremental_dedup_pairs_stored",
+)
 _R16_R11_LEFTOVERS = (
     "scd2_intervals",
     "semdedup",
@@ -2418,7 +2430,6 @@ _R16_R12_COHORT = (
     "similarity_ann_lsh",
     "similarity_hard_negatives",
     "similarity_int8_adc",
-    "similarity_ivf",
 )
 _R16_FRONT = (
     _R16_NEW + _R16_R11_LEFTOVERS + _R16_PLAN_CHANGED + _R16_R12_COHORT

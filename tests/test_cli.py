@@ -467,3 +467,42 @@ def test_cli_append_flags(tmp_path):
     assert "append-flags: appended 3 doc flags to curation_flags_" in (
         res.stdout
     ), res.stdout
+
+
+def test_cli_build_dedup_snapshot(tmp_path):
+    """Snapshot build + increment append in a subprocess: four
+    bucketed artifact tables, then an increment batch appended."""
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli",
+            "build-dedup-snapshot",
+            "--input", sf, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    for role in ("fingerprints", "bands", "shingles", "sizes"):
+        assert f"build-dedup-snapshot: {role} -> dedup_snap_" in (
+            res.stdout
+        ), res.stdout
+
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(2)
+    src["doc_id"] = src["doc_id"] + 9_500_000
+    inc = str(tmp_path / "snap_inc.parquet")
+    src.to_parquet(inc, index=False)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli",
+            "build-dedup-snapshot",
+            "--input", sf, "--increment", inc, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "appended 2 docs' artifacts" in res.stdout, res.stdout

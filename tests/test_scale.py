@@ -773,3 +773,65 @@ def test_bm25_append_rejects_existing_doc_ids(spark, sf_dir):
     with _pytest.raises(ValueError, match="already have postings"):
         append_to_bm25_index(spark, sf_dir, existing)
     assert spark.table(names["postings"]).count() == base_rows
+
+
+def test_dedup_snapshot_append_extends_history(spark, sf_dir):
+    """The stored-snapshot maintenance rung: artifacts appended for an
+    ingested batch make the NEXT batch's probe see it — a doc
+    duplicated across two batches is detected purely through the rows
+    the first batch appended (history itself never recomputed).
+    Restores the shared tables afterwards (the stored-probe contract
+    query reads them)."""
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.dedup import (
+        append_to_dedup_snapshot,
+        build_dedup_snapshot,
+        dedup_snapshot_tables,
+    )
+
+    names = build_dedup_snapshot(spark, sf_dir)
+    base_counts = {
+        role: spark.table(t).count() for role, t in names.items()
+    }
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch_a = docs.limit(3).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"), "text"
+    )
+    batch_b = batch_a.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    try:
+        fp_t = spark.table(names["fingerprints"])
+        probe_b = fp_t.join(
+            batch_b.select(
+                F.col("doc_id").alias("new_id"), F.md5("text").alias("fph")
+            ),
+            "fph",
+        )
+        assert probe_b.count() == 0  # B's only dups live in A, unseen
+
+        append_to_dedup_snapshot(spark, sf_dir, batch_a)
+        for role, t in names.items():
+            assert spark.table(t).count() > base_counts[role]
+
+        hits = {
+            (r["new_id"], r["doc_id"])
+            for r in spark.table(names["fingerprints"])
+            .join(
+                batch_b.select(
+                    F.col("doc_id").alias("new_id"),
+                    F.md5("text").alias("fph"),
+                ),
+                "fph",
+            )
+            .collect()
+        }
+        want = {
+            (r["doc_id"] + 1_000_000, r["doc_id"])
+            for r in batch_a.collect()
+        }
+        assert hits == want and hits
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        build_dedup_snapshot(spark, sf_dir)

@@ -401,6 +401,7 @@ def increment_curation_flags(
     sf_dir: str,
     new_docs: DataFrame,
     docs_path: str | None = None,
+    use_stored_snapshot: bool = False,
 ) -> DataFrame:
     """Per-doc stage flags for an INCREMENT, computed against frozen
     history (VERDICT r15 item 5 — the dedup/ANN/BM25 refresh story
@@ -432,20 +433,41 @@ def increment_curation_flags(
     schema, appendable to the materialized flags table.
 
     Scale: history is touched by exactly two broadcast-probe scans
-    (fingerprints + band keys vs the increment's broadcast sets; in
-    production those are the stored snapshot tables, so even the
-    scans are index reads); everything else is increment-sized."""
+    (fingerprints + band keys vs the increment's broadcast sets);
+    with `use_stored_snapshot` those probes read the PERSISTED
+    whole-corpus snapshot tables (build_dedup_snapshot scope='full')
+    instead of re-deriving history's artifacts in-plan — the
+    production posture, pinned row-identical to the in-plan probe by
+    test_increment_flags_stored_probe_equals_inplan; everything else
+    is increment-sized. The displaced-id set and the verified
+    intra-pair edge set are materialized (localCheckpoint) because
+    several downstream branches consume them — unmaterialized, the
+    bipartite probe subtree re-executes per consumer (measured ~2×
+    on the fixture)."""
     from gis_etl_spark.ops.dedup import (
         MINHASH_JACCARD_T,
         _docs,
         _exact_jaccard,
+        _stored_bipartite_pairs,
         bipartite_dup_new_ids,
+        build_dedup_snapshot,
         label_components,
         minhash_candidates,
     )
 
     snap = _docs(spark, docs_path)
-    displaced_snap = bipartite_dup_new_ids(snap, new_docs)
+    if use_stored_snapshot:
+        names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
+        displaced_snap = (
+            _stored_bipartite_pairs(
+                spark, names, new_docs.select("doc_id", "text")
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+    else:
+        displaced_snap = bipartite_dup_new_ids(snap, new_docs)
+    displaced_snap = displaced_snap.localCheckpoint()
 
     clean = new_docs.join(displaced_snap, "doc_id", "left_anti")
     w = words_col(F.col("text"))
@@ -468,6 +490,12 @@ def increment_curation_flags(
         )
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
         .select("doc_a", "doc_b")
+        # materialize the verified edge set before the fixpoint loop —
+        # label_components iterates joins over it, and an
+        # unmaterialized input re-derives the whole minhash/verify
+        # subtree per iteration (the _verified_pair_edges discipline;
+        # measured 15.9 s → 2 s on the increment fixture)
+        .localCheckpoint()
     )
     member = label_components(intra_pairs).join(q, "doc_id")
     keep = (
@@ -543,10 +571,16 @@ def corpus_flags_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM SCRATCH over base ∪ increment (full pair graph, recursive
     closure, keeper argmax) and restricts to the increment's ids — the
     hash match pins incremental == full re-derive on this corpus, the
-    funnel's analogue of the BM25 frozen-stats agreement proof."""
+    funnel's analogue of the BM25 frozen-stats agreement proof.
+    Served through the STORED snapshot tables (the production posture
+    — build_dedup_snapshot scope='full', built once per corpus
+    fingerprint), so the oracle additionally pins the stored
+    artifacts; the in-plan probe is pinned equal in pytest."""
     docs = _docs(spark, None)
     inc = increment_docs(docs)
-    return increment_curation_flags(spark, sf_dir, inc).orderBy("doc_id")
+    return increment_curation_flags(
+        spark, sf_dir, inc, use_stored_snapshot=True
+    ).orderBy("doc_id")
 
 
 def increment_docs_risky(docs: DataFrame) -> DataFrame:

@@ -794,7 +794,19 @@ def incremental_dedup_pairs_stored(
     new = docs.filter(F.col("doc_id") % INC_MOD == INC_NEW_REM).select(
         "doc_id", "text"
     )
+    return _stored_bipartite_pairs(spark, names, new).orderBy(
+        "new_id", "snap_id"
+    )
 
+
+def _stored_bipartite_pairs(
+    spark: SparkSession, names: dict[str, str], new: DataFrame
+) -> DataFrame:
+    """(new_id, snap_id, kind, jaccard) for `new` docs probed against
+    the STORED snapshot tables — the serving core shared by
+    incremental_dedup_pairs_stored (ordered contract output) and the
+    incremental curation-flags path (which collapses it to displaced
+    ids)."""
     fp_new = new.select(F.col("doc_id").alias("new_id"), F.md5("text").alias("fph"))
     exact = (
         spark.table(names["fingerprints"])
@@ -860,7 +872,7 @@ def incremental_dedup_pairs_stored(
             "jaccard",
         )
     )
-    return exact.unionByName(fuzzy).orderBy("new_id", "snap_id")
+    return exact.unionByName(fuzzy)
 
 
 def bipartite_dup_new_ids(snap: DataFrame, new: DataFrame) -> DataFrame:

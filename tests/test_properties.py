@@ -1079,3 +1079,27 @@ def test_flags_increment_risk_marks_real_divergence(spark, sf_dir, tmp_path):
     }
     assert risky
     assert diverging <= risky, sorted(diverging - risky)[:10]
+
+
+def test_increment_flags_stored_probe_equals_inplan(spark, sf_dir):
+    """The stored-snapshot probe (build_dedup_snapshot scope='full' —
+    the production posture corpus_flags_increment serves) is
+    row-identical to the in-plan probe over the same increment: the
+    snapshot artifacts are per-doc and round-trip parquet exactly, so
+    storing them changes nothing but the cost."""
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark)
+    inc = CB.increment_docs(docs)
+    inplan = sorted(
+        tuple(r)
+        for r in CB.increment_curation_flags(spark, sf_dir, inc).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in CB.increment_curation_flags(
+            spark, sf_dir, inc, use_stored_snapshot=True
+        ).collect()
+    )
+    assert inplan == stored and inplan

@@ -377,6 +377,36 @@ def cmd_build_bm25_index(spark: SparkSession, args) -> None:
         print(f"build-bm25-index: {role} -> {table}")
 
 
+def cmd_append_bm25_index(spark: SparkSession, args) -> None:
+    """Append an increment's postings to the stored BM25 index under
+    the frozen stats (delta rows carry the sentinel rank and are
+    force-included as candidates at serve) — the cheap rung between
+    build and compact/rebuild. Builds the index from --input first if
+    this session's catalog doesn't hold it (idempotent — the default
+    in-memory catalog doesn't survive across CLI invocations, so a
+    fresh process re-derives the same tables). Rejects doc_ids
+    already indexed."""
+    from gis_etl_spark.ops.text import (
+        BM25_DELTA_CRK,
+        append_to_bm25_index,
+        build_bm25_index,
+    )
+
+    names = build_bm25_index(spark, args.input)
+    inc = spark.read.parquet(args.increment).select("doc_id", "text")
+    append_to_bm25_index(spark, args.input, inc)
+    n_delta = (
+        spark.table(names["postings"])
+        .filter(F.col("crk") == BM25_DELTA_CRK)
+        .count()
+    )
+    print(
+        f"append-bm25-index: appended {inc.count()} docs; "
+        f"{n_delta} delta postings pending compaction in "
+        f"{names['postings']}"
+    )
+
+
 def cmd_compact_bm25_index(spark: SparkSession, args) -> None:
     """Fold appended delta postings into the main champion structure
     (frozen stats untouched; serving output provably unchanged) — the
@@ -513,6 +543,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
 
     p = sub.add_parser(
+        "append-bm25-index",
+        help="append an increment's postings under the frozen stats "
+        "(delta sentinel rank; rejects already-indexed doc_ids)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--increment", required=True)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
         "compact-bm25-index",
         help="fold appended delta postings into the champion "
         "structure (minor compaction; serving output unchanged)",
@@ -590,6 +629,7 @@ def main(argv: list[str] | None = None) -> None:
             "canonical-dedup": cmd_canonical_dedup,
             "build-ann-index": cmd_build_ann_index,
             "build-bm25-index": cmd_build_bm25_index,
+            "append-bm25-index": cmd_append_bm25_index,
             "compact-bm25-index": cmd_compact_bm25_index,
             "build-corpus": cmd_build_corpus,
             "build-dedup-snapshot": cmd_build_dedup_snapshot,

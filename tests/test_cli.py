@@ -506,3 +506,32 @@ def test_cli_build_dedup_snapshot(tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "appended 2 docs' artifacts" in res.stdout, res.stdout
+
+
+def test_cli_append_bm25_index(tmp_path):
+    """The BM25 append rung end-to-end in a subprocess: the command
+    builds the index for --input if the session catalog lacks it (the
+    default in-memory catalog does not survive across CLI
+    invocations), appends a 2-doc increment under the frozen stats,
+    and reports the pending delta sentinel count. (The duplicate-id
+    rejection is unit-tested in
+    test_bm25_append_rejects_existing_doc_ids.)"""
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(2)
+    src["doc_id"] = src["doc_id"] + 9_700_000
+    inc = str(tmp_path / "bm25_inc.parquet")
+    src[["doc_id", "text"]].to_parquet(inc, index=False)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "append-bm25-index",
+            "--input", sf, "--increment", inc, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "append-bm25-index: appended 2 docs;" in res.stdout, res.stdout
+    assert "delta postings pending compaction" in res.stdout

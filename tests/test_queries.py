@@ -122,6 +122,17 @@ def test_doc_registry_counts():
     assert set(_R16_R11_LEFTOVERS) == r11_old, (
         sorted(set(_R16_R11_LEFTOVERS) ^ r11_old)
     )
+
+    # same discipline for the CLI subcommand ordinals' running total
+    with open(
+        os.path.join(here, "gis_etl_spark", "cli.py")
+    ) as f:
+        n_sub = len(re.findall(r"sub\.add_parser\(", f.read()))
+    with open(os.path.join(here, "COVERAGE.md")) as f:
+        cov0 = f.read()
+    subs = re.findall(r"cli subcommand count: (\d+)", cov0)
+    assert subs, "COVERAGE.md is missing the cli subcommand marker"
+    assert all(int(n) == n_sub for n in subs), (subs, n_sub)
     deferred = {q for q, r in latest.items() if r <= 12} - set(_R16_FRONT)
     with open(os.path.join(here, "COVERAGE.md")) as f:
         cov = f.read()

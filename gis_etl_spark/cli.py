@@ -381,11 +381,11 @@ def cmd_append_bm25_index(spark: SparkSession, args) -> None:
     """Append an increment's postings to the stored BM25 index under
     the frozen stats (delta rows carry the sentinel rank and are
     force-included as candidates at serve) — the cheap rung between
-    build and compact/rebuild. Builds the index from --input first if
-    this session's catalog doesn't hold it (idempotent — the default
-    in-memory catalog doesn't survive across CLI invocations, so a
-    fresh process re-derives the same tables). Rejects doc_ids
-    already indexed."""
+    build and compact/rebuild. Builds the index from --input on the
+    first-ever invocation (idempotent; the CLI catalog is durable
+    across processes, so later invocations append to the SAME index —
+    receipt: test_cli_appends_survive_across_invocations). Rejects
+    doc_ids already indexed."""
     from gis_etl_spark.ops.text import (
         BM25_DELTA_CRK,
         append_to_bm25_index,
@@ -611,7 +611,12 @@ def main(argv: list[str] | None = None) -> None:
 
     from gis_etl_spark.session import get_spark
 
-    spark = get_spark(f"gis-etl-{args.cmd}", master=args.master)
+    # durable catalog: CLI invocations are separate processes, and the
+    # append rungs must SEE the tables a previous invocation wrote —
+    # the in-memory catalog would silently rebuild-and-wipe them
+    spark = get_spark(
+        f"gis-etl-{args.cmd}", master=args.master, durable_catalog=True
+    )
     spark.sparkContext.setLogLevel("ERROR")
     try:
         {

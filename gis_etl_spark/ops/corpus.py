@@ -58,6 +58,21 @@ FUNNEL_DRAW_BUDGET = 8_192
 _STAGES = ("raw", "near_dedup", "quality", "pii_clean", "mixture_draw")
 
 
+def _flag_count_cols() -> list:
+    """THE staging columns of the quality composite — (n, nd, nstop)
+    over words_col(text). One definition: _flagged_docs, the increment
+    flags path, and the risk monitor's quality lookups must all gate
+    on byte-identical counts (the quality_score_from_counts
+    hash-contract note applies to its INPUTS too — r16 review killed
+    three restatements)."""
+    w = words_col(F.col("text"))
+    return [
+        F.size(w).cast("long").alias("n"),
+        F.size(F.array_distinct(w)).alias("nd"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+    ]
+
+
 def _flagged_docs(
     spark: SparkSession, sf_dir: str, docs_path: str | None = None
 ) -> DataFrame:
@@ -74,13 +89,10 @@ def _flagged_docs(
         .filter(F.col("doc_id") != F.col("keeper_id"))
         .select("doc_id", F.lit(True).alias("removed"))
     )
-    w = words_col(F.col("text"))
     staged = docs.select(
         "doc_id",
         "source",
-        F.size(w).cast("long").alias("n"),
-        F.size(F.array_distinct(w)).alias("nd"),
-        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+        *_flag_count_cols(),
         pii_hits_col(pii_planted_txt()).alias("pii_hits"),
     )
     q = quality_score_from_counts(
@@ -470,13 +482,7 @@ def increment_curation_flags(
     displaced_snap = displaced_snap.localCheckpoint()
 
     clean = new_docs.join(displaced_snap, "doc_id", "left_anti")
-    w = words_col(F.col("text"))
-    staged = clean.select(
-        "doc_id",
-        F.size(w).alias("n"),
-        F.size(F.array_distinct(w)).alias("nd"),
-        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
-    )
+    staged = clean.select("doc_id", *_flag_count_cols())
     q = staged.select(
         "doc_id",
         quality_score_from_counts(
@@ -520,9 +526,7 @@ def increment_curation_flags(
     flagged = new_docs.select(
         "doc_id",
         "source",
-        F.size(w).cast("long").alias("n"),
-        F.size(F.array_distinct(w)).alias("nd"),
-        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("nstop"),
+        *_flag_count_cols(),
         pii_hits_col(pii_planted_txt()).alias("pii_hits"),
     )
     qq = quality_score_from_counts(
@@ -550,15 +554,39 @@ def append_curation_flags(
     """Nightly-increment append to the materialized flags table: the
     base snapshot's flags exist (materialize_curation_flags — built
     once), the increment's flags come from increment_curation_flags
-    (frozen-history probes, never a history re-derive), and the union
-    lands in the SAME table — the funnel card, the quota draw, and the
-    corpus writer then read base + increment through the existing
-    flags_table parameter unchanged. The table name stays keyed to the
-    base snapshot fingerprint: appends extend that snapshot; a
-    REWRITTEN base invalidates the name and everything rebuilds."""
+    probing the STORED dedup snapshot (build_dedup_snapshot
+    scope='full' — the production posture; the CLI's sibling
+    build-dedup-snapshot subcommand owns extending that snapshot with
+    tonight's batch AFTER this probe, so tomorrow's increment dedups
+    against it), and the union lands in the SAME table — the funnel
+    card, the quota draw, and the corpus writer then read base +
+    increment through the existing flags_table parameter unchanged.
+    The table name stays keyed to the base snapshot fingerprint:
+    appends extend that snapshot; a REWRITTEN base invalidates the
+    name and everything rebuilds.
+
+    Precondition, ENFORCED (r16 review): the increment must be NEW
+    doc_ids — a re-appended batch would double-count those docs in
+    every funnel-card stage."""
     name = materialize_curation_flags(spark, sf_dir, docs_path)
+    new_ids = new_docs.select("doc_id").distinct()
+    n_dup = (
+        spark.table(name)
+        .select("doc_id")
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"append_curation_flags: {n_dup} doc_id(s) of the increment "
+            f"already have flag rows in {name}; re-appending would "
+            "double-count them in the funnel card. Re-ingest under new "
+            "ids, or rebuild the flags table."
+        )
     increment_curation_flags(
-        spark, sf_dir, new_docs, docs_path
+        spark, sf_dir, new_docs, docs_path, use_stored_snapshot=True
     ).write.mode("append").saveAsTable(name)
     return name
 
@@ -644,7 +672,9 @@ def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment-sized joins (the component table is |members| rows,
     broadcast); history is touched only by the probe's two
     column-pruned scans."""
-    per_pair = _increment_risk_pairs(spark, sf_dir)
+    # two aggregations consume the pair frame; unmaterialized, each
+    # re-executes the history-sized probe subtree (r16 review)
+    per_pair = _increment_risk_pairs(spark, sf_dir).localCheckpoint()
     pair_stats = per_pair.agg(
         F.count("*").cast("long").alias("n_dup_pairs"),
         F.count_if("risky").cast("long").alias("n_risky_pairs"),
@@ -683,16 +713,9 @@ def _increment_risk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = increment_docs_risky(docs)
     pairs = bipartite_dup_pairs(docs, inc)
 
-    w = words_col(F.col("text"))
-
     def _q(df: DataFrame, idc: str, qc: str) -> DataFrame:
         staged = df.select(
-            F.col("doc_id").alias(idc),
-            F.size(w).alias("n"),
-            F.size(F.array_distinct(w)).alias("nd"),
-            F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias(
-                "nstop"
-            ),
+            F.col("doc_id").alias(idc), *_flag_count_cols()
         )
         return staged.select(
             idc,

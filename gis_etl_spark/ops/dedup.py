@@ -760,8 +760,34 @@ def append_to_dedup_snapshot(
     unlike the BM25 delta there is no staleness to monitor — appending
     IS the exact maintenance operation, receipt-tested: a doc
     duplicated across two batches is detected by the second batch's
-    probe purely through the rows the first batch appended."""
+    probe purely through the rows the first batch appended.
+
+    Precondition, ENFORCED (r16 review — the append_to_bm25_index
+    guard applied to its sibling rungs): the batch must be NEW
+    doc_ids. A re-appended batch would duplicate artifact rows, and
+    duplicated shingle rows double the Jaccard intersection count
+    while `sizes` keeps the true set size — the verify can then
+    exceed 1.0 and falsely cross the threshold. The guard broadcasts
+    the batch's id set over one column-pruned scan of the stored
+    fingerprint table (every doc has a fingerprint row; `sizes` would
+    miss sub-3-token docs)."""
     names = build_dedup_snapshot(spark, sf_dir, docs_path, scope)
+    new_ids = new_docs.select("doc_id").distinct()
+    n_dup = (
+        spark.table(names["fingerprints"])
+        .select("doc_id")
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"append_to_dedup_snapshot: {n_dup} doc_id(s) of the batch "
+            f"already have snapshot artifacts in {names['fingerprints']};"
+            " re-appending would corrupt the stored Jaccard verify."
+            " Re-ingest under new ids, or rebuild the snapshot."
+        )
     for role, frame in _snapshot_frames(
         new_docs.select("doc_id", "text")
     ).items():

@@ -46,17 +46,31 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    durable_catalog: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default *)
     when no cluster master is configured — tests and bench run local
     mode; a real deployment passes its own master / uses spark-submit.
-    """
+
+    ``durable_catalog=True`` enables Hive support (embedded Derby
+    metastore in the working directory) so managed tables SURVIVE
+    across processes — required by the CLI, whose append rungs
+    (append-flags, append-bm25-index, build-dedup-snapshot
+    --increment) must see the tables a PREVIOUS invocation wrote; with
+    the default in-memory catalog a fresh process would silently
+    rebuild the artifact from the base corpus, destroying every
+    previously appended increment while reporting success (r16 review
+    finding). Engine/test sessions keep the in-memory catalog (tables
+    are per-session scratch there, and Derby allows only one process
+    per metastore directory)."""
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    if durable_catalog:
+        builder = builder.enableHiveSupport()
     conf = dict(ENGINE_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -535,3 +535,49 @@ def test_cli_append_bm25_index(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "append-bm25-index: appended 2 docs;" in res.stdout, res.stdout
     assert "delta postings pending compaction" in res.stdout
+
+
+def test_cli_appends_survive_across_invocations(tmp_path):
+    """r16 review (the severe finding): with the in-memory catalog,
+    every fresh CLI process rebuilt the stored artifact from the base
+    corpus and silently WIPED previously appended increments while
+    reporting success. The CLI session now uses a durable (Hive/Derby)
+    catalog; this receipt runs two append-flags invocations in
+    separate processes and asserts the warehouse flags table holds
+    BOTH increments afterwards."""
+    import glob as _glob
+
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(4)
+    inc1 = src.head(2).copy()
+    inc1["doc_id"] = inc1["doc_id"] + 9_100_000
+    inc2 = src.tail(2).copy()
+    inc2["doc_id"] = inc2["doc_id"] + 9_200_000
+    p1, p2 = str(tmp_path / "inc1.parquet"), str(tmp_path / "inc2.parquet")
+    inc1.to_parquet(p1, index=False)
+    inc2.to_parquet(p2, index=False)
+
+    for p in (p1, p2):
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "gis_etl_spark.cli", "append-flags",
+                "--input", sf, "--increment", p, "--master", "local[4]",
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=str(tmp_path),
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "appended 2 doc flags" in res.stdout, res.stdout
+
+    dirs = _glob.glob(str(tmp_path / "spark-warehouse" / "curation_flags_*"))
+    assert dirs, "flags table directory missing"
+    flags = pd.concat(
+        pd.read_parquet(f)
+        for f in _glob.glob(os.path.join(dirs[0], "*.parquet"))
+    )
+    got = set(flags.doc_id)
+    assert set(inc1.doc_id) <= got, "first increment was wiped"
+    assert set(inc2.doc_id) <= got

@@ -1103,3 +1103,21 @@ def test_increment_flags_stored_probe_equals_inplan(spark, sf_dir):
         ).collect()
     )
     assert inplan == stored and inplan
+
+
+def test_append_curation_flags_rejects_existing_doc_ids(spark, sf_dir):
+    """r16 review: the flags append rung enforces NEW doc_ids — a
+    re-appended batch would double-count those docs in every funnel
+    stage. The flags table is left untouched on rejection."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark)
+    name = CB.materialize_curation_flags(spark, sf_dir)
+    base = spark.table(name).count()
+    existing = docs.limit(3)  # base-corpus ids already flagged
+    with _pytest.raises(ValueError, match="already have flag rows"):
+        CB.append_curation_flags(spark, sf_dir, existing)
+    assert spark.table(name).count() == base

@@ -835,3 +835,30 @@ def test_dedup_snapshot_append_extends_history(spark, sf_dir):
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         build_dedup_snapshot(spark, sf_dir)
+
+
+def test_dedup_snapshot_append_rejects_existing_doc_ids(spark, sf_dir):
+    """r16 review: the snapshot append rung enforces NEW doc_ids —
+    a re-appended batch would duplicate shingle rows and corrupt the
+    stored Jaccard verify (intersection doubles, sizes don't)."""
+    import pytest as _pytest
+
+    from gis_etl_spark.io import read_table
+    from gis_etl_spark.ops.dedup import (
+        INC_MOD,
+        INC_NEW_REM,
+        append_to_dedup_snapshot,
+        build_dedup_snapshot,
+    )
+
+    names = build_dedup_snapshot(spark, sf_dir)
+    base = {r: spark.table(t).count() for r, t in names.items()}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ids already on the snapshot side of the fixture split
+    existing = docs.filter(
+        F.col("doc_id") % INC_MOD != INC_NEW_REM
+    ).limit(3)
+    with _pytest.raises(ValueError, match="already have snapshot"):
+        append_to_dedup_snapshot(spark, sf_dir, existing)
+    for r, t in names.items():
+        assert spark.table(t).count() == base[r]

@@ -581,3 +581,49 @@ def test_cli_appends_survive_across_invocations(tmp_path):
     got = set(flags.doc_id)
     assert set(inc1.doc_id) <= got, "first increment was wiped"
     assert set(inc2.doc_id) <= got
+
+
+def test_cli_dedup_snapshot_increments_survive_across_invocations(tmp_path):
+    """The same durability receipt for the snapshot rung: two
+    build-dedup-snapshot --increment invocations in separate
+    processes; the stored fingerprint table must hold BOTH batches
+    (plus the base corpus) afterwards."""
+    import glob as _glob
+
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(4)
+    inc1 = src.head(2).copy()
+    inc1["doc_id"] = inc1["doc_id"] + 9_300_000
+    inc2 = src.tail(2).copy()
+    inc2["doc_id"] = inc2["doc_id"] + 9_400_000
+    p1, p2 = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+    inc1.to_parquet(p1, index=False)
+    inc2.to_parquet(p2, index=False)
+
+    for p in (p1, p2):
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "gis_etl_spark.cli",
+                "build-dedup-snapshot",
+                "--input", sf, "--increment", p, "--master", "local[4]",
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=str(tmp_path),
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "appended 2 docs' artifacts" in res.stdout, res.stdout
+
+    dirs = _glob.glob(str(tmp_path / "spark-warehouse" / "dedup_snap_fp_*"))
+    assert dirs, "fingerprint table directory missing"
+    fp = pd.concat(
+        pd.read_parquet(f)
+        for f in _glob.glob(os.path.join(dirs[0], "*.parquet"))
+    )
+    got = set(fp.doc_id)
+    assert set(inc1.doc_id) <= got, "first increment was wiped"
+    assert set(inc2.doc_id) <= got
+    base_n = len(pd.read_parquet(os.path.join(sf, "documents.parquet")))
+    assert len(got) == base_n + 4

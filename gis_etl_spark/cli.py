@@ -607,6 +607,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--changes", required=True)
     p.add_argument("--key", required=True)
 
+    # every subcommand accepts --warehouse: an explicit directory the
+    # durable catalog (Derby metastore + spark-warehouse) lives under,
+    # so artifact durability is keyed to the corpus/warehouse choice
+    # rather than the shell's cwd (ADVICE r16 — a cwd-keyed catalog
+    # silently rebuilds base-only artifacts when invoked elsewhere).
+    # Single-writer: Derby locks the directory; run one invocation at
+    # a time per warehouse.
+    for sp in sub.choices.values():
+        sp.add_argument(
+            "--warehouse",
+            default=None,
+            help="directory holding the durable catalog (metastore_db "
+            "+ spark-warehouse); defaults to the current working "
+            "directory. One CLI invocation at a time per warehouse "
+            "(embedded Derby is single-writer).",
+        )
+
     args = parser.parse_args(argv)
 
     from gis_etl_spark.session import get_spark
@@ -615,7 +632,10 @@ def main(argv: list[str] | None = None) -> None:
     # append rungs must SEE the tables a previous invocation wrote —
     # the in-memory catalog would silently rebuild-and-wipe them
     spark = get_spark(
-        f"gis-etl-{args.cmd}", master=args.master, durable_catalog=True
+        f"gis-etl-{args.cmd}",
+        master=args.master,
+        durable_catalog=True,
+        warehouse_dir=args.warehouse,
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:

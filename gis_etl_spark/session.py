@@ -47,6 +47,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     durable_catalog: bool = False,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
@@ -55,16 +56,26 @@ def get_spark(
     mode; a real deployment passes its own master / uses spark-submit.
 
     ``durable_catalog=True`` enables Hive support (embedded Derby
-    metastore in the working directory) so managed tables SURVIVE
-    across processes — required by the CLI, whose append rungs
-    (append-flags, append-bm25-index, build-dedup-snapshot
-    --increment) must see the tables a PREVIOUS invocation wrote; with
-    the default in-memory catalog a fresh process would silently
-    rebuild the artifact from the base corpus, destroying every
-    previously appended increment while reporting success (r16 review
-    finding). Engine/test sessions keep the in-memory catalog (tables
-    are per-session scratch there, and Derby allows only one process
-    per metastore directory)."""
+    metastore) so managed tables SURVIVE across processes — required
+    by the CLI, whose append rungs (append-flags, append-bm25-index,
+    build-dedup-snapshot --increment) must see the tables a PREVIOUS
+    invocation wrote; with the default in-memory catalog a fresh
+    process would silently rebuild the artifact from the base corpus,
+    destroying every previously appended increment while reporting
+    success (r16 review finding). Engine/test sessions keep the
+    in-memory catalog (tables are per-session scratch there, and Derby
+    allows only one process per metastore directory).
+
+    ``warehouse_dir`` (ADVICE r16) anchors BOTH the Derby metastore
+    and the table warehouse under an explicit directory instead of the
+    process working directory — without it, invoking the CLI from a
+    different cwd silently gets a fresh empty catalog and rebuilds
+    base-only artifacts, the same silent-divergence class
+    durable_catalog exists to prevent. Durability is then keyed to the
+    chosen directory (the CLI's --warehouse flag), not the shell's
+    cwd. Derby remains SINGLE-WRITER: one CLI invocation at a time per
+    warehouse directory (concurrent invocations fail on the Derby
+    lock)."""
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -72,6 +83,16 @@ def get_spark(
     if durable_catalog:
         builder = builder.enableHiveSupport()
     conf = dict(ENGINE_CONF)
+    if durable_catalog and warehouse_dir:
+        wd = os.path.abspath(warehouse_dir)
+        os.makedirs(wd, exist_ok=True)
+        conf["spark.sql.warehouse.dir"] = os.path.join(
+            wd, "spark-warehouse"
+        )
+        db = os.path.join(wd, "metastore_db")
+        conf["spark.hadoop.javax.jdo.option.ConnectionURL"] = (
+            f"jdbc:derby:;databaseName={db};create=true"
+        )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     elif "spark.sql.shuffle.partitions" not in conf:

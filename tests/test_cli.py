@@ -627,3 +627,61 @@ def test_cli_dedup_snapshot_increments_survive_across_invocations(tmp_path):
     assert set(inc2.doc_id) <= got
     base_n = len(pd.read_parquet(os.path.join(sf, "documents.parquet")))
     assert len(got) == base_n + 4
+
+
+def test_cli_warehouse_flag_survives_cwd_change(tmp_path):
+    """ADVICE r16: durability used to be keyed to the process cwd —
+    invoking the CLI from a different directory silently got a fresh
+    empty catalog and rebuilt base-only artifacts (the same silent
+    wipe/divergence class durable_catalog fixed). With --warehouse the
+    metastore + warehouse anchor under an explicit directory: two
+    build-dedup-snapshot --increment invocations from two DIFFERENT
+    cwds land in the same stored tables."""
+    import glob as _glob
+
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    wh = tmp_path / "wh"
+    cwd_a = tmp_path / "cwd_a"
+    cwd_b = tmp_path / "cwd_b"
+    for d in (wh, cwd_a, cwd_b):
+        d.mkdir()
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(4)
+    inc1 = src.head(2).copy()
+    inc1["doc_id"] = inc1["doc_id"] + 9_800_000
+    inc2 = src.tail(2).copy()
+    inc2["doc_id"] = inc2["doc_id"] + 9_900_000
+    p1, p2 = str(tmp_path / "w1.parquet"), str(tmp_path / "w2.parquet")
+    inc1.to_parquet(p1, index=False)
+    inc2.to_parquet(p2, index=False)
+
+    for p, cwd in ((p1, cwd_a), (p2, cwd_b)):
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "gis_etl_spark.cli",
+                "build-dedup-snapshot",
+                "--input", sf, "--increment", p, "--master", "local[4]",
+                "--warehouse", str(wh),
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+            cwd=str(cwd),
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "appended 2 docs' artifacts" in res.stdout, res.stdout
+
+    # both increments landed under the EXPLICIT warehouse, and neither
+    # cwd grew its own catalog
+    dirs = _glob.glob(str(wh / "spark-warehouse" / "dedup_snap_fp_*"))
+    assert dirs, "fingerprint table missing under --warehouse"
+    fp = pd.concat(
+        pd.read_parquet(f)
+        for f in _glob.glob(os.path.join(dirs[0], "*.parquet"))
+    )
+    got = set(fp.doc_id)
+    assert set(inc1.doc_id) <= got, "first increment invisible from cwd_b"
+    assert set(inc2.doc_id) <= got
+    for cwd in (cwd_a, cwd_b):
+        assert not (cwd / "metastore_db").exists()
+        assert not _glob.glob(str(cwd / "spark-warehouse" / "dedup_snap_*"))

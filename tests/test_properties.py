@@ -7,6 +7,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -1081,7 +1082,46 @@ def test_flags_increment_risk_marks_real_divergence(spark, sf_dir, tmp_path):
     assert diverging <= risky, sorted(diverging - risky)[:10]
 
 
-def test_increment_flags_stored_probe_equals_inplan(spark, sf_dir):
+def test_risk_monitor_serves_from_stored_snapshot(spark, sf_dir):
+    """r17 (the r16 weak): the displacement-risk monitor must PROBE
+    stored history, not re-derive it — a monitor that re-runs the
+    corpus-wide pair graph + component fixpoint nightly costs what the
+    full re-derive it guards costs. Receipt: with the snapshot built,
+    the monitor returns its exact census even when every in-plan
+    history-derivation path (_member_keepers, label_components,
+    _verified_pair_edges) is monkeypatched to raise — so none of them
+    can be in its plan — and the optimized plan reads the stored
+    quality + members tables."""
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops import dedup as D
+
+    names = D.build_dedup_snapshot(spark, sf_dir, None, "full")
+    want = CB.flags_increment_risk(spark, sf_dir).collect()
+
+    def boom(*a, **k):  # noqa: ANN002, ANN003
+        raise AssertionError("monitor re-derived history in-plan")
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(D, "_member_keepers", boom)
+        mp.setattr(D, "label_components", boom)
+        mp.setattr(D, "_verified_pair_edges", boom)
+        got = CB.flags_increment_risk(spark, sf_dir).collect()
+        # the census localCheckpoints its pair frame (two consumers),
+        # which truncates lineage — assert the stored-table reads on
+        # the UN-checkpointed per-pair plan
+        pair_plan = (
+            CB._increment_risk_pairs(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+            .lower()
+        )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert want[0]["n_risky_docs"] > 0  # the canary genuinely fires
+    assert names["quality"].lower() in pair_plan
+    assert names["members"].lower() in pair_plan
     """The stored-snapshot probe (build_dedup_snapshot scope='full' —
     the production posture corpus_flags_increment serves) is
     row-identical to the in-plan probe over the same increment: the
@@ -1103,6 +1143,82 @@ def test_increment_flags_stored_probe_equals_inplan(spark, sf_dir):
         ).collect()
     )
     assert inplan == stored and inplan
+
+
+def test_increment_flags_rejects_snapshot_extended_first(spark, sf_dir):
+    """VERDICT r16 item 6 / ADVICE r16 (medium): the nightly contract
+    is probe-then-extend. An operator who extended the stored snapshot
+    with tonight's batch BEFORE flagging it used to make every batch
+    doc its own stored duplicate — silently displacing the whole batch
+    (s1=False across the board) with no error. The flags path now
+    refuses such batches loudly."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.dedup import (
+        _docs,
+        append_to_dedup_snapshot,
+        build_dedup_snapshot,
+        dedup_snapshot_tables,
+    )
+
+    docs = _docs(spark)
+    batch = docs.limit(2).select(
+        (F.col("doc_id") + 9_500_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    append_to_dedup_snapshot(spark, sf_dir, batch, None, "full")
+    try:
+        with _pytest.raises(ValueError, match="probe-then-extend"):
+            CB.increment_curation_flags(
+                spark, sf_dir, batch, use_stored_snapshot=True
+            )
+    finally:
+        # the shared full-scope snapshot now carries the test batch —
+        # drop + rebuild so later consumers probe clean history
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        build_dedup_snapshot(spark, sf_dir, None, "full")
+    assert names == dedup_snapshot_tables(None, "full")
+
+
+def test_append_rungs_reject_intra_batch_duplicate_ids(spark, sf_dir):
+    """ADVICE r16 (low): the stored-id guards compare the batch against
+    the STORED tables only — a batch carrying the same doc_id twice
+    passed them and appended duplicated shingle/posting/flag rows, the
+    exact double-count corruption class the guards block. All three
+    append rungs now also enforce intra-batch uniqueness."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.dedup import _docs, append_to_dedup_snapshot
+    from gis_etl_spark.ops.text import (
+        append_to_bm25_index,
+        build_bm25_index,
+    )
+
+    build_bm25_index(spark, sf_dir)  # idempotent; guard needs the table
+    docs = _docs(spark)
+    one = docs.limit(1).select(
+        (F.col("doc_id") + 9_600_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    dup_batch = one.unionByName(one)
+    with _pytest.raises(ValueError, match="distinct doc_id"):
+        append_to_dedup_snapshot(spark, sf_dir, dup_batch)
+    with _pytest.raises(ValueError, match="distinct doc_id"):
+        append_to_bm25_index(
+            spark, sf_dir, dup_batch.select("doc_id", "text")
+        )
+    with _pytest.raises(ValueError, match="distinct doc_id"):
+        CB.append_curation_flags(spark, sf_dir, dup_batch)
 
 
 def test_append_curation_flags_rejects_existing_doc_ids(spark, sf_dir):

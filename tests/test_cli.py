@@ -629,6 +629,61 @@ def test_cli_dedup_snapshot_increments_survive_across_invocations(tmp_path):
     assert len(got) == base_n + 4
 
 
+def test_cli_ingest_increment_probe_then_extend(tmp_path):
+    """The one-verb nightly rung (VERDICT r16 item 6): ingest-increment
+    appends the batch's flags against frozen history FIRST, then
+    extends the dedup snapshot with it — and a re-run of the SAME
+    batch fails loudly on the duplicate guard instead of silently
+    double-counting."""
+    import glob as _glob
+
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(2)
+    src["doc_id"] = src["doc_id"] + 9_950_000
+    p = str(tmp_path / "night1.parquet")
+    src.to_parquet(p, index=False)
+
+    cmd = [
+        sys.executable, "-m", "gis_etl_spark.cli", "ingest-increment",
+        "--input", sf, "--increment", p, "--master", "local[4]",
+    ]
+    res = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "appended 2 doc flags" in res.stdout, res.stdout
+    assert "snapshot extended" in res.stdout
+
+    flags_dirs = _glob.glob(
+        str(tmp_path / "spark-warehouse" / "curation_flags_*")
+    )
+    fp_dirs = _glob.glob(
+        str(tmp_path / "spark-warehouse" / "dedup_snap_fp_*")
+    )
+    assert flags_dirs and fp_dirs
+    fp = pd.concat(
+        pd.read_parquet(f)
+        for f in _glob.glob(os.path.join(fp_dirs[0], "*.parquet"))
+    )
+    assert set(src.doc_id) <= set(fp.doc_id), "snapshot not extended"
+
+    # the same batch again: the flags-path guard must fire (the batch
+    # already has flag rows AND snapshot artifacts)
+    res2 = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res2.returncode != 0
+    assert (
+        "already have flag rows" in res2.stderr
+        or "already have artifacts" in res2.stderr
+    ), res2.stderr[-2000:]
+
+
 def test_cli_warehouse_flag_survives_cwd_change(tmp_path):
     """ADVICE r16: durability used to be keyed to the process cwd —
     invoking the CLI from a different directory silently got a fresh

@@ -1122,6 +1122,89 @@ def test_risk_monitor_serves_from_stored_snapshot(spark, sf_dir):
     assert want[0]["n_risky_docs"] > 0  # the canary genuinely fires
     assert names["quality"].lower() in pair_plan
     assert names["members"].lower() in pair_plan
+
+
+def test_rederive_patch_equals_full_rederive(spark, sf_dir, tmp_path):
+    """The targeted remediation is EXACT, not approximate: frozen
+    flags patched with rederive_risky_component_flags equal a full
+    from-scratch re-derive over base ∪ risky increment for EVERY doc
+    (base and increment) — while touching only an affected-sized
+    subset. The three trigger channels (risky, bridging, chained)
+    cover every way a merged component can diverge from the
+    frozen-history approximation."""
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.corpus import _flagged_docs
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark)
+    inc = CB.increment_docs_risky(docs)
+    aug_path = str(tmp_path / "docs_risky_full.parquet")
+    docs.unionByName(inc).coalesce(1).write.mode("overwrite").parquet(
+        aug_path
+    )
+
+    def flags(df):
+        return {
+            r["doc_id"]: (r["s1"], r["s2"], r["s3"]) for r in df.collect()
+        }
+
+    full = flags(_flagged_docs(spark, sf_dir, aug_path))
+    base = flags(_flagged_docs(spark, sf_dir))
+    frozen = flags(
+        CB.increment_curation_flags(
+            spark, sf_dir, inc, use_stored_snapshot=True
+        )
+    )
+    fix = flags(CB.rederive_risky_component_flags(spark, sf_dir, inc))
+
+    unpatched = {**base, **frozen}
+    assert set(unpatched) == set(full)
+    assert unpatched != full, "risky fixture must genuinely diverge"
+    patched = {**unpatched, **fix}
+    assert patched == full
+    # targeted: the patch is a small, affected-sized subset, yet it
+    # includes base-side corrections (a re-crowned keeper's old docs)
+    assert fix and len(fix) < 0.5 * len(full)
+    assert any(d < 5_000_000 for d in fix), "no base-side corrections"
+
+
+def test_rederive_serves_from_stored_snapshot(spark, sf_dir):
+    """The remediation shares the monitor's stored-serving discipline:
+    with the snapshot built, rederive_risky_component_flags returns
+    identical rows with every in-plan history-derivation path
+    monkeypatched to raise — its closure fixpoint runs only over the
+    affected subgraph's edges, never history's."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops import dedup as D
+
+    D.build_dedup_snapshot(spark, sf_dir, None, "full")
+    docs = D._docs(spark)
+    inc = CB.increment_docs_risky(docs)
+    want = sorted(
+        tuple(r)
+        for r in CB.rederive_risky_component_flags(
+            spark, sf_dir, inc
+        ).collect()
+    )
+
+    def boom(*a, **k):  # noqa: ANN002, ANN003
+        raise AssertionError("rederive re-derived history in-plan")
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(D, "_member_keepers", boom)
+        mp.setattr(D, "_verified_pair_edges", boom)
+        got = sorted(
+            tuple(r)
+            for r in CB.rederive_risky_component_flags(
+                spark, sf_dir, inc
+            ).collect()
+        )
+    assert got == want and got
+
+
+def test_increment_flags_stored_probe_equals_inplan(spark, sf_dir):
     """The stored-snapshot probe (build_dedup_snapshot scope='full' —
     the production posture corpus_flags_increment serves) is
     row-identical to the in-plan probe over the same increment: the
@@ -1143,6 +1226,52 @@ def test_risk_monitor_serves_from_stored_snapshot(spark, sf_dir):
         ).collect()
     )
     assert inplan == stored and inplan
+
+
+def test_compact_curation_flags_preserves_rows_and_shrinks(
+    spark, sf_dir
+):
+    """VERDICT r16 item 8: appends accumulate one parquet file batch
+    per increment forever; minor compaction rewrites the flags table
+    BYTE-IDENTICALLY (row set unchanged — every consumer provably
+    unaffected) while the data-file census shrinks."""
+    import glob as _glob
+    import os as _os
+    from urllib.parse import urlparse
+
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark)
+    name = CB.curation_flags_table(None)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    CB.materialize_curation_flags(spark, sf_dir)
+    try:
+        for off in (9_910_000, 9_920_000):
+            batch = docs.limit(3).select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+            CB.append_curation_flags(spark, sf_dir, batch)
+        before = sorted(
+            tuple(r) for r in spark.table(name).collect()
+        )
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = _os.path.join(wh, name.lower())
+        files_before = len(_glob.glob(_os.path.join(loc, "*.parquet")))
+        CB.compact_curation_flags(spark, sf_dir)
+        after = sorted(tuple(r) for r in spark.table(name).collect())
+        files_after = len(_glob.glob(_os.path.join(loc, "*.parquet")))
+        assert after == before and after
+        assert files_after < files_before, (files_after, files_before)
+        assert files_after == 1  # fixture-sized table → one file
+    finally:
+        # the shared table now carries test increments — drop so other
+        # consumers rebuild the base-only artifact on demand
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def test_increment_flags_rejects_snapshot_extended_first(spark, sf_dir):

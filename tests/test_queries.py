@@ -144,3 +144,42 @@ def test_doc_registry_counts():
         got = re.findall(rf"{marker}: (\d+)", cov)
         assert got, f"COVERAGE.md is missing the '{marker}: N' marker"
         assert all(int(n) == want for n in got), (marker, got, want)
+
+    # r17: the same set-arithmetic discipline for the r17 rotation,
+    # census frozen at r16 (the state the r17 promise was made
+    # against), plus the STALENESS-FLOOR marker (VERDICT r16 item 5 —
+    # the "no query predates rN" sentence drifted off-by-one in r16
+    # prose; now `min(latest)` is a pinned literal too).
+    from gis_etl_spark.queries import (
+        _R17_FRONT,
+        _R17_R12_LEFTOVERS,
+        _R17_R13_COHORT,
+    )
+
+    latest16: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd > 16:
+            continue
+        with open(f) as fh:
+            for q in json.load(fh):
+                latest16[q] = max(latest16.get(q, 0), rnd)
+    r12_old = {q for q, r in latest16.items() if r <= 12}
+    assert set(_R17_R12_LEFTOVERS) == r12_old, (
+        sorted(set(_R17_R12_LEFTOVERS) ^ r12_old)
+    )
+    deferred13 = {q for q, r in latest16.items() if r <= 13} - set(
+        _R17_FRONT
+    )
+    for marker, want in (
+        ("r12 leftovers fronted", len(_R17_R12_LEFTOVERS)),
+        ("r13 cohort fronted", len(_R17_R13_COHORT)),
+        ("r13 leftovers deferred", len(deferred13)),
+    ):
+        got = re.findall(rf"{marker}: (\d+)", cov)
+        assert got, f"COVERAGE.md is missing the '{marker}: N' marker"
+        assert all(int(n) == want for n in got), (marker, got, want)
+    floor = min(latest16.values())
+    got_floor = re.findall(r"staleness floor: r(\d+)", cov)
+    assert got_floor, "COVERAGE.md is missing the staleness-floor marker"
+    assert all(int(n) == floor for n in got_floor), (got_floor, floor)

@@ -1305,8 +1305,12 @@ def _scale_benches(
         artifacts["flags_risk_bridging_docs"] = int(
             row["n_bridging_docs"]
         )
+        artifacts["flags_risk_chained_docs"] = int(row["n_chained_docs"])
         artifacts["flags_rederive_triggered"] = int(
-            row["n_risky_docs"] + row["n_bridging_docs"] > 0
+            row["n_risky_docs"]
+            + row["n_bridging_docs"]
+            + row["n_chained_docs"]
+            > 0
         )
         # r17: the trigger's remediation EXECUTED — targeted re-derive
         # of only the affected merged components (VERDICT r16 item 3),
@@ -1401,6 +1405,35 @@ def _scale_benches(
         t0 = time.time()
         _flagged_docs(spark, SF_DIR, aug_path).count()
         artifacts["flags_xover_full_rebuild_ms"] = int(
+            (time.time() - t0) * 1000
+        )
+        # remediation at the same scale: a RISKY ~1% increment (the
+        # appended-token recipe) drives the targeted component
+        # re-derive against the 24× snapshot — measured next to the
+        # rebuild above (their honest fixture-scale pair is
+        # flags_rederive_ms / flags_full_rebuild_ms)
+        extra = F.concat(
+            F.lit(" zq"), F.col("doc_id").cast("string"),
+            F.lit("a zq"), F.col("doc_id").cast("string"),
+            F.lit("b zq"), F.col("doc_id").cast("string"), F.lit("c"),
+        )
+        rt = F.concat(F.col("text"), extra)
+        inc_r = big.filter(F.col("doc_id") % 97 == 1).select(
+            (F.col("doc_id") + 15_000_000).alias("doc_id"),
+            rt.alias("text"),
+            "lang",
+            "source",
+            F.length(rt)
+            .cast(big.schema["n_chars"].dataType)
+            .alias("n_chars"),
+        )
+        t0 = time.time()
+        artifacts["flags_xover_rederive_rows"] = (
+            CB.rederive_risky_component_flags(
+                spark, SF_DIR, inc_r, docs_path=big_path
+            ).count()
+        )
+        artifacts["flags_xover_rederive_ms"] = int(
             (time.time() - t0) * 1000
         )
         # the xover snapshot is keyed to a per-run temp path — drop its

@@ -740,11 +740,22 @@ def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
       table; singleton partners count as their own) — the second
       divergence channel: a merge of two old clusters re-crowns one
       old keeper even when no new doc wins anything.
+    - a new doc is CHAINED (r17 — the monitor now sees all three
+      channels its remediation targets) iff it has a snapshot match
+      AND an intra-increment near-dup pair: its displaced self drags
+      intra-linked new docs into history's component, so a purely
+      pairwise census would miss the divergence on its partners.
+      With this channel counted, all-zero ⇒ the frozen-history flags
+      are EXACT (the rederive_risky_component_flags coverage
+      argument), not just keeper-channel-exact.
 
     Output: ONE row — (n_dup_pairs, n_risky_pairs, n_risky_docs,
-    n_bridging_docs). The operating rule: risky or bridging > 0 →
-    schedule the full re-derive for those components (bench records
-    the counts and the decision as flags_rederive_triggered).
+    n_bridging_docs, n_chained_docs). The operating rule: any count
+    beyond n_dup_pairs/n_risky_pairs > 0 → run the targeted
+    re-derive for the affected components
+    (rederive_risky_component_flags; bench records the counts, the
+    decision as flags_rederive_triggered, and the executed
+    remediation as flags_rederive_ms).
 
     Scale (r17 — the r16 weak, fixed): pairs come from the STORED
     bipartite probe, snapshot qualities from the PERSISTED per-doc
@@ -758,9 +769,20 @@ def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot pins that the monitor works with the in-plan derivation
     paths (_member_keepers / label_components) monkeypatched to
     raise."""
-    # two aggregations consume the pair frame; unmaterialized, each
+    from gis_etl_spark.ops.dedup import (
+        MINHASH_JACCARD_T,
+        _docs,
+        _exact_jaccard,
+        build_dedup_snapshot,
+        minhash_candidates,
+    )
+
+    docs = _docs(spark, None)
+    inc = increment_docs_risky(docs)
+    names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    # three aggregations consume the pair frame; unmaterialized, each
     # re-executes the history-sized probe subtree (r16 review)
-    per_pair = _increment_risk_pairs(spark, sf_dir).localCheckpoint()
+    per_pair = _risk_pairs_for(spark, names, inc).localCheckpoint()
     pair_stats = per_pair.agg(
         F.count("*").cast("long").alias("n_dup_pairs"),
         F.count_if("risky").cast("long").alias("n_risky_pairs"),
@@ -780,7 +802,28 @@ def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_bridging_docs"),
         )
     )
-    return pair_stats.crossJoin(doc_stats)
+    # chained census: increment-sized minhash pass among the new docs
+    # only — history untouched
+    intra = (
+        _exact_jaccard(
+            inc.select("doc_id", "text"),
+            minhash_candidates(inc.select("doc_id", "text")),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    intra_nodes = (
+        intra.select(F.col("doc_a").alias("new_id"))
+        .union(intra.select(F.col("doc_b").alias("new_id")))
+        .distinct()
+    )
+    chained_stat = (
+        per_pair.select("new_id")
+        .distinct()
+        .join(intra_nodes, "new_id", "left_semi")
+        .agg(F.count("*").cast("long").alias("n_chained_docs"))
+    )
+    return pair_stats.crossJoin(doc_stats).crossJoin(chained_stat)
 
 
 def _increment_quality(new_docs: DataFrame, idc: str, qc: str) -> DataFrame:
@@ -870,8 +913,9 @@ def flags_increment_risk_sql() -> str:
     """Twin census: the identical bipartite probe (exact fingerprint
     pass, band candidates excluding exact-matched docs, rounded
     Jaccard verify), the shared quality CTE over base ∪ risky
-    increment, and snapshot components from the recursive closure over
-    the BASE pair graph — then the same four counts."""
+    increment, snapshot components from the recursive closure over
+    the BASE pair graph, and the intra-increment verified pairs for
+    the chained channel — then the same five counts."""
     from gis_etl_spark.ops.dedup import (
         MINHASH_JACCARD_T,
         _minhash_prefix_sql,
@@ -968,6 +1012,32 @@ def flags_increment_risk_sql() -> str:
                    AS any_risky,
                  count(DISTINCT comp) AS ncomp
           FROM per_pair GROUP BY new_id
+        ),
+        intra_c AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          WHERE a.doc_id >= 5000000 AND b.doc_id >= 5000000
+            AND a.doc_id < b.doc_id
+        ),
+        intra AS (
+          SELECT i.doc_a, i.doc_b
+          FROM (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter
+            FROM intra_c c
+            JOIN dw x ON x.doc_id = c.doc_a
+            JOIN dw y ON y.doc_id = c.doc_b AND y.w = x.w
+            GROUP BY c.doc_a, c.doc_b
+          ) i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE round(i.inter * 1.0 / (sa.nw + sb.nw - i.inter), 4)
+                >= {MINHASH_JACCARD_T}
+        ),
+        intra_nodes AS (
+          SELECT doc_a AS new_id FROM intra
+          UNION
+          SELECT doc_b FROM intra
         )
         SELECT
           (SELECT count(*) FROM per_pair)::BIGINT AS n_dup_pairs,
@@ -976,7 +1046,11 @@ def flags_increment_risk_sql() -> str:
           (SELECT count(*) FROM per_new WHERE any_risky = 1)::BIGINT
             AS n_risky_docs,
           (SELECT count(*) FROM per_new WHERE ncomp > 1)::BIGINT
-            AS n_bridging_docs
+            AS n_bridging_docs,
+          (SELECT count(DISTINCT p.new_id)
+           FROM (SELECT DISTINCT new_id FROM prs) p
+           JOIN intra_nodes e ON e.new_id = p.new_id)::BIGINT
+            AS n_chained_docs
     """
 
 
@@ -1003,8 +1077,8 @@ def rederive_risky_component_flags(
          component (the merge re-crowns one old keeper);
       3. CHAINED — a new doc with a snapshot match that ALSO has an
          intra-increment pair (its displaced self drags intra-linked
-         new docs into history's component, a channel the pairwise
-         monitor census cannot see).
+         new docs into history's component; counted by the monitor's
+         n_chained_docs channel since r17).
     With all three, the patched flags equal a full re-derive over
     base ∪ increment UNCONDITIONALLY: a merged component can differ
     from the frozen-history approximation only by a new keeper (1),

@@ -414,6 +414,8 @@ def increment_curation_flags(
     new_docs: DataFrame,
     docs_path: str | None = None,
     use_stored_snapshot: bool = False,
+    shared_pairs: DataFrame | None = None,
+    shared_intra: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc stage flags for an INCREMENT, computed against frozen
     history (VERDICT r15 item 5 — the dedup/ANN/BM25 refresh story
@@ -455,7 +457,20 @@ def increment_curation_flags(
     intra-pair edge set are materialized (localCheckpoint) because
     several downstream branches consume them — unmaterialized, the
     bipartite probe subtree re-executes per consumer (measured ~2×
-    on the fixture)."""
+    on the fixture).
+
+    Frame sharing (r17): a COMPOSING caller that already materialized
+    the stored-probe pair frame and/or the intra-increment verified
+    edge set (corpus_flags_rederive runs both for the monitor/
+    remediation anyway) passes them as `shared_pairs` ((new_id,
+    snap_id), already localCheckpoint-ed) / `shared_intra` ((doc_a,
+    doc_b) over ALL new docs) — the same localCheckpoint discipline
+    applied ACROSS the composition instead of only within each
+    operator; this path skips the probe, the ordering guard (the
+    caller owns it), and the candidate re-derivation. Equivalences
+    are pairwise properties: displaced ids = the pair frame's
+    distinct new_ids, and clean-intra edges = the all-docs edge set
+    filtered to undisplaced endpoints."""
     from gis_etl_spark.ops.dedup import (
         MINHASH_JACCARD_T,
         _docs,
@@ -468,7 +483,11 @@ def increment_curation_flags(
     )
 
     snap = _docs(spark, docs_path)
-    if use_stored_snapshot:
+    if shared_pairs is not None:
+        displaced_snap = shared_pairs.select(
+            F.col("new_id").alias("doc_id")
+        ).distinct()
+    elif use_stored_snapshot:
         names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
         # Ordering guard (VERDICT r16 item 6 / ADVICE r16): the nightly
         # contract is probe-then-extend — flag the batch against the
@@ -518,20 +537,33 @@ def increment_curation_flags(
             F.col("n"), F.col("nd"), F.col("nstop")
         ).alias("quality_score"),
     )
-    intra_pairs = (
-        _exact_jaccard(
-            clean.select("doc_id", "text"),
-            minhash_candidates(clean.select("doc_id", "text")),
+    if shared_intra is not None:
+        # verified pairs are pairwise: edges among the CLEAN subset =
+        # the all-docs edge set filtered to undisplaced endpoints
+        d_a = displaced_snap.withColumnRenamed("doc_id", "doc_a")
+        d_b = displaced_snap.withColumnRenamed("doc_id", "doc_b")
+        intra_pairs = (
+            shared_intra.join(F.broadcast(d_a), "doc_a", "left_anti")
+            .join(F.broadcast(d_b), "doc_b", "left_anti")
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
         )
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
-        .select("doc_a", "doc_b")
-        # materialize the verified edge set before the fixpoint loop —
-        # label_components iterates joins over it, and an
-        # unmaterialized input re-derives the whole minhash/verify
-        # subtree per iteration (the _verified_pair_edges discipline;
-        # measured 15.9 s → 2 s on the increment fixture)
-        .localCheckpoint()
-    )
+    else:
+        intra_pairs = (
+            _exact_jaccard(
+                clean.select("doc_id", "text"),
+                minhash_candidates(clean.select("doc_id", "text")),
+            )
+            .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+            .select("doc_a", "doc_b")
+            # materialize the verified edge set before the fixpoint
+            # loop — label_components iterates joins over it, and an
+            # unmaterialized input re-derives the whole minhash/verify
+            # subtree per iteration (the _verified_pair_edges
+            # discipline; measured 15.9 s → 2 s on the increment
+            # fixture)
+            .localCheckpoint()
+        )
     member = label_components(intra_pairs).join(q, "doc_id")
     keep = (
         member.groupBy("component")
@@ -1059,6 +1091,8 @@ def rederive_risky_component_flags(
     sf_dir: str,
     new_docs: DataFrame,
     docs_path: str | None = None,
+    shared_pairs: DataFrame | None = None,
+    shared_intra: DataFrame | None = None,
 ) -> DataFrame:
     """The TARGETED remediation rung the risk monitor schedules
     (VERDICT r16 item 3 — the ann_rebuild / bm25 compact-or-rebuild
@@ -1110,16 +1144,26 @@ def rederive_risky_component_flags(
 
     names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
     # pair frame + intra edges feed several consumers below —
-    # materialize so the stored-probe subtrees run once
-    per_pair = _risk_pairs_for(spark, names, new_docs).localCheckpoint()
+    # materialize so the stored-probe subtrees run once; a composing
+    # caller (corpus_flags_rederive) that already materialized them
+    # passes both in (the cross-operator localCheckpoint discipline)
+    per_pair = (
+        shared_pairs
+        if shared_pairs is not None
+        else _risk_pairs_for(spark, names, new_docs).localCheckpoint()
+    )
     intra = (
-        _exact_jaccard(
-            new_docs.select("doc_id", "text"),
-            minhash_candidates(new_docs.select("doc_id", "text")),
+        shared_intra
+        if shared_intra is not None
+        else (
+            _exact_jaccard(
+                new_docs.select("doc_id", "text"),
+                minhash_candidates(new_docs.select("doc_id", "text")),
+            )
+            .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
         )
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
     )
 
     risky_or_bridging = (
@@ -1257,16 +1301,44 @@ def corpus_flags_rederive(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash match therefore pins BOTH that the patch restores
     exactness where the approximation broke AND that it touches
     exactly the base rows a full rebuild would change."""
-    from gis_etl_spark.ops.dedup import _docs, build_dedup_snapshot
+    from gis_etl_spark.ops.dedup import (
+        MINHASH_JACCARD_T,
+        _docs,
+        _exact_jaccard,
+        build_dedup_snapshot,
+        minhash_candidates,
+    )
 
     docs = _docs(spark, None)
     inc = increment_docs_risky(docs)
     names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    # the stored-probe pair frame and the intra-increment edge set are
+    # consumed by BOTH the frozen pass and the remediation —
+    # materialize each ONCE and share (without this the composed
+    # contract query executed the bipartite probe twice more and the
+    # intra chain once more; row-identity of the shared paths is
+    # pinned by test_shared_frames_equal_probe_paths, and the steady-
+    # state sf0.1 timing dropped 9.5 → 7.2 s)
+    per_pair = _risk_pairs_for(spark, names, inc).localCheckpoint()
+    intra = (
+        _exact_jaccard(
+            inc.select("doc_id", "text"),
+            minhash_candidates(inc.select("doc_id", "text")),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     frozen = increment_curation_flags(
-        spark, sf_dir, inc, use_stored_snapshot=True
+        spark,
+        sf_dir,
+        inc,
+        use_stored_snapshot=True,
+        shared_pairs=per_pair,
+        shared_intra=intra,
     )
     fix = rederive_risky_component_flags(
-        spark, sf_dir, inc
+        spark, sf_dir, inc, shared_pairs=per_pair, shared_intra=intra
     ).localCheckpoint()
     fix_ids = fix.select("doc_id")
     inc_ids = inc.select("doc_id")

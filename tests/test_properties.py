@@ -1204,6 +1204,67 @@ def test_rederive_serves_from_stored_snapshot(spark, sf_dir):
     assert got == want and got
 
 
+def test_shared_frames_equal_probe_paths(spark, sf_dir):
+    """r17 composition discipline: corpus_flags_rederive materializes
+    the stored-probe pair frame and the intra edge set ONCE and shares
+    them with the frozen pass and the remediation. The shared paths
+    must be row-identical to the independent probe paths — displaced
+    ids are the pair frame's distinct new_ids, and clean-intra edges
+    are the all-docs edge set filtered to undisplaced endpoints (both
+    pairwise properties)."""
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops import dedup as D
+    from pyspark.sql import functions as SF
+
+    names = D.build_dedup_snapshot(spark, sf_dir, None, "full")
+    docs = D._docs(spark)
+    inc = CB.increment_docs_risky(docs)
+    per_pair = CB._risk_pairs_for(spark, names, inc).localCheckpoint()
+    intra = (
+        D._exact_jaccard(
+            inc.select("doc_id", "text"),
+            D.minhash_candidates(inc.select("doc_id", "text")),
+        )
+        .filter(SF.col("jaccard") >= D.MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    frozen_probe = rows(
+        CB.increment_curation_flags(
+            spark, sf_dir, inc, use_stored_snapshot=True
+        )
+    )
+    frozen_shared = rows(
+        CB.increment_curation_flags(
+            spark,
+            sf_dir,
+            inc,
+            use_stored_snapshot=True,
+            shared_pairs=per_pair,
+            shared_intra=intra,
+        )
+    )
+    assert frozen_probe == frozen_shared and frozen_probe
+
+    fix_probe = rows(
+        CB.rederive_risky_component_flags(spark, sf_dir, inc)
+    )
+    fix_shared = rows(
+        CB.rederive_risky_component_flags(
+            spark,
+            sf_dir,
+            inc,
+            shared_pairs=per_pair,
+            shared_intra=intra,
+        )
+    )
+    assert fix_probe == fix_shared and fix_probe
+
+
 def test_increment_flags_stored_probe_equals_inplan(spark, sf_dir):
     """The stored-snapshot probe (build_dedup_snapshot scope='full' —
     the production posture corpus_flags_increment serves) is

@@ -399,6 +399,39 @@ def cmd_ingest_increment(spark: SparkSession, args) -> None:
     )
 
 
+def cmd_rederive_flags(spark: SparkSession, args) -> None:
+    """The monitor→remediation loop as one verb: census the increment
+    against the stored snapshot (risky / bridging / chained channels),
+    and if any fires, patch the materialized flags table with the
+    targeted component re-derive — exact flags restored without a full
+    rebuild. Requires append-flags (or ingest-increment) to have run
+    for the batch first (append-then-patch; guarded loudly)."""
+    from gis_etl_spark.ops.corpus import (
+        apply_rederive_to_flags,
+        increment_risk_census,
+    )
+
+    dp = _docs_path(args.input)
+    inc = spark.read.parquet(args.increment)
+    row = increment_risk_census(spark, args.input, inc, docs_path=dp).collect()[0]
+    print(
+        "rederive-flags: census dup_pairs={} risky_pairs={} "
+        "risky_docs={} bridging_docs={} chained_docs={}".format(
+            row["n_dup_pairs"], row["n_risky_pairs"],
+            row["n_risky_docs"], row["n_bridging_docs"],
+            row["n_chained_docs"],
+        )
+    )
+    fired = (
+        row["n_risky_docs"] + row["n_bridging_docs"] + row["n_chained_docs"]
+    ) > 0
+    if not fired:
+        print("rederive-flags: approximation exact; nothing to patch")
+        return
+    name, n = apply_rederive_to_flags(spark, args.input, inc, docs_path=dp)
+    print(f"rederive-flags: patched {n} rows in {name}")
+
+
 def cmd_build_bm25_index(spark: SparkSession, args) -> None:
     """Build + persist the impact-ordered BM25 serving index for a
     documents corpus (documents.parquet in the input dir): scored
@@ -644,6 +677,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--master", default=None)
 
     p = sub.add_parser(
+        "rederive-flags",
+        help="monitor census for an ingested increment; if the "
+        "approximation broke (risky/bridging/chained), patch the "
+        "flags table via the targeted component re-derive",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--increment", required=True)
+    p.add_argument("--master", default=None)
+
+    p = sub.add_parser(
         "ann-drift",
         help="per-list quantization-error drift vs the frozen "
         "codebook (the rebuild-trigger chart)",
@@ -713,6 +756,7 @@ def main(argv: list[str] | None = None) -> None:
             "append-flags": cmd_append_flags,
             "compact-flags": cmd_compact_flags,
             "ingest-increment": cmd_ingest_increment,
+            "rederive-flags": cmd_rederive_flags,
             "ann-drift": cmd_ann_drift,
             "merge-apply": cmd_merge_apply,
         }[args.cmd](spark, args)

@@ -801,17 +801,34 @@ def flags_increment_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot pins that the monitor works with the in-plan derivation
     paths (_member_keepers / label_components) monkeypatched to
     raise."""
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark, None)
+    inc = increment_docs_risky(docs)
+    return increment_risk_census(spark, sf_dir, inc)
+
+
+def increment_risk_census(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    docs_path: str | None = None,
+) -> DataFrame:
+    """The monitor census for an ARBITRARY increment — the serving
+    core under flags_increment_risk (fixture wrapper) and the CLI's
+    rederive-flags verb: ONE row of (n_dup_pairs, n_risky_pairs,
+    n_risky_docs, n_bridging_docs, n_chained_docs) against the stored
+    full-corpus snapshot. See flags_increment_risk for the channel
+    semantics and scale posture."""
     from gis_etl_spark.ops.dedup import (
         MINHASH_JACCARD_T,
-        _docs,
         _exact_jaccard,
         build_dedup_snapshot,
         minhash_candidates,
     )
 
-    docs = _docs(spark, None)
-    inc = increment_docs_risky(docs)
-    names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    inc = new_docs
+    names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
     # three aggregations consume the pair frame; unmaterialized, each
     # re-executes the history-sized probe subtree (r16 review)
     per_pair = _risk_pairs_for(spark, names, inc).localCheckpoint()
@@ -1365,6 +1382,83 @@ def corpus_flags_rederive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("old_s1")
     )
     return inc_part.unionByName(base_changed).orderBy("doc_id")
+
+
+def apply_rederive_to_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    docs_path: str | None = None,
+) -> tuple[str, int]:
+    """The LAST link of the monitor→remediation loop: apply the
+    targeted re-derive's corrected rows to the MATERIALIZED flags
+    table, so the funnel card / quota draw / corpus writer — all
+    consumers of that table — serve the exact flags after a risky
+    night. Returns (table name, rows patched).
+
+    Flow: materialize_curation_flags + append_curation_flags built the
+    table (base + frozen-history increments); the monitor census
+    fired; this computes rederive_risky_component_flags for the batch
+    and rewrites the table with the affected rows OVERRIDDEN
+    (anti-join on the affected ids ∪ corrected rows), through the
+    compact_bm25_index tmp-write → rename-swap discipline (a table
+    being read is never overwritten in place; the only failure window
+    leaves *_old recoverable by a rename). No-op (zero patches, table
+    untouched) when the re-derive returns no affected rows.
+
+    Receipt: test_apply_rederive_patches_table_to_full_equality pins
+    the PATCHED TABLE row-identical to a from-scratch re-derive over
+    base ∪ increment for every doc.
+
+    Scale: the patch frame is affected-sized and broadcasts into the
+    anti-join; the rewrite streams the |docs|-row table once. (A
+    delete-vector/merge-on-read sink would avoid even that rewrite;
+    with plain parquet tables the swap is the honest primitive.)"""
+    import os as _os
+    import shutil
+    from urllib.parse import urlparse
+
+    name = materialize_curation_flags(spark, sf_dir, docs_path)
+    fix = rederive_risky_component_flags(
+        spark, sf_dir, new_docs, docs_path
+    ).localCheckpoint()
+    n_patched = fix.count()
+    if n_patched == 0:
+        return name, 0
+    # ordering guard (the probe-then-extend discipline): the batch's
+    # frozen flags must already be IN the table (append_curation_flags
+    # ran) — patching a table that lacks the batch would leave the
+    # unaffected increment docs without rows, a silently partial state
+    missing = (
+        fix.select("doc_id")
+        .join(spark.table(name).select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"apply_rederive_to_flags: {missing} affected doc_id(s) "
+            f"have no rows in {name}; run append_curation_flags for "
+            "the batch before patching (append-then-patch)."
+        )
+    patched = (
+        spark.table(name)
+        .join(F.broadcast(fix.select("doc_id")), "doc_id", "left_anti")
+        .unionByName(fix)
+    )
+    tmp_name = f"{name}_patching"
+    old_name = f"{name}_old"
+    for t in (tmp_name, old_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            loc = _os.path.join(wh.path, t.lower())
+            if _os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+    patched.write.mode("overwrite").saveAsTable(tmp_name)
+    spark.sql(f"ALTER TABLE {name} RENAME TO {old_name}")
+    spark.sql(f"ALTER TABLE {tmp_name} RENAME TO {name}")
+    spark.sql(f"DROP TABLE {old_name}")
+    return name, n_patched
 
 
 def corpus_flags_increment_sql() -> str:

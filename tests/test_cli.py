@@ -683,6 +683,21 @@ def test_cli_ingest_increment_probe_then_extend(tmp_path):
         or "already have artifacts" in res2.stderr
     ), res2.stderr[-2000:]
 
+    # the remediation verb on the ingested batch: verbatim recrawls tie
+    # and lose the keeper break — the census must report the
+    # approximation exact and leave the table unpatched
+    res3 = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "rederive-flags",
+            "--input", sf, "--increment", p, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res3.returncode == 0, res3.stderr[-2000:]
+    assert "rederive-flags: census" in res3.stdout, res3.stdout
+    assert "approximation exact; nothing to patch" in res3.stdout
+
 
 def test_cli_warehouse_flag_survives_cwd_change(tmp_path):
     """ADVICE r16: durability used to be keyed to the process cwd —

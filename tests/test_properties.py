@@ -1204,6 +1204,55 @@ def test_rederive_serves_from_stored_snapshot(spark, sf_dir):
     assert got == want and got
 
 
+def test_apply_rederive_patches_table_to_full_equality(
+    spark, sf_dir, tmp_path
+):
+    """The monitor→remediation loop's LAST link: after a risky batch
+    is appended under the frozen-history approximation,
+    apply_rederive_to_flags rewrites the materialized flags TABLE so
+    it equals a from-scratch re-derive over base ∪ increment for
+    EVERY doc — and refuses to patch (append-then-patch guard) when
+    the batch was never appended."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops.corpus import _flagged_docs
+    from gis_etl_spark.ops.dedup import _docs
+
+    docs = _docs(spark)
+    inc = CB.increment_docs_risky(docs)
+    name = CB.curation_flags_table(None)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    CB.materialize_curation_flags(spark, sf_dir)
+    try:
+        # patching before the append is a loud error, not a partial
+        # table
+        with _pytest.raises(ValueError, match="append-then-patch"):
+            CB.apply_rederive_to_flags(spark, sf_dir, inc)
+
+        CB.append_curation_flags(spark, sf_dir, inc)
+        got_name, n_patched = CB.apply_rederive_to_flags(
+            spark, sf_dir, inc
+        )
+        assert got_name == name and n_patched > 0
+
+        aug_path = str(tmp_path / "docs_risky_tbl.parquet")
+        docs.unionByName(inc).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(aug_path)
+        full = {
+            r["doc_id"]: (r["s1"], r["s2"], r["s3"])
+            for r in _flagged_docs(spark, sf_dir, aug_path).collect()
+        }
+        table = {
+            r["doc_id"]: (r["s1"], r["s2"], r["s3"])
+            for r in spark.table(name).collect()
+        }
+        assert table == full
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_shared_frames_equal_probe_paths(spark, sf_dir):
     """r17 composition discipline: corpus_flags_rederive materializes
     the stored-probe pair frame and the intra edge set ONCE and shares

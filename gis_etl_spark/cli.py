@@ -407,13 +407,36 @@ def cmd_rederive_flags(spark: SparkSession, args) -> None:
     rebuild. Requires append-flags (or ingest-increment) to have run
     for the batch first (append-then-patch; guarded loudly)."""
     from gis_etl_spark.ops.corpus import (
+        _risk_pairs_for,
         apply_rederive_to_flags,
         increment_risk_census,
+    )
+    from gis_etl_spark.ops.dedup import (
+        MINHASH_JACCARD_T,
+        _exact_jaccard,
+        build_dedup_snapshot,
+        minhash_candidates,
     )
 
     dp = _docs_path(args.input)
     inc = spark.read.parquet(args.increment)
-    row = increment_risk_census(spark, args.input, inc, docs_path=dp).collect()[0]
+    # census AND patch consume the same probe frames — materialize
+    # once (the cross-operator localCheckpoint discipline)
+    names = build_dedup_snapshot(spark, args.input, dp, "full")
+    per_pair = _risk_pairs_for(spark, names, inc).localCheckpoint()
+    intra = (
+        _exact_jaccard(
+            inc.select("doc_id", "text"),
+            minhash_candidates(inc.select("doc_id", "text")),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    row = increment_risk_census(
+        spark, args.input, inc, docs_path=dp,
+        shared_pairs=per_pair, shared_intra=intra,
+    ).collect()[0]
     print(
         "rederive-flags: census dup_pairs={} risky_pairs={} "
         "risky_docs={} bridging_docs={} chained_docs={}".format(
@@ -428,7 +451,10 @@ def cmd_rederive_flags(spark: SparkSession, args) -> None:
     if not fired:
         print("rederive-flags: approximation exact; nothing to patch")
         return
-    name, n = apply_rederive_to_flags(spark, args.input, inc, docs_path=dp)
+    name, n = apply_rederive_to_flags(
+        spark, args.input, inc, docs_path=dp,
+        shared_pairs=per_pair, shared_intra=intra,
+    )
     print(f"rederive-flags: patched {n} rows in {name}")
 
 

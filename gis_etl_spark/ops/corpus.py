@@ -813,13 +813,19 @@ def increment_risk_census(
     sf_dir: str,
     new_docs: DataFrame,
     docs_path: str | None = None,
+    shared_pairs: DataFrame | None = None,
+    shared_intra: DataFrame | None = None,
 ) -> DataFrame:
     """The monitor census for an ARBITRARY increment — the serving
     core under flags_increment_risk (fixture wrapper) and the CLI's
     rederive-flags verb: ONE row of (n_dup_pairs, n_risky_pairs,
     n_risky_docs, n_bridging_docs, n_chained_docs) against the stored
     full-corpus snapshot. See flags_increment_risk for the channel
-    semantics and scale posture."""
+    semantics and scale posture. `shared_pairs`/`shared_intra` follow
+    the cross-operator localCheckpoint discipline (see
+    increment_curation_flags): a caller that will ALSO run the
+    remediation materializes the probe frames once and passes them to
+    both."""
     from gis_etl_spark.ops.dedup import (
         MINHASH_JACCARD_T,
         _exact_jaccard,
@@ -831,7 +837,11 @@ def increment_risk_census(
     names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
     # three aggregations consume the pair frame; unmaterialized, each
     # re-executes the history-sized probe subtree (r16 review)
-    per_pair = _risk_pairs_for(spark, names, inc).localCheckpoint()
+    per_pair = (
+        shared_pairs
+        if shared_pairs is not None
+        else _risk_pairs_for(spark, names, inc).localCheckpoint()
+    )
     pair_stats = per_pair.agg(
         F.count("*").cast("long").alias("n_dup_pairs"),
         F.count_if("risky").cast("long").alias("n_risky_pairs"),
@@ -854,12 +864,16 @@ def increment_risk_census(
     # chained census: increment-sized minhash pass among the new docs
     # only — history untouched
     intra = (
-        _exact_jaccard(
-            inc.select("doc_id", "text"),
-            minhash_candidates(inc.select("doc_id", "text")),
+        shared_intra
+        if shared_intra is not None
+        else (
+            _exact_jaccard(
+                inc.select("doc_id", "text"),
+                minhash_candidates(inc.select("doc_id", "text")),
+            )
+            .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+            .select("doc_a", "doc_b")
         )
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
-        .select("doc_a", "doc_b")
     )
     intra_nodes = (
         intra.select(F.col("doc_a").alias("new_id"))
@@ -1389,6 +1403,8 @@ def apply_rederive_to_flags(
     sf_dir: str,
     new_docs: DataFrame,
     docs_path: str | None = None,
+    shared_pairs: DataFrame | None = None,
+    shared_intra: DataFrame | None = None,
 ) -> tuple[str, int]:
     """The LAST link of the monitor→remediation loop: apply the
     targeted re-derive's corrected rows to the MATERIALIZED flags
@@ -1420,7 +1436,12 @@ def apply_rederive_to_flags(
 
     name = materialize_curation_flags(spark, sf_dir, docs_path)
     fix = rederive_risky_component_flags(
-        spark, sf_dir, new_docs, docs_path
+        spark,
+        sf_dir,
+        new_docs,
+        docs_path,
+        shared_pairs=shared_pairs,
+        shared_intra=shared_intra,
     ).localCheckpoint()
     n_patched = fix.count()
     if n_patched == 0:

@@ -699,6 +699,67 @@ def test_cli_ingest_increment_probe_then_extend(tmp_path):
     assert "approximation exact; nothing to patch" in res3.stdout
 
 
+def test_cli_rederive_flags_fires_and_patches(tmp_path):
+    """The fired path of the remediation verb: a batch of higher-
+    quality recrawls (the appended-unique-token recipe — still
+    near-dups of their originals, strictly better composites) makes
+    the census fire on the risky channel and the verb patch the flags
+    table."""
+    import glob as _glob
+
+    import pandas as pd
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    src = pd.read_parquet(os.path.join(sf, "documents.parquet")).head(2)
+    src["doc_id"] = src["doc_id"] + 9_960_000
+    src["text"] = [
+        t + f" zq{i}a zq{i}b zq{i}c" for i, t in enumerate(src["text"])
+    ]
+    src["n_chars"] = src["text"].str.len()
+    p = str(tmp_path / "risky.parquet")
+    src.to_parquet(p, index=False)
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "ingest-increment",
+            "--input", sf, "--increment", p, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    res2 = subprocess.run(
+        [
+            sys.executable, "-m", "gis_etl_spark.cli", "rederive-flags",
+            "--input", sf, "--increment", p, "--master", "local[4]",
+        ],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=str(tmp_path),
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert "rederive-flags: census" in res2.stdout, res2.stdout
+    assert "patched" in res2.stdout, res2.stdout
+    # the patch flipped survival: the recrawls now win their keeper
+    # argmax, so the table's displaced rows must include the ORIGINALS
+    dirs = _glob.glob(
+        str(tmp_path / "spark-warehouse" / "curation_flags_*")
+    )
+    dirs = [d for d in dirs if not d.endswith(("_old", "_patching"))]
+    assert dirs
+    flags = pd.concat(
+        pd.read_parquet(f)
+        for f in _glob.glob(os.path.join(dirs[0], "*.parquet"))
+    )
+    new_rows = flags[flags.doc_id.isin(set(src.doc_id))]
+    assert len(new_rows) == 2
+    assert bool(new_rows.s1.all()), "recrawls should now be keepers"
+    orig_ids = set(src.doc_id - 9_960_000)
+    orig_rows = flags[flags.doc_id.isin(orig_ids)]
+    assert not bool(orig_rows.s1.any()), "originals should be displaced"
+
+
 def test_cli_warehouse_flag_survives_cwd_change(tmp_path):
     """ADVICE r16: durability used to be keyed to the process cwd —
     invoking the CLI from a different directory silently got a fresh

@@ -423,7 +423,20 @@ def cmd_rederive_flags(spark: SparkSession, args) -> None:
     # census AND patch consume the same probe frames — materialize
     # once (the cross-operator localCheckpoint discipline)
     names = build_dedup_snapshot(spark, args.input, dp, "full")
-    per_pair = _risk_pairs_for(spark, names, inc).localCheckpoint()
+    # This verb runs AFTER ingest-increment extended the snapshot with
+    # the batch (append-then-patch), so the probe would see the
+    # batch's OWN stored artifacts: exact self-matches are filtered by
+    # new_id != snap_id, but an intra-batch near-dup would match its
+    # batchmate's stored copy — inflating n_dup_pairs and spuriously
+    # firing the chained channel every night such a batch arrives
+    # (ADVICE r17). Exclude the batch's ids from the snap side; the
+    # intra channel already covers batch-internal linkage.
+    batch_snap_ids = inc.select(F.col("doc_id").alias("snap_id"))
+    per_pair = (
+        _risk_pairs_for(spark, names, inc)
+        .join(F.broadcast(batch_snap_ids), "snap_id", "left_anti")
+        .localCheckpoint()
+    )
     intra = (
         _exact_jaccard(
             inc.select("doc_id", "text"),

@@ -87,6 +87,18 @@ def st_centroid(geom: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"x": xs, "y": ys})
 
 
+# asNondeterministic (r18, guide §4.4): several consumers filter on the
+# centroid's fields (lat/lon bounds, antimeridian guards); filter
+# pushdown then evaluated the UDF TWICE per row — one ArrowEvalPython
+# below the pushed filter, one in the surviving projection (see
+# plans/r18/geo_geohash_census_before.txt nodes 3/6, likewise
+# geo_tile_census / geo_haversine_span / geo_heatmap_export). The
+# kernel is pure; the marker only stops the optimizer duplicating it.
+# No input pushdown is lost: every caller filters geom BEFORE this
+# projection in source order.
+st_centroid = st_centroid.asNondeterministic()
+
+
 @F.pandas_udf(BBOX_TYPE)
 def st_bbox(geom: pd.Series) -> pd.DataFrame:
     """Per-geometry bbox → struct(xmin, ymin, xmax, ymax)

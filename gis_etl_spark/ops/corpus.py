@@ -58,6 +58,42 @@ FUNNEL_DRAW_BUDGET = 8_192
 _STAGES = ("raw", "near_dedup", "quality", "pii_clean", "mixture_draw")
 
 
+def _eager_concurrently(thunks: list) -> list:
+    """Run independent driver-side materializations (localCheckpoint /
+    eager fixpoints) as CONCURRENT Spark jobs from a small thread pool
+    (guide §2.6: actions are only sequential because driver code calls
+    them sequentially — overlapping independent jobs lets one job's
+    tasks back-fill executors idled by the other's tail). Thread-local
+    job descriptions/groups are inherited via pyspark.InheritableThread.
+    Exceptions re-raise in the caller in thunk order, so loud guards
+    (probe-then-extend) still fire before any result is consumed."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list = [None] * len(thunks)
+
+    def _run(i: int) -> None:
+        try:
+            results[i] = thunks[i]()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors[i] = e
+
+    threads = [
+        InheritableThread(target=_run, args=(i,))
+        for i in range(len(thunks))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in errors:
+        if e is not None:
+            raise e
+    return results
+
+
 def _flag_count_cols() -> list:
     """THE staging columns of the quality composite — (n, nd, nstop)
     over words_col(text). One definition: _flagged_docs, the increment
@@ -482,13 +518,14 @@ def increment_curation_flags(
         minhash_candidates,
     )
 
-    snap = _docs(spark, docs_path)
+    intra_all: DataFrame | None = shared_intra
     if shared_pairs is not None:
         displaced_snap = shared_pairs.select(
             F.col("new_id").alias("doc_id")
-        ).distinct()
+        ).distinct().localCheckpoint()
     elif use_stored_snapshot:
         names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
+
         # Ordering guard (VERDICT r16 item 6 / ADVICE r16): the nightly
         # contract is probe-then-extend — flag the batch against the
         # snapshot FIRST, extend the snapshot with it after. An operator
@@ -498,36 +535,64 @@ def increment_curation_flags(
         # output correct even then, but the mis-ordering deserves a loud
         # error, not silent tolerance: tomorrow's REAL recrawl of the
         # same content would now be displaced by tonight's batch.
-        n_self = (
-            spark.table(names["fingerprints"])
-            .select("doc_id")
-            .join(
-                F.broadcast(new_docs.select("doc_id").distinct()),
-                "doc_id",
-                "left_semi",
+        def _guard() -> None:
+            n_self = (
+                spark.table(names["fingerprints"])
+                .select("doc_id")
+                .join(
+                    F.broadcast(new_docs.select("doc_id").distinct()),
+                    "doc_id",
+                    "left_semi",
+                )
+                .count()
             )
-            .count()
-        )
-        if n_self:
-            raise ValueError(
-                f"increment_curation_flags: {n_self} doc_id(s) of the "
-                "increment already have artifacts in the stored dedup "
-                f"snapshot ({names['fingerprints']}); flags must be "
-                "appended BEFORE the snapshot is extended with the same "
-                "batch (probe-then-extend). Rebuild the snapshot, or fix "
-                "the CLI ordering: append-flags, then "
-                "build-dedup-snapshot --increment."
+            if n_self:
+                raise ValueError(
+                    f"increment_curation_flags: {n_self} doc_id(s) of the "
+                    "increment already have artifacts in the stored dedup "
+                    f"snapshot ({names['fingerprints']}); flags must be "
+                    "appended BEFORE the snapshot is extended with the same "
+                    "batch (probe-then-extend). Rebuild the snapshot, or fix "
+                    "the CLI ordering: append-flags, then "
+                    "build-dedup-snapshot --increment."
+                )
+
+        def _probe() -> DataFrame:
+            return (
+                _stored_bipartite_pairs(
+                    spark, names, new_docs.select("doc_id", "text")
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+                .localCheckpoint()
             )
-        displaced_snap = (
-            _stored_bipartite_pairs(
-                spark, names, new_docs.select("doc_id", "text")
+
+        # intra-increment verified edges over ALL new docs — a pairwise
+        # property, so it is INDEPENDENT of the snapshot probe (the
+        # clean-subset edges are this set filtered to undisplaced
+        # endpoints — the shared_intra equivalence, receipt-tested);
+        # deriving it over all docs instead of the probe's survivors
+        # lets guard, probe and intra run as three CONCURRENT jobs
+        # (guide §2.6) instead of a sequential chain.
+        def _intra() -> DataFrame:
+            return (
+                _exact_jaccard(
+                    new_docs.select("doc_id", "text"),
+                    minhash_candidates(new_docs.select("doc_id", "text")),
+                )
+                .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+                .select("doc_a", "doc_b")
+                .localCheckpoint()
             )
-            .select(F.col("new_id").alias("doc_id"))
-            .distinct()
+
+        _, displaced_snap, intra_all = _eager_concurrently(
+            [_guard, _probe, _intra]
         )
     else:
-        displaced_snap = bipartite_dup_new_ids(snap, new_docs)
-    displaced_snap = displaced_snap.localCheckpoint()
+        snap = _docs(spark, docs_path)
+        displaced_snap = bipartite_dup_new_ids(
+            snap, new_docs
+        ).localCheckpoint()
 
     clean = new_docs.join(displaced_snap, "doc_id", "left_anti")
     staged = clean.select("doc_id", *_flag_count_cols())
@@ -537,16 +602,17 @@ def increment_curation_flags(
             F.col("n"), F.col("nd"), F.col("nstop")
         ).alias("quality_score"),
     )
-    if shared_intra is not None:
+    if intra_all is not None:
         # verified pairs are pairwise: edges among the CLEAN subset =
-        # the all-docs edge set filtered to undisplaced endpoints
+        # the all-docs edge set filtered to undisplaced endpoints.
+        # No checkpoint here: label_components materializes its edge
+        # frame immediately, so the filtered set is consumed once.
         d_a = displaced_snap.withColumnRenamed("doc_id", "doc_a")
         d_b = displaced_snap.withColumnRenamed("doc_id", "doc_b")
         intra_pairs = (
-            shared_intra.join(F.broadcast(d_a), "doc_a", "left_anti")
+            intra_all.join(F.broadcast(d_a), "doc_a", "left_anti")
             .join(F.broadcast(d_b), "doc_b", "left_anti")
             .select("doc_a", "doc_b")
-            .localCheckpoint()
         )
     else:
         intra_pairs = (
@@ -557,11 +623,7 @@ def increment_curation_flags(
             .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
             .select("doc_a", "doc_b")
             # materialize the verified edge set before the fixpoint
-            # loop — label_components iterates joins over it, and an
-            # unmaterialized input re-derives the whole minhash/verify
-            # subtree per iteration (the _verified_pair_edges
-            # discipline; measured 15.9 s → 2 s on the increment
-            # fixture)
+            # loop (the _verified_pair_edges discipline)
             .localCheckpoint()
         )
     member = label_components(intra_pairs).join(q, "doc_id")
@@ -836,12 +898,31 @@ def increment_risk_census(
     inc = new_docs
     names = build_dedup_snapshot(spark, sf_dir, docs_path, "full")
     # three aggregations consume the pair frame; unmaterialized, each
-    # re-executes the history-sized probe subtree (r16 review)
-    per_pair = (
-        shared_pairs
-        if shared_pairs is not None
-        else _risk_pairs_for(spark, names, inc).localCheckpoint()
-    )
+    # re-executes the history-sized probe subtree (r16 review). The
+    # probe and the intra chain are independent — materialize any
+    # missing ones concurrently (guide §2.6).
+    per_pair, shared_intra_in = shared_pairs, shared_intra
+    thunks, slots = [], []
+    if per_pair is None:
+        slots.append("pairs")
+        thunks.append(
+            lambda: _risk_pairs_for(spark, names, inc).localCheckpoint()
+        )
+    if shared_intra_in is None:
+        slots.append("intra")
+        thunks.append(
+            lambda: _exact_jaccard(
+                inc.select("doc_id", "text"),
+                minhash_candidates(inc.select("doc_id", "text")),
+            )
+            .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    if thunks:
+        got = dict(zip(slots, _eager_concurrently(thunks)))
+        per_pair = got.get("pairs", per_pair)
+        shared_intra_in = got.get("intra", shared_intra_in)
     pair_stats = per_pair.agg(
         F.count("*").cast("long").alias("n_dup_pairs"),
         F.count_if("risky").cast("long").alias("n_risky_pairs"),
@@ -863,18 +944,7 @@ def increment_risk_census(
     )
     # chained census: increment-sized minhash pass among the new docs
     # only — history untouched
-    intra = (
-        shared_intra
-        if shared_intra is not None
-        else (
-            _exact_jaccard(
-                inc.select("doc_id", "text"),
-                minhash_candidates(inc.select("doc_id", "text")),
-            )
-            .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
-            .select("doc_a", "doc_b")
-        )
-    )
+    intra = shared_intra_in
     intra_nodes = (
         intra.select(F.col("doc_a").alias("new_id"))
         .union(intra.select(F.col("doc_b").alias("new_id")))
@@ -1166,7 +1236,6 @@ def rederive_risky_component_flags(
     flags_increment_risk)."""
     from gis_etl_spark.ops.dedup import (
         MINHASH_JACCARD_T,
-        _docs,
         _exact_jaccard,
         build_dedup_snapshot,
         label_components,
@@ -1177,17 +1246,23 @@ def rederive_risky_component_flags(
     # pair frame + intra edges feed several consumers below —
     # materialize so the stored-probe subtrees run once; a composing
     # caller (corpus_flags_rederive) that already materialized them
-    # passes both in (the cross-operator localCheckpoint discipline)
-    per_pair = (
-        shared_pairs
-        if shared_pairs is not None
-        else _risk_pairs_for(spark, names, new_docs).localCheckpoint()
-    )
-    intra = (
-        shared_intra
-        if shared_intra is not None
-        else (
-            _exact_jaccard(
+    # passes both in (the cross-operator localCheckpoint discipline).
+    # The two frames are independent (stored-table probe vs intra-
+    # increment chain), so any missing ones materialize CONCURRENTLY
+    # (guide §2.6 — _eager_concurrently).
+    per_pair, intra = shared_pairs, shared_intra
+    thunks, slots = [], []
+    if per_pair is None:
+        slots.append("pairs")
+        thunks.append(
+            lambda: _risk_pairs_for(
+                spark, names, new_docs
+            ).localCheckpoint()
+        )
+    if intra is None:
+        slots.append("intra")
+        thunks.append(
+            lambda: _exact_jaccard(
                 new_docs.select("doc_id", "text"),
                 minhash_candidates(new_docs.select("doc_id", "text")),
             )
@@ -1195,7 +1270,10 @@ def rederive_risky_component_flags(
             .select("doc_a", "doc_b")
             .localCheckpoint()
         )
-    )
+    if thunks:
+        got = dict(zip(slots, _eager_concurrently(thunks)))
+        per_pair = got.get("pairs", per_pair)
+        intra = got.get("intra", intra)
 
     risky_or_bridging = (
         per_pair.groupBy("new_id")
@@ -1261,7 +1339,18 @@ def rederive_risky_component_flags(
     )
 
     # per-member attributes: increment side in-plan (increment-sized);
-    # base side via ONE broadcast semi-join projection of the corpus
+    # base side from the STORED per-doc attrs + quality tables (r18 —
+    # ADVICE r17 high + guide §2.3/§6): the previous broadcast
+    # semi-join projection of _docs() was the remediation's one
+    # history-proportional term (a full corpus TEXT scan to retrieve a
+    # few hundred rows) AND silently dropped scope members whose text
+    # lives only in prior increments (their artifacts are in the
+    # snapshot, their text is not in documents.parquet — the keeper
+    # argmax then mis-crowned). Both tables are doc_id-bucketed, so
+    # the attrs↔quality join co-locates without an exchange on either
+    # side, and every snapshot doc (base AND appended increments) has
+    # rows by construction — the dropped-member class is structurally
+    # closed.
     new_ids = new_docs.select("doc_id")
     base_scope_ids = scope.join(
         F.broadcast(new_ids), "doc_id", "left_anti"
@@ -1284,13 +1373,18 @@ def rederive_risky_component_flags(
             "pii_hits",
         )
 
-    attrs = _attrs(new_docs).unionByName(
-        _attrs(
-            _docs(spark, docs_path).join(
-                F.broadcast(base_scope_ids), "doc_id", "left_semi"
-            )
+    base_attrs = (
+        spark.table(names["attrs"])
+        .join(F.broadcast(base_scope_ids), "doc_id", "left_semi")
+        .join(
+            spark.table(names["quality"]).select(
+                "doc_id", F.col("quality_score").alias("q")
+            ),
+            "doc_id",
         )
+        .select("doc_id", "source", "n", "q", "pii_hits")
     )
+    attrs = _attrs(new_docs).unionByName(base_attrs)
     m = scope.join(attrs, "doc_id")
     keep = (
         m.groupBy("merged")
@@ -1349,28 +1443,39 @@ def corpus_flags_rederive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract query executed the bipartite probe twice more and the
     # intra chain once more; row-identity of the shared paths is
     # pinned by test_shared_frames_equal_probe_paths, and the steady-
-    # state sf0.1 timing dropped 9.5 → 7.2 s)
-    per_pair = _risk_pairs_for(spark, names, inc).localCheckpoint()
-    intra = (
-        _exact_jaccard(
-            inc.select("doc_id", "text"),
-            minhash_candidates(inc.select("doc_id", "text")),
-        )
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    # state sf0.1 timing dropped 9.5 → 7.2 s). The two frames are
+    # independent, and so are the frozen pass and the remediation
+    # given the shared frames — both levels materialize CONCURRENTLY
+    # (guide §2.6: overlap independent jobs so one job's tail
+    # back-fills the other's idle executors).
+    per_pair, intra = _eager_concurrently(
+        [
+            lambda: _risk_pairs_for(spark, names, inc).localCheckpoint(),
+            lambda: _exact_jaccard(
+                inc.select("doc_id", "text"),
+                minhash_candidates(inc.select("doc_id", "text")),
+            )
+            .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(),
+        ]
     )
-    frozen = increment_curation_flags(
-        spark,
-        sf_dir,
-        inc,
-        use_stored_snapshot=True,
-        shared_pairs=per_pair,
-        shared_intra=intra,
+    frozen, fix = _eager_concurrently(
+        [
+            lambda: increment_curation_flags(
+                spark,
+                sf_dir,
+                inc,
+                use_stored_snapshot=True,
+                shared_pairs=per_pair,
+                shared_intra=intra,
+            ),
+            lambda: rederive_risky_component_flags(
+                spark, sf_dir, inc, shared_pairs=per_pair,
+                shared_intra=intra,
+            ).localCheckpoint(),
+        ]
     )
-    fix = rederive_risky_component_flags(
-        spark, sf_dir, inc, shared_pairs=per_pair, shared_intra=intra
-    ).localCheckpoint()
     fix_ids = fix.select("doc_id")
     inc_ids = inc.select("doc_id")
 

@@ -23,6 +23,8 @@ At 100 TB the band tables are further bucketable by band_key.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -43,6 +45,17 @@ SIM_BITS = 60
 SIM_BANDS = 4
 SIM_BAND_BITS = SIM_BITS // SIM_BANDS  # 15
 MINHASH_JACCARD_T = 0.35
+
+# Connected-components driver fast path (r18): edge sets at or below
+# this size run the exact union-find on the driver (one bounded
+# collect, ~16 bytes/edge — ~2 MB at the default) instead of the
+# O(diameter) distributed fixpoint. The gate is a SIZE test, not a
+# cluster test: affected-/increment-sized graphs stay under it at any
+# corpus scale, corpus-wide graphs exceed it and run distributed.
+# Broadcast-join-sized by design; override via env for tuning.
+LABEL_PROP_DRIVER_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "131072")
+)
 NGRAM_JACCARD_T = 0.3
 SIMHASH_MAX_HAMMING = 12
 
@@ -678,6 +691,13 @@ def dedup_snapshot_tables(
         # in-plan history artifacts.
         "quality": f"dedup_snap_q_{fp}",
         "members": f"dedup_snap_mb_{fp}",
+        # r18 (ADVICE r17 high + guide §2.3/§6): per-doc (source, n,
+        # pii_hits), persisted so the targeted re-derive serves its
+        # base-side attributes from a column-pruned bucketed scan
+        # instead of a full corpus TEXT scan — and so docs whose text
+        # lives only in prior increments (not documents.parquet) are
+        # never silently dropped from the keeper argmax.
+        "attrs": f"dedup_snap_at_{fp}",
     }
 
 
@@ -690,6 +710,8 @@ def _snapshot_frames(docs: DataFrame) -> dict[str, DataFrame]:
     frozen-history posture — see append_to_dedup_snapshot)."""
     from gis_etl_spark.ops.text import (
         STOPWORDS,
+        pii_hits_col,
+        pii_planted_txt,
         quality_score_from_counts,
         words_col,
     )
@@ -716,6 +738,16 @@ def _snapshot_frames(docs: DataFrame) -> dict[str, DataFrame]:
                 F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))),
             ).alias("quality_score"),
         ),
+        # per-doc funnel attributes (r18): the remediation's base-side
+        # inputs, byte-identical to _flag_count_cols' n and the shared
+        # planted-text PII gate — stored so no consumer ever re-scans
+        # history text for them
+        "attrs": docs.select(
+            "doc_id",
+            "source",
+            F.size(w).cast("long").alias("n"),
+            pii_hits_col(pii_planted_txt()).alias("pii_hits"),
+        ),
     }
 
 
@@ -726,6 +758,7 @@ _SNAP_BUCKET_COLS = {
     "sizes": ("doc_id",),
     "quality": ("doc_id",),
     "members": ("doc_id",),
+    "attrs": ("doc_id",),
 }
 
 
@@ -770,13 +803,17 @@ def _snapshot_member_labels(
     fixpoint then runs over that filtered edge set once, AT BUILD TIME
     — the whole point of storing the labels is that monitors and
     targeted re-derives never rerun it."""
-    edges = _verified_pair_edges(spark, sf_dir, docs_path)
     if scope == "incsplit":
-        edges = edges.filter(
+        edges = _verified_pair_edges(spark, sf_dir, docs_path).filter(
             (F.col("doc_a") % INC_MOD != INC_NEW_REM)
             & (F.col("doc_b") % INC_MOD != INC_NEW_REM)
         )
-    return _members_with_keepers(label_components(edges), quality)
+        labels = label_components(edges)
+    else:
+        # full scope: the snapshot side IS the whole corpus, so the
+        # labels are the session-memoized fixpoint result
+        labels = _component_labels(spark, sf_dir, docs_path)
+    return _members_with_keepers(labels, quality)
 
 
 def _require_unique_batch(new_docs: DataFrame, op: str) -> None:
@@ -823,8 +860,30 @@ def build_dedup_snapshot(
     the WHOLE corpus (the CLI posture) instead of the fixture's
     history side."""
     names = dedup_snapshot_tables(docs_path, scope)
-    if all(spark.catalog.tableExists(t) for t in names.values()):
+    existing = [t for t in names.values() if spark.catalog.tableExists(t)]
+    if len(existing) == len(names):
         return names
+    if existing:
+        # PARTIAL existence (ADVICE r17 medium): a durable warehouse
+        # built by an older engine version has the old roles but not
+        # the new ones. Rebuilding "the missing ones" from the base
+        # corpus is impossible for tables whose rows cover previously
+        # APPENDED increments (their text is not in the base corpus),
+        # and silently dropping + rebuilding ALL tables would destroy
+        # every appended increment's artifacts while reporting success
+        # — the exact rebuild-and-wipe class the durable catalog
+        # exists to prevent. Refuse loudly; the operator chooses when
+        # to rebuild and must re-ingest increments afterwards.
+        missing = sorted(set(names.values()) - set(existing))
+        raise ValueError(
+            "build_dedup_snapshot: snapshot is PARTIAL — "
+            f"{len(existing)}/{len(names)} tables exist but "
+            f"{missing} are missing (engine upgrade added new snapshot "
+            "roles?). Refusing to rebuild implicitly: that would wipe "
+            "every previously appended increment's artifacts. DROP the "
+            f"existing tables ({sorted(existing)}) and rebuild "
+            "explicitly, then re-ingest increments."
+        )
     import os as _os
     import shutil
     from urllib.parse import urlparse
@@ -901,7 +960,25 @@ def append_to_dedup_snapshot(
             " re-appending would corrupt the stored Jaccard verify."
             " Re-ingest under new ids, or rebuild the snapshot."
         )
-    batch = new_docs.select("doc_id", "text")
+    # Monotone-id guard (ADVICE r17 low): the keeper argmax breaks
+    # quality TIES by smaller doc_id, and the risk monitor's risky
+    # channel fires only on strictly-higher quality — a new doc whose
+    # quality exactly ties an incumbent's and whose id is SMALLER
+    # would win a full re-derive without firing any channel. The
+    # fixture increments satisfy id-monotonicity structurally; CLI
+    # batches must too, enforced here (one column-pruned max over the
+    # stored fingerprint table vs the batch's min).
+    hi = spark.table(names["fingerprints"]).agg(F.max("doc_id")).first()[0]
+    lo = new_docs.agg(F.min("doc_id")).first()[0]
+    if hi is not None and lo is not None and lo <= hi:
+        raise ValueError(
+            f"append_to_dedup_snapshot: batch min doc_id {lo} does not "
+            f"exceed the stored max doc_id {hi}; increment ids must be "
+            "monotonically larger than all stored ids (quality ties "
+            "break by smaller id, so a smaller-id recrawl could win "
+            "keepership without firing the displacement-risk monitor)."
+        )
+    batch = new_docs.select("doc_id", "text", "source")
     frames = dict(_snapshot_frames(batch))
     # Component labels for the batch come from its INTRA-batch verified
     # pairs only — the frozen-history posture: a batch doc that also
@@ -1180,12 +1257,67 @@ def label_components(pairs: DataFrame) -> DataFrame:
 
     Input: (doc_a, doc_b) pairs, one row per undirected edge.
     Output: (doc_id, component = min id reachable), one row per node
-    that appears in any pair."""
-    edges = pairs.select("doc_a", "doc_b").union(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    that appears in any pair.
+
+    Small-graph fast path (r18, guide §1.2 step 1 — the distributed
+    algorithm first): the edge frame is materialized ONCE
+    (localCheckpoint) and counted; at or below
+    {LABEL_PROP_DRIVER_MAX_EDGES} edges (env
+    SPARK_GRAFT_CC_DRIVER_EDGES; ~2 MB of longs at the default) the
+    exact union-find runs on the driver — 3 bounded jobs total instead
+    of O(diameter) join+agg rounds — and the result comes back as a
+    local relation. This is the broadcast-join smallness test applied
+    to the fixpoint: increment/affected-sized graphs (the remediation,
+    intra-batch linkage, spatial clusters) stay under it at ANY corpus
+    scale by construction, while corpus-wide pair graphs exceed it and
+    take the distributed fixpoint unchanged. Both paths compute the
+    identical exact transitive closure (oracle-pinned)."""
+    spark = pairs.sparkSession
+    undirected = pairs.select("doc_a", "doc_b").localCheckpoint()
+    if (
+        undirected.limit(LABEL_PROP_DRIVER_MAX_EDGES + 1).count()
+        <= LABEL_PROP_DRIVER_MAX_EDGES
+    ):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in undirected.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        dtype = dict(pairs.dtypes)["doc_a"]
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(parent)],
+            f"doc_id {dtype}, component {dtype}",
         )
-    ).localCheckpoint()
+    pairs = undirected
+    # edges are pre-partitioned on the iteration's join key (doc_b)
+    # BEFORE the checkpoint: the localCheckpoint preserves the hash
+    # partitioning, so the per-iteration join re-shuffles only the
+    # labels side — the (static) edge frame never crosses the network
+    # again (guide §2.4: two operations keyed the same way share one
+    # exchange).
+    edges = (
+        pairs.select("doc_a", "doc_b")
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"),
+                F.col("doc_a").alias("doc_b"),
+            )
+        )
+        .repartition("doc_b")
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
         .withColumn("component", F.col("doc_id"))
@@ -1198,22 +1330,21 @@ def label_components(pairs: DataFrame) -> DataFrame:
     # chains where the loop runs O(graph diameter) rounds)
     total = labels.agg(F.sum("component")).collect()[0][0]
     while True:
-        nbr_min = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-            )
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
+        # one pass per iteration (r18, guide §2.3/§2.4): propagate
+        # each node's label across its edges and fold the node's own
+        # label back in through a UNION + min-agg — 2 exchanges
+        # (labels into the join, the groupBy) instead of the previous
+        # join + groupBy + second labels join (3). min(own ∪
+        # neighbors') is exactly the old least(component,
+        # coalesce(nbr_min)) — nodes with no surviving neighbor rows
+        # keep their label through the union arm.
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "component")
         labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_min", F.col("component")),
-                ).alias("component"),
-            )
+            prop.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
         new_total = labels.agg(F.sum("component")).collect()[0][0]
@@ -1337,8 +1468,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per doc appearing in any pair — (doc_id,
     component = min doc_id of its cluster, n_members, is_kept)."""
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = label_components(pairs)
+    # same edge set as _verified_pair_edges (dedup_minhash_pairs
+    # modulo its ordering, which label propagation ignores) — serve
+    # the labels from the session memo
+    labels = _component_labels(spark, sf_dir)
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("n_members")
     )
@@ -1396,6 +1529,44 @@ def _verified_pair_edges(
     return cached
 
 
+# Session memo for the COMPONENT LABELS over the verified pair edges —
+# the _PAIR_EDGE_CACHE discipline one level up (r18, guide §1.2 step 1:
+# don't recompute what a consumer chain shares): the label fixpoint is
+# a driver loop of ~3 jobs per round, and five consumers (keeper
+# policy, cluster stats, component assembly, the funnel's flags, the
+# corpus writer) each re-ran it per call. Same keying/eviction as the
+# edge cache; the stored snapshot's `members` table is the durable,
+# cross-process form of the same artifact.
+_COMPONENT_LABEL_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _component_labels(
+    spark: SparkSession, sf_dir: str, docs_path: str | None = None
+) -> DataFrame:
+    """(doc_id, component) over _verified_pair_edges, fixpoint run once
+    per session per corpus fingerprint and localCheckpointed."""
+    import os as _os
+
+    path = docs_path or ensure_documents_aug()
+    app_id = spark.sparkContext.applicationId
+    try:
+        st = _os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, app_id)
+    except OSError:
+        key = (path, app_id)
+    cached = _COMPONENT_LABEL_CACHE.get(key)
+    if cached is None:
+        for k in [k for k in _COMPONENT_LABEL_CACHE if k[-1] != app_id]:
+            del _COMPONENT_LABEL_CACHE[k]
+        # label_components' result is already localCheckpointed at
+        # loop exit — no second checkpoint needed
+        cached = label_components(
+            _verified_pair_edges(spark, sf_dir, docs_path)
+        )
+        _COMPONENT_LABEL_CACHE[key] = cached
+    return cached
+
+
 def dedup_canonical_keepers(
     spark: SparkSession, sf_dir: str, docs_path: str | None = None
 ) -> DataFrame:
@@ -1450,8 +1621,7 @@ def _member_keepers(
     )
 
     docs = _docs(spark, docs_path)
-    pairs = _verified_pair_edges(spark, sf_dir, docs_path)
-    labels = label_components(pairs)
+    labels = _component_labels(spark, sf_dir, docs_path)
     w = words_col(F.col("text"))
     staged = docs.select(
         "doc_id",
@@ -1569,8 +1739,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: components from the fixpoint propagation; then two
     map-side-combined aggregations (component → size, size →
     histogram). Nothing touches text after the pair graph."""
-    pairs = _verified_pair_edges(spark, sf_dir)
-    labels = label_components(pairs)
+    labels = _component_labels(spark, sf_dir)
     sizes = labels.groupBy("component").agg(
         F.count("*").alias("n_members")
     )

@@ -134,7 +134,10 @@ def _cos_arrow(va: Column, vb: Column) -> Column:
             nb = nb + B[:, k] * B[:, k]
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
-    return _udf(va, vb)
+    # pure function; the marker only stops the optimizer duplicating
+    # the ArrowEvalPython below a pushed `cos >= T` filter (guide §4.4
+    # — see _cos_by_id_arrow)
+    return _udf.asNondeterministic()(va, vb)
 
 
 def _norm(a: Column) -> Column:
@@ -658,7 +661,15 @@ def _cos_by_id_arrow(ids: np.ndarray, V: np.ndarray):
             nb = nb + B[:, k] * B[:, k]
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
-    return _udf
+    # asNondeterministic (r18, guide §4.4): the verify filter
+    # `cos >= T` references this UDF's output column, and the
+    # optimizer's filter pushdown then evaluates the UDF TWICE — once
+    # below the pushed filter and once in the surviving projection
+    # (two ArrowEvalPython nodes for one call in the r17 plan,
+    # plans/r18/dedup_embedding_lsh_before.txt nodes 20/23). The
+    # function is pure, the marker only stops the optimizer from
+    # duplicating it; every candidate pair now pays ONE cosine.
+    return _udf.asNondeterministic()
 
 
 def dedup_embedding_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

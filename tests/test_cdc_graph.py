@@ -166,6 +166,53 @@ def test_star_contraction_equals_fixpoint_and_beats_diameter(spark, sf_dir):
     assert _STAR_ROUNDS["last"] <= 12, _STAR_ROUNDS["last"]
 
 
+def test_label_components_driver_path_equals_distributed(
+    spark, sf_dir, monkeypatch
+):
+    """r18: label_components gained a size-gated driver union-find
+    fast path (one bounded collect) below LABEL_PROP_DRIVER_MAX_EDGES;
+    above the gate the distributed min-label fixpoint runs unchanged.
+    Both paths must produce the identical exact closure on star,
+    chain, random, and empty graphs — forced through each path via
+    the gate."""
+    import numpy as np
+
+    from gis_etl_spark.ops import dedup as D
+
+    def labels_of(df):
+        return {(r.doc_id, r.component) for r in df.collect()}
+
+    rng = np.random.default_rng(17)
+    graphs = [
+        [(i, i + 1) for i in range(60)],  # chain: diameter 60
+        [(0, i) for i in range(1, 20)] + [(100, 101)],  # star + pair
+        [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.integers(0, 50, 120), rng.integers(0, 50, 120)
+            )
+            if a != b
+        ],
+        [],  # empty edge set
+    ]
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        monkeypatch.setattr(D, "LABEL_PROP_DRIVER_MAX_EDGES", 10**6)
+        via_driver = labels_of(D.label_components(df))
+        monkeypatch.setattr(D, "LABEL_PROP_DRIVER_MAX_EDGES", 0)
+        via_distributed = labels_of(D.label_components(df))
+        assert via_driver == via_distributed, edges[:5]
+        # and both equal the brute-force closure
+        comp = {}
+        for a, b in edges:
+            ca, cb = comp.get(a, {a}), comp.get(b, {b})
+            merged = ca | cb
+            for n in merged:
+                comp[n] = merged
+        want = {(n, min(s)) for n, s in comp.items()}
+        assert via_driver == want
+
+
 def test_triangle_census_matches_brute_force(spark):
     """Degree-ordered triangle census vs an O(n³) brute force on (a) a
     known hand graph (K4 + pendant + disjoint triangle) and (b) a

@@ -1124,6 +1124,48 @@ def test_risk_monitor_serves_from_stored_snapshot(spark, sf_dir):
     assert names["members"].lower() in pair_plan
 
 
+def test_rederive_serves_base_attrs_from_stored_snapshot(spark, sf_dir):
+    """r18 (ADVICE r17 high + guide §2.3/§6): the targeted re-derive's
+    base-side attributes must come from the STORED snapshot attrs +
+    quality tables, not a corpus text scan — the scan was the
+    remediation's one history-proportional term AND silently dropped
+    scope members whose text lives only in prior increments. Receipt:
+    with the snapshot built and the increment frame materialized, the
+    remediation returns its exact rows even with every corpus-read
+    path (_docs, _member_keepers, _verified_pair_edges) monkeypatched
+    to raise, and its optimized plan reads the stored attrs table."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops import corpus as CB
+    from gis_etl_spark.ops import dedup as D
+
+    names = D.build_dedup_snapshot(spark, sf_dir, None, "full")
+    inc = CB.increment_docs_risky(D._docs(spark)).localCheckpoint()
+    want = sorted(
+        tuple(r)
+        for r in CB.rederive_risky_component_flags(
+            spark, sf_dir, inc
+        ).collect()
+    )
+    assert want  # the risky canary genuinely produces corrections
+
+    def boom(*a, **k):  # noqa: ANN002, ANN003
+        raise AssertionError("remediation re-scanned the corpus")
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(D, "_docs", boom)
+        mp.setattr(D, "_member_keepers", boom)
+        mp.setattr(D, "_verified_pair_edges", boom)
+        fix = CB.rederive_risky_component_flags(spark, sf_dir, inc)
+        got = sorted(tuple(r) for r in fix.collect())
+        plan = (
+            fix._jdf.queryExecution().optimizedPlan().toString().lower()
+        )
+    assert got == want
+    assert names["attrs"].lower() in plan
+    assert names["quality"].lower() in plan
+
+
 def test_rederive_patch_equals_full_rederive(spark, sf_dir, tmp_path):
     """The targeted remediation is EXACT, not approximate: frozen
     flags patched with rederive_risky_component_flags equal a full
@@ -1423,6 +1465,55 @@ def test_increment_flags_rejects_snapshot_extended_first(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         build_dedup_snapshot(spark, sf_dir, None, "full")
     assert names == dedup_snapshot_tables(None, "full")
+
+
+def test_build_dedup_snapshot_refuses_partial_table_set(spark, sf_dir):
+    """r18 (ADVICE r17 medium): a durable warehouse built by an older
+    engine version has the old snapshot roles but not newly added ones
+    (r17 added quality/members, r18 adds attrs). The old short-circuit
+    only fired when ALL tables existed, so the first post-upgrade
+    invocation silently dropped and rebuilt EVERY table from the base
+    corpus — destroying all previously appended increments' artifacts
+    while reporting success. Partial existence must refuse loudly."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops.dedup import build_dedup_snapshot
+
+    names = build_dedup_snapshot(spark, sf_dir, None, "full")
+    spark.sql(f"DROP TABLE {names['attrs']}")
+    try:
+        with _pytest.raises(ValueError, match="PARTIAL"):
+            build_dedup_snapshot(spark, sf_dir, None, "full")
+    finally:
+        # restore the shared snapshot for later consumers
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        build_dedup_snapshot(spark, sf_dir, None, "full")
+
+
+def test_append_snapshot_rejects_non_monotonic_ids(spark, sf_dir):
+    """r18 (ADVICE r17 low): the keeper argmax breaks quality ties by
+    SMALLER doc_id while the risk monitor's risky channel fires only
+    on strictly-higher quality — a tie-quality recrawl ingested under
+    a smaller id would win a full re-derive without firing any
+    channel. The fixture increments are id-monotone structurally; CLI
+    batches are now enforced so at append time."""
+    import pytest as _pytest
+
+    from gis_etl_spark.ops.dedup import _docs, append_to_dedup_snapshot
+
+    docs = _docs(spark)
+    # fresh id below the stored max (fixture ids reach ~200k) and not
+    # already present (corpus ids are 0..499 and 100000+/200000+)
+    low = docs.limit(1).select(
+        F.lit(9_999).cast("long").alias("doc_id"),
+        F.concat(F.lit("unseen low-id text "), "text").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    with _pytest.raises(ValueError, match="monotonically larger"):
+        append_to_dedup_snapshot(spark, sf_dir, low)
 
 
 def test_append_rungs_reject_intra_batch_duplicate_ids(spark, sf_dir):

@@ -793,12 +793,14 @@ def test_dedup_snapshot_append_extends_history(spark, sf_dir):
     base_counts = {
         role: spark.table(t).count() for role, t in names.items()
     }
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
     batch_a = docs.limit(3).select(
-        (F.col("doc_id") + 8_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + 8_000_000).alias("doc_id"), "text", "source"
     )
     batch_b = batch_a.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
     )
     try:
         fp_t = spark.table(names["fingerprints"])

@@ -138,6 +138,16 @@ def with_hilbert_key_native(
     Integer bit ops are exact — tests assert bit equality with
     hilbert_encode_np on goldens + random lattices. Returns df with
     `key_col` appended (temp columns dropped).
+
+    r18 (guide §1.2 step 2 — per-task work was fine, the BUILD was
+    not): the ~3·order projections are assembled with `selectExpr`
+    over f-string SQL instead of chained Column operators. The Column
+    rendition paid thousands of py4j round-trips per call — profiled
+    3.5-6.3 s of DRIVER time per build at order=16 vs 0.4 s planning
+    and ~30 ms execution on 200k rows — and the bench/merge paths
+    rebuild the chain every run. The parsed expression trees are the
+    same bit arithmetic round-for-round, so plans and keys are
+    unchanged (the golden/lattice equality tests still pin them).
     """
     scale = (1 << order) - 1
     A, B, T = "_hil_a", "_hil_b", "_hil_t"
@@ -151,7 +161,9 @@ def with_hilbert_key_native(
         B, clamp((x + F.lit(180.0)) / F.lit(360.0) * F.lit(float(scale)))
     )
 
-    others = df.columns
+    # quoted pass-through list: selectExpr parses bare strings, so
+    # input column names must be escaped as identifiers
+    others = [f"`{c}`" for c in df.columns]
 
     # AxesToTranspose: Q rounds of conditional invert/exchange. ONE
     # select per round: within a round, expressions duplicate only
@@ -159,59 +171,54 @@ def with_hilbert_key_native(
     # constant and total plan size linear in `order`.
     for sh in range(order - 1, 0, -1):
         q, p = 1 << sh, (1 << sh) - 1
-        a0, b = F.col(A), F.col(B)
         # i = 0: hi = a & q → invert a (exchange with self is a no-op)
-        a = F.when(
-            a0.bitwiseAND(F.lit(q)) != 0, a0.bitwiseXOR(F.lit(p))
-        ).otherwise(a0)
+        a = f"(CASE WHEN ({A} & {q}) != 0 THEN ({A} ^ {p}) ELSE {A} END)"
         # i = 1: hi = b & q → invert a; else exchange a↔b low bits
-        hi = b.bitwiseAND(F.lit(q)) != 0
-        t = F.when(hi, F.lit(0)).otherwise(
-            a.bitwiseXOR(b).bitwiseAND(F.lit(p))
+        hi = f"({B} & {q}) != 0"
+        t = f"(CASE WHEN {hi} THEN 0 ELSE (({a} ^ {B}) & {p}) END)"
+        out = out.selectExpr(
+            *others,
+            f"CASE WHEN {hi} THEN ({a} ^ {p}) ELSE ({a} ^ {t}) END"
+            f" AS {A}",
+            f"({B} ^ {t}) AS {B}",
         )
-        a2 = F.when(hi, a.bitwiseXOR(F.lit(p))).otherwise(a.bitwiseXOR(t))
-        b2 = b.bitwiseXOR(t)
-        out = out.select(*others, a2.alias(A), b2.alias(B))
 
     # Gray decode: b ^= a; t = XOR of (q-1) over set bits of b
-    out = out.select(
+    out = out.selectExpr(
         *others,
-        F.col(A).alias(A),
-        F.col(B).bitwiseXOR(F.col(A)).alias(B),
-        F.lit(0).cast("long").alias(T),
+        A,
+        f"({B} ^ {A}) AS {B}",
+        f"CAST(0 AS BIGINT) AS {T}",
     )
     for sh in range(order - 1, 0, -1):
         q = 1 << sh
-        out = out.select(
+        out = out.selectExpr(
             *others,
             A,
             B,
-            F.when(
-                F.col(B).bitwiseAND(F.lit(q)) != 0,
-                F.col(T).bitwiseXOR(F.lit(q - 1)),
-            )
-            .otherwise(F.col(T))
-            .alias(T),
+            f"CASE WHEN ({B} & {q}) != 0 THEN ({T} ^ {q - 1})"
+            f" ELSE {T} END AS {T}",
         )
-    out = out.select(
+    out = out.selectExpr(
         *others,
-        F.col(A).bitwiseXOR(F.col(T)).alias(A),
-        F.col(B).bitwiseXOR(F.col(T)).alias(B),
+        f"({A} ^ {T}) AS {A}",
+        f"({B} ^ {T}) AS {B}",
     )
 
     # interleave transpose form → key (a = higher bit per level)
-    key = F.lit(0).cast("long")
+    key = "CAST(0 AS BIGINT)"
     for bit in range(order):
-        key = key.bitwiseOR(
-            F.shiftleft(
-                F.shiftright(F.col(A), bit).bitwiseAND(F.lit(1)), 2 * bit + 1
-            )
-        ).bitwiseOR(
-            F.shiftleft(
-                F.shiftright(F.col(B), bit).bitwiseAND(F.lit(1)), 2 * bit
-            )
+        key = (
+            f"({key} | shiftleft((shiftright({A}, {bit}) & 1), "
+            f"{2 * bit + 1}))"
         )
-    return out.withColumn(key_col, key.cast("long")).drop(A, B, T)
+        key = (
+            f"({key} | shiftleft((shiftright({B}, {bit}) & 1), "
+            f"{2 * bit}))"
+        )
+    return out.selectExpr(
+        *others, f"CAST({key} AS BIGINT) AS `{key_col}`"
+    )
 
 
 def morton_encode(y: Column, x: Column, order: int = DEFAULT_ORDER) -> Column:

@@ -69,7 +69,9 @@ def _docs(spark: SparkSession, docs_path: str | None = None) -> DataFrame:
     """The dedup corpus: the duplicate-injected fixture by default
     (contract queries), or an explicit parquet path (CLI --input —
     ADVICE r13: the subcommands must operate on the user's corpus)."""
-    return spark.read.parquet(docs_path or ensure_documents_aug())
+    from gis_etl_spark.io import read_parquet_cached
+
+    return read_parquet_cached(spark, docs_path or ensure_documents_aug())
 
 
 def _h60(col: Column) -> Column:
@@ -1921,17 +1923,13 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     map. Nothing here is heavier than the dedup pass that precedes it
     in any real pipeline."""
     docs = _docs(spark).select("doc_id")
-    # localCheckpoint: the verified pair set feeds BOTH the component
-    # fixpoint and the straddle audits — without it the whole MinHash
-    # chain (signature UDF + band join + Jaccard verify) re-executes
-    # per consumer (measured ~2 s of the 4.5 s wall at bench scale)
-    pairs = (
-        _exact_jaccard(_docs(spark), minhash_candidates(_docs(spark)))
-        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    comp = label_components(pairs)
+    # the verified pair set and its component labels are EXACTLY the
+    # frames _verified_pair_edges/_component_labels memoize for the
+    # keeper/cluster/funnel consumers (same _docs corpus, same chain,
+    # already localCheckpointed) — re-deriving the MinHash chain and
+    # re-running the fixpoint per call was this query's whole wall
+    pairs = _verified_pair_edges(spark, sf_dir)
+    comp = _component_labels(spark, sf_dir)
     n = LEAKAGE_N_SPLITS
     assigned = (
         docs.join(comp, "doc_id", "left")
@@ -2837,10 +2835,16 @@ def edit1_pairs(df: DataFrame, col: str) -> DataFrame:
     never an all-pairs O(n²) scan. At 100 TB the variant fan-out is
     len+1 (bounded, map-side) and the join shuffles only variant
     collisions; the brute twin exists solely as the oracle."""
+    # the distinct-names frame feeds both sub-join sides and the indel
+    # identity side, and the deletion frame feeds three join inputs —
+    # without materialization the scan+distinct executed 4× and the
+    # len+1 explode 3× per run (plan audit r18). One localCheckpoint
+    # each: every consumer rescans the materialized rows.
     s = (
         df.select(F.col(col).alias("s"))
         .filter(F.col("s").isNotNull())
         .distinct()
+        .localCheckpoint()
     )
     # position-tagged deletions: a substitution at i collides ONLY on
     # the i-deletions of both strings, so the join key is (variant,
@@ -2857,7 +2861,7 @@ def edit1_pairs(df: DataFrame, col: str) -> DataFrame:
                 "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
             )
         ).alias("tag", "v"),
-    )
+    ).localCheckpoint()
     sub_cand = (
         dels.alias("a")
         .join(dels.alias("b"), ["v", "tag"])
@@ -2877,7 +2881,15 @@ def edit1_pairs(df: DataFrame, col: str) -> DataFrame:
             F.greatest("i.s", "d.s").alias("b_val"),
         )
     )
-    cand = sub_cand.unionByName(indel_cand).distinct()
+    # dedup scope (guide §2.4 — "a distinct on data that is already
+    # unique"): a sub_cand pair shares a (variant, tag) ⇔ the two
+    # equal-length strings differ at EXACTLY position tag, so each
+    # substitution pair appears exactly once and never in indel_cand
+    # (whose pairs differ in length) — the global distinct on the
+    # output-sized candidate set was a full extra exchange. Only
+    # indel_cand can repeat (a run of equal characters gives the same
+    # deletion variant at several tags), so only it is deduped.
+    cand = sub_cand.unionByName(indel_cand.distinct())
     return (
         cand.filter(F.levenshtein("a_val", "b_val") <= 1)
         .orderBy("a_val", "b_val")

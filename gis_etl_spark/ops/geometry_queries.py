@@ -48,8 +48,10 @@ def fixture_paths() -> tuple[str, str]:
 
 
 def _read(spark: SparkSession) -> DataFrame:
+    from gis_etl_spark.io import read_parquet_cached
+
     bpath, _ = fixture_paths()
-    return spark.read.parquet(bpath)
+    return read_parquet_cached(spark, bpath)
 
 
 def _tile_census_sql(b: str, e: str) -> str:

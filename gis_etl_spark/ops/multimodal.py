@@ -76,7 +76,9 @@ META_SCHEMA = (
 
 
 def _media(spark: SparkSession) -> DataFrame:
-    return spark.read.parquet(ensure_media())
+    from gis_etl_spark.io import read_parquet_cached
+
+    return read_parquet_cached(spark, ensure_media())
 
 
 def _bmp_header(buf: bytes) -> tuple[int, int, int, int]:

@@ -578,10 +578,21 @@ def _bm25_posting_scores(
     terms = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("token")
     )
-    tf = terms.groupBy("token", "doc_id").agg(
-        F.count("*").cast("long").alias("tf")
+    # ONE corpus pass (guide §1.2 step 1 / §2.4): tf is the root of
+    # every other frame here, but dl/stats/corpus/qterms each planned
+    # their own explode+aggregate over the raw corpus (audited: 4-5
+    # full scan+explode passes per bm25_topk run, and the pruned rung
+    # multiplies them through its three posts consumers). Materialize
+    # tf once per invocation and derive dl = Σ tf per doc — the same
+    # int64 count the separate explode produced. The durable form of
+    # this materialization at 100 TB is the stored index
+    # (build_bm25_index); the in-plan rung pays it per run, once.
+    tf = (
+        terms.groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint()
     )
-    dl = terms.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = tf.groupBy("token").agg(
         F.countDistinct("doc_id").cast("long").alias("df"),
         F.sum("tf").alias("corpus_tf"),
@@ -867,6 +878,11 @@ def _bm25_prune_parts(spark: SparkSession, sf_dir: str):
     bm25_topk_pruned (branch routing) and bm25_prune_stats (the bench
     receipt)."""
     posts, qnames = _bm25_posting_scores(spark, sf_dir)
+    # posts (query-term postings only — small) feeds three consumers
+    # (the crk window, the candidate full-score join, the unsafe-query
+    # fallback); materialized once so each stops re-running the
+    # posting-score joins (guide §2.4 — audited 272 Exchanges before)
+    posts = posts.localCheckpoint()
     wt = Window.partitionBy("query_id", "token").orderBy(
         F.desc("sc"), F.asc("doc_id")
     )
@@ -1054,7 +1070,13 @@ def _bm25_build_frames(
     tf = terms.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dl = terms.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    # same single-corpus-pass shape as _bm25_posting_scores: dl/stats/
+    # corpus re-derive from the materialized tf instead of four
+    # independent explode passes. Gated on `materialize` so the plan
+    # audits (materialize=False) still see the full lazy build plan.
+    if materialize:
+        tf = tf.localCheckpoint()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = tf.groupBy("token").agg(
         F.countDistinct("doc_id").cast("long").alias("df"),
         F.sum("tf").alias("corpus_tf"),

@@ -1062,11 +1062,15 @@ def _stored_bipartite_pairs(
         )
     )
 
+    # new_clean feeds the signature chain AND both shingle consumers,
+    # and its lineage contains the exact-probe broadcast join —
+    # materialize it (increment-sized) so each consumer rescans rows
+    # instead of re-probing the fingerprints table (guide §2.4)
     new_clean = new.join(
         exact.select(F.col("new_id").alias("doc_id")).distinct(),
         "doc_id",
         "left_anti",
-    )
+    ).localCheckpoint()
     bk_new = _band_keys(_minhash_signatures(new_clean)).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_key"
     )
@@ -1080,7 +1084,13 @@ def _stored_bipartite_pairs(
         )
         .distinct()
     )
-    wa = _doc_shingles(new_clean).select(F.col("doc_id").alias("doc_a"), "w")
+    # the increment's shingle explode is consumed twice (intersection
+    # join + the na size agg) — one materialization, two rescans
+    wa = (
+        _doc_shingles(new_clean)
+        .select(F.col("doc_id").alias("doc_a"), "w")
+        .localCheckpoint()
+    )
     wb = spark.table(names["shingles"]).select(
         F.col("doc_id").alias("doc_b"), "w"
     )

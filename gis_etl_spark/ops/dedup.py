@@ -2462,6 +2462,11 @@ def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(w_hash)
         ),
     )
+    # flagged feeds TWO consumers — the LSH survivor chain and the
+    # final audit rollup — and each re-ran the doc scan + three
+    # words_col() array passes + the md5 window (guide §2.4, r18).
+    # One materialization; both sides rescan ExistingRDD.
+    flagged = flagged.localCheckpoint()
     survivors = flagged.filter(F.col("e_ok")).select("doc_id", "lang", "text")
     pairs = _exact_jaccard(survivors, minhash_candidates(survivors)).filter(
         F.col("jaccard") >= MINHASH_JACCARD_T

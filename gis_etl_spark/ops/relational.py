@@ -1515,16 +1515,24 @@ def _copurchase_edges(
 ) -> DataFrame:
     """Distinct (customer, supplier) bipartite edges with each
     customer's degree attached — shared by the pair query and its
-    audit. One join + one distinct + one groupBy."""
+    audit.
+
+    Degree comes from a count window OVER THE SAME partitioning the
+    distinct already established (r18, guide §2.4): the former
+    groupBy+self-join re-derived the whole cs subtree per join side —
+    and because the pair query consumes TWO copies of this frame, the
+    physical plan paid the orders⋈lineitem scan + distinct FOUR times
+    (plans/r18/supplier_copurchase_pairs_before.txt: 4 scans of each
+    table, 10 Exchanges, 3 SortMergeJoins — the 'AQE reuses the
+    exchange' assumption did not hold). The window buffers one
+    customer's rows at a time in a spillable array, so a mega-hub
+    cannot OOM the stage."""
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
-    # no persist: AQE's exchange reuse dedups the identical distinct
-    # subplan across the two join sides, and a per-call persist leaks
-    # a cache entry every build (measured: GC pressure under the gate)
     cs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -1532,8 +1540,9 @@ def _copurchase_edges(
         )
         .distinct()
     )
-    deg = cs.groupBy("c").agg(F.count("*").alias("k"))
-    return cs.join(deg, "c")
+    return cs.withColumn(
+        "k", F.count("*").over(Window.partitionBy("c"))
+    )
 
 
 def copurchase_pairs_capped(
@@ -1541,14 +1550,24 @@ def copurchase_pairs_capped(
 ) -> DataFrame:
     """Bipartite projection over (c, s, k) edges with the hub cap
     ENFORCED in the plan: customers with degree > cap are dropped
-    before the self-join, bounding per-customer fan-out at cap²
+    before any pair is formed, bounding per-customer fan-out at cap²
     regardless of corpus skew. Factored out so tests can run it on a
-    synthetic hub frame with a tiny cap."""
+    synthetic hub frame with a tiny cap.
+
+    Pair expansion is the `_bucket_pairs` shape (r18, guide §2.3/§2.4):
+    group each kept customer's suppliers to a list (≤ cap elements — the
+    filter runs BEFORE the collect) and expand pairs JVM-side with two
+    nested explodes. The groupBy rides the partitioning the degree
+    window already established, so the whole expansion adds ZERO
+    exchanges; the former self-join shuffled both copies of the kept
+    frame and recomputed its lineage per side (4 scans → 1). The
+    explode×explode cross product is row-for-row the self-join's
+    output, so counts are unchanged on any input, duplicates included."""
     kept = edges.filter(F.col("k") <= F.lit(cap))
-    a = kept.select("c", F.col("s").alias("sa"))
-    b = kept.select("c", F.col("s").alias("sb"))
+    grouped = kept.groupBy("c").agg(F.collect_list("s").alias("ss"))
     return (
-        a.join(b, "c")
+        grouped.select(F.explode("ss").alias("sa"), "ss")
+        .select("sa", F.explode("ss").alias("sb"))
         .filter(F.col("sa") < F.col("sb"))
         .groupBy("sa", "sb")
         .agg(F.count("*").alias("n_shared"))
@@ -1560,12 +1579,15 @@ def copurchase_pairs_capped(
 def supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item co-occurrence (the recommender / market-basket
     primitive): supplier pairs ranked by how many distinct customers
-    buy from both. One distinct bipartite edge list, one self-equi-join
-    on the customer key, one count — the bipartite projection.
+    buy from both. One distinct bipartite edge list, one per-customer
+    list, one JVM-side pair expansion, one count — the bipartite
+    projection in ONE pass over the fact tables (r18; the former
+    self-join rendition recomputed the edge subtree four times — see
+    _copurchase_edges / copurchase_pairs_capped).
 
-    Scale: the self-join fans out quadratically in the per-customer
-    supplier count; COPURCHASE_HUB_CAP drops hub customers before the
-    join (enforced in-plan, not just documented), and
+    Scale: the pair expansion fans out quadratically in the per-customer
+    supplier count; COPURCHASE_HUB_CAP drops hub customers before any
+    list is collected (enforced in-plan, not just documented), and
     supplier_copurchase_audit reports exactly what the cap discarded.
     The count shuffle is on the (a, b) pair key — well spread."""
     return copurchase_pairs_capped(

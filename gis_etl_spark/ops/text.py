@@ -1157,6 +1157,15 @@ def _bm25_serve_from(posts_t: DataFrame, stats_t: DataFrame) -> DataFrame:
     posts = posts_t.join(
         F.broadcast(qterms.select("token", "df", "query_id")), "token"
     ).select("query_id", "token", "df", "doc_id", "sc", "crk")
+    # posts (query-term postings only — small) feeds four consumers
+    # (champion filter, delta-candidate filter, candidate full-score
+    # join, unsafe-query fallback); without the checkpoint each one
+    # re-derived the stats-window qterms subtree AND re-probed the
+    # stored/delta postings union — the r18tmp audit counted the same
+    # table scanned 17× and the qterms Window 25× in ONE
+    # bm25_topk_after_append plan. Same guide §2.4 discipline as
+    # _bm25_prune_parts (the in-plan rung's measured 272→62 fix).
+    posts = posts.localCheckpoint()
     champ, champ_ranked, safe, w = _bm25_prune_parts_from(posts)
     return _bm25_pruned_final(posts, qnames, champ_ranked, safe, w)
 

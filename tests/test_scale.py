@@ -216,6 +216,50 @@ def test_copurchase_hub_cap_enforced(spark, sf_dir):
     assert prod.exceptAll(unc).isEmpty() and unc.exceptAll(prod).isEmpty()
 
 
+def test_copurchase_list_expansion_equals_self_join(spark):
+    """The r18 collect_list + explode×explode pair expansion is
+    row-for-row the former self-join rendition — pinned on a synthetic
+    frame that includes DUPLICATE (c, s) edges, where the cross-product
+    multiplicities (k·k per duplicated pair) are exactly what a
+    self-join produces and a set-based rewrite would get wrong."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gis_etl_spark.ops.relational import copurchase_pairs_capped
+
+    rows = [(c, s) for c in range(1, 6) for s in (10, 11, 12)]
+    rows += [(99, s) for s in range(10, 20)]
+    rows += [(3, 10), (3, 10), (4, 12)]  # duplicate edges
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["c", "s"]))
+    edges = edges.join(
+        edges.groupBy("c").agg(F.count("*").alias("k")), "c"
+    )
+
+    def self_join_reference(edges, cap, min_shared):
+        kept = edges.filter(F.col("k") <= F.lit(cap))
+        a = kept.select("c", F.col("s").alias("sa"))
+        b = kept.select("c", F.col("s").alias("sb"))
+        return (
+            a.join(b, "c")
+            .filter(F.col("sa") < F.col("sb"))
+            .groupBy("sa", "sb")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+
+    for cap, min_shared in ((5, 1), (10**9, 1), (5, 2)):
+        got = {
+            (r.sa, r.sb, r.n_shared)
+            for r in copurchase_pairs_capped(edges, cap, min_shared)
+            .collect()
+        }
+        want = {
+            (r.sa, r.sb, r.n_shared)
+            for r in self_join_reference(edges, cap, min_shared).collect()
+        }
+        assert got == want, f"cap={cap} min_shared={min_shared}"
+
+
 # --- split-block Bloom semi-join -------------------------------------------
 
 

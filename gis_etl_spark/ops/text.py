@@ -276,7 +276,15 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     N is the one driver scalar (A8 pattern). Ties are impossible:
     (score, doc_id) is unique, so the rank — and thus every decile
     boundary — is total and deterministic."""
-    q = text_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    # q feeds THREE consumers (the N scalar, the per-score histogram,
+    # the rank join) and each re-ran the full quality compute — the
+    # words_col array passes over every document (guide §2.4, r18).
+    # Checkpoint the two-column frame once; 3 corpus passes → 1.
+    q = (
+        text_quality_scores(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .localCheckpoint()
+    )
     n = q.count()
     # degenerate-corpus guard: fewer rows than buckets would zero
     # size_small and divide by it; NTILE's own semantics put one row
@@ -496,7 +504,12 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("token")
     )
-    tf = terms.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    # tf feeds TWO consumers (the per-token stats and the champion
+    # window) and each re-ran the corpus explode + partial agg
+    # (guide §2.4, r18) — materialized once, both rescan ExistingRDD.
+    tf = terms.groupBy("token", "doc_id").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint()
     stats = tf.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df"),
         F.sum("tf").cast("long").alias("corpus_tf"),
@@ -1680,7 +1693,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds TWO consumers (the df rollup and the scoring join) and
+    # each re-ran the corpus explode + partial agg (guide §2.4, r18) —
+    # the same shared-tf materialization the BM25 chain landed.
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint()
     df_counts = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -2759,7 +2777,17 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("w")
     )
-    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    # One explode, not two (guide §2.3/§2.4, r18): aggregate to
+    # per-(doc, word) counts ONCE and weight every downstream sum by
+    # cnt — Σ_tokens units == Σ_(doc,w) units·cnt exactly (pure int64,
+    # so the rewrite is bit-identical), the vocab rollup and the
+    # scoring join both read the checkpointed frame instead of
+    # re-running the corpus explode, and the model join moves
+    # |distinct (doc, w)| rows instead of every token occurrence.
+    wtf = toks.groupBy("doc_id", "w").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint()
+    vocab = wtf.groupBy("w").agg(F.sum("cnt").alias("c"))
     totals = vocab.agg(
         F.sum("c").alias("n_total"), F.count("*").alias("v_size")
     )
@@ -2770,11 +2798,13 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok_units"),
     )
     return (
-        toks.join(F.broadcast(model), "w")
+        wtf.join(F.broadcast(model), "w")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.expr("sum(tok_units) div count(*)").alias("surprisal_units"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.expr(
+                "sum(tok_units * cnt) div sum(cnt)"
+            ).alias("surprisal_units"),
         )
         .orderBy("doc_id")
     )

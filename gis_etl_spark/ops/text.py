@@ -3641,7 +3641,14 @@ def mixture_token_plan(
         F.sqrt(F.col("n_tokens")) * F.lit(float(10**MIX_WEIGHT_DP))
         + F.lit(0.5)
     ).cast("bigint")
-    per = per.select("source", "n_tokens", u.alias("sqrt_units"))
+    # per (≤ |sources| rows) feeds the total scalar, the staged
+    # apportionment AND — via staged — the sum_base scalar; each
+    # broadcast-scalar branch re-derived it from the CORPUS tokenize
+    # (5 document scans in one mixture_draw_split plan, r18 audit).
+    # Checkpoint the tiny aggregate once; the corpus pass runs once.
+    per = per.select(
+        "source", "n_tokens", u.alias("sqrt_units")
+    ).localCheckpoint()
     tot = per.agg(F.sum("sqrt_units").alias("t"))
     staged = per.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -3776,12 +3783,16 @@ def mixture_draw_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from gis_etl_spark.ops.scale import bucketed_running_sum
 
+    # bucketed_running_sum consumes per TWICE (pass-1 bucket totals +
+    # pass-3 within-bucket sums) and each re-ran the corpus tokenize
+    # (r18, guide §2.4); one narrow materialization, both passes
+    # rescan ExistingRDD.
     per = docs.select(
         "doc_id",
         "source",
         F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-    )
+    ).localCheckpoint()
     return (
         bucketed_running_sum(
             per, "source", "h", "doc_id", "n_tokens", "cum_tokens"

@@ -372,6 +372,12 @@ def cdc_merge_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates overridden by later updates, an update chain ending in a
     delete, and a delete followed by a re-insert all land on the
     final batch's outcome (fixture: _merge_log_changes)."""
+    # six changelog legs + base + the merge's anti-join each re-scan
+    # orders (13 scans in one plan). Measured r18: checkpointing the
+    # source once LOST 2× (3.87 s vs 1.92 s fresh floor) — the
+    # materialization carries FULL-WIDTH rows and every consumer loses
+    # parquet column pruning, while the 13 scans are narrow, pushed
+    # columnar reads of a small file. Deliberately left lazy.
     orders = read_table(spark, sf_dir, "orders")
     base, log = _merge_log_changes(orders)
     return (

@@ -468,7 +468,14 @@ def minhash_candidates(df: DataFrame) -> DataFrame:
 
 
 def _exact_jaccard(df: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Shingle-set Jaccard for candidate pairs via a shared-item join."""
+    """Shingle-set Jaccard for candidate pairs via a shared-item join.
+
+    The shingle frame feeds three subtrees (sizes + both pair sides)
+    and each lazily re-runs the explode over df. Measured r18:
+    checkpointing it once LOST to the recompute at sf0.1 (1.67 s vs
+    1.55 s fresh floor on dedup_minhash_pairs) — the explode reads a
+    narrow text column and codegens cheaply, while the materialization
+    writes the ~100× inflated shingle rows. Deliberately left lazy."""
     words = _doc_shingles(df)
     sizes = words.groupBy("doc_id").agg(F.count("*").alias("nw"))
     wa = words.select(F.col("doc_id").alias("doc_a"), "w")
@@ -621,6 +628,13 @@ def incremental_dedup_pairs(
         )
     )
 
+    # bk feeds both probe sides (new_b and the snapshot side of cands);
+    # measured r18: checkpointing it LOST to the lazy recompute at
+    # sf0.1 (2.23 s vs 2.00 s fresh floor — the eager job costs more
+    # than re-running the signature chain over this corpus), so the
+    # double derivation is deliberately kept lazy; the production-scale
+    # form of "derive once" is the STORED band table the _stored
+    # variant probes.
     bk = _band_keys(_minhash_signatures(docs))
     new_b = (
         bk.filter(is_new)

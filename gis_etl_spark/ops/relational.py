@@ -1266,10 +1266,17 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
     w = FUNNEL_WINDOW_US
+    # views and clicks each feed TWO consumers (the next stage's join
+    # and the stages union), so the lazy plan re-ran every upstream
+    # event scan per consumer — 6 scans of events for a 3-stage funnel
+    # (r18 audit; guide §2.4). Checkpoint the per-user stage frames
+    # (one row per user, two columns): each event type is now scanned
+    # exactly once, with its type filter still pushed to parquet.
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("view_us"))
+        .localCheckpoint()
     )
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -1280,6 +1287,7 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id", "view_us")
         .agg(F.min("us").alias("click_us"))
+        .localCheckpoint()
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")

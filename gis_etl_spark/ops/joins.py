@@ -404,11 +404,14 @@ def spatial_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_etl_spark.geom.functions import decode_centroid_points
     from gis_etl_spark.ops.geometry_queries import _read
 
-    # one mapInPandas decode per join side (filter inside the kernel) —
-    # the staged-UDF formulation re-decoded every geometry 4× per side
+    # checkpoint the decoded (id, cx, cy) frame: both join sides read
+    # ONE mapInPandas WKB decode instead of one per side (r18, guide
+    # §2.4 — the narrow-frame/expensive-subtree case where the
+    # materialization wins; the staged-UDF formulation before that
+    # re-decoded every geometry 4× per side)
     pts = decode_centroid_points(
         _read(spark).filter(F.col("geom").isNotNull())
-    )
+    ).localCheckpoint()
     pairs = near_pairs(pts, "building_id", "cx", "cy", NEAR_RADIUS_DEG)
     d2 = (
         (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
@@ -568,9 +571,10 @@ def spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_etl_spark.geom.functions import decode_centroid_points
     from gis_etl_spark.ops.geometry_queries import _read
 
+    # one WKB decode for both join sides (see spatial_near_pairs)
     pts = decode_centroid_points(
         _read(spark).filter(F.col("geom").isNotNull())
-    )
+    ).localCheckpoint()
     nn = nearest_neighbor_join(
         pts, "building_id", "cx", "cy", NEAR_RADIUS_DEG
     )

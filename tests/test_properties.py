@@ -897,15 +897,23 @@ def test_bm25_pruned_equals_plain_and_actually_prunes(spark, sf_dir):
     assert 0 < stats["champion_postings"] < stats["total_postings"]
 
 
-def test_bm25_stored_serves_without_windowing_postings(spark, sf_dir):
+def test_bm25_stored_serves_without_windowing_postings(
+    spark, sf_dir, monkeypatch
+):
     """The stored-index serve path is (a) row-identical to the plain
-    scorer and (b) structurally cheap: its plan has NO window
-    partitioned by (query, token) — the champion rank is a stored
-    column — and the postings scan comes from the bucketed catalog
-    table. The only windows left partition by query_id over candidate
-    docs."""
+    scorer, (b) structurally cheap: its plan has NO window partitioned
+    by (query, token) — the champion rank is a stored column — and (c)
+    served ENTIRELY from the catalog tables: with the corpus reader
+    monkeypatched to raise, the query still builds and returns
+    identical rows. (Until r18 property (c) was pinned by grepping the
+    plan text for the postings table name; the r18 shared-probe
+    checkpoint in _bm25_serve_from collapses the final plan's leaves
+    to ExistingRDD, so the stored-serving receipt is now the
+    monkeypatch-to-raise discipline the corpus monitors use — a
+    stronger pin than plan text.)"""
     import re
 
+    from gis_etl_spark.ops import text as text_ops
     from gis_etl_spark.ops.text import bm25_topk, bm25_topk_stored
 
     plain = [tuple(r) for r in bm25_topk(spark, sf_dir).collect()]
@@ -918,13 +926,26 @@ def test_bm25_stored_serves_without_windowing_postings(spark, sf_dir):
             "formatted"
         )
     )
-    assert "bm25_postings_" in plan  # served from the catalog table
     # no window is ordered by the per-posting score — the champion
     # rank (the only sc-ordered window in the in-plan rung) is a
     # stored column here. Remaining windows: the 8-row qterms ranking
     # (corpus_tf) and the per-query candidate rank (score_units).
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "sc#" not in spec, spec
+
+    # (c) stored-serving: the index tables exist now, so a re-serve
+    # must never touch the corpus parquet — raise if it tries.
+    def _boom(*a, **k):  # noqa: ANN002, ANN003
+        raise AssertionError(
+            "bm25_topk_stored read the corpus — stored serve must come "
+            "from the catalog tables only"
+        )
+
+    monkeypatch.setattr(text_ops, "read_table", _boom)
+    again = [
+        tuple(r) for r in bm25_topk_stored(spark, sf_dir).collect()
+    ]
+    assert again == stored
 
 
 def test_bm25_build_champion_ranks_bounded_and_exact(spark, sf_dir):

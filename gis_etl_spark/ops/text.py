@@ -3642,13 +3642,14 @@ def mixture_token_plan(
         + F.lit(0.5)
     ).cast("bigint")
     # per (≤ |sources| rows) feeds the total scalar, the staged
-    # apportionment AND — via staged — the sum_base scalar; each
-    # broadcast-scalar branch re-derived it from the CORPUS tokenize
-    # (5 document scans in one mixture_draw_split plan, r18 audit).
-    # Checkpoint the tiny aggregate once; the corpus pass runs once.
-    per = per.select(
-        "source", "n_tokens", u.alias("sqrt_units")
-    ).localCheckpoint()
+    # apportionment and — via staged — the sum_base scalar, so the
+    # explain-time plan shows the corpus tokenize 5×. Measured r18:
+    # checkpointing it here REGRESSED the in-suite wall 0.79 → 4.3 s
+    # (draw_plan) despite a faster fresh floor — the five subtrees are
+    # IDENTICAL aggregates, so runtime exchange reuse already dedups
+    # them to one execution, while an eager per-call checkpoint pays a
+    # fresh job wave every build in a long-lived session. Left lazy.
+    per = per.select("source", "n_tokens", u.alias("sqrt_units"))
     tot = per.agg(F.sum("sqrt_units").alias("t"))
     staged = per.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -3783,16 +3784,16 @@ def mixture_draw_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from gis_etl_spark.ops.scale import bucketed_running_sum
 
-    # bucketed_running_sum consumes per TWICE (pass-1 bucket totals +
-    # pass-3 within-bucket sums) and each re-ran the corpus tokenize
-    # (r18, guide §2.4); one narrow materialization, both passes
-    # rescan ExistingRDD.
+    # bucketed_running_sum consumes per twice (pass-1 bucket totals +
+    # pass-3 within-bucket sums); left lazy — runtime exchange reuse
+    # dedups the identical subtrees, and the r18 checkpoint experiment
+    # regressed the in-suite wall (see mixture_token_plan's note).
     per = docs.select(
         "doc_id",
         "source",
         F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-    ).localCheckpoint()
+    )
     return (
         bucketed_running_sum(
             per, "source", "h", "doc_id", "n_tokens", "cum_tokens"

@@ -504,12 +504,12 @@ def inverted_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("token")
     )
-    # tf feeds TWO consumers (the per-token stats and the champion
-    # window) and each re-ran the corpus explode + partial agg
-    # (guide §2.4, r18) — materialized once, both rescan ExistingRDD.
-    tf = terms.groupBy("token", "doc_id").agg(
-        F.count("*").alias("tf")
-    ).localCheckpoint()
+    # tf feeds two consumers (the per-token stats and the champion
+    # window) through one IDENTICAL (token, doc_id) exchange — runtime
+    # exchange reuse executes it once, and the r18 eager-checkpoint
+    # experiment measured an in-suite REGRESSION (0.67 → 1.01 s; same
+    # class as the mixture family). Left lazy.
+    tf = terms.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
     stats = tf.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df"),
         F.sum("tf").cast("long").alias("corpus_tf"),
@@ -1693,12 +1693,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("term")
     )
-    # tf feeds TWO consumers (the df rollup and the scoring join) and
-    # each re-ran the corpus explode + partial agg (guide §2.4, r18) —
-    # the same shared-tf materialization the BM25 chain landed.
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    ).localCheckpoint()
+    # tf feeds two consumers (the df rollup and the scoring join); the
+    # two branches share one IDENTICAL (doc_id, term) exchange, which
+    # runtime exchange reuse already executes once — an r18 eager
+    # checkpoint here showed no in-suite win for the same reason the
+    # mixture-family one regressed (see mixture_token_plan). Left lazy.
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )

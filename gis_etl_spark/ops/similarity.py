@@ -403,6 +403,19 @@ def _bucket_pairs(bands_df: DataFrame, cap: int) -> DataFrame:
         .agg(F.collect_list("vec_id").alias("vs"))
         .filter(F.size("vs") <= cap)
     )
+    # r18 (guide §2.2): the bucket-list aggregate is tiny (~10k lists,
+    # a few MB), so AQE coalesces its post-shuffle output to ONE
+    # partition — and everything pipelined on top of it (the two-level
+    # pair explode AND the caller's exact-cosine verify over every
+    # candidate) then ran as a single task on one core (measured: all
+    # 429,951 sf0.1 candidates in 1 partition; the verify was the
+    # query's dominant stage). Re-spread the lists across the cluster
+    # before the fan-out: the exchange moves only the capped member
+    # lists, and defaultParallelism keeps the width scale-adaptive
+    # instead of a local constant. Explicit repartition is exempt from
+    # AQE coalescing, so the width survives.
+    par = bands_df.sparkSession.sparkContext.defaultParallelism
+    lists = lists.repartition(par)
     # NO distinct here: a pair colliding in k bands appears k times, but
     # the exact verify is deterministic per pair, so callers dedup AFTER
     # the cosine filter — distinct on the few surviving rows instead of

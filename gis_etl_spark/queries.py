@@ -2546,3 +2546,98 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R17_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R17_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-18 window rotation (VERDICT r17 item 3, executed exactly as the
+# r17 comment above promised). Latest driver score per query after r17:
+# r13 ×14, r14 ×46, r15 ×47, r16 ×47, r17 ×50. r18 is an OPTIMIZATION
+# round — no new queries — so the window is: the FOURTEEN promised r13
+# leftovers (the rotation debt named above), then every declared query
+# whose PHYSICAL PLAN this round's optimizations changed (the r17
+# plan-changed precedent: a restructured query re-pins against its
+# oracle even if recently scored — OPTIMIZATION_r18.md names each
+# change), then the 12 alphabetically-first of the r14 cohort. The
+# remaining 30 r14-scored queries are the oldest tail and rotate in
+# r19. After this window no query's latest score predates r14.
+# ---------------------------------------------------------------------------
+
+_R18_R13_LEFTOVERS = (
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "rollup_returnflag_linestatus",
+    "running_value_per_user",
+    "sessionize_events",
+    "sessionize_native",
+    "similarity_ivfpq",
+    "similarity_ivfpq_rerank",
+    "similarity_ivfpq_serve",
+    "suppliers_with_shipments",
+    "top3_orders_per_customer",
+    "training_data_prep",
+)
+_R18_PLAN_CHANGED = (
+    # corpus-flags family: driver union-find gate, 2-exchange fixpoint,
+    # stored attrs table, concurrent materialization (changes 1-6)
+    "corpus_flags_rederive",
+    "corpus_flags_increment",
+    "flags_increment_risk",
+    "corpus_build_funnel",
+    "incremental_dedup_pairs_stored",
+    # component-label session memo + pair-edge reuse (changes 3, 9)
+    "dedup_canonical_keepers",
+    "dedup_cluster_stats",
+    "leakage_safe_splits",
+    # ED<=1 dedup: dropped global distinct, shared frames (change 10)
+    "customer_name_ed1_pairs",
+    # selectExpr Hilbert key assembly (change 11)
+    "geo_hilbert_keys",
+    # BM25 chain: one corpus explode; stored-serve single probe (8, 14)
+    "bm25_topk",
+    "bm25_topk_pruned",
+    "bm25_topk_stored",
+    "bm25_topk_after_append",
+    # co-purchase bipartite projection: 4 subtree copies -> 1 (13)
+    "supplier_copurchase_pairs",
+    "supplier_copurchase_audit",
+    "copurchase_triangles",
+    # one corpus pass text ops (15); funnel scan dedup (17)
+    "quality_deciles",
+    "text_unigram_surprisal",
+    "funnel_events",
+    # spatial joins: WKB decode once (19)
+    "spatial_near_pairs",
+    "spatial_nearest_neighbor",
+    "geo_spatial_clusters",
+    # LSH verify parallelized (22)
+    "dedup_embedding_lsh",
+)
+_R18_R14_COHORT = (
+    "ann_drift_stat",
+    "cohort_retention",
+    "customer_spend_rank",
+    "dedup_apply_keepers",
+    "dedup_embedding_lsh_audit",
+    "dedup_spans",
+    "embedding_dim_stats",
+    "embedding_int8_stats",
+    "event_pattern_match",
+    "events_rolling_anomaly",
+    "geo_area_stats",
+    "geo_convert_bbox",
+)
+_R18_FRONT = (
+    _R18_R13_LEFTOVERS + _R18_PLAN_CHANGED + _R18_R14_COHORT
+)
+
+assert len(_R18_FRONT) == 50, len(_R18_FRONT)
+assert len(set(_R18_FRONT)) == 50
+assert all(k in REGISTRY for k in _R18_FRONT), [
+    k for k in _R18_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R18_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R18_FRONT},
+}

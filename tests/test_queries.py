@@ -183,3 +183,48 @@ def test_doc_registry_counts():
     got_floor = re.findall(r"staleness floor: r(\d+)", cov)
     assert got_floor, "COVERAGE.md is missing the staleness-floor marker"
     assert all(int(n) == floor for n in got_floor), (got_floor, floor)
+
+    # r18: same set-arithmetic discipline for the r18 rotation, census
+    # frozen at r17 (the state the r18 promise was made against). An
+    # OPTIMIZATION round adds no queries, so the window is the 14
+    # promised r13 leftovers + every query whose physical plan the r18
+    # optimizations changed (re-pin precedent: _R17_PLAN_CHANGED) +
+    # the r14-cohort head; the post-rotation floor is pinned under its
+    # own marker name (the pre-r17 floor marker above stays frozen).
+    from gis_etl_spark.queries import (
+        _R18_FRONT,
+        _R18_PLAN_CHANGED,
+        _R18_R13_LEFTOVERS,
+        _R18_R14_COHORT,
+    )
+
+    latest17: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd > 17:
+            continue
+        with open(f) as fh:
+            for q in json.load(fh):
+                latest17[q] = max(latest17.get(q, 0), rnd)
+    r13_old = {q for q, r in latest17.items() if r <= 13}
+    assert set(_R18_R13_LEFTOVERS) == r13_old, (
+        sorted(set(_R18_R13_LEFTOVERS) ^ r13_old)
+    )
+    deferred14 = {q for q, r in latest17.items() if r <= 14} - set(
+        _R18_FRONT
+    )
+    for marker, want in (
+        ("r13 leftovers fronted", len(_R18_R13_LEFTOVERS)),
+        ("r18 plan-changed fronted", len(_R18_PLAN_CHANGED)),
+        ("r14 cohort fronted", len(_R18_R14_COHORT)),
+        ("r14 leftovers deferred", len(deferred14)),
+    ):
+        got = re.findall(rf"{marker}: (\d+)", cov)
+        assert got, f"COVERAGE.md is missing the '{marker}: N' marker"
+        assert all(int(n) == want for n in got), (marker, got, want)
+    post18 = min(
+        r for q, r in latest17.items() if q not in set(_R18_FRONT)
+    )
+    got18 = re.findall(r"post-r18 floor: r(\d+)", cov)
+    assert got18, "COVERAGE.md is missing the post-r18 floor marker"
+    assert all(int(n) == post18 for n in got18), (got18, post18)

@@ -91,12 +91,21 @@ def compact_final_line(
     sections: dict[str, list[str]],
     sf: float,
     errors: dict[str, str],
+    prior_names: tuple[str, ...] = (),
 ) -> str:
     """The driver-facing summary line: suite wall + per-section sums +
     as many top-wall queries as fit, shrunk ITERATIVELY under
     FINAL_LINE_BUDGET so it can never outgrow the driver's stdout tail
     window (full detail lives in the repo artifact and an earlier,
-    sacrificial stdout line)."""
+    sacrificial stdout line).
+
+    ``prior_names`` (r19, VERDICT r18 item 7): queries the PREVIOUS
+    round's recorded line reported are kept first when the budget
+    forces truncation — otherwise every query that merely got FASTER
+    falls below the top-wall cutoff and the round-over-round diff
+    manufactures phantom "dropped_from_bench" entries (7 in r18, five
+    of them improvements). Ordering inside each group stays wall-desc;
+    the shrink loop and budget are unchanged."""
     compact: dict = {
         "metric": "suite_wall_sec",
         "value": round(sum(timings.values()), 2),
@@ -115,7 +124,11 @@ def compact_final_line(
         compact["errors"] = {
             k[:40]: v[:80] for k, v in list(errors.items())[:5]
         }
-    by_wall = sorted(timings, key=timings.get, reverse=True)
+    prior = [k for k in timings if k in set(prior_names)]
+    rest = [k for k in timings if k not in set(prior_names)]
+    by_wall = sorted(prior, key=timings.get, reverse=True) + sorted(
+        rest, key=timings.get, reverse=True
+    )
     keep = len(by_wall)
     while True:
         compact["queries"] = {
@@ -1982,7 +1995,8 @@ def main() -> None:
         "scale": list(scale_t),
     }
     line = compact_final_line(
-        timings, sections, result["sf"], ERRORS
+        timings, sections, result["sf"], ERRORS,
+        prior_names=tuple(_prior_round_timings()),
     )
     assert len(line) <= FINAL_LINE_BUDGET, len(line)
     print(line)

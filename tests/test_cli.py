@@ -170,6 +170,34 @@ def test_bench_final_line_never_exceeds_budget():
             )
 
 
+def test_bench_final_line_keeps_prior_reported_queries():
+    """r19 (VERDICT r18 item 7): entries the previous round's recorded
+    line reported must stay in this round's final line even when they
+    got fast enough to fall below the top-wall cutoff — otherwise the
+    round-over-round diff manufactures phantom dropped_from_bench
+    artifacts out of improvements."""
+    import json
+
+    from bench import FINAL_LINE_BUDGET, compact_final_line
+
+    # 300 slow fillers + 10 prior-reported queries that are now FAST
+    timings = {f"filler_query_number_{i:03d}": 50.0 + i
+               for i in range(300)}
+    prior = tuple(f"prior_reported_{i}" for i in range(10))
+    for name in prior:
+        timings[name] = 0.01  # far below any top-wall cutoff
+    sections = {"headline": list(timings)}
+    line = compact_final_line(timings, sections, 0.1, {},
+                              prior_names=prior)
+    assert len(line) <= FINAL_LINE_BUDGET
+    d = json.loads(line)
+    for name in prior:
+        assert name in d["queries"], name
+    # and without prior_names they would have been cut (sanity)
+    d0 = json.loads(compact_final_line(timings, sections, 0.1, {}))
+    assert not any(n in d0["queries"] for n in prior)
+
+
 def test_cli_incremental_dedup_and_hard_negatives(tmp_path):
     """The r12 subcommands end-to-end in subprocesses; outputs carry
     the contract columns and plausible row counts."""

@@ -1147,7 +1147,45 @@ def _lit_vec(c: list[float]) -> Column:
     BUILDING the expression tree through the bridge. `repr(x)D` is
     bit-exact: repr is shortest-exact and Java's Double parsing is
     correctly rounded (verified bit-for-bit in tests)."""
-    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in c) + ")")
+    return F.expr(_lit_vec_sql(c))
+
+
+def _lit_vec_sql(c: list[float]) -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+
+def _lit_mat_sql(mat: list[list[float]]) -> str:
+    """Literal array<array<double>> as one SQL string (same repr
+    round-trip exactness contract as _lit_vec)."""
+    return "array(" + ",".join(_lit_vec_sql(c) for c in mat) + ")"
+
+
+def _dtable_cells_sql(cbs: list[list[list[float]]], qres_sql: str) -> str:
+    """The ADC distance-table cells of one query(-residual) row as ONE
+    generator expression: inline all (m, c_id, pd2u) rows computed
+    against the LITERAL codebooks (r19, guide §7.3 + §2.4).
+
+    Replaces the former per-build `createDataFrame(codebook rows)` +
+    broadcast join: that rendition re-parallelized the 64-row codebook
+    into defaultParallelism pickled slices on EVERY builder call (a
+    32-task broadcast-side stage of ~0.3 s pure Python-bridge latency,
+    zero CPU — profiled r19) and paid a join just to pair each query
+    subvector with each centroid. The arithmetic here is term-for-term
+    the old plan's: d2 = aggregate(zip_with(qsub, c, (x-y)²), 0.0,
+    acc+x) with qsub = slice(qres, m·DSUB+1, DSUB), quantized
+    floor(d2·10^PQ_DP + 0.5) — literals go through repr (shortest-
+    exact) and Spark's correctly-rounded double parser, so every cell
+    is bit-identical to the joined rendition."""
+    scale = f"{float(10**PQ_DP)!r}D"
+    return (
+        "inline(flatten(transform("
+        + "array(" + ",".join(_lit_mat_sql(m) for m in cbs) + ")"
+        + ", (sub, m) -> transform(sub, (c, ci) -> named_struct("
+        + "'m', m, 'c_id', ci, 'pd2u', floor(aggregate(zip_with("
+        + f"slice({qres_sql}, m * {PQ_DSUB} + 1, {PQ_DSUB}), c, "
+        + "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x) "
+        + f"* {scale} + 0.5D))))))"
+    )
 
 
 def _d2_cols(v: Column | str, cents: list[list[float]]) -> Column:
@@ -1676,35 +1714,14 @@ def _pq_adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = emb.select(
         "vec_id", F.posexplode(pq_codes_col(cbs)).alias("m", "code")
     )
-    cb_df = spark.createDataFrame(
-        [
-            (m, ci, [float(x) for x in cbs[m][ci]])
-            for m in range(PQ_M)
-            for ci in range(PQ_KSUB)
-        ],
-        "m int, c_id int, c array<double>",
-    )
-    q_sub = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # r19: the distance table is built by ONE literal-codebook
+    # generator expression per query row (see _dtable_cells_sql) —
+    # the former createDataFrame(codebook) + broadcast join cost a
+    # 32-task pickled-slice stage and a join per build, for 64 rows
+    # of literals the plan already holds.
+    dtable = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB)
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("m", "qsub"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qsub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dtable = q_sub.join(F.broadcast(cb_df), "m").select(
-        "query_id",
-        "m",
-        "c_id",
-        F.floor(d2 * F.lit(float(10**PQ_DP)) + F.lit(0.5)).alias("pd2u"),
+        F.expr(_dtable_cells_sql(cbs, "v")),
     )
     return (
         codes.join(
@@ -1993,7 +2010,6 @@ def _coarse_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 def _residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     """(vec_id, list_id, v=residual): assign each vector to its coarse
     list and subtract that centroid — pure JVM expressions."""
-    cent_arr = F.array(*[_lit_vec(c) for c in cents])
     assigned = emb.select(
         "vec_id",
         "v",
@@ -2001,10 +2017,11 @@ def _residuals(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
         .getField("c_id")
         .alias("list_id"),
     )
-    res_v = F.zip_with(
-        F.col("v"),
-        F.element_at(cent_arr, F.col("list_id") + 1),
-        lambda x, y: x - y,
+    # one parsed expression (r19): the centroid matrix literal + the
+    # subtraction lambda cost ~25 py4j round-trips per Column before
+    res_v = F.expr(
+        f"zip_with(v, element_at({_lit_mat_sql(cents)}, list_id + 1), "
+        "(x, y) -> x - y)"
     )
     return assigned.select("vec_id", "list_id", res_v.alias("v"))
 
@@ -2069,43 +2086,18 @@ def _ivfpq_probe_adc(
         .filter(F.col("rk") < n_probe)
         .select("query_id", "v", F.col("s").getField("c_id").alias("list_id"))
     )
-    cent_arr = F.array(*[_lit_vec(c) for c in cents])
-    qres_v = F.zip_with(
-        F.col("v"),
-        F.element_at(cent_arr, F.col("list_id") + 1),
-        lambda x, y: x - y,
+    # r19: per-(query, probed-list) distance tables via ONE literal-
+    # codebook generator expression on the query residual (see
+    # _dtable_cells_sql) — replaces the per-build createDataFrame +
+    # broadcast join; cell arithmetic is bit-identical.
+    qres_sql = (
+        f"zip_with(v, element_at({_lit_mat_sql(cents)}, list_id + 1), "
+        "(x, y) -> x - y)"
     )
-    q_sub = probes.select(
+    dtable = probes.select(
         "query_id",
         "list_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(qres_v, m * PQ_DSUB + 1, PQ_DSUB)
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("m", "qsub"),
-    )
-    cb_df = spark.createDataFrame(
-        [
-            (m, ci, [float(x) for x in cbs[m][ci]])
-            for m in range(PQ_M)
-            for ci in range(PQ_KSUB)
-        ],
-        "m int, c_id int, c array<double>",
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("qsub"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dtable = q_sub.join(F.broadcast(cb_df), "m").select(
-        "query_id",
-        "list_id",
-        "m",
-        "c_id",
-        F.floor(d2 * F.lit(float(10**PQ_DP)) + F.lit(0.5)).alias("pd2u"),
+        F.expr(_dtable_cells_sql(cbs, qres_sql)),
     )
     return (
         codes.join(

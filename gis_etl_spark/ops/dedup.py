@@ -2882,15 +2882,30 @@ def edit1_pairs(df: DataFrame, col: str) -> DataFrame:
     # identical and buckets cross-multiply (measured 10.9 s → 3.9 s on
     # 15k TPC-H names at sf0.1 — the remaining wall is the 262k-pair
     # output itself)
-    dels = s.select(
-        "s",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, length(s)), i -> "
-                "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
-            )
-        ).alias("tag", "v"),
-    ).localCheckpoint()
+    # r19: the distinct above is AQE-coalesced to ONE partition (15k
+    # names ≈ 1.5 MB), and the checkpoint froze that width into every
+    # consumer — the variant self-join, the indel join and the
+    # levenshtein verify all ran as single tasks (stage profile: 3
+    # single-task stages of 0.9-1.3 s each, the whole query serial).
+    # Hash-partition the deletion frame on the JOIN key to
+    # defaultParallelism before the checkpoint (explicit width — a
+    # keyed repartition without it gets re-coalesced): the self-join
+    # then rides the checkpoint's partitioning with zero exchange and
+    # cluster-wide width. Same fix as the r18 _bucket_pairs respread.
+    para = df.sparkSession.sparkContext.defaultParallelism
+    dels = (
+        s.select(
+            "s",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, length(s)), i -> "
+                    "concat(substr(s, 1, i - 1), substr(s, i + 1)))"
+                )
+            ).alias("tag", "v"),
+        )
+        .repartition(para, "v", "tag")
+        .localCheckpoint()
+    )
     sub_cand = (
         dels.alias("a")
         .join(dels.alias("b"), ["v", "tag"])

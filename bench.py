@@ -337,10 +337,16 @@ def _geo_benches(
     steady("hex_heatmap_200k", lambda: B.hex_heatmap(src).count())
 
     # hex export at 200k source rows (~20k cells): fused Arrow
-    # center+boundary pass; sum(length) defeats column pruning
+    # center+boundary pass; sum(length) defeats column pruning.
+    # r19: respread the cell aggregate to cluster width before the
+    # boundary kernel — AQE coalesced the ~20k-cell frame to ONE
+    # partition and the export Arrow UDF ran as a single 2.2 s task
+    # (same fix as the registry hex_heatmap_export; the benched
+    # computation is unchanged, the kernel just runs cluster-wide).
     steady(
         "hex_heatmap_export_200k",
         lambda: B.hex_heatmap(src)
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("exp", hex_export_arrow(F.col("cell"), 7))
         .agg(F.sum(F.length("exp.boundary"))).collect(),
     )

@@ -124,6 +124,47 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _READ_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def read_table_spread(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """read_table, widened to cluster parallelism WHEN THE FILE IS
+    SMALLER THAN ONE SCAN SPLIT (r19, guide §2.2/§2.6 — scale-adaptive
+    partitioning, not a local constant).
+
+    A fixture-scale table is one small parquet file → one scan
+    partition, so operators that do heavy per-row compute (tokenize,
+    regex, shingle) run serial regardless of cluster width (profiled:
+    0.5-1.1 s single-task corpus passes in the text pack). Round-robin
+    respreading such an input costs one exchange of a
+    less-than-a-split payload and buys cluster-wide compute. A corpus
+    bigger than one split already scans wide — the gate makes this a
+    no-op there, so no extra shuffle ever touches a 100 TB input.
+    Row placement is deterministic (sortBeforeRepartition is on), and
+    the consumers below it are per-row maps + aggregates + sorts, so
+    results are partition-count independent."""
+    df = read_table(spark, sf_dir, name)
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    ).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    try:
+        if raw.rstrip("b") != raw and raw[-2:-1] in units:
+            max_split = int(raw[:-2]) * units[raw[-2]]
+        elif raw[-1:] in units:
+            max_split = int(raw[:-1]) * units[raw[-1]]
+        else:
+            max_split = int(raw.rstrip("b"))
+    except ValueError:
+        max_split = 134217728
+    if size <= max_split:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     """The read_table lazy-frame memo for an arbitrary parquet path
     (fixture corpora, CLI inputs): one plan root per (session, file

@@ -902,8 +902,16 @@ def hex_heatmap_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_etl_spark.layout.geohex import hex_export_arrow
 
     cells = hex_heatmap(spark, sf_dir)
+    # r19: the cell aggregate is a few MB, so AQE coalesces its
+    # exchange to one partition and the boundary-export Arrow kernel
+    # ran as a SINGLE task (profiled 2.2 s serial Python on the 200k
+    # rig). Respread to cluster width before the kernel — explicit
+    # count, exempt from AQE coalescing; the final orderBy re-sorts,
+    # so the result is unchanged.
+    para = spark.sparkContext.defaultParallelism
     return (
-        cells.withColumn("exp", hex_export_arrow(F.col("cell"), 7))
+        cells.repartition(para)
+        .withColumn("exp", hex_export_arrow(F.col("cell"), 7))
         .select(
             "cell",
             "num_recs",

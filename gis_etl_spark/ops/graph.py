@@ -83,7 +83,14 @@ def _edges_deg_cached(
     fingerprint) — one cache entry per dataset, not per builder call."""
     key = _graph_key(spark, sf_dir)
     if key not in _EDGE_CACHE:
-        edges = _edges(spark, sf_dir).persist()
+        # r19: the unionAll doubles the distinct's partition count, so
+        # the persisted edge frame held 2×shuffle.partitions slivers
+        # and every iteration's broadcast-join stage ran 64 tiny tasks
+        # (~200 KB each, half the task time pure launch/wait overhead).
+        # Narrow-coalesce to cluster width before persisting — no
+        # shuffle, same rows, per-iteration stages at defaultParallelism.
+        para = spark.sparkContext.defaultParallelism
+        edges = _edges(spark, sf_dir).coalesce(para).persist()
         deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
         _EDGE_CACHE[key] = (edges, deg)
     return _EDGE_CACHE[key]

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gis_etl_spark.io import read_table
+from gis_etl_spark.io import read_table, read_table_spread
 
 # small marker-word sets per language; with the driver's synthetic
 # shared-vocabulary corpus these exercise the operator (argmax over
@@ -2007,7 +2007,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     nowhere near it. Docs with < 3 words yield 0 trigrams, NULL
     fractions, repetitive = false through the guarded comparison.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     # stage the word array as an ATTRIBUTE before the lambda: an
     # expression referenced inside transform() is re-evaluated per
     # element (re-splitting the whole text → O(words²) per doc)
@@ -3238,7 +3238,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard way to audit a CMS against ground truth at test scale.
     The oracle rebuilds the identical sketch in SQL, so the hash match
     pins the hashing, the counter table, and the min-combine."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     toks = docs.select(F.explode(words_col(F.col("text"))).alias("token"))
     cells_of = cms_cell_array(F.col("token"))
     cms = cms_cells(toks)
@@ -3331,7 +3331,7 @@ def corpus_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle table is the big artifact — persist it bucketed by shingle
     hash and both the agg and the join co-locate; this is the same
     layout the incremental-dedup snapshot uses for band keys."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     s = (
         docs.select("doc_id", words_col(F.col("text")).alias("ws"))
         .select(
@@ -4028,7 +4028,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     map expressions — no shuffle beyond the final orderBy. The
     streaming twin (pipelines.streaming.streaming_pii_redact) runs the
     SAME shared expressions on ingest."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", *pii_redact_audit_cols(pii_planted_txt()))
         .orderBy("doc_id")
@@ -4115,7 +4115,7 @@ def pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, kind, start, len), 1-based start, ordered by
     (doc_id, start, kind)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     txt = pii_planted_txt()
     all_spans = F.concat(
         *[_kind_spans(txt, kind) for kind, _ in _PII_REDACTIONS]

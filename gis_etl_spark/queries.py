@@ -2641,3 +2641,93 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _R18_FRONT},
     **{k: v for k, v in REGISTRY.items() if k not in _R18_FRONT},
 }
+
+# ---------------------------------------------------------------------------
+# Round-19 window rotation (VERDICT r18 item 8, executed exactly as the
+# r18 comment above promised). Latest driver score per query after r18:
+# r14 ×30, r15 ×41, r16 ×41, r17 ×42, r18 ×50. r19 is the second
+# OPTIMIZATION round — no new queries — so the window is: the THIRTY
+# promised r14 leftovers (the oldest tail named above), then every
+# declared query whose PHYSICAL PLAN this round's optimizations changed
+# and that is not already among the leftovers (the re-pin precedent —
+# OPTIMIZATION_r19.md names each change), then the 8
+# alphabetically-first of the 41-query r15 cohort. After this window no
+# query's latest score predates r15.
+# ---------------------------------------------------------------------------
+
+_R19_R14_LEFTOVERS = (
+    "geo_core_type_count",
+    "geo_flip_sources",
+    "geo_geohash_census",
+    "geo_heatmap",
+    "geo_heatmap_export",
+    "geo_simplify_stats",
+    "geo_source_counts",
+    "geo_tile_census",
+    "h3_children_rollup",
+    "h3_parent_rollup",
+    "heavy_hitter_tokens",
+    "hex_heatmap",
+    "hex_heatmap_export",       # also r19 plan-changed (cell respread)
+    "inverted_index_topk",
+    "io_geojsonl_scan",
+    "kmv_distinct_customers",
+    "mixture_draw_plan",
+    "mixture_draw_split",
+    "mixture_sample",
+    "mixture_temperature_weights",
+    "multimodal_ahash_groups",
+    "multimodal_spectral",
+    "pii_redact",               # also r19 plan-changed (spread read)
+    "pii_spans",                # also r19 plan-changed (spread read)
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "regex_token_stats",
+    "sampled_price_quantiles",
+    "stratified_sample",
+    "weighted_sample_docs",
+)
+_R19_PLAN_CHANGED = (
+    # co-purchase fan-out respread + pair-keyed exchange
+    "supplier_copurchase_pairs",
+    "copurchase_triangles",
+    # PQ/IVFPQ literal-codebook distance tables (createDataFrame +
+    # broadcast join removed from every family member)
+    "similarity_pq_adc",
+    "similarity_pq_rerank",
+    "similarity_ivfpq",
+    "similarity_ivfpq_rerank",
+    "similarity_ivfpq_serve",
+    # ED≤1 deletion-variant checkpoint partitioned on the join key
+    "customer_name_ed1_pairs",
+    # persisted edge cache coalesced to cluster width
+    "pagerank_trade",
+    # scale-gated spread of the single-split corpus scan
+    "cms_token_counts",
+    "corpus_dup_ngram_fraction",
+    "text_repetition",
+)
+_R19_R15_COHORT = (
+    "asof_click_view",
+    "bm25_stats_drift",
+    "bpe_fertility_by_lang",
+    "cdc_merge_apply",
+    "chunk_decontaminate",
+    "count_distinct_customers",
+    "decontaminate_overlap",
+    "dedup_components",
+)
+_R19_FRONT = (
+    _R19_R14_LEFTOVERS + _R19_PLAN_CHANGED + _R19_R15_COHORT
+)
+
+assert len(_R19_FRONT) == 50, len(_R19_FRONT)
+assert len(set(_R19_FRONT)) == 50
+assert all(k in REGISTRY for k in _R19_FRONT), [
+    k for k in _R19_FRONT if k not in REGISTRY
+]
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _R19_FRONT},
+    **{k: v for k, v in REGISTRY.items() if k not in _R19_FRONT},
+}

@@ -228,3 +228,45 @@ def test_doc_registry_counts():
     got18 = re.findall(r"post-r18 floor: r(\d+)", cov)
     assert got18, "COVERAGE.md is missing the post-r18 floor marker"
     assert all(int(n) == post18 for n in got18), (got18, post18)
+
+    # r19: same discipline, census frozen at r18 (the state the r19
+    # promise was made against). Second OPTIMIZATION round — the
+    # window is the 30 promised r14 leftovers + this round's
+    # plan-changed re-pins + the r15-cohort head.
+    from gis_etl_spark.queries import (
+        _R19_FRONT,
+        _R19_PLAN_CHANGED,
+        _R19_R14_LEFTOVERS,
+        _R19_R15_COHORT,
+    )
+
+    latest18: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd > 18:
+            continue
+        with open(f) as fh:
+            for q in json.load(fh):
+                latest18[q] = max(latest18.get(q, 0), rnd)
+    r14_old = {q for q, r in latest18.items() if r <= 14}
+    assert set(_R19_R14_LEFTOVERS) == r14_old, (
+        sorted(set(_R19_R14_LEFTOVERS) ^ r14_old)
+    )
+    deferred15 = {q for q, r in latest18.items() if r <= 15} - set(
+        _R19_FRONT
+    )
+    for marker, want in (
+        ("r14 leftovers fronted", len(_R19_R14_LEFTOVERS)),
+        ("r19 plan-changed fronted", len(_R19_PLAN_CHANGED)),
+        ("r15 cohort fronted", len(_R19_R15_COHORT)),
+        ("r15 leftovers deferred", len(deferred15)),
+    ):
+        got = re.findall(rf"{marker}: (\d+)", cov)
+        assert got, f"COVERAGE.md is missing the '{marker}: N' marker"
+        assert all(int(n) == want for n in got), (marker, got, want)
+    post19 = min(
+        r for q, r in latest18.items() if q not in set(_R19_FRONT)
+    )
+    got19 = re.findall(r"post-r19 floor: r(\d+)", cov)
+    assert got19, "COVERAGE.md is missing the post-r19 floor marker"
+    assert all(int(n) == post19 for n in got19), (got19, post19)

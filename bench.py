@@ -1792,6 +1792,7 @@ def _prior_round_timings() -> dict[str, float]:
     # newest round with USABLE timings: a crashed round's artifact
     # (parsed=null, e.g. BENCH_r09) must not disable the gate for the
     # whole next round — walk back until a non-empty queries dict
+    out: dict[str, float] = {}
     for path in reversed(files):
         try:
             with open(path) as f:
@@ -1801,13 +1802,37 @@ def _prior_round_timings() -> dict[str, float]:
                 "queries"
             ) or {}
             if q:
-                return q
+                out = dict(q)
+                break
         except (OSError, ValueError):
             continue
-    return {}
+    # r19 (measurement-bug fix, documented in OPTIMIZATION_r19.md):
+    # the driver's recorded line keeps only the ~57 slowest entries,
+    # so 70+ queries had NO prior and an arbitrary in-suite spike on
+    # them stood uncorrected (observed: an untouched query recording
+    # 15.8 s against a 0.8 s quiet floor because the gate could not
+    # fire). The committed previous-round full local record fills the
+    # gaps — fallback only, the driver's own numbers stay the primary
+    # reference. NOTE: main() snapshots this BEFORE any section runs;
+    # _flush_partial overwrites BENCH_local_latest.json during the
+    # run, so a late read would see this run's own partial data.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_local_latest.json")) as f:
+            local_q = json.load(f).get("queries") or {}
+        for k, v in local_q.items():
+            out.setdefault(k, v)
+    except (OSError, ValueError):
+        pass
+    return out
 
 
 def main() -> None:
+    # snapshot the noise-gate priors BEFORE any section runs:
+    # _flush_partial rewrites BENCH_local_latest.json incrementally,
+    # so reading it later would compare this run against itself
+    prior = _prior_round_timings()
+
     spark = get_spark("gis-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -1861,7 +1886,7 @@ def main() -> None:
     # noise gate: any entry >1.3x its prior-round record gets a second
     # measurement pass late in the run (headline queries individually,
     # section benches as a section), and the per-entry MIN is recorded.
-    prior = _prior_round_timings()
+    # (prior snapshot hoisted to main() start — see _prior_round_timings)
     suspect = {
         k
         for k, v in timings.items()
@@ -2002,7 +2027,7 @@ def main() -> None:
     }
     line = compact_final_line(
         timings, sections, result["sf"], ERRORS,
-        prior_names=tuple(_prior_round_timings()),
+        prior_names=tuple(prior),
     )
     assert len(line) <= FINAL_LINE_BUDGET, len(line)
     print(line)
